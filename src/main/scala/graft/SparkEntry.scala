@@ -1,13 +1,98 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sync.{Categories, Dedup, Matching, Pipeline, SyncInputs}
+import graft.oracle.OracleSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator in SURVEY.md §2 appears as a named entry in [[queries]];
+  * entries with DuckDB-expressible semantics carry an [[oracleSql]] twin
+  * (kept in [[graft.oracle.OracleSql]]) that must be value-identical.
+  * All queries end with a deterministic full-key ORDER BY on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the whole reference pipeline (E2+E3, SURVEY.md §3) distilled
+    * to its run summary — exercises scan-derivation, dedup (J7/A1), both
+    * match passes (J1/J2), change detection (C1/C2) and all four action
+    * tables. Driver smoke-checks rows > 0 on sf0.001 (always 1 row).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Pipeline.summary(Pipeline.syncFixture(spark, "/root/testdata/sf0.001"))
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** The sync-reconciliation surface (SURVEY.md §2.1-§2.7). */
+  private val syncQueries: Map[String, Q] = Map(
+    "sync_dedup_mark" -> ((s, dir) =>
+      Dedup.markDuplicates(SyncInputs.files(s, dir))
+        .select("ord", "ino", "size", "file", "md5", "alias",
+          "n_duplicates", "duplicates_csv")
+        .orderBy("ord")),
+    "sync_dup_report" -> ((s, dir) =>
+      Dedup.duplicateReport(Dedup.markDuplicates(SyncInputs.files(s, dir)))),
+    "sync_match_pass1" -> ((s, dir) =>
+      Pipeline.syncFixture(s, dir).pass1
+        .select("ord", "file", "md5", "project", "match")
+        .orderBy("ord")),
+    "sync_match_pass2" -> ((s, dir) =>
+      Pipeline.syncFixture(s, dir).pass2
+        .select("id", "p_file", "ino", "file", "is_alias", "match")
+        .orderBy("id")),
+    "sync_updates" -> ((s, dir) =>
+      Pipeline.syncFixture(s, dir).updates
+        .select("id", "new_file", "md5", "src")
+        .orderBy("id", "src")),
+    "sync_content_changed" -> ((s, dir) =>
+      Pipeline.syncFixture(s, dir).contentChanged
+        .select("id", "file", "file_md5", "project_md5", "src")
+        .orderBy("id")),
+    "sync_archives" -> ((s, dir) =>
+      Pipeline.syncFixture(s, dir).archives
+        .select("id", "p_file", "p_md5")
+        .orderBy("id")),
+    "sync_creates" -> ((s, dir) =>
+      Pipeline.syncFixture(s, dir).creates
+        .select("ord", "ino", "size", "file", "md5", "title", "is_dataset")
+        .orderBy("ord")),
+    "sync_processed_ids" -> ((s, dir) =>
+      Matching.processedIds(Pipeline.syncFixture(s, dir).pass1).orderBy("id")),
+    "sync_summary" -> ((s, dir) =>
+      Pipeline.summary(Pipeline.syncFixture(s, dir))),
+    "cat_folder_tree" -> ((s, dir) =>
+      Categories.folderCats(SyncInputs.files(s, dir), "files")
+        .select("type", "name", "short_name", "path")
+        .orderBy("name")),
+    "cat_create" -> ((s, dir) =>
+      Categories.toCreate(
+        Categories.folderCats(SyncInputs.files(s, dir), "files"),
+        SyncInputs.serverCats(s, dir))
+        .select("name", "category", "description", "short_name", "path")
+        .orderBy("name")),
+    "cat_matched" -> ((s, dir) =>
+      Categories.matched(
+        Categories.folderCats(SyncInputs.files(s, dir), "files"),
+        SyncInputs.serverCats(s, dir))
+        .select("id", "type", "name")
+        .orderBy("id")),
+    "cat_remove" -> ((s, dir) =>
+      Categories.toRemove(
+        Categories.folderCats(SyncInputs.files(s, dir), "files"),
+        SyncInputs.serverCats(s, dir))
+        .select("id", "category", "name")
+        .orderBy("id")),
+    "cat_dup_guard" -> ((s, dir) =>
+      Categories.duplicateKeyGuard(SyncInputs.serverCats(s, dir))
+        .select("category", "name", "n")
+        .orderBy("category", "name")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = syncQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

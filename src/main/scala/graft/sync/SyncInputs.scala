@@ -1,0 +1,115 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Derived sync-reconciliation input relations.
+  *
+  * The reference engine (`/root/reference/src/DataWarehouse.js`) reconciles a
+  * filesystem scan (`files`) against a remote CMS (`projects`, `categories`).
+  * The driver fixtures carry no such tables, so we derive deterministic ones
+  * from `documents` — the derivation is mirrored 1:1 in the DuckDB oracle SQL
+  * (see [[graft.oracle.OracleSql.SYNC_CTES]]); any edit here MUST be applied
+  * there too.
+  *
+  * Scenario residues (doc_id % 12):
+  *   - 7, 10 -> no project exists (file is new -> K1 create)
+  *   - 8     -> project recorded under an old path, same content
+  *              (rename -> 'md5Match' + K2 metadata update, DW.js:260-291)
+  *   - 9     -> project path matches, content hash differs
+  *              (C2 content-changed, log-only, DW.js:282-284)
+  *   - 11    -> project references a path/content that no longer exists
+  *              (orphan -> K3 archive, DW.js:376-389)
+  *   - else  -> project matches the file exactly ('exactMatch')
+  * Duplicate content (doc_id % 17 == 5): the file's md5 collapses to one of 4
+  * shared group hashes, exercising J7 dedup (DW.js:312-348) and the pass-2
+  * alias matching paths (DW.js:465-536).
+  *
+  * Record shapes follow SURVEY.md §1.1 / FIXTURES.md §2; `ord` is our
+  * deterministic surrogate for the reference's JS array order, `ino` for the
+  * filesystem inode (SURVEY.md §7.4).
+  */
+object SyncInputs {
+
+  /** Path of the simulated `.shp` file for one document row. */
+  private def pathCol = concat(
+    col("source"), lit("/"), col("lang"), lit("/doc_"),
+    col("doc_id").cast("string"), lit(".shp"))
+
+  /** files(ord, ino, size, file, md5) — the scanner output (DW.js:48-56). */
+  def files(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("ord"),
+      col("doc_id").as("ino"),
+      col("n_chars").as("size"),
+      pathCol.as("file"),
+      when(col("doc_id") % 17 === 5,
+        md5(concat(lit("dup_"), (col("doc_id") % 4).cast("string"))))
+        .otherwise(md5(col("text")))
+        .as("md5"))
+
+  /** projects(id, iam, p_file, p_md5, title, is_dataset) — the remote project
+    * list, flattened from the nested shape at DW.js:357-367 (see
+    * [[nestedProjects]] for the API-faithful nested form).
+    */
+  def projects(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(!(col("doc_id") % 12).isin(7, 10))
+      .select(
+        (lit(1000000L) + col("doc_id")).as("id"),
+        lit("gatherbot").as("iam"),
+        when(col("doc_id") % 12 === 8, concat(lit("old/"), pathCol))
+          .when(col("doc_id") % 12 === 11,
+            concat(lit("missing/doc_"), col("doc_id").cast("string"), lit(".shp")))
+          .otherwise(pathCol)
+          .as("p_file"),
+        when(col("doc_id") % 17 === 5,
+          md5(concat(lit("dup_"), (col("doc_id") % 4).cast("string"))))
+          .when(col("doc_id") % 12 === 9, md5(concat(lit("old_"), col("text"))))
+          .when(col("doc_id") % 12 === 11,
+            md5(concat(lit("gone_"), col("doc_id").cast("string"))))
+          .otherwise(md5(col("text")))
+          .as("p_md5"),
+        concat(lit("Doc "), col("doc_id").cast("string")).as("title"),
+        (col("doc_id") % 2 === 0).as("is_dataset"))
+
+  /** Projects in the reference's nested record shape
+    * (`metadata.file.{file,md5}`, SURVEY.md §1.1) — the form the public
+    * [[graft.sync]] API consumes; flat form above is for oracle parity.
+    */
+  def nestedProjects(spark: SparkSession, dir: String): DataFrame =
+    projects(spark, dir).select(
+      col("id"),
+      struct(
+        col("iam"),
+        struct(col("p_file").as("file"), col("p_md5").as("md5")).as("file")
+      ).as("metadata"),
+      struct(struct(col("title"), col("is_dataset").as("isDataset"))
+        .as("proposalAttributes")).as("attributes"))
+
+  /** server_cats(id, category, name, short_name, path, iam) — the remote
+    * category list (DW.js:403-426): all folder categories except the
+    * lang='es' leaves (those become K4 creates), two deprecated rows (K4
+    * removes) and one non-gatherbot row (filtered by P5, DW.js:403-405).
+    *
+    * `id` is assigned by dense rank over `name` — deterministic because
+    * names are distinct. (At real scale an id would come from the remote
+    * system; the global window here is test-fixture-only.)
+    */
+  def serverCats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val folder = Categories.folderCats(files(spark, dir), "files")
+    val extras = spark.createDataFrame(Seq(
+      ("files", "files/legacy_dir", "legacy_dir", "files/", "gatherbot"),
+      ("files", "files/old_archive", "old_archive", "files/", "gatherbot"),
+      ("files", "files/human_made", "human_made", "files/", "admin")
+    )).toDF("category", "name", "short_name", "path", "iam")
+    val base = folder.filter(col("short_name") =!= "es")
+      .select(col("type").as("category"), col("name"), col("short_name"),
+        col("path"), lit("gatherbot").as("iam"))
+      .unionByName(extras)
+    base.withColumn("id",
+      row_number().over(Window.orderBy("name")).cast("long") + 5000L)
+  }
+}

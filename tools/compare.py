@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Dev-only local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <verify_out_dir> <sf_dir>
+
+Loads each <name>/ parquet written by graft.Verify, runs the matching SQL
+from oracle_sql.json in DuckDB against the fixture tables, sorts columns by
+name and rows by all columns, and compares cell values exactly.
+"""
+import duckdb, json, math, sys, glob, os
+
+def values_eq(a, b):
+    return a == b
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+n_pass = n_fail = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+    try:
+        sp = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+        du = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); n_fail += 1; continue
+    sp = sp.reindex(sorted(sp.columns), axis=1)
+    du = du.reindex(sorted(du.columns), axis=1)
+    if list(sp.columns) != list(du.columns):
+        print(f"FAIL {name}: columns {list(sp.columns)} vs {list(du.columns)}")
+        n_fail += 1; continue
+    if len(sp) != len(du):
+        print(f"FAIL {name}: rows {len(sp)} vs {len(du)}"); n_fail += 1; continue
+    sp = sp.sort_values(list(sp.columns), na_position="first").reset_index(drop=True)
+    du = du.sort_values(list(du.columns), na_position="first").reset_index(drop=True)
+    bad = None
+    for c in sp.columns:
+        for i, (a, b) in enumerate(zip(sp[c], du[c])):
+            anull = a is None or (isinstance(a, float) and math.isnan(a))
+            bnull = b is None or (isinstance(b, float) and math.isnan(b))
+            if anull and bnull:
+                continue
+            if anull != bnull or not values_eq(a, b):
+                bad = (c, i, a, b); break
+        if bad: break
+    if bad:
+        c, i, a, b = bad
+        print(f"FAIL {name}: col={c} row={i}: spark={a!r} duckdb={b!r}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(sp)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} passed, {n_fail} failed")
+sys.exit(1 if n_fail else 0)

@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Dev-only prototype of the sync-oracle DuckDB SQL (tools/, not shipped).
+
+Shakes out DuckDB dialect issues before the SQL is frozen into
+graft.oracle.OracleSql. Mirrors graft.sync.SyncInputs + core operators.
+"""
+import duckdb, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "sf0.01"
+con = duckdb.connect()
+for t in ["documents", "lineitem", "orders", "customer", "events", "embeddings",
+          "region", "nation", "supplier", "part"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '/root/testdata/{SF}/{t}.parquet'")
+
+SYNC_CTES = """
+files AS (
+  SELECT doc_id AS ord, doc_id AS ino, n_chars AS "size",
+         source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.shp' AS file,
+         CASE WHEN doc_id % 17 = 5 THEN md5('dup_' || CAST(doc_id % 4 AS VARCHAR))
+              ELSE md5(text) END AS md5
+  FROM documents
+),
+projects AS (
+  SELECT 1000000 + doc_id AS id, 'gatherbot' AS iam,
+         CASE WHEN doc_id % 12 = 8 THEN 'old/' || source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.shp'
+              WHEN doc_id % 12 = 11 THEN 'missing/doc_' || CAST(doc_id AS VARCHAR) || '.shp'
+              ELSE source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.shp' END AS p_file,
+         CASE WHEN doc_id % 17 = 5 THEN md5('dup_' || CAST(doc_id % 4 AS VARCHAR))
+              WHEN doc_id % 12 = 9 THEN md5('old_' || text)
+              WHEN doc_id % 12 = 11 THEN md5('gone_' || CAST(doc_id AS VARCHAR))
+              ELSE md5(text) END AS p_md5,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         doc_id % 2 = 0 AS is_dataset
+  FROM documents WHERE doc_id % 12 NOT IN (7, 10)
+),
+dedup AS (
+  SELECT f.*, ROW_NUMBER() OVER (PARTITION BY md5 ORDER BY ord) AS rn,
+         COUNT(*) OVER (PARTITION BY md5) AS grp_n,
+         FIRST_VALUE(ino) OVER (PARTITION BY md5 ORDER BY ord) AS canonical_ino
+  FROM files f
+),
+dupagg AS (
+  SELECT md5, string_agg(CAST(ino AS VARCHAR), ',' ORDER BY ino) AS csv
+  FROM dedup WHERE rn > 1 GROUP BY md5
+),
+marked AS (
+  SELECT d.ord, d.ino, d."size", d.file, d.md5,
+         CASE WHEN d.rn > 1 THEN d.canonical_ino END AS "alias",
+         CASE WHEN d.rn = 1 AND d.grp_n > 1 THEN d.grp_n - 1 ELSE 0 END AS n_duplicates,
+         CASE WHEN d.rn = 1 AND d.grp_n > 1 THEN a.csv END AS duplicates_csv
+  FROM dedup d LEFT JOIN dupagg a ON d.md5 = a.md5
+),
+pbypath AS (
+  SELECT * FROM (SELECT p.*, ROW_NUMBER() OVER (PARTITION BY p_file ORDER BY id) AS prn
+                 FROM projects p) t WHERE prn = 1
+),
+pbymd5 AS (
+  SELECT * FROM (SELECT p.*, ROW_NUMBER() OVER (PARTITION BY p_md5 ORDER BY id) AS prn
+                 FROM projects p) t WHERE prn = 1
+),
+pass1 AS (
+  SELECT m.ord, m.ino, m."size", m.file, m.md5, m.n_duplicates, m.duplicates_csv,
+         COALESCE(pe.id, pm.id) AS project,
+         CASE WHEN pe.id IS NOT NULL THEN 'exactMatch'
+              WHEN pm.id IS NOT NULL THEN 'md5Match' END AS "match",
+         CASE WHEN pe.id IS NOT NULL THEN pe.p_file ELSE pm.p_file END AS proj_file,
+         CASE WHEN pe.id IS NOT NULL THEN pe.p_md5 ELSE pm.p_md5 END AS proj_md5
+  FROM marked m
+  LEFT JOIN pbypath pe ON m.file = pe.p_file
+  LEFT JOIN pbymd5 pm ON m.md5 = pm.p_md5
+  WHERE m."alias" IS NULL
+),
+processed AS (SELECT DISTINCT project AS id FROM pass1 WHERE project IS NOT NULL),
+avail AS (
+  SELECT m.* FROM marked m
+  WHERE m.ino NOT IN (SELECT ino FROM pass1 WHERE project IS NOT NULL)
+),
+pass2 AS (
+  SELECT id, p_file, p_md5, ino, file, is_alias, "match" FROM (
+    SELECT u.id, u.p_file, u.p_md5, a.ino, a.file,
+           (a."alias" IS NOT NULL) AS is_alias,
+           CASE WHEN COUNT(*) OVER (PARTITION BY u.id) > 1
+                 AND MAX(CASE WHEN a.file = u.p_file THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY u.id) = 1
+                THEN 'alias exactMatch' ELSE 'unmatched md5 match' END AS "match",
+           ROW_NUMBER() OVER (PARTITION BY u.id ORDER BY
+             CASE WHEN a.file = u.p_file THEN 0 ELSE 1 END,
+             CASE WHEN a.n_duplicates > 0 THEN 0 ELSE 1 END, a.ord) AS rn
+    FROM (SELECT p.* FROM projects p WHERE p.id NOT IN (SELECT id FROM processed)) u
+    JOIN avail a ON a.md5 = u.p_md5
+  ) t WHERE rn = 1
+),
+updates AS (
+  SELECT project AS id, file AS new_file, proj_md5 AS md5, 'pass1' AS src
+  FROM pass1 WHERE project IS NOT NULL AND file <> proj_file
+  UNION ALL
+  SELECT id, file AS new_file, p_md5 AS md5, 'pass2' AS src
+  FROM pass2 WHERE is_alias AND file <> p_file
+),
+content_changed AS (
+  SELECT project AS id, file, md5 AS file_md5, proj_md5 AS project_md5, 'pass1' AS src
+  FROM pass1 WHERE project IS NOT NULL AND md5 <> proj_md5
+  UNION ALL
+  SELECT id, file, p_md5 AS file_md5, p_md5 AS project_md5, 'pass2' AS src
+  FROM pass2 WHERE is_alias AND p_md5 <> p_md5
+),
+archives AS (
+  SELECT p.id, p.p_file, p.p_md5 FROM projects p
+  WHERE p.id NOT IN (SELECT id FROM processed)
+    AND p.id NOT IN (SELECT id FROM pass2)
+),
+creates AS (
+  SELECT ord, ino, "size", file, md5 FROM pass1 WHERE project IS NULL
+  UNION ALL
+  SELECT m.ord, m.ino, m."size", m.file, m.md5 FROM marked m
+  WHERE m."alias" IS NOT NULL AND m.ino NOT IN (SELECT ino FROM pass2)
+),
+creates_payload AS (
+  SELECT ord, ino, "size", file, md5,
+         CASE WHEN string_split(file, '/')[-1] LIKE '%.%'
+              THEN regexp_replace(string_split(file, '/')[-1], '\\.[^.]*$', '')
+              ELSE '' END AS title,
+         TRUE AS is_dataset
+  FROM creates
+),
+fdirs AS (
+  SELECT parts[1:len(parts)-1] AS dirs
+  FROM (SELECT string_split(file, '/') AS parts FROM files) t
+  WHERE len(parts) > 1
+),
+fc AS (
+  SELECT DISTINCT
+    CASE WHEN i = 1 THEN 'files'
+         ELSE lower('files/' || array_to_string(dirs[1:i-1], '/')) END AS type,
+    'files/' || array_to_string(dirs[1:i], '/') AS name,
+    dirs[i] AS short_name,
+    CASE WHEN i = 1 THEN 'files/'
+         ELSE 'files/' || array_to_string(dirs[1:i-1], '/') || '/' END AS path
+  FROM (SELECT dirs, unnest(generate_series(1, len(dirs))) AS i FROM fdirs) g
+),
+server_cats AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY name) + 5000 AS id,
+         category, name, short_name, path, iam FROM (
+    SELECT type AS category, name, short_name, path, 'gatherbot' AS iam
+    FROM fc WHERE short_name <> 'es'
+    UNION ALL SELECT 'files', 'files/legacy_dir', 'legacy_dir', 'files/', 'gatherbot'
+    UNION ALL SELECT 'files', 'files/old_archive', 'old_archive', 'files/', 'gatherbot'
+    UNION ALL SELECT 'files', 'files/human_made', 'human_made', 'files/', 'admin'
+  ) t
+),
+bot_cats AS (SELECT * FROM server_cats WHERE iam = 'gatherbot'),
+cat_matched AS (
+  SELECT s.id, f.type, f.name FROM fc f
+  JOIN bot_cats s ON f.type = s.category AND f.name = s.name
+),
+cat_create AS (
+  SELECT f.name, f.type AS category, '' AS description, f.short_name, f.path
+  FROM fc f
+  WHERE NOT EXISTS (SELECT 1 FROM bot_cats s
+                    WHERE f.type = s.category AND f.name = s.name)
+),
+cat_remove AS (
+  SELECT s.id, s.category, s.name FROM bot_cats s
+  WHERE s.id NOT IN (SELECT id FROM cat_matched)
+)
+"""
+
+QUERIES = {
+  "sync_dedup_mark": 'SELECT ord, ino, "size", file, md5, "alias", n_duplicates, duplicates_csv FROM marked ORDER BY ord',
+  "sync_dup_report": '''SELECT md5, ino, string_split(file, '/')[-1] AS basename, file, ("alias" IS NOT NULL) AS is_alias FROM marked WHERE "alias" IS NOT NULL OR n_duplicates > 0 ORDER BY md5, is_alias ASC, ino''',
+  "sync_match_pass1": 'SELECT ord, file, md5, project, "match" FROM pass1 ORDER BY ord',
+  "sync_match_pass2": 'SELECT id, p_file, ino, file, is_alias, "match" FROM pass2 ORDER BY id',
+  "sync_updates": 'SELECT id, new_file, md5, src FROM updates ORDER BY id, src',
+  "sync_content_changed": 'SELECT id, file, file_md5, project_md5, src FROM content_changed ORDER BY id',
+  "sync_archives": 'SELECT id, p_file, p_md5 FROM archives ORDER BY id',
+  "sync_creates": 'SELECT ord, ino, "size", file, md5, title, is_dataset FROM creates_payload ORDER BY ord',
+  "sync_processed_ids": 'SELECT id FROM processed ORDER BY id',
+  "sync_summary": '''SELECT
+      (SELECT COUNT(*) FROM marked) AS n_files,
+      (SELECT COUNT(*) FROM marked WHERE "alias" IS NULL) AS n_main,
+      (SELECT COUNT(*) FROM marked WHERE "alias" IS NOT NULL) AS n_dup_aliases,
+      (SELECT COUNT(*) FROM pass1 WHERE project IS NOT NULL) AS found,
+      (SELECT COUNT(*) FROM pass1 WHERE project IS NULL) AS missing,
+      (SELECT COUNT(*) FROM updates WHERE src = 'pass1') AS updates,
+      (SELECT COUNT(*) FROM archives) AS n_archives,
+      (SELECT COUNT(*) FROM creates_payload) AS n_creates''',
+  "cat_folder_tree": "SELECT type, name, short_name, path FROM fc ORDER BY name",
+  "cat_create": "SELECT name, category, description, short_name, path FROM cat_create ORDER BY name",
+  "cat_matched": "SELECT id, type, name FROM cat_matched ORDER BY id",
+  "cat_remove": "SELECT id, category, name FROM cat_remove ORDER BY id",
+  "cat_dup_guard": "SELECT category, name, COUNT(*) AS n FROM bot_cats GROUP BY category, name HAVING COUNT(*) > 1 ORDER BY category, name",
+}
+
+for name, q in QUERIES.items():
+    sql = f"WITH {SYNC_CTES.strip()}\n{q}"
+    try:
+        r = con.sql(sql)
+        df = r.df()
+        print(f"== {name}: {len(df)} rows; cols={list(df.columns)}")
+        print(df.head(4).to_string())
+    except Exception as e:
+        print(f"!! {name} FAILED: {e}")
+        break
