@@ -88,8 +88,26 @@ object SparkEntry {
         .select("category", "name", "n")
         .orderBy("category", "name")))
 
+  /** Star-schema analytics (SURVEY.md §2.3-§2.5 at TPC-H shape). */
+  private val analyticsQueries: Map[String, Q] = Map(
+    "tpch_q1" -> (graft.ext.Analytics.q1PricingSummary(_, _)),
+    "tpch_q3_top10" -> (graft.ext.Analytics.q3TopRevenue(_, _)),
+    "tpch_q5_region" -> (graft.ext.Analytics.q5RegionVolume(_, _)),
+    "tpch_q4_priority" -> (graft.ext.Analytics.q4PriorityCount(_, _)),
+    "window_topk_orders" -> ((s, d) => graft.ext.Analytics.topKOrdersPerCustomer(s, d)),
+    "rollup_lineitem" -> (graft.ext.Analytics.rollupLineitem(_, _)))
+
+  /** X6 — event-stream analytics (SURVEY.md §2.9-§2.10). */
+  private val eventsQueries: Map[String, Q] = Map(
+    "events_tumbling" -> (graft.ext.Events.tumblingHourly(_, _)),
+    "events_sessions" -> ((s, d) => graft.ext.Events.sessionize(s, d)),
+    "events_json_extract" -> (graft.ext.Events.jsonExtractStats(_, _)),
+    "events_lag_gap" -> (graft.ext.Events.lagLeadRank(_, _)),
+    "events_rollup_day" -> (graft.ext.Events.rollupDaily(_, _)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, Q] = syncQueries
+  def queries: Map[String, Q] =
+    syncQueries ++ analyticsQueries ++ eventsQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.tables.Tables
+
+/** Relational analytics over the star-schema fixtures — the A/O/J operator
+  * families of SURVEY.md §2 exercised at TPC-H shape (joins, partial+final
+  * hash aggregation, semi-joins, window top-k, rollup).
+  *
+  * Scale notes (100 TB): every aggregate here is partial-aggregatable
+  * (map-side combine for free); the dimension sides (region/nation/
+  * customer/supplier) broadcast under Catalyst's threshold so the only
+  * shuffles are on fact-table group keys. Money math is done in exact
+  * DECIMAL and surfaced as DOUBLE so results are order-independent —
+  * a plain SUM(DOUBLE) would make results depend on partitioning.
+  */
+object Analytics {
+
+  private val D2 = DecimalType(18, 2)
+  private val D4 = DecimalType(18, 4)
+  private def d2(c: String) = col(c).cast(D2)
+
+  /** TPC-H Q1-style pricing summary (A1/A2 aggregate family). */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+    // Intermediate charge term cast to DECIMAL(18,4): keeps the triple
+    // product inside precision 38 identically in Spark and the DuckDB
+    // oracle (both engines' (38,_)*(19,2) promotion rules differ).
+    val discPrice = (d2("l_extendedprice") * (lit(1) - d2("l_discount")))
+    val charge = discPrice.cast(D4) * (lit(1) + d2("l_tax"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(d2("l_quantity")).cast("double").as("sum_qty"),
+        sum(d2("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(d2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(d2("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style top-10 revenue (J + A + top-k; broadcastable dims). */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(d2("l_extendedprice") * (lit(1) - d2("l_discount")))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style regional volume — five-way join where every dimension
+    * side broadcasts; only lineitem⋈orders shuffles.
+    */
+  def q5RegionVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(d2("l_extendedprice") * (lit(1) - d2("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q4-style priority count — EXISTS as a left-semi hash join. */
+  def q4PriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.join(l,
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"),
+      "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** O2 generalized — per-customer top-3 orders by price (window top-k;
+    * Catalyst pushes the rank filter into the window via
+    * WindowGroupLimit, so no full materialization per key).
+    */
+  def topKOrdersPerCustomer(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy("c_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("c_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("c_custkey", "rk")
+  }
+
+  /** Rollup aggregate (extension of A-family; SURVEY.md §2.4 notes the
+    * reference has none — mandated by the events/star extension surface).
+    * Null grouping rows are COALESCEd to 'ALL' so ordering is identical
+    * across engines (Spark sorts nulls first, DuckDB last).
+    */
+  def rollupLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(d2("l_quantity")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+}

@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.tables.Tables
+
+/** X6 — windowed / sessionized event analytics plus JSON extraction over
+  * the `events` stream table (SURVEY.md §2.9-§2.10). Batch forms here;
+  * the Structured Streaming variants (watermark + `session_window`) live
+  * in [[graft.streaming]].
+  *
+  * Scale notes: everything partitions by `user_id` or by time bucket —
+  * both high-cardinality, shuffle-friendly keys. Sessionization is the
+  * classic gaps-and-islands rewrite (lag + running sum), one shuffle on
+  * user_id; no driver-side state.
+  */
+object Events {
+
+  private val D2 = DecimalType(18, 2)
+
+  /** Tumbling 1-hour windows via the native `window()` operator. The
+    * window struct is surfaced as a formatted string for cross-engine
+    * comparison (DuckDB: `date_trunc('hour', ts)`).
+    */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Sessionization with a 30-minute inactivity gap (gaps-and-islands):
+    * a session starts where the gap to the previous event exceeds the
+    * threshold; session id = running count of session starts per user.
+    */
+  def sessionize(spark: SparkSession, dir: String,
+                 gapMicros: Long = 30L * 60 * 1000000): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"),
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON property extraction (`get_json_object`, codegen'd — no UDF)
+    * aggregated per event type.
+    */
+  def jsonExtractStats(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"))
+      .orderBy("event_type")
+  }
+
+  /** Per-user lag/lead/rank analytics (X6 window family). */
+  def lagLeadRank(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byValue = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byTime))
+          .as("gap_us"),
+        lead("event_id", 1).over(byTime).as("next_event_id"),
+        rank().over(byValue).cast("long").as("value_rank"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Daily rollup with grand total (nulls coalesced to 'ALL' for
+    * cross-engine ordering parity).
+    */
+  def rollupDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"))
+      .rollup("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
+      .select(coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("day", "event_type")
+}

@@ -31,7 +31,9 @@ object Tables {
   /** `events` with `ts` converted ns-long -> microsecond timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Integer division — `/` would promote to DOUBLE and ns-since-epoch
+    // (~1.7e18) exceeds double's 2^53 integer precision (±1µs drift).
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 }
