@@ -105,9 +105,27 @@ object SparkEntry {
     "events_lag_gap" -> (graft.ext.Events.lagLeadRank(_, _)),
     "events_rollup_day" -> (graft.ext.Events.rollupDaily(_, _)))
 
+  /** X1-X5 — LLM-data-pipeline operators (dedup / similarity / text /
+    * multimodal; SURVEY.md §2.10).
+    */
+  private val llmQueries: Map[String, Q] = Map(
+    "dedup_exact" -> (graft.ext.TextDedup.exact(_, _)),
+    "dedup_minhash_pairs" -> (graft.ext.TextDedup.minhashPairs(_, _)),
+    "text_simhash" -> (graft.ext.TextDedup.simhashQuery(_, _)),
+    "dedup_jaccard_pairs" -> ((s, d) => graft.ext.TextDedup.jaccardPairs(s, d)),
+    "embed_cosine_topk" -> ((s, d) => graft.ext.Similarity.cosineTopK(s, d)),
+    "embed_ann_lsh" -> ((s, d) => graft.ext.Similarity.annLshTopK(s, d)),
+    "embed_knn_join" -> ((s, d) => graft.ext.Similarity.knnJoin(s, d)),
+    "text_langid" -> (graft.ext.TextStats.langId(_, _)),
+    "text_quality" -> (graft.ext.TextStats.quality(_, _)),
+    "text_tokens" -> (graft.ext.TextStats.tokenStats(_, _)),
+    "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
+    "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
+    "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    syncQueries ++ analyticsQueries ++ eventsQueries
+    syncQueries ++ analyticsQueries ++ eventsQueries ++ llmQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

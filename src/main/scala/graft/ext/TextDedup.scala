@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** X1/X2 — document deduplication for large-scale training-data pipelines:
+  * exact (content hash), MinHash+LSH banding, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * All operators follow the scalable shape: shingle/token explosion ->
+  * hash -> band/bucket -> *bucket-local* pair join. Nothing ever forms the
+  * full O(n²) pair space; candidate pairs only materialize inside a band
+  * bucket (MinHash), a bit-prefix bucket (SimHash) or a shared-shingle
+  * inverted-index posting (Jaccard). That is exactly the structure that
+  * survives 100 TB: every stage is a hash shuffle on a well-distributed
+  * key, and AQE splits any hot shingle/bucket.
+  *
+  * Hashes are md5-derived (deterministic, engine-portable) rather than
+  * Murmur3 `hash()` so the DuckDB oracle can reproduce them bit-for-bit.
+  */
+object TextDedup {
+
+  /** Distinct word n-gram shingles per document. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n)))")).as("sh"))
+      .distinct()
+
+  /** X1 — exact dedup by content hash; deterministic survivor = min doc_id
+    * (DW.js:312-348's "first wins" restated set-wise).
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+
+  /** MinHash signatures: sig_j = min over shingles of md5(j || shingle),
+    * j = 0..numPerms-1. A lexicographic min over an md5 image is a valid
+    * min-wise permutation approximation and is reproducible in any engine.
+    */
+  def minhashSignatures(docs: DataFrame, numPerms: Int = 8): DataFrame =
+    shingles(docs)
+      .select(col("doc_id"), col("sh"),
+        explode(lit((0 until numPerms).toArray)).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("sh"))))
+        .as("sig"))
+
+  /** X2 — MinHash LSH near-dup candidates: band the signature (2 rows per
+    * band), bucket-join on (band, band_hash), then score candidates by
+    * signature agreement. Only bucket collisions ever pair up.
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(spark, dir)).cache()
+    val bands = sigs
+      .groupBy(col("doc_id"), expr("j div 2").as("b"))
+      .agg(md5(concat(
+        max(when(col("j") % 2 === 0, col("sig"))), lit("|"),
+        max(when(col("j") % 2 === 1, col("sig"))))).as("band_hash"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("b"), col("band_hash"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("b"), col("band_hash"))
+    val cand = a.join(b, Seq("b", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("j"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("j"), col("sig").as("sig_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "j"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0))
+        .cast("double") / 8).as("est_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash: 32-bit signature from token md5s — bit i is the sign of the
+    * token-vote sum where a token votes +1 if hex digit i of its md5 has
+    * its high bit set. Surfaced as a '0'/'1' string for portability.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("tok"),
+        explode(lit((1 to 32).toArray)).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(when(
+        sum(when(expr("substring(md5(tok), i, 1)")
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) >= 0,
+        "1").otherwise("0").as("bit"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("i"), col("bit")))),
+          _.getField("bit")), "").as("simhash"))
+
+  def simhashQuery(spark: SparkSession, dir: String): DataFrame =
+    simhash(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** X2 verification — exact n-gram Jaccard over candidate pairs from a
+    * shared-shingle inverted index (set-similarity join). `threshold`
+    * bounds the output; the inverted index bounds the pair space.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.6): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir)).cache()
+    val card = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("both"))
+    val jac = col("both").cast("double") /
+      (col("na") + col("nb") - col("both"))
+    inter
+      .join(card.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(card.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** X4 — text analysis for training-data curation over `documents`:
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All narrow per-row transforms (+ one aggregate per
+  * query) — embarrassingly parallel, no shuffle except final group-bys.
+  */
+object TextStats {
+
+  private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Language-ID heuristic: stopword-hit ratio over whitespace tokens.
+    * (A real n-gram profile model slots into the same shape — per-token
+    * scoring + groupBy doc.)
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val stopList = StopWords.map("'" + _ + "'").mkString(",")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        size(words).cast("long").as("n_words"),
+        size(expr(s"filter(split(text, ' '), w -> w IN ($stopList))"))
+          .cast("long").as("n_stopwords"))
+      .withColumn("stop_ratio",
+        round(col("n_stopwords").cast("double") / col("n_words"), 6))
+      .withColumn("predicted_lang",
+        when(col("stop_ratio") > 0.05, "en").otherwise("unknown"))
+      .select("doc_id", "declared_lang", "n_words", "n_stopwords",
+        "stop_ratio", "predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/uniqueness/word-shape signals, the usual
+    * pre-training filters (C4-style heuristics).
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(words).cast("long").as("n_words"),
+        size(array_distinct(words)).cast("long").as("n_distinct_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"))
+      .withColumn("avg_word_len",
+        round(col("n_letters").cast("double") / col("n_words"), 6))
+      .withColumn("uniq_ratio",
+        round(col("n_distinct_words").cast("double") / col("n_words"), 6))
+      .withColumn("quality_score",
+        round(least(col("n_words").cast("double") / 100, lit(1.0)) *
+          (col("n_distinct_words").cast("double") / col("n_words")), 6))
+      .select("doc_id", "n_chars", "n_words", "n_distinct_words",
+        "n_letters", "avg_word_len", "uniq_ratio", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letter-runs / digit-runs), aggregated per language.
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+          .cast("long").as("re_tokens"),
+        col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        sum("re_tokens").as("total_re_tokens"),
+        round(sum("ws_tokens").cast("double") / count(lit(1)), 6)
+          .as("avg_ws_tokens"),
+        round(sum("n_chars").cast("double") / sum("ws_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy("lang")
+
+  /** Document fingerprinting: min-hash fingerprint over the shingle set +
+    * a winnowing-style selected-shingle count (md5 prefix '0' ≈ keep-1/16
+    * sampling of the shingle space — content-defined, shift-invariant).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.shingles(Tables.documents(spark, dir))
+      .groupBy("doc_id")
+      .agg(min(md5(col("sh"))).as("fingerprint"),
+        sum(when(md5(col("sh")).startsWith("0"), 1L).otherwise(0L))
+          .as("n_selected"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy("doc_id")
+}

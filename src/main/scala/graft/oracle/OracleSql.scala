@@ -312,9 +312,177 @@ cat_remove AS (
                    event_type, value FROM events) t
       GROUP BY ROLLUP(day, event_type) ORDER BY 1, 2""")
 
+  /** Shared shingle CTE (word 3-grams, distinct per doc) — mirrors
+    * [[graft.ext.TextDedup.shingles]].
+    */
+  private val SHINGLES = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM words) t
+)"""
+
+  val llm_queries: Map[String, String] = Map(
+    "dedup_exact" -> """
+      SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    "dedup_minhash_pairs" -> s"""
+      WITH ${SHINGLES.trim},
+      sigs AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j
+      ),
+      bands AS (
+        SELECT doc_id, j // 2 AS b,
+               md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' ||
+                   MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM sigs GROUP BY doc_id, j // 2
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                                 AND a.doc_id < b.doc_id
+      )
+      SELECT c.doc_a, c.doc_b,
+             CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
+      FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+                  JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+      GROUP BY c.doc_a, c.doc_b ORDER BY c.doc_a, c.doc_b""",
+    "text_simhash" -> """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
+      bits AS (
+        SELECT doc_id, i,
+               CASE WHEN SUM(CASE WHEN substr(md5(tok), i, 1) IN
+                      ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM toks, (SELECT unnest(generate_series(1, 32)) AS i) g
+        GROUP BY doc_id, i
+      )
+      SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
+      FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "dedup_jaccard_pairs" -> s"""
+      WITH ${SHINGLES.trim},
+      card AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
+        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+      )
+      SELECT i.doc_a, i.doc_b,
+             ROUND(CAST(i.both AS DOUBLE) / (ca.n + cb.n - i.both), 6) AS jaccard
+      FROM inter i JOIN card ca ON ca.doc_id = i.doc_a
+                   JOIN card cb ON cb.doc_id = i.doc_b
+      WHERE CAST(i.both AS DOUBLE) / (ca.n + cb.n - i.both) >= 0.6
+      ORDER BY i.doc_a, i.doc_b""",
+    "embed_cosine_topk" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      s AS (
+        SELECT vec_id,
+               list_dot_product(embedding::DOUBLE[], qv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv, qv))) AS cos
+        FROM embeddings, q WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM s
+      ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 20""",
+    "embed_ann_lsh" -> """
+      WITH b AS (
+        SELECT vec_id, embedding,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      q AS (SELECT embedding::DOUBLE[] AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+      SELECT vec_id, bucket,
+             ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      FROM b, q WHERE bucket = qb AND vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    "embed_knn_join" -> """
+      WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+                 FROM embeddings WHERE vec_id < 20),
+      sims AS (
+        SELECT q.q_id, e.vec_id,
+               list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                 (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+      ranked AS (
+        SELECT q_id, vec_id, ROUND(cos, 6) AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ROUND(cos, 6) DESC, vec_id) AS rk
+        FROM sims)
+      SELECT q_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk""",
+    "text_langid" -> """
+      SELECT doc_id, declared_lang, n_words, n_stopwords,
+             ROUND(CAST(n_stopwords AS DOUBLE) / n_words, 6) AS stop_ratio,
+             CASE WHEN CAST(n_stopwords AS DOUBLE) / n_words > 0.05
+                  THEN 'en' ELSE 'unknown' END AS predicted_lang
+      FROM (SELECT doc_id, lang AS declared_lang,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_filter(string_split(text, ' '),
+                       w -> w IN ('the','a','of','and','to','in','is','on'))) AS n_stopwords
+            FROM documents) t
+      ORDER BY doc_id""",
+    "text_quality" -> """
+      SELECT doc_id, n_chars, n_words, n_distinct_words, n_letters,
+             ROUND(CAST(n_letters AS DOUBLE) / n_words, 6) AS avg_word_len,
+             ROUND(CAST(n_distinct_words AS DOUBLE) / n_words, 6) AS uniq_ratio,
+             ROUND(LEAST(CAST(n_words AS DOUBLE) / 100, 1.0) *
+                   (CAST(n_distinct_words AS DOUBLE) / n_words), 6) AS quality_score
+      FROM (SELECT doc_id, n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_words,
+                   length(replace(text, ' ', '')) AS n_letters
+            FROM documents) t
+      ORDER BY doc_id""",
+    "text_tokens" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+             CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
+             ROUND(CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*), 6) AS avg_ws_tokens,
+             ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(ws_tokens), 6) AS chars_per_token
+      FROM (SELECT lang, n_chars,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS re_tokens
+            FROM documents) t
+      GROUP BY lang ORDER BY lang""",
+    "text_fingerprint" -> s"""
+      WITH ${SHINGLES.trim}
+      SELECT doc_id, MIN(md5(sh)) AS fingerprint,
+             CAST(SUM(CASE WHEN md5(sh) LIKE '0%' THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+             COUNT(*) AS n_shingles
+      FROM shingles GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_decode" -> """
+      WITH csum AS (
+        SELECT doc_id, CAST(SUM(ascii(substr(text, i, 1))) AS BIGINT) AS bytesum
+        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
+              FROM documents) t
+        GROUP BY doc_id)
+      SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes,
+             c.bytesum % 997 AS checksum,
+             16 + ascii(substr(d.text, 1, 1)) % 16 AS fake_width,
+             16 + ascii(substr(d.text, length(d.text), 1)) % 16 AS fake_height
+      FROM documents d JOIN csum c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id""",
+    "multimodal_meta" -> """
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+             substr(md5(text), 1, 8) AS content_sig,
+             CASE WHEN substr(text, 1, 1) BETWEEN 'a' AND 'm'
+                  THEN 'bucket_am' ELSE 'bucket_nz' END AS shard
+      FROM documents ORDER BY doc_id""")
+
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
     */
   def all: Map[String, String] =
-    sync_queries ++ analytics_queries ++ events_queries
+    sync_queries ++ analytics_queries ++ events_queries ++ llm_queries
 }
