@@ -123,9 +123,25 @@ object SparkEntry {
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)))
 
+  /** ST1/ST2 streaming + S1-S5 source + K5 sink surfaces. */
+  private val streamSourceSinkQueries: Map[String, Q] = Map(
+    "stream_tumbling" -> (graft.streaming.EventStream.tumblingHourly(_, _)),
+    "stream_sessions" -> (graft.streaming.EventStream.sessionWindows(_, _)),
+    "stream_dedup" -> (graft.streaming.EventStream.dedupDistinctPairs(_, _)),
+    // S1-S5 over the fixture dir itself (rows-only check: no DuckDB oracle
+    // for arbitrary filesystem scans)
+    "scan_inventory" -> ((s, d) =>
+      graft.sources.FileInventory.inventory(s, d, "*.parquet")
+        .select("path", "length").orderBy("path")),
+    "sink_sql_insert" -> ((s, d) =>
+      graft.sink.Actions.sqlInsertRows(
+        Categories.folderCats(SyncInputs.files(s, d), "files")
+          .select(col("type").as("category"), col("name"), col("short_name")))))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
-    syncQueries ++ analyticsQueries ++ eventsQueries ++ llmQueries
+    syncQueries ++ analyticsQueries ++ eventsQueries ++ llmQueries ++
+      streamSourceSinkQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -480,9 +480,47 @@ shingles AS (
                   THEN 'bucket_am' ELSE 'bucket_nz' END AS shard
       FROM documents ORDER BY doc_id""")
 
+  /** Streaming queries compare against their batch-equivalent SQL
+    * (AvailableNow over finite input == batch); K5 renders the INSERT
+    * fragments. `scan_inventory` is intentionally absent (filesystem scan,
+    * rows-only check).
+    */
+  val stream_sink_queries: Map[String, String] = Map(
+    "stream_tumbling" -> s"""
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_sessions" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+      ), flagged AS (
+        SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000 OR LAG(us) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ), sess AS (
+        SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_us""",
+    "stream_dedup" -> """
+      SELECT COUNT(*) AS n_distinct_pairs
+      FROM (SELECT DISTINCT user_id, event_type FROM events) t""",
+    "sink_sql_insert" -> s"""
+      WITH ${SYNC_CTES.trim}
+      SELECT name,
+             '("' || type || '", "' || name ||
+             '", "{"iam":"gatherbot","selectable":false,"editable":false}", "' ||
+             short_name || '")' AS values_fragment
+      FROM fc ORDER BY name""")
+
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
     */
   def all: Map[String, String] =
-    sync_queries ++ analytics_queries ++ events_queries ++ llm_queries
+    sync_queries ++ analytics_queries ++ events_queries ++ llm_queries ++
+      stream_sink_queries
 }

@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S1-S5 — the file-inventory source: what the reference's chokidar watcher
+  * + md5-file + fs.statSync pipeline produces (DW.js:32-63), restated as a
+  * batch snapshot scan over Spark's `binaryFile` source.
+  *
+  * - S1 recursive scan: `recursiveFileLookup` (streaming variant in
+  *   [[graft.streaming.FileWatch]]).
+  * - S2 extension predicate: `pathGlobFilter` pushes the suffix test into
+  *   the file *listing* — non-matching files are never opened, the exact
+  *   analogue of the reference's filter-before-hash (DW.js:34-44), and
+  *   stronger: a `.filter` on the path column after load would still read
+  *   every file's bytes.
+  * - S3 content hash: `md5(content)` — codegen'd built-in over the binary
+  *   column.
+  * - S4 stat enrichment: `length`/`modificationTime` come free from the
+  *   source; `ino` has no portable equivalent so a deterministic surrogate
+  *   is derived from the path hash (SURVEY.md §7.4#4).
+  * - S5 relative path: strip the scan root prefix.
+  *
+  * At 100 TB: binaryFile scans parallelize per file; listing parallelizes
+  * via the driver-side listing pool. For billions of tiny files the same
+  * schema can be fed from an object-store inventory table instead — every
+  * downstream operator only sees the (file, md5, size, ino, ord) relation.
+  */
+object FileInventory {
+
+  /** Scan `root` for files matching `glob` (default: the reference's
+    * `.shp` test, case handled by a double glob since globs are
+    * case-sensitive). Output: file, md5, size, ino, ord — the
+    * [[graft.sync]] input relation.
+    */
+  def scan(spark: SparkSession, root: String,
+           glob: String = "*.{shp,SHP}"): DataFrame = {
+    val raw = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(root)
+    val rel = regexp_replace(col("path"), "^file:" + root + "/?", "")
+    raw.select(
+      rel.as("file"),
+      md5(col("content")).as("md5"),
+      col("length").as("size"),
+      // stable ino surrogate: 63-bit of xxhash64(path) (no real inode in
+      // a distributed scan; sign-masked to stay positive like an inode)
+      pmod(xxhash64(rel), lit(Long.MaxValue)).as("ino"))
+      // deterministic scan order surrogate (the reference's array order is
+      // fs-event arrival; we define lexicographic path order, §7.4#1)
+      .withColumn("ord",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("file")).cast("long") - 1)
+  }
+
+  /** Inventory scan of arbitrary files (no extension filter) — metadata
+    * only; column pruning means `content` is never read when the caller
+    * doesn't select it or a derivative.
+    */
+  def inventory(spark: SparkSession, root: String,
+                glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(root)
+      .select(
+        regexp_replace(col("path"), "^file:", "").as("path"),
+        col("length"),
+        date_format(col("modificationTime"), "yyyy-MM-dd HH:mm:ss").as("mtime"))
+}

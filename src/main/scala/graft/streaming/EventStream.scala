@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** ST1/ST2 + the X6 streaming surface — Structured Streaming over the
+  * `events` table (SURVEY.md §2.9).
+  *
+  * The reference's only streaming behavior is a continuous watch with a
+  * 1-second quiescence barrier before snapshotting (`_checkIdle`,
+  * DW.js:639-659). `Trigger.AvailableNow` is the faithful equivalent:
+  * process everything that exists, then stop — used here so the streaming
+  * queries terminate and their results are comparable to the batch oracle.
+  * The same plans run unmodified with a continuous trigger in production.
+  */
+object EventStream {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Parquet physical schema with ns-timestamps read as longs. */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The events stream: file source over the fixture parquet, ns-long ts
+    * converted to a microsecond event-time column.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source takes a directory; select the events table
+    // out of the fixture dir by glob
+    spark.readStream
+      .schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a finite streaming query (AvailableNow) into a memory sink and
+    * return the sink contents.
+    */
+  private def runToMemory(result: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = result.writeStream
+      .format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    result.sparkSession.table(name)
+  }
+
+  /** Streaming tumbling 1-hour aggregation with a watermark — same result
+    * as the batch [[graft.ext.Events.tumblingHourly]] because AvailableNow
+    * replays a finite input (complete mode: no windows withheld).
+    */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToMemory(agg, "complete").orderBy("hour_start", "event_type")
+  }
+
+  /** Streaming sessionization via the native `session_window` operator
+    * (30-minute gap). Emits one row per closed session: session end =
+    * last event + gap (exclusive).
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+    runToMemory(agg, "complete").orderBy("user_id", "start_us")
+  }
+
+  /** Stateful streaming dedup (`dropDuplicates` on the key columns) —
+    * X1's streaming form; count of distinct keys is the comparable output.
+    */
+  def dedupDistinctPairs(spark: SparkSession, dir: String): DataFrame = {
+    val distinctRows = readEvents(spark, dir)
+      .select("user_id", "event_type")
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(distinctRows, "append")
+      .agg(count(lit(1)).as("n_distinct_pairs"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** S1 streaming variant + ST2 — the chokidar watch (DW.js:32) as a
+  * `binaryFile` file-source stream.
+  *
+  * `Trigger.AvailableNow` reproduces the reference's idle-barrier snapshot
+  * (scan what exists, then emit one quiesced inventory, DW.js:639-659);
+  * swapping in `Trigger.ProcessingTime` turns the same plan into a true
+  * continuous watch that picks up newly-arrived files per micro-batch.
+  */
+object FileWatch {
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** Stream the file inventory under `root` (S2 suffix pushdown via
+    * pathGlobFilter, S3 md5, S5 relative path) and return the quiesced
+    * snapshot after AvailableNow terminates.
+    */
+  /** binaryFile's fixed schema (streaming sources require it explicitly). */
+  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("length",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("content",
+      org.apache.spark.sql.types.BinaryType)))
+
+  def snapshot(spark: SparkSession, root: String,
+               glob: String = "*.{shp,SHP}"): DataFrame = {
+    val stream = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(root)
+      .select(
+        regexp_replace(col("path"), "^file:" + root + "/?", "").as("file"),
+        md5(col("content")).as("md5"),
+        col("length").as("size"))
+    val name = s"graft_watch_sink_${sinkId.incrementAndGet()}"
+    val q = stream.writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("file")
+  }
+}
