@@ -42,14 +42,21 @@ object TextDedup {
   /** MinHash signatures: sig_j = min over shingles of md5(j || shingle),
     * j = 0..numPerms-1. A lexicographic min over an md5 image is a valid
     * min-wise permutation approximation and is reproducible in any engine.
+    *
+    * Computed as one `numPerms`-column aggregate over the shingle relation
+    * (partial-agg friendly, no ×numPerms row explosion), then unpivoted to
+    * the (doc_id, j, sig) long form the banding stage consumes.
     */
-  def minhashSignatures(docs: DataFrame, numPerms: Int = 8): DataFrame =
+  def minhashSignatures(docs: DataFrame, numPerms: Int = 8): DataFrame = {
+    val sigCols = (0 until numPerms).map(j =>
+      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"s$j"))
+    val stackArgs = (0 until numPerms).map(j => s"$j, s$j").mkString(", ")
     shingles(docs)
-      .select(col("doc_id"), col("sh"),
-        explode(lit((0 until numPerms).toArray)).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit("|"), col("sh"))))
-        .as("sig"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        expr(s"stack($numPerms, $stackArgs) AS (j, sig)"))
+  }
 
   /** X2 — MinHash LSH near-dup candidates: band the signature (2 rows per
     * band), bucket-join on (band, band_hash), then score candidates by
@@ -80,19 +87,21 @@ object TextDedup {
     * token-vote sum where a token votes +1 if hex digit i of its md5 has
     * its high bit set. Surfaced as a '0'/'1' string for portability.
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame): DataFrame = {
+    // md5 computed once per token; the 32 bit-votes are 32 aggregate
+    // expressions over it (single shuffle on doc_id, partial-agg friendly —
+    // not a ×32 row explosion).
+    val hexHigh = Set('8', '9', 'a', 'b', 'c', 'd', 'e', 'f').map(_.toString).toSeq
+    val voteCols = (1 to 32).map(i =>
+      when(sum(when(substring(col("h"), i, 1).isin(hexHigh: _*), 1)
+        .otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$i"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), col("tok"),
-        explode(lit((1 to 32).toArray)).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(when(
-        sum(when(expr("substring(md5(tok), i, 1)")
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) >= 0,
-        "1").otherwise("0").as("bit"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
       .groupBy("doc_id")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("i"), col("bit")))),
-          _.getField("bit")), "").as("simhash"))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 32).map(i => col(s"b$i")): _*).as("simhash"))
+  }
 
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir)).orderBy("doc_id")

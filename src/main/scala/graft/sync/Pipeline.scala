@@ -49,10 +49,27 @@ object Pipeline {
       catMatched = Categories.matched(folder, serverCats))
   }
 
-  /** Convenience: run against the fixture-derived inputs. */
+  private val fixtureCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), SyncResult]
+
+  /** Convenience: run against the fixture-derived inputs.
+    *
+    * Memoized per (session, dir) with the shared intermediates persisted:
+    * the driver harness evaluates every query of a run in one process, and
+    * `marked`/`pass1`/`pass2` feed most of them — recomputing the full
+    * match DAG per query would multiply the dominant shuffles by the query
+    * count. (At production scale this is the same decision as
+    * checkpointing the inventory snapshot once per sync run.)
+    */
   def syncFixture(spark: SparkSession, dir: String): SyncResult =
-    sync(SyncInputs.files(spark, dir), SyncInputs.projects(spark, dir),
-      SyncInputs.serverCats(spark, dir))
+    fixtureCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val r = sync(SyncInputs.files(spark, dir), SyncInputs.projects(spark, dir),
+        SyncInputs.serverCats(spark, dir))
+      r.marked.persist()
+      r.pass1.persist()
+      r.pass2.persist()
+      r
+    })
 
   /** A2 — the run's scalar counters (found/missing/updates/…,
     * DW.js:103-106,154,163,230,346,447-448) as a single summary row.

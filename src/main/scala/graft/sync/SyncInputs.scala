@@ -97,7 +97,15 @@ object SyncInputs {
     * names are distinct. (At real scale an id would come from the remote
     * system; the global window here is test-fixture-only.)
     */
-  def serverCats(spark: SparkSession, dir: String): DataFrame = {
+  private val serverCatsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  def serverCats(spark: SparkSession, dir: String): DataFrame =
+    serverCatsCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir),
+      buildServerCats(spark, dir).persist())
+
+  private def buildServerCats(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val folder = Categories.folderCats(files(spark, dir), "files")
     val extras = spark.createDataFrame(Seq(
