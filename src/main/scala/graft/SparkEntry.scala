@@ -138,10 +138,40 @@ object SparkEntry {
         Categories.folderCats(SyncInputs.files(s, d), "files")
           .select(col("type").as("category"), col("name"), col("short_name")))))
 
+  /** Coverage closers for SURVEY.md §2: P1/P2 nested-struct normalization,
+    * K1 JSON payload rendering (to_json), the salted skew-safe aggregate,
+    * and the as-of join.
+    */
+  private val coverageQueries: Map[String, Q] = Map(
+    // P1/P2 (DW.js:79-91): consume the API-faithful nested shape, filter
+    // null metadata.file, project the nested struct flat. Two synthetic
+    // null-metadata rows are injected to make P1 observable.
+    "sync_normalize_projects" -> ((s, d) => {
+      val nested = SyncInputs.nestedProjects(s, d)
+      val nulls = nested.sparkSession.range(2).select(
+        (col("id") + 9900000L).as("id"),
+        lit(null).cast(nested.schema("metadata").dataType).as("metadata"),
+        lit(null).cast(nested.schema("attributes").dataType).as("attributes"))
+      nested.unionByName(nulls)
+        .filter(col("metadata.file").isNotNull)          // P1
+        .select(col("id"), col("metadata.file.file").as("file"),  // P2
+          col("metadata.file.md5").as("md5"))
+        .orderBy("id")
+    }),
+    // K1 payload JSON (DW.js:357-367 metadata.file; _toSql stringify)
+    "sink_create_payloads_json" -> ((s, d) => {
+      val r = Pipeline.syncFixture(s, d)
+      r.creates.select(col("ord"), col("title"),
+        to_json(struct(col("file"), col("md5"))).as("file_json"))
+        .orderBy("ord")
+    }),
+    "dedup_exact_salted" -> ((s, d) => graft.ext.TextDedup.exactSalted(s, d)),
+    "events_asof_join" -> (graft.ext.Events.asofSignup(_, _)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     syncQueries ++ analyticsQueries ++ eventsQueries ++ llmQueries ++
-      streamSourceSinkQueries
+      streamSourceSinkQueries ++ coverageQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

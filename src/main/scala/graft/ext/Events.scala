@@ -83,6 +83,29 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** As-of join (events -> most recent prior signup of the same user),
+    * expressed as a windowed last-non-null — the shuffle-once, sort-within-
+    * partition form that scales (no range cross-join, no custom operator
+    * needed: Spark's window frame + `last(ignoreNulls)` composes it).
+    * Semantics: strictly-earlier rows (ROWS ... 1 PRECEDING), ties broken
+    * by event_id.
+    */
+  def asofSignup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_signup_us",
+        last(when(col("event_type") === "signup", col("us")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("prev_signup_us"),
+        (col("us") - col("prev_signup_us")).as("since_signup_us"))
+      .orderBy("event_id")
+  }
+
   /** Daily rollup with grand total (nulls coalesced to 'ALL' for
     * cross-engine ordering parity).
     */

@@ -26,8 +26,10 @@ import graft.tables.Tables
   */
 object Similarity {
 
-  /** Left-fold dot product of two ARRAY<DOUBLE> columns (codegen'd
-    * higher-order functions — no UDF).
+  /** Left-fold dot product of two ARRAY<DOUBLE> columns via higher-order
+    * functions — the composable baseline; [[graft.functions.CosineSim]]
+    * is the fused codegen kernel used by the queries (same fold order,
+    * bit-identical results).
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
@@ -35,11 +37,12 @@ object Similarity {
   private def dbl(c: Column): Column = transform(c, _.cast("double"))
 
   private def cosine(e: Column, q: Column): Column =
-    dot(e, q) / (sqrt(dot(e, e)) * sqrt(dot(q, q)))
+    graft.functions.CosineSim.cosine(e, q)
 
   /** Exact top-k by cosine against the query vector `queryId`. */
   def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
                  k: Int = 20): DataFrame = {
+    graft.functions.CosineSim.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") === queryId)
       .select(dbl(col("embedding")).as("qv"))
@@ -61,6 +64,7 @@ object Similarity {
     */
   def annLshTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
                  k: Int = 10): DataFrame = {
+    graft.functions.CosineSim.register(spark)
     val b = Tables.embeddings(spark, dir)
       .withColumn("bucket", signBucket(col("embedding")))
     val q = b.filter(col("vec_id") === queryId)
@@ -78,6 +82,7 @@ object Similarity {
     */
   def knnJoin(spark: SparkSession, dir: String, nQueries: Long = 20L,
               k: Int = 5): DataFrame = {
+    graft.functions.CosineSim.register(spark)
     val emb = Tables.embeddings(spark, dir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), dbl(col("embedding")).as("qv"))

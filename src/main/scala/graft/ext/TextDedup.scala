@@ -106,6 +106,22 @@ object TextDedup {
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** X1 under skew — the salted two-phase form of [[exact]]: partial
+    * aggregation on (md5, salt) spreads a pathological hot hash over
+    * `salts` reducers before the final per-md5 combine. Identical output;
+    * at 100 TB this (or AQE skew splitting) is what keeps one viral
+    * document from stalling a straggler reducer.
+    */
+  def exactSalted(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_md5"),
+        pmod(col("doc_id"), lit(salts)).as("salt"))
+      .agg(min("doc_id").as("partial_keep"), count(lit(1)).as("partial_n"))
+      .groupBy("content_md5")
+      .agg(min("partial_keep").as("keep_doc_id"),
+        sum("partial_n").as("n_copies"))
+      .orderBy("keep_doc_id")
+
   /** X2 verification — exact n-gram Jaccard over candidate pairs from a
     * shared-shingle inverted index (set-similarity join). `threshold`
     * bounds the output; the inverted index bounds the pair space.

@@ -517,10 +517,36 @@ shingles AS (
              short_name || '")' AS values_fragment
       FROM fc ORDER BY name""")
 
+  val coverage_queries: Map[String, String] = Map(
+    "sync_normalize_projects" -> sync(
+      """SELECT id, p_file AS file, p_md5 AS md5 FROM projects ORDER BY id"""),
+    "sink_create_payloads_json" -> sync(
+      """SELECT ord, title,
+           '{"file":"' || file || '","md5":"' || md5 || '"}' AS file_json
+         FROM creates_payload ORDER BY ord"""),
+    "dedup_exact_salted" -> """
+      SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
+             COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    "events_asof_join" -> """
+      SELECT event_id, user_id, us, prev_signup_us,
+             us - prev_signup_us AS since_signup_us
+      FROM (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAST_VALUE(CASE WHEN event_type = 'signup'
+                               THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+                 OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_signup_us
+        FROM events) t
+      WHERE event_type = 'purchase' ORDER BY event_id""")
+
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
     */
   def all: Map[String, String] =
     sync_queries ++ analytics_queries ++ events_queries ++ llm_queries ++
-      stream_sink_queries
+      stream_sink_queries ++ coverage_queries
 }

@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The fused codegen kernel must agree bit-for-bit with the composable
+  * higher-order-function form (same sequential fold).
+  */
+class CosineSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fused kernel == composable dot/norm form, bit-exact") {
+    CosineSim.register(spark)
+    val emb = graft.tables.Tables.embeddings(spark, sf001)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val q = emb.filter($"vec_id" === 1).select($"v".as("qv"))
+    val both = emb.crossJoin(q).select(
+      $"vec_id",
+      CosineSim.cosine($"v", $"qv").as("fused"),
+      (graft.ext.Similarity.dot($"v", $"qv") /
+        (sqrt(graft.ext.Similarity.dot($"v", $"v")) *
+          sqrt(graft.ext.Similarity.dot($"qv", $"qv")))).as("composed"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[Double]("fused") == r.getAs[Double]("composed"),
+        s"vec ${r.getAs[Long]("vec_id")}")
+    }
+  }
+
+  test("known values: parallel=1, orthogonal=0, antiparallel=-1") {
+    CosineSim.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0), Array(2.0, 4.0)),
+      (Array(1.0, 0.0), Array(0.0, 3.0)),
+      (Array(1.0, 1.0), Array(-1.0, -1.0))).toDF("a", "b")
+      .select(CosineSim.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(df(0) - 1.0) < 1e-15)
+    assert(df(1) == 0.0)
+    assert(math.abs(df(2) + 1.0) < 1e-15)
+  }
+}
