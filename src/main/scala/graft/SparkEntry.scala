@@ -166,7 +166,9 @@ object SparkEntry {
         .orderBy("ord")
     }),
     "dedup_exact_salted" -> ((s, d) => graft.ext.TextDedup.exactSalted(s, d)),
-    "events_asof_join" -> (graft.ext.Events.asofSignup(_, _)))
+    "events_asof_join" -> (graft.ext.Events.asofSignup(_, _)),
+    // rows-only (Spark-internal hash family; portable twin: dedup_minhash_pairs)
+    "dedup_minhash_ml" -> ((s, d) => graft.ext.TextDedup.mlMinhashPairs(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

@@ -106,6 +106,32 @@ object TextDedup {
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** X2 via spark.ml — the MinHashLSH estimator pipeline (shingles ->
+    * HashingTF sparse vectors -> MinHashLSH -> approxSimilarityJoin).
+    * Hash family is Spark-internal (seeded, deterministic) so this entry
+    * is rows-only checked rather than DuckDB-oracled; [[minhashPairs]] is
+    * the engine-portable twin. This is the path that scales candidate
+    * generation with `approxSimilarityJoin`'s internal banding.
+    */
+  def mlMinhashPairs(spark: SparkSession, dir: String,
+                     maxDistance: Double = 0.5): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val sh = shingles(Tables.documents(spark, dir))
+      .groupBy("doc_id").agg(collect_list("sh").as("shs"))
+    val tf = new HashingTF().setInputCol("shs").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feats = tf.transform(sh)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feats)
+    model.approxSimilarityJoin(feats, feats, maxDistance, "dist")
+      .select(col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(lit(1.0) - col("dist"), 6).as("est_jaccard"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** X1 under skew — the salted two-phase form of [[exact]]: partial
     * aggregation on (md5, salt) spreads a pathological hot hash over
     * `salts` reducers before the final per-md5 combine. Identical output;

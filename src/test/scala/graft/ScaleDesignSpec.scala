@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+/** Executable evidence for the 100 TB design claims in ARCHITECTURE.md:
+  * bucketed co-located joins eliminate the shuffle, and the custom
+  * function registers through SparkSessionExtensions.
+  */
+class ScaleDesignSpec extends SparkSpec {
+
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    // spark.sql.warehouse.dir is static — tables land in ./spark-warehouse
+    // (gitignored) and are dropped below
+    val o = graft.tables.Tables.orders(spark, sf001)
+    val l = graft.tables.Tables.lineitem(spark, sf001)
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    try {
+      // disable broadcast so the co-location is what saves the shuffle
+      val joined = spark.table("lineitem_b").hint("merge")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: Exchange => e
+      }
+      // only the groupBy aggregation may exchange; the join itself must not
+      assert(exchanges.size <= 1,
+        s"expected at most the agg exchange, got:\n${joined.queryExecution.executedPlan}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("GraftExtensions injects graft_cosine_sim for SQL use") {
+    // getOrCreate only applies extensions when it *creates* a session —
+    // clear the active/default so a fresh one (sharing the context) is built
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        "SELECT graft_cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+        .collect().head.getDouble(0)
+      assert(r == 1.0)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+}
