@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.FileInventory
+import graft.sync.{Categories, Matching, Pipeline, SyncResult}
+
+/** Engine configuration — the reference's `config.json` shape
+  * (`example.config.json`: path + rootCategory; iam from DW.js:359).
+  */
+final case class GraftConfig(
+    path: String,
+    rootCategory: String = "files",
+    iam: String = "gatherbot",
+    fileGlob: String = "*.{shp,SHP}")
+
+/** The remote-CMS boundary (the reference's `gather-node-client`),
+  * batch-oriented: list calls return DataFrames in the §1.1 record shapes;
+  * apply calls receive whole action tables (computed-then-applied,
+  * replacing the reference's unawaited per-row calls — SURVEY.md §7.4#3).
+  *
+  * Implementations: JDBC/REST behind `foreachPartition`
+  * ([[graft.sink.Actions.applyPartitioned]]), or [[InMemoryGatherClient]]
+  * for tests.
+  */
+trait GatherClient {
+  /** Projects with nested `metadata.file` (may contain null metadata). */
+  def listProjects(): DataFrame
+  def listArchivedProjects(): DataFrame
+  /** Categories: id, category, name, short_name, path, iam. */
+  def listCategories(): DataFrame
+
+  def applyCreates(creates: DataFrame): Unit
+  def applyUpdates(updates: DataFrame): Unit
+  def applyArchives(archives: DataFrame): Unit
+  def applyCategoryCreates(cats: DataFrame): Unit
+  def applyCategoryRemoves(cats: DataFrame): Unit
+}
+
+/** The reference's top-level API (`DataWarehouse`, DW.js:8), Spark-native:
+  * `syncFilesystem()` scans `config.path`, reconciles against the client's
+  * project list and applies the K1-K3 actions; `syncCategories()`
+  * reconciles the folder hierarchy and applies K4. A reference user swaps
+  * `new DataWarehouse(config, client)` for
+  * `new DataWarehouseSync(spark, config, client)`.
+  */
+class DataWarehouseSync(spark: SparkSession, config: GraftConfig,
+                        client: GatherClient) {
+
+  /** P1/P2 normalization of the client's nested project list
+    * (DW.js:79-84): drop null metadata.file, flatten for the match core.
+    */
+  private def normalizedProjects(): DataFrame =
+    client.listProjects()
+      .filter(col("metadata.file").isNotNull)
+      .select(col("id"),
+        coalesce(col("metadata.iam"), lit(config.iam)).as("iam"),
+        col("metadata.file.file").as("p_file"),
+        col("metadata.file.md5").as("p_md5"),
+        col("attributes.proposalAttributes.title").as("title"),
+        col("attributes.proposalAttributes.isDataset").as("is_dataset"))
+
+  /** E2 (DW.js:67-258): scan -> dedup -> match -> apply actions. Returns
+    * the computed [[SyncResult]] so callers can inspect/report (A2).
+    */
+  def syncFilesystem(): SyncResult = {
+    val files = FileInventory.scan(spark, config.path, config.fileGlob)
+    val r = Pipeline.sync(files, normalizedProjects(), client.listCategories(),
+      config.rootCategory)
+    client.applyUpdates(r.updates)
+    client.applyArchives(r.archives)
+    client.applyCreates(r.creates)
+    r
+  }
+
+  /** E3 (DW.js:392-463): folder hierarchy vs server categories; returns
+    * matched ids (the reference's resolve value, DW.js:455). Throws on
+    * duplicate server keys like the reference (DW.js:432-434).
+    */
+  def syncCategories(): DataFrame = {
+    val files = FileInventory.scan(spark, config.path, config.fileGlob)
+    val folder = Categories.folderCats(files, config.rootCategory)
+    val server = client.listCategories()
+    val dups = Categories.duplicateKeyGuard(server)
+    if (!dups.isEmpty)
+      throw new IllegalStateException(
+        "Unexpected multiple results: " + dups.collect().mkString(", "))
+    client.applyCategoryCreates(Categories.toCreate(folder, server))
+    client.applyCategoryRemoves(Categories.toRemove(folder, server))
+    Categories.matched(folder, server).select("id")
+  }
+}
