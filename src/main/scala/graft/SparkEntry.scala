@@ -103,7 +103,8 @@ object SparkEntry {
     "events_sessions" -> ((s, d) => graft.ext.Events.sessionize(s, d)),
     "events_json_extract" -> (graft.ext.Events.jsonExtractStats(_, _)),
     "events_lag_gap" -> (graft.ext.Events.lagLeadRank(_, _)),
-    "events_rollup_day" -> (graft.ext.Events.rollupDaily(_, _)))
+    "events_rollup_day" -> (graft.ext.Events.rollupDaily(_, _)),
+    "events_cube_day" -> (graft.ext.Events.cubeDaily(_, _)))
 
   /** X1-X5 — LLM-data-pipeline operators (dedup / similarity / text /
     * multimodal; SURVEY.md §2.10).

@@ -83,6 +83,21 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** CUBE over (day, event_type) — all four grouping sets; completes the
+    * grouping-sets family next to [[rollupDaily]].
+    */
+  def cubeDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"))
+      .cube("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
+      .select(coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("day", "event_type")
+
   /** As-of join (events -> most recent prior signup of the same user),
     * expressed as a windowed last-non-null — the shuffle-once, sort-within-
     * partition form that scales (no range cross-join, no custom operator

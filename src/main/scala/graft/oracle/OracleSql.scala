@@ -310,7 +310,15 @@ cat_remove AS (
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
       FROM (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
                    event_type, value FROM events) t
-      GROUP BY ROLLUP(day, event_type) ORDER BY 1, 2""")
+      GROUP BY ROLLUP(day, event_type) ORDER BY 1, 2""",
+    "events_cube_day" -> s"""
+      SELECT COALESCE(day, 'ALL') AS day,
+             COALESCE(event_type, 'ALL') AS event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
+      FROM (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                   event_type, value FROM events) t
+      GROUP BY CUBE(day, event_type) ORDER BY 1, 2""")
 
   /** Shared shingle CTE (word 3-grams, distinct per doc) — mirrors
     * [[graft.ext.TextDedup.shingles]].

@@ -38,6 +38,26 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("plan regression: filters push to parquet, schemas prune, dims broadcast") {
+    val q1 = SparkEntry.queries("tpch_q1")(spark, sf001)
+    val q1plan = q1.queryExecution.executedPlan.toString
+    assert(q1plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n$q1plan")
+    assert(!q1plan.contains("l_orderkey"), "q1 must not read join keys it doesn't use")
+
+    val q3 = SparkEntry.queries("tpch_q3_top10")(spark, sf001)
+    val q3plan = q3.queryExecution.executedPlan.toString
+    assert(q3plan.contains("BroadcastHashJoin"), s"q3 dims must broadcast:\n$q3plan")
+    assert(q3plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      "segment filter must reach the customer scan")
+
+    // column pruning: a projection of one column reads only that column
+    val pruned = graft.tables.Tables.documents(spark, sf001).select("doc_id")
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"documents scan must prune to doc_id:\n$prunedPlan")
+  }
+
   test("GraftExtensions injects graft_cosine_sim for SQL use") {
     // getOrCreate only applies extensions when it *creates* a session —
     // clear the active/default so a fresh one (sharing the context) is built
