@@ -95,7 +95,25 @@ object SparkEntry {
     "tpch_q5_region" -> (graft.ext.Analytics.q5RegionVolume(_, _)),
     "tpch_q4_priority" -> (graft.ext.Analytics.q4PriorityCount(_, _)),
     "window_topk_orders" -> ((s, d) => graft.ext.Analytics.topKOrdersPerCustomer(s, d)),
-    "rollup_lineitem" -> (graft.ext.Analytics.rollupLineitem(_, _)))
+    "rollup_lineitem" -> (graft.ext.Analytics.rollupLineitem(_, _)),
+    "agg_stats_family" -> (graft.ext.Analytics.statsFamily(_, _)),
+    // §2.8 scalar-function family, explicit (lower/upper/split/element_at/
+    // regexp_extract/lpad/reverse/length/substr-of-md5/cast)
+    "scalar_functions" -> ((s, d) => {
+      val basename = element_at(split(col("file"), "/"), -1)
+      SyncInputs.files(s, d).select(
+        col("ord"), col("file"),
+        lower(col("file")).as("lowered"),
+        upper(basename).as("base_upper"),
+        basename.as("basename"),
+        regexp_extract(col("file"), "\\.([^.]+)$", 1).as("ext"),
+        regexp_replace(basename, "\\.[^.]*$", "").as("stem"),
+        lpad(col("ord").cast("string"), 6, "0").as("ord_padded"),
+        reverse(col("md5")).as("md5_rev"),
+        length(col("file")).cast("long").as("path_len"),
+        substring(col("md5"), 1, 8).as("md5_prefix"))
+        .orderBy("ord")
+    }))
 
   /** X6 — event-stream analytics (SURVEY.md §2.9-§2.10). */
   private val eventsQueries: Map[String, Q] = Map(

@@ -115,6 +115,30 @@ object Analytics {
       .orderBy("c_custkey", "rk")
   }
 
+  /** Distinct counts, exact percentiles, and a *deterministic* stddev:
+    * variance is derived from exact-decimal sums (sum, sum-of-squares) so
+    * the result is independent of partitioning/reduction order — the
+    * portable alternative to streaming-variance aggregates at scale.
+    */
+  def statsFamily(spark: SparkSession, dir: String): DataFrame = {
+    val qty = d2("l_quantity")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("distinct_parts"),
+        countDistinct("l_suppkey").as("distinct_supps"),
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+        count(lit(1)).as("n"),
+        sum(qty).cast("double").as("s"),
+        sum(qty * qty).cast("double").as("ss"))
+      .select(col("l_returnflag"), col("distinct_parts"), col("distinct_supps"),
+        col("p50_qty"), col("p95_qty"), col("n"),
+        round(sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 6)
+          .as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Rollup aggregate (extension of A-family; SURVEY.md §2.4 notes the
     * reference has none — mandated by the events/star extension surface).
     * Null grouping rows are COALESCEd to 'ALL' so ordering is identical

@@ -258,6 +258,32 @@ cat_remove AS (
                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
         FROM customer JOIN orders ON c_custkey = o_custkey) t
       WHERE rk <= 3 ORDER BY c_custkey, rk""",
+    "agg_stats_family" -> s"""
+      SELECT l_returnflag, distinct_parts, distinct_supps, p50_qty, p95_qty, n,
+             ROUND(sqrt((ss - s * s / n) / (n - 1)), 6) AS stddev_qty
+      FROM (
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS distinct_parts,
+               COUNT(DISTINCT l_suppkey) AS distinct_supps,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+               ROUND(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(l_quantity AS $D2) * CAST(l_quantity AS $D2)) AS DOUBLE) AS ss
+        FROM lineitem GROUP BY l_returnflag) t
+      ORDER BY l_returnflag""",
+    "scalar_functions" -> sync(
+      """SELECT ord, file,
+           lower(file) AS lowered,
+           upper(string_split(file, '/')[-1]) AS base_upper,
+           string_split(file, '/')[-1] AS basename,
+           regexp_extract(file, '\.([^.]+)$', 1) AS ext,
+           regexp_replace(string_split(file, '/')[-1], '\.[^.]*$', '') AS stem,
+           lpad(CAST(ord AS VARCHAR), 6, '0') AS ord_padded,
+           reverse(md5) AS md5_rev,
+           length(file) AS path_len,
+           substr(md5, 1, 8) AS md5_prefix
+         FROM files ORDER BY ord"""),
     "rollup_lineitem" -> s"""
       SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
              COALESCE(l_linestatus, 'ALL') AS linestatus,
