@@ -187,7 +187,16 @@ object SparkEntry {
     "dedup_exact_salted" -> ((s, d) => graft.ext.TextDedup.exactSalted(s, d)),
     "events_asof_join" -> (graft.ext.Events.asofSignup(_, _)),
     // rows-only (Spark-internal hash family; portable twin: dedup_minhash_pairs)
-    "dedup_minhash_ml" -> ((s, d) => graft.ext.TextDedup.mlMinhashPairs(s, d)))
+    "dedup_minhash_ml" -> ((s, d) => graft.ext.TextDedup.mlMinhashPairs(s, d)),
+    // rows-only: faithful sequential-claim pass 2 (cogroup-per-md5 greedy);
+    // the set-based sync_match_pass2 remains the oracled form
+    "sync_match_pass2_greedy" -> ((s, d) => {
+      val r = Pipeline.syncFixture(s, d)
+      Matching.pass2Greedy(r.marked, SyncInputs.projects(s, d), r.pass1)
+        .orderBy("id")
+    }),
+    // streaming arbitrary state (flatMapGroupsWithState)
+    "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

@@ -543,6 +543,9 @@ shingles AS (
     "stream_dedup" -> """
       SELECT COUNT(*) AS n_distinct_pairs
       FROM (SELECT DISTINCT user_id, event_type FROM events) t""",
+    "stream_stateful_counts" -> """
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""",
     "sink_sql_insert" -> s"""
       WITH ${SYNC_CTES.trim}
       SELECT name,

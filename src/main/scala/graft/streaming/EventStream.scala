@@ -88,6 +88,29 @@ object EventStream {
     runToMemory(agg, "complete").orderBy("user_id", "start_us")
   }
 
+  /** Custom keyed state via `flatMapGroupsWithState` — the arbitrary-state
+    * API (SURVEY.md §2.9 extension surface): a per-user running event
+    * counter. With AvailableNow over the finite fixture (one batch), the
+    * emitted totals equal the batch `GROUP BY count` — the oracle-
+    * comparable form; the same operator runs unchanged on an unbounded
+    * stream, where state persists across micro-batches.
+    */
+  def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val counts = readEvents(spark, dir)
+      .select(col("user_id")).as[Long]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) => {
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          Iterator((uid, n))
+        })
+      .toDF("user_id", "n_events")
+    runToMemory(counts, "update").orderBy("user_id")
+  }
+
   /** Stateful streaming dedup (`dropDuplicates` on the key columns) —
     * X1's streaming form; count of distinct keys is the comparable output.
     */

@@ -107,6 +107,54 @@ object Matching {
           .otherwise("unmatched md5 match").as("match"))
   }
 
+  /** J2, faithful-greedy variant: reproduces the reference's *sequential*
+    * claim semantics exactly (DW.js:465-536) — projects iterate in server
+    * order (ascending id) and each claim removes the file from later
+    * projects' candidate sets.
+    *
+    * Claims only interact within one md5 group (candidates are md5-equal),
+    * so the global sequential pass decomposes into independent per-md5
+    * greedy matches — `cogroup` on md5 distributes them across the
+    * cluster; each group is bounded by one content-hash's duplicate count.
+    * This closes the set-based deviation of [[pass2]] where same-md5
+    * projects could double-claim one alias.
+    */
+  def pass2Greedy(marked: DataFrame, projects: DataFrame, p1: DataFrame): DataFrame = {
+    val spark = marked.sparkSession
+    import spark.implicits._
+
+    // tuple-encoded datasets: (id, p_file, p_md5) and
+    // (ino, ord, file, is_alias, has_dups, md5)
+    val unproc = projects.join(processedIds(p1), Seq("id"), "left_anti")
+      .select(col("id"), col("p_file"), col("p_md5"))
+      .as[(Long, String, String)]
+    val avail = marked
+      .join(p1.filter(col("project").isNotNull).select("ino"), Seq("ino"), "left_anti")
+      .select(col("ino"), col("ord"), col("file"),
+        col("alias").isNotNull, col("n_duplicates") > 0, col("md5"))
+      .as[(Long, Long, String, Boolean, Boolean, String)]
+
+    unproc.groupByKey(_._3)
+      .cogroup(avail.groupByKey(_._6)) { (_, ps, fs) =>
+        // candidates in report order (O1): dup-group canonicals first, then ord
+        val candidates = scala.collection.mutable.ArrayBuffer(
+          fs.toSeq.sortBy(c => (!c._5, c._2)): _*)
+        ps.toSeq.sortBy(_._1).iterator.flatMap { case (id, pFile, pMd5) =>
+          if (candidates.isEmpty) Iterator.empty
+          else {
+            val exactIdx = candidates.indexWhere(_._3 == pFile)
+            val multi = candidates.length > 1
+            val idx = if (multi && exactIdx >= 0) exactIdx else 0
+            val c = candidates.remove(idx)
+            val label = if (multi && exactIdx >= 0) "alias exactMatch"
+                        else "unmatched md5 match"
+            Iterator((id, pFile, pMd5, c._1, c._3, c._4, label))
+          }
+        }
+      }
+      .toDF("id", "p_file", "p_md5", "ino", "file", "is_alias", "match")
+  }
+
   /** C1/K2 — metadata updates for renamed files (DW.js:264-280). Faithful
     * quirk: the update writes the file's NEW path with the project's OLD
     * md5 (DW.js:277). Pass-2 matches only sync when the file is an alias
