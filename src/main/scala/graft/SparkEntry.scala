@@ -196,7 +196,10 @@ object SparkEntry {
         .orderBy("id")
     }),
     // streaming arbitrary state (flatMapGroupsWithState)
-    "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)))
+    "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)),
+    // rows-only: IVF coarse quantization (float centroid averaging is
+    // reduction-order dependent -> no cross-engine oracle)
+    "embed_ann_ivf" -> ((s, d) => graft.ext.Similarity.ivfTopK(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

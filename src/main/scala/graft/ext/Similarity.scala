@@ -77,6 +77,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style ANN: coarse-quantize vectors into inverted lists (the
+    * fixture's `label` column stands in for a k-means cell assignment),
+    * rank cells by centroid distance to the query, then search only the
+    * `nProbe` nearest cells. At 100 TB the inverted lists are the
+    * partitioning key — a probe touches nProbe partitions instead of the
+    * full corpus. Rows-only checked (centroid float averaging is
+    * reduction-order dependent, so no cross-engine oracle).
+    */
+  def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+              k: Int = 10, nProbe: Int = 2): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+    // element-wise centroid per cell
+    val centroids = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos").agg(avg("x").as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        _.getField("cx")).as("centroid"))
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probed = centroids.crossJoin(broadcast(q))
+      .select(col("label"), col("qv"),
+        cosine(col("centroid"), col("qv")).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("label"))
+      .limit(nProbe)
+      .select(col("label"), col("qv"))
+    emb.join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch k-NN: top-`k` neighbours for every query vector (vec_id <
     * `nQueries`) via broadcast of the query set + per-query window top-k.
     */

@@ -62,6 +62,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(shared.head.getLong(0) == 1L && shared.head.getLong(1) == 2L)
   }
 
+  test("IVF ANN: results come only from probed cells; self excluded; bounded k") {
+    val r = Similarity.ivfTopK(spark, sf001, queryId = 0L, k = 10, nProbe = 2)
+      .collect()
+    assert(r.length <= 10 && r.nonEmpty)
+    assert(r.map(_.getAs[Long]("vec_id")).forall(_ != 0L))
+    assert(r.map(_.getAs[Int]("label")).distinct.length <= 2) // ≤ nProbe cells
+    // sims sorted descending
+    val sims = r.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims == sims.sorted.reverse)
+  }
+
   test("langid/quality agree with a scala recomputation on a fixture doc") {
     val doc0 = graft.tables.Tables.documents(spark, sf001)
       .filter($"doc_id" === 0).select("text").as[String].collect().head
