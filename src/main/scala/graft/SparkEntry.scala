@@ -97,6 +97,12 @@ object SparkEntry {
     "window_topk_orders" -> ((s, d) => graft.ext.Analytics.topKOrdersPerCustomer(s, d)),
     "rollup_lineitem" -> (graft.ext.Analytics.rollupLineitem(_, _)),
     "agg_stats_family" -> (graft.ext.Analytics.statsFamily(_, _)),
+    "tpch_q12_conditional" -> (graft.ext.Analytics.q12Conditional(_, _)),
+    "tpch_q14_promo" -> (graft.ext.Analytics.q14PromoShare(_, _)),
+    "tpch_q18_large" -> ((s, d) => graft.ext.Analytics.q18LargeOrders(s, d)),
+    "tpch_q19_disjunctive" -> (graft.ext.Analytics.q19Disjunctive(_, _)),
+    "tpch_q2_minsupp" -> (graft.ext.Analytics.q2MinSupplier(_, _)),
+    "tpch_q22_dormant" -> (graft.ext.Analytics.q22Dormant(_, _)),
     // §2.8 scalar-function family, explicit (lower/upper/split/element_at/
     // regexp_extract/lpad/reverse/length/substr-of-md5/cast)
     "scalar_functions" -> ((s, d) => {

@@ -115,6 +115,97 @@ object Analytics {
       .orderBy("c_custkey", "rk")
   }
 
+  /** Q12-style conditional aggregate: per order priority, line counts
+    * split by a CASE predicate (high/low quantity).
+    */
+  def q12Conditional(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("l_quantity") < 25, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("o_orderpriority")
+
+  /** Q14-style ratio metric: promo revenue share — a ratio of two
+    * conditional exact-decimal sums surfaced as DOUBLE.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = d2("l_extendedprice") * (lit(1) - d2("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (sum(when(col("p_type") === "PROMO", rev)).cast("double") * 100.0 /
+          sum(rev).cast("double")).as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+      .select(round(col("promo_revenue_pct"), 6).as("promo_revenue_pct"),
+        col("n_lines"))
+  }
+
+  /** Q18-style large-volume orders: groupBy + HAVING + dimension join. */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+                     minQty: Double = 300.0): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(d2("l_quantity")).cast("double").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("l_orderkey"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("total_qty").desc, col("l_orderkey"))
+  }
+
+  /** Q19-style disjunctive predicates: each OR branch pairs a brand with a
+    * quantity band — Catalyst pushes the common `p_brand IN (...)` residual
+    * and evaluates the disjunction post-join.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val rev = d2("l_extendedprice") * (lit(1) - d2("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("l_quantity").between(1, 11) &&
+          col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#2" && col("l_quantity").between(10, 20) &&
+          col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) &&
+          col("p_size").between(1, 15)))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+
+  }
+
+  /** Q2-style min-per-group: for each part type, the supplying lineitem
+    * supplier with the lowest account balance (window min + tie-break).
+    */
+  def q2MinSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_type")
+      .orderBy(col("s_acctbal").asc, col("s_suppkey").asc)
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_type"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      .orderBy("p_type")
+  }
+
+  /** Q22-style: above-average-balance customers with no orders — scalar
+    * aggregate subquery (broadcast single row) + anti-join.
+    */
+  def q22Dormant(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.agg(
+      (sum(d2("c_acctbal")).cast("double") / count(lit(1))).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
   /** Distinct counts, exact percentiles, and a *deterministic* stddev:
     * variance is derived from exact-decimal sums (sum, sum-of-squares) so
     * the result is independent of partitioning/reduction order — the

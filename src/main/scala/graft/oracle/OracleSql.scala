@@ -258,6 +258,51 @@ cat_remove AS (
                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
         FROM customer JOIN orders ON c_custkey = o_custkey) t
       WHERE rk <= 3 ORDER BY c_custkey, rk""",
+    "tpch_q12_conditional" -> """
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(SUM(CASE WHEN l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "tpch_q14_promo" -> s"""
+      SELECT ROUND(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2)) END) AS DOUBLE)
+                   * 100.0 /
+                   CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE),
+                   6) AS promo_revenue_pct,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey""",
+    "tpch_q18_large" -> s"""
+      SELECT c_custkey, c_name, l_orderkey, o_totalprice, total_qty
+      FROM (SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) big
+      JOIN orders ON big.l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY total_qty DESC, l_orderkey""",
+    "tpch_q19_disjunctive" -> s"""
+      SELECT CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+         OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+         OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+    "tpch_q2_minsupp" -> """
+      SELECT p_type, s_suppkey, s_name, s_acctbal FROM (
+        SELECT p_type, s_suppkey, s_name, s_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY p_type
+                                  ORDER BY s_acctbal ASC, s_suppkey ASC) AS rk
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ls
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey) t
+      WHERE rk = 1 ORDER BY p_type""",
+    "tpch_q22_dormant" -> s"""
+      SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS $D2)) AS DOUBLE) / COUNT(*)
+                         FROM customer)
+        AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+      ORDER BY c_custkey""",
     "agg_stats_family" -> s"""
       SELECT l_returnflag, distinct_parts, distinct_supps, p50_qty, p95_qty, n,
              ROUND(sqrt((ss - s * s / n) / (n - 1)), 6) AS stddev_qty
