@@ -40,18 +40,26 @@ object FileInventory {
       .option("pathGlobFilter", glob)
       .load(root)
     val rel = regexp_replace(col("path"), "^file:" + root + "/?", "")
-    raw.select(
+    val base = raw.select(
       rel.as("file"),
       md5(col("content")).as("md5"),
       col("length").as("size"),
       // stable ino surrogate: 63-bit of xxhash64(path) (no real inode in
       // a distributed scan; sign-masked to stay positive like an inode)
       pmod(xxhash64(rel), lit(Long.MaxValue)).as("ino"))
-      // deterministic scan order surrogate (the reference's array order is
-      // fs-event arrival; we define lexicographic path order, §7.4#1)
-      .withColumn("ord",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("file")).cast("long") - 1)
+    // Deterministic scan-order surrogate (the reference's array order is
+    // fs-event arrival; we define lexicographic path order, §7.4#1).
+    // Range-partitioned sort + zipWithIndex: two distributed passes —
+    // NOT a single-partition global window, which would serialize the
+    // scan at scale.
+    val spark2 = base.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      base.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "ord", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = base.orderBy("file").rdd.zipWithIndex.map {
+      case (r, i) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark2.createDataFrame(indexed, schema)
   }
 
   /** Inventory scan of arbitrary files (no extension filter) — metadata
