@@ -128,7 +128,9 @@ object SparkEntry {
     "events_json_extract" -> (graft.ext.Events.jsonExtractStats(_, _)),
     "events_lag_gap" -> (graft.ext.Events.lagLeadRank(_, _)),
     "events_rollup_day" -> (graft.ext.Events.rollupDaily(_, _)),
-    "events_cube_day" -> (graft.ext.Events.cubeDaily(_, _)))
+    "events_cube_day" -> (graft.ext.Events.cubeDaily(_, _)),
+    "events_pivot_day" -> (graft.ext.Events.pivotDaily(_, _)),
+    "set_ops_cohorts" -> (graft.ext.Analytics.setOps(_, _)))
 
   /** X1-X5 — LLM-data-pipeline operators (dedup / similarity / text /
     * multimodal; SURVEY.md §2.10).

@@ -115,6 +115,25 @@ object Analytics {
       .orderBy("c_custkey", "rk")
   }
 
+  /** Relational set operations: customers that ordered in 1997 INTERSECT/
+    * EXCEPT those that ordered in 1998 (distinct set semantics, as the
+    * SQL operators define them).
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def buyers(year: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$year-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01 00:00:00").cast("timestamp"))
+      .select("o_custkey").distinct()
+    val both = buyers(1997).intersect(buyers(1998))
+      .withColumn("cohort", lit("both"))
+    val only97 = buyers(1997).except(buyers(1998))
+      .withColumn("cohort", lit("only_1997"))
+    both.unionByName(only97)
+      .select(col("o_custkey").as("custkey"), col("cohort"))
+      .orderBy("cohort", "custkey")
+  }
+
   /** Q12-style conditional aggregate: per order priority, line counts
     * split by a CASE predicate (high/low quantity).
     */

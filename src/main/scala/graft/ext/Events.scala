@@ -83,6 +83,20 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** Pivot: per-day event counts widened into one column per type
+    * (explicit value list — required for a deterministic schema, and at
+    * scale it avoids the extra distinct-values job).
+    */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("day")
+
   /** CUBE over (day, event_type) — all four grouping sets; completes the
     * grouping-sets family next to [[rollupDaily]].
     */

@@ -389,7 +389,28 @@ cat_remove AS (
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
       FROM (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
                    event_type, value FROM events) t
-      GROUP BY CUBE(day, event_type) ORDER BY 1, 2""")
+      GROUP BY CUBE(day, event_type) ORDER BY 1, 2""",
+    "events_pivot_day" -> """
+      SELECT day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      FROM (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                   event_type FROM events) t
+      GROUP BY day ORDER BY day""",
+    "set_ops_cohorts" -> """
+      WITH b97 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+           b98 AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+      SELECT o_custkey AS custkey, 'both' AS cohort FROM (SELECT * FROM b97 INTERSECT SELECT * FROM b98) x
+      UNION ALL
+      SELECT o_custkey AS custkey, 'only_1997' AS cohort FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b98) y
+      ORDER BY cohort, custkey""")
 
   /** Shared shingle CTE (word 3-grams, distinct per doc) — mirrors
     * [[graft.ext.TextDedup.shingles]].
