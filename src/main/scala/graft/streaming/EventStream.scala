@@ -51,7 +51,8 @@ object EventStream {
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // bounded wait: a wedged stream must not stall the whole harness run
+    if (!q.awaitTermination(180000L)) q.stop()
     result.sparkSession.table(name)
   }
 

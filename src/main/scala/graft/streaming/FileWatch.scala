@@ -49,7 +49,7 @@ object FileWatch {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    if (!q.awaitTermination(180000L)) q.stop()
     spark.table(name).orderBy("file")
   }
 }
