@@ -130,7 +130,11 @@ object SparkEntry {
     "events_rollup_day" -> (graft.ext.Events.rollupDaily(_, _)),
     "events_cube_day" -> (graft.ext.Events.cubeDaily(_, _)),
     "events_pivot_day" -> (graft.ext.Events.pivotDaily(_, _)),
-    "set_ops_cohorts" -> (graft.ext.Analytics.setOps(_, _)))
+    "set_ops_cohorts" -> (graft.ext.Analytics.setOps(_, _)),
+    "tpch_q6_forecast" -> (graft.ext.Analytics.q6Forecast(_, _)),
+    "tpch_q17_smallqty" -> (graft.ext.Analytics.q17SmallQuantity(_, _)),
+    "events_histogram" -> (graft.ext.Analytics.valueHistogram(_, _)),
+    "text_edit_distance" -> (graft.ext.Analytics.langEditDistance(_, _)))
 
   /** X1-X5 — LLM-data-pipeline operators (dedup / similarity / text /
     * multimodal; SURVEY.md §2.10).

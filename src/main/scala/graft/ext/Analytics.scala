@@ -115,6 +115,57 @@ object Analytics {
       .orderBy("c_custkey", "rk")
   }
 
+  /** Q6-style forecast revenue: pure filter + single aggregate — the
+    * minimal scan-dominated query (every predicate pushes to parquet).
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(sum(d2("l_extendedprice") * d2("l_discount")).cast("double")
+        .as("revenue"), count(lit(1)).as("n_lines"))
+
+  /** Q17-style small-quantity-order revenue: lineitems below 20% of their
+    * part's average quantity — the correlated-aggregate shape, expressed
+    * as a window average (one shuffle on partkey, no re-join).
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .withColumn("n_part", count(lit(1)).over(byPart))
+      .withColumn("avg_qty",
+        (sum(d2("l_quantity")).over(byPart).cast("double") / col("n_part")))
+      .filter(col("l_quantity") < col("avg_qty") * 0.2)
+      .agg((sum(d2("l_extendedprice")).cast("double") / 7.0).as("avg_yearly_raw"),
+        count(lit(1)).as("n_lines"))
+      .select(round(col("avg_yearly_raw"), 6).as("avg_yearly"), col("n_lines"))
+  }
+
+  /** Value histogram via floor-bucketing (portable width_bucket): event
+    * values into 20-unit buckets per type.
+    */
+  def valueHistogram(spark: SparkSession, dir: String): DataFrame =
+    graft.tables.Tables.events(spark, dir)
+      .select(col("event_type"),
+        (floor(col("value") / 20.0).cast("long") * 20L).as("bucket_lo"))
+      .groupBy("event_type", "bucket_lo")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket_lo")
+
+  /** Edit-distance pairs: levenshtein over the language codes — the
+    * string-similarity scalar (same DP definition in both engines).
+    */
+  def langEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(spark, dir).select("lang").distinct()
+    val a = langs.select(col("lang").as("lang_a"))
+    val b = langs.select(col("lang").as("lang_b"))
+    a.crossJoin(b).filter(col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        levenshtein(col("lang_a"), col("lang_b")).cast("long").as("edit_dist"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   /** Relational set operations: customers that ordered in 1997 INTERSECT/
     * EXCEPT those that ordered in 1998 (distinct set semantics, as the
     * SQL operators define them).

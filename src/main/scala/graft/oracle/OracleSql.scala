@@ -400,6 +400,34 @@ cat_remove AS (
       FROM (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
                    event_type FROM events) t
       GROUP BY day ORDER BY day""",
+    "tpch_q6_forecast" -> s"""
+      SELECT CAST(SUM(CAST(l_extendedprice AS $D2) * CAST(l_discount AS $D2)) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""",
+    "tpch_q17_smallqty" -> s"""
+      SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS $D2)) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+             COUNT(*) AS n_lines
+      FROM (
+        SELECT l_partkey, l_quantity, l_extendedprice,
+               COUNT(*) OVER (PARTITION BY l_partkey) AS n_part,
+               CAST(SUM(CAST(l_quantity AS $D2)) OVER (PARTITION BY l_partkey) AS DOUBLE)
+                 / COUNT(*) OVER (PARTITION BY l_partkey) AS avg_qty
+        FROM lineitem) t
+      WHERE l_quantity < avg_qty * 0.2""",
+    "events_histogram" -> """
+      SELECT event_type,
+             CAST(CAST(floor(value / 20.0) AS BIGINT) * 20 AS BIGINT) AS bucket_lo,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "text_edit_distance" -> """
+      SELECT a.lang AS lang_a, b.lang AS lang_b,
+             CAST(levenshtein(a.lang, b.lang) AS BIGINT) AS edit_dist
+      FROM (SELECT DISTINCT lang FROM documents) a,
+           (SELECT DISTINCT lang FROM documents) b
+      WHERE a.lang < b.lang ORDER BY lang_a, lang_b""",
     "set_ops_cohorts" -> """
       WITH b97 AS (SELECT DISTINCT o_custkey FROM orders
                    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
