@@ -134,7 +134,8 @@ object SparkEntry {
     "tpch_q6_forecast" -> (graft.ext.Analytics.q6Forecast(_, _)),
     "tpch_q17_smallqty" -> (graft.ext.Analytics.q17SmallQuantity(_, _)),
     "events_histogram" -> (graft.ext.Analytics.valueHistogram(_, _)),
-    "text_edit_distance" -> (graft.ext.Analytics.langEditDistance(_, _)))
+    "text_edit_distance" -> (graft.ext.Analytics.langEditDistance(_, _)),
+    "curation_pipeline" -> ((s, d) => graft.ext.TextDedup.curationPipeline(s, d)))
 
   /** X1-X5 — LLM-data-pipeline operators (dedup / similarity / text /
     * multimodal; SURVEY.md §2.10).

@@ -106,6 +106,34 @@ object TextDedup {
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
     simhash(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** End-to-end curation: the composed training-data pipeline — quality
+    * gate (X4) -> near-dup removal via MinHash candidates (X2, drop the
+    * higher doc_id of every confident pair) -> per-language corpus stats.
+    * One query a data-curation user actually runs; every stage is the
+    * operator implemented above, unchanged.
+    */
+  def curationPipeline(spark: SparkSession, dir: String,
+                       simThreshold: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val quality = TextStats.quality(spark, dir)
+      .select(col("doc_id"), col("n_words"), col("quality_score"))
+    val dropDups = minhashPairs(spark, dir)
+      .filter(col("est_sim") >= simThreshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(quality, Seq("doc_id"))
+      .filter(col("quality_score") >= 0.2 && col("n_words") >= 20)
+      .join(dropDups, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("total_words"),
+        // scores are exact 6-decimal doubles (post-round): the decimal cast
+        // is lossless and makes the sum order-independent
+        round(sum(col("quality_score")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 6).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   /** X2 via spark.ml — the MinHashLSH estimator pipeline (shingles ->
     * HashingTF sparse vectors -> MinHashLSH -> approxSimilarityJoin).
     * Hash family is Spark-internal (seeded, deterministic) so this entry

@@ -589,6 +589,50 @@ shingles AS (
              CAST(SUM(CASE WHEN md5(sh) LIKE '0%' THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
              COUNT(*) AS n_shingles
       FROM shingles GROUP BY doc_id ORDER BY doc_id""",
+    "curation_pipeline" -> s"""
+      WITH ${SHINGLES.trim},
+      sigs AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j
+      ),
+      bands AS (
+        SELECT doc_id, j // 2 AS b,
+               md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' ||
+                   MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM sigs GROUP BY doc_id, j // 2
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                                 AND a.doc_id < b.doc_id
+      ),
+      pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
+        FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+                    JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        GROUP BY c.doc_a, c.doc_b
+      ),
+      drop_dups AS (SELECT DISTINCT doc_b AS doc_id FROM pairs WHERE est_sim >= 0.75),
+      quality AS (
+        SELECT doc_id, n_words,
+               ROUND(LEAST(CAST(n_words AS DOUBLE) / 100, 1.0) *
+                     (CAST(n_distinct_words AS DOUBLE) / n_words), 6) AS quality_score
+        FROM (SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+              FROM documents) q0
+      )
+      SELECT d.lang, COUNT(*) AS n_docs,
+             CAST(SUM(q.n_words) AS BIGINT) AS total_words,
+             ROUND(CAST(SUM(CAST(q.quality_score AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_quality
+      FROM documents d
+      JOIN quality q ON d.doc_id = q.doc_id
+      WHERE q.quality_score >= 0.2 AND q.n_words >= 20
+        AND d.doc_id NOT IN (SELECT doc_id FROM drop_dups)
+      GROUP BY d.lang ORDER BY d.lang""",
     "multimodal_decode" -> """
       WITH csum AS (
         SELECT doc_id, CAST(SUM(ascii(substr(text, i, 1))) AS BIGINT) AS bytesum
