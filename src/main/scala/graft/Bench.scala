@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Optional comma-separated query filter for local iteration
+    // (SPARK_GRAFT_ONLY=curation_pipeline,dedup_jaccard_pairs); the driver
+    // never sets it, so per-round numbers always cover the full set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,11 +24,19 @@ object Bench {
       li.limit(1000).join(li.limit(1000), "l_orderkey").count()
     }
     // Name-sorted so shared materializations (memoized sync pipeline,
-    // serverCats) are billed to the same query every run — per-query
-    // numbers stay comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // serverCats, shingle/minhash relations) are billed to the same query
+    // every run — per-query numbers stay comparable across rounds.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write drains every partition through the full plan
+      // (ordering, projection, expression work all billed) without paying
+      // for an output sink — unlike count(), which lets Catalyst drop
+      // unreferenced columns and skip result materialization.
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -283,16 +283,29 @@ object Analytics {
     */
   def statsFamily(spark: SparkSession, dir: String): DataFrame = {
     val qty = d2("l_quantity")
-    Tables.lineitem(spark, dir)
-      .groupBy("l_returnflag")
+    val li = Tables.lineitem(spark, dir)
+    // Two COUNT(DISTINCT x) over different columns in one aggregate would
+    // plan as an Expand (×3 row multiplication through the shuffle); the
+    // two-level groupBy form keeps each distinct count a plain partial-agg
+    // shuffle, and both exact percentiles share one buffer
+    // (percentile(..., array(...))). Values are identical to the single
+    // flat aggregate the oracle runs.
+    val base = li.groupBy("l_returnflag")
       .agg(
-        countDistinct("l_partkey").as("distinct_parts"),
-        countDistinct("l_suppkey").as("distinct_supps"),
-        round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
-        round(expr("percentile(l_quantity, 0.95)"), 6).as("p95_qty"),
+        expr("percentile(l_quantity, array(0.5, 0.95))").as("pq"),
         count(lit(1)).as("n"),
         sum(qty).cast("double").as("s"),
         sum(qty * qty).cast("double").as("ss"))
+      .select(col("l_returnflag"),
+        round(element_at(col("pq"), 1), 6).as("p50_qty"),
+        round(element_at(col("pq"), 2), 6).as("p95_qty"),
+        col("n"), col("s"), col("ss"))
+    def distinctCount(key: String, as: String) =
+      li.select(col("l_returnflag"), col(key)).distinct()
+        .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+    base
+      .join(distinctCount("l_partkey", "distinct_parts"), Seq("l_returnflag"))
+      .join(distinctCount("l_suppkey", "distinct_supps"), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("distinct_parts"), col("distinct_supps"),
         col("p50_qty"), col("p95_qty"), col("n"),
         round(sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)), 6)

@@ -81,11 +81,14 @@ object TextStats {
     * sampling of the shingle space — content-defined, shift-invariant).
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.shingles(Tables.documents(spark, dir))
-      .groupBy("doc_id")
-      .agg(min(md5(col("sh"))).as("fingerprint"),
-        sum(when(md5(col("sh")).startsWith("0"), 1L).otherwise(0L))
-          .as("n_selected"),
-        count(lit(1)).as("n_shingles"))
+    // narrow array expressions over the shared per-doc shingle-set table —
+    // no aggregate shuffle at all (values identical to the long-form
+    // min/count aggregate the oracle runs)
+    TextDedup.cachedDocSets(spark, dir)
+      .select(col("doc_id"),
+        array_min(transform(col("shs"), md5(_))).as("fingerprint"),
+        size(filter(transform(col("shs"), md5(_)), _.startsWith("0")))
+          .cast("long").as("n_selected"),
+        col("n").as("n_shingles"))
       .orderBy("doc_id")
 }

@@ -491,20 +491,38 @@ shingles AS (
       )
       SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // Mirrors TextDedup.jaccardPairs: prefix-filtered candidate generation
+    // (index each doc's n - ceil(0.6*n) + 1 rarest shingles by global df,
+    // ties by shingle text — lossless for the 0.6 threshold) + length
+    // filter, then exact set-wise verification (len(list_intersect) ==
+    // Spark size(array_intersect) on distinct shingle sets).
     "dedup_jaccard_pairs" -> s"""
       WITH ${SHINGLES.trim},
-      card AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-      inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS both
-        FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
+      sets AS (SELECT doc_id, list(sh) AS shs, COUNT(*) AS n
+               FROM shingles GROUP BY doc_id),
+      sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
+      ranked AS (
+        SELECT s.doc_id, s.sh, c.n,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+        FROM shingles s JOIN sdf d ON d.sh = s.sh JOIN sets c ON c.doc_id = s.doc_id
+      ),
+      pfx AS (SELECT * FROM ranked WHERE rn <= n - CAST(ceil(0.6 * n) AS BIGINT) + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE b.n >= 0.6 * a.n AND a.n >= 0.6 * b.n
+      ),
+      verified AS (
+        SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb,
+               len(list_intersect(sa.shs, sb.shs)) AS n_both
+        FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+                    JOIN sets sb ON sb.doc_id = c.doc_b
       )
-      SELECT i.doc_a, i.doc_b,
-             ROUND(CAST(i.both AS DOUBLE) / (ca.n + cb.n - i.both), 6) AS jaccard
-      FROM inter i JOIN card ca ON ca.doc_id = i.doc_a
-                   JOIN card cb ON cb.doc_id = i.doc_b
-      WHERE CAST(i.both AS DOUBLE) / (ca.n + cb.n - i.both) >= 0.6
-      ORDER BY i.doc_a, i.doc_b""",
+      SELECT doc_a, doc_b,
+             ROUND(CAST(n_both AS DOUBLE) / (na + nb - n_both), 6) AS jaccard
+      FROM verified
+      WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.6
+      ORDER BY doc_a, doc_b""",
     "embed_cosine_topk" -> """
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
       s AS (
