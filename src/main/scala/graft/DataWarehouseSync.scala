@@ -47,11 +47,11 @@ trait GatherClient {
 class DataWarehouseSync(spark: SparkSession, config: GraftConfig,
                         client: GatherClient) {
 
-  /** P1/P2 normalization of the client's nested project list
-    * (DW.js:79-84): drop null metadata.file, flatten for the match core.
+  /** P1/P2 normalization of a nested project list (DW.js:79-84): drop null
+    * metadata.file, flatten for the match core.
     */
-  private def normalizedProjects(): DataFrame =
-    client.listProjects()
+  private def normalize(projects: DataFrame): DataFrame =
+    projects
       .filter(col("metadata.file").isNotNull)
       .select(col("id"),
         coalesce(col("metadata.iam"), lit(config.iam)).as("iam"),
@@ -60,11 +60,25 @@ class DataWarehouseSync(spark: SparkSession, config: GraftConfig,
         col("attributes.proposalAttributes.title").as("title"),
         col("attributes.proposalAttributes.isDataset").as("is_dataset"))
 
+  private def normalizedProjects(): DataFrame = normalize(client.listProjects())
+
+  /** The normalized archived-project list. The reference fetches and
+    * normalizes it (DW.js:74, 85-89) and then never reads the variable —
+    * dead code there. Kept faithfully, exposed for callers that want the
+    * relation; declaring it costs nothing here because no action runs on
+    * it during a sync.
+    */
+  def normalizedArchivedProjects(): DataFrame =
+    normalize(client.listArchivedProjects())
+
   /** E2 (DW.js:67-258): scan -> dedup -> match -> apply actions. Returns
     * the computed [[SyncResult]] so callers can inspect/report (A2).
     */
   def syncFilesystem(): SyncResult = {
     val files = FileInventory.scan(spark, config.path, config.fileGlob)
+    // mirrors the reference's fetch-then-ignore of archived projects
+    // (DW.js:74,85-89): the relation is built but, like there, unused
+    normalizedArchivedProjects()
     val r = Pipeline.sync(files, normalizedProjects(), client.listCategories(),
       config.rootCategory)
     client.applyUpdates(r.updates)

@@ -103,6 +103,9 @@ object SparkEntry {
     "tpch_q19_disjunctive" -> (graft.ext.Analytics.q19Disjunctive(_, _)),
     "tpch_q2_minsupp" -> (graft.ext.Analytics.q2MinSupplier(_, _)),
     "tpch_q22_dormant" -> (graft.ext.Analytics.q22Dormant(_, _)),
+    "tpch_q7_volume" -> (graft.ext.Analytics.q7Volume(_, _)),
+    "tpch_q8_share" -> (graft.ext.Analytics.q8MarketShare(_, _)),
+    "tpch_q21_waiting" -> (graft.ext.Analytics.q21WaitingSuppliers(_, _)),
     // §2.8 scalar-function family, explicit (lower/upper/split/element_at/
     // regexp_extract/lpad/reverse/length/substr-of-md5/cast)
     "scalar_functions" -> ((s, d) => {
@@ -210,8 +213,9 @@ object SparkEntry {
     }),
     // streaming arbitrary state (flatMapGroupsWithState)
     "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)),
-    // rows-only: IVF coarse quantization (float centroid averaging is
-    // reduction-order dependent -> no cross-engine oracle)
+    // rows-only: IVF over trained spark.ml KMeans cells (centroids come
+    // from order-dependent float reductions -> no cross-engine oracle;
+    // recall vs the exact scan asserted in CosineSimSpec)
     "embed_ann_ivf" -> ((s, d) => graft.ext.Similarity.ivfTopK(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */

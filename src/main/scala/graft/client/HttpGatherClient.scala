@@ -1,0 +1,146 @@
+package graft.client
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.GatherClient
+import graft.sink.Actions
+
+/** A REST-backed [[GatherClient]] — the production counterpart of the
+  * reference's `gather-node-client` boundary (DW.js:74,297,357,381,400,
+  * 419,450), built on the JDK HTTP client (no extra dependencies).
+  *
+  * Reads: the list endpoints return JSON-lines; the driver fetches the
+  * body (list calls are driver-side metadata, exactly like a JDBC catalog
+  * read — at larger-than-driver list sizes the same endpoints would page
+  * into object storage and `spark.read.json` the landing files) and
+  * parses it with an explicit schema so an empty list still yields a
+  * typed, empty DataFrame.
+  *
+  * Writes: action tables are rendered to JSON with `to_json` and POSTed
+  * per partition from the executors ([[Actions.applyPartitioned]] — one
+  * connection per partition, never per row, never through the driver).
+  * Every batch carries an `Idempotency-Key` header (md5 of the payload),
+  * so Spark task retries — which replay a whole partition — are safe: the
+  * server deduplicates replays by key. Transient failures (IO errors,
+  * 5xx) retry with linear backoff up to `maxRetries`.
+  */
+class HttpGatherClient(spark: SparkSession, baseUrl: String,
+                       maxRetries: Int = 3) extends GatherClient {
+
+  private val projectSchema = StructType(Seq(
+    StructField("id", LongType), StructField("iam", StringType),
+    StructField("p_file", StringType), StructField("p_md5", StringType),
+    StructField("title", StringType), StructField("is_dataset", BooleanType)))
+
+  private val categorySchema = StructType(Seq(
+    StructField("id", LongType), StructField("category", StringType),
+    StructField("name", StringType), StructField("short_name", StringType),
+    StructField("path", StringType), StructField("iam", StringType)))
+
+  private def getJsonLines(path: String, schema: StructType): DataFrame = {
+    val body = HttpGatherClient.get(s"$baseUrl$path", maxRetries)
+    val session = spark
+    import session.implicits._
+    val lines = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    spark.read.schema(schema).json(spark.createDataset(lines))
+  }
+
+  /** Reshape the flat wire records to the API's nested §1.1 shape. */
+  private def nest(flat: DataFrame): DataFrame = flat.select(
+    col("id"),
+    struct(col("iam"),
+      struct(col("p_file").as("file"), col("p_md5").as("md5")).as("file"))
+      .as("metadata"),
+    struct(struct(col("title"), col("is_dataset").as("isDataset"))
+      .as("proposalAttributes")).as("attributes"))
+
+  override def listProjects(): DataFrame =
+    nest(getJsonLines("/projects", projectSchema))
+  override def listArchivedProjects(): DataFrame =
+    nest(getJsonLines("/projects/archived", projectSchema))
+  override def listCategories(): DataFrame =
+    getJsonLines("/categories", categorySchema)
+
+  private def post(path: String, actions: DataFrame): Unit = {
+    // capture only plain values in the partition closure (the HTTP client
+    // is built executor-side; `this` must not be serialized)
+    val url = s"$baseUrl$path"
+    val retries = maxRetries
+    val payload = actions.select(
+      to_json(struct(actions.columns.map(col).toIndexedSeq: _*)).as("j"))
+    Actions.applyPartitioned(payload) { rows =>
+      val batch = rows.map(_.getString(0)).mkString("[", ",", "]")
+      if (batch != "[]") HttpGatherClient.post(url, batch, retries)
+    }
+  }
+
+  override def applyCreates(creates: DataFrame): Unit =
+    post("/projects/create", creates)
+  override def applyUpdates(updates: DataFrame): Unit =
+    post("/projects/update", updates)
+  override def applyArchives(archives: DataFrame): Unit =
+    post("/projects/archive", archives)
+  override def applyCategoryCreates(cats: DataFrame): Unit =
+    post("/categories/create", cats)
+  override def applyCategoryRemoves(cats: DataFrame): Unit =
+    post("/categories/remove", cats)
+}
+
+object HttpGatherClient {
+
+  private def client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(10)).build()
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** GET with bounded retry; returns the response body. */
+  def get(url: String, maxRetries: Int): String =
+    retrying(maxRetries, s"GET $url") {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"GET $url -> ${resp.statusCode()}")
+      resp.body()
+    }
+
+  /** POST a JSON batch with an md5-of-payload Idempotency-Key and bounded
+    * retry — replays of the same batch are server-side no-ops.
+    */
+  def post(url: String, body: String, maxRetries: Int): Unit =
+    retrying(maxRetries, s"POST $url") {
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .header("Content-Type", "application/json")
+          .header("Idempotency-Key", md5Hex(body))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"POST $url -> ${resp.statusCode()}")
+    }
+
+  private def retrying[T](maxRetries: Int, what: String)(attempt: => T): T = {
+    var n = 0
+    while (true) {
+      try return attempt
+      catch {
+        case e: java.io.IOException =>
+          n += 1
+          if (n > maxRetries)
+            throw new java.io.IOException(s"$what failed after $n attempts", e)
+          Thread.sleep(100L * n)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}

@@ -313,6 +313,101 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q7-style volume shipping: the nation-pair multi-way join —
+    * lineitem⋈orders is the only fact shuffle; supplier/customer/nation
+    * sides broadcast. The disjunctive nation-pair predicate applies after
+    * both nation joins.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val vol = d2("l_extendedprice") * (lit(1) - d2("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(vol).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-style market share: nation's share of regional volume per
+    * order year — conditional aggregation over a six-way join; the share
+    * division happens on exact decimal sums cast to double.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "AMERICA")
+    val nCust = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("nc_key"), col("n_regionkey"))
+    val nSupp = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("ns_key"), col("n_name").as("supp_nation"))
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+    val vol = d2("l_extendedprice") * (lit(1) - d2("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("nc_key"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("ns_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", vol)).cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q21-style waiting suppliers: the correlated EXISTS / NOT EXISTS
+    * pair as left-semi and left-anti self-joins on the order key. The
+    * fixture has no commit/receipt dates, so "late" is restated as
+    * shipping more than 60 days after the order date — the join structure
+    * (multi-way + semi + anti with a ≠-supplier correlation) is the point.
+    */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir).filter(col("n_name") === "NATION_1")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    val l = Tables.lineitem(spark, dir)
+    // all lineitems of 'F' orders, flagged late if shipped > 60 days after
+    // the order date (one fact-fact shuffle join, reused by both legs)
+    val lo = l.join(o.select("o_orderkey", "o_orderdate"),
+      col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val late = lo.filter(col("late"))
+    val l1 = late.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+    val others = lo.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+    l1
+      .join(others,
+        col("ok2") === col("l_orderkey") && col("sk2") =!= col("l_suppkey"),
+        "left_semi")
+      .join(lateOthers,
+        col("ok3") === col("l_orderkey") && col("sk3") =!= col("l_suppkey"),
+        "left_anti")
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** Rollup aggregate (extension of A-family; SURVEY.md §2.4 notes the
     * reference has none — mandated by the events/star extension surface).
     * Null grouping rows are COALESCEd to 'ALL' so ordering is identical

@@ -139,11 +139,14 @@ object TextDedup {
   /** X1 — exact dedup by content hash; deterministic survivor = min doc_id
     * (DW.js:312-348's "first wins" restated set-wise).
     */
-  def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def exactOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_doc_id")
+
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    exactOf(Tables.documents(spark, dir))
 
   /** MinHash signatures in long form (doc_id, j, sig), j = 0..numPerms-1:
     * sig_j = min over shingles of md5(j || shingle). A lexicographic min
@@ -265,8 +268,8 @@ object TextDedup {
     * at 100 TB this (or AQE skew splitting) is what keeps one viral
     * document from stalling a straggler reducer.
     */
-  def exactSalted(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
-    Tables.documents(spark, dir)
+  def exactSaltedOf(docs: DataFrame, salts: Int = 8): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("content_md5"),
         pmod(col("doc_id"), lit(salts)).as("salt"))
       .agg(min("doc_id").as("partial_keep"), count(lit(1)).as("partial_n"))
@@ -274,6 +277,9 @@ object TextDedup {
       .agg(min("partial_keep").as("keep_doc_id"),
         sum("partial_n").as("n_copies"))
       .orderBy("keep_doc_id")
+
+  def exactSalted(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    exactSaltedOf(Tables.documents(spark, dir), salts)
 
   /** X2 verification — exact n-gram Jaccard via a *prefix-filtered*
     * set-similarity self-join (PPJoin-style).

@@ -245,6 +245,57 @@ cat_remove AS (
         JOIN region ON n_regionkey = r_regionkey
       WHERE r_name = 'ASIA'
       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "tpch_q7_volume" -> s"""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+             (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "tpch_q8_share" -> s"""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        ROUND(CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2)) END) AS DOUBLE) /
+              CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE),
+              6) AS mkt_share
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
+    "tpch_q21_waiting" -> """
+      WITH lo AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F')
+      SELECT s_name, COUNT(*) AS numwait
+      FROM lo l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_1' AND l1.late
+        AND EXISTS (SELECT 1 FROM lo l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""",
     "tpch_q4_priority" -> """
       SELECT o_orderpriority, COUNT(*) AS order_count
       FROM orders

@@ -39,7 +39,10 @@ object FileInventory {
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
       .load(root)
-    val rel = regexp_replace(col("path"), "^file:" + root + "/?", "")
+    // \Q...\E-quote the root: a scan path containing regex metacharacters
+    // (+, (, [, ...) must strip literally, not as a pattern
+    val rel = regexp_replace(col("path"),
+      "^file:" + java.util.regex.Pattern.quote(root) + "/?", "")
     val base = raw.select(
       rel.as("file"),
       md5(col("content")).as("md5"),

@@ -51,8 +51,15 @@ object EventStream {
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    // bounded wait: a wedged stream must not stall the whole harness run
-    if (!q.awaitTermination(180000L)) q.stop()
+    // bounded wait: a wedged stream must not stall the whole harness run —
+    // and a timeout must surface as a loud failure, never as silently
+    // truncated sink contents masquerading as a result
+    if (!q.awaitTermination(180000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query $name did not finish within 180s; aborting " +
+          "instead of returning a partial memory sink")
+    }
     result.sparkSession.table(name)
   }
 
@@ -112,13 +119,23 @@ object EventStream {
     runToMemory(counts, "update").orderBy("user_id")
   }
 
-  /** Stateful streaming dedup (`dropDuplicates` on the key columns) —
-    * X1's streaming form; count of distinct keys is the comparable output.
+  /** Stateful streaming dedup — X1's streaming form; count of distinct
+    * keys is the comparable output.
+    *
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the key's event time + delay, so state is evictable
+    * on an unbounded stream (plain `dropDuplicates` grows without bound —
+    * the SURVEY §2.9 watermarked-dedup extension point). The fixture
+    * replays as a single AvailableNow micro-batch (one file matches the
+    * glob), within which dedup is complete, so the emitted count equals
+    * the batch-distinct count the oracle computes; eviction semantics are
+    * proven separately in WatermarkSpec.
     */
   def dedupDistinctPairs(spark: SparkSession, dir: String): DataFrame = {
     val distinctRows = readEvents(spark, dir)
-      .select("user_id", "event_type")
-      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
     runToMemory(distinctRows, "append")
       .agg(count(lit(1)).as("n_distinct_pairs"))
   }

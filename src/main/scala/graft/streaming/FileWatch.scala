@@ -40,7 +40,9 @@ object FileWatch {
       .option("pathGlobFilter", glob)
       .load(root)
       .select(
-        regexp_replace(col("path"), "^file:" + root + "/?", "").as("file"),
+        // literal (\Q...\E-quoted) prefix strip — see FileInventory.scan
+        regexp_replace(col("path"),
+          "^file:" + java.util.regex.Pattern.quote(root) + "/?", "").as("file"),
         md5(col("content")).as("md5"),
         col("length").as("size"))
     val name = s"graft_watch_sink_${sinkId.incrementAndGet()}"
@@ -49,7 +51,12 @@ object FileWatch {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(180000L)) q.stop()
+    if (!q.awaitTermination(180000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"file-watch stream $name did not finish within 180s; aborting " +
+          "instead of returning a partial memory sink")
+    }
     spark.table(name).orderBy("file")
   }
 }

@@ -58,6 +58,40 @@ class ScaleDesignSpec extends SparkSpec {
       s"documents scan must prune to doc_id:\n$prunedPlan")
   }
 
+  test("skew: a single md5 with 10k copies survives dedup marking") {
+    import spark.implicits._
+    val n = 10000
+    val hotMd5 = "d" * 32
+    val hot = (0 until n).map(i =>
+      (i.toLong, i.toLong, 100L, s"dup/f$i.shp", hotMd5))
+    val cold = (0 until 2000).map(i =>
+      (100000L + i, 100000L + i, 10L, s"u/f$i.shp", f"$i%032x"))
+    val files = spark.createDataset(hot ++ cold)
+      .toDF("ord", "ino", "size", "file", "md5").repartition(16)
+    val marked = graft.sync.Dedup.markDuplicates(files)
+    val hotRows = marked.filter($"md5" === hotMd5).persist()
+    val canon = hotRows.filter($"alias".isNull).collect()
+    // one canonical (lowest ord), n-1 aliases pointing at it, csv covers all
+    assert(canon.length == 1 && canon.head.getAs[Long]("ord") == 0L)
+    assert(canon.head.getAs[Long]("n_duplicates") == (n - 1).toLong)
+    assert(canon.head.getAs[String]("duplicates_csv").split(",").length == n - 1)
+    assert(hotRows.filter($"alias" === canon.head.getAs[Long]("ino")).count()
+      == (n - 1).toLong)
+    hotRows.unpersist()
+  }
+
+  test("skew: salted exact dedup == unsalted under a 10k-copy hot document") {
+    import spark.implicits._
+    val docs = ((0 until 10000).map(i => (i.toLong, "viral doc body")) ++
+      (0 until 500).map(i => (20000L + i, s"unique body $i")))
+    val df = spark.createDataset(docs).toDF("doc_id", "text").repartition(16)
+    val plain = graft.ext.TextDedup.exactOf(df).collect()
+    val salted = graft.ext.TextDedup.exactSaltedOf(df).collect()
+    assert(plain.toSeq == salted.toSeq)
+    val hot = plain.find(_.getAs[Long]("n_copies") == 10000L)
+    assert(hot.exists(_.getAs[Long]("keep_doc_id") == 0L))
+  }
+
   test("GraftExtensions injects graft_cosine_sim for SQL use") {
     // getOrCreate only applies extensions when it *creates* a session —
     // clear the active/default so a fresh one (sharing the context) is built

@@ -28,6 +28,19 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("IVF recall: trained-KMeans probe covers most of the exact top-k") {
+    val k = 10
+    val exact = graft.ext.Similarity.cosineTopK(spark, sf001, queryId = 0L, k = k)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = graft.ext.Similarity
+      .ivfTopK(spark, sf001, queryId = 0L, k = k, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size.toDouble / k
+    // probing half the cells of a well-separated fixture must recover most
+    // true neighbours; 0.6 leaves headroom for boundary vectors
+    assert(recall >= 0.6, s"IVF recall $recall < 0.6 (exact=$exact ivf=$ivf)")
+  }
+
   test("known values: parallel=1, orthogonal=0, antiparallel=-1") {
     CosineSim.register(spark)
     val df = Seq(

@@ -85,6 +85,56 @@ class WatermarkSpec extends SparkSpec {
     assert(!emitted2.contains("2024-01-01 10:00:00"))
   }
 
+  test("dropDuplicatesWithinWatermark: state evicts at watermark, late rows drop") {
+    val dir = Files.createTempDirectory("graft-wmdedup").toString
+    // batch 1: A at 00:10 (state expires 01:10), W at 03:00 (expires 04:00,
+    // and advances the watermark to 02:00 for the next batch) — written
+    // before the stream is defined so the source path exists
+    writeOneFile(Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      ("W", java.sql.Timestamp.valueOf("2024-01-01 03:00:00")))
+      .toDF("k", "ts"), s"$dir/in/batch1.parquet")
+    val stream = spark.readStream
+      .schema("k STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(): Unit = {
+      val q = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => buf.add(r.getString(0)))
+          ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toList.sorted == List("A", "W")
+    }
+
+    buf.clear()
+    // batch 2 (watermark 02:00): A's state was evicted (expired 01:10), so
+    // a duplicate A at 02:30 re-emits — the eviction proof; W's state is
+    // alive (04:00), so W at 03:30 is suppressed; B at 01:00 is behind the
+    // watermark and dropped outright.
+    writeOneFile(Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 02:30:00")),
+      ("W", java.sql.Timestamp.valueOf("2024-01-01 03:30:00")),
+      ("B", java.sql.Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("k", "ts"), s"$dir/in/batch2.parquet")
+    run()
+    assert {
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toList == List("A")
+    }
+  }
+
   test("foreachBatch sink: per-epoch idempotent apply (batch ids observed once)") {
     val dir = Files.createTempDirectory("graft-feb").toString
     writeOneFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$dir/in/p1.parquet")
