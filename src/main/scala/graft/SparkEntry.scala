@@ -151,6 +151,7 @@ object SparkEntry {
     "embed_cosine_topk" -> ((s, d) => graft.ext.Similarity.cosineTopK(s, d)),
     "embed_ann_lsh" -> ((s, d) => graft.ext.Similarity.annLshTopK(s, d)),
     "embed_knn_join" -> ((s, d) => graft.ext.Similarity.knnJoin(s, d)),
+    "dedup_embed_pairs" -> ((s, d) => graft.ext.Similarity.embedCosinePairs(s, d)),
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),
     "text_tokens" -> (graft.ext.TextStats.tokenStats(_, _)),

@@ -139,6 +139,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-dup pairs — the X2 dedup family in embedding
+    * space: bucket by sign-LSH, pair only within a bucket, verify with the
+    * exact fused-cosine kernel. Pair space is Σ bucket², never O(n²);
+    * the bucket column is the shuffle/bucketing key at 100 TB, and `bits`
+    * grows with corpus size to keep buckets bounded. The fixture's
+    * synthetic embeddings have moderate intra-cluster similarity, so the
+    * default threshold is 0.35 (a real near-dup corpus would run ~0.95 —
+    * the parameter, not the plan, changes).
+    */
+  def embedCosinePairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.35, bits: Int = 8): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val left = b.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+    val right = b.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Batch k-NN: top-`k` neighbours for every query vector (vec_id <
     * `nQueries`) via broadcast of the query set + per-query window top-k.
     */

@@ -603,6 +603,30 @@ shingles AS (
                 sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
       FROM b, q WHERE bucket = qb AND vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // Mirrors Similarity.embedCosinePairs: sign-LSH bucket self-join +
+    // exact left-fold cosine (list_dot_product == the fused Spark kernel,
+    // bit-identical) at the fixture-tuned 0.35 threshold.
+    "dedup_embed_pairs" -> """
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings)
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+             ROUND(list_dot_product(a.v, b2.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b2.v, b2.v))), 6) AS cos_sim
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      WHERE list_dot_product(a.v, b2.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b2.v, b2.v))) >= 0.35
+      ORDER BY vec_a, vec_b""",
     "embed_knn_join" -> """
       WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 20),
