@@ -180,10 +180,11 @@ object TextDedup {
   def simhash(docs: DataFrame): DataFrame = {
     // md5 computed once per token; the 32 bit-votes are 32 aggregate
     // expressions over it (single shuffle on doc_id, partial-agg friendly —
-    // not a ×32 row explosion).
-    val hexHigh = Set('8', '9', 'a', 'b', 'c', 'd', 'e', 'f').map(_.toString).toSeq
+    // not a ×32 row explosion). A hex digit's high bit is set iff the
+    // char is >= '8' in ASCII ('8','9' < 'a'..'f'), so each vote is one
+    // string comparison, not an 8-way IN.
     val voteCols = (1 to 32).map(i =>
-      when(sum(when(substring(col("h"), i, 1).isin(hexHigh: _*), 1)
+      when(sum(when(substring(col("h"), i, 1) >= "8", 1)
         .otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$i"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
@@ -193,8 +194,54 @@ object TextDedup {
         concat((1 to 32).map(i => col(s"b$i")): _*).as("simhash"))
   }
 
+  /** Memoized (doc_id, simhash bitstring, sim int64) — shared by the
+    * signature query and the banded pair join.
+    */
+  def cachedSimhash(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "simhash")(
+      simhash(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("simhash"),
+          conv(col("simhash"), 2, 10).cast("long").as("sim")))
+
   def simhashQuery(spark: SparkSession, dir: String): DataFrame =
-    simhash(Tables.documents(spark, dir)).orderBy("doc_id")
+    cachedSimhash(spark, dir).select("doc_id", "simhash").orderBy("doc_id")
+
+  /** SimHash near-dup pairs: band the 32-bit signature into 2×16-bit
+    * bucket keys (any pair within Hamming distance 1 differs in at most
+    * one band, so it *must* collide on the other — banding is lossless
+    * for `maxHamming` < number of bands), then verify candidates with
+    * `bit_count(xor)` — integer built-ins, codegen'd in Spark and
+    * reproducible in the oracle. Wide 16-bit bands keep buckets selective
+    * even on a shared-vocabulary corpus where narrow bands go hot; at a
+    * larger corpus the signature widens (64/128-bit) before the bands do.
+    */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 1): DataFrame = {
+    val ints = cachedSimhash(spark, dir).select("doc_id", "sim")
+    val bands = ints.select(col("doc_id"), col("sim"),
+      explode(array(
+        struct(lit(0).as("j"),
+          col("sim").bitwiseAND(lit(65535L)).as("bv")),
+        struct(lit(1).as("j"),
+          shiftright(col("sim"), 16).bitwiseAND(lit(65535L)).as("bv"))))
+        .as("band"))
+      .select(col("doc_id"), col("sim"),
+        col("band.j").as("j"), col("band.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("sim").as("sim_a"),
+      col("j"), col("bv"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("sim").as("sim_b"),
+      col("j"), col("bv"))
+    a.join(b, Seq("j", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      // sim_a/sim_b are functionally determined by the ids, so this is a
+      // pair-distinct that avoids re-joining the signature relation
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming",
+        expr("bit_count(sim_a ^ sim_b)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** End-to-end curation: the composed training-data pipeline — quality
     * gate (X4) -> near-dup removal via MinHash candidates (X2, drop the

@@ -534,14 +534,45 @@ shingles AS (
       toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
       bits AS (
         SELECT doc_id, i,
-               CASE WHEN SUM(CASE WHEN substr(md5(tok), i, 1) IN
-                      ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0
+               CASE WHEN SUM(CASE WHEN substr(md5(tok), i, 1) >= '8'
+                      THEN 1 ELSE -1 END) >= 0
                     THEN '1' ELSE '0' END AS bit
         FROM toks, (SELECT unnest(generate_series(1, 32)) AS i) g
         GROUP BY doc_id, i
       )
       SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // Mirrors TextDedup.simhashPairs: integer simhash (MSB-first, exact in
+    // doubles below 2^53), 2×16-bit band buckets, bit_count(xor) verify.
+    "dedup_simhash_pairs" -> """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
+      bits AS (
+        SELECT doc_id, i,
+               CASE WHEN SUM(CASE WHEN substr(md5(tok), i, 1) >= '8'
+                      THEN 1 ELSE -1 END) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM toks, (SELECT unnest(generate_series(1, 32)) AS i) g
+        GROUP BY doc_id, i
+      ),
+      ints AS (
+        SELECT doc_id, CAST(SUM(bit * power(2, 32 - i)) AS BIGINT) AS sim
+        FROM bits GROUP BY doc_id
+      ),
+      bands AS (
+        SELECT doc_id, sim, j, (sim >> (16 * j)) & 65535 AS bv
+        FROM ints, (SELECT unnest(generate_series(0, 1)) AS j) g
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.sim AS sim_a, b.sim AS sim_b
+        FROM bands a JOIN bands b ON a.j = b.j AND a.bv = b.bv
+                                 AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(sim_a, sim_b)) <= 1
+      ORDER BY doc_a, doc_b""",
     // Mirrors TextDedup.jaccardPairs: prefix-filtered candidate generation
     // (index each doc's n - ceil(0.6*n) + 1 rarest shingles by global df,
     // ties by shingle text — lossless for the 0.6 threshold) + length
