@@ -44,6 +44,22 @@ trait GatherClient {
   * `new DataWarehouse(config, client)` for
   * `new DataWarehouseSync(spark, config, client)`.
   */
+object DataWarehouseSync {
+  /** P1/P2 normalization of a nested project list (DW.js:79-84): drop null
+    * metadata.file, flatten for the match core. Shared by the batch sync
+    * and [[graft.streaming.StreamingSync]].
+    */
+  def normalizeProjects(projects: DataFrame, defaultIam: String): DataFrame =
+    projects
+      .filter(col("metadata.file").isNotNull)
+      .select(col("id"),
+        coalesce(col("metadata.iam"), lit(defaultIam)).as("iam"),
+        col("metadata.file.file").as("p_file"),
+        col("metadata.file.md5").as("p_md5"),
+        col("attributes.proposalAttributes.title").as("title"),
+        col("attributes.proposalAttributes.isDataset").as("is_dataset"))
+}
+
 class DataWarehouseSync(spark: SparkSession, config: GraftConfig,
                         client: GatherClient) {
 
@@ -51,14 +67,7 @@ class DataWarehouseSync(spark: SparkSession, config: GraftConfig,
     * metadata.file, flatten for the match core.
     */
   private def normalize(projects: DataFrame): DataFrame =
-    projects
-      .filter(col("metadata.file").isNotNull)
-      .select(col("id"),
-        coalesce(col("metadata.iam"), lit(config.iam)).as("iam"),
-        col("metadata.file.file").as("p_file"),
-        col("metadata.file.md5").as("p_md5"),
-        col("attributes.proposalAttributes.title").as("title"),
-        col("attributes.proposalAttributes.isDataset").as("is_dataset"))
+    DataWarehouseSync.normalizeProjects(projects, config.iam)
 
   private def normalizedProjects(): DataFrame = normalize(client.listProjects())
 

@@ -73,6 +73,30 @@ object Multimodal {
   def decodeQuery(spark: SparkSession, dir: String): DataFrame =
     decodeStub(spark, dir).toDF().orderBy("doc_id")
 
+  /** Frame sampling — the video-ish member of the X5 family: k frames per
+    * payload at deterministic evenly-spaced byte offsets, each frame a
+    * bounded slice with its own content signature. Bounded ×k fan-out
+    * (explode of a literal sequence), narrow, no shuffle; a real codec
+    * would replace the byte-slice with a frame decode at the same offsets
+    * and the schema/partitioning would not change.
+    */
+  def frameSample(spark: SparkSession, dir: String,
+                  k: Int = 4, frameLen: Int = 16): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("text"), col("n_bytes"),
+        explode(expr(s"sequence(0, ${k - 1}L)")).as("frame_idx"))
+      .withColumn("off",
+        when(col("n_bytes") > frameLen,
+          expr(s"((n_bytes - $frameLen) * frame_idx) div ${k - 1}"))
+          .otherwise(lit(0L)))
+      .withColumn("frame", expr(s"substr(text, off + 1, $frameLen)"))
+      .select(col("doc_id"), col("frame_idx"), col("off"),
+        octet_length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_sig"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Metadata-only scan — proves the binary column prunes away (check
     * `ReadSchema` in `.explain`: content is not read).
     */

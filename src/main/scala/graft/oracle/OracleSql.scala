@@ -774,7 +774,24 @@ shingles AS (
              substr(md5(text), 1, 8) AS content_sig,
              CASE WHEN substr(text, 1, 1) BETWEEN 'a' AND 'm'
                   THEN 'bucket_am' ELSE 'bucket_nz' END AS shard
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+    // Mirrors Multimodal.frameSample: k=4 evenly-spaced 16-byte frames
+    // (ASCII fixture -> byte offsets == char offsets in both engines).
+    "multimodal_frames" -> """
+      WITH f AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+               unnest(generate_series(0, 3)) AS frame_idx
+        FROM documents),
+      o AS (
+        SELECT doc_id, text, CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(CASE WHEN n_bytes > 16
+                    THEN ((n_bytes - 16) * frame_idx) // 3
+                    ELSE 0 END AS BIGINT) AS "off"
+        FROM f)
+      SELECT doc_id, frame_idx, "off",
+             CAST(octet_length(encode(substr(text, CAST("off" AS INTEGER) + 1, 16))) AS BIGINT) AS frame_len,
+             md5(substr(text, CAST("off" AS INTEGER) + 1, 16)) AS frame_sig
+      FROM o ORDER BY doc_id, frame_idx""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT

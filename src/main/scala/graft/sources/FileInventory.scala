@@ -28,17 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object FileInventory {
 
+  /** binaryFile's fixed schema (streaming sources require it explicitly). */
+  val binaryFileSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+
   /** Scan `root` for files matching `glob` (default: the reference's
     * `.shp` test, case handled by a double glob since globs are
     * case-sensitive). Output: file, md5, size, ino, ord — the
     * [[graft.sync]] input relation.
     */
   def scan(spark: SparkSession, root: String,
-           glob: String = "*.{shp,SHP}"): DataFrame = {
-    val raw = spark.read.format("binaryFile")
+           glob: String = "*.{shp,SHP}"): DataFrame =
+    enrich(spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
-      .load(root)
+      .load(root), root)
+
+  /** Derive the (file, md5, size, ino, ord) sync input relation from a raw
+    * binaryFile relation — shared by the batch [[scan]] and the per-batch
+    * streaming path ([[graft.streaming.StreamingSync]]).
+    */
+  def enrich(raw: DataFrame, root: String): DataFrame = {
     // \Q...\E-quote the root: a scan path containing regex metacharacters
     // (+, (, [, ...) must strip literally, not as a pattern
     val rel = regexp_replace(col("path"),

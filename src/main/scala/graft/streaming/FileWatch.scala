@@ -21,21 +21,10 @@ object FileWatch {
     * pathGlobFilter, S3 md5, S5 relative path) and return the quiesced
     * snapshot after AvailableNow terminates.
     */
-  /** binaryFile's fixed schema (streaming sources require it explicitly). */
-  private val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("path",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("modificationTime",
-      org.apache.spark.sql.types.TimestampType),
-    org.apache.spark.sql.types.StructField("length",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("content",
-      org.apache.spark.sql.types.BinaryType)))
-
   def snapshot(spark: SparkSession, root: String,
                glob: String = "*.{shp,SHP}"): DataFrame = {
     val stream = spark.readStream.format("binaryFile")
-      .schema(binaryFileSchema)
+      .schema(graft.sources.FileInventory.binaryFileSchema)
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", glob)
       .load(root)
