@@ -154,6 +154,7 @@ object SparkEntry {
     "embed_knn_join" -> ((s, d) => graft.ext.Similarity.knnJoin(s, d)),
     "dedup_embed_pairs" -> ((s, d) => graft.ext.Similarity.embedCosinePairs(s, d)),
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),
+    "text_langid_ngram" -> ((s, d) => graft.ext.TextStats.langIdNgram(s, d)),
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),
     "text_tokens" -> (graft.ext.TextStats.tokenStats(_, _)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
@@ -205,6 +206,7 @@ object SparkEntry {
     }),
     "dedup_exact_salted" -> ((s, d) => graft.ext.TextDedup.exactSalted(s, d)),
     "events_asof_join" -> (graft.ext.Events.asofSignup(_, _)),
+    "events_range_join" -> ((s, d) => graft.ext.Events.rangeJoinSignupWindow(s, d)),
     // rows-only (Spark-internal hash family; portable twin: dedup_minhash_pairs)
     "dedup_minhash_ml" -> ((s, d) => graft.ext.TextDedup.mlMinhashPairs(s, d)),
     // rows-only: faithful sequential-claim pass 2 (cogroup-per-md5 greedy);

@@ -135,6 +135,35 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Interval/range join: purchases landing inside the hour after each
+    * signup of the same user. The range predicate rides the user_id
+    * equi-key, so this plans as a hash/sort-merge join on user with the
+    * interval condition evaluated in the join — per-user fan-out is
+    * bounded by that user's activity, never corpus². (A keyless range
+    * join would bucket time and join on the bucket — same code shape,
+    * different key.)
+    */
+  def rangeJoinSignupWindow(spark: SparkSession, dir: String,
+                            windowUs: Long = 3600000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("us").as("s_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("us").as("p_us"), col("value"))
+    s.join(p,
+        col("p_user") === col("user_id") &&
+          col("p_us") >= col("s_us") && col("p_us") < col("s_us") + windowUs,
+        "left")
+      .groupBy("signup_id", "user_id", "s_us")
+      .agg(count(col("p_us")).as("n_purchases"),
+        coalesce(sum(col("value").cast(D2)).cast("double"), lit(0.0))
+          .as("purchase_value"))
+      .orderBy("signup_id")
+  }
+
   /** Daily rollup with grand total (nulls coalesced to 'ALL' for
     * cross-engine ordering parity).
     */

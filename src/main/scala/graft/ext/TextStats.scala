@@ -13,6 +13,22 @@ object TextStats {
 
   private val StopWords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** Memoized per-(application, dir) distinct char-bigram ARRAYS
+    * (doc_id, lang, bgs) — one compact row per doc; the profile build and
+    * the scoring pass both consume it (same decision as
+    * [[TextDedup.cachedDocSets]]).
+    */
+  private val bigramCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  private def cachedDocBigrams(spark: SparkSession, dir: String): DataFrame =
+    bigramCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), array_distinct(
+          expr("transform(sequence(1, length(text) - 1), " +
+            "i -> substr(text, i, 2))")).as("bgs"))
+        .persist())
+
   /** Language-ID heuristic: stopword-hit ratio over whitespace tokens.
     * (A real n-gram profile model slots into the same shape — per-token
     * scoring + groupBy doc.)
@@ -31,6 +47,44 @@ object TextStats {
         when(col("stop_ratio") > 0.05, "en").otherwise("unknown"))
       .select("doc_id", "declared_lang", "n_words", "n_stopwords",
         "stop_ratio", "predicted_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID via character-bigram profiles — the real n-gram model
+    * shape (Cavnar-Trenkle style): per-language top-`topK` bigram
+    * profiles, each doc scored by distinct-bigram overlap with every
+    * profile, argmax wins (ties to the lexicographically first language).
+    *
+    * Scale shape: profile build is one (lang, bigram) shuffle; profiles
+    * are small by construction (languages × topK) and broadcast; scoring
+    * is a broadcast join + per-(doc, lang) aggregate + per-doc top-1
+    * window. Nothing scales with corpus² anywhere.
+    */
+  def langIdNgram(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = cachedDocBigrams(spark, dir)
+    // profile = top-K bigrams by document frequency per language,
+    // collected to one sorted array per language (langs × topK — small by
+    // construction, broadcastable at any corpus size)
+    val prof = docs.select(col("lang"), explode(col("bgs")).as("bg"))
+      .groupBy("lang", "bg").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n").desc, col("bg"))))
+      .filter(col("rk") <= topK)
+      .groupBy(col("lang").as("cand_lang"))
+      .agg(sort_array(collect_list("bg")).as("pbgs"))
+    // score every doc against every language profile with a narrow
+    // array_intersect — docs × nLangs rows, no per-bigram scoring join
+    val scored = docs.crossJoin(broadcast(prof))
+      .select(col("doc_id"), col("lang").as("declared_lang"), col("cand_lang"),
+        size(array_intersect(col("bgs"), col("pbgs"))).cast("long").as("overlap"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("cand_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("declared_lang"),
+        when(col("overlap") === 0, "unknown").otherwise(col("cand_lang"))
+          .as("predicted_lang"),
+        col("overlap"))
       .orderBy("doc_id")
   }
 

@@ -684,6 +684,35 @@ shingles AS (
                        w -> w IN ('the','a','of','and','to','in','is','on'))) AS n_stopwords
             FROM documents) t
       ORDER BY doc_id""",
+    // Mirrors TextStats.langIdNgram: top-20 char-bigram profile per lang
+    // by document frequency, distinct-overlap scoring, argmax with
+    // lexicographic tie-break.
+    "text_langid_ngram" -> """
+      WITH db AS (
+        SELECT doc_id, lang,
+               list_distinct([substr(text, i, 2)
+                 FOR i IN generate_series(1, length(text) - 1)]) AS bgs
+        FROM documents),
+      bi AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM db),
+      prof AS (
+        SELECT lang AS cand_lang, list(bg) AS pbgs FROM (
+          SELECT lang, bg,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY COUNT(*) DESC, bg) AS rk
+          FROM bi GROUP BY lang, bg) p
+        WHERE rk <= 20 GROUP BY lang),
+      scored AS (
+        SELECT d.doc_id, d.lang AS declared_lang, p.cand_lang,
+               CAST(len(list_intersect(d.bgs, p.pbgs)) AS BIGINT) AS overlap
+        FROM db d CROSS JOIN prof p)
+      SELECT doc_id, declared_lang,
+             CASE WHEN overlap = 0 THEN 'unknown' ELSE cand_lang END
+               AS predicted_lang,
+             overlap
+      FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY overlap DESC, cand_lang) AS rk
+            FROM scored s) b
+      WHERE rk = 1 ORDER BY doc_id""",
     "text_quality" -> """
       SELECT doc_id, n_chars, n_words, n_distinct_words, n_letters,
              ROUND(CAST(n_letters AS DOUBLE) / n_words, 6) AS avg_word_len,
@@ -844,6 +873,24 @@ shingles AS (
       SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
              COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    // Mirrors Events.rangeJoinSignupWindow: purchases within the hour
+    // after each signup (equi-key + interval predicate in the join).
+    "events_range_join" -> s"""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events),
+      s AS (SELECT event_id AS signup_id, user_id, us AS s_us
+            FROM ev WHERE event_type = 'signup'),
+      p AS (SELECT user_id AS p_user, us AS p_us, value
+            FROM ev WHERE event_type = 'purchase')
+      SELECT s.signup_id, s.user_id, s.s_us,
+             COUNT(p.p_us) AS n_purchases,
+             COALESCE(CAST(SUM(CAST(p.value AS $D2)) AS DOUBLE), 0.0) AS purchase_value
+      FROM s LEFT JOIN p ON p.p_user = s.user_id
+                        AND p.p_us >= s.s_us AND p.p_us < s.s_us + 3600000000
+      GROUP BY s.signup_id, s.user_id, s.s_us
+      ORDER BY s.signup_id""",
     "events_asof_join" -> """
       SELECT event_id, user_id, us, prev_signup_us,
              us - prev_signup_us AS since_signup_us

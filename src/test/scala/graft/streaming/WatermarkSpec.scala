@@ -135,6 +135,47 @@ class WatermarkSpec extends SparkSpec {
     }
   }
 
+  test("stateful ops run on the RocksDB state store (production provider)") {
+    // HDFS-backed (default) keeps state on-heap; RocksDB spills per-key
+    // state off-heap/on-disk — the provider a 100 TB stream actually runs.
+    // Same plan, same results, only the provider conf changes.
+    val dir = Files.createTempDirectory("graft-rocks").toString
+    writeOneFile(Seq(
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      ("A", java.sql.Timestamp.valueOf("2024-01-01 00:20:00")),
+      ("B", java.sql.Timestamp.valueOf("2024-01-01 00:30:00")))
+      .toDF("k", "ts"), s"$dir/in/batch1.parquet")
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val q = spark.readStream
+        .schema("k STRING, ts TIMESTAMP")
+        .parquet(s"$dir/in")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("k")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => buf.add(r.getString(0)))
+          ()
+        }
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert {
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toList.sorted == List("A", "B")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch sink: per-epoch idempotent apply (batch ids observed once)") {
     val dir = Files.createTempDirectory("graft-feb").toString
     writeOneFile(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), s"$dir/in/p1.parquet")
