@@ -104,6 +104,8 @@ object SparkEntry {
     "tpch_q2_minsupp" -> (graft.ext.Analytics.q2MinSupplier(_, _)),
     "tpch_q22_dormant" -> (graft.ext.Analytics.q22Dormant(_, _)),
     "tpch_q7_volume" -> (graft.ext.Analytics.q7Volume(_, _)),
+    "tpch_q10_returns" -> (graft.ext.Analytics.q10Returns(_, _)),
+    "tpch_q13_custdist" -> (graft.ext.Analytics.q13CustDist(_, _)),
     "tpch_q8_share" -> (graft.ext.Analytics.q8MarketShare(_, _)),
     "tpch_q21_waiting" -> (graft.ext.Analytics.q21WaitingSuppliers(_, _)),
     // §2.8 scalar-function family, explicit (lower/upper/split/element_at/

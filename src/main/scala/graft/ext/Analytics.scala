@@ -313,6 +313,39 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** TPC-H Q10-style returned-item revenue: top-20 customers by revenue
+    * lost to returns — join + filtered aggregate + top-k.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val rev = d2("l_extendedprice") * (lit(1) - d2("l_discount"))
+    Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal")
+      .agg(sum(rev).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13-style customer order distribution: left outer join + count
+    * of a nullable side + histogram of the counts — the outer-aggregate
+    * shape (customers with zero orders land in the c_count = 0 bucket).
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** TPC-H Q7-style volume shipping: the nation-pair multi-way join —
     * lineitem⋈orders is the only fact shuffle; supplier/customer/nation
     * sides broadcast. The disjunctive nation-pair predicate applies after

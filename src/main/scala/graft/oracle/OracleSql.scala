@@ -245,6 +245,27 @@ cat_remove AS (
         JOIN region ON n_regionkey = r_regionkey
       WHERE r_name = 'ASIA'
       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "tpch_q10_returns" -> s"""
+      SELECT c_custkey, c_name, c_acctbal,
+        CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY c_custkey, c_name, c_acctbal
+      ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "tpch_q13_custdist" -> """
+      SELECT c_count, COUNT(*) AS custdist
+      FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) t
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
     "tpch_q7_volume" -> s"""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         CAST(year(l_shipdate) AS BIGINT) AS l_year,
