@@ -15,13 +15,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JIT/codegen/scheduler spin-up should not be billed
-    // to whichever query happens to run first.
+    // Untimed warmup: JIT/codegen/scheduler spin-up and first-touch reads
+    // of every fixture table should not be billed to whichever query
+    // happens to run first (name-sorted order would otherwise charge the
+    // documents/events cold reads to the cat_* family).
     locally {
       spark.range(1000000).selectExpr("sum(id)").collect()
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.groupBy("l_returnflag").count().collect()
       li.limit(1000).join(li.limit(1000), "l_orderkey").count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
+      graft.tables.Tables.events(spark, sfDir).count()
     }
     // Name-sorted so shared materializations (memoized sync pipeline,
     // serverCats, shingle/minhash relations) are billed to the same query
