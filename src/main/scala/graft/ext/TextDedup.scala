@@ -53,19 +53,24 @@ object TextDedup {
     * once; per-row arrays stay bounded by document length, never by corpus
     * size.
     */
+  /** The per-doc set table from an arbitrary documents relation: a doc's
+    * shingle set is a pure function of its own text, so this is a narrow
+    * per-row map — no explode/groupBy shuffle at all (the size>=3 filter
+    * keeps row presence identical to the long form: docs with no shingle
+    * emit no row).
+    */
+  def docSetsOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), sort_array(array_distinct(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"))).as("shs"))
+      .select(col("doc_id"), col("shs"),
+        size(col("shs")).cast("long").as("n"))
+
   def cachedDocSets(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "doc_sets")(
-      // a doc's shingle set is a pure function of its own text, so this is
-      // a narrow per-row map — no explode/groupBy shuffle at all (the
-      // size>=3 filter keeps row presence identical to the long form:
-      // docs with no shingle emit no row)
-      Tables.documents(spark, dir)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"), sort_array(array_distinct(expr(
-          "transform(sequence(1, size(split(text, ' ')) - 2), " +
-            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"))).as("shs"))
-        .select(col("doc_id"), col("shs"),
-          size(col("shs")).cast("long").as("n")))
+      docSetsOf(Tables.documents(spark, dir)))
 
   /** Long-form distinct (doc_id, sh) view — a narrow explode off the
     * cached set table (already distinct; no shuffle).
@@ -216,8 +221,14 @@ object TextDedup {
     * larger corpus the signature widens (64/128-bit) before the bands do.
     */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 1): DataFrame = {
-    val ints = cachedSimhash(spark, dir).select("doc_id", "sim")
+                   maxHamming: Int = 1): DataFrame =
+    simhashPairsOf(cachedSimhash(spark, dir).select("doc_id", "sim"),
+      maxHamming)
+
+  /** The banded pair join over an arbitrary (doc_id, sim) relation
+    * (exposed for the band-losslessness property test).
+    */
+  def simhashPairsOf(ints: DataFrame, maxHamming: Int = 1): DataFrame = {
     val bands = ints.select(col("doc_id"), col("sim"),
       explode(array(
         struct(lit(0).as("j"),
@@ -352,24 +363,28 @@ object TextDedup {
     * so the candidate self-join scans it once instead of computing the
     * df-join + window subtree per side.
     */
+  private def prefixOf(sets: DataFrame, threshold: Double): DataFrame = {
+    // long form with per-doc cardinality carried along (no join needed)
+    val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
+    val sdf = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(sdf, Seq("sh"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))).cast("long"))
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select("doc_id", "sh", "n")
+  }
+
   private def cachedJaccardPrefix(spark: SparkSession, dir: String,
                                   threshold: Double): DataFrame =
-    memo(spark, dir, s"jaccard_prefix_$threshold") {
-      val sets = cachedDocSets(spark, dir)
-      // long form with per-doc cardinality carried along (no join needed)
-      val sh = sets.select(col("doc_id"), col("n"), explode(col("shs")).as("sh"))
-      val sdf = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      sh.join(sdf, Seq("sh"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))).cast("long"))
-        .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-        .select("doc_id", "sh", "n")
-    }
+    memo(spark, dir, s"jaccard_prefix_$threshold")(
+      prefixOf(cachedDocSets(spark, dir), threshold))
 
-  def jaccardPairs(spark: SparkSession, dir: String,
-                   threshold: Double = 0.6): DataFrame = {
-    val sets = cachedDocSets(spark, dir)
-    val prefix = cachedJaccardPrefix(spark, dir, threshold)
+  /** The full prefix-filter + set-verify pipeline over an arbitrary doc
+    * set relation (exposed for the losslessness property test).
+    */
+  def jaccardPairsOf(sets: DataFrame, threshold: Double,
+                     prefixRel: Option[DataFrame] = None): DataFrame = {
+    val prefix = prefixRel.getOrElse(prefixOf(sets, threshold))
     val a = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("sh"), col("n").as("nb"))
     val cand = a.join(b, Seq("sh"))
@@ -391,4 +406,9 @@ object TextDedup {
       .select(col("doc_a"), col("doc_b"), round(jac, 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.6): DataFrame =
+    jaccardPairsOf(cachedDocSets(spark, dir), threshold,
+      Some(cachedJaccardPrefix(spark, dir, threshold)))
 }

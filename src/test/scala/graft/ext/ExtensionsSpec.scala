@@ -7,6 +7,62 @@ import org.apache.spark.sql.functions._
 class ExtensionsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** A deterministic overlapping corpus: even docs are 12-word sliding
+    * windows over a 30-word vocab; odd docs are their near-dup (one extra
+    * word). Neighbouring windows overlap too, so the >=0.6 pair set is
+    * rich, not just the planted twins.
+    */
+  private def overlappingCorpus: Seq[(Long, String)] =
+    (0 until 40).map { i =>
+      val ws = (0 until 12).map(k => s"w${(i / 2 + k) % 30}")
+      val extra = if (i % 2 == 1) Seq(s"x$i") else Seq.empty
+      (i.toLong, (ws ++ extra).mkString(" "))
+    }
+
+  private def shingleSet(text: String): Set[String] = {
+    val w = text.split(" ")
+    (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+  }
+
+  test("jaccard prefix filter is lossless vs brute-force all-pairs") {
+    val corpus = overlappingCorpus
+    // brute force on the driver, straight from the definition
+    val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val expected = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      inter = (sets(a) & sets(b)).size
+      jac = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if jac >= 0.6
+    } yield (a, b) -> jac).toMap
+    assert(expected.nonEmpty, "corpus must produce qualifying pairs")
+
+    val got = TextDedup
+      .jaccardPairsOf(TextDedup.docSetsOf(corpus.toDF("doc_id", "text")), 0.6)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-6, s"$k") }
+  }
+
+  test("simhash 16-bit banding is lossless for hamming <= 1 vs brute force") {
+    val corpus = overlappingCorpus
+    val ints = TextDedup.simhash(corpus.toDF("doc_id", "text"))
+      .select($"doc_id", conv($"simhash", 2, 10).cast("long").as("sim"))
+    val byId = ints.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim")).toMap
+    val expected = (for {
+      a <- byId.keys; b <- byId.keys if a < b
+      if java.lang.Long.bitCount(byId(a) ^ byId(b)) <= 1
+    } yield (a, b)).toSet
+    val got = TextDedup.simhashPairsOf(ints).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "corpus should produce at least one hd<=1 pair")
+  }
+
   test("cosine: identical vectors similarity 1, orthogonal 0") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
