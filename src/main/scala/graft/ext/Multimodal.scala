@@ -57,7 +57,12 @@ object Multimodal {
       fake_height = 16 + (p.content.lastOption.getOrElse(0: Byte) & 0xff) % 16)
   }
 
-  /** The decode stage: one codec context per partition, streamed rows. */
+  /** The decode stage: one codec context per partition, streamed rows.
+    * Deliberately `mapPartitions` even though the stub math is expressible
+    * in built-ins — per-partition codec-context placement is the point
+    * being demonstrated; [[metaQuery]] is the pure-Catalyst twin for
+    * everything that doesn't need the codec.
+    */
   def decodeStub(spark: SparkSession, dir: String): Dataset[Decoded] = {
     import spark.implicits._
     payloads(spark, dir).mapPartitions { it =>

@@ -81,4 +81,36 @@ class HttpGatherClientSpec extends SparkSpec {
       assert(applied.size() == 3)
     } finally server.stop(0)
   }
+
+  test("whole production path: scan -> sync -> REST apply") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-http-e2e")
+    Files.createDirectories(root.resolve("Ward"))
+    Files.write(root.resolve("Ward/area.shp"), "shape-a".getBytes("UTF-8"))
+    Files.write(root.resolve("Ward/zone.shp"), "shape-z".getBytes("UTF-8"))
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val posts = new ConcurrentHashMap[String, String]() // path -> concat bodies
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      if (ex.getRequestMethod == "GET") respond(ex, 200, "") // empty remote
+      else { posts.merge(path, body(ex), _ + _); respond(ex, 200, "ok") }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val client = new HttpGatherClient(spark, base)
+      val sync = new graft.DataWarehouseSync(spark,
+        graft.GraftConfig(path = root.toString), client)
+      val r = sync.syncFilesystem()
+      assert(r.creates.count() == 2)
+      // both scanned files were POSTed as creates; nothing updated/archived
+      val created = posts.getOrDefault("/projects/create", "")
+      assert(created.contains("Ward/area.shp") && created.contains("Ward/zone.shp"))
+      assert(!posts.containsKey("/projects/update") ||
+        posts.get("/projects/update") == "")
+      assert(!posts.containsKey("/projects/archive") ||
+        posts.get("/projects/archive") == "")
+    } finally server.stop(0)
+  }
 }
