@@ -220,6 +220,10 @@ object SparkEntry {
     }),
     // streaming arbitrary state (flatMapGroupsWithState)
     "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)),
+    // rows-only: HLL++/t-digest sketch internals are engine-specific (no
+    // cross-engine oracle by construction); error bounds vs the exact
+    // twins in the same rows are asserted in ScaleDesignSpec
+    "agg_sketch_family" -> (graft.ext.Analytics.sketchFamily(_, _)),
     // rows-only: IVF over trained spark.ml KMeans cells (centroids come
     // from order-dependent float reductions -> no cross-engine oracle;
     // recall vs the exact scan asserted in CosineSimSpec)

@@ -441,6 +441,33 @@ object Analytics {
       .limit(20)
   }
 
+  /** Approximate-aggregate family — the sketches a 100 TB aggregation
+    * actually runs: HLL++ distinct counts (`approx_count_distinct`, fixed
+    * ~KB state per group vs the exact form's per-key shuffle) and
+    * t-digest-style quantiles (`approx_percentile`). Exact twins ride in
+    * the same row so the error is observable; AnalyticsSpec asserts the
+    * bounds. Rows-only checked: sketch internals are engine-specific, so
+    * no cross-engine oracle exists by construction.
+    */
+  def sketchFamily(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val approx = li.groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("approx_p50"),
+        count(lit(1)).as("n"))
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy("l_returnflag").agg(count(lit(1)).as("exact_parts"))
+    val exactP = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("exact_p50"))
+    approx.join(exact, Seq("l_returnflag")).join(exactP, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"),
+        col("approx_parts"), col("exact_parts"),
+        round(col("approx_p50"), 6).as("approx_p50"),
+        round(col("exact_p50"), 6).as("exact_p50"))
+      .orderBy("l_returnflag")
+  }
+
   /** Rollup aggregate (extension of A-family; SURVEY.md §2.4 notes the
     * reference has none — mandated by the events/star extension surface).
     * Null grouping rows are COALESCEd to 'ALL' so ordering is identical

@@ -92,6 +92,18 @@ class ScaleDesignSpec extends SparkSpec {
     assert(hot.exists(_.getAs[Long]("keep_doc_id") == 0L))
   }
 
+  test("sketch family: approx distinct/percentile within error bounds of exact") {
+    val rows = graft.ext.Analytics.sketchFamily(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
+      // rsd=0.02 HLL++: generous 10% tolerance at this cardinality
+      assert(math.abs(ap - ep).toDouble / ep <= 0.10, s"HLL off: $ap vs $ep")
+      val (aq, eq) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
+      assert(math.abs(aq - eq) <= 2.0, s"p50 off: $aq vs $eq")
+    }
+  }
+
   test("GraftExtensions injects graft_cosine_sim for SQL use") {
     // getOrCreate only applies extensions when it *creates* a session —
     // clear the active/default so a fresh one (sharing the context) is built
