@@ -162,7 +162,8 @@ object SparkEntry {
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
-    "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)))
+    "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),
+    "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)))
 
   /** ST1/ST2 streaming + S1-S5 source + K5 sink surfaces. */
   private val streamSourceSinkQueries: Map[String, Q] = Map(

@@ -102,6 +102,28 @@ object Multimodal {
         md5(col("frame")).as("frame_sig"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize — stride-2 byte subsampling, the raw-payload analog of a
+    * nearest-neighbour downsample: keep every 2nd byte, emit the new
+    * payload's size/signature and the halved fake dimensions. Narrow
+    * per-row transform; a real codec would decode, resample pixels and
+    * re-encode at the same place in the plan.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("small", expr(
+        "array_join(transform(sequence(1, length(text), 2), " +
+          "i -> substr(text, i, 1)), '')"))
+      .select(col("doc_id"), col("n_bytes"),
+        octet_length(col("small")).cast("long").as("small_bytes"),
+        md5(col("small")).as("small_sig"),
+        (lit(16L) + pmod(ascii(substring(col("text"), 1, 1)).cast("long"), lit(16L)))
+          .as("orig_width"),
+        ((lit(16L) + pmod(ascii(substring(col("text"), 1, 1)).cast("long"), lit(16L)))
+          / lit(2)).cast("long").as("small_width"))
+      .orderBy("doc_id")
+
   /** Metadata-only scan — proves the binary column prunes away (check
     * `ReadSchema` in `.explain`: content is not read).
     */

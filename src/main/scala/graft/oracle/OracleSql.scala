@@ -825,6 +825,21 @@ shingles AS (
              CASE WHEN substr(text, 1, 1) BETWEEN 'a' AND 'm'
                   THEN 'bucket_am' ELSE 'bucket_nz' END AS shard
       FROM documents ORDER BY doc_id""",
+    // Mirrors Multimodal.resize: stride-2 byte subsample + halved dims
+    // (ASCII fixture -> byte ops == char ops in both engines).
+    "multimodal_resize" -> """
+      WITH r AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               array_to_string([substr(text, i, 1)
+                 FOR i IN generate_series(1, length(text), 2)], '') AS small,
+               16 + ascii(substr(text, 1, 1)) % 16 AS orig_width
+        FROM documents)
+      SELECT doc_id, n_bytes,
+             CAST(octet_length(encode(small)) AS BIGINT) AS small_bytes,
+             md5(small) AS small_sig,
+             CAST(orig_width AS BIGINT) AS orig_width,
+             CAST(orig_width // 2 AS BIGINT) AS small_width
+      FROM r ORDER BY doc_id""",
     // Mirrors Multimodal.frameSample: k=4 evenly-spaced 16-byte frames
     // (ASCII fixture -> byte offsets == char offsets in both engines).
     "multimodal_frames" -> """
