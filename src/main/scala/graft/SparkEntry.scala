@@ -221,6 +221,8 @@ object SparkEntry {
     }),
     // streaming arbitrary state (flatMapGroupsWithState)
     "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)),
+    // streaming arbitrary state, new API (transformWithState + RocksDB)
+    "stream_transform_state" -> (graft.streaming.EventStream.transformStateUserCounts(_, _)),
     // rows-only: HLL++/t-digest sketch internals are engine-specific (no
     // cross-engine oracle by construction); error bounds vs the exact
     // twins in the same rows are asserted in ScaleDesignSpec

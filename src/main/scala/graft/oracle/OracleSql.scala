@@ -890,6 +890,11 @@ shingles AS (
     "stream_stateful_counts" -> """
       SELECT user_id, COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id""",
+    // transformWithState twin: single AvailableNow batch -> emitted totals
+    // equal the batch per-user counts
+    "stream_transform_state" -> """
+      SELECT user_id, COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""",
     "sink_sql_insert" -> s"""
       WITH ${SYNC_CTES.trim}
       SELECT name,

@@ -119,6 +119,52 @@ object EventStream {
     runToMemory(counts, "update").orderBy("user_id")
   }
 
+  /** Per-user running counter as a `transformWithState` StatefulProcessor —
+    * the modern arbitrary-state API (successor to flatMapGroupsWithState):
+    * explicit named state variables with optional TTL, timers, and a
+    * RocksDB-backed store (the API requires the RocksDB provider). With
+    * AvailableNow over the finite fixture the emitted totals equal the
+    * batch GROUP BY counts — the oracle-comparable form; on an unbounded
+    * stream the same processor accumulates across micro-batches with
+    * evictable (TTL-able) per-key state.
+    */
+  private class UserCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Long, (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Long],
+                                 timers: TimerValues): Iterator[(Long, Long)] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator((key, n))
+    }
+  }
+
+  def transformStateUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val counts = readEvents(spark, dir)
+        .select(col("user_id")).as[Long]
+        .groupByKey(identity)
+        .transformWithState(new UserCountProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events")
+      runToMemory(counts, "update").orderBy("user_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Stateful streaming dedup — X1's streaming form; count of distinct
     * keys is the comparable output.
     *
