@@ -41,10 +41,11 @@ object Bench {
       // (ordering, projection, expression work all billed) without paying
       // for an output sink — unlike count(), which lets Catalyst drop
       // unreferenced columns and skip result materialization.
+      // A failed query records -1, never a plausible-looking small time.
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => name -> -1.0 }
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
