@@ -27,6 +27,16 @@ class FileInventorySpec extends SparkSpec {
     root
   }
 
+  test("scan root with regex metacharacters strips literally (prefix is \\Q-quoted)") {
+    val base = Files.createTempDirectory("graft-meta")
+    // a+b(c) would mis-strip if interpolated into the pattern unquoted
+    val root = base.resolve("a+b(c)")
+    Files.createDirectories(root.resolve("d"))
+    Files.write(root.resolve("d/one.shp"), "bytes-one".getBytes)
+    val rows = FileInventory.scan(spark, root.toString).collect()
+    assert(rows.map(_.getAs[String]("file")).toSeq == Seq("d/one.shp"))
+  }
+
   test("scan: recursive, suffix-filtered, relative paths, content md5 (S1-S5, DW.js:32-56)") {
     val root = mkTree()
     val rows = FileInventory.scan(spark, root.toString).orderBy("file").collect()
