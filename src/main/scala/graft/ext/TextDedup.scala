@@ -384,6 +384,7 @@ object TextDedup {
     */
   def jaccardPairsOf(sets: DataFrame, threshold: Double,
                      prefixRel: Option[DataFrame] = None): DataFrame = {
+    graft.functions.SortedIntersectSize.register(sets.sparkSession)
     val prefix = prefixRel.getOrElse(prefixOf(sets, threshold))
     val a = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
     val b = prefix.select(col("doc_id").as("doc_b"), col("sh"), col("n").as("nb"))
@@ -397,8 +398,11 @@ object TextDedup {
         col("shs").as("shs_a"), col("n").as("na")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"),
         col("shs").as("shs_b"), col("n").as("nb")), Seq("doc_b"))
+      // fused codegen merge over the pre-sorted set arrays — same count
+      // as size(array_intersect(...)) without per-pair hashing/allocation
       .withColumn("both",
-        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+        graft.functions.SortedIntersectSize.intersectSize(
+          col("shs_a"), col("shs_b")))
     val jac = col("both").cast("double") /
       (col("na") + col("nb") - col("both"))
     verified

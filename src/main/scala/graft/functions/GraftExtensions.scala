@@ -19,5 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName,
+        "graft_sorted_intersect_size"),
+      (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
   }
 }

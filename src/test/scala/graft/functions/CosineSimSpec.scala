@@ -41,6 +41,23 @@ class CosineSimSpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall $recall < 0.6 (exact=$exact ivf=$ivf)")
   }
 
+  test("sorted-intersect kernel == size(array_intersect) on sorted distinct arrays") {
+    SortedIntersectSize.register(spark)
+    // deterministic varied overlap patterns, including empty and disjoint
+    val rows = (0 until 50).map { i =>
+      val a = (0 until i % 7).map(k => f"s${(i * 3 + k * 2) % 23}%03d").distinct.sorted
+      val b = (0 until (i + 3) % 8).map(k => f"s${(i + k * 3) % 23}%03d").distinct.sorted
+      (i.toLong, a, b)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select($"id",
+        SortedIntersectSize.intersectSize($"a", $"b").as("kernel"),
+        size(array_intersect($"a", $"b")).cast("long").as("builtin"))
+      .collect()
+    df.foreach(r => assert(r.getAs[Long]("kernel") == r.getAs[Long]("builtin"),
+      s"row ${r.getAs[Long]("id")}"))
+  }
+
   test("known values: parallel=1, orthogonal=0, antiparallel=-1") {
     CosineSim.register(spark)
     val df = Seq(
