@@ -24,9 +24,9 @@ object TextStats {
   private def cachedDocBigrams(spark: SparkSession, dir: String): DataFrame =
     bigramCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Tables.documents(spark, dir)
-        .select(col("doc_id"), col("lang"), array_distinct(
+        .select(col("doc_id"), col("lang"), sort_array(array_distinct(
           expr("transform(sequence(1, length(text) - 1), " +
-            "i -> substr(text, i, 2))")).as("bgs"))
+            "i -> substr(text, i, 2))"))).as("bgs"))
         .persist())
 
   /** Language-ID heuristic: stopword-hit ratio over whitespace tokens.
@@ -73,11 +73,14 @@ object TextStats {
       .filter(col("rk") <= topK)
       .groupBy(col("lang").as("cand_lang"))
       .agg(sort_array(collect_list("bg")).as("pbgs"))
-    // score every doc against every language profile with a narrow
-    // array_intersect — docs × nLangs rows, no per-bigram scoring join
+    // score every doc against every language profile with the fused
+    // sorted-merge kernel (both arrays are sorted distinct) — docs × nLangs
+    // rows, no per-bigram scoring join, no per-pair hash set
+    graft.functions.SortedIntersectSize.register(spark)
     val scored = docs.crossJoin(broadcast(prof))
       .select(col("doc_id"), col("lang").as("declared_lang"), col("cand_lang"),
-        size(array_intersect(col("bgs"), col("pbgs"))).cast("long").as("overlap"))
+        graft.functions.SortedIntersectSize.intersectSize(
+          col("bgs"), col("pbgs")).as("overlap"))
     scored.withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("overlap").desc, col("cand_lang"))))
       .filter(col("rk") === 1)
