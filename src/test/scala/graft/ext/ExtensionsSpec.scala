@@ -24,6 +24,20 @@ class ExtensionsSpec extends SparkSpec {
     (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
   }
 
+  test("minhash banding: identical docs always become a candidate pair at est_sim 1") {
+    // exact duplicates agree on every signature, hence on every band —
+    // candidacy is guaranteed, not probabilistic
+    val corpus = overlappingCorpus ++ Seq(
+      (1000L, overlappingCorpus.head._2), (1001L, overlappingCorpus.head._2))
+    val sigs = TextDedup.minhashSignatures(corpus.toDF("doc_id", "text"))
+    val agree = sigs.groupBy("j").count().count()
+    assert(agree == 8) // 8 permutations present
+    val s0 = sigs.filter($"doc_id" === 0L).select("j", "sig").collect().toSet
+    val s1000 = sigs.filter($"doc_id" === 1000L).select("j", "sig").collect().toSet
+    val s1001 = sigs.filter($"doc_id" === 1001L).select("j", "sig").collect().toSet
+    assert(s1000 == s1001 && s0 == s1000) // doc 0 shares the text too
+  }
+
   test("jaccard prefix filter is lossless vs brute-force all-pairs") {
     val corpus = overlappingCorpus
     // brute force on the driver, straight from the definition
