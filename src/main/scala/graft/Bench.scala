@@ -12,6 +12,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // production AQE posture (and the documented recommendation):
+      // coalesce post-shuffle partitions to the advisory size rather than
+      // maximizing parallelism — at scale this right-sizes reducers, and
+      // at bench SF it stops scheduling dozens of ~1ms tasks per stage
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
