@@ -415,4 +415,34 @@ object TextDedup {
                    threshold: Double = 0.6): DataFrame =
     jaccardPairsOf(cachedDocSets(spark, dir), threshold,
       Some(cachedJaccardPrefix(spark, dir, threshold)))
+
+  /** The curation decision table: every near-dup method side by side —
+    * pairs found and docs that would be dropped (higher doc id of each
+    * pair; exact dedup drops non-survivors). Composes the five operators
+    * above off their shared cached relations, so the whole report costs
+    * five small aggregates. This is the query a curation owner runs before
+    * picking thresholds.
+    */
+  def methodComparison(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    def stat(method: String, pairs: DataFrame): DataFrame =
+      pairs.agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+        .select(lit(method).as("method"), col("n_pairs"), col("n_docs_dropped"))
+    val exactPairs = exact(spark, dir).filter(col("n_copies") > 1)
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("n_copies") - 1).as("n_dropped"))
+      .select(lit("exact").as("method"),
+        col("n_groups").as("n_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_docs_dropped"))
+    exactPairs
+      .unionByName(stat("minhash",
+        cachedMinhashPairs(spark, dir).filter(col("est_sim") >= 0.75)))
+      .unionByName(stat("simhash", simhashPairs(spark, dir)))
+      .unionByName(stat("jaccard", jaccardPairs(spark, dir)))
+      .unionByName(stat("embed",
+        graft.ext.Similarity.embedCosinePairs(spark, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+      .orderBy("method")
+  }
 }

@@ -563,6 +563,100 @@ shingles AS (
       )
       SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // Mirrors TextDedup.methodComparison: every near-dup method's pair /
+    // dropped-doc counts, composed from the same CTE chains the individual
+    // oracle queries use.
+    "dedup_method_report" -> s"""
+      WITH ${SHINGLES.trim},
+      sigs AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j),
+      mh_bands AS (
+        SELECT doc_id, j // 2 AS b,
+               md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' ||
+                   MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM sigs GROUP BY doc_id, j // 2),
+      mh_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mh_bands a JOIN mh_bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                                       AND a.doc_id < b.doc_id),
+      mh_pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
+        FROM mh_cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+                       JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        GROUP BY c.doc_a, c.doc_b),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      sh_bits AS (
+        SELECT doc_id, i,
+               CASE WHEN SUM(CASE WHEN substr(md5(tok), i, 1) >= '8'
+                      THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit
+        FROM toks, (SELECT unnest(generate_series(1, 32)) AS i) g
+        GROUP BY doc_id, i),
+      sh_ints AS (
+        SELECT doc_id, CAST(SUM(bit * power(2, 32 - i)) AS BIGINT) AS sim
+        FROM sh_bits GROUP BY doc_id),
+      sh_bands AS (
+        SELECT doc_id, sim, j, (sim >> (16 * j)) & 65535 AS bv
+        FROM sh_ints, (SELECT unnest(generate_series(0, 1)) AS j) g),
+      sh_pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh_bands a JOIN sh_bands b ON a.j = b.j AND a.bv = b.bv
+                                       AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim, b.sim)) <= 1),
+      jc_sets AS (SELECT doc_id, list(sh) AS shs, COUNT(*) AS n
+                  FROM shingles GROUP BY doc_id),
+      jc_sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
+      jc_ranked AS (
+        SELECT s.doc_id, s.sh, c.n,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+        FROM shingles s JOIN jc_sdf d ON d.sh = s.sh JOIN jc_sets c ON c.doc_id = s.doc_id),
+      jc_pfx AS (SELECT * FROM jc_ranked WHERE rn <= n - CAST(ceil(0.6 * n) AS BIGINT) + 1),
+      jc_cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM jc_pfx a JOIN jc_pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE b.n >= 0.6 * a.n AND a.n >= 0.6 * b.n),
+      jc_pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM jc_cand c JOIN jc_sets sa ON sa.doc_id = c.doc_a
+                       JOIN jc_sets sb ON sb.doc_id = c.doc_b
+        WHERE CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) /
+              (sa.n + sb.n - len(list_intersect(sa.shs, sb.shs))) >= 0.6),
+      em_b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      em_pairs AS (
+        SELECT a.vec_id AS doc_a, b2.vec_id AS doc_b
+        FROM em_b a JOIN em_b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_dot_product(a.v, b2.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b2.v, b2.v))) >= 0.35),
+      ex_groups AS (
+        SELECT md5(text) AS h, COUNT(*) AS n FROM documents
+        GROUP BY md5(text) HAVING COUNT(*) > 1)
+      SELECT * FROM (
+        SELECT 'exact' AS method, COUNT(*) AS n_pairs,
+               COALESCE(CAST(SUM(n - 1) AS BIGINT), 0) AS n_docs_dropped
+        FROM ex_groups
+        UNION ALL
+        SELECT 'minhash', COUNT(*), COUNT(DISTINCT doc_b)
+        FROM mh_pairs WHERE est_sim >= 0.75
+        UNION ALL
+        SELECT 'simhash', COUNT(*), COUNT(DISTINCT doc_b) FROM sh_pairs
+        UNION ALL
+        SELECT 'jaccard', COUNT(*), COUNT(DISTINCT doc_b) FROM jc_pairs
+        UNION ALL
+        SELECT 'embed', COUNT(*), COUNT(DISTINCT doc_b) FROM em_pairs
+      ) t ORDER BY method""",
     // Mirrors TextDedup.simhashPairs: integer simhash (MSB-first, exact in
     // doubles below 2^53), 2×16-bit band buckets, bit_count(xor) verify.
     "dedup_simhash_pairs" -> """
