@@ -55,6 +55,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The per-query map goes out on its own line FIRST: the driver's tail
+    // capture truncates long output from the front, so leading with the
+    // map guarantees the totals line (and the map itself, via this line)
+    // survive even when the combined line would be clipped.
+    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -49,7 +49,12 @@ class HttpGatherClient(spark: SparkSession, baseUrl: String,
     val session = spark
     import session.implicits._
     val lines = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-    spark.read.schema(schema).json(spark.createDataset(lines))
+    // FAILFAST: a malformed or schema-drifted server line must abort the
+    // sync loudly — the PERMISSIVE default would turn it into an all-null
+    // row, and a null p_md5/p_file silently mis-classifies the project in
+    // the match core instead of surfacing the payload bug.
+    spark.read.schema(schema).option("mode", "FAILFAST")
+      .json(spark.createDataset(lines))
   }
 
   /** Reshape the flat wire records to the API's nested §1.1 shape. */
@@ -109,8 +114,7 @@ object HttpGatherClient {
       val resp = client.send(
         HttpRequest.newBuilder(URI.create(url)).GET().build(),
         HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new java.io.IOException(s"GET $url -> ${resp.statusCode()}")
+      failOnStatus("GET", url, resp.statusCode())
       resp.body()
     }
 
@@ -125,9 +129,18 @@ object HttpGatherClient {
           .header("Idempotency-Key", md5Hex(body))
           .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
         HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new java.io.IOException(s"POST $url -> ${resp.statusCode()}")
+      failOnStatus("POST", url, resp.statusCode())
     }
+
+  /** 5xx is transient (IOException → retried); any other non-2xx is a
+    * permanent client-side failure (bad payload, auth) that must surface
+    * immediately — retrying a 4xx only delays and obscures the real error.
+    */
+  private def failOnStatus(verb: String, url: String, code: Int): Unit =
+    if (code / 100 == 5)
+      throw new java.io.IOException(s"$verb $url -> $code")
+    else if (code / 100 != 2)
+      throw new IllegalStateException(s"$verb $url -> $code (not retryable)")
 
   private def retrying[T](maxRetries: Int, what: String)(attempt: => T): T = {
     var n = 0

@@ -87,6 +87,18 @@ object Similarity {
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), (DataFrame, DataFrame)]
 
+  /** Unpersist this app's memoized IVF relations — see
+    * [[TextDedup.clearCaches]] for when a long-lived service needs this.
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    ivfCache.keys.filter(_._1 == appId).foreach { k =>
+      ivfCache.remove(k).foreach { case (a, c) =>
+        a.unpersist(); c.unpersist()
+      }
+    }
+  }
+
   private def ivfIndex(spark: SparkSession, dir: String,
                        nCells: Int): (DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(

@@ -42,6 +42,20 @@ object TextDedup {
     relCache.getOrElseUpdate((spark.sparkContext.applicationId, dir, key),
       build.persist())
 
+  /** Unpersist and drop every memoized relation built by this application.
+    * The memo pattern is sized for a bounded bench/verify run (one app, a
+    * handful of corpus snapshots); a long-lived service reusing this module
+    * should call this between corpus snapshots so persisted relations —
+    * which stay bound to the SparkSession that planned them — don't
+    * accumulate for the lifetime of the shared context.
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    relCache.keys.filter(_._1 == appId).foreach { k =>
+      relCache.remove(k).foreach(_.unpersist())
+    }
+  }
+
   /** THE shared dedup materialization: one row per document with its
     * sorted distinct shingle-set array (doc_id, shs, n).
     *

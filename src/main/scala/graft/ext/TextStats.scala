@@ -21,12 +21,27 @@ object TextStats {
   private val bigramCache =
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
+  /** Unpersist this app's memoized bigram relations — see
+    * [[TextDedup.clearCaches]] for when a long-lived service needs this.
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    bigramCache.keys.filter(_._1 == appId).foreach { k =>
+      bigramCache.remove(k).foreach(_.unpersist())
+    }
+  }
+
   private def cachedDocBigrams(spark: SparkSession, dir: String): DataFrame =
     bigramCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
       Tables.documents(spark, dir)
+        // length guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+        // (bogus 1-char "bigrams") where DuckDB's generate_series(1, 0) is
+        // empty — a sub-2-char doc gets an empty bigram set here, scoring
+        // overlap 0 → 'unknown', identical to the oracle's empty series.
         .select(col("doc_id"), col("lang"), sort_array(array_distinct(
-          expr("transform(sequence(1, length(text) - 1), " +
-            "i -> substr(text, i, 2))"))).as("bgs"))
+          expr("case when length(text) >= 2 then " +
+            "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2)) " +
+            "else cast(array() as array<string>) end"))).as("bgs"))
         .persist())
 
   /** Language-ID heuristic: stopword-hit ratio over whitespace tokens.

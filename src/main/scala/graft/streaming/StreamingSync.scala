@@ -30,11 +30,19 @@ object StreamingSync {
   /** Start the watch; with the default AvailableNow trigger this processes
     * the current directory contents and terminates (the reference's
     * quiescence barrier, DW.js:639-659); a ProcessingTime trigger turns
-    * the identical plan into a true continuous watch.
+    * the identical plan into a true continuous watch that runs until the
+    * query fails or the caller stops it.
+    *
+    * The watchdog (`boundedWaitMillis`, default 180 s) applies only to
+    * self-terminating triggers (AvailableNow/Once), where not finishing
+    * means the stream is wedged and the harness should abort loudly.
+    * Continuous triggers never terminate by design, so they get an
+    * unbounded `awaitTermination()` instead of a bounded-wait-and-throw.
     */
   def run(spark: SparkSession, config: GraftConfig, client: GatherClient,
           checkpoint: String,
-          trigger: Trigger = Trigger.AvailableNow()): Unit = {
+          trigger: Trigger = Trigger.AvailableNow(),
+          boundedWaitMillis: Long = 180000L): Unit = {
     val raw = spark.readStream.format("binaryFile")
       .schema(FileInventory.binaryFileSchema)
       .option("recursiveFileLookup", "true")
@@ -48,11 +56,18 @@ object StreamingSync {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
-    if (!q.awaitTermination(180000L)) {
-      q.stop()
-      throw new IllegalStateException(
-        "streaming sync did not finish within 180s; aborting")
-    }
+    // AvailableNowTrigger / OneTimeTrigger are the self-terminating kinds;
+    // matched by class name so the deprecated Trigger.Once() needn't be
+    // referenced here.
+    val selfTerminating = trigger == Trigger.AvailableNow() ||
+      trigger.getClass.getSimpleName.startsWith("OneTimeTrigger")
+    if (selfTerminating) {
+      if (!q.awaitTermination(boundedWaitMillis)) {
+        q.stop()
+        throw new IllegalStateException(
+          s"streaming sync did not finish within ${boundedWaitMillis}ms; aborting")
+      }
+    } else q.awaitTermination()
   }
 
   /** One epoch: enrich the arrived files, match them against the remote's
