@@ -88,12 +88,23 @@ class DataWarehouseSync(spark: SparkSession, config: GraftConfig,
     // mirrors the reference's fetch-then-ignore of archived projects
     // (DW.js:74,85-89): the relation is built but, like there, unused
     normalizedArchivedProjects()
-    val r = Pipeline.sync(files, normalizedProjects(), client.listCategories(),
-      config.rootCategory)
-    client.applyUpdates(r.updates)
-    client.applyArchives(r.archives)
-    client.applyCreates(r.creates)
-    r
+    // ST3 snapshot isolation: the V2 list relations are lazy (each job
+    // re-reads the endpoint), so pin one remote snapshot per run — every
+    // action table of this sync is computed against the same list state,
+    // like the reference's single Promise.all fetch (DW.js:74). The action
+    // tables themselves stay persisted (they are small — the run's output)
+    // so the returned SyncResult remains consistent with what was applied;
+    // the input lists are released once the actions are materialized.
+    val projects = normalizedProjects().persist()
+    val cats = client.listCategories().persist()
+    try {
+      val r = Pipeline.sync(files, projects, cats, config.rootCategory)
+      Seq(r.updates, r.archives, r.creates).foreach(_.persist())
+      client.applyUpdates(r.updates)
+      client.applyArchives(r.archives)
+      client.applyCreates(r.creates)
+      r
+    } finally { projects.unpersist(); cats.unpersist() }
   }
 
   /** E3 (DW.js:392-463): folder hierarchy vs server categories; returns

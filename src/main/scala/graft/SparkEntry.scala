@@ -188,9 +188,12 @@ object SparkEntry {
   private val coverageQueries: Map[String, Q] = Map(
     // P1/P2 (DW.js:79-91): consume the API-faithful nested shape, filter
     // null metadata.file, project the nested struct flat. Two synthetic
-    // null-metadata rows are injected to make P1 observable.
+    // null-metadata rows are injected to make P1 observable. The nested
+    // list comes through the DataSourceV2 gather scan (file transport),
+    // so this entry exercises the V2 source with Catalyst pruning the
+    // wire read down to id/p_file/p_md5 through the nesting projection.
     "sync_normalize_projects" -> ((s, d) => {
-      val nested = SyncInputs.nestedProjects(s, d)
+      val nested = SyncInputs.nestedProjectsV2(s, d)
       val nulls = nested.sparkSession.range(2).select(
         (col("id") + 9900000L).as("id"),
         lit(null).cast(nested.schema("metadata").dataType).as("metadata"),
@@ -231,7 +234,21 @@ object SparkEntry {
     // rows-only: IVF over trained spark.ml KMeans cells (centroids come
     // from order-dependent float reductions -> no cross-engine oracle;
     // recall vs the exact scan asserted in CosineSimSpec)
-    "embed_ann_ivf" -> ((s, d) => graft.ext.Similarity.ivfTopK(s, d)))
+    "embed_ann_ivf" -> ((s, d) => graft.ext.Similarity.ivfTopK(s, d)),
+    // S6 as a first-class DataSourceV2 scan: 4-partition paged read of the
+    // landed project list with an EqualTo filter pushed into the source
+    // and the read schema pruned to 3 of 6 wire columns (plan asserted in
+    // GatherRestSourceSpec; the HTTP transport of the same scan is spec'd
+    // there too)
+    "scan_remote_v2" -> ((s, d) =>
+      s.read.format(graft.sources.v2.GatherSource.Format)
+        .schema(graft.sources.v2.GatherSource.ProjectsSchema)
+        .option("url", SyncInputs.projectsWireUrl(s, d))
+        .option("parts", "4")
+        .load()
+        .filter(col("iam") === "gatherbot" && col("is_dataset"))
+        .select("id", "p_file", "title")
+        .orderBy("id")))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

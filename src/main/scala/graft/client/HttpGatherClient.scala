@@ -16,12 +16,15 @@ import graft.sink.Actions
   * reference's `gather-node-client` boundary (DW.js:74,297,357,381,400,
   * 419,450), built on the JDK HTTP client (no extra dependencies).
   *
-  * Reads: the list endpoints return JSON-lines; the driver fetches the
-  * body (list calls are driver-side metadata, exactly like a JDBC catalog
-  * read — at larger-than-driver list sizes the same endpoints would page
-  * into object storage and `spark.read.json` the landing files) and
-  * parses it with an explicit schema so an empty list still yields a
-  * typed, empty DataFrame.
+  * Reads: the list endpoints return JSON-lines, scanned through the
+  * [[graft.sources.v2.GatherSource]] DataSourceV2 table — a lazy,
+  * executor-side scan with column/limit/filter pushdown onto the wire
+  * (and `parts=N` paging once a list outgrows one response). An explicit
+  * schema means an empty list still yields a typed, empty DataFrame.
+  * Because the relation is now lazy, each Spark job re-reads the
+  * endpoint; a sync run wanting one consistent remote snapshot should
+  * `persist()` the normalized list (see
+  * [[graft.DataWarehouseSync.syncFilesystem]]).
   *
   * Writes: action tables are rendered to JSON with `to_json` and POSTed
   * per partition from the executors ([[Actions.applyPartitioned]] — one
@@ -44,18 +47,18 @@ class HttpGatherClient(spark: SparkSession, baseUrl: String,
     StructField("name", StringType), StructField("short_name", StringType),
     StructField("path", StringType), StructField("iam", StringType)))
 
-  private def getJsonLines(path: String, schema: StructType): DataFrame = {
-    val body = HttpGatherClient.get(s"$baseUrl$path", maxRetries)
-    val session = spark
-    import session.implicits._
-    val lines = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
-    // FAILFAST: a malformed or schema-drifted server line must abort the
-    // sync loudly — the PERMISSIVE default would turn it into an all-null
-    // row, and a null p_md5/p_file silently mis-classifies the project in
-    // the match core instead of surfacing the payload bug.
-    spark.read.schema(schema).option("mode", "FAILFAST")
-      .json(spark.createDataset(lines))
-  }
+  private def getJsonLines(path: String, schema: StructType): DataFrame =
+    // First-class V2 scan (graft.sources.v2.GatherSource): the GET runs
+    // executor-side at scan time with column/limit/filter pushdown onto
+    // the wire, instead of an eager driver fetch. Parsing is strict
+    // (FAILFAST posture): a malformed or schema-drifted server line fails
+    // the task loudly rather than feeding all-null rows — a null
+    // p_md5/p_file would silently mis-classify projects in the match core.
+    spark.read.format(graft.sources.v2.GatherSource.Format)
+      .schema(schema)
+      .option("url", s"$baseUrl$path")
+      .option("retries", maxRetries)
+      .load()
 
   /** Reshape the flat wire records to the API's nested §1.1 shape. */
   private def nest(flat: DataFrame): DataFrame = flat.select(

@@ -1000,6 +1000,12 @@ shingles AS (
   val coverage_queries: Map[String, String] = Map(
     "sync_normalize_projects" -> sync(
       """SELECT id, p_file AS file, p_md5 AS md5 FROM projects ORDER BY id"""),
+    // Twin of the V2 gather scan entry: pushed EqualTo(iam) + is_dataset
+    // filter, pruned projection — the wire file carries exactly the
+    // `projects` derivation.
+    "scan_remote_v2" -> sync(
+      """SELECT id, p_file, title FROM projects
+         WHERE iam = 'gatherbot' AND is_dataset ORDER BY id"""),
     "sink_create_payloads_json" -> sync(
       """SELECT ord, title,
            '{"file":"' || file || '","md5":"' || md5 || '"}' AS file_json

@@ -1,0 +1,276 @@
+package graft.sources.v2
+
+import java.net.{URI, URLEncoder}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.client.HttpGatherClient
+
+/** DataSourceV2 `TableProvider` for the Gather CMS list endpoints — the
+  * remote-scan boundary the reference crosses at DW.js:74,400 (S6),
+  * re-expressed as a first-class Spark source instead of an eager
+  * driver-side fetch:
+  *
+  *  - `spark.read.format("gather").option("url", ...)` plans a real
+  *    `BatchScan`; the HTTP GET happens executor-side at scan time, with
+  *    the same bounded-retry client the sink path uses.
+  *  - Column pruning ([[SupportsPushDownRequiredColumns]]) and limit
+  *    pushdown ([[SupportsPushDownLimit]]) reach the wire as `fields=` /
+  *    `limit=` query parameters (a cooperating server trims its payload;
+  *    an ignoring one costs only bytes — the reader projects/truncates
+  *    either way, so results are identical).
+  *  - Simple predicates ([[SupportsPushDownFilters]]: `EqualTo`,
+  *    `IsNotNull` on top-level columns) are accepted, forwarded as
+  *    `f_<col>=` parameters and re-applied reader-side — the source stays
+  *    correct against servers that ignore them.
+  *  - `parts=N` plans N input partitions; each requests its page via
+  *    `part=i&parts=N` (the four reference lists are one logical call
+  *    each, DW.js:74 — paging is how the same endpoint shards once a list
+  *    outgrows one response).
+  *
+  * Transports: `http(s)://` via [[HttpGatherClient.get]]; anything else is
+  * a local path / `file:` URI (the landed-file case: at list sizes beyond
+  * a response body the endpoint pages into object storage and this same
+  * scan reads the landing files — each partition takes every
+  * `parts`-th line).
+  *
+  * Wire shape is flat JSON-lines ([[GatherSource.ProjectsSchema]] /
+  * [[GatherSource.CategoriesSchema]], selected by `kind`); nesting to the
+  * §1.1 API shape is a projection on top (see
+  * [[graft.client.HttpGatherClient.listProjects]]), which Catalyst prunes
+  * straight through to this scan.
+  */
+class GatherSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "gather"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GatherSource.schemaFor(options)
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new GatherTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object GatherSource {
+  /** Flat wire schema of the project list endpoints (DW.js:357-367). */
+  val ProjectsSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("iam", StringType),
+    StructField("p_file", StringType), StructField("p_md5", StringType),
+    StructField("title", StringType), StructField("is_dataset", BooleanType)))
+
+  /** Flat wire schema of the category list endpoint (DW.js:400-426). */
+  val CategoriesSchema: StructType = StructType(Seq(
+    StructField("id", LongType), StructField("category", StringType),
+    StructField("name", StringType), StructField("short_name", StringType),
+    StructField("path", StringType), StructField("iam", StringType)))
+
+  def schemaFor(options: CaseInsensitiveStringMap): StructType =
+    options.getOrDefault("kind", "projects") match {
+      case "categories" => CategoriesSchema
+      case _            => ProjectsSchema
+    }
+
+  /** The fully-qualified format name (no META-INF registration needed). */
+  val Format: String = classOf[GatherSource].getName
+}
+
+private[v2] class GatherTable(tableSchema: StructType,
+                              options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = s"gather(${options.get("url")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // table-level properties win if the read options lack them
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ o.asScala).asJava)
+    new GatherScanBuilder(tableSchema, merged)
+  }
+}
+
+private[v2] class GatherScanBuilder(fullSchema: StructType,
+                                    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var limit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep wire order; an empty requirement (count(*)) still reads rows
+    required = StructType(
+      fullSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  // isPartiallyPushed stays default-true: Spark re-applies the limit, so a
+  // multi-partition scan (each partition truncates to n locally) is exact.
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val topLevel = fullSchema.fieldNames.toSet
+    val (ok, rest) = filters.partition {
+      case EqualTo(a, v) => topLevel.contains(a) &&
+        (v == null || v.isInstanceOf[String] || v.isInstanceOf[java.lang.Number] ||
+          v.isInstanceOf[java.lang.Boolean])
+      case IsNotNull(a) => topLevel.contains(a)
+      case _ => false
+    }
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = GatherScan(
+    url = Option(options.get("url")).getOrElse(
+      throw new IllegalArgumentException("gather source requires a url option")),
+    parts = math.max(1, options.getInt("parts", 1)),
+    retries = options.getInt("retries", 3),
+    required = required, limit = limit, pushed = pushed)
+}
+
+private[v2] final case class GatherInputPartition(
+    requestUrl: String, part: Int, parts: Int, local: Boolean)
+  extends InputPartition
+
+private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
+                                        required: StructType, limit: Int,
+                                        pushed: Array[Filter])
+    extends Scan with Batch with PartitionReaderFactory {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Mirrors the FileSourceScan explain vocabulary so plan-assert specs
+    * (and humans) can check what reached the source.
+    */
+  override def description(): String =
+    s"GatherScan url=$url, parts=$parts, " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private def isHttp: Boolean = {
+    val s = url.takeWhile(_ != ':').toLowerCase
+    s == "http" || s == "https"
+  }
+
+  private def requestUrlFor(part: Int): String =
+    if (!isHttp) url
+    else {
+      val enc = (s: String) => URLEncoder.encode(s, "UTF-8")
+      val params = Seq(s"part=$part", s"parts=$parts") ++
+        (if (required.nonEmpty) Seq(s"fields=${enc(required.fieldNames.mkString(","))}") else Nil) ++
+        (if (limit >= 0) Seq(s"limit=$limit") else Nil) ++
+        pushed.collect {
+          case EqualTo(a, v) => s"f_${enc(a)}=${enc(String.valueOf(v))}"
+          case IsNotNull(a)  => s"nn_${enc(a)}=1"
+        }
+      url + (if (url.contains('?')) "&" else "?") + params.mkString("&")
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until parts).map(i =>
+      GatherInputPartition(requestUrlFor(i), i, parts, local = !isHttp)).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = this
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GatherInputPartition]
+    new GatherPartitionReader(gp, retries, required, limit, pushed)
+  }
+}
+
+/** Executor-side reader: fetch the partition's body, parse JSON lines
+  * strictly (a malformed line fails the task — same FAILFAST posture as
+  * the client), re-apply pushed filters, stop at the pushed limit.
+  */
+private[v2] final class GatherPartitionReader(
+    p: GatherInputPartition, retries: Int, required: StructType,
+    limit: Int, pushed: Array[Filter])
+  extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+
+  private val lines: Iterator[String] = {
+    val body =
+      if (p.local) {
+        val path = if (p.requestUrl.startsWith("file:"))
+          Paths.get(URI.create(p.requestUrl)) else Paths.get(p.requestUrl)
+        new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+      } else HttpGatherClient.get(p.requestUrl, retries)
+    val all = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+    // local transport has no server-side paging: partition i owns every
+    // parts-th line (deterministic, disjoint, exhaustive)
+    if (p.local && p.parts > 1)
+      all.zipWithIndex.collect { case (l, i) if i % p.parts == p.part => l }
+    else all
+  }
+
+  private var emitted = 0
+  private var current: InternalRow = _
+
+  private def fieldValue(node: JsonNode, name: String): Any = {
+    val v = node.get(name)
+    if (v == null || v.isNull) null else v
+  }
+
+  private def matches(node: JsonNode): Boolean = pushed.forall {
+    case EqualTo(a, exp) =>
+      val v = fieldValue(node, a)
+      v != null && (v.asInstanceOf[JsonNode].asText == String.valueOf(exp))
+    case IsNotNull(a) => fieldValue(node, a) != null
+    case _ => true
+  }
+
+  private def toRow(node: JsonNode): InternalRow = {
+    val vals = required.fields.map { f =>
+      fieldValue(node, f.name) match {
+        case null => null
+        case n: JsonNode => f.dataType match {
+          case LongType    => n.asLong()
+          case IntegerType => n.asInt()
+          case DoubleType  => n.asDouble()
+          case BooleanType => n.asBoolean()
+          case StringType  => UTF8String.fromString(
+            if (n.isTextual) n.asText() else n.toString)
+          case other => throw new IllegalArgumentException(
+            s"gather source: unsupported field type $other for ${f.name}")
+        }
+      }
+    }
+    new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+  }
+
+  override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
+    while (lines.hasNext) {
+      val node = mapper.readTree(lines.next()) // malformed line -> throws
+      if (matches(node)) {
+        current = toRow(node)
+        emitted += 1
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

@@ -79,7 +79,13 @@ object SyncInputs {
     * [[graft.sync]] API consumes; flat form above is for oracle parity.
     */
   def nestedProjects(spark: SparkSession, dir: String): DataFrame =
-    projects(spark, dir).select(
+    nestProjects(projects(spark, dir))
+
+  /** The flat wire shape -> nested §1.1 shape projection (DW.js:79-91's
+    * input form); shared by the fixture path and the REST client.
+    */
+  def nestProjects(flat: DataFrame): DataFrame =
+    flat.select(
       col("id"),
       struct(
         col("iam"),
@@ -87,6 +93,39 @@ object SyncInputs {
       ).as("metadata"),
       struct(struct(col("title"), col("is_dataset").as("isDataset"))
         .as("proposalAttributes")).as("attributes"))
+
+  private val wireCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** The fixture project list landed as a JSON-lines file, for scanning
+    * through the [[graft.sources.v2.GatherSource]] V2 source without a
+    * live endpoint (its `file:` transport — the landed-list case a paging
+    * server produces). Written once per (application, fixture dir) by a
+    * Spark job (no driver-side collect) and memoized; returns the part
+    * file's path.
+    */
+  def projectsWireUrl(spark: SparkSession, dir: String): String =
+    wireCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-wire-projects").toString
+      projects(spark, dir).toJSON.coalesce(1)
+        .write.mode("overwrite").text(out)
+      val part = new java.io.File(out).listFiles()
+        .filter(f => f.getName.startsWith("part-")).minBy(_.getName)
+      part.getAbsolutePath
+    })
+
+  /** Nested projects scanned through the V2 source over the landed wire
+    * file — `sync_normalize_projects` consumes this so the P1/P2 entry
+    * exercises the DataSourceV2 scan (pruned down to id/p_file/p_md5 by
+    * Catalyst through the nesting projection).
+    */
+  def nestedProjectsV2(spark: SparkSession, dir: String): DataFrame =
+    nestProjects(
+      spark.read.format(graft.sources.v2.GatherSource.Format)
+        .schema(graft.sources.v2.GatherSource.ProjectsSchema)
+        .option("url", projectsWireUrl(spark, dir))
+        .load())
 
   /** server_cats(id, category, name, short_name, path, iam) — the remote
     * category list (DW.js:403-426): all folder categories except the

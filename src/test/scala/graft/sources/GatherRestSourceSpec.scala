@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.v2.GatherSource
+import graft.sync.SyncInputs
+
+/** S6 as a DataSourceV2 source: pushdown reaching the wire, paged
+  * partitioned reads, the file transport used by the oracled entries, and
+  * plan-level assertions (scan_remote_pushdown).
+  */
+class GatherRestSourceSpec extends SparkSpec {
+
+  private val wireLines =
+    """{"id": 1, "iam": "gatherbot", "p_file": "a/b.shp", "p_md5": "m1", "title": "t1", "is_dataset": true}
+      |{"id": 2, "iam": "gatherbot", "p_file": "c/d.shp", "p_md5": "m2", "title": "t2", "is_dataset": false}
+      |{"id": 3, "iam": "human", "p_file": "e/f.shp", "p_md5": "m3", "title": "t3", "is_dataset": true}
+      |{"id": 4, "iam": "gatherbot", "p_file": "g/h.shp", "p_md5": null, "title": "t4", "is_dataset": true}"""
+      .stripMargin
+
+  private def withServer(test: (String, ConcurrentLinkedQueue[String]) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val requests = new ConcurrentLinkedQueue[String]()
+    server.createContext("/projects", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      requests.add(q)
+      // server-side paging: shard lines by part/parts when asked (the
+      // cooperating-server case; pruning/limit params are ignored here,
+      // which the reader must tolerate)
+      val params = q.split("&").filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val part = params.getOrElse("part", "0").toInt
+      val parts = params.getOrElse("parts", "1").toInt
+      val mine = wireLines.split("\n").zipWithIndex
+        .collect { case (l, i) if i % parts == part => l }
+      val b = mine.mkString("\n").getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    })
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}/projects", requests)
+    finally server.stop(0)
+  }
+
+  private def scanDescription(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("http transport: full scan, typed nulls, short-name registration") {
+    withServer { (url, _) =>
+      // registered short name resolves through META-INF/services
+      val df = spark.read.format("gather")
+        .schema(GatherSource.ProjectsSchema).option("url", url).load()
+      val rows = df.orderBy("id").collect()
+      assert(rows.length == 4)
+      assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+      assert(rows(3).isNullAt(3)) // p_md5 null survives typed
+    }
+  }
+
+  test("scan_remote_pushdown: pruning, limit and filters reach the wire and the plan") {
+    withServer { (url, requests) =>
+      val base = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema).option("url", url).load()
+
+      // column pruning + limit pushdown
+      val pruned = base.select("id", "title").limit(2)
+      val desc = scanDescription(pruned)
+      assert(desc.contains("PushedLimit: 2"), s"plan missing pushed limit:\n$desc")
+      assert(desc.contains("ReadSchema: struct<id:bigint,title:string>"),
+        s"plan missing pruned schema:\n$desc")
+      assert(pruned.collect().length == 2)
+      val lastQ = requests.asScala.toSeq.last
+      assert(lastQ.contains("fields=id%2Ctitle") || lastQ.contains("fields=id,title"),
+        s"pruning did not reach the wire: $lastQ")
+      assert(lastQ.contains("limit=2"), s"limit did not reach the wire: $lastQ")
+
+      // EqualTo + IsNotNull push into the source; results still correct
+      val filtered = base.filter(col("iam") === "gatherbot" && col("p_md5").isNotNull)
+        .select("id")
+      val fdesc = scanDescription(filtered)
+      assert(fdesc.contains("EqualTo(iam,gatherbot)"), s"filter not pushed:\n$fdesc")
+      assert(fdesc.contains("IsNotNull(p_md5)"), s"isnotnull not pushed:\n$fdesc")
+      assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      val fq = requests.asScala.toSeq.last
+      assert(fq.contains("f_iam=gatherbot"), s"filter did not reach the wire: $fq")
+    }
+  }
+
+  test("paged partitioned read: parts=N plans N partitions, union is exact") {
+    withServer { (url, requests) =>
+      val df = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema)
+        .option("url", url).option("parts", "3").load()
+      assert(df.rdd.getNumPartitions == 3)
+      requests.clear()
+      assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L))
+      val pages = requests.asScala.toSeq
+      assert(pages.count(_.contains("parts=3")) == 3,
+        s"expected 3 paged requests, got: $pages")
+      assert((0 until 3).forall(i => pages.exists(_.contains(s"part=$i"))))
+    }
+  }
+
+  test("file transport: landed-list scan matches the in-memory derivation") {
+    val viaV2 = spark.read.format(GatherSource.Format)
+      .schema(GatherSource.ProjectsSchema)
+      .option("url", SyncInputs.projectsWireUrl(spark, sf001))
+      .option("parts", "4").load()
+    val direct = SyncInputs.projects(spark, sf001)
+    assert(viaV2.count() == direct.count())
+    assert(viaV2.exceptAll(direct).isEmpty && direct.exceptAll(viaV2).isEmpty)
+  }
+
+  test("nested consumption prunes the wire read through the projection") {
+    val nested = SyncInputs.nestedProjectsV2(spark, sf001)
+      .filter(col("metadata.file").isNotNull)
+      .select(col("id"), col("metadata.file.md5").as("md5"))
+    val desc = scanDescription(nested)
+    // only the columns the nesting projection actually needs are read
+    assert(desc.contains("ReadSchema: struct<id:bigint,p_md5:string>"),
+      s"nested projection did not prune the V2 read:\n$desc")
+    assert(nested.count() == SyncInputs.projects(spark, sf001).count())
+  }
+}
