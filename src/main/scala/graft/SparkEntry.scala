@@ -248,7 +248,28 @@ object SparkEntry {
         .load()
         .filter(col("iam") === "gatherbot" && col("is_dataset"))
         .select("id", "p_file", "title")
-        .orderBy("id")))
+        .orderBy("id")),
+    // Cross-run incremental sync: run 2's actions as a snapshot diff
+    // (create/rename/content_changed/archive) against run 1's file ledger
+    // (graft.sync.Incremental; the daemon loop DW.js:32,67 relationally)
+    "sync_incremental_actions" -> ((s, d) =>
+      graft.sync.Incremental.diffActions(
+        SyncInputs.files(s, d), SyncInputs.filesRun2(s, d))
+        .orderBy(col("action"), coalesce(col("file"), col("old_file")),
+          col("md5"))),
+    // SCD2 match ledger after folding two runs' pass-1 matches: unchanged
+    // matches keep their open row, vanished/changed ones close at run 2,
+    // new versions open at run 2
+    "sync_ledger_scd2" -> ((s, d) => {
+      val run1 = Pipeline.syncFixture(s, d).pass1
+      val run2 = Matching.pass1(
+        Dedup.markDuplicates(SyncInputs.filesRun2(s, d)),
+        SyncInputs.projects(s, d))
+      val l1 = graft.sync.Incremental.updateLedger(
+        graft.sync.Incremental.emptyLedger(s), run1, 1L)
+      graft.sync.Incremental.updateLedger(l1, run2, 2L)
+        .orderBy("id", "matched_ino", "valid_from")
+    }))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

@@ -1006,6 +1006,112 @@ shingles AS (
     "scan_remote_v2" -> sync(
       """SELECT id, p_file, title FROM projects
          WHERE iam = 'gatherbot' AND is_dataset ORDER BY id"""),
+    // Cross-run incremental sync: `files2` mirrors SyncInputs.filesRun2
+    // (deleted %10=9, moved/ %10=3, content-changed %10=6, extra %10=0,
+    // dup-group md5 override %17=5 taking precedence); the diff classifies
+    // by path join + rank-paired md5 rename detection.
+    "sync_incremental_actions" -> sync(
+      """, files2 AS (
+        SELECT doc_id AS ord, doc_id AS ino, n_chars AS "size",
+               CASE WHEN doc_id % 10 = 3 THEN 'moved/' ELSE '' END ||
+                 source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.shp' AS file,
+               CASE WHEN doc_id % 17 = 5 THEN md5('dup_' || CAST(doc_id % 4 AS VARCHAR))
+                    WHEN doc_id % 10 = 6 THEN md5('v2_' || text)
+                    ELSE md5(text) END AS md5
+        FROM documents WHERE doc_id % 10 <> 9
+        UNION ALL
+        SELECT doc_id + 5000000, doc_id + 5000000, n_chars + 1,
+               'extra/doc_' || CAST(doc_id AS VARCHAR) || '_extra.shp',
+               md5('extra_' || text)
+        FROM documents WHERE doc_id % 10 = 0
+      ),
+      bypath AS (
+        SELECT c.file AS cfile, c.md5 AS cmd5, p.file AS pfile, p.md5 AS pmd5
+        FROM files2 c FULL JOIN files p ON c.file = p.file
+      ),
+      adds AS (
+        SELECT cfile AS file, cmd5 AS md5,
+               ROW_NUMBER() OVER (PARTITION BY cmd5 ORDER BY cfile) AS rn
+        FROM bypath WHERE pfile IS NULL
+      ),
+      rems AS (
+        SELECT pfile AS file, pmd5 AS md5,
+               ROW_NUMBER() OVER (PARTITION BY pmd5 ORDER BY pfile) AS rn
+        FROM bypath WHERE cfile IS NULL
+      ),
+      pairs AS (
+        SELECT COALESCE(a.md5, r.md5) AS md5, a.file AS afile, r.file AS rfile
+        FROM adds a FULL JOIN rems r ON a.md5 = r.md5 AND a.rn = r.rn
+      )
+      SELECT * FROM (
+        SELECT 'content_changed' AS action, cfile AS file, pfile AS old_file,
+               cmd5 AS md5, pmd5 AS old_md5
+        FROM bypath
+        WHERE cfile IS NOT NULL AND pfile IS NOT NULL AND cmd5 <> pmd5
+        UNION ALL
+        SELECT 'rename', afile, rfile, md5, md5 FROM pairs
+        WHERE afile IS NOT NULL AND rfile IS NOT NULL
+        UNION ALL
+        SELECT 'create', afile, NULL, md5, NULL FROM pairs WHERE rfile IS NULL
+        UNION ALL
+        SELECT 'archive', NULL, rfile, NULL, md5 FROM pairs WHERE afile IS NULL
+      ) t ORDER BY action, COALESCE(file, old_file), md5"""),
+    // SCD2 ledger over two pass-1 runs: pass1_2 re-derives the match on
+    // files2 (dedup + prioritized join, same shape as pass1); the full
+    // join on the (id, ino) natural key opens/closes versions.
+    "sync_ledger_scd2" -> sync(
+      """, files2 AS (
+        SELECT doc_id AS ord, doc_id AS ino, n_chars AS "size",
+               CASE WHEN doc_id % 10 = 3 THEN 'moved/' ELSE '' END ||
+                 source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.shp' AS file,
+               CASE WHEN doc_id % 17 = 5 THEN md5('dup_' || CAST(doc_id % 4 AS VARCHAR))
+                    WHEN doc_id % 10 = 6 THEN md5('v2_' || text)
+                    ELSE md5(text) END AS md5
+        FROM documents WHERE doc_id % 10 <> 9
+        UNION ALL
+        SELECT doc_id + 5000000, doc_id + 5000000, n_chars + 1,
+               'extra/doc_' || CAST(doc_id AS VARCHAR) || '_extra.shp',
+               md5('extra_' || text)
+        FROM documents WHERE doc_id % 10 = 0
+      ),
+      dedup2 AS (
+        SELECT f.*, ROW_NUMBER() OVER (PARTITION BY md5 ORDER BY ord) AS rn
+        FROM files2 f
+      ),
+      pass1_2 AS (
+        SELECT d.ino, d.file,
+               COALESCE(pe.id, pm.id) AS project,
+               CASE WHEN pe.id IS NOT NULL THEN 'exactMatch'
+                    WHEN pm.id IS NOT NULL THEN 'md5Match' END AS kind
+        FROM dedup2 d
+        LEFT JOIN pbypath pe ON d.file = pe.p_file
+        LEFT JOIN pbymd5 pm ON d.md5 = pm.p_md5
+        WHERE d.rn = 1
+      ),
+      m1 AS (
+        SELECT project AS id, ino, file, "match" AS kind
+        FROM pass1 WHERE project IS NOT NULL
+      ),
+      m2 AS (
+        SELECT project AS id, ino, file, kind
+        FROM pass1_2 WHERE project IS NOT NULL
+      ),
+      scd AS (
+        SELECT COALESCE(m1.id, m2.id) AS id, COALESCE(m1.ino, m2.ino) AS ino,
+               m1.file AS f1, m1.kind AS k1, m2.file AS f2, m2.kind AS k2,
+               (m1.id IS NOT NULL) AS in1, (m2.id IS NOT NULL) AS in2
+        FROM m1 FULL JOIN m2 ON m1.id = m2.id AND m1.ino = m2.ino
+      )
+      SELECT * FROM (
+        SELECT id, ino AS matched_ino, f1 AS matched_file, k1 AS match_kind,
+               CAST(1 AS BIGINT) AS valid_from,
+               CAST(CASE WHEN in2 AND f2 = f1 AND k2 = k1 THEN NULL ELSE 2 END AS BIGINT) AS valid_to
+        FROM scd WHERE in1
+        UNION ALL
+        SELECT id, ino, f2, k2, CAST(2 AS BIGINT),
+               CAST(NULL AS BIGINT)
+        FROM scd WHERE in2 AND (NOT in1 OR f2 <> f1 OR k2 <> k1)
+      ) t ORDER BY id, matched_ino, valid_from"""),
     "sink_create_payloads_json" -> sync(
       """SELECT ord, title,
            '{"file":"' || file || '","md5":"' || md5 || '"}' AS file_json

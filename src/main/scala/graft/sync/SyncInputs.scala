@@ -49,6 +49,39 @@ object SyncInputs {
         .otherwise(md5(col("text")))
         .as("md5"))
 
+  /** The *second* run's file snapshot — [[files]] after a deterministic
+    * batch of filesystem changes, driving the cross-run incremental sync
+    * ([[Incremental]]). Mirrored 1:1 in the oracle's `files2` CTE.
+    * Mutations by doc_id % 10 (dup-group md5 overrides, % 17 == 5, take
+    * precedence exactly as in [[files]]):
+    *   - 9 -> deleted;
+    *   - 3 -> renamed (path gains a `moved/` prefix, content unchanged);
+    *   - 6 -> content changed (md5 re-derived from `v2_` || text);
+    *   - 0 -> an additional new file appears under `extra/`.
+    */
+  def filesRun2(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+    val mutated = base.filter(col("doc_id") % 10 =!= 9).select(
+      col("doc_id").as("ord"),
+      col("doc_id").as("ino"),
+      col("n_chars").as("size"),
+      when(col("doc_id") % 10 === 3, concat(lit("moved/"), pathCol))
+        .otherwise(pathCol).as("file"),
+      when(col("doc_id") % 17 === 5,
+        md5(concat(lit("dup_"), (col("doc_id") % 4).cast("string"))))
+        .when(col("doc_id") % 10 === 6, md5(concat(lit("v2_"), col("text"))))
+        .otherwise(md5(col("text")))
+        .as("md5"))
+    val extra = base.filter(col("doc_id") % 10 === 0).select(
+      (col("doc_id") + 5000000L).as("ord"),
+      (col("doc_id") + 5000000L).as("ino"),
+      (col("n_chars") + 1L).as("size"),
+      concat(lit("extra/doc_"), col("doc_id").cast("string"),
+        lit("_extra.shp")).as("file"),
+      md5(concat(lit("extra_"), col("text"))).as("md5"))
+    mutated.unionByName(extra)
+  }
+
   /** projects(id, iam, p_file, p_md5, title, is_dataset) — the remote project
     * list, flattened from the nested shape at DW.js:357-367 (see
     * [[nestedProjects]] for the API-faithful nested form).
