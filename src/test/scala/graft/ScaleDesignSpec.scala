@@ -92,6 +92,66 @@ class ScaleDesignSpec extends SparkSpec {
     assert(hot.exists(_.getAs[Long]("keep_doc_id") == 0L))
   }
 
+  test("AQE splits the skewed join partition at runtime (OptimizeSkewedJoin)") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+
+    // one hot key dominating the shuffle + thresholds scaled down to test
+    // size (the production posture is the same mechanism at defaults);
+    // broadcast disabled so the skewed sort-merge join is what runs
+    def runJoin(): (String, Long) = {
+      // per-row-unique payload (md5 of the row index): incompressible and
+      // un-prunable (the aggregate consumes it), so the hot key's shuffle
+      // partition is genuinely megabytes
+      val left = ((0 until 150000).map(i => (0L, i)) ++
+        (1 to 10000).map(i => (i.toLong, 200000 + i))).toDF("k", "i")
+        .withColumn("lp", md5(concat($"i".cast("string"), lit("payload"))))
+        .repartition(8)
+      val right = (0L to 10000L).toDF("k")
+      val j = left.join(right, "k")
+        .agg(count(lit(1)).as("n"), max(length($"lp")).as("m"))
+      val row = j.collect().head
+      assert(row.getAs[Int]("m") == 32)
+      // after execution the adaptive plan is final — skew markers visible
+      (j.queryExecution.executedPlan.toString, row.getAs[Long]("n"))
+    }
+
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "262144")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "131072")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+      val (skewPlan, n) = runJoin()
+      assert(n == 160000L)
+      assert(skewPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join in the final plan:\n$skewPlan")
+
+      // control: with skew handling off the marker must disappear — this
+      // test fails if someone disables the posture globally
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val (plainPlan, n2) = runJoin()
+      assert(n2 == 160000L)
+      assert(!plainPlan.contains("skew=true"),
+        s"skew marker present with skewJoin disabled:\n$plainPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("sketch family: approx distinct/percentile within error bounds of exact") {
     val rows = graft.ext.Analytics.sketchFamily(spark, sf001).collect()
     assert(rows.nonEmpty)
