@@ -150,6 +150,8 @@ object SparkEntry {
     "dedup_minhash_pairs" -> (graft.ext.TextDedup.minhashPairs(_, _)),
     "text_simhash" -> (graft.ext.TextDedup.simhashQuery(_, _)),
     "dedup_simhash_pairs" -> ((s, d) => graft.ext.TextDedup.simhashPairs(s, d)),
+    "text_simhash64" -> (graft.ext.TextDedup.simhash64Query(_, _)),
+    "dedup_simhash64_pairs" -> ((s, d) => graft.ext.TextDedup.simhash64Pairs(s, d)),
     "dedup_method_report" -> (graft.ext.TextDedup.methodComparison(_, _)),
     "dedup_jaccard_pairs" -> ((s, d) => graft.ext.TextDedup.jaccardPairs(s, d)),
     "embed_cosine_topk" -> ((s, d) => graft.ext.Similarity.cosineTopK(s, d)),

@@ -268,6 +268,88 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** 64-bit SimHash — the wider signature for corpora where 32 bits
+    * saturate (near-identical docs collapse to hamming 0/1 everywhere):
+    * 4 bits from each of the first 16 hex chars of every token md5, one
+    * vote per bit. Surfaced as the 64-char bitstring plus hi/lo 32-bit
+    * halves — two longs instead of one int64 so neither engine ever
+    * builds a sign-overflowing 64-bit value (the oracle reproduces hi/lo
+    * with shifted sums).
+    */
+  def simhash64(docs: DataFrame): DataFrame = {
+    // hex-char values v1..v16 computed once per token; the 64 bit-votes
+    // are then pure bit-ops over them (same narrow-aggregate shape as the
+    // 32-bit form: one shuffle on doc_id, no ×64 row explosion)
+    val hexVals = (1 to 16).map(c =>
+      conv(substring(col("h"), c, 1), 16, 10).cast("int").as(s"v$c"))
+    val voteCols = (1 to 64).map { i =>
+      val c = (i - 1) / 4 + 1
+      val s = 3 - (i - 1) % 4
+      when(sum(when(shiftright(col(s"v$c"), s).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)) >= 0, "1").otherwise("0").as(s"b$i")
+    }
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id") +: hexVals: _*)
+      .groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 64).map(i => col(s"b$i")): _*).as("simhash64"))
+  }
+
+  /** Memoized (doc_id, simhash64, hi, lo) — bitstring plus the two
+    * 32-bit halves as longs.
+    */
+  def cachedSimhash64(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "simhash64")(
+      simhash64(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("simhash64"),
+          conv(substring(col("simhash64"), 1, 32), 2, 10).cast("long").as("hi"),
+          conv(substring(col("simhash64"), 33, 32), 2, 10).cast("long").as("lo")))
+
+  def simhash64Query(spark: SparkSession, dir: String): DataFrame =
+    cachedSimhash64(spark, dir).select("doc_id", "simhash64").orderBy("doc_id")
+
+  /** 64-bit SimHash near-dup pairs: 4×16-bit bands (lossless for Hamming
+    * ≤ 3 by pigeonhole — a pair differing in ≤3 bits touches ≤3 bands, so
+    * at least one band is identical), verified with
+    * `bit_count(xor)` over each half.
+    */
+  def simhash64Pairs(spark: SparkSession, dir: String,
+                     maxHamming: Int = 3): DataFrame =
+    simhash64PairsOf(
+      cachedSimhash64(spark, dir).select("doc_id", "hi", "lo"), maxHamming)
+
+  /** The banded pair join over an arbitrary (doc_id, hi, lo) relation
+    * (exposed for the band-losslessness property test).
+    */
+  def simhash64PairsOf(ints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val m16 = lit(65535L)
+    val bands = ints.select(col("doc_id"), col("hi"), col("lo"),
+      explode(array(
+        struct(lit(0).as("j"), col("lo").bitwiseAND(m16).as("bv")),
+        struct(lit(1).as("j"),
+          shiftright(col("lo"), 16).bitwiseAND(m16).as("bv")),
+        struct(lit(2).as("j"), col("hi").bitwiseAND(m16).as("bv")),
+        struct(lit(3).as("j"),
+          shiftright(col("hi"), 16).bitwiseAND(m16).as("bv")))).as("band"))
+      .select(col("doc_id"), col("hi"), col("lo"),
+        col("band.j").as("j"), col("band.bv").as("bv"))
+    val a = bands.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"),
+      col("lo").as("lo_a"), col("j"), col("bv"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"),
+      col("lo").as("lo_b"), col("j"), col("bv"))
+    a.join(b, Seq("j", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      .withColumn("hamming",
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** End-to-end curation: the composed training-data pipeline — quality
     * gate (X4) -> near-dup removal via MinHash candidates (X2, drop the
     * higher doc_id of every confident pair) -> per-language corpus stats.

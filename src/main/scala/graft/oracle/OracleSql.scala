@@ -563,6 +563,67 @@ shingles AS (
       )
       SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
       FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // 64-bit SimHash: bit i (1..64) is bit (3 - (i-1)%4) of hex char
+    // (i+3)//4 of the token md5; hex-char value via strpos (Spark twin
+    // uses conv — same value).
+    "text_simhash64" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      bits AS (
+        SELECT doc_id, i,
+               CASE WHEN SUM(CASE WHEN
+                      (((strpos('0123456789abcdef',
+                          substr(md5(tok), (i + 3) // 4, 1)) - 1)
+                        >> (3 - (i - 1) % 4)) & 1) = 1
+                      THEN 1 ELSE -1 END) >= 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM toks, (SELECT unnest(generate_series(1, 64)) AS i) g
+        GROUP BY doc_id, i
+      )
+      SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash64
+      FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    // 64-bit banded pairs: hi/lo 32-bit halves built from shifted bit
+    // sums (shift <= 31, so no signed-64 overflow), 4x16-bit band join,
+    // hamming via per-half bit_count(xor).
+    "dedup_simhash64_pairs" -> """
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      bits AS (
+        SELECT doc_id, i,
+               CASE WHEN SUM(CASE WHEN
+                      (((strpos('0123456789abcdef',
+                          substr(md5(tok), (i + 3) // 4, 1)) - 1)
+                        >> (3 - (i - 1) % 4)) & 1) = 1
+                      THEN 1 ELSE -1 END) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM toks, (SELECT unnest(generate_series(1, 64)) AS i) g
+        GROUP BY doc_id, i
+      ),
+      halves AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN i <= 32 AND bit = 1
+                    THEN CAST(1 AS BIGINT) << (32 - i) ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN i > 32 AND bit = 1
+                    THEN CAST(1 AS BIGINT) << (64 - i) ELSE 0 END) AS BIGINT) AS lo
+        FROM bits GROUP BY doc_id
+      ),
+      bands AS (
+        SELECT doc_id, hi, lo, j,
+               CASE j WHEN 0 THEN lo & 65535
+                      WHEN 1 THEN (lo >> 16) & 65535
+                      WHEN 2 THEN hi & 65535
+                      ELSE (hi >> 16) & 65535 END AS bv
+        FROM halves, (SELECT unnest(generate_series(0, 3)) AS j) g
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.hi AS hi_a, a.lo AS lo_a, b.hi AS hi_b, b.lo AS lo_b
+        FROM bands a
+        JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+      )
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS BIGINT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+      ORDER BY doc_a, doc_b""",
     // Mirrors TextDedup.methodComparison: every near-dup method's pair /
     // dropped-doc counts, composed from the same CTE chains the individual
     // oracle queries use.

@@ -77,6 +77,48 @@ class ExtensionsSpec extends SparkSpec {
     assert(expected.nonEmpty, "corpus should produce at least one hd<=1 pair")
   }
 
+  test("simhash64 4x16-bit banding is lossless for hamming <= 3 vs brute force") {
+    // synthetic hi/lo halves with planted neighbors at hamming 1..4: the
+    // banded join must reproduce the brute-force hd<=3 pair set exactly
+    // (hd=4 pairs may or may not collide — they're filtered either way)
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i =>
+      (i.toLong, rnd.nextInt() & 0xffffffffL, rnd.nextInt() & 0xffffffffL))
+    val planted = (0 until 12).map { i =>
+      val (_, hi, lo) = base(i)
+      val flips = i % 4 + 1 // hamming 1..4 neighbors
+      val (h2, l2) = (0 until flips).foldLeft((hi, lo)) {
+        case ((h, l), k) =>
+          val bit = rnd.nextInt(64)
+          if (bit < 32) (h ^ (1L << bit), l) else (h, l ^ (1L << (bit - 32)))
+      }
+      (1000L + i, h2, l2)
+    }
+    val ints = (base ++ planted).toDF("doc_id", "hi", "lo")
+    val byId = (base ++ planted).map(t => t._1 -> (t._2, t._3)).toMap
+    val expected = (for {
+      a <- byId.keys; b <- byId.keys if a < b
+      ha = java.lang.Long.bitCount(byId(a)._1 ^ byId(b)._1) +
+        java.lang.Long.bitCount(byId(a)._2 ^ byId(b)._2)
+      if ha <= 3
+    } yield (a, b)).toSet
+    val got = TextDedup.simhash64PairsOf(ints).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(expected.nonEmpty, "planted neighbors must produce hd<=3 pairs")
+  }
+
+  test("simhash64 of identical docs is identical; bitstring is 64 chars of 0/1") {
+    val docs = Seq(
+      (1L, "spark query engine test"), (2L, "spark query engine test"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val h = TextDedup.simhash64(docs).orderBy("doc_id")
+      .select("simhash64").as[String].collect()
+    assert(h(0) == h(1))
+    assert(h.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+  }
+
   test("cosine: identical vectors similarity 1, orthogonal 0") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
