@@ -229,9 +229,10 @@ object SparkEntry {
     "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)),
     // streaming arbitrary state, new API (transformWithState + RocksDB)
     "stream_transform_state" -> (graft.streaming.EventStream.transformStateUserCounts(_, _)),
-    // rows-only: HLL++/t-digest sketch internals are engine-specific (no
-    // cross-engine oracle by construction); error bounds vs the exact
-    // twins in the same rows are asserted in ScaleDesignSpec
+    // oracled: sketch values surface as bound predicates beside their
+    // exact twins (the oracle asserts the booleans literally TRUE), so
+    // out-of-bound sketch drift fails the hash gate; raw sketch numbers
+    // stay observable via sketchFamilyRaw (bounds in ScaleDesignSpec)
     "agg_sketch_family" -> (graft.ext.Analytics.sketchFamily(_, _)),
     // rows-only: IVF over trained spark.ml KMeans cells (centroids come
     // from order-dependent float reductions -> no cross-engine oracle;

@@ -449,7 +449,7 @@ object Analytics {
     * bounds. Rows-only checked: sketch internals are engine-specific, so
     * no cross-engine oracle exists by construction.
     */
-  def sketchFamily(spark: SparkSession, dir: String): DataFrame = {
+  def sketchFamilyRaw(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val approx = li.groupBy("l_returnflag")
       .agg(
@@ -467,6 +467,24 @@ object Analytics {
         round(col("exact_p50"), 6).as("exact_p50"))
       .orderBy("l_returnflag")
   }
+
+  /** The oracled form: sketch values are surfaced as *bound predicates*
+    * beside their exact twins — the oracle computes the exact columns and
+    * asserts the booleans literally TRUE, so a sketch drifting out of its
+    * error bound hash-mismatches the gate even though the raw sketch
+    * value itself is engine-specific. [[sketchFamilyRaw]] keeps the raw
+    * values observable (ScaleDesignSpec asserts the numeric bounds).
+    */
+  def sketchFamily(spark: SparkSession, dir: String): DataFrame =
+    sketchFamilyRaw(spark, dir)
+      .select(col("l_returnflag"), col("n"),
+        col("exact_parts"), col("exact_p50"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          .cast("double") / col("exact_parts") <= 0.05)
+          .as("parts_within_5pct"),
+        (abs(col("approx_p50") - col("exact_p50")) <= 2.0)
+          .as("p50_within_2"))
+      .orderBy("l_returnflag")
 
   /** Rollup aggregate (extension of A-family; SURVEY.md §2.4 notes the
     * reference has none — mandated by the events/star extension surface).

@@ -566,6 +566,19 @@ shingles AS (
     // 64-bit SimHash: bit i (1..64) is bit (3 - (i-1)%4) of hex char
     // (i+3)//4 of the token md5; hex-char value via strpos (Spark twin
     // uses conv — same value).
+    // Sketch family: the exact columns are engine-portable; the boolean
+    // bound columns are literally TRUE here — if Spark's HLL++ /
+    // approx_percentile drift past their documented bounds, its booleans
+    // flip false and the hash gate fails.
+    "agg_sketch_family" -> """
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n, exact_parts, exact_p50,
+             TRUE AS parts_within_5pct, TRUE AS p50_within_2
+      FROM (
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS exact_p50
+        FROM lineitem GROUP BY l_returnflag) t
+      ORDER BY l_returnflag""",
     "text_simhash64" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       bits AS (

@@ -153,7 +153,7 @@ class ScaleDesignSpec extends SparkSpec {
   }
 
   test("sketch family: approx distinct/percentile within error bounds of exact") {
-    val rows = graft.ext.Analytics.sketchFamily(spark, sf001).collect()
+    val rows = graft.ext.Analytics.sketchFamilyRaw(spark, sf001).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (ap, ep) = (r.getAs[Long]("approx_parts"), r.getAs[Long]("exact_parts"))
