@@ -108,6 +108,12 @@ object SparkEntry {
     "tpch_q13_custdist" -> (graft.ext.Analytics.q13CustDist(_, _)),
     "tpch_q8_share" -> (graft.ext.Analytics.q8MarketShare(_, _)),
     "tpch_q21_waiting" -> (graft.ext.Analytics.q21WaitingSuppliers(_, _)),
+    // q9/q11/q20 shapes over the deterministic partsupp stand-in (the
+    // fixture set ships no partsupp.parquet; Analytics.partsupp derives
+    // one identically in both engines)
+    "tpch_q9_profit" -> (graft.ext.Analytics.q9Profit(_, _)),
+    "tpch_q11_stock" -> (graft.ext.Analytics.q11ImportantStock(_, _)),
+    "tpch_q20_promo" -> (graft.ext.Analytics.q20PromoSuppliers(_, _)),
     // §2.8 scalar-function family, explicit (lower/upper/split/element_at/
     // regexp_extract/lpad/reverse/length/substr-of-md5/cast)
     "scalar_functions" -> ((s, d) => {

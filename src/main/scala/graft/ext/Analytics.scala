@@ -449,6 +449,105 @@ object Analytics {
     * bounds. Rows-only checked: sketch internals are engine-specific, so
     * no cross-engine oracle exists by construction.
     */
+  /** Deterministic `partsupp` stand-in — the fixture set ships no
+    * partsupp.parquet, which blocked the q9/q11/q20 join/subquery shapes.
+    * TPC-H-style derivation: 4 suppliers per part, keys and values pure
+    * integer functions of (p_partkey, i, |supplier|), mirrored verbatim
+    * in the oracle's PARTSUPP_CTE — both engines compute the identical
+    * relation, so the stand-in is as oracle-checkable as a real fixture.
+    * Scale shape: |part|×4 rows, derived in one narrow pass off the part
+    * scan with the supplier count broadcast.
+    */
+  def partsupp(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(col("p_partkey"))
+      .crossJoin(broadcast(
+        Tables.supplier(spark, dir).agg(count(lit(1)).as("s_cnt"))))
+      .select(col("p_partkey"), col("s_cnt"),
+        explode(expr("sequence(0, 3)")).as("i"))
+      .select(col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("s_cnt"))
+          .as("ps_suppkey"))
+      .withColumn("ps_availqty",
+        (lit(1) + (col("ps_partkey") * 17 + col("ps_suppkey") * 29) % 9999)
+          .cast("long"))
+      .withColumn("ps_supplycost",
+        (lit(100) + (col("ps_partkey") * 31 + col("ps_suppkey") * 37) % 99900)
+          .cast("double") / 100.0)
+
+  /** TPC-H Q9 — product-type profit by nation and year: the 5-way
+    * fact-to-partsupp join shape. Profit terms are per-product DECIMAL
+    * intermediates (see q1) so the sum is order-independent.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val amount =
+      (d2("l_extendedprice") * (lit(1) - d2("l_discount"))).cast(D4) -
+        (d2("ps_supplycost") * d2("l_quantity")).cast(D4)
+    Tables.lineitem(spark, dir)
+      .join(partsupp(spark, dir),
+        col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+      .join(Tables.part(spark, dir).filter(col("p_name").contains("widget")),
+        col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(spark, dir), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.nation(spark, dir), col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 — important stock identification: grouped value with a
+    * scalar-aggregate threshold (value > 1.5× the mean part value among
+    * the selected nations).
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val scoped = partsupp(spark, dir)
+      .join(Tables.supplier(spark, dir).filter(col("s_nationkey") < 5),
+        col("ps_suppkey") === col("s_suppkey"))
+    // per-part value stays DECIMAL end-to-end (exact, order-independent);
+    // the threshold divides the exact total — doubles appear only at the
+    // comparison and the surfaced column, computed identically on both
+    // engines from the same decimals
+    val perPart = scoped.groupBy("ps_partkey").agg(
+      sum((d2("ps_supplycost") * d2("ps_availqty")).cast(D4)).as("value_dec"))
+    val threshold = perPart.agg(
+      (sum("value_dec").cast("double") / count(lit(1)) * 1.5).as("thr"))
+    perPart.crossJoin(broadcast(threshold))
+      .filter(col("value_dec").cast("double") > col("thr"))
+      .select(col("ps_partkey"),
+        col("value_dec").cast(D2).cast("double").as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q20 — potential-part-promotion supplier selection. The spec's
+    * correlated scalar subquery (availqty > half the quantity this
+    * part-supplier shipped in 1996) is expressed as the join+aggregate
+    * Catalyst would decorrelate it into; the oracle runs the literal
+    * correlated form — equal semantics, including the empty-subquery
+    * (NULL comparison) exclusion.
+    */
+  def q20PromoSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(d2("l_quantity")).cast("double").as("qty_1996"))
+    val smallParts = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small")).select("p_partkey")
+    val selected = partsupp(spark, dir)
+      .join(smallParts, col("ps_partkey") === col("p_partkey"))
+      .join(shipped, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter(col("ps_availqty").cast("double") > col("qty_1996") * 0.5)
+      .select("ps_suppkey").distinct()
+    Tables.supplier(spark, dir)
+      .join(selected, col("s_suppkey") === col("ps_suppkey"))
+      .join(Tables.nation(spark, dir), col("n_nationkey") === col("s_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy("s_name")
+  }
+
   def sketchFamilyRaw(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val approx = li.groupBy("l_returnflag")

@@ -210,6 +210,19 @@ cat_remove AS (
 
   private val D2 = "DECIMAL(18,2)"
 
+  /** Derived partsupp stand-in — mirrors [[graft.ext.Analytics.partsupp]]
+    * verbatim: 4 suppliers per part, integer-function keys/values.
+    */
+  private val PARTSUPP_CTE: String = """partsupp AS (
+    SELECT p_partkey AS ps_partkey,
+           (p_partkey * 7 + i * 13) % s_cnt AS ps_suppkey,
+           1 + (p_partkey * 17 + ((p_partkey * 7 + i * 13) % s_cnt) * 29) % 9999 AS ps_availqty,
+           (100 + (p_partkey * 31 + ((p_partkey * 7 + i * 13) % s_cnt) * 37) % 99900) / 100.0 AS ps_supplycost
+    FROM part
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+    CROSS JOIN (SELECT COUNT(*) AS s_cnt FROM supplier) sc
+  )"""
+
   val analytics_queries: Map[String, String] = Map(
     "tpch_q1" -> s"""
       SELECT l_returnflag, l_linestatus,
@@ -566,6 +579,56 @@ shingles AS (
     // 64-bit SimHash: bit i (1..64) is bit (3 - (i-1)%4) of hex char
     // (i+3)//4 of the token md5; hex-char value via strpos (Spark twin
     // uses conv — same value).
+    // TPC-H q9/q11/q20 over the derived partsupp stand-in — PARTSUPP_CTE
+    // mirrors Analytics.partsupp verbatim.
+    "tpch_q9_profit" -> s"""
+      WITH $PARTSUPP_CTE
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(
+               CAST(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2)) AS DECIMAL(18,4)) -
+               CAST(CAST(ps_supplycost AS $D2) * CAST(l_quantity AS $D2) AS DECIMAL(18,4))
+             ) AS DOUBLE) AS sum_profit
+      FROM lineitem
+      JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+      GROUP BY n_name, year(o_orderdate)
+      ORDER BY nation, o_year DESC""",
+    "tpch_q11_stock" -> s"""
+      WITH $PARTSUPP_CTE,
+      perpart AS (
+        SELECT ps_partkey,
+               SUM(CAST(CAST(ps_supplycost AS $D2) * CAST(ps_availqty AS $D2) AS DECIMAL(18,4))) AS value_dec
+        FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+        WHERE s_nationkey < 5
+        GROUP BY ps_partkey),
+      thr AS (
+        SELECT CAST(SUM(value_dec) AS DOUBLE) / COUNT(*) * 1.5 AS thr
+        FROM perpart)
+      SELECT ps_partkey,
+             CAST(CAST(value_dec AS $D2) AS DOUBLE) AS value
+      FROM perpart, thr
+      WHERE CAST(value_dec AS DOUBLE) > thr
+      ORDER BY value DESC, ps_partkey""",
+    // the literal correlated-subquery form (the Spark twin runs the
+    // decorrelated join+aggregate — equal semantics incl. NULL exclusion)
+    "tpch_q20_promo" -> s"""
+      WITH $PARTSUPP_CTE
+      SELECT s_name, n_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND CAST(ps_availqty AS DOUBLE) > (
+            SELECT CAST(SUM(CAST(l_quantity AS $D2)) AS DOUBLE) * 0.5
+            FROM lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      ORDER BY s_name""",
     // Sketch family: the exact columns are engine-portable; the boolean
     // bound columns are literally TRUE here — if Spark's HLL++ /
     // approx_percentile drift past their documented bounds, its booleans
