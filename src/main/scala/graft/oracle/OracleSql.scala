@@ -1100,6 +1100,19 @@ shingles AS (
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Append-mode twin: only watermark-closed windows (window end <= max
+    // event time - 1h; Spark tracks the watermark at ms precision, hence
+    // the millisecond trunc of the max).
+    "stream_tumbling_append" -> s"""
+      WITH mx AS (SELECT date_trunc('millisecond', max(CAST(ts AS TIMESTAMP))) AS mt
+                  FROM events)
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
+      FROM events, mx
+      WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+            <= mt - INTERVAL 1 HOUR
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_sessions" -> """
       WITH e AS (
         SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events

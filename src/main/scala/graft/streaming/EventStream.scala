@@ -77,7 +77,33 @@ object EventStream {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
+    // complete mode is HARNESS-ONLY: the memory sink holds the full
+    // window state on the driver, which is fine for a finite oracled
+    // replay but unbounded on a real stream — the production form is
+    // [[tumblingHourlyAppend]] (append mode, closed windows only,
+    // evictable state).
     runToMemory(agg, "complete").orderBy("hour_start", "event_type")
+  }
+
+  /** The production form of [[tumblingHourly]]: append output mode, so
+    * only windows the watermark has closed (window.end <= max event time
+    * - 1h, watermark at millisecond precision) are emitted and their
+    * state evicted — bounded state on an unbounded stream. AvailableNow
+    * still flushes closed windows on a finite input via the trailing
+    * no-data micro-batch; the oracle applies the same closed-window
+    * predicate to the batch aggregate.
+    */
+  def tumblingHourlyAppend(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    runToMemory(agg, "append").orderBy("hour_start", "event_type")
   }
 
   /** Streaming sessionization via the native `session_window` operator
@@ -93,6 +119,10 @@ object EventStream {
         unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
+    // complete mode is HARNESS-ONLY (full session state in the driver
+    // memory sink — see tumblingHourly); the production posture is append
+    // mode, where a session emits once the watermark passes its end+gap
+    // and its state evicts.
     runToMemory(agg, "complete").orderBy("user_id", "start_us")
   }
 
