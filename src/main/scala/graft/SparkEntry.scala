@@ -114,6 +114,8 @@ object SparkEntry {
     "tpch_q9_profit" -> (graft.ext.Analytics.q9Profit(_, _)),
     "tpch_q11_stock" -> (graft.ext.Analytics.q11ImportantStock(_, _)),
     "tpch_q20_promo" -> (graft.ext.Analytics.q20PromoSuppliers(_, _)),
+    "tpch_q15_topsupp" -> (graft.ext.Analytics.q15TopSupplier(_, _)),
+    "tpch_q16_partsupp" -> (graft.ext.Analytics.q16PartsSupplier(_, _)),
     // §2.8 scalar-function family, explicit (lower/upper/split/element_at/
     // regexp_extract/lpad/reverse/length/substr-of-md5/cast)
     "scalar_functions" -> ((s, d) => {

@@ -548,6 +548,46 @@ object Analytics {
       .orderBy("s_name")
   }
 
+  /** TPC-H Q15 — top supplier by period revenue: the revenue-view +
+    * scalar-max shape. Revenue stays DECIMAL so the max-equality join is
+    * exact (a double max would be order-dependent at the boundary).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum((d2("l_extendedprice") * (lit(1) - d2("l_discount"))).cast(D4))
+        .as("total_dec"))
+    val maxRev = revenue.agg(max("total_dec").as("max_dec"))
+    Tables.supplier(spark, dir)
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_dec") === col("max_dec"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q16 — parts/supplier relationship: distinct-count with an
+    * excluded-supplier anti-join (the NOT IN subquery shape).
+    */
+  def q16PartsSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = Tables.supplier(spark, dir)
+      .filter(col("s_name").endsWith("7")).select(col("s_suppkey"))
+    partsupp(spark, dir)
+      .join(excluded, col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(Tables.part(spark, dir)
+        .filter(col("p_brand") =!= "Brand#1" &&
+          !col("p_type").startsWith("PROMO") &&
+          col("p_size") <= 25),
+        col("p_partkey") === col("ps_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   def sketchFamilyRaw(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val approx = li.groupBy("l_returnflag")

@@ -629,6 +629,30 @@ shingles AS (
               AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
       ORDER BY s_name""",
+    "tpch_q15_topsupp" -> s"""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM(CAST(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2)) AS DECIMAL(18,4))) AS total_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+      FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+      ORDER BY s_suppkey""",
+    "tpch_q16_partsupp" -> s"""
+      WITH $PARTSUPP_CTE
+      SELECT p_brand, p_type, p_size,
+             CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+      FROM partsupp JOIN part ON p_partkey = ps_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND p_type NOT LIKE 'PROMO%'
+        AND p_size <= 25
+        AND ps_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
     // Sketch family: the exact columns are engine-portable; the boolean
     // bound columns are literally TRUE here — if Spark's HLL++ /
     // approx_percentile drift past their documented bounds, its booleans
