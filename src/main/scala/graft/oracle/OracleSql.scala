@@ -1124,6 +1124,21 @@ shingles AS (
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Stream-stream interval join twin: the batch inner range join (inner
+    // matches emit regardless of watermark, so finite replay == batch).
+    "stream_range_join" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events),
+      s AS (SELECT event_id AS signup_id, user_id, us AS s_us
+            FROM ev WHERE event_type = 'signup'),
+      p AS (SELECT event_id AS purchase_id, user_id AS p_user, us AS p_us, value
+            FROM ev WHERE event_type = 'purchase')
+      SELECT signup_id, purchase_id, user_id, value
+      FROM s JOIN p ON p_user = user_id
+         AND p_us >= s_us AND p_us < s_us + 3600000000
+      ORDER BY signup_id, purchase_id""",
     // Append-mode twin: only watermark-closed windows (window end <= max
     // event time - 1h; Spark tracks the watermark at ms precision, hence
     // the millisecond trunc of the max).

@@ -195,6 +195,36 @@ object EventStream {
     }
   }
 
+  /** Stream-stream interval join — the two-sided stateful join class:
+    * signups and purchases arrive as two watermarked streams, joined on
+    * user plus a one-hour event-time range. The time-bound condition plus
+    * the two watermarks let Spark evict both sides' join state once the
+    * watermark passes the match window — bounded state on unbounded
+    * streams, where an unconstrained stream-stream join would buffer
+    * forever. Inner-join matches emit as they occur (watermarks only
+    * bound state, they don't withhold inner results), so the finite
+    * AvailableNow replay equals the batch interval join the oracle runs.
+    */
+  def streamStreamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = readEvents(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val p = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = s.join(p,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("signup_id"), col("purchase_id"),
+        col("s_user").as("user_id"), col("value"))
+    runToMemory(joined, "append").orderBy("signup_id", "purchase_id")
+  }
+
   /** Stateful streaming dedup — X1's streaming form; count of distinct
     * keys is the comparable output.
     *
