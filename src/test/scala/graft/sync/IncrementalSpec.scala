@@ -103,6 +103,34 @@ class IncrementalSpec extends SparkSpec {
     l2.unpersist()
   }
 
+  test("ledger round-trips through parquet: resume equals in-memory chain") {
+    // the daemon restarts between runs — run 2 must fold onto a ledger
+    // REREAD from storage, not a live DataFrame, and get the same answer
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val run1 = Pipeline.syncFixture(spark, sf001).pass1
+    Incremental.updateLedger(Incremental.emptyLedger(spark), run1, 1L)
+      .write.mode("overwrite").parquet(s"$tmp/match_ledger")
+    SyncInputs.files(spark, sf001)
+      .write.mode("overwrite").parquet(s"$tmp/file_snapshot")
+
+    val run2 = Matching.pass1(
+      Dedup.markDuplicates(SyncInputs.filesRun2(spark, sf001)),
+      SyncInputs.projects(spark, sf001))
+    val resumed = Incremental.updateLedger(
+      spark.read.parquet(s"$tmp/match_ledger"), run2, 2L)
+    val inMemory = ledgerAfterRuns()
+    assert(resumed.exceptAll(inMemory).isEmpty &&
+      inMemory.exceptAll(resumed).isEmpty)
+
+    val resumedDiff = Incremental.diffActions(
+      spark.read.parquet(s"$tmp/file_snapshot"),
+      SyncInputs.filesRun2(spark, sf001))
+    val liveDiff = Incremental.diffActions(
+      SyncInputs.files(spark, sf001), SyncInputs.filesRun2(spark, sf001))
+    assert(resumedDiff.exceptAll(liveDiff).isEmpty &&
+      liveDiff.exceptAll(resumedDiff).isEmpty)
+  }
+
   test("property: re-applying the same run leaves the ledger unchanged") {
     val run1 = Pipeline.syncFixture(spark, sf001).pass1
     val l1 = Incremental.updateLedger(
