@@ -258,13 +258,14 @@ object TextDedup {
       col("j"), col("bv"))
     a.join(b, Seq("j", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      // sim_a/sim_b are functionally determined by the ids, so this is a
-      // pair-distinct that avoids re-joining the signature relation
-      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      // verify BEFORE the pair-distinct: hamming is a pure function of
+      // the pair and the bit_count is codegen'd row-local work, so
+      // filtering first shrinks the distinct's shuffle from every
+      // band collision down to the actual near-dup pairs
       .withColumn("hamming",
         expr("bit_count(sim_a ^ sim_b)").cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
   }
 
@@ -341,12 +342,14 @@ object TextDedup {
       col("lo").as("lo_b"), col("j"), col("bv"))
     a.join(b, Seq("j", "bv"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "hi_a", "lo_a", "hi_b", "lo_b").distinct()
+      // verify before the pair-distinct (see simhashPairsOf): the
+      // distinct then shuffles only true near-dup pairs, not every
+      // band collision
       .withColumn("hamming",
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
           .cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").distinct()
       .orderBy("doc_a", "doc_b")
   }
 
