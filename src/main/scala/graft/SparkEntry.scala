@@ -181,6 +181,8 @@ object SparkEntry {
     "stream_tumbling" -> (graft.streaming.EventStream.tumblingHourly(_, _)),
     "stream_tumbling_append" -> (graft.streaming.EventStream.tumblingHourlyAppend(_, _)),
     "stream_range_join" -> (graft.streaming.EventStream.streamStreamRangeJoin(_, _)),
+    "stream_left_join" -> (graft.streaming.EventStream.streamStreamLeftJoin(_, _)),
+    "stream_sessions_append" -> (graft.streaming.EventStream.sessionWindowsAppend(_, _)),
     "stream_sessions" -> (graft.streaming.EventStream.sessionWindows(_, _)),
     "stream_dedup" -> (graft.streaming.EventStream.dedupDistinctPairs(_, _)),
     // S1-S5 over the fixture dir itself (rows-only check: no DuckDB oracle

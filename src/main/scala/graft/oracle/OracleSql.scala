@@ -1139,6 +1139,46 @@ shingles AS (
       FROM s JOIN p ON p_user = user_id
          AND p_us >= s_us AND p_us < s_us + 3600000000
       ORDER BY signup_id, purchase_id""",
+    // Left-outer stream-stream twin: the flush sentinels make every real
+    // signup decidable, so the streaming result is exactly the batch
+    // left join.
+    "stream_left_join" -> """
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+        FROM events),
+      s AS (SELECT event_id AS signup_id, user_id, us AS s_us
+            FROM ev WHERE event_type = 'signup'),
+      p AS (SELECT event_id AS purchase_id, user_id AS p_user, us AS p_us, value
+            FROM ev WHERE event_type = 'purchase')
+      SELECT s.signup_id, p.purchase_id, s.user_id, p.value
+      FROM s LEFT JOIN p ON p.p_user = s.user_id
+         AND p.p_us >= s.s_us AND p.p_us < s.s_us + 3600000000
+      ORDER BY signup_id, purchase_id""",
+    // Append-mode sessionization twin: sessions whose end (last event +
+    // 30min gap) the watermark has passed.
+    "stream_sessions_append" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+      ), wm AS (
+        SELECT epoch_us(date_trunc('millisecond', max(CAST(ts AS TIMESTAMP))))
+               - 3600000000 AS wm_us
+        FROM events
+      ), flagged AS (
+        SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000 OR LAG(us) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ), sess AS (
+        SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, start_us, end_us, n_events FROM (
+        SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
+               COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, session_id) t, wm
+      WHERE end_us <= wm_us
+      ORDER BY user_id, start_us""",
     // Append-mode twin: only watermark-closed windows (window end <= max
     // event time - 1h; Spark tracks the watermark at ms precision, hence
     // the millisecond trunc of the max).

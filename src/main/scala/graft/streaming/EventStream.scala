@@ -225,6 +225,96 @@ object EventStream {
     runToMemory(joined, "append").orderBy("signup_id", "purchase_id")
   }
 
+  /** One far-future sentinel event per side, landed as a parquet file
+    * and streamed alongside the fixture: it advances both sides'
+    * watermarks a day past the data, so every real row's no-match proof
+    * is decidable before the stream ends. This is the standard
+    * close-the-stream flush — the engine's internal outer-emission bound
+    * (watermark delay + condition window + cleanup-batch granularity) is
+    * NOT a stable oracle quantity, but "sentinel far beyond every bound"
+    * is. Sentinels carry user_id -1 and are filtered out after the
+    * watermark operator has seen them.
+    */
+  private val sentinelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def sentinelDir(spark: SparkSession, dir: String): String =
+    sentinelCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      import spark.implicits._
+      val maxNs = graft.tables.Tables.events(spark, dir)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
+      val flushNs = maxNs + 86400L * 1000000000L // one day beyond the data
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-stream-sentinel").toString
+      Seq((-1L, flushNs, -1L, "signup", 0.0, "{}"),
+        (-2L, flushNs, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** The fixture events stream plus the flush sentinels. */
+  private def readEventsFlushed(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir).unionByName(
+      spark.readStream.schema(eventsSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(sentinelDir(spark, dir))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+
+  /** Left-outer stream-stream join: like [[streamStreamRangeJoin]] but a
+    * signup with no purchase in its hour emits a null-extended row once
+    * the watermark proves no match can still arrive — the semantics that
+    * make stream-stream outer joins need both the watermark and the
+    * time-bound condition. The flush sentinels make every real signup
+    * decidable on the finite replay, so the result equals the batch
+    * left join exactly.
+    */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    // NOTE: sentinels flow through the whole streaming plan on purpose.
+    // A pre-join `user_id >= 0` filter would be pushed below the
+    // EventTimeWatermark operator by Catalyst (it's deterministic and
+    // doesn't reference the event-time column), silently dropping the
+    // sentinels before they advance the watermark. The two sentinels
+    // only ever match each other (user -1), and that one pair is
+    // excluded from the *sink* table, batch-side.
+    val ev = readEventsFlushed(spark, dir)
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = s.join(p,
+      col("p_user") === col("s_user") &&
+        col("p_ts") >= col("s_ts") &&
+        col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("signup_id"), col("purchase_id"),
+        col("s_user").as("user_id"), col("value"))
+    runToMemory(joined, "append")
+      .filter(col("user_id") >= 0)
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  /** Append-mode sessionization: only sessions the watermark has closed
+    * (last event + 30min gap behind the watermark) are emitted and their
+    * state evicted — [[sessionWindows]]' production posture, same
+    * closed-session predicate on the oracle's batch sessionization.
+    */
+  def sessionWindowsAppend(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+    runToMemory(agg, "append").orderBy("user_id", "start_us")
+  }
+
   /** Stateful streaming dedup — X1's streaming form; count of distinct
     * keys is the comparable output.
     *
