@@ -171,6 +171,7 @@ object SparkEntry {
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),
     "text_tokens" -> (graft.ext.TextStats.tokenStats(_, _)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
+    "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),

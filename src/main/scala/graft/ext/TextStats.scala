@@ -148,6 +148,31 @@ object TextStats {
           .as("chars_per_token"))
       .orderBy("lang")
 
+  /** Vocabulary heavy hitters — the frequent-items sketch family for
+    * corpus curation (which tokens dominate the training mix): exact
+    * heavy hitters (> 0.5% of all tokens) beside a membership check
+    * against Spark's approximate `freqItems` (a count-based sketch whose
+    * contract guarantees a superset at the given support). Gated like
+    * the other sketches: the oracle computes the exact rows and asserts
+    * `in_approx` literally TRUE, so a sketch missing a true heavy hitter
+    * fails the hash gate. The sketch result is one small array row,
+    * broadcast back — no driver-side collect in the query path.
+    */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   support: Double = 0.005): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val approx = toks.stat.freqItems(Seq("tok"), support)
+    toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") > col("n_total") * support)
+      .crossJoin(broadcast(approx))
+      .select(col("tok"), col("cnt"),
+        array_contains(col("tok_freqItems"), col("tok")).as("in_approx"))
+      .orderBy("tok")
+  }
+
   /** Document fingerprinting: min-hash fingerprint over the shingle set +
     * a winnowing-style selected-shingle count (md5 prefix '0' ≈ keep-1/16
     * sampling of the shingle space — content-defined, shift-invariant).

@@ -1018,6 +1018,16 @@ shingles AS (
              CAST(SUM(CASE WHEN md5(sh) LIKE '0%' THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
              COUNT(*) AS n_shingles
       FROM shingles GROUP BY doc_id ORDER BY doc_id""",
+    // Heavy hitters: exact tokens above support; in_approx literally TRUE
+    // (Spark's freqItems contract: superset at the given support).
+    "text_heavy_hitters" -> """
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      tot AS (SELECT COUNT(*) AS n_total FROM toks)
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt, TRUE AS in_approx
+      FROM toks, tot
+      GROUP BY tok, n_total
+      HAVING COUNT(*) > n_total * 0.005
+      ORDER BY tok""",
     "curation_pipeline" -> s"""
       WITH ${SHINGLES.trim},
       sigs AS (
