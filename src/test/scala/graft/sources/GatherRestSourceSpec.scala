@@ -110,6 +110,45 @@ class GatherRestSourceSpec extends SparkSpec {
     }
   }
 
+  test("error paths: 404 fails the task without retrying; 503 retries then succeeds") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val attempts404 = new java.util.concurrent.atomic.AtomicInteger(0)
+    val attempts503 = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/missing", (ex: HttpExchange) => {
+      attempts404.incrementAndGet()
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      // first two deliveries 503, then a valid body
+      if (attempts503.incrementAndGet() <= 2) {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      } else {
+        val b = """{"id": 1, "iam": "gatherbot", "p_file": "a.shp", "p_md5": "m", "title": "t", "is_dataset": true}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val bad = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema)
+        .option("url", s"$base/missing").load()
+      val e = intercept[org.apache.spark.SparkException](bad.collect())
+      assert(e.getMessage.contains("404") ||
+        Option(e.getCause).exists(_.getMessage.contains("404")))
+      assert(attempts404.get() == 1,
+        s"permanent 404 must not burn the retry budget: ${attempts404.get()} attempts")
+
+      val flaky = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema)
+        .option("url", s"$base/flaky").load()
+      assert(flaky.collect().map(_.getLong(0)).toSeq == Seq(1L))
+      assert(attempts503.get() == 3)
+    } finally server.stop(0)
+  }
+
   test("file transport: landed-list scan matches the in-memory derivation") {
     val viaV2 = spark.read.format(GatherSource.Format)
       .schema(GatherSource.ProjectsSchema)
