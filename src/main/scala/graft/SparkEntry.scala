@@ -172,6 +172,7 @@ object SparkEntry {
     "text_tokens" -> (graft.ext.TextStats.tokenStats(_, _)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
+    "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),

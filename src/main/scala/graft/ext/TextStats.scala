@@ -173,6 +173,30 @@ object TextStats {
       .orderBy("tok")
   }
 
+  /** Deterministic train/validation/test split — the assignment a
+    * training-data pipeline must be able to reproduce forever: bucket by
+    * the first 4 hex chars of md5(doc_id || salt) (content-independent,
+    * engine-portable, stable under re-partitioning and re-runs — unlike
+    * `randomSplit`, which is seed- and partitioning-dependent), 80/10/10
+    * by bucket range. Emitted as per-(lang, split) counts plus the exact
+    * per-split ratio so drift in either the hash or the ranges is
+    * oracle-visible.
+    */
+  def trainTestSplit(spark: SparkSession, dir: String,
+                     salt: String = "graft_v1"): DataFrame = {
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long") // 0..65535
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 52429L, "train")        // 0.8 * 65536
+          .when(bucket < 58982L, "validation") // 0.9 * 65536
+          .otherwise("test"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang", "split")
+  }
+
   /** Document fingerprinting: min-hash fingerprint over the shingle set +
     * a winnowing-style selected-shingle count (md5 prefix '0' ≈ keep-1/16
     * sampling of the shingle space — content-defined, shift-invariant).

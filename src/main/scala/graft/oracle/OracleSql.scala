@@ -1018,6 +1018,26 @@ shingles AS (
              CAST(SUM(CASE WHEN md5(sh) LIKE '0%' THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
              COUNT(*) AS n_shingles
       FROM shingles GROUP BY doc_id ORDER BY doc_id""",
+    // Deterministic 80/10/10 split: bucket = first 4 hex chars of
+    // md5(doc_id || '|' || salt) as an int (Spark conv(...,16,10); here
+    // per-digit strpos — same value).
+    "curation_split" -> """
+      WITH b AS (
+        SELECT lang, n_chars,
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+               (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+               (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS bucket
+        FROM (SELECT lang, n_chars,
+                     md5(CAST(doc_id AS VARCHAR) || '|' || 'graft_v1') AS h
+              FROM documents) t)
+      SELECT lang,
+             CASE WHEN bucket < 52429 THEN 'train'
+                  WHEN bucket < 58982 THEN 'validation'
+                  ELSE 'test' END AS split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM b GROUP BY 1, 2 ORDER BY lang, split""",
     // Heavy hitters: exact tokens above support; in_approx literally TRUE
     // (Spark's freqItems contract: superset at the given support).
     "text_heavy_hitters" -> """
