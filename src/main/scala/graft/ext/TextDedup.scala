@@ -353,6 +353,36 @@ object TextDedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark-contamination scan — the eval-leakage check every
+    * training-data pipeline runs before a model sees the corpus: which
+    * training documents share word-3-grams with a held-out benchmark set
+    * (here the doc_id % 97 == 0 docs stand in for the benchmark). Scale
+    * shape: the benchmark's distinct shingle set is small by construction
+    * and broadcasts; the scan is then one broadcast semi-join over the
+    * shared shingle relation plus a per-doc aggregate — nothing pairs
+    * documents, nothing scales with corpus². Flagged = more than 10% of
+    * a doc's shingles appear in the benchmark.
+    */
+  def contamination(spark: SparkSession, dir: String,
+                    flagRatio: Double = 0.10): DataFrame = {
+    val sh = cachedShingles(spark, dir)
+    val benchSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh").as("bsh")).distinct()
+    val hits = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchSh), col("sh") === col("bsh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    cachedDocSets(spark, dir)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("n").as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contam_ratio",
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6))
+      .withColumn("flagged", col("contam_ratio") > flagRatio)
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation: the composed training-data pipeline — quality
     * gate (X4) -> near-dup removal via MinHash candidates (X2, drop the
     * higher doc_id of every confident pair) -> per-language corpus stats.

@@ -1018,6 +1018,25 @@ shingles AS (
              CAST(SUM(CASE WHEN md5(sh) LIKE '0%' THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
              COUNT(*) AS n_shingles
       FROM shingles GROUP BY doc_id ORDER BY doc_id""",
+    // Contamination scan: training docs sharing 3-grams with the
+    // benchmark holdout (doc_id % 97 == 0); flagged above 10% overlap.
+    "curation_contamination" -> s"""
+      WITH ${SHINGLES.trim},
+      bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0),
+      train AS (SELECT doc_id, sh FROM shingles WHERE doc_id % 97 <> 0),
+      hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+        FROM train WHERE sh IN (SELECT sh FROM bench)
+        GROUP BY doc_id),
+      totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM train GROUP BY doc_id)
+      SELECT t.doc_id, t.n_shingles,
+             COALESCE(h.n_contaminated, 0) AS n_contaminated,
+             ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6) AS contam_ratio,
+             ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_shingles, 6) > 0.10 AS flagged
+      FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      ORDER BY t.doc_id""",
     // Deterministic 80/10/10 split: bucket = first 4 hex chars of
     // md5(doc_id || '|' || salt) as an int (Spark conv(...,16,10); here
     // per-digit strpos — same value).
