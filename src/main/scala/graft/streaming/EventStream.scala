@@ -45,6 +45,32 @@ object EventStream {
     * return the sink contents.
     */
   private def runToMemory(result: DataFrame, mode: String): DataFrame = {
+    runToMemoryPartitions(result, mode, None)
+  }
+
+  /** [[runToMemory]] with an explicit state-partition count for the run.
+    *
+    * A streaming query's shuffle-partition count is frozen into its
+    * state-store layout, and stateful operators pay per-partition
+    * per-micro-batch overhead (store open/commit/snapshot) regardless of
+    * data volume. Two-sided joins hold four stores per partition, so
+    * right-sizing partitions to the stream's actual volume — instead of
+    * inheriting the batch session's CPU count — is the production lever
+    * for state-heavy, modest-volume streams. The session conf is
+    * restored after the run (the count only needs to hold at query
+    * start, when the layout is frozen).
+    */
+  private def runToMemoryPartitions(result: DataFrame, mode: String,
+                                    statePartitions: Option[Int]): DataFrame = {
+    val spark = result.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    statePartitions.foreach(n => spark.conf.set(key, n.toString))
+    try runToMemoryInner(result, mode)
+    finally spark.conf.set(key, prev)
+  }
+
+  private def runToMemoryInner(result: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
     val q = result.writeStream
       .format("memory").queryName(name)
@@ -222,7 +248,8 @@ object EventStream {
         col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("signup_id"), col("purchase_id"),
         col("s_user").as("user_id"), col("value"))
-    runToMemory(joined, "append").orderBy("signup_id", "purchase_id")
+    runToMemoryPartitions(joined, "append", Some(4))
+      .orderBy("signup_id", "purchase_id")
   }
 
   /** One far-future sentinel event per side, landed as a parquet file
@@ -293,7 +320,7 @@ object EventStream {
       "left_outer")
       .select(col("signup_id"), col("purchase_id"),
         col("s_user").as("user_id"), col("value"))
-    runToMemory(joined, "append")
+    runToMemoryPartitions(joined, "append", Some(4))
       .filter(col("user_id") >= 0)
       .orderBy("signup_id", "purchase_id")
   }

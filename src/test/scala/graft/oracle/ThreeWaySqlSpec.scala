@@ -56,11 +56,14 @@ class ThreeWaySqlSpec extends SparkSpec {
     val agg = raw"string_agg\(($inner),\s*('[^']*')\s+ORDER BY\s+($inner)\)".r
     s = agg.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       s"string_agg(${m.group(1)}, ${m.group(2)}) WITHIN GROUP (ORDER BY ${m.group(3)})"))
-    // DuckDB 1-based list slicing x[1:k] == slice(x, 1, k) (both inclusive
-    // from index 1, so end == length); bare x[i] / f(..)[i] == element_at
-    s = raw"(\w+)\[1:($inner)\]".r.replaceAllIn(s,
-      m => java.util.regex.Matcher.quoteReplacement(
-        s"slice(${m.group(1)}, 1, ${m.group(2)})"))
+    // DuckDB 1-based end-inclusive list slicing x[a:b] == Spark
+    // slice(x, a, b - a + 1); bare x[i] / f(..)[i] == element_at
+    s = raw"(\w+)\[(\w+):($inner)\]".r.replaceAllIn(s, m => {
+      val (a, b) = (m.group(2), m.group(3))
+      val len = if (a == "1") b else s"($b) - ($a) + 1"
+      java.util.regex.Matcher.quoteReplacement(
+        s"slice(${m.group(1)}, $a, $len)")
+    })
     s = raw"(\w+\((?:[^()]|\([^()]*\))*\)|\w+)\[(-?\w+)\]".r.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement(
         s"element_at(${m.group(1)}, ${m.group(2)})"))
