@@ -119,6 +119,35 @@ class ExtensionsSpec extends SparkSpec {
     assert(h.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
   }
 
+  test("train/test split: deterministic, complete, and near 80/10/10") {
+    val dir = "/root/testdata/sf0.01" // 500 docs: ratios are meaningful
+    val a = TextStats.trainTestSplit(spark, dir).collect()
+    val b = TextStats.trainTestSplit(spark, dir).collect()
+    assert(a.toSeq == b.toSeq, "split must be identical across runs")
+    val bySplit = a.groupBy(_.getString(1))
+      .map { case (k, rs) => k -> rs.map(_.getLong(2)).sum }
+    val total = bySplit.values.sum.toDouble
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+    assert(math.abs(bySplit("train") / total - 0.8) < 0.06,
+      s"train share off: $bySplit")
+    assert(math.abs(bySplit("validation") / total - 0.1) < 0.05)
+    assert(math.abs(bySplit("test") / total - 0.1) < 0.05)
+  }
+
+  test("contamination: benchmark held out, ratios well-formed, flag matches") {
+    val rows = TextDedup.contamination(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 97 != 0, s"benchmark doc $id leaked into the scan output")
+      val (n, c) = (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"))
+      val ratio = r.getAs[Double]("contam_ratio")
+      assert(c >= 0 && c <= n)
+      assert(math.abs(ratio - math.rint(c.toDouble / n * 1e6) / 1e6) < 1e-9)
+      assert(r.getAs[Boolean]("flagged") == (ratio > 0.10))
+    }
+  }
+
   test("cosine: identical vectors similarity 1, orthogonal 0") {
     val df = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
