@@ -174,6 +174,7 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),
     "curation_contamination" -> ((s, d) => graft.ext.TextDedup.contamination(s, d)),
+    "dq_report" -> (graft.ext.DataQuality.report(_, _)),
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),

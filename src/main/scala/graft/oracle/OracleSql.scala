@@ -1018,6 +1018,40 @@ shingles AS (
              CAST(SUM(CASE WHEN md5(sh) LIKE '0%' THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
              COUNT(*) AS n_shingles
       FROM shingles GROUP BY doc_id ORDER BY doc_id""",
+    // Data-quality expectations: one row per check with its violation
+    // count (referential anti-joins, key uniqueness, domain predicates).
+    "dq_report" -> """
+      SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+             n_violations = 0 AS passed
+      FROM (
+        SELECT 'fk_lineitem_orders' AS check_name, COUNT(*) AS n_violations
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        UNION ALL
+        SELECT 'fk_orders_customer', COUNT(*)
+        FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        UNION ALL
+        SELECT 'fk_supplier_nation', COUNT(*)
+        FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+        UNION ALL
+        SELECT 'unique_orders_key', COUNT(*)
+        FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1) t
+        UNION ALL
+        SELECT 'unique_lineitem_key', COUNT(*)
+        FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1) t
+        UNION ALL
+        SELECT 'unique_documents_key', COUNT(*)
+        FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1) t
+        UNION ALL
+        SELECT 'domain_lineitem_qty_positive', COUNT(*)
+        FROM lineitem WHERE NOT (l_quantity > 0)
+        UNION ALL
+        SELECT 'domain_lineitem_discount_range', COUNT(*)
+        FROM lineitem WHERE NOT (l_discount >= 0 AND l_discount <= 1)
+        UNION ALL
+        SELECT 'domain_documents_nonempty', COUNT(*)
+        FROM documents WHERE NOT (n_chars > 0)
+      ) t ORDER BY check_name""",
     // Contamination scan: training docs sharing 3-grams with the
     // benchmark holdout (doc_id % 97 == 0); flagged above 10% overlap.
     "curation_contamination" -> s"""
