@@ -71,11 +71,13 @@ class DataWarehouseSync(spark: SparkSession, config: GraftConfig,
 
   private def normalizedProjects(): DataFrame = normalize(client.listProjects())
 
-  /** The normalized archived-project list. The reference fetches and
-    * normalizes it (DW.js:74, 85-89) and then never reads the variable —
-    * dead code there. Kept faithfully, exposed for callers that want the
-    * relation; declaring it costs nothing here because no action runs on
-    * it during a sync.
+  /** The normalized archived-project list. The reference eagerly fetches
+    * and normalizes it (DW.js:74, 85-89) and then never reads the
+    * variable — dead code there. Here the relation is *declared* but,
+    * being a lazy V2 scan, issues no remote call until a caller actually
+    * uses it — a deliberate, documented improvement over the reference's
+    * wasted fetch (the declaration in [[syncFilesystem]] preserves the
+    * shape of the reference's Promise.all without its cost).
     */
   def normalizedArchivedProjects(): DataFrame =
     normalize(client.listArchivedProjects())
@@ -114,13 +116,20 @@ class DataWarehouseSync(spark: SparkSession, config: GraftConfig,
   def syncCategories(): DataFrame = {
     val files = FileInventory.scan(spark, config.path, config.fileGlob)
     val folder = Categories.folderCats(files, config.rootCategory)
-    val server = client.listCategories()
+    // one remote snapshot for the whole pass (ST3): the guard, create,
+    // remove and matched relations must all see the same list state —
+    // unpinned, toRemove/matched would re-fetch a list already mutated
+    // by applyCategoryCreates above
+    val server = client.listCategories().persist()
     val dups = Categories.duplicateKeyGuard(server)
     if (!dups.isEmpty)
       throw new IllegalStateException(
         "Unexpected multiple results: " + dups.collect().mkString(", "))
     client.applyCategoryCreates(Categories.toCreate(folder, server))
     client.applyCategoryRemoves(Categories.toRemove(folder, server))
-    Categories.matched(folder, server).select("id")
+    val matched = Categories.matched(folder, server).select("id").persist()
+    matched.count() // materialize under the snapshot before releasing it
+    server.unpersist()
+    matched
   }
 }

@@ -37,10 +37,12 @@ import graft.client.HttpGatherClient
   *    `IsNotNull` on top-level columns) are accepted, forwarded as
   *    `f_<col>=` parameters and re-applied reader-side — the source stays
   *    correct against servers that ignore them.
-  *  - `parts=N` plans N input partitions; each requests its page via
-  *    `part=i&parts=N` (the four reference lists are one logical call
-  *    each, DW.js:74 — paging is how the same endpoint shards once a list
-  *    outgrows one response).
+  *  - `parts=N` plans N input partitions. With `serverPaging=true` each
+  *    requests its page via `part=i&parts=N` (the four reference lists
+  *    are one logical call each, DW.js:74 — paging is how the same
+  *    endpoint shards once a list outgrows one response); without it,
+  *    each partition takes a disjoint stripe of the full response, so a
+  *    server that ignores unknown params can never duplicate rows.
   *
   * Transports: `http(s)://` via [[HttpGatherClient.get]]; anything else is
   * a local path / `file:` URI (the landed-file case: at list sizes beyond
@@ -142,14 +144,23 @@ private[v2] class GatherScanBuilder(fullSchema: StructType,
       throw new IllegalArgumentException("gather source requires a url option")),
     parts = math.max(1, options.getInt("parts", 1)),
     retries = options.getInt("retries", 3),
-    required = required, limit = limit, pushed = pushed)
+    // paging params are only sent when the caller declares the server
+    // implements them; otherwise each partition takes a disjoint stripe
+    // of the full response — correct (if byte-wasteful) against servers
+    // that ignore unknown query params, instead of silently duplicating
+    // every row parts-fold
+    serverPaging = options.getBoolean("serverPaging", false),
+    wireSchema = fullSchema, required = required, limit = limit,
+    pushed = pushed)
 }
 
 private[v2] final case class GatherInputPartition(
-    requestUrl: String, part: Int, parts: Int, local: Boolean)
+    requestUrl: String, part: Int, parts: Int, stripe: Boolean, local: Boolean)
   extends InputPartition
 
 private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
+                                        serverPaging: Boolean,
+                                        wireSchema: StructType,
                                         required: StructType, limit: Int,
                                         pushed: Array[Filter])
     extends Scan with Batch with PartitionReaderFactory {
@@ -175,8 +186,14 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
     if (!isHttp) url
     else {
       val enc = (s: String) => URLEncoder.encode(s, "UTF-8")
-      val params = Seq(s"part=$part", s"parts=$parts") ++
-        (if (required.nonEmpty) Seq(s"fields=${enc(required.fieldNames.mkString(","))}") else Nil) ++
+      // the wire projection must cover the pushed filters' columns too:
+      // the reader re-applies them, and Spark trusts accepted filters
+      // (no post-scan Filter), so a cooperating server trimming to the
+      // *output* columns alone would make every filter read null
+      val filterAttrs = pushed.flatMap(_.references)
+      val fetchCols = (required.fieldNames ++ filterAttrs).distinct
+      val params = (if (serverPaging) Seq(s"part=$part", s"parts=$parts") else Nil) ++
+        (if (fetchCols.nonEmpty) Seq(s"fields=${enc(fetchCols.mkString(","))}") else Nil) ++
         (if (limit >= 0) Seq(s"limit=$limit") else Nil) ++
         pushed.collect {
           case EqualTo(a, v) => s"f_${enc(a)}=${enc(String.valueOf(v))}"
@@ -187,13 +204,14 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until parts).map(i =>
-      GatherInputPartition(requestUrlFor(i), i, parts, local = !isHttp)).toArray
+      GatherInputPartition(requestUrlFor(i), i, parts,
+        stripe = !isHttp || !serverPaging, local = !isHttp)).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = this
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GatherInputPartition]
-    new GatherPartitionReader(gp, retries, required, limit, pushed)
+    new GatherPartitionReader(gp, retries, wireSchema, required, limit, pushed)
   }
 }
 
@@ -202,11 +220,14 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
   * the client), re-apply pushed filters, stop at the pushed limit.
   */
 private[v2] final class GatherPartitionReader(
-    p: GatherInputPartition, retries: Int, required: StructType,
-    limit: Int, pushed: Array[Filter])
+    p: GatherInputPartition, retries: Int, wireSchema: StructType,
+    required: StructType, limit: Int, pushed: Array[Filter])
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
+
+  private val fieldTypes: Map[String, DataType] =
+    wireSchema.fields.map(f => f.name -> f.dataType).toMap
 
   private val lines: Iterator[String] = {
     val body =
@@ -216,9 +237,10 @@ private[v2] final class GatherPartitionReader(
         new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
       } else HttpGatherClient.get(p.requestUrl, retries)
     val all = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
-    // local transport has no server-side paging: partition i owns every
-    // parts-th line (deterministic, disjoint, exhaustive)
-    if (p.local && p.parts > 1)
+    // without server-side paging every partition holds the full body:
+    // partition i owns every parts-th line (deterministic, disjoint,
+    // exhaustive — never a parts-fold duplication)
+    if (p.stripe && p.parts > 1)
       all.zipWithIndex.collect { case (l, i) if i % p.parts == p.part => l }
     else all
   }
@@ -231,10 +253,27 @@ private[v2] final class GatherPartitionReader(
     if (v == null || v.isNull) null else v
   }
 
+  /** Typed equality against the wire schema — raw JSON token text would
+    * mis-compare representation variants (`5.0` vs `5`, `"05"` vs `5`),
+    * and Spark trusts accepted filters (no post-scan re-check), so a
+    * textual mismatch here would silently drop correct rows.
+    */
+  private def typedEquals(node: JsonNode, a: String, exp: Any): Boolean = {
+    val v = node.get(a)
+    if (v == null || v.isNull || exp == null) false
+    else fieldTypes.getOrElse(a, StringType) match {
+      case LongType | IntegerType =>
+        v.asLong() == exp.asInstanceOf[Number].longValue()
+      case DoubleType =>
+        v.asDouble() == exp.asInstanceOf[Number].doubleValue()
+      case BooleanType => v.asBoolean() == exp.asInstanceOf[Boolean]
+      case _ =>
+        (if (v.isTextual) v.asText() else v.toString) == String.valueOf(exp)
+    }
+  }
+
   private def matches(node: JsonNode): Boolean = pushed.forall {
-    case EqualTo(a, exp) =>
-      val v = fieldValue(node, a)
-      v != null && (v.asInstanceOf[JsonNode].asText == String.valueOf(exp))
+    case EqualTo(a, exp) => typedEquals(node, a, exp)
     case IsNotNull(a) => fieldValue(node, a) != null
     case _ => true
   }

@@ -77,11 +77,18 @@ object StreamingSync {
                                    client: GatherClient): Unit = {
     if (batch.isEmpty) return
     val files = FileInventory.enrich(batch, config.path)
+    // pin one remote snapshot per epoch: the V2 list relations are lazy,
+    // and without the persist the applyCreates job would re-fetch a list
+    // already mutated by this epoch's own applyUpdates POSTs — breaking
+    // both snapshot isolation and the epoch-replay effectively-once
+    // argument (a replay must rebuild the same batch payloads)
     val projects = DataWarehouseSync.normalizeProjects(
-      client.listProjects(), config.iam)
-    val r = Pipeline.sync(files, projects, client.listCategories(),
-      config.rootCategory)
-    client.applyUpdates(r.updates)
-    client.applyCreates(r.creates)
+      client.listProjects(), config.iam).persist()
+    val cats = client.listCategories().persist()
+    try {
+      val r = Pipeline.sync(files, projects, cats, config.rootCategory)
+      client.applyUpdates(r.updates)
+      client.applyCreates(r.creates)
+    } finally { projects.unpersist(); cats.unpersist() }
   }
 }

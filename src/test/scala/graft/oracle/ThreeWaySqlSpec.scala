@@ -122,7 +122,9 @@ class ThreeWaySqlSpec extends SparkSpec {
             new java.math.BigDecimal(f.toString).stripTrailingZeros.toPlainString
           case x => x.toString
         }
-      }.mkString("")
+        // the \u0001 delimiter keeps adjacent-column boundary shifts
+        // ("ab","c" vs "a","bc") from canonicalizing identically
+      }.mkString("\u0001")
     }.sorted.toIndexedSeq
   }
 

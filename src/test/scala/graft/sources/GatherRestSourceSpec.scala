@@ -98,7 +98,8 @@ class GatherRestSourceSpec extends SparkSpec {
     withServer { (url, requests) =>
       val df = spark.read.format(GatherSource.Format)
         .schema(GatherSource.ProjectsSchema)
-        .option("url", url).option("parts", "3").load()
+        .option("url", url).option("parts", "3")
+        .option("serverPaging", "true").load()
       assert(df.rdd.getNumPartitions == 3)
       requests.clear()
       assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
@@ -108,6 +109,51 @@ class GatherRestSourceSpec extends SparkSpec {
         s"expected 3 paged requests, got: $pages")
       assert((0 until 3).forall(i => pages.exists(_.contains(s"part=$i"))))
     }
+  }
+
+  test("parts>1 against a non-paging server stripes instead of duplicating") {
+    withServer { (url, _) =>
+      // without serverPaging the reader must not trust the server to
+      // shard: each partition takes a disjoint stripe of the full body
+      val df = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema)
+        .option("url", url).option("parts", "3").load()
+      assert(df.rdd.getNumPartitions == 3)
+      assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+        Seq(1L, 2L, 3L, 4L), "rows must appear exactly once")
+    }
+  }
+
+  test("a fields=-honoring server still satisfies pushed filters") {
+    // serves ONLY the requested fields — the filter columns must have
+    // been included in fields= or every row would read null and vanish
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/projects", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val fields = q.split("&").find(_.startsWith("fields="))
+        .map(_.drop(7).split("%2C|,").toSet)
+        .getOrElse(Set("id", "iam", "p_file", "p_md5", "title", "is_dataset"))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val trimmed = wireLines.split("\n").map { l =>
+        val node = mapper.readTree(l)
+        val kept = node.fields().asScala.filter(e => fields.contains(e.getKey))
+          .map(e => "\"" + e.getKey + "\": " + e.getValue.toString)
+        kept.mkString("{", ", ", "}")
+      }
+      val b = trimmed.mkString("\n").getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.start()
+    try {
+      val df = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema)
+        .option("url", s"http://127.0.0.1:${server.getAddress.getPort}/projects")
+        .load()
+        .filter(col("iam") === "gatherbot" && col("is_dataset"))
+        .select("id")
+      assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 4L))
+    } finally server.stop(0)
   }
 
   test("error paths: 404 fails the task without retrying; 503 retries then succeeds") {
