@@ -17,11 +17,17 @@ import graft.tables.Tables
   */
 object DataQuality {
 
-  /** Child rows whose key has no match in the parent relation. */
+  /** Child rows whose key has no match in the parent relation. SQL FK
+    * semantics: a NULL child key is not a violation (add a non-null
+    * domain check if the key is mandatory) — without the carve-out the
+    * anti-join would report every NULL-key row as an orphan while the
+    * oracle's NOT IN twin counts none.
+    */
   def referentialViolations(child: DataFrame, childKey: String,
                             parent: DataFrame, parentKey: String): DataFrame =
-    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
-      Seq(childKey), "left_anti")
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
 
   /** Key groups that occur more than once. */
   def uniquenessViolations(df: DataFrame, keys: Seq[String]): DataFrame =

@@ -32,13 +32,15 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source takes a directory; select the events table
-    // out of the fixture dir by glob
+    // out of the fixture dir by glob. No maxFilesPerTrigger: AvailableNow
+    // takes every matching file in one micro-batch, so the update-mode
+    // entries stay single-batch-correct even if the fixture is ever
+    // regenerated as several files.
     spark.readStream
       .schema(eventsSchema)
-      .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", graft.tables.Tables.nsTsToMicros)
   }
 
   /** Run a finite streaming query (AvailableNow) into a memory sink and
@@ -86,16 +88,22 @@ object EventStream {
         s"streaming query $name did not finish within 180s; aborting " +
           "instead of returning a partial memory sink")
     }
-    result.sparkSession.table(name)
+    // detach the result from the catalog so repeated harness runs don't
+    // pin every sink's contents for the session lifetime (the memory
+    // sink is driver-resident by construction, so this copy adds nothing)
+    val spark = result.sparkSession
+    val t = spark.table(name)
+    val out = spark.createDataFrame(t.collectAsList(), t.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
-  /** Streaming tumbling 1-hour aggregation with a watermark — same result
-    * as the batch [[graft.ext.Events.tumblingHourly]] because AvailableNow
-    * replays a finite input (complete mode: no windows withheld).
+  /** The tumbling 1-hour aggregation plan — ONE construction for both
+    * output modes so the complete/append twins can never silently
+    * diverge on the watermark, decimal-sum or projection details.
     */
-  def tumblingHourly(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val agg = readEvents(spark, dir)
+  private def tumblingPlan(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -103,13 +111,19 @@ object EventStream {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Streaming tumbling 1-hour aggregation with a watermark — same result
+    * as the batch [[graft.ext.Events.tumblingHourly]] because AvailableNow
+    * replays a finite input (complete mode: no windows withheld).
+    */
+  def tumblingHourly(spark: SparkSession, dir: String): DataFrame =
     // complete mode is HARNESS-ONLY: the memory sink holds the full
     // window state on the driver, which is fine for a finite oracled
     // replay but unbounded on a real stream — the production form is
     // [[tumblingHourlyAppend]] (append mode, closed windows only,
     // evictable state).
-    runToMemory(agg, "complete").orderBy("hour_start", "event_type")
-  }
+    runToMemory(tumblingPlan(spark, dir), "complete")
+      .orderBy("hour_start", "event_type")
 
   /** The production form of [[tumblingHourly]]: append output mode, so
     * only windows the watermark has closed (window.end <= max event time
@@ -119,25 +133,15 @@ object EventStream {
     * no-data micro-batch; the oracle applies the same closed-window
     * predicate to the batch aggregate.
     */
-  def tumblingHourlyAppend(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val agg = readEvents(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
-        col("event_type"), col("n"), col("sum_value"))
-    runToMemory(agg, "append").orderBy("hour_start", "event_type")
-  }
+  def tumblingHourlyAppend(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(tumblingPlan(spark, dir), "append")
+      .orderBy("hour_start", "event_type")
 
-  /** Streaming sessionization via the native `session_window` operator
-    * (30-minute gap). Emits one row per closed session: session end =
-    * last event + gap (exclusive).
+  /** The 30-minute-gap sessionization plan — one construction for both
+    * output modes (see [[tumblingPlan]]).
     */
-  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
+  private def sessionPlan(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -145,12 +149,18 @@ object EventStream {
         unix_micros(col("session_window.start")).as("start_us"),
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"))
+
+  /** Streaming sessionization via the native `session_window` operator
+    * (30-minute gap). Emits one row per closed session: session end =
+    * last event + gap (exclusive).
+    */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
     // complete mode is HARNESS-ONLY (full session state in the driver
     // memory sink — see tumblingHourly); the production posture is append
     // mode, where a session emits once the watermark passes its end+gap
     // and its state evicts.
-    runToMemory(agg, "complete").orderBy("user_id", "start_us")
-  }
+    runToMemory(sessionPlan(spark, dir), "complete")
+      .orderBy("user_id", "start_us")
 
   /** Custom keyed state via `flatMapGroupsWithState` — the arbitrary-state
     * API (SURVEY.md §2.9 extension surface): a per-user running event
@@ -231,25 +241,31 @@ object EventStream {
     * bound state, they don't withhold inner results), so the finite
     * AvailableNow replay equals the batch interval join the oracle runs.
     */
-  def streamStreamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val s = readEvents(spark, dir)
-      .filter(col("event_type") === "signup")
+  def streamStreamRangeJoin(spark: SparkSession, dir: String): DataFrame =
+    runToMemoryPartitions(
+      signupPurchaseJoin(readEvents(spark, dir), "inner"), "append", Some(4))
+      .orderBy("signup_id", "purchase_id")
+
+  /** The signup⋈purchase interval-join plan — one construction for the
+    * inner and left-outer variants (see [[tumblingPlan]]): both sides
+    * watermarked, joined on user plus the one-hour event-time range.
+    */
+  private def signupPurchaseJoin(ev: DataFrame, joinType: String): DataFrame = {
+    val s = ev.filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
         col("ts").as("s_ts"))
       .withWatermark("s_ts", "1 hour")
-    val p = readEvents(spark, dir)
-      .filter(col("event_type") === "purchase")
+    val p = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "1 hour")
-    val joined = s.join(p,
+    s.join(p,
       col("p_user") === col("s_user") &&
         col("p_ts") >= col("s_ts") &&
-        col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
+        col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
       .select(col("signup_id"), col("purchase_id"),
         col("s_user").as("user_id"), col("value"))
-    runToMemoryPartitions(joined, "append", Some(4))
-      .orderBy("signup_id", "purchase_id")
   }
 
   /** One far-future sentinel event per side, landed as a parquet file
@@ -286,7 +302,7 @@ object EventStream {
       spark.readStream.schema(eventsSchema)
         .option("pathGlobFilter", "*.parquet")
         .parquet(sentinelDir(spark, dir))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        .withColumn("ts", graft.tables.Tables.nsTsToMicros))
 
   /** Left-outer stream-stream join: like [[streamStreamRangeJoin]] but a
     * signup with no purchase in its hour emits a null-extended row once
@@ -296,7 +312,7 @@ object EventStream {
     * decidable on the finite replay, so the result equals the batch
     * left join exactly.
     */
-  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame =
     // NOTE: sentinels flow through the whole streaming plan on purpose.
     // A pre-join `user_id >= 0` filter would be pushed below the
     // EventTimeWatermark operator by Catalyst (it's deterministic and
@@ -304,43 +320,20 @@ object EventStream {
     // sentinels before they advance the watermark. The two sentinels
     // only ever match each other (user -1), and that one pair is
     // excluded from the *sink* table, batch-side.
-    val ev = readEventsFlushed(spark, dir)
-    val s = ev.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
-        col("ts").as("s_ts"))
-      .withWatermark("s_ts", "1 hour")
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"), col("value"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = s.join(p,
-      col("p_user") === col("s_user") &&
-        col("p_ts") >= col("s_ts") &&
-        col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"),
-      "left_outer")
-      .select(col("signup_id"), col("purchase_id"),
-        col("s_user").as("user_id"), col("value"))
-    runToMemoryPartitions(joined, "append", Some(4))
+    runToMemoryPartitions(
+      signupPurchaseJoin(readEventsFlushed(spark, dir), "left_outer"),
+      "append", Some(4))
       .filter(col("user_id") >= 0)
       .orderBy("signup_id", "purchase_id")
-  }
 
   /** Append-mode sessionization: only sessions the watermark has closed
     * (last event + 30min gap behind the watermark) are emitted and their
     * state evicted — [[sessionWindows]]' production posture, same
     * closed-session predicate on the oracle's batch sessionization.
     */
-  def sessionWindowsAppend(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("start_us"),
-        unix_micros(col("session_window.end")).as("end_us"),
-        col("n_events"))
-    runToMemory(agg, "append").orderBy("user_id", "start_us")
-  }
+  def sessionWindowsAppend(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(sessionPlan(spark, dir), "append")
+      .orderBy("user_id", "start_us")
 
   /** Stateful streaming dedup — X1's streaming form; count of distinct
     * keys is the comparable output.

@@ -47,8 +47,11 @@ object Incremental {
     val byPath = c.join(p, col("cfile") === col("pfile"), "full_outer")
 
     val contentChanged = byPath
+      // null-safe inequality: a transition to/from an uncomputed md5
+      // (unreadable file, deferred hash) IS a content change — plain =!=
+      // would evaluate NULL and silently classify it as "no action"
       .filter(col("cfile").isNotNull && col("pfile").isNotNull &&
-        col("cmd5") =!= col("pmd5"))
+        !(col("cmd5") <=> col("pmd5")))
       .select(lit("content_changed").as("action"),
         col("cfile").as("file"), col("pfile").as("old_file"),
         col("cmd5").as("md5"), col("pmd5").as("old_md5"))
@@ -118,8 +121,12 @@ object Incremental {
     val j = open.join(now,
       col("id") === col("n_id") && col("matched_ino") === col("n_ino"),
       "full_outer")
-    val same = col("matched_file") === col("n_file") &&
-      col("match_kind") === col("n_kind")
+    // null-safe attribute comparison: with plain ===, a NULL tracked
+    // attribute on either side makes `same` NULL and the row falls out
+    // of all three branches below — the version would vanish from the
+    // ledger instead of closing
+    val same = (col("matched_file") <=> col("n_file")) &&
+      (col("match_kind") <=> col("n_kind"))
 
     val keptOpen = j.filter(col("id").isNotNull && col("n_id").isNotNull && same)
       .select("id", "matched_ino", "matched_file", "match_kind",

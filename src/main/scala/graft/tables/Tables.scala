@@ -28,12 +28,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  /** The ns-long `ts` column -> microsecond TimestampType. Integer
+    * division — `/` would promote to DOUBLE and ns-since-epoch (~1.7e18)
+    * exceeds double's 2^53 integer precision (±1µs drift). Shared by the
+    * batch loader and both streaming read paths so the precision rule
+    * lives in exactly one place.
+    */
+  def nsTsToMicros: org.apache.spark.sql.Column =
+    timestamp_micros(expr("ts div 1000"))
+
   /** `events` with `ts` converted ns-long -> microsecond timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Integer division — `/` would promote to DOUBLE and ns-since-epoch
-    // (~1.7e18) exceeds double's 2^53 integer precision (±1µs drift).
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    table(spark, dir, "events").withColumn("ts", nsTsToMicros)
   }
 }
