@@ -52,14 +52,16 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => name -> -1.0 }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision keeps the whole contract line under the
+    // driver's ~4 KB tail-capture window (9-decimal floats for 100
+    // queries overflowed it in round 3 and the driver recorded
+    // parsed:null). One line, printed last, nothing after it but sbt's
+    // own [success] trailer.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    // The per-query map goes out on its own line FIRST: the driver's tail
-    // capture truncates long output from the front, so leading with the
-    // map guarantees the totals line (and the map itself, via this line)
-    // survive even when the combined line would be clipped.
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    val total = fmt(results.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -194,7 +194,14 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
       val fetchCols = (required.fieldNames ++ filterAttrs).distinct
       val params = (if (serverPaging) Seq(s"part=$part", s"parts=$parts") else Nil) ++
         (if (fetchCols.nonEmpty) Seq(s"fields=${enc(fetchCols.mkString(","))}") else Nil) ++
-        (if (limit >= 0) Seq(s"limit=$limit") else Nil) ++
+        // limit= is only safe to send when no filters ride along: a server
+        // that honors limit but ignores filters would truncate the body
+        // *before* filtering, and the reader's re-filter of the truncated
+        // body could return fewer matching rows than exist while Spark
+        // trusts the scan as complete. With filters pushed, the limit is
+        // enforced reader-side only (an ignoring server costs only bytes;
+        // a partially-cooperating one can no longer cost rows).
+        (if (limit >= 0 && pushed.isEmpty) Seq(s"limit=$limit") else Nil) ++
         pushed.collect {
           case EqualTo(a, v) => s"f_${enc(a)}=${enc(String.valueOf(v))}"
           case IsNotNull(a)  => s"nn_${enc(a)}=1"
