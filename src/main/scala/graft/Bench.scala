@@ -20,6 +20,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Name-sorted so shared materializations (memoized sync pipeline,
+    // serverCats, shingle/minhash relations) are billed to the same query
+    // every run — per-query numbers stay comparable across rounds.
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // Untimed warmup: JIT/codegen/scheduler spin-up and first-touch reads
     // of every fixture table should not be billed to whichever query
     // happens to run first (name-sorted order would otherwise charge the
@@ -34,12 +39,18 @@ object Bench {
         spark.read.parquet(s"$sfDir/$t.parquet").count()
       }
       graft.tables.Tables.events(spark, sfDir).count()
+      // Streaming warmup: state-store provider init (HDFS-backed default
+      // AND the RocksDB native load for transformWithState), checkpoint
+      // dir plumbing and the maintenance thread pool are one-time session
+      // costs; unwarmed they get billed to whichever stream_* query runs
+      // first, which made identical code swing 2.1s↔15.6s across rounds.
+      // One throwaway AvailableNow memory-sink run per provider pays that
+      // here instead. Skipped when an ONLY filter selects no stream_*.
+      if (selected.exists(_._1.startsWith("stream_"))) {
+        graft.streaming.EventStream.tumblingHourly(spark, sfDir).count()
+        graft.streaming.EventStream.transformStateUserCounts(spark, sfDir).count()
+      }
     }
-    // Name-sorted so shared materializations (memoized sync pipeline,
-    // serverCats, shingle/minhash relations) are billed to the same query
-    // every run — per-query numbers stay comparable across rounds.
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write drains every partition through the full plan
@@ -52,17 +63,35 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => name -> -1.0 }
     }
-    // Millisecond precision keeps the whole contract line under the
-    // driver's ~4 KB tail-capture window (9-decimal floats for 100
-    // queries overflowed it in round 3 and the driver recorded
-    // parsed:null). One line, printed last, nothing after it but sbt's
-    // own [success] trailer.
+    // The driver tail-captures the LAST 2000 bytes of stdout, so the line
+    // it parses must be the final one and short: a full 100-query map
+    // (~3 KB even at ms precision) overflowed the window in rounds 3 and 4
+    // and the driver recorded parsed:null. Contract now: (1) the complete
+    // per-query map goes to bench_detail.json and an earlier stdout line
+    // for humans/archaeology, (2) the FINAL line is total + a fixed
+    // headline subset (~700 bytes), guaranteed to fit the window whole.
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+    // cwd is the sbt project base when launched via `sbt runMain`
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    // One representative per family keeps the headline map ~700 bytes.
+    val headline = Seq("tpch_q1", "tpch_q3_top10", "tpch_q6_forecast",
+      "tpch_q9_profit", "tpch_q18_large", "sync_creates", "sync_match_pass1",
+      "sync_summary", "dedup_exact", "dedup_minhash_pairs",
+      "dedup_jaccard_pairs", "embed_cosine_topk", "embed_knn_join",
+      "text_langid_ngram", "text_quality", "multimodal_decode",
+      "events_sessions", "stream_tumbling", "stream_transform_state",
+      "window_topk_orders")
+    val headlined = results.filter { case (k, _) => headline.contains(k) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(headlined)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
