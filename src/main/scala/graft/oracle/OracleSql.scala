@@ -1328,6 +1328,7 @@ shingles AS (
                CASE WHEN doc_id % 10 = 3 THEN 'moved/' ELSE '' END ||
                  source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.shp' AS file,
                CASE WHEN doc_id % 17 = 5 THEN md5('dup_' || CAST(doc_id % 4 AS VARCHAR))
+                    WHEN doc_id % 10 = 6 AND doc_id % 7 = 2 THEN NULL
                     WHEN doc_id % 10 = 6 THEN md5('v2_' || text)
                     ELSE md5(text) END AS md5
         FROM documents WHERE doc_id % 10 <> 9
@@ -1359,7 +1360,8 @@ shingles AS (
         SELECT 'content_changed' AS action, cfile AS file, pfile AS old_file,
                cmd5 AS md5, pmd5 AS old_md5
         FROM bypath
-        WHERE cfile IS NOT NULL AND pfile IS NOT NULL AND cmd5 <> pmd5
+        WHERE cfile IS NOT NULL AND pfile IS NOT NULL
+          AND cmd5 IS DISTINCT FROM pmd5
         UNION ALL
         SELECT 'rename', afile, rfile, md5, md5 FROM pairs
         WHERE afile IS NOT NULL AND rfile IS NOT NULL
@@ -1377,6 +1379,7 @@ shingles AS (
                CASE WHEN doc_id % 10 = 3 THEN 'moved/' ELSE '' END ||
                  source || '/' || lang || '/doc_' || CAST(doc_id AS VARCHAR) || '.shp' AS file,
                CASE WHEN doc_id % 17 = 5 THEN md5('dup_' || CAST(doc_id % 4 AS VARCHAR))
+                    WHEN doc_id % 10 = 6 AND doc_id % 7 = 2 THEN NULL
                     WHEN doc_id % 10 = 6 THEN md5('v2_' || text)
                     ELSE md5(text) END AS md5
         FROM documents WHERE doc_id % 10 <> 9
@@ -1417,12 +1420,15 @@ shingles AS (
       SELECT * FROM (
         SELECT id, ino AS matched_ino, f1 AS matched_file, k1 AS match_kind,
                CAST(1 AS BIGINT) AS valid_from,
-               CAST(CASE WHEN in2 AND f2 = f1 AND k2 = k1 THEN NULL ELSE 2 END AS BIGINT) AS valid_to
+               CAST(CASE WHEN in2 AND f2 IS NOT DISTINCT FROM f1
+                          AND k2 IS NOT DISTINCT FROM k1
+                         THEN NULL ELSE 2 END AS BIGINT) AS valid_to
         FROM scd WHERE in1
         UNION ALL
         SELECT id, ino, f2, k2, CAST(2 AS BIGINT),
                CAST(NULL AS BIGINT)
-        FROM scd WHERE in2 AND (NOT in1 OR f2 <> f1 OR k2 <> k1)
+        FROM scd WHERE in2 AND (NOT in1 OR f2 IS DISTINCT FROM f1
+                                OR k2 IS DISTINCT FROM k1)
       ) t ORDER BY id, matched_ino, valid_from"""),
     "sink_create_payloads_json" -> sync(
       """SELECT ord, title,

@@ -56,7 +56,12 @@ object SyncInputs {
     * precedence exactly as in [[files]]):
     *   - 9 -> deleted;
     *   - 3 -> renamed (path gains a `moved/` prefix, content unchanged);
-    *   - 6 -> content changed (md5 re-derived from `v2_` || text);
+    *   - 6 -> content changed (md5 re-derived from `v2_` || text) —
+    *     except the % 7 == 2 subset, whose new md5 is NULL (an
+    *     unreadable/deferred hash): these rows exercise the null-safe
+    *     `<=>` transition semantics in [[Incremental.diffActions]] —
+    *     non-null -> null IS a content change, which a null-unsafe
+    *     oracle twin (`<>`) would silently drop;
     *   - 0 -> an additional new file appears under `extra/`.
     */
   def filesRun2(spark: SparkSession, dir: String): DataFrame = {
@@ -69,6 +74,8 @@ object SyncInputs {
         .otherwise(pathCol).as("file"),
       when(col("doc_id") % 17 === 5,
         md5(concat(lit("dup_"), (col("doc_id") % 4).cast("string"))))
+        .when(col("doc_id") % 10 === 6 && col("doc_id") % 7 === 2,
+          lit(null).cast("string"))
         .when(col("doc_id") % 10 === 6, md5(concat(lit("v2_"), col("text"))))
         .otherwise(md5(col("text")))
         .as("md5"))
