@@ -234,8 +234,9 @@ object SparkEntry {
     "events_range_join" -> ((s, d) => graft.ext.Events.rangeJoinSignupWindow(s, d)),
     // rows-only (Spark-internal hash family; portable twin: dedup_minhash_pairs)
     "dedup_minhash_ml" -> ((s, d) => graft.ext.TextDedup.mlMinhashPairs(s, d)),
-    // rows-only: faithful sequential-claim pass 2 (cogroup-per-md5 greedy);
-    // the set-based sync_match_pass2 remains the oracled form
+    // faithful sequential-claim pass 2 (cogroup-per-md5 greedy); oracled
+    // via a per-md5 recursive CTE (claims only interact within one md5
+    // group, so recursion depth = that md5's unprocessed-project count)
     "sync_match_pass2_greedy" -> ((s, d) => {
       val r = Pipeline.syncFixture(s, d)
       Matching.pass2Greedy(r.marked, SyncInputs.projects(s, d), r.pass1)

@@ -177,6 +177,60 @@ cat_remove AS (
       """SELECT ord, file, md5, project, "match" FROM pass1 ORDER BY ord"""),
     "sync_match_pass2" -> sync(
       """SELECT id, p_file, ino, file, is_alias, "match" FROM pass2 ORDER BY id"""),
+    // Faithful-greedy pass 2 (Matching.pass2Greedy, DW.js:465-536): the
+    // sequential claim loop decomposes into independent per-md5 greedy
+    // matches, so the recursion is a per-md5 walk over projects in id
+    // order (depth = the md5's unprocessed-project count). State carried
+    // per step: the remaining candidate positions as a list; a step takes
+    // the project's exact-path candidate iff >1 candidates remain AND the
+    // exact one is still unclaimed, else the head of the remaining list
+    // (report order: dup-group canonicals first, then ord) — the
+    // single-candidate 'unmatched md5 match' labeling quirk included.
+    "sync_match_pass2_greedy" -> (s"WITH RECURSIVE ${SYNC_CTES.trim},\n" +
+      """g_pr AS (
+        SELECT p.p_md5 AS md5, p.id, p.p_file,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p.p_md5 ORDER BY p.id) AS BIGINT) AS j
+        FROM projects p WHERE p.id NOT IN (SELECT id FROM processed)
+      ),
+      g_cand AS (
+        SELECT md5, ino, file, ("alias" IS NOT NULL) AS is_alias,
+               CAST(ROW_NUMBER() OVER (PARTITION BY md5 ORDER BY
+                 CASE WHEN n_duplicates > 0 THEN 0 ELSE 1 END, ord) AS BIGINT) AS pos
+        FROM avail
+      ),
+      g_arr AS (
+        SELECT md5, generate_series(CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT)) AS all_pos
+        FROM g_cand GROUP BY md5
+      ),
+      g_step AS (
+        SELECT md5, CAST(0 AS BIGINT) AS j, all_pos AS remaining,
+               CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS chosen_pos,
+               CAST(NULL AS VARCHAR) AS "match"
+        FROM g_arr
+        UNION ALL
+        SELECT s.md5, s.j + 1,
+               list_filter(remaining, x -> x <>
+                 CASE WHEN len(remaining) > 1 AND e.pos IS NOT NULL
+                           AND list_contains(remaining, e.pos)
+                      THEN e.pos ELSE remaining[1] END),
+               p.id,
+               CASE WHEN len(remaining) > 1 AND e.pos IS NOT NULL
+                         AND list_contains(remaining, e.pos)
+                    THEN e.pos ELSE remaining[1] END,
+               CASE WHEN len(remaining) > 1 AND e.pos IS NOT NULL
+                         AND list_contains(remaining, e.pos)
+                    THEN 'alias exactMatch' ELSE 'unmatched md5 match' END
+        FROM g_step s
+        JOIN g_pr p ON p.md5 = s.md5 AND p.j = s.j + 1
+        LEFT JOIN g_cand e ON e.md5 = s.md5 AND e.file = p.p_file
+        WHERE len(remaining) > 0
+      )
+      SELECT st.id, pr.p_file, pr.p_md5, c.ino, c.file, c.is_alias, st."match"
+      FROM g_step st
+      JOIN projects pr ON pr.id = st.id
+      JOIN g_cand c ON c.md5 = st.md5 AND c.pos = st.chosen_pos
+      WHERE st.j > 0
+      ORDER BY st.id"""),
     "sync_updates" -> sync(
       """SELECT id, new_file, md5, src FROM updates ORDER BY id, src"""),
     "sync_content_changed" -> sync(

@@ -47,6 +47,7 @@ class ThreeWaySqlSpec extends SparkSpec {
     s = s.replace("list_sort(", "sort_array(")
     s = s.replace("list_transform(", "transform(")
     s = s.replace("list_intersect(", "array_intersect(")
+    s = s.replace("list_contains(", "array_contains(")
     // DuckDB list comprehension [f(i) FOR i IN g] == transform(g, i -> f(i))
     s = raw"(?s)\[(.+?)\s+FOR\s+(\w+)\s+IN\s+(.+?)\]".r.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement(
