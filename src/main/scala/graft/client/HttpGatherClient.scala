@@ -26,13 +26,16 @@ import graft.sink.Actions
   * `persist()` the normalized list (see
   * [[graft.DataWarehouseSync.syncFilesystem]]).
   *
-  * Writes: action tables are rendered to JSON with `to_json` and POSTed
-  * per partition from the executors ([[Actions.applyPartitioned]] — one
-  * connection per partition, never per row, never through the driver).
-  * Every batch carries an `Idempotency-Key` header (md5 of the payload),
-  * so Spark task retries — which replay a whole partition — are safe: the
-  * server deduplicates replays by key. Transient failures (IO errors,
-  * 5xx) retry with linear backoff up to `maxRetries`.
+  * Writes: action tables go through the gather DataSourceV2 write
+  * boundary ([[Actions.applyV2]] → [[graft.sources.v2.GatherWriteBuilder]]
+  * — symmetric with the V2 scans the read side plans): each partition
+  * POSTs JSON-array batches from the executors with Spark-managed task
+  * retry/commit semantics — one connection per partition, never per row,
+  * never through the driver. Every batch carries an `Idempotency-Key`
+  * header (md5 of the payload), so Spark task retries — which replay a
+  * whole partition — are safe: the server deduplicates replays by key.
+  * Transient failures (IO errors, 5xx) retry with linear backoff up to
+  * `maxRetries`.
   */
 class HttpGatherClient(spark: SparkSession, baseUrl: String,
                        maxRetries: Int = 3) extends GatherClient {
@@ -76,18 +79,11 @@ class HttpGatherClient(spark: SparkSession, baseUrl: String,
   override def listCategories(): DataFrame =
     getJsonLines("/categories", categorySchema)
 
-  private def post(path: String, actions: DataFrame): Unit = {
-    // capture only plain values in the partition closure (the HTTP client
-    // is built executor-side; `this` must not be serialized)
-    val url = s"$baseUrl$path"
-    val retries = maxRetries
-    val payload = actions.select(
-      to_json(struct(actions.columns.map(col).toIndexedSeq: _*)).as("j"))
-    Actions.applyPartitioned(payload) { rows =>
-      val batch = rows.map(_.getString(0)).mkString("[", ",", "]")
-      if (batch != "[]") HttpGatherClient.post(url, batch, retries)
-    }
-  }
+  private def post(path: String, actions: DataFrame): Unit =
+    // the V2 write boundary (symmetric with the V2 scans above): JSON
+    // batches POST executor-side per partition under md5-of-payload
+    // idempotency keys, with Spark-managed task retry/commit semantics
+    Actions.applyV2(actions, s"$baseUrl$path", maxRetries)
 
   override def applyCreates(creates: DataFrame): Unit =
     post("/projects/create", creates)

@@ -24,10 +24,26 @@ object Actions {
 
   /** Apply an action table by calling `send` for each batch of rows, one
     * client per partition. `send` must be idempotent — a failed task
-    * retries its whole partition.
+    * retries its whole partition. The escape hatch for arbitrary clients
+    * (JDBC, queues); REST delivery goes through [[applyV2]].
     */
   def applyPartitioned(actions: DataFrame)(send: Iterator[Row] => Unit): Unit =
     actions.foreachPartition(send)
+
+  /** Apply an action table through the gather DataSourceV2 write boundary
+    * ([[graft.sources.v2.GatherWriteBuilder]]) — symmetric with the V2
+    * scan the read side uses, with Spark-managed task retry/commit
+    * semantics. `http(s)` urls POST idempotency-keyed JSON batches per
+    * partition; other urls land JSON-lines part files in a directory.
+    */
+  def applyV2(actions: DataFrame, url: String, retries: Int = 3,
+              batchSize: Int = 1000): Unit =
+    actions.write.format(graft.sources.v2.GatherSource.Format)
+      .option("url", url)
+      .option("retries", retries)
+      .option("batchSize", batchSize)
+      .mode("append")
+      .save()
 
   /** Faithful `_toSql` (DW.js:744-755): one multi-row INSERT, values
     * double-quoted, metadata JSON-stringified, columns

@@ -10,9 +10,10 @@ import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,11 +29,15 @@ import graft.client.HttpGatherClient
   *  - `spark.read.format("gather").option("url", ...)` plans a real
   *    `BatchScan`; the HTTP GET happens executor-side at scan time, with
   *    the same bounded-retry client the sink path uses.
-  *  - Column pruning ([[SupportsPushDownRequiredColumns]]) and limit
-  *    pushdown ([[SupportsPushDownLimit]]) reach the wire as `fields=` /
-  *    `limit=` query parameters (a cooperating server trims its payload;
-  *    an ignoring one costs only bytes — the reader projects/truncates
-  *    either way, so results are identical).
+  *  - Column pruning ([[SupportsPushDownRequiredColumns]]) reaches the
+  *    wire as a `fields=` query parameter; limit pushdown
+  *    ([[SupportsPushDownLimit]]) is wire-pushed as `limit=` only for
+  *    filterless scans (with filters riding along, a server honoring the
+  *    limit but ignoring the filters would truncate before filtering and
+  *    cost rows, so the limit is then enforced reader-side only). A
+  *    cooperating server trims its payload; an ignoring one costs only
+  *    bytes — the reader projects/truncates either way, so results are
+  *    identical.
   *  - Simple predicates ([[SupportsPushDownFilters]]: `EqualTo`,
   *    `IsNotNull` on top-level columns) are accepted, forwarded as
   *    `f_<col>=` parameters and re-applied reader-side — the source stays
@@ -94,16 +99,26 @@ object GatherSource {
 
 private[v2] class GatherTable(tableSchema: StructType,
                               options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gather(${options.get("url")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // table-level properties win if the read options lack them
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ o.asScala).asJava)
     new GatherScanBuilder(tableSchema, merged)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ info.options().asScala).asJava)
+    new GatherWriteBuilder(
+      info.schema(),
+      Option(merged.get("url")).getOrElse(
+        throw new IllegalArgumentException("gather sink requires a url option")),
+      merged.getInt("retries", 3),
+      math.max(1, merged.getInt("batchSize", 1000)))
   }
 }
 
@@ -241,7 +256,17 @@ private[v2] final class GatherPartitionReader(
       if (p.local) {
         val path = if (p.requestUrl.startsWith("file:"))
           Paths.get(URI.create(p.requestUrl)) else Paths.get(p.requestUrl)
-        new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
+        // a landing DIRECTORY (the write path's file transport) reads as
+        // its part files concatenated in name order — hidden temp files
+        // from uncommitted tasks are never visible
+        if (Files.isDirectory(path)) {
+          val parts = Files.list(path).iterator().asScala
+            .filter(f => Files.isRegularFile(f) &&
+              !f.getFileName.toString.startsWith("."))
+            .toSeq.sortBy(_.getFileName.toString)
+          parts.map(f => new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+            .mkString("\n")
+        } else new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
       } else HttpGatherClient.get(p.requestUrl, retries)
     val all = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
     // without server-side paging every partition holds the full body:

@@ -1,0 +1,182 @@
+package graft.sources.v2
+
+import java.net.URI
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+import graft.client.HttpGatherClient
+
+/** DataSourceV2 write path of the gather source — the mutation boundary
+  * the reference crosses at DW.js:297,357,381,419,450 (K1-K4), symmetric
+  * with the [[GatherScan]] read boundary: `df.write.format("gather")
+  * .option("url", ...).mode("append").save()` plans a real V2
+  * `BatchWrite`, and the deliveries run executor-side per partition with
+  * Spark-managed task retry/commit semantics instead of a hand-rolled
+  * `foreachPartition` loop.
+  *
+  * Transports mirror the scan:
+  *
+  *  - `http(s)://` — each partition POSTs its rows as JSON-array batches
+  *    of at most `batchSize` rows through [[HttpGatherClient.post]], every
+  *    batch carrying an md5-of-payload `Idempotency-Key`. Task retries
+  *    replay the partition; deterministic input order reproduces the same
+  *    batch bodies and therefore the same keys, so a keying server
+  *    deduplicates replays — at-least-once delivery, exactly-once effect.
+  *  - anything else — a landing directory: each partition streams JSON
+  *    lines to a hidden temp file and atomically renames it to
+  *    `part-NNNNN.jsonl` on task commit (driver commit coordination keeps
+  *    concurrent attempts from double-committing). A landing dir holds ONE
+  *    action batch; re-landing the same batch overwrites the same part
+  *    names with identical bytes — idempotent replay. The [[GatherScan]]
+  *    file transport reads the directory back.
+  *
+  * Append-only by design: an action table is a batch of deliveries, not a
+  * table state — there is nothing to truncate or overwrite.
+  */
+private[v2] class GatherWriteBuilder(schema: StructType, url: String,
+                                     retries: Int, batchSize: Int)
+    extends WriteBuilder {
+  override def build(): Write = GatherWrite(schema, url, retries, batchSize)
+}
+
+private[v2] final case class GatherWriteCommit(partitionId: Int, rows: Long)
+  extends WriterCommitMessage
+
+private[v2] final case class GatherWrite(schema: StructType, url: String,
+                                         retries: Int, batchSize: Int)
+    extends Write with BatchWrite with DataWriterFactory {
+
+  override def toBatch: BatchWrite = this
+
+  override def description(): String =
+    s"GatherWrite url=$url, batchSize=$batchSize"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = this
+
+  // deliveries are per-task (POST batches / moved part files) — the job
+  // level has nothing left to do; failed tasks surface through Spark
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  private def isHttp: Boolean = {
+    val s = url.takeWhile(_ != ':').toLowerCase
+    s == "http" || s == "https"
+  }
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    if (isHttp) new HttpBatchWriter(schema, url, retries, batchSize, partitionId)
+    else new LandingFileWriter(schema, url, partitionId, taskId)
+}
+
+/** Schema-typed JSON rendering shared by both writers — the exact dual of
+  * [[GatherPartitionReader.toRow]]'s type support.
+  */
+private[v2] abstract class JsonRowWriter(schema: StructType)
+    extends DataWriter[InternalRow] {
+  private val mapper = new ObjectMapper()
+
+  protected def rowJson(row: InternalRow): String = {
+    val node = mapper.createObjectNode()
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (row.isNullAt(i)) node.putNull(f.name)
+      else f.dataType match {
+        case LongType    => node.put(f.name, row.getLong(i))
+        case IntegerType => node.put(f.name, row.getInt(i))
+        case DoubleType  => node.put(f.name, row.getDouble(i))
+        case BooleanType => node.put(f.name, row.getBoolean(i))
+        case StringType  => node.put(f.name, row.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"gather sink: unsupported field type $other for ${f.name}")
+      }
+    }
+    mapper.writeValueAsString(node)
+  }
+}
+
+/** POSTs JSON-array batches of at most `batchSize` rows; the final,
+  * possibly short batch flushes on commit (a task that never reaches
+  * commit re-POSTs the same deterministic chunks on retry — deduped by
+  * the md5-of-body idempotency key).
+  */
+private[v2] final class HttpBatchWriter(schema: StructType, url: String,
+                                        retries: Int, batchSize: Int,
+                                        partitionId: Int)
+    extends JsonRowWriter(schema) {
+
+  private val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
+  private var rows = 0L
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    HttpGatherClient.post(url, buf.mkString("[", ",", "]"), retries)
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buf += rowJson(row)
+    rows += 1
+    if (buf.length >= batchSize) flush()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    GatherWriteCommit(partitionId, rows)
+  }
+
+  // already-POSTed chunks can't be recalled; the replay of this partition
+  // reproduces their bodies and keys, so the server discards them
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
+}
+
+/** Streams JSON lines to a hidden temp file, atomically renamed to its
+  * final `part-NNNNN.jsonl` name on task commit. Empty partitions land no
+  * file. Local/mounted filesystems only — the production transport at
+  * cluster scale is HTTP (or Spark's own parquet/json writers for bulk
+  * landing), which is why the rename-commit here stays deliberately
+  * simple.
+  */
+private[v2] final class LandingFileWriter(schema: StructType, url: String,
+                                          partitionId: Int, taskId: Long)
+    extends JsonRowWriter(schema) {
+
+  private val dir: Path =
+    if (url.startsWith("file:")) Paths.get(URI.create(url)) else Paths.get(url)
+  private val target = dir.resolve(f"part-$partitionId%05d.jsonl")
+  private val tmp = dir.resolve(f".part-$partitionId%05d.$taskId%d.tmp")
+
+  private var out: java.io.BufferedWriter = _
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      Files.createDirectories(dir)
+      out = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+    }
+    out.write(rowJson(row)); out.write("\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) {
+      out.close(); out = null
+      // rename(2) semantics: replaces an existing target atomically, so a
+      // re-landed batch (or a committed retry) can never interleave bytes
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    }
+    GatherWriteCommit(partitionId, rows)
+  }
+
+  override def abort(): Unit = close0(delete = true)
+  override def close(): Unit = close0(delete = false)
+
+  private def close0(delete: Boolean): Unit = {
+    if (out != null) { out.close(); out = null }
+    if (delete) Files.deleteIfExists(tmp)
+  }
+}
