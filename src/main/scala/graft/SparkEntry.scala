@@ -253,8 +253,12 @@ object SparkEntry {
     "agg_sketch_family" -> (graft.ext.Analytics.sketchFamily(_, _)),
     // rows-only: IVF over trained spark.ml KMeans cells (centroids come
     // from order-dependent float reductions -> no cross-engine oracle;
-    // recall vs the exact scan asserted in CosineSimSpec)
+    // recall vs the exact scan asserted in CosineSimSpec AND oracled as
+    // the embed_ann_recall bound entry below)
     "embed_ann_ivf" -> ((s, d) => graft.ext.Similarity.ivfTopK(s, d)),
+    // oracled recall bound for the IVF tier (sketchFamily pattern): the
+    // oracle derives the exact top-k count and asserts recall_ok TRUE
+    "embed_ann_recall" -> ((s, d) => graft.ext.Similarity.annRecallBound(s, d)),
     // S6 as a first-class DataSourceV2 scan: 4-partition paged read of the
     // landed project list with an EqualTo filter pushed into the source
     // and the read schema pruned to 3 of 6 wire columns (plan asserted in

@@ -151,6 +151,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k of the trained-IVF probe vs the exact scan, surfaced as an
+    * oracled *bound predicate* (the [[Analytics.sketchFamily]] pattern):
+    * the IVF result itself has no cross-engine oracle (KMeans centroids
+    * come from order-dependent float reductions), but "the probe recovers
+    * ≥ `bound` of the true top-k" is an engine-independent claim — the
+    * DuckDB twin computes the exact top-k count and asserts the boolean
+    * literally TRUE, so a quantizer/probe regression dropping recall
+    * below the bound hash-mismatches the gate. (The sign-LSH tier needs
+    * no recall bound here: its result is deterministic and fully value-
+    * oracled as `embed_ann_lsh`.) nProbe=4 of 8 cells holds recall
+    * 0.7–0.8 across all fixture SFs — 0.6 leaves headroom for boundary
+    * vectors, mirroring CosineSimSpec's assertion.
+    */
+  def annRecallBound(spark: SparkSession, dir: String, queryId: Long = 0L,
+                     k: Int = 10, nProbe: Int = 4,
+                     bound: Double = 0.6): DataFrame = {
+    val exactK = cosineTopK(spark, dir, queryId, k).select("vec_id")
+    val hits = ivfTopK(spark, dir, queryId, k, nProbe = nProbe)
+      .select("vec_id").join(exactK, Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+    val ek = exactK.agg(count(lit(1)).as("exact_k"))
+    hits.crossJoin(ek)
+      .select(lit("ivf").as("method"), lit(k.toLong).as("k"), col("exact_k"),
+        (col("hits").cast("double") / col("exact_k") >= bound).as("recall_ok"))
+      .orderBy("method")
+  }
+
   /** Embedding-cosine near-dup pairs — the X2 dedup family in embedding
     * space: bucket by sign-LSH, pair only within a bucket, verify with the
     * exact fused-cosine kernel. Pair space is Σ bucket², never O(n²);

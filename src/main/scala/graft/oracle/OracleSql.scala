@@ -945,6 +945,25 @@ shingles AS (
         FROM embeddings, q WHERE vec_id <> 0)
       SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM s
       ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 20""",
+    // Recall bound for the IVF ANN tier (Similarity.annRecallBound): the
+    // IVF result itself is not cross-engine derivable (trained KMeans
+    // centroids), so — exactly like agg_sketch_family — the twin computes
+    // the exact-derivable columns and asserts the bound boolean literally
+    // TRUE; an IVF recall regression below 0.6 hash-mismatches the gate.
+    "embed_ann_recall" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      s AS (
+        SELECT vec_id,
+               list_dot_product(embedding::DOUBLE[], qv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv, qv))) AS cos
+        FROM embeddings, q WHERE vec_id <> 0),
+      topk AS (
+        SELECT vec_id FROM s ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 10)
+      SELECT 'ivf' AS method, CAST(10 AS BIGINT) AS k,
+             (SELECT COUNT(*) FROM topk) AS exact_k,
+             TRUE AS recall_ok
+      ORDER BY method""",
     "embed_ann_lsh" -> """
       WITH b AS (
         SELECT vec_id, embedding,
