@@ -287,8 +287,8 @@ object EventStream {
       val maxNs = graft.tables.Tables.events(spark, dir)
         .agg(max(unix_micros(col("ts")))).head().getLong(0) * 1000L
       val flushNs = maxNs + 86400L * 1000000000L // one day beyond the data
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-stream-sentinel").toString
+      // scratch placement + cleanup + local-mode assumption: Scratch
+      val out = graft.tables.Scratch.dir(spark, "graft-stream-sentinel").toString
       Seq((-1L, flushNs, -1L, "signup", 0.0, "{}"),
         (-2L, flushNs, -1L, "purchase", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -142,12 +142,12 @@ object SyncInputs {
     * live endpoint (its `file:` transport — the landed-list case a paging
     * server produces). Written once per (application, fixture dir) by a
     * Spark job (no driver-side collect) and memoized; returns the part
-    * file's path.
+    * file's path. Scratch placement + cleanup + the local-mode assumption:
+    * [[graft.tables.Scratch]].
     */
   def projectsWireUrl(spark: SparkSession, dir: String): String =
     wireCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-wire-projects").toString
+      val out = graft.tables.Scratch.dir(spark, "graft-wire-projects").toString
       projects(spark, dir).toJSON.coalesce(1)
         .write.mode("overwrite").text(out)
       val part = new java.io.File(out).listFiles()
