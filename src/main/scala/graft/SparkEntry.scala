@@ -184,6 +184,12 @@ object SparkEntry {
   private val streamSourceSinkQueries: Map[String, Q] = Map(
     "stream_tumbling" -> (graft.streaming.EventStream.tumblingHourly(_, _)),
     "stream_tumbling_append" -> (graft.streaming.EventStream.tumblingHourlyAppend(_, _)),
+    // the full streaming delivery loop: append-mode aggregate ->
+    // writeStream into the gather DSv2 sink (STREAMING_WRITE, epoch-named
+    // landing parts) -> read back through the same source's V2 scan;
+    // oracled against the batch closed-window SQL, so the sink/scan
+    // round-trip must be value-lossless
+    "stream_sink_v2" -> (graft.streaming.EventStream.tumblingSinkV2(_, _)),
     "stream_range_join" -> (graft.streaming.EventStream.streamStreamRangeJoin(_, _)),
     "stream_left_join" -> (graft.streaming.EventStream.streamStreamLeftJoin(_, _)),
     "stream_sessions_append" -> (graft.streaming.EventStream.sessionWindowsAppend(_, _)),

@@ -1348,6 +1348,19 @@ shingles AS (
       WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
             <= mt - INTERVAL 1 HOUR
       GROUP BY 1, 2 ORDER BY 1, 2""",
+    // stream_sink_v2 round-trips the stream_tumbling_append result through
+    // the DSv2 streaming sink's landing files and back via the V2 scan —
+    // value-lossless by contract, so the twin is the same closed-window SQL
+    "stream_sink_v2" -> s"""
+      WITH mx AS (SELECT date_trunc('millisecond', max(CAST(ts AS TIMESTAMP))) AS mt
+                  FROM events)
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
+      FROM events, mx
+      WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+            <= mt - INTERVAL 1 HOUR
+      GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_sessions" -> """
       WITH e AS (
         SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events

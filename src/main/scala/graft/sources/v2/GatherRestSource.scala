@@ -103,7 +103,8 @@ private[v2] class GatherTable(tableSchema: StructType,
   override def name(): String = s"gather(${options.get("url")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // table-level properties win if the read options lack them
     val merged = new CaseInsensitiveStringMap(

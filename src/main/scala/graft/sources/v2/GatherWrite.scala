@@ -8,6 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 
 import graft.client.HttpGatherClient
@@ -50,19 +51,39 @@ private[v2] final case class GatherWriteCommit(partitionId: Int, rows: Long)
 
 private[v2] final case class GatherWrite(schema: StructType, url: String,
                                          retries: Int, batchSize: Int)
-    extends Write with BatchWrite with DataWriterFactory {
+    extends Write with BatchWrite with StreamingWrite
+    with DataWriterFactory with StreamingDataWriterFactory {
 
   override def toBatch: BatchWrite = this
+
+  /** The continuous form of the same delivery — the reference is a daemon
+    * (DW.js:32,67: every watch-idle cycle re-syncs), so the action stream
+    * can `writeStream` straight into this sink: each micro-batch epoch
+    * delivers like one batch write. Epoch replay (the streaming retry
+    * unit) is idempotent the same two ways — landed part files carry the
+    * epoch in their name, so a replayed epoch overwrites its own files;
+    * HTTP batches reproduce their bodies and idempotency keys.
+    */
+  override def toStreaming: StreamingWrite = this
 
   override def description(): String =
     s"GatherWrite url=$url, batchSize=$batchSize"
 
+  // both parent traits supply the same default; Scala requires the
+  // diamond be resolved explicitly — keep driver commit coordination so
+  // only one task attempt commits a partition (the rename-commit relies
+  // on it for single-writer part files)
+  override def useCommitCoordinator(): Boolean = true
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = this
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = this
 
   // deliveries are per-task (POST batches / moved part files) — the job
   // level has nothing left to do; failed tasks surface through Spark
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 
   private def isHttp: Boolean = {
     val s = url.takeWhile(_ != ':').toLowerCase
@@ -71,7 +92,12 @@ private[v2] final case class GatherWrite(schema: StructType, url: String,
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (isHttp) new HttpBatchWriter(schema, url, retries, batchSize, partitionId)
-    else new LandingFileWriter(schema, url, partitionId, taskId)
+    else new LandingFileWriter(schema, url, partitionId, taskId, epoch = None)
+
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    if (isHttp) new HttpBatchWriter(schema, url, retries, batchSize, partitionId)
+    else new LandingFileWriter(schema, url, partitionId, taskId, epoch = Some(epochId))
 }
 
 /** Schema-typed JSON rendering shared by both writers — the exact dual of
@@ -142,13 +168,20 @@ private[v2] final class HttpBatchWriter(schema: StructType, url: String,
   * simple.
   */
 private[v2] final class LandingFileWriter(schema: StructType, url: String,
-                                          partitionId: Int, taskId: Long)
+                                          partitionId: Int, taskId: Long,
+                                          epoch: Option[Long])
     extends JsonRowWriter(schema) {
 
   private val dir: Path =
     if (url.startsWith("file:")) Paths.get(URI.create(url)) else Paths.get(url)
-  private val target = dir.resolve(f"part-$partitionId%05d.jsonl")
-  private val tmp = dir.resolve(f".part-$partitionId%05d.$taskId%d.tmp")
+  // streaming epochs own their file names: a replayed epoch (the
+  // streaming retry unit) overwrites its own parts, never a neighbour's
+  private val stem = epoch match {
+    case Some(e) => f"part-$e%05d-$partitionId%05d"
+    case None    => f"part-$partitionId%05d"
+  }
+  private val target = dir.resolve(s"$stem.jsonl")
+  private val tmp = dir.resolve(f".$stem%s.$taskId%d.tmp")
 
   private var out: java.io.BufferedWriter = _
   private var rows = 0L

@@ -335,6 +335,45 @@ object EventStream {
     runToMemory(sessionPlan(spark, dir), "append")
       .orderBy("user_id", "start_us")
 
+  /** The streaming delivery boundary end-to-end: the append-mode tumbling
+    * aggregate `writeStream`s into the gather DSv2 sink
+    * ([[graft.sources.v2.GatherWriteBuilder]], STREAMING_WRITE — the
+    * continuous form of the reference's per-cycle deliveries,
+    * DW.js:297,357,381), landing epoch-named JSON-lines part files, which
+    * the same source's V2 *scan* then reads back. The returned relation
+    * therefore proves the whole loop — stream → streaming sink → scan —
+    * and the oracle compares it against the batch closed-window SQL (the
+    * stream_tumbling_append twin): the sink/scan round-trip must be
+    * value-lossless or the hash gate trips.
+    */
+  def tumblingSinkV2(spark: SparkSession, dir: String): DataFrame =
+    tumblingSinkV2To(spark, dir,
+      graft.tables.Scratch.dir(spark, "graft-stream-sink-v2").toString,
+      graft.tables.Scratch.dir(spark, "graft-stream-sink-ckpt").toString)
+
+  private[graft] def tumblingSinkV2To(spark: SparkSession, dir: String,
+                                      land: String, ckpt: String): DataFrame = {
+    val q = tumblingPlan(spark, dir).writeStream
+      .format(graft.sources.v2.GatherSource.Format)
+      .option("url", land)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(180000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        "V2-sink streaming query did not finish within 180s")
+    }
+    spark.read.format(graft.sources.v2.GatherSource.Format)
+      .schema(StructType(Seq(
+        StructField("hour_start", StringType), StructField("event_type", StringType),
+        StructField("n", LongType), StructField("sum_value", DoubleType))))
+      .option("url", land)
+      .load()
+      .orderBy("hour_start", "event_type")
+  }
+
   /** Stateful streaming dedup — X1's streaming form; count of distinct
     * keys is the comparable output.
     *

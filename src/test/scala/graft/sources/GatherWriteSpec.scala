@@ -85,6 +85,33 @@ class GatherWriteSpec extends SparkSpec {
     assert(readBack() == first, "re-landing the same batch must be a no-op")
   }
 
+  test("streaming write: epoch-named parts, replaying the stream lands identically") {
+    val land = java.nio.file.Files.createTempDirectory("graft-stream-sink-spec")
+    def runOnce(): Seq[String] = {
+      // fresh checkpoint each run = a full replay of the same finite
+      // stream; AvailableNow reproduces the same epoch ids, so the same
+      // part names are overwritten with the same bytes
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt-spec")
+      graft.streaming.EventStream
+        .tumblingSinkV2To(spark, sf001, land.toString, ckpt.toString)
+        .collect().map(_.toString).toSeq
+    }
+    val first = runOnce()
+    assert(first.nonEmpty)
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.list(land).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(names.forall(_.matches("part-\\d{5}-\\d{5}\\.jsonl")),
+      s"expected epoch-partition part names, got $names")
+    assert(runOnce() == first, "a replayed stream must land identically")
+    assert(java.nio.file.Files.list(land).iterator().asScala.size == names.size,
+      "replay must overwrite epoch files, not accrete new ones")
+    // matches the batch append-mode twin exactly (the oracle's claim)
+    val batch = graft.streaming.EventStream.tumblingHourlyAppend(spark, sf001)
+      .collect().map(_.toString).toSeq
+    assert(first == batch)
+  }
+
   test("http transport: batches land once under idempotency keys; replay dedupes") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val applied = new ConcurrentHashMap[String, String]() // key -> body
