@@ -190,6 +190,10 @@ object SparkEntry {
     // oracled against the batch closed-window SQL, so the sink/scan
     // round-trip must be value-lossless
     "stream_sink_v2" -> (graft.streaming.EventStream.tumblingSinkV2(_, _)),
+    // the continuous remote re-list (MICRO_BATCH_READ on the gather
+    // source): one AvailableNow poll = one daemon list cycle; oracled
+    // against the same twin as the batch scan_remote_v2
+    "stream_scan_v2" -> (graft.streaming.EventStream.pollProjectsSnapshot(_, _)),
     "stream_range_join" -> (graft.streaming.EventStream.streamStreamRangeJoin(_, _)),
     "stream_left_join" -> (graft.streaming.EventStream.streamStreamLeftJoin(_, _)),
     "stream_sessions_append" -> (graft.streaming.EventStream.sessionWindowsAppend(_, _)),

@@ -1404,6 +1404,11 @@ shingles AS (
     "scan_remote_v2" -> sync(
       """SELECT id, p_file, title FROM projects
          WHERE iam = 'gatherbot' AND is_dataset ORDER BY id"""),
+    // the poll-stream form (MICRO_BATCH_READ) must see the identical list
+    // a batch scan sees — same twin as scan_remote_v2
+    "stream_scan_v2" -> sync(
+      """SELECT id, p_file, title FROM projects
+         WHERE iam = 'gatherbot' AND is_dataset ORDER BY id"""),
     // Cross-run incremental sync: `files2` mirrors SyncInputs.filesRun2
     // (deleted %10=9, moved/ %10=3, content-changed %10=6, extra %10=0,
     // dup-group md5 override %17=5 taking precedence); the diff classifies

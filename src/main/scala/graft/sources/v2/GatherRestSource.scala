@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
@@ -104,6 +105,7 @@ private[v2] class GatherTable(tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     // table-level properties win if the read options lack them
@@ -232,10 +234,56 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
 
   override def createReaderFactory(): PartitionReaderFactory = this
 
+  /** The continuous form of the scan — the reference daemon re-lists the
+    * remote every watch-idle cycle (DW.js:67-74); here each micro-batch
+    * trigger is one such poll, re-fetching the list snapshot with the
+    * same pushdown/partitioning as the batch scan.
+    */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GatherPollStream(this)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GatherInputPartition]
     new GatherPartitionReader(gp, retries, wireSchema, required, limit, pushed)
   }
+}
+
+/** Poll-sequence offset of the micro-batch list stream: `n` = how many
+  * polls have been admitted.
+  */
+private[v2] final case class GatherPollOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/** Snapshot-per-trigger poll stream over the same [[GatherScan]]: every
+  * admitted micro-batch re-reads the current list (partitioning, pushdown
+  * and transports identical to the batch scan — the reader factory IS the
+  * scan's). A batch spanning several elapsed polls still reads ONE
+  * snapshot: polls are idempotent re-lists, so collapsing them loses
+  * nothing — exactly like the reference daemon skipping cycles while
+  * busy. `Trigger.AvailableNow` therefore yields exactly one snapshot
+  * batch and stops: the per-cycle list the daemon sees, as a bounded
+  * streaming read.
+  */
+private[v2] final class GatherPollStream(scan: GatherScan)
+    extends MicroBatchStream {
+  private val polls = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  override def initialOffset(): Offset = GatherPollOffset(0L)
+  override def latestOffset(): Offset = GatherPollOffset(polls.incrementAndGet())
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.trim.toLong
+    // restart: resync the poll counter past the checkpointed offset so
+    // latestOffset keeps advancing monotonically across runs
+    polls.updateAndGet(p => math.max(p, n))
+    GatherPollOffset(n)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    if (start == end) Array.empty else scan.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Executor-side reader: fetch the partition's body, parse JSON lines

@@ -374,6 +374,27 @@ object EventStream {
       .orderBy("hour_start", "event_type")
   }
 
+  /** The continuous remote re-list as a bounded streaming read: the gather
+    * V2 source's MICRO_BATCH_READ surface
+    * ([[graft.sources.v2.GatherPollStream]] — each trigger is one of the
+    * reference daemon's per-cycle list polls, DW.js:67-74) driven with
+    * `Trigger.AvailableNow`, which admits exactly one snapshot poll and
+    * stops. The projection is the same pushdown shape as the batch
+    * `scan_remote_v2` entry, and the oracle compares against the same
+    * twin — poll-stream and batch scan must see the identical list.
+    */
+  def pollProjectsSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val snap = spark.readStream
+      .format(graft.sources.v2.GatherSource.Format)
+      .schema(graft.sources.v2.GatherSource.ProjectsSchema)
+      .option("url", graft.sync.SyncInputs.projectsWireUrl(spark, dir))
+      .option("parts", "4")
+      .load()
+      .filter(col("iam") === "gatherbot" && col("is_dataset"))
+      .select("id", "p_file", "title")
+    runToMemory(snap, "append").orderBy("id")
+  }
+
   /** Stateful streaming dedup — X1's streaming form; count of distinct
     * keys is the comparable output.
     *

@@ -195,6 +195,51 @@ class GatherRestSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("micro-batch poll stream: one AvailableNow poll equals the batch scan") {
+    withServer { (url, requests) =>
+      val stream = spark.readStream.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema).option("url", url).load()
+      assert(stream.isStreaming)
+      val q = stream.writeStream.format("memory").queryName("gather_poll_spec")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(60000L), "poll stream did not stop")
+      val streamed = spark.table("gather_poll_spec")
+        .orderBy("id").collect().map(_.toString).toSeq
+      spark.catalog.dropTempView("gather_poll_spec")
+      val batch = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema).option("url", url).load()
+        .orderBy("id").collect().map(_.toString).toSeq
+      assert(streamed == batch, "a poll snapshot must equal the batch scan")
+    }
+  }
+
+  test("poll stream offsets: admission advances, equal offsets plan nothing") {
+    val props = new java.util.HashMap[String, String]()
+    props.put("url", SyncInputs.projectsWireUrl(spark, sf001))
+    props.put("parts", "2")
+    val table = new graft.sources.v2.GatherSource()
+      .getTable(GatherSource.ProjectsSchema, Array.empty, props)
+    val s = table.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(props))
+      .build().toMicroBatchStream("unused")
+    val o0 = s.initialOffset()
+    val o1 = s.latestOffset()
+    val o2 = s.latestOffset()
+    assert(o0.json().toLong < o1.json().toLong &&
+      o1.json().toLong < o2.json().toLong, "each trigger admits a new poll")
+    assert(s.planInputPartitions(o1, o1).isEmpty,
+      "no elapsed poll -> no partitions")
+    // several elapsed polls still read ONE current snapshot (idempotent
+    // re-lists collapse, like the daemon skipping cycles while busy)
+    assert(s.planInputPartitions(o0, o2).length == 2)
+    // restart resync: deserializing a checkpointed offset moves admission
+    // past it
+    s.deserializeOffset("100")
+    assert(s.latestOffset().json().toLong > 100L)
+  }
+
   test("file transport: landed-list scan matches the in-memory derivation") {
     val viaV2 = spark.read.format(GatherSource.Format)
       .schema(GatherSource.ProjectsSchema)
