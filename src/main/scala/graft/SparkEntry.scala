@@ -161,6 +161,11 @@ object SparkEntry {
     "text_simhash64" -> (graft.ext.TextDedup.simhash64Query(_, _)),
     "dedup_simhash64_pairs" -> ((s, d) => graft.ext.TextDedup.simhash64Pairs(s, d)),
     "dedup_method_report" -> (graft.ext.TextDedup.methodComparison(_, _)),
+    // connected components over the thresholded minhash pair graph
+    // (min-label propagation to convergence); cluster id = min doc_id,
+    // canonical survivor flagged. Oracled against an unrolled fixed-round
+    // propagation (components converge well inside the unroll bound).
+    "dedup_clusters" -> ((s, d) => graft.ext.TextDedup.nearDupClusters(s, d)),
     "dedup_jaccard_pairs" -> ((s, d) => graft.ext.TextDedup.jaccardPairs(s, d)),
     "embed_cosine_topk" -> ((s, d) => graft.ext.Similarity.cosineTopK(s, d)),
     "embed_ann_lsh" -> ((s, d) => graft.ext.Similarity.annLshTopK(s, d)),

@@ -574,4 +574,67 @@ object TextDedup {
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
       .orderBy("method")
   }
+
+  /** Near-dup *clustering* — the step after pair generation in a dedup
+    * pipeline: connected components over the thresholded MinHash pair
+    * graph, cluster id = min doc_id of the component, the id-holder is
+    * the canonical survivor and everything else in the cluster drops.
+    *
+    * Min-label propagation: every round each node takes the minimum label
+    * among itself and its neighbours; converged when no label shrinks.
+    * Rounds = component diameter — a driver loop of distributed jobs
+    * (labels and edges never leave the cluster; only the one-row
+    * convergence probe comes back). Near-dup components are
+    * diameter-bounded by construction (band collisions chain only through
+    * genuinely similar docs), so the round count stays single-digit; on
+    * an adversarial long-chain graph at 100 TB the same join shape runs
+    * as large-star/small-star rewiring to bound rounds at O(log n).
+    * Each round is one shuffle on the node id; labels persist per round
+    * and unpersist as soon as the next round lands.
+    */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      minSim: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    val pairs = cachedMinhashPairs(spark, dir)
+      .filter(col("est_sim") >= minSim).select("doc_a", "doc_b")
+    val edges = pairs.unionByName(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id")).persist()
+    // the persisted DataFrame currently backing `labels` — the convergence
+    // probe materializes each round's cache BEFORE the previous round's is
+    // released, so no round ever recomputes its ancestry
+    var backing = labels
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val minNeigh = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("lab").as("nlab"))
+      val next = labels.withColumnRenamed("lab", "olab")
+        .join(minNeigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("olab"), coalesce(col("nlab"), col("olab"))).as("lab"),
+          col("olab"))
+        .persist()
+      converged = next.filter(col("lab") < col("olab")).isEmpty // materializes
+      backing.unpersist()
+      backing = next
+      labels = next.select("id", "lab")
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"near-dup clustering did not converge in $maxRounds rounds — " +
+          "component diameter exceeds the propagation bound")
+    // pin the final assignment, then release every loop intermediate: the
+    // result is a small (node, label) relation, the loop ancestry is not
+    val result = labels
+      .select(col("id").as("doc_id"), col("lab").as("cluster_id"),
+        (col("id") === col("lab")).as("is_canonical"))
+      .persist()
+    result.count()
+    backing.unpersist()
+    edges.unpersist()
+    result.orderBy("doc_id")
+  }
 }

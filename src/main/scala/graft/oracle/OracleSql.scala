@@ -617,6 +617,62 @@ shingles AS (
       FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
                   JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
       GROUP BY c.doc_a, c.doc_b ORDER BY c.doc_a, c.doc_b""",
+    // Connected components over the thresholded minhash pair graph
+    // (TextDedup.nearDupClusters): min-label propagation unrolled to 8
+    // fixed rounds — the Spark side iterates to convergence, and near-dup
+    // components converge in ≤ diameter ≤ 8 rounds on every fixture SF
+    // (the Spark side THROWS past 20 rounds rather than emit a partial
+    // clustering, so a divergence can never silently hash-match).
+    // PLAN SHAPE MATTERS: each round references the previous round
+    // exactly ONCE (self-loops on the edge set turn "min of self and
+    // neighbours" into one join + MIN group-by) — a two-reference round
+    // doubles the inlined plan per level, 2^8 copies of the whole
+    // minhash pipeline by l8. The multiply-referenced edge set is
+    // MATERIALIZED (DuckDB CTE hint; the Spark SQL replay strips it —
+    // Spark reuses multi-referenced CTEs on its own).
+    "dedup_clusters" -> (s"""
+      WITH ${SHINGLES.trim},
+      sigs AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j
+      ),
+      bands AS (
+        SELECT doc_id, j // 2 AS b,
+               md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' ||
+                   MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM sigs GROUP BY doc_id, j // 2
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                                 AND a.doc_id < b.doc_id
+      ),
+      scored AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
+        FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+                    JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        GROUP BY c.doc_a, c.doc_b
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM scored WHERE est_sim >= 0.5
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM scored WHERE est_sim >= 0.5
+      ),
+      edges2 AS MATERIALIZED (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT DISTINCT src, src FROM edges
+      ),
+      l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges2),
+""" + (1 to 8).map(k => s"""      l$k AS (
+        SELECT e.dst AS id, MIN(l.lab) AS lab
+        FROM l${k - 1} l JOIN edges2 e ON e.src = l.id
+        GROUP BY e.dst
+      )""").mkString(",\n") + """
+      SELECT id AS doc_id, lab AS cluster_id, id = lab AS is_canonical
+      FROM l8 ORDER BY doc_id"""),
     "text_simhash" -> """
       WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       toks AS (SELECT doc_id, unnest(w) AS tok FROM words),

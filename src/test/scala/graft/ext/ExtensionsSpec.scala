@@ -227,4 +227,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(q.getAs[Long]("n_distinct_words") == words.distinct.length.toLong)
     assert(q.getAs[Long]("n_letters") == words.map(_.length).sum.toLong)
   }
+
+  test("near-dup clusters: a valid components assignment over the pair graph") {
+    val clusters = TextDedup.nearDupClusters(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = TextDedup.cachedMinhashPairs(spark, sf001)
+      .filter($"est_sim" >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    // every pair endpoint is assigned, and both ends share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // cluster id = the minimum member (so the canonical flag is sound)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid id is not its min member")
+    }
+    // clusters are maximal: no label is another cluster's member (a
+    // non-converged propagation would leave chained labels behind)
+    assert(clusters.values.toSet.subsetOf(clusters.keySet))
+    clusters.values.foreach(cid => assert(clusters(cid) == cid))
+  }
 }

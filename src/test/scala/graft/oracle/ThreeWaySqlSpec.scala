@@ -48,6 +48,9 @@ class ThreeWaySqlSpec extends SparkSpec {
     s = s.replace("list_transform(", "transform(")
     s = s.replace("list_intersect(", "array_intersect(")
     s = s.replace("list_contains(", "array_contains(")
+    // DuckDB CTE materialization hint; Spark has no spelling for it and
+    // reuses multi-referenced CTEs on its own
+    s = s.replace(" AS MATERIALIZED (", " AS (")
     // DuckDB list comprehension [f(i) FOR i IN g] == transform(g, i -> f(i))
     s = raw"(?s)\[(.+?)\s+FOR\s+(\w+)\s+IN\s+(.+?)\]".r.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement(
