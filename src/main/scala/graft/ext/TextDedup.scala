@@ -594,33 +594,85 @@ object TextDedup {
     */
   def nearDupClusters(spark: SparkSession, dir: String,
                       minSim: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+    // Loop-local session tuning, restored afterwards (confs bind at plan
+    // time):
+    //  - shuffle partitions sized to the PAIR GRAPH (survivors of banding
+    //    + the similarity threshold), orders of magnitude smaller than
+    //    the corpus — the same right-sizing lever EventStream applies to
+    //    stream-state partitions; at 100 TB the caller sizes it to the
+    //    measured pair volume;
+    //  - AQE OFF for the loop: AQE materializes every exchange as its own
+    //    job to re-plan, which on an iterative chain of small bounded
+    //    shuffles is pure per-stage scheduling latency (measured 33 jobs
+    //    ≈ 9s for a 260-edge graph; pipelined it's one job per probe).
+    //    The loop's relations are pre-partitioned and bounded, so the
+    //    things AQE buys (coalescing, skew splits) don't apply inside it.
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try nearDupClustersInner(spark, dir, minSim, maxRounds)
+    finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  private def nearDupClustersInner(spark: SparkSession, dir: String,
+                                   minSim: Double, maxRounds: Int): DataFrame = {
     val pairs = cachedMinhashPairs(spark, dir)
       .filter(col("est_sim") >= minSim).select("doc_a", "doc_b")
-    val edges = pairs.unionByName(
+    val undirected = pairs.unionByName(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst")
+    // self-loops fold "min of self and neighbours" into ONE join + MIN —
+    // a step must reference the label relation exactly once: Spark does
+    // not dedupe common DataFrame subtrees, so a two-reference step
+    // doubles the composed plan per round (2^batch subtrees by the probe)
+    // exactly like the inlined-CTE trap in the DuckDB twin.
+    // Edges are hash-partitioned ON THE JOIN KEY once and cached that
+    // way; each round's MIN-aggregate output is partitioned on its group
+    // key, which IS the next round's join key (same attribute), so the
+    // steady-state round costs exactly one exchange (the group-by) —
+    // the loop reuses one partitioning across stages instead of
+    // re-shuffling both sides every round.
+    val loopParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val edges = undirected.unionByName(
+      undirected.select(col("src"), col("src").as("dst")).distinct())
+      .repartition(loopParts, col("src"))
+      .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")).persist()
-    // the persisted DataFrame currently backing `labels` — the convergence
-    // probe materializes each round's cache BEFORE the previous round's is
-    // released, so no round ever recomputes its ancestry
+    // one lazy propagation round, single reference to `l`
+    def step(l: DataFrame): DataFrame =
+      edges
+        .join(l.select(col("id").as("src"), col("lab").as("slab")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("slab").as("lab"))
+    // Rounds run in BATCHES between materializations: a convergence probe
+    // is a whole Spark job, and on the (small) pair graph per-stage AQE
+    // latency dominates the actual join work — several lazy rounds
+    // compose into one plan, then ONE aggregation both probes convergence
+    // and materializes the batch's cache in full (labels only ever
+    // decrease, so an unchanged sum(lab) ⟺ no label changed; a full
+    // materialization also means releasing the previous cache can never
+    // force ancestry recomputation). Fixture graphs converge in one
+    // batch + one confirming probe.
+    val batch = 4
+    // decimal sum: overflow-proof at any node count (a wrapped long sum
+    // could collide with the previous value and fake convergence)
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("lab").cast("decimal(38,0)"))).head().getDecimal(0)
     var backing = labels
-    var round = 0
+    var lastSum: java.math.BigDecimal = null // first probe can't converge
+    var rounds = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      val minNeigh = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min("lab").as("nlab"))
-      val next = labels.withColumnRenamed("lab", "olab")
-        .join(minNeigh, Seq("id"), "left")
-        .select(col("id"),
-          least(col("olab"), coalesce(col("nlab"), col("olab"))).as("lab"),
-          col("olab"))
-        .persist()
-      converged = next.filter(col("lab") < col("olab")).isEmpty // materializes
+    while (!converged && rounds < maxRounds) {
+      val next = (1 to batch).foldLeft(labels)((l, _) => step(l)).persist()
+      val nextSum = labelSum(next) // materializes the batch's cache
+      converged = lastSum != null && nextSum.compareTo(lastSum) == 0
+      lastSum = nextSum
       backing.unpersist()
       backing = next
-      labels = next.select("id", "lab")
-      round += 1
+      labels = next
+      rounds += batch
     }
     if (!converged)
       throw new IllegalStateException(
