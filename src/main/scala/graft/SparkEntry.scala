@@ -288,6 +288,19 @@ object SparkEntry {
         .filter(col("iam") === "gatherbot" && col("is_dataset"))
         .select("id", "p_file", "title")
         .orderBy("id")),
+    // aggregate pushdown through the V2 boundary: COUNT(*)/COUNT(col)/
+    // MIN/MAX compute inside the scan (one partial row per partition,
+    // Spark merges), composed with a pushed filter — plan-asserted in
+    // GatherRestSourceSpec
+    "scan_remote_agg" -> ((s, d) =>
+      s.read.format(graft.sources.v2.GatherSource.Format)
+        .schema(graft.sources.v2.GatherSource.ProjectsSchema)
+        .option("url", SyncInputs.projectsWireUrl(s, d))
+        .option("parts", "4")
+        .load()
+        .filter(col("is_dataset"))
+        .agg(count(lit(1)).as("n_projects"), min("id").as("min_id"),
+          max("id").as("max_id"), count(col("p_md5")).as("n_md5"))),
     // Cross-run incremental sync: run 2's actions as a snapshot diff
     // (create/rename/content_changed/archive) against run 1's file ledger
     // (graft.sync.Incremental; the daemon loop DW.js:32,67 relationally)

@@ -1465,6 +1465,12 @@ shingles AS (
     "stream_scan_v2" -> sync(
       """SELECT id, p_file, title FROM projects
          WHERE iam = 'gatherbot' AND is_dataset ORDER BY id"""),
+    // aggregates computed inside the V2 scan must equal the plain SQL
+    // aggregate over the same list
+    "scan_remote_agg" -> sync(
+      """SELECT COUNT(*) AS n_projects, MIN(id) AS min_id,
+                MAX(id) AS max_id, COUNT(p_md5) AS n_md5
+         FROM projects WHERE is_dataset"""),
     // Cross-run incremental sync: `files2` mirrors SyncInputs.filesRun2
     // (deleted %10=9, moved/ %10=3, content-changed %10=6, extra %10=0,
     // dup-group md5 override %17=5 taking precedence); the diff classifies

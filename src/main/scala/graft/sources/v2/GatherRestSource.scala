@@ -12,6 +12,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
@@ -128,16 +130,21 @@ private[v2] class GatherTable(tableSchema: StructType,
 private[v2] class GatherScanBuilder(fullSchema: StructType,
                                     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownFilters {
+    with SupportsPushDownLimit with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var limit: Int = -1
   private var pushed: Array[Filter] = Array.empty
+  private var aggSpec: Option[GatherAggSpec] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep wire order; an empty requirement (count(*)) still reads rows
-    required = StructType(
-      fullSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
+    // keep wire order; an empty requirement (count(*)) still reads rows.
+    // In aggregate mode the scan's output schema IS the aggregation
+    // schema — pruning requests against it don't name wire columns.
+    if (aggSpec.isEmpty)
+      required = StructType(
+        fullSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
   override def pushLimit(n: Int): Boolean = { limit = n; true }
   // isPartiallyPushed stays default-true: Spark re-applies the limit, so a
@@ -157,6 +164,62 @@ private[v2] class GatherScanBuilder(fullSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Global (no GROUP BY) COUNT(*)/COUNT(col)/MIN(col)/MAX(col) compute
+    * inside the scan over the (filtered) body — each partition emits one
+    * partial row and Spark merges, so an aggregate over a remote list
+    * surfaces `parts` rows instead of the whole list. Complete pushdown
+    * is claimed only for single-partition scans (one partial IS the
+    * final answer); multi-part scans let Spark plan the final merge.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    translateAgg(aggregation).isDefined &&
+      math.max(1, options.getInt("parts", 1)) == 1
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // a pushed limit truncates the body before aggregation — refuse the
+    // combination rather than aggregate over a truncated list
+    if (limit >= 0) return false
+    translateAgg(aggregation) match {
+      case Some(spec) => aggSpec = Some(spec); true
+      case None => false
+    }
+  }
+
+  private def topLevel(ref: NamedReference): Option[String] = {
+    val names = ref.fieldNames()
+    if (names.length == 1 && fullSchema.fieldNames.contains(names(0)))
+      Some(names(0))
+    else None
+  }
+
+  private def translateAgg(aggregation: Aggregation): Option[GatherAggSpec] = {
+    if (aggregation.groupByExpressions().nonEmpty) return None
+    val funcs = aggregation.aggregateExpressions().map {
+      case _: CountStar => Some(GatherAggFunc("count_star", None, LongType))
+      case c: Count if !c.isDistinct =>
+        c.column() match {
+          case r: NamedReference => topLevel(r)
+            .map(n => GatherAggFunc("count", Some(n), LongType))
+          case _ => None
+        }
+      case m: Min => m.column() match {
+        case r: NamedReference => topLevel(r)
+          .map(n => GatherAggFunc("min", Some(n),
+            fullSchema(fullSchema.fieldIndex(n)).dataType))
+        case _ => None
+      }
+      case m: Max => m.column() match {
+        case r: NamedReference => topLevel(r)
+          .map(n => GatherAggFunc("max", Some(n),
+            fullSchema(fullSchema.fieldIndex(n)).dataType))
+        case _ => None
+      }
+      case _: AggregateFunc => None
+    }
+    if (funcs.exists(_.isEmpty)) None
+    else Some(GatherAggSpec(funcs.flatten.toIndexedSeq))
+  }
+
   override def build(): Scan = GatherScan(
     url = Option(options.get("url")).getOrElse(
       throw new IllegalArgumentException("gather source requires a url option")),
@@ -169,21 +232,41 @@ private[v2] class GatherScanBuilder(fullSchema: StructType,
     // every row parts-fold
     serverPaging = options.getBoolean("serverPaging", false),
     wireSchema = fullSchema, required = required, limit = limit,
-    pushed = pushed)
+    pushed = pushed, agg = aggSpec)
 }
 
 private[v2] final case class GatherInputPartition(
     requestUrl: String, part: Int, parts: Int, stripe: Boolean, local: Boolean)
   extends InputPartition
 
+/** One pushed aggregate function: op ∈ count_star|count|min|max, its input
+  * column (None for count_star) and result type.
+  */
+private[v2] final case class GatherAggFunc(op: String, column: Option[String],
+                                           resultType: DataType)
+
+private[v2] final case class GatherAggSpec(funcs: IndexedSeq[GatherAggFunc]) {
+  /** The scan's output schema in aggregate mode (positional — Spark maps
+    * pushed-aggregate results by position, names are informational).
+    */
+  def schema: StructType = StructType(funcs.zipWithIndex.map { case (f, i) =>
+    StructField(s"agg_$i", f.resultType, nullable = f.op == "min" || f.op == "max")
+  })
+  /** Wire columns the aggregation actually reads. */
+  def inputColumns: Seq[String] = funcs.flatMap(_.column).distinct
+  override def toString: String =
+    funcs.map(f => f.column.fold(f.op)(c => s"${f.op}($c)")).mkString(", ")
+}
+
 private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
                                         serverPaging: Boolean,
                                         wireSchema: StructType,
                                         required: StructType, limit: Int,
-                                        pushed: Array[Filter])
+                                        pushed: Array[Filter],
+                                        agg: Option[GatherAggSpec] = None)
     extends Scan with Batch with PartitionReaderFactory {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType = agg.fold(required)(_.schema)
   override def toBatch: Batch = this
 
   /** Mirrors the FileSourceScan explain vocabulary so plan-assert specs
@@ -192,8 +275,9 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
   override def description(): String =
     s"GatherScan url=$url, parts=$parts, " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"PushedAggregates: [${agg.fold("")(_.toString)}], " +
       s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${readSchema().catalogString}"
 
   private def isHttp: Boolean = {
     val s = url.takeWhile(_ != ':').toLowerCase
@@ -209,7 +293,10 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
       // (no post-scan Filter), so a cooperating server trimming to the
       // *output* columns alone would make every filter read null
       val filterAttrs = pushed.flatMap(_.references)
-      val fetchCols = (required.fieldNames ++ filterAttrs).distinct
+      // aggregate mode reads the aggregation's input columns, not the
+      // (aggregate-shaped) output schema
+      val dataCols = agg.fold(required.fieldNames.toSeq)(_.inputColumns)
+      val fetchCols = (dataCols ++ filterAttrs).distinct
       val params = (if (serverPaging) Seq(s"part=$part", s"parts=$parts") else Nil) ++
         (if (fetchCols.nonEmpty) Seq(s"fields=${enc(fetchCols.mkString(","))}") else Nil) ++
         // limit= is only safe to send when no filters ride along: a server
@@ -244,7 +331,7 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GatherInputPartition]
-    new GatherPartitionReader(gp, retries, wireSchema, required, limit, pushed)
+    new GatherPartitionReader(gp, retries, wireSchema, required, limit, pushed, agg)
   }
 }
 
@@ -292,7 +379,8 @@ private[v2] final class GatherPollStream(scan: GatherScan)
   */
 private[v2] final class GatherPartitionReader(
     p: GatherInputPartition, retries: Int, wireSchema: StructType,
-    required: StructType, limit: Int, pushed: Array[Filter])
+    required: StructType, limit: Int, pushed: Array[Filter],
+    agg: Option[GatherAggSpec] = None)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -378,7 +466,76 @@ private[v2] final class GatherPartitionReader(
     new GenericInternalRow(vals.asInstanceOf[Array[Any]])
   }
 
+  /** Aggregate mode: fold the partition's (filtered) lines into ONE
+    * partial row — count/min/max compute where the data is, and a scan
+    * over a remote list surfaces `parts` rows instead of the list.
+    * Min/max ignore nulls and yield null over zero rows, matching SQL
+    * aggregate semantics; string order is binary (DuckDB agrees on
+    * ASCII keys).
+    */
+  private def aggRow(spec: GatherAggSpec): InternalRow = {
+    val counts = Array.fill(spec.funcs.length)(0L)
+    val extremes = Array.fill[Any](spec.funcs.length)(null)
+    def better(op: String, dt: DataType, a: Any, b: Any): Boolean = {
+      val c = dt match {
+        case LongType | IntegerType =>
+          java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+        case DoubleType =>
+          java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+        case BooleanType =>
+          java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+        case _ => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+      }
+      if (op == "min") c < 0 else c > 0
+    }
+    while (lines.hasNext) {
+      val node = mapper.readTree(lines.next()) // malformed line -> throws
+      if (matches(node)) {
+        spec.funcs.zipWithIndex.foreach { case (f, i) =>
+          f.op match {
+            case "count_star" => counts(i) += 1
+            case "count" =>
+              if (fieldValue(node, f.column.get) != null) counts(i) += 1
+            case _ =>
+              val v = node.get(f.column.get)
+              if (v != null && !v.isNull) {
+                val typed: Any = f.resultType match {
+                  case LongType | IntegerType => v.asLong()
+                  case DoubleType             => v.asDouble()
+                  case BooleanType            => v.asBoolean()
+                  case _ => if (v.isTextual) v.asText() else v.toString
+                }
+                if (extremes(i) == null ||
+                    better(f.op, f.resultType, typed, extremes(i)))
+                  extremes(i) = typed
+              }
+          }
+        }
+      }
+    }
+    val vals: Array[Any] = spec.funcs.zipWithIndex.map { case (f, i) =>
+      f.op match {
+        case "count_star" | "count" => counts(i)
+        case _ => extremes(i) match {
+          case null => null
+          case s: String => UTF8String.fromString(s)
+          case l: Long if f.resultType == IntegerType => l.toInt
+          case other => other
+        }
+      }
+    }.toArray
+    new GenericInternalRow(vals)
+  }
+
   override def next(): Boolean = {
+    agg match {
+      case Some(spec) =>
+        if (emitted > 0) return false
+        current = aggRow(spec)
+        emitted += 1
+        return true
+      case None => ()
+    }
     if (limit >= 0 && emitted >= limit) return false
     while (lines.hasNext) {
       val node = mapper.readTree(lines.next()) // malformed line -> throws

@@ -195,6 +195,39 @@ class GatherRestSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("aggregate pushdown: count/min/max compute in the scan, limit refuses it") {
+    withServer { (url, _) =>
+      val base = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema).option("url", url)
+        .option("parts", "3").load()
+      val agged = base.filter(col("iam") === "gatherbot")
+        .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"),
+          count(col("p_md5")).as("n_md5"))
+      val desc = scanDescription(agged)
+      assert(desc.contains("PushedAggregates: [count_star, min(id), max(id), count(p_md5)]"),
+        s"aggregates not pushed:\n$desc")
+      val r = agged.head()
+      // rows 1,2,4 are gatherbot; row 4 has null p_md5 (COUNT skips it)
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+        ((3L, 1L, 4L, 2L)))
+
+      // a pushed limit truncates the body pre-aggregation — the builder
+      // must refuse the combination and let Spark aggregate post-scan
+      val limited = base.limit(2).agg(count(lit(1)).as("n"))
+      val ldesc = scanDescription(limited)
+      assert(ldesc.contains("PushedAggregates: []"),
+        s"aggregate must not ride on a pushed limit:\n$ldesc")
+      assert(limited.head().getLong(0) == 2L)
+
+      // single-partition scans claim complete pushdown; result identical
+      val one = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema).option("url", url).load()
+        .agg(min("p_file").as("lo_file"))
+      assert(scanDescription(one).contains("PushedAggregates: [min(p_file)]"))
+      assert(one.head().getString(0) == "a/b.shp")
+    }
+  }
+
   test("micro-batch poll stream: one AvailableNow poll equals the batch scan") {
     withServer { (url, requests) =>
       val stream = spark.readStream.format(GatherSource.Format)
