@@ -137,6 +137,7 @@ object SparkEntry {
   /** X6 — event-stream analytics (SURVEY.md §2.9-§2.10). */
   private val eventsQueries: Map[String, Q] = Map(
     "events_tumbling" -> (graft.ext.Events.tumblingHourly(_, _)),
+    "events_sliding" -> (graft.ext.Events.slidingQuarterHourly(_, _)),
     "events_sessions" -> ((s, d) => graft.ext.Events.sessionize(s, d)),
     "events_json_extract" -> (graft.ext.Events.jsonExtractStats(_, _)),
     "events_lag_gap" -> (graft.ext.Events.lagLeadRank(_, _)),

@@ -34,6 +34,23 @@ object Events {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  /** Sliding (hopping) windows: 1-hour duration, 15-minute slide — every
+    * event contributes to duration/slide = 4 overlapping windows. The
+    * native `window(ts, dur, slide)` generator expands each row into its
+    * windows BEFORE the hash aggregate, so the shuffle carries
+    * (window × type) partials, not raw events — the ×4 blow-up happens
+    * map-side and combines immediately. Window starts surface as epoch
+    * micros (the windows are epoch-aligned: start = floor₁₅ₘ(ts) − k·15m).
+    */
+  def slidingQuarterHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start_us", "event_type")
+
   /** Sessionization with a 30-minute inactivity gap (gaps-and-islands):
     * a session starts where the gap to the previous event exceeds the
     * threshold; session id = running count of session starts per user.

@@ -482,6 +482,20 @@ cat_remove AS (
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Sliding 1h/15m windows: every event lands in the 4 epoch-aligned
+    // windows starting at floor₁₅ₘ(ts) − k·15m, k = 0..3 — the exact
+    // start set Spark's window(ts, dur, slide) generator produces.
+    "events_sliding" -> s"""
+      WITH ev AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, value
+        FROM events),
+      w AS (
+        SELECT (us // 900000000 - k) * 900000000 AS win_start_us,
+               event_type, value
+        FROM ev, (SELECT unnest(generate_series(0, 3)) AS k) g)
+      SELECT win_start_us, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "events_sessions" -> s"""
       WITH e AS (
         SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
