@@ -415,4 +415,30 @@ object EventStream {
     runToMemory(distinctRows, "append")
       .agg(count(lit(1)).as("n_distinct_pairs"))
   }
+
+  /** Stream-static enrichment join: each streamed event joins a static
+    * per-user profile snapshot (total event count from the batch table)
+    * and aggregates per (event_type, heavy-user flag). Stream-static
+    * joins re-execute the static subplan every micro-batch, so the
+    * production posture is an explicitly `broadcast()` dim — the stream
+    * side never shuffles for the join, and the profile build is one
+    * aggregate per batch (a real deployment would read a pre-materialized
+    * profile table; the mechanism is identical). The heavy threshold
+    * (>= 70 lifetime events) is a fixed operator parameter, not derived
+    * from the data, so the twin states the same literal.
+    */
+  def streamStaticProfileJoin(spark: SparkSession, dir: String): DataFrame = {
+    val profile = graft.tables.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_total"))
+    val enriched = readEvents(spark, dir)
+      .join(broadcast(profile), Seq("user_id"))
+      // complete mode is HARNESS-ONLY (finite oracled replay); the
+      // production form windows + watermarks this aggregate like
+      // [[tumblingHourlyAppend]] — the join itself is stateless either way
+      .groupBy(col("event_type"), (col("user_total") >= 70).as("heavy_user"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    runToMemory(enriched, "complete").orderBy("event_type", "heavy_user")
+  }
 }

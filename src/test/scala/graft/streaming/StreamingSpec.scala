@@ -18,6 +18,25 @@ class StreamingSpec extends SparkSpec {
     assert(stream.count() == batch.count())
   }
 
+  test("stream-static join == batch join; finite replay covers every event") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.streamStaticProfileJoin(spark, sf001)
+    // every fixture event lands in exactly one (event_type, heavy) cell
+    val total = graft.tables.Tables.events(spark, sf001).count()
+    assert(stream.agg(sum("n")).head().getLong(0) == total)
+    val batch = {
+      val ev = graft.tables.Tables.events(spark, sf001)
+      val prof = ev.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+      ev.join(broadcast(prof), Seq("user_id"))
+        .groupBy(col("event_type"), (col("user_total") >= 70).as("heavy_user"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"))
+        .orderBy("event_type", "heavy_user")
+    }
+    assert(stream.collect().toSeq.map(_.toSeq) == batch.collect().toSeq.map(_.toSeq))
+  }
+
   test("file-watch snapshot: quiesced inventory of a temp dir (ST1+S1)") {
     val root = Files.createTempDirectory("graft-watch")
     Files.createDirectories(root.resolve("d"))
