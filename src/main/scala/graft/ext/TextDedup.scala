@@ -689,4 +689,98 @@ object TextDedup {
     edges.unpersist()
     result.orderBy("doc_id")
   }
+
+  // ------------------------------------------ duplication coverage / boilerplate
+
+  /** Overlapping 5-word shingle OCCURRENCES per doc in long form
+    * (doc_id, pos-ordered sh) — a narrow per-row transform + explode, no
+    * aggregation. Distinct from [[cachedShingles]] (3-gram, distinct):
+    * coverage counts every occurrence, so repeats within a doc count.
+    */
+  private def occ5(docs: DataFrame): DataFrame =
+    docs.filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 4), " +
+          "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))")).as("sh"))
+
+  /** Per-document duplication coverage (the per-doc diagnostic behind
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): the fraction of a doc's overlapping 5-word shingle
+    * occurrences whose text recurs in at least one OTHER document.
+    * Exact and near duplicates surface with coverage near 1; organic
+    * docs sit near 0 — the ranking a curation run uses to pick removal
+    * thresholds before committing to a dedup pass.
+    *
+    * Scale shape: the cross-doc shared-shingle relation (df >= 2) is the
+    * small side — duplication is the exception, not the rule — so it
+    * broadcasts back onto the occurrence stream as a semi-join (same
+    * posture as [[contamination]]); the only wide shuffle is the
+    * doc-frequency aggregate itself. At 100 TB both that aggregate and
+    * the join key are the shingle text — bucketing the materialized
+    * shingle table by `sh` makes the whole family co-located.
+    */
+  def dupCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupCoverageOf(Tables.documents(spark, dir))
+
+  def dupCoverageOf(docs: DataFrame): DataFrame = {
+    val occ = occ5(docs)
+    val shared = occ.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= 2).select("sh")
+    val perDoc = occ.join(broadcast(shared), Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 4, lit(0))
+          .cast("long").as("n_shingles"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("dup_ratio", when(col("n_shingles") > 0,
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+        .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-document boilerplate removal (the paragraph-dedup stage of
+    * CCNet / RefinedWeb, at fixed 5-word-chunk granularity since the
+    * fixture corpus has no paragraph marks): a chunk whose exact text
+    * appears in >= 2 distinct documents is boilerplate; each doc is
+    * rebuilt from its surviving chunks in original order. Exact-dup docs
+    * lose every chunk (cleaned_text = ''), which is precisely the
+    * removal exact dedup would make — the operators agree by
+    * construction.
+    *
+    * Scale shape: chunking is a narrow per-row transform; the chunk
+    * doc-frequency aggregate is the one wide shuffle; the boilerplate
+    * set (df >= 2) broadcasts back as an anti-join; reassembly groups by
+    * doc_id — at scale that group-by rides the corpus' doc_id bucketing,
+    * and per-row state is bounded by document length throughout.
+    */
+  def stripBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    stripBoilerplateOf(Tables.documents(spark, dir))
+
+  def stripBoilerplateOf(docs: DataFrame): DataFrame = {
+    val chunked = docs.select(col("doc_id"), expr(
+      "transform(sequence(0, (size(split(text, ' ')) + 4) div 5 - 1), " +
+        "i -> struct(i AS cidx, concat_ws(' ', slice(split(text, ' '), i * 5 + 1, 5)) AS chunk))")
+      .as("cs"))
+    val occ = chunked.select(col("doc_id"), explode(col("cs")).as("c"))
+      .select(col("doc_id"), col("c.cidx").as("cidx"), col("c.chunk").as("chunk"))
+    val boiler = occ.select("doc_id", "chunk").distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= 2).select("chunk")
+    val rebuilt = occ.join(broadcast(boiler), Seq("chunk"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        // array_sort on (cidx, chunk) structs restores chunk order; the
+        // collect_list itself is unordered, the sort makes it canonical
+        array_join(expr("transform(array_sort(collect_list(struct(cidx, chunk))), x -> x.chunk)"),
+          " ").as("cleaned_text"))
+    chunked.select(col("doc_id"), size(col("cs")).cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
 }

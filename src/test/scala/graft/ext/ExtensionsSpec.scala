@@ -249,4 +249,47 @@ class ExtensionsSpec extends SparkSpec {
     assert(clusters.values.toSet.subsetOf(clusters.keySet))
     clusters.values.foreach(cid => assert(clusters(cid) == cid))
   }
+
+  test("dup coverage: exact dup pair at ratio 1, unique doc at 0, repeats count") {
+    // doc 0 == doc 1 (exact dup); doc 2 shares nothing; doc 3 repeats its
+    // own shingle twice but shares nothing cross-doc -> ratio 0
+    val docs = Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w"),
+      (3L, "m n o k l m n o k l")).toDF("doc_id", "text")
+    val rows = TextDedup.dupCoverageOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Double]("dup_ratio") == 1.0)
+    assert(rows(1L).getAs[Double]("dup_ratio") == 1.0)
+    assert(rows(2L).getAs[Double]("dup_ratio") == 0.0)
+    assert(rows(3L).getAs[Double]("dup_ratio") == 0.0)
+    assert(rows(0L).getAs[Long]("n_shingles") == 4L) // 8 words -> 4 shingles
+    assert(rows(3L).getAs[Long]("n_shingles") == 6L)
+  }
+
+  test("strip boilerplate: shared chunks removed in order, exact dups emptied") {
+    // chunk granularity is 5 words; docs 0/1 share their first chunk
+    // (boilerplate) but differ in the second; doc 2 is untouched
+    val docs = Seq(
+      (0L, "the same legal header here unique tail zero one two"),
+      (1L, "the same legal header here different tail three four five"),
+      (2L, "entirely fresh content with no repeats at all here now")).toDF("doc_id", "text")
+    val rows = TextDedup.stripBoilerplateOf(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[Long]("n_chunks") == 2L)
+    assert(rows(0L).getAs[Long]("n_removed") == 1L)
+    assert(rows(0L).getAs[String]("cleaned_text") == "unique tail zero one two")
+    assert(rows(1L).getAs[String]("cleaned_text") == "different tail three four five")
+    assert(rows(2L).getAs[Long]("n_removed") == 0L)
+    assert(rows(2L).getAs[String]("cleaned_text") ==
+      "entirely fresh content with no repeats at all here now")
+
+    // exact dups lose every chunk
+    val dup = Seq((0L, "x y z w v u t s q r"), (1L, "x y z w v u t s q r"))
+      .toDF("doc_id", "text")
+    val cleaned = TextDedup.stripBoilerplateOf(dup).collect()
+    assert(cleaned.forall(_.getAs[String]("cleaned_text") == ""))
+    assert(cleaned.forall(_.getAs[Long]("n_removed") == 2L))
+  }
 }
