@@ -180,6 +180,11 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),
     "curation_contamination" -> ((s, d) => graft.ext.TextDedup.contamination(s, d)),
+    // per-doc duplication coverage (Lee et al. 2022 diagnostic)
+    "text_dup_coverage" -> ((s, d) => graft.ext.TextDedup.dupCoverage(s, d)),
+    // cross-doc boilerplate chunk removal (CCNet/RefinedWeb paragraph
+    // dedup at fixed 5-word-chunk granularity)
+    "text_strip_boilerplate" -> ((s, d) => graft.ext.TextDedup.stripBoilerplate(s, d)),
     "dq_report" -> (graft.ext.DataQuality.report(_, _)),
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
@@ -205,6 +210,9 @@ object SparkEntry {
     "stream_sessions_append" -> (graft.streaming.EventStream.sessionWindowsAppend(_, _)),
     "stream_sessions" -> (graft.streaming.EventStream.sessionWindows(_, _)),
     "stream_dedup" -> (graft.streaming.EventStream.dedupDistinctPairs(_, _)),
+    // stream-static broadcast enrichment join (static dim re-planned per
+    // micro-batch; broadcast so the stream side never shuffles)
+    "stream_static_join" -> (graft.streaming.EventStream.streamStaticProfileJoin(_, _)),
     // S1-S5 over the fixture dir itself (rows-only check: no DuckDB oracle
     // for arbitrary filesystem scans)
     "scan_inventory" -> ((s, d) =>
@@ -302,6 +310,14 @@ object SparkEntry {
         .filter(col("is_dataset"))
         .agg(count(lit(1)).as("n_projects"), min("id").as("min_id"),
           max("id").as("max_id"), count(col("p_md5")).as("n_md5"))),
+    // Disk layout, static half: aggregate one day of the day-partitioned
+    // landing copy — the literal reaches the scan as a PartitionFilter
+    // (one directory of ~30 read; plan asserted in LayoutSpec)
+    "layout_partition_prune" -> ((s, d) => graft.ext.Layout.partitionPruneDay(s, d)),
+    // Disk layout, dynamic half: the day predicate sits on a broadcast
+    // calendar dim, so the fact scan is pruned at runtime via
+    // dynamicpruningexpression (plan asserted in LayoutSpec)
+    "layout_dpp_join" -> ((s, d) => graft.ext.Layout.dppJoin(s, d)),
     // Cross-run incremental sync: run 2's actions as a snapshot diff
     // (create/rename/content_changed/archive) against run 1's file ledger
     // (graft.sync.Incremental; the daemon loop DW.js:32,67 relationally)

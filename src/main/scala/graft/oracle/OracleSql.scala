@@ -1337,7 +1337,69 @@ shingles AS (
       SELECT doc_id, frame_idx, "off",
              CAST(octet_length(encode(substr(text, CAST("off" AS INTEGER) + 1, 16))) AS BIGINT) AS frame_len,
              md5(substr(text, CAST("off" AS INTEGER) + 1, 16)) AS frame_sig
-      FROM o ORDER BY doc_id, frame_idx""")
+      FROM o ORDER BY doc_id, frame_idx""",
+    // Duplication coverage: occurrence-level overlapping 5-word shingles;
+    // a shingle is "shared" if its text occurs in >= 2 distinct docs.
+    // Every fixture doc has >= 10 words, so the len >= 5 guard is
+    // belt-and-braces (it keeps generate_series ascending on both engines).
+    "text_dup_coverage" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      occ AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i
+        FROM words WHERE len(ws) >= 5),
+      shg AS (
+        SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS sh FROM occ),
+      shared AS (
+        SELECT sh FROM (
+          SELECT sh, COUNT(DISTINCT doc_id) AS docs FROM shg GROUP BY sh) t
+        WHERE docs >= 2),
+      per AS (
+        SELECT s.doc_id, COUNT(*) AS n_shared
+        FROM shg s JOIN shared ON s.sh = shared.sh GROUP BY s.doc_id),
+      base AS (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 5 THEN len(ws) - 4 ELSE 0 END AS n_shingles
+        FROM words)
+      SELECT b.doc_id, b.n_shingles,
+             COALESCE(per.n_shared, 0) AS n_shared,
+             CASE WHEN b.n_shingles > 0
+                  THEN ROUND(COALESCE(per.n_shared, 0) /
+                             CAST(b.n_shingles AS DOUBLE), 6)
+                  ELSE 0.0 END AS dup_ratio
+      FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
+      ORDER BY b.doc_id""",
+    // Boilerplate strip: non-overlapping 5-word chunks; a chunk text in
+    // >= 2 distinct docs is boilerplate; docs rebuild from surviving
+    // chunks in original order (exact dups lose every chunk).
+    "text_strip_boilerplate" -> """
+      WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      idx AS (
+        SELECT doc_id, ws, unnest(generate_series(0, (len(ws) + 4) // 5 - 1)) AS cidx
+        FROM words),
+      ch0 AS (
+        SELECT doc_id, cidx, ws, cidx * 5 + 1 AS cs FROM idx),
+      ch AS (
+        SELECT doc_id, cidx, array_to_string(ws[cs:cs+4], ' ') AS chunk FROM ch0),
+      boiler AS (
+        SELECT chunk FROM (
+          SELECT chunk, COUNT(DISTINCT doc_id) AS docs FROM ch GROUP BY chunk) t
+        WHERE docs >= 2),
+      kept AS (
+        SELECT doc_id, cidx, chunk FROM ch
+        WHERE chunk NOT IN (SELECT chunk FROM boiler)),
+      reb AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY cidx) AS cleaned_text
+        FROM kept GROUP BY doc_id),
+      nch AS (
+        SELECT doc_id, (len(ws) + 4) // 5 AS n_chunks FROM words)
+      SELECT n.doc_id, n.n_chunks,
+             n.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
+             COALESCE(r.cleaned_text, '') AS cleaned_text
+      FROM nch n LEFT JOIN reb r ON n.doc_id = r.doc_id
+      ORDER BY n.doc_id""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT
@@ -1463,7 +1525,18 @@ shingles AS (
              '("' || type || '", "' || name ||
              '", "{"iam":"gatherbot","selectable":false,"editable":false}", "' ||
              short_name || '")' AS values_fragment
-      FROM fc ORDER BY name""")
+      FROM fc ORDER BY name""",
+    // Stream-static join twin: the static profile is the batch per-user
+    // count, so the enriched aggregate is a plain two-level SQL join.
+    "stream_static_join" -> s"""
+      WITH prof AS (
+        SELECT user_id, COUNT(*) AS user_total FROM events GROUP BY user_id)
+      SELECT e.event_type, (p.user_total >= 70) AS heavy_user,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(e.value AS $D2)) AS DOUBLE) AS sum_value
+      FROM events e JOIN prof p ON e.user_id = p.user_id
+      GROUP BY e.event_type, (p.user_total >= 70)
+      ORDER BY e.event_type, heavy_user""")
 
   val coverage_queries: Map[String, String] = Map(
     "sync_normalize_projects" -> sync(
@@ -1636,7 +1709,38 @@ shingles AS (
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                  AS prev_signup_us
         FROM events) t
-      WHERE event_type = 'purchase' ORDER BY event_id""")
+      WHERE event_type = 'purchase' ORDER BY event_id""",
+    // Disk layout twins: the Spark side reads the day-partitioned landing
+    // copy (Layout.eventsByDay) with the day predicate pruning the scan;
+    // the oracle derives the same day column inline — values must agree
+    // regardless of layout. day0 = first day, the DPP dim = first 7 days.
+    "layout_partition_prune" -> s"""
+      WITH ev AS (
+        SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+               event_type, value
+        FROM events),
+      d0 AS (SELECT MIN(day) AS day FROM ev)
+      SELECT ev.day, ev.event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ev.value AS $D2)) AS DOUBLE) AS sum_value
+      FROM ev JOIN d0 ON ev.day = d0.day
+      GROUP BY ev.day, ev.event_type
+      ORDER BY ev.event_type""",
+    "layout_dpp_join" -> s"""
+      WITH ev AS (
+        SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+               user_id, value
+        FROM events),
+      cal AS (SELECT DISTINCT day FROM ev),
+      week1 AS (
+        SELECT day FROM cal
+        WHERE day <= (SELECT MAX(day)
+                      FROM (SELECT day FROM cal ORDER BY day LIMIT 7) t))
+      SELECT ev.day, COUNT(*) AS n,
+             CAST(SUM(CAST(ev.value AS $D2)) AS DOUBLE) AS sum_value,
+             COUNT(DISTINCT ev.user_id) AS n_users
+      FROM ev JOIN week1 ON ev.day = week1.day
+      GROUP BY ev.day
+      ORDER BY ev.day""")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
