@@ -720,10 +720,16 @@ object TextDedup {
     * shingle table by `sh` makes the whole family co-located.
     */
   def dupCoverage(spark: SparkSession, dir: String): DataFrame =
-    dupCoverageOf(Tables.documents(spark, dir))
+    // memoized occurrence relation: the explode feeds both the
+    // doc-frequency aggregate and the semi-join probe side — unpersisted
+    // the whole shingle expansion would compute twice
+    dupCoverageFrom(Tables.documents(spark, dir),
+      memo(spark, dir, "occ5")(occ5(Tables.documents(spark, dir))))
 
-  def dupCoverageOf(docs: DataFrame): DataFrame = {
-    val occ = occ5(docs)
+  def dupCoverageOf(docs: DataFrame): DataFrame =
+    dupCoverageFrom(docs, occ5(docs))
+
+  private def dupCoverageFrom(docs: DataFrame, occ: DataFrame): DataFrame = {
     val shared = occ.select("doc_id", "sh").distinct()
       .groupBy("sh").agg(count(lit(1)).as("docs"))
       .filter(col("docs") >= 2).select("sh")
@@ -757,13 +763,21 @@ object TextDedup {
     * and per-row state is bounded by document length throughout.
     */
   def stripBoilerplate(spark: SparkSession, dir: String): DataFrame =
-    stripBoilerplateOf(Tables.documents(spark, dir))
+    // memoized for the same double-consumer reason as [[dupCoverage]]
+    // (df aggregate + anti-join probe + the n_chunks projection)
+    stripBoilerplateFrom(
+      memo(spark, dir, "chunks5")(chunksOf(Tables.documents(spark, dir))))
 
-  def stripBoilerplateOf(docs: DataFrame): DataFrame = {
-    val chunked = docs.select(col("doc_id"), expr(
+  def stripBoilerplateOf(docs: DataFrame): DataFrame =
+    stripBoilerplateFrom(chunksOf(docs))
+
+  private def chunksOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
       "transform(sequence(0, (size(split(text, ' ')) + 4) div 5 - 1), " +
         "i -> struct(i AS cidx, concat_ws(' ', slice(split(text, ' '), i * 5 + 1, 5)) AS chunk))")
       .as("cs"))
+
+  private def stripBoilerplateFrom(chunked: DataFrame): DataFrame = {
     val occ = chunked.select(col("doc_id"), explode(col("cs")).as("c"))
       .select(col("doc_id"), col("c.cidx").as("cidx"), col("c.chunk").as("chunk"))
     val boiler = occ.select("doc_id", "chunk").distinct()
