@@ -179,6 +179,10 @@ object SparkEntry {
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),
+    // deterministic per-language top-N draw (WindowGroupLimit plan)
+    "curation_stratified_sample" -> ((s, d) => graft.ext.TextStats.stratifiedSample(s, d)),
+    // token-budget shard packing via a two-phase distributed prefix sum
+    "curation_shard_pack" -> ((s, d) => graft.ext.TextStats.shardPack(s, d)),
     "curation_contamination" -> ((s, d) => graft.ext.TextDedup.contamination(s, d)),
     // per-doc duplication coverage (Lee et al. 2022 diagnostic)
     "text_dup_coverage" -> ((s, d) => graft.ext.TextDedup.dupCoverage(s, d)),

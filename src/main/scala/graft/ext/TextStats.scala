@@ -212,4 +212,59 @@ object TextStats {
           .cast("long").as("n_selected"),
         col("n").as("n_shingles"))
       .orderBy("doc_id")
+
+  /** Deterministic stratified sampling: per language, the first
+    * `perClass` docs in md5-key order — a content-derived "random" draw
+    * both engines reproduce bit-for-bit (no RNG). The row_number filter
+    * plans as WindowGroupLimit, Spark's per-group top-k pushdown: each
+    * group keeps a bounded heap instead of fully sorting its partition,
+    * which is what makes per-class sampling viable when one class holds
+    * billions of rows.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       perClass: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("skey", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(":"), col("text")))
+          .as("skey"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= perClass)
+      .select("doc_id", "lang", "sample_rank")
+      .orderBy("lang", "sample_rank")
+  }
+
+  /** Token-budget shard packing: docs in doc_id order accumulate into
+    * shards of ~`budget` tokens (shard = the budget window the doc
+    * STARTS in — the document-granularity sequence packing a training
+    * run does before tokenization).
+    *
+    * The prefix sum is two-phase, never a single global window: bucket
+    * subtotals (one wide aggregate), an ordered cumsum over the tiny
+    * bucket relation, then per-bucket windows with the broadcast prefix
+    * added back. A naive `SUM OVER (ORDER BY doc_id)` funnels the whole
+    * corpus through one reducer; this shape keeps every stage
+    * partition-parallel at 100 TB. The oracle states the naive global
+    * form — semantics are identical by associativity.
+    */
+  def shardPack(spark: SparkSession, dir: String,
+                budget: Int = 2000, bucket: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("b", expr(s"doc_id div $bucket"))
+    val prefix = docs.groupBy("b").agg(sum("n_tokens").as("bt"))
+      .withColumn("prev_total", coalesce(
+        sum("bt").over(Window.orderBy("b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("b", "prev_total")
+    docs.join(broadcast(prefix), Seq("b"))
+      .withColumn("cum_tokens", col("prev_total") +
+        sum("n_tokens").over(Window.partitionBy("b").orderBy("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $budget").as("shard_id"))
+      .orderBy("doc_id")
+  }
 }

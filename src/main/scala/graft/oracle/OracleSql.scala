@@ -1399,7 +1399,36 @@ shingles AS (
              n.n_chunks - COALESCE(r.n_kept, 0) AS n_removed,
              COALESCE(r.cleaned_text, '') AS cleaned_text
       FROM nch n LEFT JOIN reb r ON n.doc_id = r.doc_id
-      ORDER BY n.doc_id""")
+      ORDER BY n.doc_id""",
+    // Deterministic stratified sample: md5 of (doc_id ':' text) as the
+    // content-derived draw key, first 20 per language.
+    "curation_stratified_sample" -> """
+      WITH keyed AS (
+        SELECT doc_id, lang,
+               md5(CAST(doc_id AS VARCHAR) || ':' || text) AS skey
+        FROM documents),
+      ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey, doc_id)
+                 AS sample_rank
+        FROM keyed)
+      SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+      FROM ranked WHERE sample_rank <= 20
+      ORDER BY lang, sample_rank""",
+    // Shard packing twin: the naive single-window prefix sum — the Spark
+    // side computes the same values with a two-phase distributed cumsum.
+    "curation_shard_pack" -> """
+      WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 AS cum_tokens
+        FROM d)
+      SELECT doc_id, n_tokens, cum_tokens,
+             (cum_tokens - n_tokens) // 2000 AS shard_id
+      FROM c ORDER BY doc_id""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT

@@ -292,4 +292,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(cleaned.forall(_.getAs[String]("cleaned_text") == ""))
     assert(cleaned.forall(_.getAs[Long]("n_removed") == 2L))
   }
+
+  test("stratified sample: exactly min(20, class size) per lang, group-limited plan") {
+    val s = TextStats.stratifiedSample(spark, sf001)
+    val perLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = graft.tables.Tables.documents(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perLang(lang) == math.min(20L, n), s"$lang: ${perLang.get(lang)}")
+    }
+    // the row_number <= k filter must plan as a per-group limit, not a
+    // full per-partition sort-everything window
+    val plan = s.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no group-limit pushdown:\n$plan")
+    // deterministic: a second run draws the identical sample
+    assert(s.collect().toSeq == TextStats.stratifiedSample(spark, sf001).collect().toSeq)
+  }
+
+  test("shard pack: two-phase prefix sum == naive global window; shards bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val packed = TextStats.shardPack(spark, sf001)
+    val naive = graft.tables.Tables.documents(spark, sf001)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(Window.orderBy("doc_id")))
+      .withColumn("shard_id", expr("(cum_tokens - n_tokens) div 2000"))
+      .select("doc_id", "n_tokens", "cum_tokens", "shard_id")
+      .orderBy("doc_id")
+    assert(packed.collect().toSeq == naive.collect().toSeq)
+    // every shard's span is ~budget: consecutive shard ids, first doc of
+    // each shard starts inside its budget window
+    val shards = packed.groupBy("shard_id")
+      .agg(min($"cum_tokens" - $"n_tokens").as("first_start"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    shards.foreach { case (sid, start) =>
+      assert(start / 2000 == sid)
+    }
+    val ids = shards.keys.toSeq.sorted
+    assert(ids == (ids.min to ids.max))
+  }
 }
