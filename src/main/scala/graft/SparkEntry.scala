@@ -279,6 +279,9 @@ object SparkEntry {
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers
     // stay observable via sketchFamilyRaw (bounds in ScaleDesignSpec)
     "agg_sketch_family" -> (graft.ext.Analytics.sketchFamily(_, _)),
+    // KMV sketch via the typed Aggregator UDAF — deterministic set
+    // property, so exactly oracled (not bound-gated like agg_sketch_family)
+    "agg_kmv_distinct" -> (graft.ext.Analytics.kmvDistinct(_, _)),
     // rows-only: IVF over trained spark.ml KMeans cells (centroids come
     // from order-dependent float reductions -> no cross-engine oracle;
     // recall vs the exact scan asserted in CosineSimSpec AND oracled as

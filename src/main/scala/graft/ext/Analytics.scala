@@ -651,4 +651,25 @@ object Analytics {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
+
+  /** KMV distinct-count sketch per language via the typed
+    * [[graft.functions.KmvMinK]] Aggregator (k = 16). Estimate =
+    * (k-1) / U_(k) with U_(k) read from the first 8 hex nibbles of the
+    * k-th minimum (64424509440 = (k-1) * 2^32). Everything here is a
+    * deterministic function of the distinct md5 set, so — uniquely among
+    * sketches — the oracle reproduces the k-th minimum and the estimate
+    * EXACTLY (row_number over distinct hashes); the exact distinct count
+    * rides along as the accuracy yardstick.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvMinK(16))
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(kmv(md5(col("text"))).as("kth_min"),
+        countDistinct(md5(col("text"))).as("exact_distinct"))
+      .withColumn("kmv_est", round(lit(64424509440.0) /
+        conv(substring(col("kth_min"), 1, 8), 16, 10).cast("double"), 6))
+      .select("lang", "kth_min", "kmv_est", "exact_distinct")
+      .orderBy("lang")
+  }
 }

@@ -790,6 +790,36 @@ shingles AS (
                ROUND(quantile_cont(l_quantity, 0.5), 6) AS exact_p50
         FROM lineitem GROUP BY l_returnflag) t
       ORDER BY l_returnflag""",
+    // KMV sketch twin — EXACT (not bound-gated): the k-th smallest
+    // distinct md5 per group and the (k-1)/U_(k) estimate are pure
+    // functions of the distinct hash set. 64424509440 = 15 * 2^32; the
+    // nibble ladder reads the first 8 hex digits as a 32-bit value.
+    "agg_kmv_distinct" -> """
+      WITH h AS (SELECT DISTINCT lang, md5(text) AS h FROM documents),
+      r AS (
+        SELECT lang, h,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM h),
+      kk AS (SELECT lang, h AS kth_min FROM r WHERE rn = 16),
+      v AS (
+        SELECT lang, kth_min,
+               (strpos('0123456789abcdef', substr(kth_min, 1, 1)) - 1) * 268435456.0 +
+               (strpos('0123456789abcdef', substr(kth_min, 2, 1)) - 1) * 16777216 +
+               (strpos('0123456789abcdef', substr(kth_min, 3, 1)) - 1) * 1048576 +
+               (strpos('0123456789abcdef', substr(kth_min, 4, 1)) - 1) * 65536 +
+               (strpos('0123456789abcdef', substr(kth_min, 5, 1)) - 1) * 4096 +
+               (strpos('0123456789abcdef', substr(kth_min, 6, 1)) - 1) * 256 +
+               (strpos('0123456789abcdef', substr(kth_min, 7, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(kth_min, 8, 1)) - 1) AS v32
+        FROM kk),
+      e AS (
+        SELECT lang, COUNT(DISTINCT md5(text)) AS exact_distinct
+        FROM documents GROUP BY lang)
+      SELECT e.lang, v.kth_min,
+             ROUND(64424509440.0 / v.v32, 6) AS kmv_est,
+             e.exact_distinct
+      FROM e LEFT JOIN v ON e.lang = v.lang
+      ORDER BY e.lang""",
     "text_simhash64" -> """
       WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       bits AS (

@@ -332,4 +332,31 @@ class ExtensionsSpec extends SparkSpec {
     val ids = shards.keys.toSeq.sorted
     assert(ids == (ids.min to ids.max))
   }
+
+  test("KMV sketch: partitioning-invariant, small-group null, sane estimate") {
+    val rows = Analytics.kmvDistinct(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getAs[Double]("kmv_est"),
+        r.getAs[Long]("exact_distinct"))
+      // k=16 KMV: rse ~ 1/sqrt(k-2) ~ 27%; 2x that as the sanity band
+      assert(math.abs(est - exact) / exact <= 0.55, s"KMV off: $est vs $exact")
+      assert(r.getAs[String]("kth_min").length == 32)
+    }
+
+    // the merge path must be order/partitioning-invariant: 1 partition
+    // and 13 partitions produce the identical k-th minimum
+    val kmv = udaf(new graft.functions.KmvMinK(4))
+    def kth(parts: Int): Seq[org.apache.spark.sql.Row] = {
+      val df = (0 until 100).map(i => (i % 3, s"v$i")).toDF("g", "s")
+        .repartition(parts)
+      df.groupBy("g").agg(kmv(md5($"s")).as("k4")).orderBy("g").collect().toSeq
+    }
+    assert(kth(1) == kth(13))
+
+    // fewer than k distinct values -> null (caller falls back to exact)
+    val tiny = Seq((0, "a"), (0, "b"), (0, "a")).toDF("g", "s")
+    val t = tiny.groupBy("g").agg(kmv(md5($"s")).as("k4")).collect().head
+    assert(t.isNullAt(1))
+  }
 }
