@@ -178,6 +178,8 @@ object SparkEntry {
     "text_tokens" -> (graft.ext.TextStats.tokenStats(_, _)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
+    // Gopher-style within-doc n-gram repetition quality filter
+    "text_repetition" -> ((s, d) => graft.ext.TextStats.repetition(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),
     // deterministic per-language top-N draw (WindowGroupLimit plan)
     "curation_stratified_sample" -> ((s, d) => graft.ext.TextStats.stratifiedSample(s, d)),

@@ -213,6 +213,36 @@ object TextStats {
         col("n").as("n_shingles"))
       .orderBy("doc_id")
 
+  /** Within-document repetition signals (the Gopher / Rae et al. 2021
+    * "repetition" quality filters): the fraction of a doc's word 2-gram
+    * and 3-gram occurrences that are repeats of an earlier occurrence in
+    * the SAME doc — degenerate or templated text scores high. Entirely
+    * narrow per-row array expressions (gram lists, distinct, sizes):
+    * zero shuffles before the final sort, embarrassingly parallel at any
+    * scale. Thresholds (0.20 / 0.18) follow the Gopher paper's order of
+    * magnitude; they are operator parameters, not data-derived.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    repetitionOf(Tables.documents(spark, dir))
+
+  def repetitionOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("g2", expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+      .withColumn("g3", expr(
+        "transform(sequence(1, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        round((size(col("g2")) - size(array_distinct(col("g2"))))
+          .cast("double") / size(col("g2")), 6).as("rep2"),
+        round((size(col("g3")) - size(array_distinct(col("g3"))))
+          .cast("double") / size(col("g3")), 6).as("rep3"))
+      .withColumn("flagged", col("rep2") > 0.20 || col("rep3") > 0.18)
+      .orderBy("doc_id")
+
   /** Deterministic stratified sampling: per language, the first
     * `perClass` docs in md5-key order — a content-derived "random" draw
     * both engines reproduce bit-for-bit (no RNG). The row_number filter

@@ -1430,6 +1430,26 @@ shingles AS (
              COALESCE(r.cleaned_text, '') AS cleaned_text
       FROM nch n LEFT JOIN reb r ON n.doc_id = r.doc_id
       ORDER BY n.doc_id""",
+    // Gopher-style within-doc repetition: fraction of word 2-/3-gram
+    // occurrences that repeat an earlier occurrence in the same doc.
+    "text_repetition" -> """
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT doc_id, ws,
+               [array_to_string(ws[i:i+1], ' ')
+                FOR i IN generate_series(1, len(ws) - 1)] AS g2,
+               [array_to_string(ws[i:i+2], ' ')
+                FOR i IN generate_series(1, len(ws) - 2)] AS g3
+        FROM w),
+      m AS (
+        SELECT doc_id, len(ws) AS n_words,
+               ROUND(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS rep2,
+               ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS rep3
+        FROM g)
+      SELECT doc_id, n_words, rep2, rep3,
+             (rep2 > 0.20 OR rep3 > 0.18) AS flagged
+      FROM m ORDER BY doc_id""",
     // Deterministic stratified sample: md5 of (doc_id ':' text) as the
     // content-derived draw key, first 20 per language.
     "curation_stratified_sample" -> """

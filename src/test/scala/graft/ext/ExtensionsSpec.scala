@@ -333,6 +333,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(ids == (ids.min to ids.max))
   }
 
+  test("repetition: degenerate text flags high, varied text low, bounds hold") {
+    val rows = TextStats.repetition(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (r2, r3) = (r.getAs[Double]("rep2"), r.getAs[Double]("rep3"))
+      assert(r2 >= 0.0 && r2 <= 1.0 && r3 >= 0.0 && r3 <= 1.0)
+      assert(r2 >= r3 - 1e-9 || r3 <= r2 + 0.5) // 3-grams repeat no more easily
+    }
+    // hand-computed: "x y x y x y" -> g2 = [x y, y x, x y, y x, x y]
+    // (5 grams, 2 distinct) -> rep2 = 0.6 and flagged; a varied doc -> 0
+    val planted = TextStats.repetitionOf(Seq(
+      (0L, "x y x y x y"),
+      (1L, "one two three four five six")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(planted(0L).getAs[Double]("rep2") == 0.6)
+    assert(planted(0L).getAs[Boolean]("flagged"))
+    assert(planted(1L).getAs[Double]("rep2") == 0.0)
+    assert(!planted(1L).getAs[Boolean]("flagged"))
+  }
+
   test("KMV sketch: partitioning-invariant, small-group null, sane estimate") {
     val rows = Analytics.kmvDistinct(spark, sf001).collect()
     assert(rows.nonEmpty)
