@@ -145,6 +145,18 @@ object SparkEntry {
     "events_cube_day" -> (graft.ext.Events.cubeDaily(_, _)),
     "events_pivot_day" -> (graft.ext.Events.pivotDaily(_, _)),
     "set_ops_cohorts" -> (graft.ext.Analytics.setOps(_, _)),
+    // ordered conversion funnel (first-touch, strictly-increasing times);
+    // one shuffle on user_id however many steps
+    "events_funnel" -> ((s, d) => graft.ext.Events.funnel(s, d)),
+    // incremental aggregate maintenance: state ⊎ delta merged partials,
+    // oracled against the full recompute (exact DECIMAL partials)
+    "incr_agg_merge" -> ((s, d) => graft.ext.Materialize.incrAggMerge(s, d)),
+    // Bloom-prefiltered selective shuffle join (custom codegen predicate
+    // below the exchange; oracle states the plain join — no false
+    // negatives, false positives die in the exact join)
+    "join_bloom_prefilter" -> ((s, d) => graft.ext.Analytics.bloomPrefilterJoin(s, d)),
+    // Z-order layout: per-bucket min/max stats + box-query skip decision
+    "layout_zorder" -> ((s, d) => graft.ext.Layout.zorderBuckets(s, d)),
     "tpch_q6_forecast" -> (graft.ext.Analytics.q6Forecast(_, _)),
     "tpch_q17_smallqty" -> (graft.ext.Analytics.q17SmallQuantity(_, _)),
     "events_histogram" -> (graft.ext.Analytics.valueHistogram(_, _)),
@@ -180,6 +192,12 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     // Gopher-style within-doc n-gram repetition quality filter
     "text_repetition" -> ((s, d) => graft.ext.TextStats.repetition(s, d)),
+    // PII scrubbing pass (synthetic deterministic PII; backslash-free
+    // RE2∩Java regex subset so the twin survives the three-way replay)
+    "text_pii_redact" -> ((s, d) => graft.ext.TextStats.piiRedact(s, d)),
+    // BM25 keyword relevance top-k (fixed small query → narrow per-doc
+    // tf arrays + one broadcast stats row + TakeOrderedAndProject)
+    "text_bm25_topk" -> ((s, d) => graft.ext.Search.bm25TopK(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),
     // deterministic per-language top-N draw (WindowGroupLimit plan)
     "curation_stratified_sample" -> ((s, d) => graft.ext.TextStats.stratifiedSample(s, d)),

@@ -672,4 +672,32 @@ object Analytics {
       .select("lang", "kth_min", "kmv_est", "exact_distinct")
       .orderBy("lang")
   }
+
+  /** Bloom-prefiltered selective join: urgent orders (the selective build
+    * side) sketch their keys into a Bloom filter; lineitem rows are
+    * membership-tested BEFORE the join so non-matching rows never reach
+    * the exchange. Composed with the exact join the result is identical
+    * to the plain join (no false negatives; false positives die in the
+    * join) — which is exactly what the oracle twin states. The SHUFFLE
+    * hint pins the sort-merge path so the plan demonstrates the
+    * scale scenario (build side too big to broadcast): at local SF the
+    * optimizer would otherwise broadcast and hide the point. Plan shape
+    * (prefilter below the exchange, inside the scan's WholeStageCodegen
+    * span) is asserted in AnalyticsSpec.
+    */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .filter(graft.functions.BloomPrefilter
+        .prefilter(o, "o_orderkey", expectedKeys = 100000)(col("l_orderkey")))
+    l.hint("SHUFFLE_MERGE").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(d2("l_extendedprice") * (lit(1) - d2("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -181,6 +181,40 @@ object Events {
       .orderBy("signup_id")
   }
 
+  /** Ordered conversion funnel view -> click -> purchase: a user counts
+    * for step N only with an event of that type STRICTLY AFTER their
+    * step-N-1 time (first-touch attribution; ties lose). Each stage is a
+    * conditional min over the previous stage's user set; every join and
+    * group-by keys on user_id, so after the first shuffle the whole
+    * cascade stays co-partitioned — one exchange total at scale, however
+    * many funnel steps. Output: one row per step with the surviving-user
+    * count and conversion ratios.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val counts = s1.agg(count(lit(1)).as("n")).select(lit("1_view").as("step"), col("n"))
+      .unionByName(s2.agg(count(lit(1)).as("n")).select(lit("2_click").as("step"), col("n")))
+      .unionByName(s3.agg(count(lit(1)).as("n")).select(lit("3_purchase").as("step"), col("n")))
+    val entered = s1.agg(count(lit(1)).as("n_entered"))
+    val wPrev = Window.orderBy("step")   // 3 rows — single-partition window is fine
+    counts.crossJoin(broadcast(entered))
+      .withColumn("prev_n", lag("n", 1).over(wPrev))
+      .select(col("step"), col("n").as("n_users"),
+        round(col("n").cast("double") / col("n_entered"), 6).as("conv_from_first"),
+        round(col("n").cast("double") / coalesce(col("prev_n"), col("n")), 6)
+          .as("conv_from_prev"))
+      .orderBy("step")
+  }
+
   /** Daily rollup with grand total (nulls coalesced to 'ALL' for
     * cross-engine ordering parity).
     */

@@ -80,6 +80,74 @@ object Layout {
       .orderBy("event_type")
   }
 
+  /** Z-order (Morton) clustering: interleave the bits of two quantized
+    * dimensions so range-bucketing the single z key co-locates rows that
+    * are close in BOTH dimensions — per-file min/max stats then skip for
+    * 2-D box predicates, where a linear sort only ever skips on its
+    * leading column. The interleave is the standard magic-number bit
+    * spread, written as a chain of `&`/`|`/`<<` columns that both engines
+    * evaluate identically on BIGINT (no floats anywhere).
+    *
+    * The oracled entry reports per-z-bucket stats (bucket = z >> 10,
+    * i.e. 1024-z-value virtual "files" — 7 buckets at sf0.001, ~250 at
+    * sf0.01) plus the skipped flag for a fixed box query — exactly the
+    * pruning decision a file-stats reader would make. `LayoutSpec`
+    * additionally writes a real z-sorted parquet copy via
+    * [[zorderWritePath]] and asserts the box query reads fewer
+    * row-groups/files than a linearly-laid-out copy.
+    */
+  def zorderBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val z = zvalue(Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+    // fixed box query, chosen to overlap the key range at every fixture SF
+    val (xLo, xHi, yLo, yHi) = (50L, 150L, 2L, 60L)
+    z.withColumn("bucket", expr("zval >> 10"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .withColumn("skipped",
+        col("max_x") < xLo || col("min_x") > xHi ||
+          col("max_y") < yLo || col("min_y") > yHi)
+      .orderBy("bucket")
+  }
+
+  /** (x, y, zval) for lineitem rows: 16-bit quantized part/supp keys,
+    * Morton-interleaved into one 32-bit key. Shared by the oracled bucket
+    * summary and the physical-layout spec.
+    */
+  def zvalue(df: DataFrame): DataFrame = {
+    def spread(in: String, out: String)(d: DataFrame): DataFrame = d
+      .withColumn(s"${out}_a", expr(s"($in | ($in << 8)) & 16711935"))
+      .withColumn(s"${out}_b", expr(s"(${out}_a | (${out}_a << 4)) & 252645135"))
+      .withColumn(s"${out}_c", expr(s"(${out}_b | (${out}_b << 2)) & 858993459"))
+      .withColumn(out, expr(s"(${out}_c | (${out}_c << 1)) & 1431655765"))
+      .drop(s"${out}_a", s"${out}_b", s"${out}_c")
+    val quantized = df
+      .withColumn("x", col("l_partkey") % 65536)
+      .withColumn("y", col("l_suppkey") % 65536)
+    spread("y", "sy")(spread("x", "sx")(quantized))
+      .withColumn("zval", expr("sx | (sy << 1)"))
+      .drop("sx", "sy")
+  }
+
+  /** A z-sorted parquet copy (repartitionByRange on zval then
+    * sortWithinPartitions) — the physical half [[zorderBuckets]] models;
+    * written once per (application, dir) to managed scratch.
+    */
+  private val zPathCache = TrieMap.empty[(String, String), String]
+
+  def zorderWritePath(spark: SparkSession, dir: String, parts: Int = 16): String =
+    zPathCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val out = Scratch.dir(spark, "graft-lineitem-zorder-").toString
+      zvalue(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(parts, col("zval"))
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
   /** Dynamic partition pruning: the day predicate sits on a calendar
     * dimension, not on the fact, so static pruning can't apply — Spark
     * broadcasts the filtered dim and injects its day set into the fact

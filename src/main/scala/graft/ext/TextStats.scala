@@ -265,6 +265,58 @@ object TextStats {
       .orderBy("lang", "sample_rank")
   }
 
+  /** PII scrubbing pass: count and redact email / IPv4 / phone patterns.
+    * The fixture corpus carries no PII, so deterministic synthetic tokens
+    * are appended first (doc_id-derived, identical in the oracle) to make
+    * every branch observable. Regexes stay in the RE2 ∩ java.util.regex
+    * common subset AND avoid backslash classes entirely (`[0-9]`/`[.]`,
+    * never `\d`/`\.`) — Spark SQL string literals eat backslashes while
+    * DuckDB's don't, so a backslash-free pattern is the only spelling
+    * that survives the three-way replay verbatim. Purely narrow per-row
+    * string work: zero shuffles, codegen'd regexp engine, linear scan at
+    * any scale. Redaction order (email → ip → phone) is part of the
+    * operator contract.
+    */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+  val Ipv4Re  = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val PhoneRe = "555-[0-9]{4}"
+
+  /** (doc_id, aug, redacted): the augmented input and its fully-redacted
+    * form — [[piiRedact]]'s intermediate, exposed for the residual-PII
+    * spec assertion.
+    */
+  def piiRedactAugmented(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(""),
+      when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"))).otherwise(""),
+      when(col("doc_id") % 5 === 0, concat(lit(" call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""))
+    Tables.documents(spark, dir)
+      .withColumn("aug", aug)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("aug"),
+          EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]"))
+      .select("doc_id", "aug", "redacted")
+  }
+
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val (email, ip, phone) = (EmailRe, Ipv4Re, PhoneRe)
+    piiRedactAugmented(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("aug"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("aug"), lit(ip), lit(0)))
+          .cast("long").as("n_ips"),
+        size(regexp_extract_all(col("aug"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        length(col("redacted")).cast("long").as("redacted_len"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Token-budget shard packing: docs in doc_id order accumulate into
     * shards of ~`budget` tokens (shard = the budget window the doc
     * STARTS in — the document-granularity sequence packing a training

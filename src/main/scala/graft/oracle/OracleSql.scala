@@ -591,7 +591,75 @@ cat_remove AS (
       SELECT o_custkey AS custkey, 'both' AS cohort FROM (SELECT * FROM b97 INTERSECT SELECT * FROM b98) x
       UNION ALL
       SELECT o_custkey AS custkey, 'only_1997' AS cohort FROM (SELECT * FROM b97 EXCEPT SELECT * FROM b98) y
-      ORDER BY cohort, custkey""")
+      ORDER BY cohort, custkey""",
+    // Ordered funnel view -> click -> purchase, first-touch, strictly
+    // increasing times. Each stage = conditional MIN over the previous
+    // stage's user set — mirrors Events.funnel stage for stage.
+    "events_funnel" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY e.user_id),
+      counts AS (
+        SELECT '1_view' AS step, COUNT(*) AS n FROM s1
+        UNION ALL SELECT '2_click' AS step, COUNT(*) AS n FROM s2
+        UNION ALL SELECT '3_purchase' AS step, COUNT(*) AS n FROM s3),
+      entered AS (SELECT COUNT(*) AS n_entered FROM s1)
+      SELECT step, n AS n_users,
+             ROUND(CAST(n AS DOUBLE) / n_entered, 6) AS conv_from_first,
+             ROUND(CAST(n AS DOUBLE) /
+                   COALESCE(LAG(n) OVER (ORDER BY step), n), 6) AS conv_from_prev
+      FROM counts CROSS JOIN entered
+      ORDER BY step""",
+    // Incremental aggregate maintenance: the oracle states the FULL
+    // recompute; Materialize.incrAggMerge answers from merged
+    // state+delta partials — equal because every aggregate is algebraic
+    // and the sums run in DECIMAL (exact, partition-order-independent).
+    "incr_agg_merge" -> s"""
+      SELECT user_id, event_type, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value,
+             MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+             MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+             ROUND(CAST(SUM(CAST(value AS $D2)) AS DOUBLE) / COUNT(*), 6)
+               AS avg_value
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
+    // Bloom-prefiltered join: the oracle states the plain join — the
+    // Bloom pass has no false negatives and its false positives are
+    // eliminated by the exact join, so results are identical.
+    "join_bloom_prefilter" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Z-order bucket stats: the same magic-number Morton interleave as
+    // Layout.zvalue, spelled as a CTE chain of BIGINT &/|/<< steps both
+    // engines evaluate identically; bucket = zval >> 10, skipped = the
+    // min/max box-pruning decision for the fixed (50-150, 2-60) box.
+    "layout_zorder" -> """
+      WITH q AS (SELECT l_partkey % 65536 AS x, l_suppkey % 65536 AS y FROM lineitem),
+      s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
+                          (y | (y << 8)) & 16711935 AS ya FROM q),
+      s2 AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
+                          (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+      s3 AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
+                          (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+      s4 AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS sx,
+                          (yc | (yc << 1)) & 1431655765 AS sy FROM s3),
+      z AS (SELECT x, y, (sx | (sy << 1)) AS zval FROM s4)
+      SELECT (zval >> 10) AS bucket, COUNT(*) AS n,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y,
+             (MAX(x) < 50 OR MIN(x) > 150 OR
+              MAX(y) < 2 OR MIN(y) > 60) AS skipped
+      FROM z GROUP BY (zval >> 10) ORDER BY bucket""")
 
   /** Shared shingle CTE (word 3-grams, distinct per doc) — mirrors
     * [[graft.ext.TextDedup.shingles]].
@@ -1478,7 +1546,66 @@ shingles AS (
         FROM d)
       SELECT doc_id, n_tokens, cum_tokens,
              (cum_tokens - n_tokens) // 2000 AS shard_id
-      FROM c ORDER BY doc_id""")
+      FROM c ORDER BY doc_id""",
+    // PII scrub: synthetic deterministic PII appended (the corpus has
+    // none), then count + redact email/IPv4/phone. Regexes are the
+    // backslash-free RE2 ∩ java.util.regex subset ([0-9]/[.] classes);
+    // redaction order email -> ip -> phone is the operator contract.
+    // DuckDB regexp_replace needs the 'g' flag for replace-all (Spark's
+    // default; the three-way dialect map drops the flag).
+    "text_pii_redact" -> """
+      WITH aug AS (
+        SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+            CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END ||
+          CASE WHEN doc_id % 4 = 0 THEN ' from 10.' ||
+            CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+            CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0 THEN ' call 555-' ||
+            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
+        FROM documents),
+      red AS (
+        SELECT doc_id, aug,
+          regexp_replace(regexp_replace(regexp_replace(aug,
+            '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+', '[EMAIL]', 'g'),
+            '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '[IP]', 'g'),
+            '555-[0-9]{4}', '[PHONE]', 'g') AS redacted
+        FROM aug)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(aug, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        CAST(length(redacted) AS BIGINT) AS redacted_len,
+        md5(redacted) AS redacted_md5
+      FROM red ORDER BY doc_id""",
+    // BM25 top-k: per-term contributions are summed left-to-right in the
+    // exact association Search.bm25TopK emits; dl is an integral double
+    // so AVG(dl) is partition-order-exact; ordering uses the UNROUNDED
+    // score (cross-engine ties are exactly-equal doubles, broken by
+    // doc_id) and only the projected score is rounded.
+    "text_bm25_topk" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      t AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+              CAST(len(list_filter(ws, w -> w = 'spark')) AS DOUBLE) AS tf0,
+              CAST(len(list_filter(ws, w -> w = 'join')) AS DOUBLE) AS tf1,
+              CAST(len(list_filter(ws, w -> w = 'window')) AS DOUBLE) AS tf2
+            FROM d),
+      c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+              CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+              CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+              CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+            FROM t),
+      s AS (SELECT doc_id, dl, tf0, tf1, tf2,
+              ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                AS score_raw
+            FROM t CROSS JOIN c)
+      SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+             CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             ROUND(score_raw, 6) AS score
+      FROM s WHERE score_raw > 0
+      ORDER BY score_raw DESC, doc_id LIMIT 10""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT

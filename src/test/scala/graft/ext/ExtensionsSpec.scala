@@ -353,6 +353,139 @@ class ExtensionsSpec extends SparkSpec {
     assert(!planted(1L).getAs[Boolean]("flagged"))
   }
 
+  test("funnel: step counts monotone, ratios consistent, steps named") {
+    val rows = Events.funnel(spark, sf001).collect()
+    assert(rows.map(_.getAs[String]("step")).toSeq ==
+      Seq("1_view", "2_click", "3_purchase"))
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2),
+      s"funnel must be non-increasing: ${ns.toSeq}")
+    assert(ns(0) > 0, "fixture has viewers")
+    // conv_from_prev(step1) = 1 by the COALESCE(prev, n) convention
+    assert(rows(0).getAs[Double]("conv_from_prev") == 1.0)
+    rows.foreach { r =>
+      val (cf, cp) = (r.getAs[Double]("conv_from_first"),
+        r.getAs[Double]("conv_from_prev"))
+      assert(cf >= 0 && cf <= 1 && cp >= 0 && cp <= 1)
+    }
+    // strict-ordering semantics: step-2 users are a subset of step-1 users
+    // recomputed independently (first view time, then a later click)
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t1 = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val expectedS2 = ev.filter(_._2 == "click")
+      .filter(e => t1.get(e._1).exists(e._3 > _)).map(_._1).distinct.size
+    assert(ns(1) == expectedS2)
+  }
+
+  test("pii redact: counts match the planted pattern; redaction is total") {
+    val rows = TextStats.piiRedact(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L),
+        s"doc $id email count")
+      assert(r.getAs[Long]("n_ips") == (if (id % 4 == 0) 1L else 0L),
+        s"doc $id ip count")
+      assert(r.getAs[Long]("n_phones") == (if (id % 5 == 0) 1L else 0L),
+        s"doc $id phone count")
+    }
+    // no pattern survives its own redaction pass (counts on redacted = 0)
+    val email = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+    val survivors = TextStats.piiRedactAugmented(spark, sf001)
+      .select(size(regexp_extract_all($"redacted", lit(email), lit(0))).as("e"),
+        size(regexp_extract_all($"redacted",
+          lit("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"), lit(0))).as("i"),
+        size(regexp_extract_all($"redacted", lit("555-[0-9]{4}"), lit(0))).as("p"))
+      .agg(sum($"e" + $"i" + $"p")).head().getLong(0)
+    assert(survivors == 0L, "redacted text must contain no residual PII")
+  }
+
+  test("bm25: scores agree with a scala recomputation; ordering sane") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val terms = Seq("spark", "join", "window")
+    val n = docs.size.toDouble
+    val avgdl = docs.values.map(_.length.toDouble).sum / n
+    val dfs = terms.map(t => t -> docs.values.count(_.contains(t)).toDouble).toMap
+    def score(ws: Array[String]): Double = {
+      val dl = ws.length.toDouble
+      terms.map { t =>
+        val tf = ws.count(_ == t).toDouble
+        val idf = math.log(1 + (n - dfs(t) + 0.5) / (dfs(t) + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val got = Search.bm25TopK(spark, sf001).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_matched") >= 1)
+      val expected = BigDecimal(score(docs(r.getAs[Long]("doc_id"))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      assert(math.abs(r.getAs[Double]("score") - expected) <= 1e-6,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Double]("score")} vs $expected")
+    }
+    // the returned set is the true top-10 of the full recomputation
+    val allScores = docs.toSeq.map { case (id, ws) => (score(ws), id) }
+      .filter(_._1 > 0).sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == allScores)
+  }
+
+  test("incremental merge equals full recompute; cutoff splits the input") {
+    val merged = Materialize.incrAggMerge(spark, sf001).collect()
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val full = graft.tables.Tables.events(spark, sf001)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(d2)).cast("double").as("sum_value"),
+        min(unix_micros($"ts")).as("first_us"),
+        max(unix_micros($"ts")).as("last_us"))
+      .withColumn("avg_value", round($"sum_value" / $"n_events", 6))
+      .orderBy("user_id", "event_type").collect()
+    assert(merged.toSeq == full.toSeq)
+    // the cutoff actually splits: both sides non-empty at this fixture
+    val cut = lit("2024-01-20 00:00:00").cast("timestamp")
+    val ev = graft.tables.Tables.events(spark, sf001)
+    assert(ev.filter($"ts" < cut).count() > 0)
+    assert(ev.filter($"ts" >= cut).count() > 0)
+  }
+
+  test("bloom prefilter: equals plain join; predicate below the shuffle") {
+    val q = Analytics.bloomPrefilterJoin(spark, sf001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"custom bloom predicate must appear in the physical plan:\n$plan")
+    assert(plan.contains("SortMergeJoin"),
+      s"SHUFFLE_MERGE hint must pin the shuffle join (the scale scenario):\n$plan")
+    // the membership test must sit scan-side, before the exchange
+    val scanSide = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(scanSide.contains("graft_bloom_might_contain"),
+      "prefilter must be under the join (probe side), not above it")
+    val plain = graft.tables.Tables.lineitem(spark, sf001)
+      .join(graft.tables.Tables.orders(spark, sf001)
+          .filter($"o_orderpriority" === "1-URGENT"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          (lit(1) - $"l_discount".cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority").collect()
+    assert(q.collect().toSeq == plain.toSeq)
+    // selectivity: the bloom pass drops most non-urgent lineitems
+    val o = graft.tables.Tables.orders(spark, sf001)
+      .filter($"o_orderpriority" === "1-URGENT")
+    val li = graft.tables.Tables.lineitem(spark, sf001)
+    val kept = li.filter(graft.functions.BloomPrefilter
+      .prefilter(o, "o_orderkey", 100000)($"l_orderkey")).count()
+    val total = li.count()
+    assert(kept < total * 6 / 10,
+      s"bloom should reject most rows: kept $kept of $total")
+  }
+
   test("KMV sketch: partitioning-invariant, small-group null, sane estimate") {
     val rows = Analytics.kmvDistinct(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -48,6 +48,52 @@ class LayoutSpec extends SparkSpec {
     assert(q.count() == 7)
   }
 
+  test("z-order: interleave is injective and the bucket summary is complete") {
+    val z = Layout.zvalue(graft.tables.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey", "l_suppkey"))
+    // Morton interleave is a bijection (x, y) <-> z on the quantized domain
+    val pairs = z.select("x", "y").distinct().count()
+    val zs = z.select("zval").distinct().count()
+    assert(pairs == zs, s"interleave must be injective: $pairs pairs, $zs zvals")
+    // round-trip one value in scala to pin the bit layout (x even bits)
+    val row = z.select("x", "y", "zval").head()
+    val (x, y, zv) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    def unspread(v: Long): Long = {
+      var r = 0L
+      for (i <- 0 until 16) r |= ((v >> (2 * i)) & 1L) << i
+      r
+    }
+    assert(unspread(zv) == x && unspread(zv >> 1) == y)
+    // bucket stats cover every row exactly once
+    val total = Layout.zorderBuckets(spark, sf001)
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(total == graft.tables.Tables.lineitem(spark, sf001).count())
+  }
+
+  test("z-order layout: the 2-D box touches fewer files than a linear sort") {
+    val zPath = Layout.zorderWritePath(spark, sf001, parts = 8)
+    val linPath = graft.tables.Scratch.dir(spark, "graft-lineitem-linear-").toString
+    Layout.zvalue(graft.tables.Tables.lineitem(spark, sf001)
+        .select("l_orderkey", "l_partkey", "l_suppkey"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(linPath)
+    // a stats-based reader skips a file when its (min,max) envelope
+    // misses the box on either dimension — identical decision rule to
+    // the oracled bucket summary, applied to the real files
+    def touched(path: String): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("nx"), max("x").as("xx"),
+          min("y").as("ny"), max("y").as("xy"))
+        .filter(!(col("xx") < 50 || col("nx") > 150 ||
+          col("xy") < 2 || col("ny") > 60))
+        .count()
+    val (tz, tl) = (touched(zPath), touched(linPath))
+    assert(tz < tl,
+      s"z-order must touch fewer files for the 2-D box: z=$tz linear=$tl")
+  }
+
   test("pruned day aggregate equals the unpartitioned computation") {
     val fromLayout = Layout.partitionPruneDay(spark, sf001).collect()
     val ev = graft.tables.Tables.events(spark, sf001)

@@ -70,6 +70,10 @@ class ThreeWaySqlSpec extends SparkSpec {
           "CAST(0 AS DOUBLE), (acc, zv) -> acc + zv)"))
     s = s.replace("//", " div ")  // DuckDB integer division
     s = s.replace("json_extract_string(", "get_json_object(")
+    // DuckDB regexp_replace needs the 'g' flag for replace-all; Spark's
+    // regexp_replace is replace-all by default and takes no flag arg. The
+    // token sequence ", 'g')" appears only as that flag in the twins.
+    s = s.replace(", 'g')", ")")
     s = s.replace("strpos(", "instr(")
     // DuckDB xor(a, b) == Spark's ^ operator
     s = raw"xor\(($arg),\s*($arg)\)".r.replaceAllIn(s,
