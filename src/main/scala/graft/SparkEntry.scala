@@ -157,6 +157,13 @@ object SparkEntry {
     "join_bloom_prefilter" -> ((s, d) => graft.ext.Analytics.bloomPrefilterJoin(s, d)),
     // Z-order layout: per-bucket min/max stats + box-query skip decision
     "layout_zorder" -> ((s, d) => graft.ext.Layout.zorderBuckets(s, d)),
+    // manual hot-key defense: deterministic probe salt + S-way build
+    // replication; value-identical to the plain join the oracle states
+    "join_salted_skew" -> ((s, d) => graft.ext.Analytics.saltedSkewJoin(s, d)),
+    // per-user trailing-week RANGE frame over the per-day pre-aggregate
+    "events_rolling_7d" -> ((s, d) => graft.ext.Events.rolling7d(s, d)),
+    // weekly cohort retention matrix (cohort = first-event epoch-week)
+    "events_retention" -> ((s, d) => graft.ext.Events.retentionCohorts(s, d)),
     "tpch_q6_forecast" -> (graft.ext.Analytics.q6Forecast(_, _)),
     "tpch_q17_smallqty" -> (graft.ext.Analytics.q17SmallQuantity(_, _)),
     "events_histogram" -> (graft.ext.Analytics.valueHistogram(_, _)),

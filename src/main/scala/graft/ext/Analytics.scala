@@ -685,6 +685,36 @@ object Analytics {
     * (prefilter below the exchange, inside the scan's WholeStageCodegen
     * span) is asserted in AnalyticsSpec.
     */
+  /** Salted skew join: the manual hot-key defense for when AQE's runtime
+    * skew splitting isn't available (hash join on a key where a handful
+    * of values dominate). The probe side appends a deterministic salt
+    * (`pmod(l_linenumber, S)` — data-derived, reproducible, no rand());
+    * the build side replicates each row S ways via explode(sequence).
+    * Joining on (key, salt) fans one hot key's rows across S reducers
+    * instead of one. Every probe row still matches exactly one replica,
+    * so the result is value-identical to the plain join — the oracle
+    * twin states the plain join. S is a static parameter here; a
+    * production wrapper picks S from sampled key frequencies and salts
+    * only the hot subset (the two-path union [[graft.ext.TextDedup
+    * .exactSaltedOf]] uses for aggregates).
+    */
+  def saltedSkewJoin(spark: SparkSession, dir: String, salts: Int = 4): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(col("l_linenumber"), lit(salts)).as("salt"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.hint("SHUFFLE_MERGE")
+      .join(o, col("l_orderkey") === col("o_orderkey") &&
+        l("salt") === o("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(d2("l_extendedprice") * (lit(1) - d2("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")

@@ -215,6 +215,61 @@ object Events {
       .orderBy("step")
   }
 
+  /** Per-user 7-day rolling activity (time-series window family): one
+    * row per (user, active day) with the trailing-week event count and
+    * value sum. Two-level shape: the per-(user, day) pre-aggregate
+    * shrinks the window input to at most one row per user-day BEFORE the
+    * RANGE frame runs, so the rolling state per user is bounded by 7
+    * pre-aggregated rows regardless of per-day event volume — the only
+    * shuffle keys on user_id and the frame is evaluated sort-merged
+    * within partitions. Sums stay in DECIMAL through both levels (the
+    * frame is a partial-sum path like any other merge).
+    */
+  def rolling7d(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"),
+        col("value").cast(D2).as("dval"))
+      .groupBy("user_id", "day_num")
+      .agg(count(lit(1)).as("n_day"), sum("dval").as("sum_day"))
+    val w7 = Window.partitionBy("user_id").orderBy("day_num")
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("n_7d", sum("n_day").over(w7))
+      .withColumn("sum_7d", sum("sum_day").over(w7).cast("double"))
+      .select(col("user_id"), col("day_num"), col("n_day"),
+        col("sum_day").cast("double").as("sum_day"), col("n_7d"), col("sum_7d"))
+      .orderBy("user_id", "day_num")
+  }
+
+  /** Weekly cohort retention matrix: users cohort by the epoch-week of
+    * their first event; each (cohort_week, week_offset) cell counts the
+    * cohort's users still active that week, with retention relative to
+    * the cohort size (offset 0 is the cohort size by construction —
+    * every user is active in their own first week). Shuffles key on
+    * user_id (first-week aggregate + activity distinct), then on the
+    * tiny (cohort, offset) pair — cohort cells are weeks², never
+    * user-cardinality.
+    */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("week"))
+      .distinct()
+    val cohorts = weeks.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val cells = weeks.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+    val sizes = cells.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    cells.join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Daily rollup with grand total (nulls coalesced to 'ALL' for
     * cross-engine ordering parity).
     */

@@ -659,7 +659,52 @@ cat_remove AS (
              MIN(y) AS min_y, MAX(y) AS max_y,
              (MAX(x) < 50 OR MIN(x) > 150 OR
               MAX(y) < 2 OR MIN(y) > 60) AS skipped
-      FROM z GROUP BY (zval >> 10) ORDER BY bucket""")
+      FROM z GROUP BY (zval >> 10) ORDER BY bucket""",
+    // Salted skew join: the oracle states the PLAIN join — the salt is a
+    // pure partitioning device (each probe row matches exactly one build
+    // replica), so results are value-identical.
+    "join_salted_skew" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Per-user 7-day rolling window over the per-day pre-aggregate; the
+    // RANGE frame and the DECIMAL partial sums mirror Events.rolling7d.
+    "events_rolling_7d" -> s"""
+      WITH daily AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               COUNT(*) AS n_day,
+               SUM(CAST(value AS $D2)) AS sum_day
+        FROM events GROUP BY 1, 2)
+      SELECT user_id, day_num, n_day,
+             CAST(sum_day AS DOUBLE) AS sum_day,
+             CAST(SUM(n_day) OVER w7 AS BIGINT) AS n_7d,
+             CAST(SUM(sum_day) OVER w7 AS DOUBLE) AS sum_7d
+      FROM daily
+      WINDOW w7 AS (PARTITION BY user_id ORDER BY day_num
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, day_num""",
+    // Weekly cohort retention: cohort = first-event epoch-week; offset-0
+    // cells are the cohort sizes by construction.
+    "events_retention" -> """
+      WITH weeks AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+        FROM events),
+      cohorts AS (SELECT user_id, MIN(week) AS cohort_week
+                  FROM weeks GROUP BY user_id),
+      cells AS (
+        SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+               COUNT(DISTINCT w.user_id) AS n_active
+        FROM weeks w JOIN cohorts c ON w.user_id = c.user_id
+        GROUP BY 1, 2),
+      sizes AS (SELECT cohort_week, n_active AS cohort_size
+                FROM cells WHERE week_offset = 0)
+      SELECT cells.cohort_week, week_offset, n_active,
+             ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+      FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
+      ORDER BY cells.cohort_week, week_offset""")
 
   /** Shared shingle CTE (word 3-grams, distinct per doc) — mirrors
     * [[graft.ext.TextDedup.shingles]].

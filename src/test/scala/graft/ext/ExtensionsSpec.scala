@@ -486,6 +486,66 @@ class ExtensionsSpec extends SparkSpec {
       s"bloom should reject most rows: kept $kept of $total")
   }
 
+  test("salted skew join equals the plain join; build replicated S ways") {
+    val salted = Analytics.saltedSkewJoin(spark, sf001).collect()
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val plain = graft.tables.Tables.lineitem(spark, sf001)
+      .join(graft.tables.Tables.orders(spark, sf001),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast(d2) * (lit(1) - $"l_discount".cast(d2)))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority").collect()
+    assert(salted.toSeq == plain.toSeq)
+    // the salt genuinely spreads the key: all S salt values occur
+    val saltCard = graft.tables.Tables.lineitem(spark, sf001)
+      .select(pmod($"l_linenumber", lit(4)).as("salt"))
+      .distinct().count()
+    assert(saltCard == 4)
+  }
+
+  test("rolling 7d window agrees with a scala recomputation for one user") {
+    val rows = Events.rolling7d(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_7d") >= r.getAs[Long]("n_day"))
+      assert(r.getAs[Double]("sum_7d") >= r.getAs[Double]("sum_day") - 1e-9 ||
+        r.getAs[Double]("sum_day") <= 0)
+    }
+    val u = rows.head.getAs[Long]("user_id")
+    val mine = rows.filter(_.getAs[Long]("user_id") == u)
+      .map(r => r.getAs[Long]("day_num") ->
+        (r.getAs[Long]("n_day"), r.getAs[Long]("n_7d"))).toMap
+    mine.foreach { case (day, (_, n7)) =>
+      val expect = mine.filter { case (d, _) => d >= day - 6 && d <= day }
+        .values.map(_._1).sum
+      assert(n7 == expect, s"user $u day $day: $n7 vs $expect")
+    }
+  }
+
+  test("retention cohorts: offset-0 cells are full, later cells shrink") {
+    val rows = Events.retentionCohorts(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_week"))
+    byCohort.foreach { case (_, cells) =>
+      val zero = cells.find(_.getAs[Long]("week_offset") == 0L).get
+      assert(zero.getAs[Double]("retention") == 1.0)
+      cells.foreach { c =>
+        assert(c.getAs[Long]("n_active") <= zero.getAs[Long]("n_active"))
+        val r = c.getAs[Double]("retention")
+        assert(r > 0 && r <= 1.0)
+      }
+    }
+    // cohorts partition the user base: sizes sum to the distinct users
+    val users = graft.tables.Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    val sumSizes = byCohort.values
+      .map(_.find(_.getAs[Long]("week_offset") == 0L).get.getAs[Long]("n_active"))
+      .sum
+    assert(sumSizes == users)
+  }
+
   test("KMV sketch: partitioning-invariant, small-group null, sane estimate") {
     val rows = Analytics.kmvDistinct(spark, sf001).collect()
     assert(rows.nonEmpty)
