@@ -160,6 +160,12 @@ object SparkEntry {
     // manual hot-key defense: deterministic probe salt + S-way build
     // replication; value-identical to the plain join the oracle states
     "join_salted_skew" -> ((s, d) => graft.ext.Analytics.saltedSkewJoin(s, d)),
+    // bucket-by-key layout: the recurring join runs with ZERO join-side
+    // exchanges (plan delta asserted in LayoutSpec); oracle = plain join
+    "layout_bucket_join" -> ((s, d) => graft.ext.Layout.bucketJoin(s, d)),
+    // per-language percent_rank/decile quantile normalization of the
+    // quality score (distribution-relative curation thresholds)
+    "text_quality_ranked" -> ((s, d) => graft.ext.TextStats.qualityRanked(s, d)),
     // per-user trailing-week RANGE frame over the per-day pre-aggregate
     "events_rolling_7d" -> ((s, d) => graft.ext.Events.rolling7d(s, d)),
     // weekly cohort retention matrix (cohort = first-event epoch-week)

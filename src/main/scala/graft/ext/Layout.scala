@@ -148,6 +148,63 @@ object Layout {
       out
     })
 
+  /** Bucketed co-located join: both fact tables land bucketed (and
+    * per-bucket sorted) on the join key, so the join's distribution
+    * requirement is satisfied BY THE LAYOUT — no exchange on either side
+    * at read time, which at 100 TB converts the dominant recurring join
+    * of a warehouse into a zero-shuffle sort-merge. The write
+    * repartitions each side to exactly `buckets` hash partitions first so
+    * every bucket is a single sorted file (the layout Spark's reader
+    * trusts for both distribution AND order).
+    *
+    * `LayoutSpec` asserts the bucketed plan carries strictly fewer
+    * exchanges than the identical unbucketed join; the oracled entry
+    * (`layout_bucket_join`) states the plain join — layout never changes
+    * values.
+    */
+  private val bucketDbCache = TrieMap.empty[(String, String), String]
+
+  def bucketedDb(spark: SparkSession, dir: String, buckets: Int = 8): String =
+    bucketDbCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val db = "graft_b_" + java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val loc = Scratch.dir(spark, "graft-bucketed-").toString
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      Tables.orders(spark, dir)
+        .repartition(buckets, col("o_orderkey"))
+        .write.format("parquet")
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.orders_bucketed")
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(buckets, col("l_orderkey"))
+        .write.format("parquet")
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(s"$db.lineitem_bucketed")
+      db
+    })
+
+  /** Revenue per priority over the bucketed tables — value-identical to
+    * the plain join; the exchanges the layout removed are the point.
+    */
+  def bucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val db = bucketedDb(spark, dir)
+    val o = spark.table(s"$db.orders_bucketed")
+      .select("o_orderkey", "o_orderpriority")
+    val l = spark.table(s"$db.lineitem_bucketed")
+    val d2 = (c: String) => col(c).cast(DecimalType(18, 2))
+    // SHUFFLE_MERGE pins the sort-merge path (the 100 TB shape this
+    // layout serves) so the zero-exchange property is what's asserted,
+    // not an AQE broadcast that would hide it at fixture scale
+    l.hint("SHUFFLE_MERGE").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(d2("l_extendedprice") * (lit(1) - d2("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Dynamic partition pruning: the day predicate sits on a calendar
     * dimension, not on the fact, so static pruning can't apply — Spark
     * broadcasts the filtered dim and injects its day set into the fact

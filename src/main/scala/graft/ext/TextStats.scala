@@ -317,6 +317,30 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** Quantile normalization of the quality score: per-language
+    * percent_rank and decile — the form quality thresholds take in a
+    * curation pipeline ("keep the top 30% per language" is
+    * distribution-relative, not absolute). One shuffle on lang; the
+    * (quality_score, doc_id) order is total, so ranks and NTILE cell
+    * boundaries are deterministic in both engines.
+    */
+  def qualityRanked(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("quality_score", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(array_distinct(split(col("text"), " "))).cast("long")
+          .as("n_distinct_words"))
+      .withColumn("quality_score",
+        round(least(col("n_words").cast("double") / 100, lit(1.0)) *
+          (col("n_distinct_words").cast("double") / col("n_words")), 6))
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .select("doc_id", "lang", "quality_score", "pr", "decile")
+      .orderBy("doc_id")
+  }
+
   /** Token-budget shard packing: docs in doc_id order accumulate into
     * shards of ~`budget` tokens (shard = the budget window the doc
     * STARTS in — the document-granularity sequence packing a training

@@ -668,6 +668,16 @@ cat_remove AS (
         CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Bucketed co-located join: the oracle states the plain join —
+    // bucketing is pure physical layout, values are identical. n_orders
+    // differentiates the output from join_salted_skew (and adds a
+    // distinct-agg-after-join shape).
+    "layout_bucket_join" -> s"""
+      SELECT o_orderpriority, COUNT(*) AS n_items,
+        COUNT(DISTINCT o_orderkey) AS n_orders,
+        CAST(SUM(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // Per-user 7-day rolling window over the per-day pre-aggregate; the
     // RANGE frame and the DECIMAL partial sums mirror Events.rolling7d.
     "events_rolling_7d" -> s"""
@@ -1623,6 +1633,25 @@ shingles AS (
         CAST(length(redacted) AS BIGINT) AS redacted_len,
         md5(redacted) AS redacted_md5
       FROM red ORDER BY doc_id""",
+    // Quantile normalization: per-lang percent_rank + NTILE(10) over the
+    // total (quality_score, doc_id) order — rank boundaries deterministic
+    // in both engines because the sort key is unique.
+    "text_quality_ranked" -> """
+      WITH q AS (
+        SELECT doc_id, lang,
+               ROUND(LEAST(CAST(n_words AS DOUBLE) / 100, 1.0) *
+                     (CAST(n_distinct_words AS DOUBLE) / n_words), 6)
+                 AS quality_score
+        FROM (SELECT doc_id, lang,
+                     len(string_split(text, ' ')) AS n_words,
+                     len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+              FROM documents) t)
+      SELECT doc_id, lang, quality_score,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+             CAST(NTILE(10) OVER w AS BIGINT) AS decile
+      FROM q
+      WINDOW w AS (PARTITION BY lang ORDER BY quality_score, doc_id)
+      ORDER BY doc_id""",
     // BM25 top-k: per-term contributions are summed left-to-right in the
     // exact association Search.bm25TopK emits; dl is an integral double
     // so AVG(dl) is partition-order-exact; ordering uses the UNROUNDED

@@ -546,6 +546,27 @@ class ExtensionsSpec extends SparkSpec {
     assert(sumSizes == users)
   }
 
+  test("quality ranking: pr/decile well-formed and order-consistent") {
+    val rows = TextStats.qualityRanked(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pr, dec) = (r.getAs[Double]("pr"), r.getAs[Long]("decile"))
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(dec >= 1L && dec <= 10L)
+    }
+    // within one language, pr and decile are monotone in
+    // (quality_score, doc_id) order, and deciles are near-equal cells
+    val lang = rows.head.getAs[String]("lang")
+    val mine = rows.filter(_.getAs[String]("lang") == lang)
+      .sortBy(r => (r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id")))
+    assert(mine.map(_.getAs[Double]("pr")).toSeq ==
+      mine.map(_.getAs[Double]("pr")).sortBy(identity).toSeq)
+    assert(mine.map(_.getAs[Long]("decile")).toSeq ==
+      mine.map(_.getAs[Long]("decile")).sortBy(identity).toSeq)
+    val cells = mine.groupBy(_.getAs[Long]("decile")).values.map(_.length)
+    assert(cells.max - cells.min <= 1, s"NTILE cells must differ by <=1: $cells")
+  }
+
   test("KMV sketch: partitioning-invariant, small-group null, sane estimate") {
     val rows = Analytics.kmvDistinct(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -94,6 +94,41 @@ class LayoutSpec extends SparkSpec {
       s"z-order must touch fewer files for the 2-D box: z=$tz linear=$tl")
   }
 
+  test("bucketed layout: join-side exchanges eliminated; values unchanged") {
+    val q = Layout.bucketJoin(spark, sf001)
+    val bucketedPlan = q.queryExecution.executedPlan.toString
+    val d2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val plain = graft.tables.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .hint("SHUFFLE_MERGE")
+      .join(graft.tables.Tables.orders(spark, sf001)
+          .select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_extendedprice").cast(d2) *
+          (lit(1) - col("l_discount").cast(d2)))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+    // shuffle exchanges render as "Exchange hashpartitioning/..." —
+    // BroadcastExchange is a different node and must not count
+    val shuffleRe =
+      "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+    def exchanges(p: String): Int = shuffleRe.findAllIn(p).length
+    val plainPlan = plain.queryExecution.executedPlan.toString
+    assert(exchanges(bucketedPlan) < exchanges(plainPlan),
+      s"bucketing must remove join-side shuffles: " +
+        s"${exchanges(bucketedPlan)} vs ${exchanges(plainPlan)}\n$bucketedPlan")
+    // the join itself must carry no exchange under it (only the
+    // post-join aggregate may shuffle)
+    val joinIdx = bucketedPlan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"bucketed join must stay sort-merge:\n$bucketedPlan")
+    assert(shuffleRe.findFirstIn(bucketedPlan.substring(joinIdx)).isEmpty,
+      s"no exchange may sit below the bucketed join:\n$bucketedPlan")
+    assert(q.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("pruned day aggregate equals the unpartitioned computation") {
     val fromLayout = Layout.partitionPruneDay(spark, sf001).collect()
     val ev = graft.tables.Tables.events(spark, sf001)
