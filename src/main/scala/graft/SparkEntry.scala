@@ -197,6 +197,9 @@ object SparkEntry {
     "embed_ann_lsh" -> ((s, d) => graft.ext.Similarity.annLshTopK(s, d)),
     "embed_knn_join" -> ((s, d) => graft.ext.Similarity.knnJoin(s, d)),
     "dedup_embed_pairs" -> ((s, d) => graft.ext.Similarity.embedCosinePairs(s, d)),
+    // SemDeDup-shape semantic dedup: min-id representative per similar
+    // set (pairwise-greedy, single pass — no iteration)
+    "dedup_semantic_keep" -> ((s, d) => graft.ext.Similarity.semanticKeep(s, d)),
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),
     "text_langid_ngram" -> ((s, d) => graft.ext.TextStats.langIdNgram(s, d)),
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),

@@ -203,6 +203,36 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape): a vector is
+    * DROPPED iff a lower-id vector in the same sign-LSH bucket is
+    * cosine-similar above the threshold — the min-id vector of every
+    * similar set survives as its representative. Pairwise-greedy rather
+    * than transitive-closure (a dropped vector can itself dominate a
+    * later one), which is the deterministic, single-pass form: one
+    * bucketed pair join + one distinct + one anti-join-shaped left join,
+    * no iteration. Candidate space is Σ bucket² like every bucketed pair
+    * stage here; at 100 TB the bucket column is the partition/bucket-by
+    * key and the drop set is key-sized.
+    */
+  def semanticKeep(spark: SparkSession, dir: String,
+                   threshold: Double = 0.35, bits: Int = 8): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val b = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+      .withColumn("bucket", signBucket(col("v"), bits))
+    val left = b.select(col("vec_id").as("vec_a"), col("v").as("va"), col("bucket"))
+    val right = b.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("bucket"))
+    val drops = left.join(right, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(cosine(col("va"), col("vb")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    b.join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("bucket"),
+        col("hit").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Batch k-NN: top-`k` neighbours for every query vector (vec_id <
     * `nQueries`) via broadcast of the query set + per-query window top-k.
     */

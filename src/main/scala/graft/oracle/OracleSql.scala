@@ -1230,6 +1230,31 @@ shingles AS (
               (sqrt(list_dot_product(a.v, a.v)) *
                sqrt(list_dot_product(b2.v, b2.v))) >= 0.35
       ORDER BY vec_a, vec_b""",
+    // SemDeDup-shape semantic dedup: drop v iff a LOWER-id vector in the
+    // same sign bucket has cosine >= 0.35 (pairwise-greedy min-id
+    // representative — mirrors Similarity.semanticKeep exactly).
+    "dedup_semantic_keep" -> """
+      WITH b AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      drops AS (
+        SELECT DISTINCT b2.vec_id
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_dot_product(a.v, b2.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b2.v, b2.v))) >= 0.35)
+      SELECT b.vec_id, b.label, b.bucket,
+             (d.vec_id IS NULL) AS kept
+      FROM b LEFT JOIN drops d ON b.vec_id = d.vec_id
+      ORDER BY b.vec_id""",
     "embed_knn_join" -> """
       WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 20),

@@ -546,6 +546,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(sumSizes == users)
   }
 
+  test("semantic keep: kept == vectors never dominated by a lower id") {
+    val out = Similarity.semanticKeep(spark, sf001).collect()
+    val keptIds = out.filter(_.getAs[Boolean]("kept"))
+      .map(_.getAs[Long]("vec_id")).toSet
+    val all = out.map(_.getAs[Long]("vec_id")).toSet
+    // by definition: dropped == appears as the HIGHER id of a pair in the
+    // (independently oracled) bucketed cosine pair relation
+    val dominated = Similarity.embedCosinePairs(spark, sf001)
+      .select("vec_b").collect().map(_.getLong(0)).toSet
+    assert(keptIds == all -- dominated)
+    assert(all.size == graft.tables.Tables.embeddings(spark, sf001).count())
+    // every vector appears exactly once
+    assert(out.length == all.size)
+  }
+
   test("quality ranking: pr/decile well-formed and order-consistent") {
     val rows = TextStats.qualityRanked(spark, sf001).collect()
     assert(rows.nonEmpty)
