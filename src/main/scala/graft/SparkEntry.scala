@@ -214,6 +214,10 @@ object SparkEntry {
     // BM25 keyword relevance top-k (fixed small query → narrow per-doc
     // tf arrays + one broadcast stats row + TakeOrderedAndProject)
     "text_bm25_topk" -> ((s, d) => graft.ext.Search.bm25TopK(s, d)),
+    // top co-occurring token pairs (per-doc distinct self-join + PMI)
+    "text_collocations" -> ((s, d) => graft.ext.Search.collocations(s, d)),
+    // per-day volume z-score monitor (exact integral moments)
+    "dq_volume_anomaly" -> ((s, d) => graft.ext.DataQuality.volumeAnomalies(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),
     // deterministic per-language top-N draw (WindowGroupLimit plan)
     "curation_stratified_sample" -> ((s, d) => graft.ext.TextStats.stratifiedSample(s, d)),

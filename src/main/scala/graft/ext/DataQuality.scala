@@ -44,6 +44,35 @@ object DataQuality {
       .select(lit(name).as("check_name"), col("n_violations"),
         (col("n_violations") === 0L).as("passed"))
 
+  /** Volume anomaly detection: per-day event counts z-scored against the
+    * whole series (the freshness/volume monitor a landed feed gets).
+    * Variance is computed from SUM/SUM-of-squares over INTEGRAL counts —
+    * exact in any partition order, so mean/std/z are bit-identical
+    * across engines (population variance; sample would just rescale).
+    * One tiny aggregate over the per-day relation; the day pre-aggregate
+    * is the only corpus-sized shuffle.
+    */
+  def volumeAnomalies(spark: SparkSession, dir: String,
+                      zThreshold: Double = 2.0): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .groupBy("day_num").agg(count(lit(1)).as("n"))
+    val stats = daily.agg(
+      count(lit(1)).cast("double").as("n_days"),
+      sum("n").cast("double").as("s1"),
+      sum(col("n") * col("n")).cast("double").as("s2"))
+    daily.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s1") / col("n_days"))
+      .withColumn("std",
+        sqrt(col("s2") / col("n_days") - col("mean") * col("mean")))
+      .select(col("day_num"), col("n"),
+        round(col("mean"), 6).as("mean_n"),
+        round((col("n") - col("mean")) / col("std"), 6).as("z"),
+        (abs(col("n") - col("mean")) > col("std") * zThreshold)
+          .as("is_anomaly"))
+      .orderBy("day_num")
+  }
+
   /** The fixture DQ report: one row per expectation with its violation
     * count — referential integrity across the star schema, key
     * uniqueness, and the domain invariants the analytics queries rely on.

@@ -1677,6 +1677,49 @@ shingles AS (
       FROM q
       WINDOW w AS (PARTITION BY lang ORDER BY quality_score, doc_id)
       ORDER BY doc_id""",
+    // Collocation mining: per-doc distinct-token self-join; PMI over an
+    // integral ratio (single ln, round-6 parity); ties in the top-k are
+    // broken by the exact (dfp, w1, w2) order.
+    "text_collocations" -> """
+      WITH dw AS (
+        SELECT DISTINCT doc_id, w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM documents) t),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      wdf AS (SELECT w, COUNT(*) AS dfw FROM dw GROUP BY w),
+      p AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS dfp
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        GROUP BY a.w, b.w
+        HAVING COUNT(*) >= 5)
+      SELECT w1, w2, dfp, f1.dfw AS dfw1, f2.dfw AS dfw2,
+             ROUND(ln(CAST(dfp AS DOUBLE) * n_docs / (f1.dfw * f2.dfw)), 6)
+               AS pmi
+      FROM p JOIN wdf f1 ON p.w1 = f1.w
+             JOIN wdf f2 ON p.w2 = f2.w
+             CROSS JOIN nd
+      ORDER BY dfp DESC, w1, w2 LIMIT 20""",
+    // Per-day volume z-score: variance from SUM/SUM-of-squares over
+    // integral counts (exact in any partition order), operations
+    // associated identically to DataQuality.volumeAnomalies.
+    "dq_volume_anomaly" -> """
+      WITH daily AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               COUNT(*) AS n
+        FROM events GROUP BY 1),
+      st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_days,
+                    CAST(SUM(n) AS DOUBLE) AS s1,
+                    CAST(SUM(n * n) AS DOUBLE) AS s2
+             FROM daily)
+      SELECT day_num, n,
+             ROUND(s1 / n_days, 6) AS mean_n,
+             ROUND((n - s1 / n_days) /
+                   sqrt(s2 / n_days - (s1 / n_days) * (s1 / n_days)), 6) AS z,
+             (ABS(n - s1 / n_days) >
+              sqrt(s2 / n_days - (s1 / n_days) * (s1 / n_days)) * 2.0)
+               AS is_anomaly
+      FROM daily CROSS JOIN st
+      ORDER BY day_num""",
     // BM25 top-k: per-term contributions are summed left-to-right in the
     // exact association Search.bm25TopK emits; dl is an integral double
     // so AVG(dl) is partition-order-exact; ordering uses the UNROUNDED

@@ -561,6 +561,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(out.length == all.size)
   }
 
+  test("collocations: counts match a scala recomputation of the top pair") {
+    val rows = Search.collocations(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select("text").collect().map(_.getString(0).split(" ").toSet)
+    val top = rows.head
+    val (w1, w2) = (top.getAs[String]("w1"), top.getAs[String]("w2"))
+    val expectDfp = docs.count(s => s.contains(w1) && s.contains(w2))
+    assert(top.getAs[Long]("dfp") == expectDfp)
+    assert(top.getAs[Long]("dfw1") == docs.count(_.contains(w1)))
+    assert(top.getAs[Long]("dfw2") == docs.count(_.contains(w2)))
+    // dfp is the max over the returned page and every pair is ordered
+    rows.foreach { r =>
+      assert(r.getAs[String]("w1") < r.getAs[String]("w2"))
+      assert(r.getAs[Long]("dfp") <= top.getAs[Long]("dfp"))
+      assert(r.getAs[Long]("dfp") <=
+        math.min(r.getAs[Long]("dfw1"), r.getAs[Long]("dfw2")))
+    }
+  }
+
+  test("volume anomaly: z-scores recompute; flags match the 2-sigma rule") {
+    val rows = DataQuality.volumeAnomalies(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val ns = rows.map(_.getAs[Long]("n").toDouble)
+    val mean = ns.sum / ns.length
+    val std = math.sqrt(ns.map(x => x * x).sum / ns.length - mean * mean)
+    rows.foreach { r =>
+      val z = (r.getAs[Long]("n") - mean) / std
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-5)
+      assert(r.getAs[Boolean]("is_anomaly") ==
+        (math.abs(r.getAs[Long]("n") - mean) > 2.0 * std))
+    }
+  }
+
   test("quality ranking: pr/decile well-formed and order-consistent") {
     val rows = TextStats.qualityRanked(spark, sf001).collect()
     assert(rows.nonEmpty)
