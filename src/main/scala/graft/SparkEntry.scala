@@ -170,6 +170,9 @@ object SparkEntry {
     "events_rolling_7d" -> ((s, d) => graft.ext.Events.rolling7d(s, d)),
     // weekly cohort retention matrix (cohort = first-event epoch-week)
     "events_retention" -> ((s, d) => graft.ext.Events.retentionCohorts(s, d)),
+    // trailing-7d DISTINCT users: the non-mergeable windowed aggregate,
+    // rewritten as a bounded-day-span join + re-aggregate (stays exact)
+    "events_rolling_users" -> ((s, d) => graft.ext.Events.rollingDistinctUsers(s, d)),
     "tpch_q6_forecast" -> (graft.ext.Analytics.q6Forecast(_, _)),
     "tpch_q17_smallqty" -> (graft.ext.Analytics.q17SmallQuantity(_, _)),
     "events_histogram" -> (graft.ext.Analytics.valueHistogram(_, _)),

@@ -242,6 +242,29 @@ object Events {
       .orderBy("user_id", "day_num")
   }
 
+  /** Trailing-7-day DISTINCT users per day — the classic non-mergeable
+    * windowed aggregate: COUNT(DISTINCT) partials don't compose across a
+    * sliding frame, so instead of a window function the (day, user)
+    * DISTINCT relation joins to the bounded day span (d-6..d) and
+    * re-aggregates — the standard rewrite that stays exact and
+    * partition-parallel (each day's recount touches ≤ 7 day-slices of a
+    * key-sized relation; an approximate path would merge HLL sketches
+    * per day instead).
+    */
+  def rollingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_num"),
+        col("user_id"))
+      .distinct()
+    val days = du.select(col("day_num").as("d")).distinct()
+    days.join(du,
+        col("day_num") >= col("d") - 6 && col("day_num") <= col("d"))
+      .groupBy("d")
+      .agg(countDistinct("user_id").as("users_7d"))
+      .select(col("d").as("day_num"), col("users_7d"))
+      .orderBy("day_num")
+  }
+
   /** Weekly cohort retention matrix: users cohort by the epoch-week of
     * their first event; each (cohort_week, week_offset) cell counts the
     * cohort's users still active that week, with retention relative to

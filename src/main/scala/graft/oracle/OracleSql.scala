@@ -695,6 +695,18 @@ cat_remove AS (
       WINDOW w7 AS (PARTITION BY user_id ORDER BY day_num
                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY user_id, day_num""",
+    // Trailing-7d distinct users: COUNT(DISTINCT) over a sliding frame is
+    // non-mergeable, so both engines state the bounded-span join rewrite.
+    "events_rolling_users" -> """
+      WITH du AS (
+        SELECT DISTINCT
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               user_id
+        FROM events),
+      days AS (SELECT DISTINCT day_num AS d FROM du)
+      SELECT d AS day_num, COUNT(DISTINCT user_id) AS users_7d
+      FROM days JOIN du ON du.day_num >= d - 6 AND du.day_num <= d
+      GROUP BY d ORDER BY day_num""",
     // Weekly cohort retention: cohort = first-event epoch-week; offset-0
     // cells are the cohort sizes by construction.
     "events_retention" -> """

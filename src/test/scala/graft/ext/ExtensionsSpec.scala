@@ -524,6 +524,20 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("rolling distinct users: agrees with a scala recount per day") {
+    val rows = Events.rollingDistinctUsers(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val du = graft.tables.Tables.events(spark, sf001)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"), $"user_id")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { r =>
+      val d = r.getAs[Long]("day_num")
+      val expect = du.filter { case (dd, _) => dd >= d - 6 && dd <= d }
+        .map(_._2).distinct.size
+      assert(r.getAs[Long]("users_7d") == expect, s"day $d")
+    }
+  }
+
   test("retention cohorts: offset-0 cells are full, later cells shrink") {
     val rows = Events.retentionCohorts(spark, sf001).collect()
     assert(rows.nonEmpty)
