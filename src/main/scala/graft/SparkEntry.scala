@@ -236,7 +236,11 @@ object SparkEntry {
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),
-    "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)))
+    "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)),
+    // multimodal → ANN bridge: deterministic md5-derived 8-dim feature
+    // embedding per payload, broadcast-query cosine top-k (the encoder
+    // body is the only stub; the payload→vector→match plumbing is real)
+    "multimodal_embed" -> ((s, d) => graft.ext.Multimodal.embedTopK(s, d)))
 
   /** ST1/ST2 streaming + S1-S5 source + K5 sink surfaces. */
   private val streamSourceSinkQueries: Map[String, Q] = Map(

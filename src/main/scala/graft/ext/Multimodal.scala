@@ -129,6 +129,34 @@ object Multimodal {
           / lit(2)).cast("long").as("small_width"))
       .orderBy("doc_id")
 
+  /** Multimodal → ANN bridge: a deterministic 8-dim "feature embedding"
+    * extracted from each payload (md5 of the content, 4 hex nibbles per
+    * dimension scaled to [-1, 1) — the stand-in for a real image/audio
+    * encoder, exactly like [[decodeOne]] stands in for a codec), then a
+    * broadcast-query cosine top-k over the derived vectors through the
+    * same fused [[graft.functions.CosineSim]] kernel the embeddings
+    * table uses. Every step is integral-derived doubles, so the whole
+    * extract→embed→match pipeline is exactly oracle-able — the plumbing
+    * (payload column → vector column → ANN) is the production shape; only
+    * the encoder body is fake.
+    */
+  def embedTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+      .withColumn("emb", array((0 until 8).map(j =>
+        conv(substring(col("h"), j * 4 + 1, 4), 16, 10).cast("double")
+          / lit(32768.0) - lit(1.0)): _*))
+    val q = base.filter(col("doc_id") === 0)
+      .select(col("emb").as("qemb"))
+    base.filter(col("doc_id") =!= 0).crossJoin(broadcast(q))
+      .withColumn("cos", graft.functions.CosineSim.cosine(col("emb"), col("qemb")))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_bytes"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Metadata-only scan — proves the binary column prunes away (check
     * `ReadSchema` in `.explain`: content is not read).
     */

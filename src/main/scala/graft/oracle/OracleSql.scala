@@ -1498,6 +1498,32 @@ shingles AS (
       FROM documents ORDER BY doc_id""",
     // Mirrors Multimodal.resize: stride-2 byte subsample + halved dims
     // (ASCII fixture -> byte ops == char ops in both engines).
+    // Multimodal -> ANN bridge (mirrors Multimodal.embedTopK): 8-dim
+    // embedding from md5 nibbles (4 hex chars per dim, scaled to
+    // [-1, 1)), broadcast-query cosine top-k. The nibble expansion is
+    // generated by hex4() below; cosine composes from list_dot_product
+    // exactly like dedup_embed_pairs (same left-fold parity).
+    "multimodal_embed" -> {
+      def hex4(c: String, start: Int): String =
+        Seq(4096L, 256L, 16L, 1L).zipWithIndex.map { case (w, i) =>
+          s"(strpos('0123456789abcdef', substr($c, ${start + i}, 1)) - 1) * $w"
+        }.mkString("(", " + ", ")")
+      val dims = (0 until 8)
+        .map(j => s"(${hex4("h", 1 + 4 * j)} / 32768.0 - 1.0)")
+        .mkString(", ")
+      val cos = "list_dot_product(emb, qemb) / " +
+        "(sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qemb, qemb)))"
+      s"""
+      WITH e AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               list_value($dims) AS emb
+        FROM (SELECT doc_id, text, md5(text) AS h FROM documents) t),
+      q AS (SELECT emb AS qemb FROM e WHERE doc_id = 0)
+      SELECT doc_id, n_bytes, ROUND($cos, 6) AS cos_sim
+      FROM e CROSS JOIN q
+      WHERE doc_id <> 0
+      ORDER BY $cos DESC, doc_id LIMIT 10"""
+    },
     "multimodal_resize" -> """
       WITH r AS (
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,

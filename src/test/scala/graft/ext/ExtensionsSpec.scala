@@ -524,6 +524,37 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal embed: vectors recompute from md5 nibbles; top-k sane") {
+    val rows = Multimodal.embedTopK(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Long]("doc_id") != 0L)
+    }
+    // recompute the top doc's cosine against the query doc in scala
+    def emb(text: String): Array[Double] = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (0 until 8).map(j =>
+        java.lang.Long.parseLong(h.substring(j * 4, j * 4 + 4), 16)
+          .toDouble / 32768.0 - 1.0).toArray
+    }
+    val texts = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val q = emb(texts(0L))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val top = rows.head
+    val expect = BigDecimal(cos(emb(texts(top.getAs[Long]("doc_id"))), q))
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(math.abs(top.getAs[Double]("cos_sim") - expect) <= 1e-6)
+  }
+
   test("rolling distinct users: agrees with a scala recount per day") {
     val rows = Events.rollingDistinctUsers(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -75,6 +75,7 @@ class ThreeWaySqlSpec extends SparkSpec {
     // token sequence ", 'g')" appears only as that flag in the twins.
     s = s.replace(", 'g')", ")")
     s = s.replace("strpos(", "instr(")
+    s = s.replace("list_value(", "array(")
     // DuckDB xor(a, b) == Spark's ^ operator
     s = raw"xor\(($arg),\s*($arg)\)".r.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement(
