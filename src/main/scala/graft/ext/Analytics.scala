@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -698,22 +698,34 @@ object Analytics {
     * only the hot subset (the two-path union [[graft.ext.TextDedup
     * .exactSaltedOf]] uses for aggregates).
     */
-  def saltedSkewJoin(spark: SparkSession, dir: String, salts: Int = 4): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
-        pmod(col("l_linenumber"), lit(salts)).as("salt"))
-    val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderpriority"))
-      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    l.hint("SHUFFLE_MERGE")
-      .join(o, col("l_orderkey") === col("o_orderkey") &&
-        l("salt") === o("salt"))
+  /** The generic salted equi-join: probe rows carry `saltSrc mod salts`,
+    * build rows replicate across every salt value, and the join adds the
+    * salt to the key. Exposed for the skew stress test; the result is
+    * value-identical to `probe ⋈ build` on the key alone.
+    */
+  def saltedEquiJoin(probe: DataFrame, probeKey: String, saltSrc: Column,
+                     build: DataFrame, buildKey: String,
+                     salts: Int): DataFrame = {
+    val p = probe.withColumn("salt", pmod(saltSrc, lit(salts)))
+    val b = build.withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+    p.hint("SHUFFLE_MERGE")
+      .join(b, col(probeKey) === col(buildKey) && p("salt") === b("salt"))
+      .drop("salt")
+  }
+
+  def saltedSkewJoin(spark: SparkSession, dir: String, salts: Int = 4): DataFrame =
+    saltedEquiJoin(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"),
+          col("l_linenumber")),
+      "l_orderkey", col("l_linenumber"),
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey", salts)
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"),
         sum(d2("l_extendedprice") * (lit(1) - d2("l_discount")))
           .cast("double").as("revenue"))
       .orderBy("o_orderpriority")
-  }
 
   def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

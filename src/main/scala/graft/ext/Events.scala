@@ -185,10 +185,15 @@ object Events {
     * for step N only with an event of that type STRICTLY AFTER their
     * step-N-1 time (first-touch attribution; ties lose). Each stage is a
     * conditional min over the previous stage's user set; every join and
-    * group-by keys on user_id, so after the first shuffle the whole
-    * cascade stays co-partitioned — one exchange total at scale, however
-    * many funnel steps. Output: one row per step with the surviving-user
-    * count and conversion ratios.
+    * group-by keys on user_id, so each stage shuffles only ITS OWN
+    * event-type slice once, and the stage-state relations (user-
+    * cardinality) ride along co-partitioned — at fixture scale Catalyst
+    * broadcasts them instead, as the plan shows. Spark does not reuse
+    * common subtrees, so the count branches re-derive s1/s2 from the
+    * (pushdown-filtered) scan; a 100 TB deployment persists each stage
+    * output — the [[graft.ext.TextDedup.cachedDocSets]] memoization
+    * pattern — making the cascade incremental per step. Output: one row
+    * per step with the surviving-user count and conversion ratios.
     */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

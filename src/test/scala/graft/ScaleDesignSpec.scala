@@ -92,6 +92,28 @@ class ScaleDesignSpec extends SparkSpec {
     assert(hot.exists(_.getAs[Long]("keep_doc_id") == 0L))
   }
 
+  test("skew: salted join == plain join under a 10k-row hot key") {
+    import spark.implicits._
+    // one key holds 10k probe rows, 200 keys hold one each
+    val probe = ((0 until 10000).map(i => (1L, i.toLong)) ++
+      (0 until 200).map(i => (100L + i, i.toLong)))
+      .toDF("k", "seq").repartition(16)
+    val build = ((1L to 1L) ++ (100L until 300L)).map(k => (k, s"v$k"))
+      .toDF("bk", "payload")
+    val salted = graft.ext.Analytics
+      .saltedEquiJoin(probe, "k", $"seq", build, "bk", salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    val plain = probe.join(build, $"k" === $"bk")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k").collect()
+    assert(salted.toSeq == plain.toSeq)
+    // the hot key really fans out across salts: 8 distinct salt values
+    val saltCard = probe.filter($"k" === 1L)
+      .select(pmod($"seq", lit(8)).as("s")).distinct().count()
+    assert(saltCard == 8)
+  }
+
   test("AQE splits the skewed join partition at runtime (OptimizeSkewedJoin)") {
     import spark.implicits._
     val keys = Seq(
