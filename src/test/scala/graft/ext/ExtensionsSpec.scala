@@ -453,6 +453,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(ev.filter($"ts" >= cut).count() > 0)
   }
 
+  test("bloom predicate: interpreted and codegen paths agree") {
+    val o = graft.tables.Tables.orders(spark, sf001)
+      .filter($"o_orderpriority" === "1-URGENT")
+    def kept(wholeStage: Boolean): Long = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", wholeStage.toString)
+      try graft.tables.Tables.lineitem(spark, sf001)
+        .filter(graft.functions.BloomPrefilter
+          .prefilter(o, "o_orderkey", 100000)($"l_orderkey")).count()
+      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    assert(kept(true) == kept(false))
+  }
+
   test("bloom prefilter: equals plain join; predicate below the shuffle") {
     val q = Analytics.bloomPrefilterJoin(spark, sf001)
     val plan = q.queryExecution.executedPlan.toString

@@ -70,6 +70,23 @@ class LayoutSpec extends SparkSpec {
     assert(total == graft.tables.Tables.lineitem(spark, sf001).count())
   }
 
+  test("z-order interleave round-trips every 16-bit (x, y) sample") {
+    import spark.implicits._
+    // deterministic pseudo-random 16-bit sample (LCG), plus the corners
+    val xs = (0 until 500).map(i => ((i * 48271L) % 65536, (i * 16807L) % 65536)) ++
+      Seq((0L, 0L), (65535L, 65535L), (65535L, 0L), (0L, 65535L))
+    val z = Layout.zvalue(xs.toDF("l_partkey", "l_suppkey")
+        .withColumn("l_orderkey", lit(0L)))
+      .select("x", "y", "zval").collect()
+    def unspread(v: Long): Long =
+      (0 until 16).map(i => ((v >> (2 * i)) & 1L) << i).reduce(_ | _)
+    z.foreach { r =>
+      assert(unspread(r.getLong(2)) == r.getLong(0) &&
+        unspread(r.getLong(2) >> 1) == r.getLong(1),
+        s"round-trip failed for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("z-order layout: the 2-D box touches fewer files than a linear sort") {
     val zPath = Layout.zorderWritePath(spark, sf001, parts = 8)
     val linPath = graft.tables.Scratch.dir(spark, "graft-lineitem-linear-").toString
