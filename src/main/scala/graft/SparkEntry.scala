@@ -394,10 +394,44 @@ object SparkEntry {
         .orderBy("id", "matched_ino", "valid_from")
     }))
 
+  /** Row-level warehouse maintenance + table-lifecycle operators. */
+  private val warehouseQueries: Map[String, Q] = Map(
+    // MERGE INTO (upsert): full-outer key join + branch projection —
+    // update/delete/insert branches all populated by the derived change set
+    "merge_upsert" -> ((s, d) => graft.ext.Warehouse.mergeUpsertQuery(s, d)),
+    // CDC changelog -> snapshot compaction (last op per key wins,
+    // deletes drop the key; one window shuffle)
+    "cdc_apply" -> ((s, d) => graft.ext.Warehouse.cdcApplyQuery(s, d)),
+    // native UNPIVOT of the wide day×type matrix; oracle states the
+    // round-trip law unpivot(pivot(x)) == groupBy(x)
+    "events_unpivot" -> ((s, d) => graft.ext.Events.unpivotDaily(s, d)),
+    // explicit GROUPING SETS (both marginals in one expand+aggregate pass)
+    "agg_grouping_sets" -> ((s, d) => graft.ext.Events.groupingSetsDaily(s, d)),
+    // temporal scalar-function family (truncation/extraction/epoch/
+    // interval arithmetic), the date twin of scalar_functions
+    "date_functions" -> ((s, d) => graft.ext.Events.dateFunctions(s, d)),
+    // explicit window-frame family: whole-partition first/last/nth,
+    // cume_dist, and a bounded ROWS moving frame
+    "window_frame_family" -> ((s, d) => graft.ext.Analytics.windowFrameFamily(s, d)),
+    // uniform-grid spatial proximity join (3×3 neighbor replication on
+    // the broadcast side, exact integer distances); oracle states the
+    // naive all-pairs filter — agreement proves grid losslessness
+    "spatial_grid_join" -> ((s, d) => graft.ext.Spatial.proximityQuery(s, d)),
+    // schema evolution on read: mergeSchema over two snapshot
+    // generations, added column NULL for pre-evolution rows
+    "schema_evolution" -> ((s, d) => graft.ext.Layout.schemaEvolutionRead(s, d)),
+    // checkpointed stop/restart across a two-half landing: offsets +
+    // watermark + open-window state all resume, union of both runs'
+    // emissions == the batch closed-window aggregate (append twin)
+    "stream_restart_resume" -> (graft.streaming.EventStream.restartResume(_, _)),
+    // small-file compaction: 64-file fragmented landing copy rewritten to
+    // 4 ts-clustered files; values unchanged (file-count delta in LayoutSpec)
+    "layout_compaction" -> ((s, d) => graft.ext.Layout.compactionQuery(s, d)))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     syncQueries ++ analyticsQueries ++ eventsQueries ++ llmQueries ++
-      streamSourceSinkQueries ++ coverageQueries
+      streamSourceSinkQueries ++ coverageQueries ++ warehouseQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

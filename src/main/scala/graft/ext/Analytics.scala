@@ -742,4 +742,29 @@ object Analytics {
           .cast("double").as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** The window-frame family beyond lag/rank (events_lag_gap): per-customer
+    * order history with whole-partition FIRST/LAST/NTH_VALUE (explicit
+    * ROWS UNBOUNDED..UNBOUNDED frame — the default RANGE..CURRENT frame
+    * would make last_value useless), cume_dist over a tie-free total
+    * order, and a bounded trailing 3-row moving sum. One shuffle on
+    * o_custkey serves every frame; the bounded frame keeps rolling state
+    * O(frame) per partition at any scale.
+    */
+  def windowFrameFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    val d2 = (c: String) => col(c).cast(DecimalType(18, 2))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(wAll).as("first_key"),
+      last(col("o_orderkey")).over(wAll).as("last_key"),
+      nth_value(col("o_orderkey"), 2).over(wAll).as("second_key"),
+      round(cume_dist().over(w), 6).as("cume"),
+      sum(d2("o_totalprice")).over(w3).cast("double").as("moving_sum3"),
+      count(lit(1)).over(w3).as("n_in_frame"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
 }

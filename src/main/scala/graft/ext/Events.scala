@@ -312,4 +312,68 @@ object Events {
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
         col("n"), col("sum_value"))
       .orderBy("day", "event_type")
+
+  /** UNPIVOT (melt): the wide day×type count matrix back to long form via
+    * the native `Dataset.unpivot` operator — the lossless inverse of
+    * [[pivotDaily]] once empty cells are dropped, which is exactly what
+    * the oracle states (`unpivot(pivot(x)) == groupBy(x)`). Narrow,
+    * shuffle-free on top of the pivot it consumes.
+    */
+  def unpivotDaily(spark: SparkSession, dir: String): DataFrame =
+    pivotDaily(spark, dir)
+      .unpivot(
+        Array(col("day")),
+        Array(col("click"), col("error"), col("purchase"), col("signup"),
+          col("view")),
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy("day", "event_type")
+
+  /** Explicit GROUPING SETS — the two marginal distributions ((day),
+    * (event_type)) in ONE pass over events, a set neither rollup nor cube
+    * expresses alone. `grouping_id` disambiguates which set a row belongs
+    * to (Postgres bit convention: leftmost column = most significant bit,
+    * shared by Spark and DuckDB). At scale this replaces two separate
+    * scans+aggregates of a 100 TB fact with one expand+aggregate.
+    */
+  def groupingSetsDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("value"))
+      .groupingSets(Seq(Seq(col("day")), Seq(col("event_type"))),
+        col("day"), col("event_type"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
+      .select(coalesce(col("day"), lit("ALL")).as("day"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("gid"), col("n"), col("sum_value"))
+      .orderBy("day", "event_type")
+
+  /** The date/time scalar-function family over `ts` (the temporal
+    * counterpart of the string family in `scalar_functions`): truncation
+    * to week/month, calendar field extraction, Monday-based day-of-week,
+    * exact microsecond epoch, day arithmetic against a fixed origin,
+    * interval addition, and month-end — all engine-portable (UTC session,
+    * no DST, integral µs).
+    */
+  def dateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week_start"),
+      date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month_start"),
+      year(col("ts")).cast("long").as("yy"),
+      quarter(col("ts")).cast("long").as("qq"),
+      month(col("ts")).cast("long").as("mm"),
+      dayofmonth(col("ts")).cast("long").as("dd"),
+      hour(col("ts")).cast("long").as("hh"),
+      // Monday=1..Sunday=7 on both engines (Spark weekday is Monday=0)
+      (weekday(col("ts")) + 1).cast("long").as("isodow"),
+      unix_micros(col("ts")).as("epoch_us"),
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+        .cast("long").as("days_since"),
+      date_format(col("ts") + expr("INTERVAL 90 DAY"), "yyyy-MM-dd").as("plus_90d"),
+      date_format(last_day(col("ts")), "yyyy-MM-dd").as("month_end"))
+      .orderBy("event_id")
 }

@@ -205,6 +205,86 @@ object Layout {
       .orderBy("o_orderpriority")
   }
 
+  /** Two document snapshots with EVOLVED schemas, landed to scratch: v1
+    * is the original narrow shape, v2 (a later ingest generation) adds a
+    * `quality_score` column. One path pair per (application, dir).
+    */
+  private val evoPathCache = TrieMap.empty[(String, String), (String, String)]
+
+  def evolvedSnapshotPaths(spark: SparkSession, dir: String): (String, String) =
+    evoPathCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val v1 = Scratch.dir(spark, "graft-docs-v1-").toString
+      val v2 = Scratch.dir(spark, "graft-docs-v2-").toString
+      val docs = Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(v1)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") % 100).as("quality_score"))
+        .write.mode("overwrite").parquet(v2)
+      (v1, v2)
+    })
+
+  /** Schema evolution on read: the two snapshot generations are scanned
+    * as ONE table via `mergeSchema` — Parquet footers are reconciled at
+    * planning time, rows from the pre-evolution generation surface the
+    * added column as NULL. This is how a 100 TB landing zone absorbs a
+    * producer-side schema change without rewriting history; the oracle
+    * states the same union with an explicit NULL literal. The aggregate
+    * observes both generations (n vs n_scored).
+    */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, v2) = evolvedSnapshotPaths(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(v1, v2)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        count(col("quality_score")).as("n_scored"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("quality_score")).as("sum_score"))
+      .orderBy("lang")
+  }
+
+  /** A deliberately fragmented landing copy of events (64 shuffle-split
+    * files at fixture scale — the "small files problem" a streaming or
+    * per-batch writer accretes), then its compaction: repartitionByRange
+    * on the dominant read key down to a handful of ts-sorted,
+    * size-targeted files. Compaction is pure layout — the oracled entry
+    * re-aggregates the COMPACTED copy and must equal SQL over the
+    * original table; LayoutSpec asserts the file count actually dropped
+    * and per-file ts ranges don't overlap (the clustering a ts-predicate
+    * reader skips on).
+    */
+  private val compactCache = TrieMap.empty[(String, String), (String, String)]
+
+  def compactionPaths(spark: SparkSession, dir: String): (String, String) =
+    compactCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val frag = Scratch.dir(spark, "graft-events-frag-").toString
+      val compact = Scratch.dir(spark, "graft-events-compact-").toString
+      Tables.events(spark, dir).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      // target ~4 size-balanced, ts-clustered files: range partitioning
+      // keeps each output file a disjoint ts span (stats-skippable);
+      // at real scale the partition count derives from bytes/target-size
+      spark.read.parquet(frag)
+        .repartitionByRange(4, col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(compact)
+      (frag, compact)
+    })
+
+  def compactionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val (_, compact) = compactionPaths(spark, dir)
+    spark.read.parquet(compact)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_users"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+      .orderBy("event_type")
+  }
+
   /** Dynamic partition pruning: the day predicate sits on a calendar
     * dimension, not on the fact, so static pruning can't apply — Spark
     * broadcasts the filtered dim and injects its day set into the fact

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.tables.Tables
+
+/** Row-level warehouse maintenance operators: MERGE (upsert) and CDC
+  * changelog compaction — the two mutations a lakehouse table sees between
+  * full rewrites. The reference applies its row mutations one HTTP call at
+  * a time (DataWarehouse.js:297,357,381 — POST/PATCH per record); at
+  * warehouse scale the same intent is a *relational* merge of an action
+  * set into a keyed base, computed in one co-partitioned pass.
+  *
+  * Both operators are pure DataFrame → DataFrame (the "apply" is the
+  * returned post-image, which a sink then lands), so the DuckDB oracle can
+  * state them directly.
+  */
+object Warehouse {
+
+  private val D2 = DecimalType(18, 2)
+
+  /** The keyed base snapshot: customers as (key, name, bal). Money math
+    * runs in DECIMAL so update arithmetic is bit-identical across engines.
+    */
+  private def baseCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey").as("key"),
+      col("c_name").as("name"),
+      col("c_acctbal").cast(D2).as("bal"))
+
+  /** The deterministic change set: one op per key (delete beats update
+    * when both residues hit), plus inserts on disjoint keys (+1e6 offset
+    * guarantees NOT MATCHED). Derived from the base itself so every MERGE
+    * branch is populated at every fixture SF.
+    */
+  def customerChanges(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseCustomers(spark, dir)
+    val mods = base
+      .withColumn("op",
+        when(col("key") % 7 === 3, "D").when(col("key") % 5 === 0, "U"))
+      .filter(col("op").isNotNull)
+      .select(col("key"),
+        concat(col("name"), lit(" (updated)")).as("u_name"),
+        (col("bal") + lit(100).cast(D2)).as("u_bal"),
+        col("op"))
+    val ins = base.filter(col("key") % 11 === 4)
+      .select((col("key") + 1000000L).as("key"),
+        concat(lit("New "), col("name")).as("u_name"),
+        lit(0).cast(D2).as("u_bal"),
+        lit("I").as("op"))
+    mods.unionByName(ins)
+  }
+
+  /** MERGE INTO base USING changes ON key: WHEN MATCHED AND op='U' →
+    * update, WHEN MATCHED AND op='D' → delete, WHEN NOT MATCHED AND
+    * op='I' → insert. Expressed as ONE full-outer equi-join on the key +
+    * branch projection — the co-partitioned single-shuffle plan. At 100 TB
+    * the base side is bucketed/partitioned on the key so the recurring
+    * merge shuffles only the (small) change set; nothing here is
+    * driver-side row-at-a-time.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame): DataFrame = {
+    val matchedOp = coalesce(col("op"), lit("keep"))
+    base.join(changes, Seq("key"), "full_outer")
+      .filter(matchedOp =!= "D")
+      .select(
+        col("key"),
+        when(matchedOp.isin("U", "I"), col("u_name"))
+          .otherwise(col("name")).as("name"),
+        when(matchedOp.isin("U", "I"), col("u_bal"))
+          .otherwise(col("bal")).cast("double").as("bal"),
+        when(col("op") === "U", "updated")
+          .when(col("op") === "I", "inserted")
+          .otherwise("kept").as("action"))
+  }
+
+  /** The oracled fixture instantiation of [[mergeUpsert]]. */
+  def mergeUpsertQuery(spark: SparkSession, dir: String): DataFrame =
+    mergeUpsert(baseCustomers(spark, dir), customerChanges(spark, dir))
+      .orderBy("key")
+
+  /** A deterministic CDC changelog over a small key space: `seq` is the
+    * total commit order, each record an Insert/Update/Delete of one key.
+    * Keys cycle mod 97 so every key sees several ops (including
+    * delete-then-reinsert resurrections) at every fixture SF.
+    */
+  def docChangelog(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("seq"),
+      (col("doc_id") % 97).as("key"),
+      when(col("doc_id") % 11 === 7, "D")
+        .when(col("doc_id") % 3 === 0, "I")
+        .otherwise("U").as("op"),
+      col("n_chars").as("val"),
+      col("lang"))
+
+  /** CDC changelog compaction (Debezium-snapshot shape): the table's
+    * post-image is, per key, the payload of the LAST op in commit order —
+    * absent if that op is a delete. One window over (key ORDER BY seq
+    * DESC) = one shuffle on the key; per-key op counts ride along from
+    * the same window pass. At scale this is the standard log→snapshot
+    * materialization; the key shuffle is unavoidable unless the log is
+    * already bucketed by key, and AQE skew-split handles hot keys.
+    */
+  def cdcApply(changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("seq").desc)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy("key")))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("val"), col("lang"),
+        col("op").as("last_op"), col("n_ops"))
+  }
+
+  /** The oracled fixture instantiation of [[cdcApply]]. */
+  def cdcApplyQuery(spark: SparkSession, dir: String): DataFrame =
+    cdcApply(docChangelog(spark, dir)).orderBy("key")
+}

@@ -456,6 +456,22 @@ cat_remove AS (
                CAST(SUM(CAST(l_quantity AS $D2) * CAST(l_quantity AS $D2)) AS DOUBLE) AS ss
         FROM lineitem GROUP BY l_returnflag) t
       ORDER BY l_returnflag""",
+    // whole-partition frames need the explicit ROWS UNBOUNDED..UNBOUNDED
+    // (the default RANGE..CURRENT frame truncates last/nth)
+    "window_frame_family" -> s"""
+      SELECT o_custkey, o_orderkey,
+             first_value(o_orderkey) OVER wall AS first_key,
+             last_value(o_orderkey) OVER wall AS last_key,
+             nth_value(o_orderkey, 2) OVER wall AS second_key,
+             round(cume_dist() OVER wo, 6) AS cume,
+             CAST(SUM(CAST(o_totalprice AS $D2)) OVER w3 AS DOUBLE) AS moving_sum3,
+             COUNT(*) OVER w3 AS n_in_frame
+      FROM orders
+      WINDOW
+        wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        wall AS (wo ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        w3 AS (wo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""",
     "scalar_functions" -> sync(
       """SELECT ord, file,
            lower(file) AS lowered,
@@ -726,7 +742,45 @@ cat_remove AS (
       SELECT cells.cohort_week, week_offset, n_active,
              ROUND(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
       FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
-      ORDER BY cells.cohort_week, week_offset""")
+      ORDER BY cells.cohort_week, week_offset""",
+    // UNPIVOT round-trip law: melting the pivot matrix (empty cells
+    // dropped) must equal the plain long-form GROUP BY.
+    "events_unpivot" -> """
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             event_type, COUNT(*) AS n
+      FROM events
+      WHERE event_type IN ('click','error','purchase','signup','view')
+      GROUP BY 1, 2
+      ORDER BY day, event_type""",
+    // Postgres GROUPING bit convention on both engines: leftmost grouping
+    // column = most significant bit (set (day) -> gid 1, (event_type) -> 2).
+    "agg_grouping_sets" -> s"""
+      SELECT COALESCE(day, 'ALL') AS day,
+             COALESCE(event_type, 'ALL') AS event_type,
+             CAST(GROUPING(day, event_type) AS BIGINT) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
+      FROM (SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+                   event_type, value FROM events) t
+      GROUP BY GROUPING SETS ((day), (event_type))
+      ORDER BY day, event_type""",
+    "date_functions" -> """
+      SELECT event_id,
+             strftime(tsx, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             strftime(date_trunc('week', tsx), '%Y-%m-%d') AS week_start,
+             strftime(date_trunc('month', tsx), '%Y-%m-%d') AS month_start,
+             CAST(year(tsx) AS BIGINT) AS yy,
+             CAST(quarter(tsx) AS BIGINT) AS qq,
+             CAST(month(tsx) AS BIGINT) AS mm,
+             CAST(day(tsx) AS BIGINT) AS dd,
+             CAST(hour(tsx) AS BIGINT) AS hh,
+             CAST(isodow(tsx) AS BIGINT) AS isodow,
+             epoch_us(tsx) AS epoch_us,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(tsx AS DATE)) AS BIGINT) AS days_since,
+             strftime(tsx + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d,
+             strftime(last_day(CAST(tsx AS DATE)), '%Y-%m-%d') AS month_end
+      FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS tsx FROM events) t
+      ORDER BY event_id""")
 
   /** Shared shingle CTE (word 3-grams, distinct per doc) — mirrors
     * [[graft.ext.TextDedup.shingles]].
@@ -2128,10 +2182,121 @@ shingles AS (
       GROUP BY ev.day
       ORDER BY ev.day""")
 
+  /** Row-level warehouse maintenance (graft.ext.Warehouse): MERGE upsert
+    * and CDC changelog compaction, both stated directly over the fixture
+    * derivations their Spark twins use.
+    */
+  val warehouse_queries: Map[String, String] = Map(
+    // MERGE INTO base USING changes: matched+U update, matched+D delete,
+    // not-matched+I insert — one FULL JOIN + branch projection, exactly
+    // the single co-partitioned pass the Spark side plans.
+    "merge_upsert" -> s"""
+      WITH base AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CAST(c_acctbal AS $D2) AS bal FROM customer
+      ),
+      mods AS (
+        SELECT key, name || ' (updated)' AS u_name,
+               bal + CAST(100 AS $D2) AS u_bal,
+               CASE WHEN key % 7 = 3 THEN 'D'
+                    WHEN key % 5 = 0 THEN 'U' END AS op
+        FROM base WHERE key % 7 = 3 OR key % 5 = 0
+      ),
+      ins AS (
+        SELECT key + 1000000 AS key, 'New ' || name AS u_name,
+               CAST(0 AS $D2) AS u_bal, 'I' AS op
+        FROM base WHERE key % 11 = 4
+      ),
+      changes AS (SELECT * FROM mods UNION ALL SELECT * FROM ins)
+      SELECT COALESCE(b.key, c.key) AS key,
+             CASE WHEN c.op IN ('U','I') THEN c.u_name ELSE b.name END AS name,
+             CAST(CASE WHEN c.op IN ('U','I') THEN c.u_bal ELSE b.bal END
+                  AS DOUBLE) AS bal,
+             CASE WHEN c.op = 'U' THEN 'updated'
+                  WHEN c.op = 'I' THEN 'inserted'
+                  ELSE 'kept' END AS action
+      FROM base b FULL JOIN changes c ON b.key = c.key
+      WHERE COALESCE(c.op, 'keep') <> 'D'
+      ORDER BY key""",
+    // CDC log -> snapshot: per key, the payload of the last op in commit
+    // order; absent when that op is a delete.
+    "cdc_apply" -> """
+      WITH changelog AS (
+        SELECT doc_id AS seq, doc_id % 97 AS key,
+               CASE WHEN doc_id % 11 = 7 THEN 'D'
+                    WHEN doc_id % 3 = 0 THEN 'I'
+                    ELSE 'U' END AS op,
+               n_chars AS val, lang
+        FROM documents
+      ),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY key) AS n_ops
+        FROM changelog
+      )
+      SELECT key, val, lang, op AS last_op, n_ops
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY key""",
+    // The oracle states the SEMANTICS (naive all-pairs distance filter);
+    // the Spark side computes it as a lossless grid join — agreement
+    // proves the 3×3 neighborhood covers the search disc. Integer
+    // geometry throughout (62500 = 250²).
+    "spatial_grid_join" -> """
+      WITH sites AS (
+        SELECT c_custkey AS site_id,
+               (c_custkey * 5761) % 10000 AS x,
+               ((c_custkey * 5761) // 10000) % 10000 AS y
+        FROM customer),
+      facs AS (
+        SELECT s_suppkey AS fac_id,
+               (s_suppkey * 5761) % 10000 AS fx,
+               ((s_suppkey * 5761) // 10000) % 10000 AS fy
+        FROM supplier)
+      SELECT site_id, fac_id,
+             (x-fx)*(x-fx) + (y-fy)*(y-fy) AS dist2
+      FROM sites, facs
+      WHERE (x-fx)*(x-fx) + (y-fy)*(y-fy) <= 62500
+      ORDER BY site_id, fac_id""",
+    // mergeSchema read of the two snapshot generations == the explicit
+    // union with a typed NULL for the pre-evolution rows
+    "schema_evolution" -> """
+      WITH unioned AS (
+        SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality_score
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, n_chars % 100 AS quality_score
+        FROM documents WHERE doc_id % 2 = 1
+      )
+      SELECT lang, COUNT(*) AS n, COUNT(quality_score) AS n_scored,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(quality_score) AS BIGINT) AS sum_score
+      FROM unioned GROUP BY lang ORDER BY lang""",
+    // the checkpoint-restart run must union to the SAME closed-window
+    // set a single uninterrupted run emits (the stream_tumbling_append
+    // twin) — duplicated or lost state across the restart trips the hash
+    "stream_restart_resume" -> s"""
+      WITH mx AS (SELECT date_trunc('millisecond', max(CAST(ts AS TIMESTAMP))) AS mt
+                  FROM events)
+      SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
+      FROM events, mx
+      WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+            <= mt - INTERVAL 1 HOUR
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+    // compaction is pure layout: the aggregate over the compacted copy
+    // must equal SQL over the original table
+    "layout_compaction" -> s"""
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value,
+             strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_ts,
+             strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
+      FROM events GROUP BY event_type ORDER BY event_type""")
+
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
     */
   def all: Map[String, String] =
     sync_queries ++ analytics_queries ++ events_queries ++ llm_queries ++
-      stream_sink_queries ++ coverage_queries
+      stream_sink_queries ++ coverage_queries ++ warehouse_queries
 }

@@ -441,4 +441,75 @@ object EventStream {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
     runToMemory(enriched, "complete").orderBy("event_type", "heavy_user")
   }
+
+  /** Checkpoint-restart exactly-once resume — the recovery half of the
+    * streaming contract, which no single-run entry can witness.
+    *
+    * The fixture is landed into a watched directory in two TIME halves.
+    * Run 1 streams half 1 through the append-mode tumbling aggregate into
+    * a parquet sink with a checkpoint, then STOPS — offsets, watermark
+    * and the open windows' aggregation state all persist in the
+    * checkpoint. Half 2 lands, and the SAME query restarts from the same
+    * checkpoint: it must admit only the new files (no re-emission of run
+    * 1's windows), restore the watermark, and complete the boundary
+    * window whose rows straddle the restart — so the sink's union equals
+    * the batch closed-window aggregate over ALL events (the
+    * stream_tumbling_append twin). Any reprocessing duplicates rows and
+    * trips the hash gate; any state loss undercounts the straddling
+    * window. [[restartResumeRun1Rows]] additionally proves run 1 emitted
+    * a strict, non-empty subset (the restart really was incremental).
+    */
+  private case class ResumeResult(sinkDir: String, run1Rows: Long)
+  private val resumeCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), ResumeResult]
+
+  private def restartResumeRun(spark: SparkSession, dir: String): ResumeResult =
+    resumeCache.getOrElseUpdate((spark.sparkContext.applicationId, dir), {
+      val src = graft.tables.Scratch.dir(spark, "graft-resume-src-").toString
+      val sink = graft.tables.Scratch.dir(spark, "graft-resume-sink-").toString
+      val ckpt = graft.tables.Scratch.dir(spark, "graft-resume-ckpt-").toString
+      val ev = graft.tables.Tables.events(spark, dir)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      // time split: each half owns a contiguous ts range, so run 1's
+      // emitted (closed) windows never see half-2 rows as late data
+      val b = ev.agg(unix_micros(min("ts")), unix_micros(max("ts"))).head()
+      val midUs = (b.getLong(0) + b.getLong(1)) / 2
+      val mid = timestamp_micros(lit(midUs))
+      def land(half: DataFrame): Unit =
+        half.coalesce(1).write.mode("append").parquet(src)
+      def run(): Unit = {
+        val q = spark.readStream.schema(ev.schema).parquet(src)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          .select(
+            date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .writeStream.format("parquet")
+          .option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(180000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "restart-resume streaming query did not finish within 180s")
+        }
+      }
+      land(ev.filter(col("ts") < mid))
+      run()
+      val run1Rows = spark.read.parquet(sink).count()
+      land(ev.filter(col("ts") >= mid))
+      run()
+      ResumeResult(sink, run1Rows)
+    })
+
+  def restartResume(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(restartResumeRun(spark, dir).sinkDir)
+      .orderBy("hour_start", "event_type")
+
+  private[graft] def restartResumeRun1Rows(spark: SparkSession, dir: String): Long =
+    restartResumeRun(spark, dir).run1Rows
 }

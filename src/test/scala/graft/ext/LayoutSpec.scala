@@ -146,6 +146,44 @@ class LayoutSpec extends SparkSpec {
     assert(q.collect().toSeq == plain.collect().toSeq)
   }
 
+  test("compaction: file count collapses, ts spans stay disjoint, rows survive") {
+    val (frag, compact) = Layout.compactionPaths(spark, sf001)
+    def partFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val nFrag = partFiles(frag).size
+    val nCompact = partFiles(compact).size
+    assert(nFrag >= 32, s"fragmented copy should be many small files, got $nFrag")
+    assert(nCompact <= 4, s"compacted copy should be few files, got $nCompact")
+    assert(spark.read.parquet(compact).count() ==
+      spark.read.parquet(frag).count(), "compaction must not drop/dup rows")
+    // range partitioning on ts ⟹ per-file ts spans are pairwise disjoint
+    // (the property min/max stats readers skip on)
+    val spans = partFiles(compact).map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("ts"), max("ts")).head()
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"ts spans overlap across compacted files: $spans")
+      case _ => ()
+    }
+  }
+
+  test("schema evolution: pre-evolution rows surface the added column as NULL") {
+    val (v1, v2) = Layout.evolvedSnapshotPaths(spark, sf001)
+    val merged = spark.read.option("mergeSchema", "true").parquet(v1, v2)
+    assert(merged.schema.fieldNames.contains("quality_score"))
+    val byGen = merged
+      .groupBy((col("doc_id") % 2 === 0).as("is_v1"))
+      .agg(count(lit(1)).as("n"), count(col("quality_score")).as("n_scored"))
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byGen(true)._2 == 0, "v1 generation must read NULL quality_score")
+    assert(byGen(false)._1 == byGen(false)._2,
+      "v2 generation must read every quality_score")
+  }
+
   test("pruned day aggregate equals the unpartitioned computation") {
     val fromLayout = Layout.partitionPruneDay(spark, sf001).collect()
     val ev = graft.tables.Tables.events(spark, sf001)
