@@ -426,7 +426,18 @@ object SparkEntry {
     "stream_restart_resume" -> (graft.streaming.EventStream.restartResume(_, _)),
     // small-file compaction: 64-file fragmented landing copy rewritten to
     // 4 ts-clustered files; values unchanged (file-count delta in LayoutSpec)
-    "layout_compaction" -> ((s, d) => graft.ext.Layout.compactionQuery(s, d)))
+    "layout_compaction" -> ((s, d) => graft.ext.Layout.compactionQuery(s, d)),
+    // higher-order array lambdas (transform/filter/aggregate/sort/slice):
+    // per-doc math as narrow codegen expressions, zero shuffle
+    "array_hof_family" -> ((s, d) => graft.ext.TextStats.arrayHofFamily(s, d)),
+    // deterministic content-hash Bernoulli sample (exact 16/256 keep set)
+    "curation_bernoulli_sample" -> ((s, d) => graft.ext.TextStats.bernoulliSample(s, d)),
+    // generator surface: posexplode with preserved 0-based position
+    "generator_family" -> ((s, d) => graft.ext.TextStats.generatorTokens(s, d)),
+    // LISTAGG-style ordered string aggregation (sorted collect_set)
+    "agg_string_family" -> ((s, d) => graft.ext.Analytics.stringAggFamily(s, d)),
+    // multiset EXCEPT ALL / INTERSECT ALL re-aggregated to multiplicities
+    "set_ops_all" -> ((s, d) => graft.ext.Analytics.setOpsAll(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

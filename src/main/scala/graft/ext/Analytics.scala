@@ -743,6 +743,47 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Ordered string aggregation per group — LISTAGG semantics, built as
+    * sort-the-collected-set then join (`array_sort ∘ collect_set`) so the
+    * result is independent of partitioning and arrival order; a bare
+    * `collect_list` + concat would be nondeterministic under shuffle and
+    * could never oracle. Distinct-set state is bounded by group
+    * cardinality, not row count.
+    */
+  def stringAggFamily(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", array_sort(collect_set(col("source"))))
+          .as("sources_csv"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang")
+
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL, the
+    * multiplicity-preserving forms the distinct-only `set_ops_cohorts`
+    * entry can't express: per-user VIEW events minus/intersected-with
+    * CLICK events as bags, re-aggregated to (user, multiplicity). Spark
+    * plans both as hash aggregates on the value + count arithmetic — one
+    * shuffle each, no row-by-row matching.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def bag(t: String) = ev.filter(col("event_type") === t).select("user_id")
+    val views = bag("view")
+    val clicks = bag("click")
+    val surplus = views.exceptAll(clicks)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val common = views.intersectAll(clicks)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    surplus.unionByName(common)
+      .select("op", "user_id", "n")
+      .orderBy("op", "user_id")
+  }
+
   /** The window-frame family beyond lag/rank (events_lag_gap): per-customer
     * order history with whole-partition FIRST/LAST/NTH_VALUE (explicit
     * ROWS UNBOUNDED..UNBOUNDED frame — the default RANGE..CURRENT frame

@@ -373,4 +373,55 @@ object TextStats {
         expr(s"(cum_tokens - n_tokens) div $budget").as("shard_id"))
       .orderBy("doc_id")
   }
+
+  /** The higher-order array-function surface (transform / filter /
+    * aggregate / array_sort / slice) over per-doc token lists — all
+    * codegen'd lambda expressions evaluated inline per row, zero shuffle,
+    * which is why this family is THE way to do per-document math at
+    * 100 TB (the alternative, explode + groupBy(doc_id), shuffles the
+    * whole token stream to compute what a narrow expression already had).
+    */
+  def arrayHofFamily(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        size(expr("filter(tokens, t -> length(t) > 4)")).cast("long")
+          .as("n_long"),
+        expr("aggregate(tokens, 0L, (acc, t) -> acc + length(t))")
+          .as("total_len"),
+        expr("array_max(transform(tokens, t -> length(t)))").cast("long")
+          .as("max_len"),
+        concat_ws(" ", slice(array_sort(col("tokens")), 1, 3))
+          .as("sorted_head3"))
+      .orderBy("doc_id")
+
+  /** Deterministic Bernoulli sampling by content hash: keep a doc iff the
+    * first two hex chars of md5(text) fall under the threshold — an exact
+    * 16/256 rate, reproducible on any engine and any partitioning (the
+    * `TABLESAMPLE`/`rand()` forms are neither). Content-keyed so the
+    * sample is stable under re-ingestion/reordering; key on doc_id
+    * instead when duplicate texts must sample independently.
+    */
+  def bernoulliSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("text")), 1, 2).as("bucket"))
+      .filter(col("bucket") < "10")
+      .orderBy("doc_id")
+
+  /** Generator (table-function) surface: posexplode flattens each
+    * sampled doc's token array with its 0-based position — one row per
+    * token, order preserved by the emitted `pos` (never by row order,
+    * which a shuffle would scramble). Bounded to every-50th doc so the
+    * expansion stays row-budgeted at any SF.
+    */
+  def generatorTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").as("token"))
+      .orderBy("doc_id", "pos")
 }

@@ -2291,7 +2291,55 @@ shingles AS (
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value,
              strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_ts,
              strftime(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS last_ts
-      FROM events GROUP BY event_type ORDER BY event_type""")
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    // higher-order array lambdas evaluate identically per row on both
+    // engines; list_sum widens to HUGEINT in DuckDB, hence the casts
+    "array_hof_family" -> """
+      SELECT doc_id,
+             CAST(len(tokens) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(tokens, t -> length(t) > 4)) AS BIGINT) AS n_long,
+             CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS total_len,
+             CAST(list_max(list_transform(tokens, t -> length(t))) AS BIGINT) AS max_len,
+             array_to_string(list_sort(tokens)[1:3], ' ') AS sorted_head3
+      FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+      ORDER BY doc_id""",
+    // content-hash Bernoulli sample: md5 agrees across engines, so the
+    // 16/256 keep-set is literally identical, not merely same-rate
+    "curation_bernoulli_sample" -> """
+      SELECT doc_id, lang, substr(md5(text), 1, 2) AS bucket
+      FROM documents
+      WHERE substr(md5(text), 1, 2) < '10'
+      ORDER BY doc_id""",
+    // posexplode twin: per-element subscript via generate_series (DuckDB
+    // has no WITH ORDINALITY), 0-based to match Spark's pos
+    "generator_family" -> """
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, w[i] AS token
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE doc_id % 50 = 0) s) t
+      ORDER BY doc_id, pos""",
+    // LISTAGG semantics: the Spark side sorts the collected DISTINCT set
+    // so both engines emit the same order-independent csv
+    "agg_string_family" -> """
+      SELECT lang, COUNT(*) AS n_docs,
+             string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+             COUNT(DISTINCT source) AS n_sources,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM documents GROUP BY lang ORDER BY lang""",
+    // bag semantics: EXCEPT ALL keeps max(0, n1-n2) copies, INTERSECT ALL
+    // min(n1, n2) — re-aggregated per user so the result is compact
+    "set_ops_all" -> """
+      WITH v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+           c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+           surplus AS (SELECT user_id FROM v EXCEPT ALL SELECT user_id FROM c),
+           common AS (SELECT user_id FROM v INTERSECT ALL SELECT user_id FROM c)
+      SELECT * FROM (
+        SELECT 'except_all' AS op, user_id, COUNT(*) AS n
+        FROM surplus GROUP BY user_id
+        UNION ALL
+        SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n
+        FROM common GROUP BY user_id)
+      ORDER BY op, user_id""")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
