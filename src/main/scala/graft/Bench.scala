@@ -50,6 +50,17 @@ object Bench {
         graft.streaming.EventStream.tumblingHourly(spark, sfDir).count()
         graft.streaming.EventStream.transformStateUserCounts(spark, sfDir).count()
       }
+      // Shared-relation warmup, same rationale: the memoized shingle/
+      // signature/prefix relations serve many dedup/curation/text
+      // entries, and their first BUILD was billed to whichever consumer
+      // ran first in a given capture (method_report swung 3.2s↔12.8s on
+      // identical code). Built untimed here, every consumer times its
+      // own work; the build cost remains in total wall-clock.
+      if (selected.exists { case (n, _) =>
+        n.startsWith("dedup_") || n.startsWith("curation_") ||
+          n.startsWith("text_") }) {
+        graft.ext.TextDedup.warmSharedRelations(spark, sfDir)
+      }
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -437,7 +437,15 @@ object SparkEntry {
     // LISTAGG-style ordered string aggregation (sorted collect_set)
     "agg_string_family" -> ((s, d) => graft.ext.Analytics.stringAggFamily(s, d)),
     // multiset EXCEPT ALL / INTERSECT ALL re-aggregated to multiplicities
-    "set_ops_all" -> ((s, d) => graft.ext.Analytics.setOpsAll(s, d)))
+    "set_ops_all" -> ((s, d) => graft.ext.Analytics.setOpsAll(s, d)),
+    // all five join types over one key with null-extended tallies
+    "join_type_family" -> ((s, d) => graft.ext.Analytics.joinTypeFamily(s, d)),
+    // correlated EXISTS / NOT EXISTS / IN + scalar subquery through the
+    // SQL front end (Catalyst rewrites to the hand-written J3/J4 shapes)
+    "subquery_family" -> ((s, d) => graft.ext.Analytics.subqueryFamily(s, d)),
+    // null propagation: COUNT(*) vs COUNT(col), null-skipping SUM,
+    // COALESCE backfill, null-safe equality, BOOL_AND/OR, NULLIF
+    "null_handling_family" -> ((s, d) => graft.ext.Analytics.nullHandlingFamily(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

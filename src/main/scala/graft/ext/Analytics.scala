@@ -743,6 +743,96 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Every join type over one (customer ⋈ orders) key in a single
+    * relation: inner / left / full row counts with their null-extended
+    * tallies, plus the semi/anti forms — the join-semantics completeness
+    * check, and the shapes AQE picks between at scale. Null-extended
+    * counts are what distinguish the types; a wrong join choice changes
+    * them before it changes totals.
+    */
+  def joinTypeFamily(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    // bound to 1/3 of customers so every join type has both matched and
+    // unmatched rows on each side at any SF
+    val o = Tables.orders(spark, dir).select("o_custkey")
+      .filter(col("o_custkey") % 3 === 0)
+    def row(op: String, df: DataFrame, nullSide: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(nullSide.cast("long")).as("n_null_side"))
+        .select(lit(op).as("op"), col("n_rows"),
+          coalesce(col("n_null_side"), lit(0L)).as("n_null_side"))
+    val on = col("c_custkey") === col("o_custkey")
+    row("inner", c.join(o, on), lit(false))
+      .unionByName(row("left", c.join(o, on, "left"), col("o_custkey").isNull))
+      .unionByName(row("full", c.join(o, on, "full_outer"),
+        col("o_custkey").isNull || col("c_custkey").isNull))
+      .unionByName(row("semi", c.join(o, on, "left_semi"), lit(false)))
+      .unionByName(row("anti", c.join(o, on, "left_anti"), lit(false)))
+      .orderBy("op")
+  }
+
+  /** The correlated-subquery surface through the SQL front end: EXISTS /
+    * NOT EXISTS / IN with correlation, and an uncorrelated scalar
+    * subquery — Catalyst rewrites all four to the semi/anti/cross-join
+    * forms this library otherwise writes by hand (J3/J4), which is the
+    * point: both spellings land on the same physical plans.
+    */
+  def subqueryFamily(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("sq_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("sq_orders")
+    Tables.supplier(spark, dir).createOrReplaceTempView("sq_supplier")
+    spark.sql("""
+      SELECT * FROM (
+        SELECT 'exists_big' AS op, c_custkey FROM sq_customer c
+        WHERE EXISTS (SELECT 1 FROM sq_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        UNION ALL
+        SELECT 'no_orders' AS op, c_custkey FROM sq_customer c
+        WHERE NOT EXISTS (SELECT 1 FROM sq_orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'in_finished' AS op, c_custkey FROM sq_customer
+        WHERE c_custkey IN (SELECT o_custkey FROM sq_orders
+                            WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'scalar_gt' AS op, c_custkey FROM sq_customer
+        WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM sq_supplier))
+      ORDER BY op, c_custkey""")
+  }
+
+  /** Null-propagation semantics in one relation: nulls planted on a
+    * deterministic subset, then the observable differences — COUNT(*) vs
+    * COUNT(col), null-skipping SUM, COALESCE backfill, NULLIF round-trip,
+    * null-safe equality, and the BOOL_AND/BOOL_OR aggregates. These are
+    * exactly the semantics JS truthiness blurred in the reference
+    * (SURVEY §1.3) and an engine must get right relationally.
+    */
+  def nullHandlingFamily(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderpriority"),
+      // plant: every 7th order loses its price, every 11th its status
+      when(col("o_orderkey") % 7 === 0, lit(null))
+        .otherwise(col("o_totalprice")).cast(DecimalType(18, 2)).as("price_n"),
+      when(col("o_orderkey") % 11 === 0, lit(null))
+        .otherwise(col("o_orderstatus")).as("status_n"))
+    t.groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("price_n")).as("n_price"),
+        sum(col("price_n")).cast("double").as("sum_price"),
+        sum(coalesce(col("price_n"), lit(0).cast(DecimalType(18, 2))))
+          .cast("double").as("sum_backfilled"),
+        // null-safe vs plain equality differ exactly on the null rows
+        sum((col("status_n") <=> lit("F")).cast("long")).as("n_f_nullsafe"),
+        sum(when(col("status_n") === "F", 1L).otherwise(0L)).as("n_f_plain"),
+        expr("bool_and(price_n IS NOT NULL)").as("all_priced"),
+        expr("bool_or(price_n IS NULL)").as("any_unpriced"),
+        // NULLIF round-trip: nullif(x, x) is always NULL -> count 0
+        count(nullif(col("o_orderpriority"), col("o_orderpriority")))
+          .as("n_nullif"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Ordered string aggregation per group — LISTAGG semantics, built as
     * sort-the-collected-set then join (`array_sort ∘ collect_set`) so the
     * result is independent of partitioning and arrival order; a bare

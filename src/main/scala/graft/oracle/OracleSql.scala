@@ -458,6 +458,8 @@ cat_remove AS (
       ORDER BY l_returnflag""",
     // whole-partition frames need the explicit ROWS UNBOUNDED..UNBOUNDED
     // (the default RANGE..CURRENT frame truncates last/nth)
+    // full window specs in each named window (no window inheritance —
+    // Spark's WINDOW clause can't reference another named window)
     "window_frame_family" -> s"""
       SELECT o_custkey, o_orderkey,
              first_value(o_orderkey) OVER wall AS first_key,
@@ -469,8 +471,10 @@ cat_remove AS (
       FROM orders
       WINDOW
         wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-        wall AS (wo ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
-        w3 AS (wo ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+        w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       ORDER BY o_custkey, o_orderkey""",
     "scalar_functions" -> sync(
       """SELECT ord, file,
@@ -2300,8 +2304,10 @@ shingles AS (
              CAST(len(list_filter(tokens, t -> length(t) > 4)) AS BIGINT) AS n_long,
              CAST(list_sum(list_transform(tokens, t -> length(t))) AS BIGINT) AS total_len,
              CAST(list_max(list_transform(tokens, t -> length(t))) AS BIGINT) AS max_len,
-             array_to_string(list_sort(tokens)[1:3], ' ') AS sorted_head3
-      FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) t
+             array_to_string(sorted_tokens[1:3], ' ') AS sorted_head3
+      FROM (SELECT doc_id, string_split(text, ' ') AS tokens,
+                   list_sort(string_split(text, ' ')) AS sorted_tokens
+            FROM documents) t
       ORDER BY doc_id""",
     // content-hash Bernoulli sample: md5 agrees across engines, so the
     // 16/256 keep-set is literally identical, not merely same-rate
@@ -2339,7 +2345,66 @@ shingles AS (
         UNION ALL
         SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n
         FROM common GROUP BY user_id)
-      ORDER BY op, user_id""")
+      ORDER BY op, user_id""",
+    "join_type_family" -> """
+      WITH c AS (SELECT c_custkey FROM customer),
+           o AS (SELECT o_custkey FROM orders WHERE o_custkey % 3 = 0)
+      SELECT * FROM (
+        SELECT 'inner' AS op, COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_null_side
+        FROM c JOIN o ON c_custkey = o_custkey
+        UNION ALL
+        SELECT 'left', COUNT(*),
+               CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM c LEFT JOIN o ON c_custkey = o_custkey
+        UNION ALL
+        SELECT 'full', COUNT(*),
+               CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL OR c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM c FULL JOIN o ON c_custkey = o_custkey
+        UNION ALL
+        SELECT 'semi', COUNT(*), CAST(0 AS BIGINT)
+        FROM c WHERE c_custkey IN (SELECT o_custkey FROM o)
+        UNION ALL
+        SELECT 'anti', COUNT(*), CAST(0 AS BIGINT)
+        FROM c WHERE c_custkey NOT IN (SELECT o_custkey FROM o))
+      ORDER BY op""",
+    // identical SQL text runs on both engines (views differ only in the
+    // sq_ prefix Spark-side) — the subquery rewrites must agree
+    "subquery_family" -> """
+      SELECT * FROM (
+        SELECT 'exists_big' AS op, c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        UNION ALL
+        SELECT 'no_orders' AS op, c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        UNION ALL
+        SELECT 'in_finished' AS op, c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT 'scalar_gt' AS op, c_custkey FROM customer
+        WHERE c_acctbal > (SELECT MAX(s_acctbal) FROM supplier))
+      ORDER BY op, c_custkey""",
+    "null_handling_family" -> s"""
+      WITH t AS (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE CAST(o_totalprice AS $D2) END AS price_n,
+               CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                    ELSE o_orderstatus END AS status_n
+        FROM orders)
+      SELECT o_orderpriority,
+             COUNT(*) AS n_rows,
+             COUNT(price_n) AS n_price,
+             CAST(SUM(price_n) AS DOUBLE) AS sum_price,
+             CAST(SUM(COALESCE(price_n, 0)) AS DOUBLE) AS sum_backfilled,
+             CAST(SUM(CASE WHEN status_n IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f_nullsafe,
+             CAST(SUM(CASE WHEN status_n = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f_plain,
+             bool_and(price_n IS NOT NULL) AS all_priced,
+             bool_or(price_n IS NULL) AS any_unpriced,
+             COUNT(NULLIF(o_orderpriority, o_orderpriority)) AS n_nullif
+      FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.

@@ -48,6 +48,7 @@ class ThreeWaySqlSpec extends SparkSpec {
     s = s.replace("list_transform(", "transform(")
     s = s.replace("list_intersect(", "array_intersect(")
     s = s.replace("list_contains(", "array_contains(")
+    s = s.replace("list_max(", "array_max(")
     // DuckDB CTE materialization hint; Spark has no spelling for it and
     // reuses multi-referenced CTEs on its own
     s = s.replace(" AS MATERIALIZED (", " AS (")
@@ -94,10 +95,34 @@ class ThreeWaySqlSpec extends SparkSpec {
     s = raw"(lag|lead|first_value|last_value)\(($inner)\s+IGNORE NULLS\)".r
       .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
         s"${m.group(1)}(${m.group(2)}) IGNORE NULLS"))
+    // string_agg(DISTINCT x, ',' ORDER BY x): Spark's WITHIN GROUP +
+    // DISTINCT combination miscompiles (AttributeReference cast error in
+    // 4.1), so map the distinct-ordered form to its set spelling —
+    // identical semantics when the ORDER BY key IS the aggregated value
+    val aggD = raw"string_agg\(DISTINCT\s+($inner),\s*('[^']*')\s+ORDER BY\s+($inner)\)".r
+    s = aggD.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      s"concat_ws(${m.group(2)}, sort_array(collect_set(${m.group(1)})))"))
     // string_agg(x, ',' ORDER BY k) -> string_agg(x, ',') WITHIN GROUP (ORDER BY k)
     val agg = raw"string_agg\(($inner),\s*('[^']*')\s+ORDER BY\s+($inner)\)".r
     s = agg.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       s"string_agg(${m.group(1)}, ${m.group(2)}) WITHIN GROUP (ORDER BY ${m.group(3)})"))
+    // multi-column GROUPING(a, b) == Spark's grouping_id(a, b) (same
+    // Postgres bit convention; Spark's grouping() is single-column)
+    s = raw"GROUPING\(($inner),\s*($inner)\)".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"grouping_id(${m.group(1)}, ${m.group(2)})"))
+    // DuckDB 3-arg date_diff('day', start, end) == datediff(end, start)
+    s = raw"date_diff\('day',\s*($arg),\s*($arg)\)".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"datediff(${m.group(2)}, ${m.group(1)})"))
+    // isodow (Monday=1..7) == weekday (Monday=0..6) + 1
+    s = raw"isodow\(($arg)\)".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"(weekday(${m.group(1)}) + 1)"))
+    // list_sum over BIGINT elements == the additive left fold
+    s = raw"list_sum\(($arg)\)".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"aggregate(${m.group(1)}, CAST(0 AS BIGINT), (lsa, lsv) -> lsa + lsv)"))
     // DuckDB 1-based end-inclusive list slicing x[a:b] == Spark
     // slice(x, a, b - a + 1); bare x[i] / f(..)[i] == element_at
     s = raw"(\w+)\[(\w+):($inner)\]".r.replaceAllIn(s, m => {
