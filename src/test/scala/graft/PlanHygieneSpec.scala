@@ -1,0 +1,59 @@
+package graft
+
+/** Fleet-wide plan hygiene: no batch entry may plan a cartesian product
+  * or nested-loop join unless it is on the declared allowlist of
+  * broadcast-single-row patterns. This is the "would it survive 100×"
+  * gate in executable form — a regression that turns an equi-join into a
+  * cross shape fails here even while values stay correct at fixture SF.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  /** Entries whose plans legitimately contain a broadcast nested-loop —
+    * every one broadcasts a SINGLE row or a fixed-k set, never a
+    * data-sized relation, so the "loop" is bounded by |broadcast| ≤ k:
+    *
+    *  - broadcast query vector / query set: embed_cosine_topk,
+    *    embed_knn_join, embed_ann_ivf, embed_ann_recall, multimodal_embed,
+    *    text_edit_distance, text_bm25_topk (one corpus-stats row)
+    *  - broadcast single global-aggregate row (moments, totals,
+    *    thresholds): dq_volume_anomaly, events_rolling_users,
+    *    text_heavy_hitters, text_collocations, text_langid_ngram,
+    *    sync_summary, events_funnel (per-stage bound row)
+    *  - TPC-H scalar/IN subqueries over dimension-sized sets:
+    *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
+    *    tpch_q22_dormant
+    *
+    * The pin is directional: entries may LEAVE this set (an improvement),
+    * but any entry gaining a nested-loop join fails the sweep.
+    */
+  private val allowedNestedLoop: Set[String] = Set(
+    "embed_cosine_topk", "embed_knn_join", "embed_ann_ivf",
+    "embed_ann_recall", "multimodal_embed", "text_edit_distance",
+    "text_bm25_topk",
+    "dq_volume_anomaly", "events_rolling_users", "text_heavy_hitters",
+    "text_collocations", "text_langid_ngram", "sync_summary",
+    "events_funnel",
+    "tpch_q9_profit", "tpch_q11_stock", "tpch_q16_partsupp",
+    "tpch_q20_promo", "tpch_q22_dormant")
+
+  // stream_* entries execute their streaming query on construction (the
+  // memory-sink harness), and the file-watch scan has its own spec —
+  // plan shape for streams is pinned in the streaming suites instead.
+  private def swept(name: String): Boolean =
+    !name.startsWith("stream_") && name != "scan_inventory"
+
+  test("no cartesian product anywhere; nested-loop joins only on the allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => swept(n) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf001).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !allowedNestedLoop(name)
+        if (cart) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: undeclared BroadcastNestedLoopJoin")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
