@@ -41,6 +41,11 @@ import graft.client.HttpGatherClient
   *    cooperating server trims its payload; an ignoring one costs only
   *    bytes — the reader projects/truncates either way, so results are
   *    identical.
+  *  - Size statistics ([[SupportsReportStatistics]]): caller-declared
+  *    `statsSizeBytes`/`statsRows` (catalog numbers) or the landed
+  *    file/dir footprint, scaled by column pruning — so Catalyst
+  *    auto-broadcasts small remote lists in joins without per-call-site
+  *    `broadcast()` hints (spec'd in GatherRestSourceSpec).
   *  - Simple predicates ([[SupportsPushDownFilters]]: `EqualTo`,
   *    `IsNotNull` on top-level columns) are accepted, forwarded as
   *    `f_<col>=` parameters and re-applied reader-side — the source stays
@@ -232,7 +237,9 @@ private[v2] class GatherScanBuilder(fullSchema: StructType,
     // every row parts-fold
     serverPaging = options.getBoolean("serverPaging", false),
     wireSchema = fullSchema, required = required, limit = limit,
-    pushed = pushed, agg = aggSpec)
+    pushed = pushed, agg = aggSpec,
+    statsSizeBytes = options.getLong("statsSizeBytes", -1L),
+    statsRows = options.getLong("statsRows", -1L))
 }
 
 private[v2] final case class GatherInputPartition(
@@ -263,11 +270,53 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
                                         wireSchema: StructType,
                                         required: StructType, limit: Int,
                                         pushed: Array[Filter],
-                                        agg: Option[GatherAggSpec] = None)
-    extends Scan with Batch with PartitionReaderFactory {
+                                        agg: Option[GatherAggSpec] = None,
+                                        statsSizeBytes: Long = -1L,
+                                        statsRows: Long = -1L)
+    extends Scan with Batch with PartitionReaderFactory
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = agg.fold(required)(_.schema)
   override def toBatch: Batch = this
+
+  /** Size statistics for the join planner. Without them a V2 relation
+    * defaults to `defaultSizeInBytes` (effectively ∞), so a join against
+    * a 200-row remote list sort-merges both sides; with them Catalyst
+    * auto-broadcasts the small list — no `broadcast()` hint at every call
+    * site. Priority: caller-declared `statsSizeBytes`/`statsRows` (the
+    * catalog numbers a production deployment has) > the landed file/dir
+    * footprint for local transports > unknown. Declared-or-measured bytes
+    * are then scaled by the pruned-to-wire column ratio, mirroring
+    * FileSourceScan's pruning-aware sizing.
+    */
+  override def estimateStatistics(): Statistics = {
+    val raw: Long =
+      if (statsSizeBytes >= 0) statsSizeBytes
+      else if (!isHttp) localFootprint(Paths.get(
+        if (url.startsWith("file:")) URI.create(url).getPath else url))
+      else -1L
+    val pruned: Long =
+      if (raw < 0) -1L
+      else math.max(1L,
+        raw * math.max(1, readSchema().size) / math.max(1, wireSchema.size))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (pruned >= 0) java.util.OptionalLong.of(pruned)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (statsRows >= 0) java.util.OptionalLong.of(statsRows)
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  private def localFootprint(p: java.nio.file.Path): Long =
+    try {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+      else if (Files.isRegularFile(p)) Files.size(p)
+      else -1L
+    } catch { case _: Throwable => -1L }
 
   /** Mirrors the FileSourceScan explain vocabulary so plan-assert specs
     * (and humans) can check what reached the source.

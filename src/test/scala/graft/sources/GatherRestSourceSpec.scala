@@ -283,6 +283,35 @@ class GatherRestSourceSpec extends SparkSpec {
     assert(viaV2.exceptAll(direct).isEmpty && direct.exceptAll(viaV2).isEmpty)
   }
 
+  test("reported statistics drive join planning: auto-broadcast vs sort-merge") {
+    def planFor(extra: Map[String, String]): String = {
+      val reader = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema)
+        .option("url", SyncInputs.projectsWireUrl(spark, sf001))
+      val v2 = extra.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+        .load().select("id", "p_md5")
+      // large enough that Catalyst's size estimate (8 B/row × 5M) clears
+      // the broadcast threshold — the fact side must never be the
+      // broadcast candidate (plan-only; nothing executes)
+      val fact = spark.range(5000000).select(
+        (col("id") % 500 + 1000000).as("id"), col("id").as("payload"))
+      // no broadcast() hint anywhere — the join strategy must come from
+      // the scan's reported statistics alone
+      fact.join(v2, "id").queryExecution.executedPlan.toString
+    }
+    // landed-file transport: footprint measured from disk, well under the
+    // broadcast threshold -> auto-broadcast
+    val small = planFor(Map.empty)
+    assert(small.contains("BroadcastHashJoin"),
+      s"small measured V2 scan should auto-broadcast:\n$small")
+    // caller-declared catalog stats saying the list is huge -> no
+    // broadcast (the default no-stats behavior is also this)
+    val huge = planFor(Map("statsSizeBytes" -> (64L << 30).toString))
+    assert(!huge.contains("BroadcastHashJoin") &&
+      (huge.contains("SortMergeJoin") || huge.contains("ShuffledHashJoin")),
+      s"declared-huge V2 scan must not broadcast:\n$huge")
+  }
+
   test("nested consumption prunes the wire read through the projection") {
     val nested = SyncInputs.nestedProjectsV2(spark, sf001)
       .filter(col("metadata.file").isNotNull)
