@@ -445,7 +445,11 @@ object SparkEntry {
     "subquery_family" -> ((s, d) => graft.ext.Analytics.subqueryFamily(s, d)),
     // null propagation: COUNT(*) vs COUNT(col), null-skipping SUM,
     // COALESCE backfill, null-safe equality, BOOL_AND/OR, NULLIF
-    "null_handling_family" -> ((s, d) => graft.ext.Analytics.nullHandlingFamily(s, d)))
+    "null_handling_family" -> ((s, d) => graft.ext.Analytics.nullHandlingFamily(s, d)),
+    // calendar densify + forward fill (bounded by span-days per user)
+    "events_gap_fill" -> ((s, d) => graft.ext.Events.gapFill(s, d)),
+    // error-safe try_cast / try_divide (nulls, not task failures)
+    "try_arithmetic_family" -> ((s, d) => graft.ext.Analytics.tryArithmeticFamily(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

@@ -833,6 +833,28 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Error-safe arithmetic — the "try" forms that turn malformed input
+    * and division-by-zero into NULLs instead of task failures, which is
+    * what lets a 100 TB ingest keep running past dirty rows (the
+    * fail-fast alternative kills the job on the first bad record).
+    * try_cast over a mixed parseable/unparseable string column and
+    * try_divide over a denominator that hits zero on a deterministic
+    * residue; the twin states the NULLIF spelling of the same semantics.
+    */
+  def tryArithmeticFamily(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        // every 5th key yields an unparseable name, the rest a numeral
+        when(col("p_partkey") % 5 === 0, col("p_name"))
+          .otherwise(col("p_partkey").cast("string")).as("s"),
+        col("p_retailprice").cast(DecimalType(18, 2)).as("price"),
+        (col("p_partkey") % 3).as("denom"))
+      .select(col("p_partkey"),
+        expr("try_cast(s AS BIGINT)").as("parsed"),
+        expr("try_divide(price, denom)").cast("double").as("safe_div"),
+        (col("denom") === 0).as("was_zero"))
+      .orderBy("p_partkey")
+
   /** Ordered string aggregation per group — LISTAGG semantics, built as
     * sort-the-collected-set then join (`array_sort ∘ collect_set`) so the
     * result is independent of partitioning and arrival order; a bare

@@ -350,6 +350,35 @@ object Events {
         col("gid"), col("n"), col("sum_value"))
       .orderBy("day", "event_type")
 
+  /** Time-series gap filling: densify each user's activity to a complete
+    * daily calendar over their own [first, last] span, then forward-fill
+    * the last seen daily value across the gaps (`last(_, ignoreNulls)`
+    * over a running frame — the carry composes per partition in one
+    * pass). The calendar explode is bounded by span-days per user, never
+    * by |events|; everything keys on user_id, so the whole densify+fill
+    * is one shuffle. Day 1 of every span is an activity day by
+    * construction, so the carry is never null.
+    */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        to_date(date_trunc("day", col("ts"))).as("day"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(D2)).as("dv"))
+    val span = act.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    span.join(act, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("dv"), ignoreNulls = true).over(w)
+          .cast("double").as("carried_value"))
+      .orderBy("user_id", "day")
+  }
+
   /** The date/time scalar-function family over `ts` (the temporal
     * counterpart of the string family in `scalar_functions`): truncation
     * to week/month, calendar field extraction, Monday-based day-of-week,

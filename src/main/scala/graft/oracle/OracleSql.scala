@@ -768,6 +768,30 @@ cat_remove AS (
                    event_type, value FROM events) t
       GROUP BY GROUPING SETS ((day), (event_type))
       ORDER BY day, event_type""",
+    // calendar densify + forward fill; the twin's generate_series over
+    // the per-user [min, max] day span mirrors the Spark sequence()
+    "events_gap_fill" -> s"""
+      WITH act AS (
+        SELECT user_id,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               COUNT(*) AS n, SUM(CAST(value AS $D2)) AS dv
+        FROM events GROUP BY 1, 2),
+      span AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+              FROM act GROUP BY user_id) b),
+      filled AS (
+        SELECT s.user_id, CAST(s.day AS DATE) AS day,
+               COALESCE(a.n, 0) AS n,
+               last_value(a.dv IGNORE NULLS) OVER (
+                 PARTITION BY s.user_id ORDER BY CAST(s.day AS DATE)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        FROM span s LEFT JOIN act a
+          ON s.user_id = a.user_id AND CAST(s.day AS DATE) = a.day)
+      SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+             CAST(carried AS DOUBLE) AS carried_value
+      FROM filled ORDER BY user_id, day""",
     "date_functions" -> """
       SELECT event_id,
              strftime(tsx, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -2346,6 +2370,20 @@ shingles AS (
         SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n
         FROM common GROUP BY user_id)
       ORDER BY op, user_id""",
+    // TRY_CAST is spelled identically on both engines; try_divide's
+    // null-on-zero is the portable a / NULLIF(b, 0)
+    "try_arithmetic_family" -> s"""
+      SELECT p_partkey,
+             TRY_CAST(s AS BIGINT) AS parsed,
+             CAST(price / NULLIF(denom, 0) AS DOUBLE) AS safe_div,
+             denom = 0 AS was_zero
+      FROM (SELECT p_partkey,
+                   CASE WHEN p_partkey % 5 = 0 THEN p_name
+                        ELSE CAST(p_partkey AS VARCHAR) END AS s,
+                   CAST(p_retailprice AS $D2) AS price,
+                   p_partkey % 3 AS denom
+            FROM part) t
+      ORDER BY p_partkey""",
     "join_type_family" -> """
       WITH c AS (SELECT c_custkey FROM customer),
            o AS (SELECT o_custkey FROM orders WHERE o_custkey % 3 = 0)

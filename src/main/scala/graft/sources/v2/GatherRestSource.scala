@@ -17,7 +17,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -157,11 +157,13 @@ private[v2] class GatherScanBuilder(fullSchema: StructType,
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val topLevel = fullSchema.fieldNames.toSet
+    def simple(v: Any): Boolean =
+      v == null || v.isInstanceOf[String] || v.isInstanceOf[java.lang.Number] ||
+        v.isInstanceOf[java.lang.Boolean]
     val (ok, rest) = filters.partition {
-      case EqualTo(a, v) => topLevel.contains(a) &&
-        (v == null || v.isInstanceOf[String] || v.isInstanceOf[java.lang.Number] ||
-          v.isInstanceOf[java.lang.Boolean])
-      case IsNotNull(a) => topLevel.contains(a)
+      case EqualTo(a, v) => topLevel.contains(a) && simple(v)
+      case In(a, vs)     => topLevel.contains(a) && vs.forall(simple)
+      case IsNotNull(a)  => topLevel.contains(a)
       case _ => false
     }
     pushed = ok
@@ -358,6 +360,10 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
         (if (limit >= 0 && pushed.isEmpty) Seq(s"limit=$limit") else Nil) ++
         pushed.collect {
           case EqualTo(a, v) => s"f_${enc(a)}=${enc(String.valueOf(v))}"
+          // advisory for cooperating servers; the reader re-applies the
+          // full typed IN either way (null members can never match)
+          case In(a, vs) => s"in_${enc(a)}=" +
+            enc(vs.filter(_ != null).map(String.valueOf).mkString(","))
           case IsNotNull(a)  => s"nn_${enc(a)}=1"
         }
       url + (if (url.contains('?')) "&" else "?") + params.mkString("&")
@@ -492,6 +498,9 @@ private[v2] final class GatherPartitionReader(
 
   private def matches(node: JsonNode): Boolean = pushed.forall {
     case EqualTo(a, exp) => typedEquals(node, a, exp)
+    // SQL IN: a null member can never select a row (x = NULL is unknown),
+    // and typedEquals already returns false for null expectations
+    case In(a, vs) => vs.exists(typedEquals(node, a, _))
     case IsNotNull(a) => fieldValue(node, a) != null
     case _ => true
   }

@@ -91,6 +91,15 @@ class GatherRestSourceSpec extends SparkSpec {
       assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
       val fq = requests.asScala.toSeq.last
       assert(fq.contains("f_iam=gatherbot"), s"filter did not reach the wire: $fq")
+
+      // IN pushes as one filter (typed long membership), reaches the wire
+      // as the advisory in_ param, and the reader re-applies it exactly
+      val inF = base.filter(col("id").isin(1L, 3L, 99L)).select("id")
+      val idesc = scanDescription(inF)
+      assert(idesc.contains("In(id"), s"IN not pushed:\n$idesc")
+      assert(inF.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      val iq = requests.asScala.toSeq.last
+      assert(iq.contains("in_id="), s"IN did not reach the wire: $iq")
     }
   }
 
