@@ -55,10 +55,14 @@ object Bench {
       // entries, and their first BUILD was billed to whichever consumer
       // ran first in a given capture (method_report swung 3.2s↔12.8s on
       // identical code). Built untimed here, every consumer times its
-      // own work; the build cost remains in total wall-clock.
+      // own work; the build cost remains in total wall-clock. Gated on
+      // the ACTUAL memo-cache consumers — text_langid/quality/etc. and
+      // the sampling/split curation entries never touch these relations
+      // and must not pay eight corpus-wide warmup shuffles for nothing.
+      val sharedRelConsumers = Set("curation_contamination",
+        "curation_pipeline", "text_dup_coverage", "text_strip_boilerplate")
       if (selected.exists { case (n, _) =>
-        n.startsWith("dedup_") || n.startsWith("curation_") ||
-          n.startsWith("text_") }) {
+        n.startsWith("dedup_") || sharedRelConsumers(n) }) {
         graft.ext.TextDedup.warmSharedRelations(spark, sfDir)
       }
     }

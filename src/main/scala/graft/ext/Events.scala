@@ -104,12 +104,18 @@ object Events {
     * (explicit value list — required for a deterministic schema, and at
     * scale it avoids the extra distinct-values job).
     */
+  /** The fixture's event-type domain — single source for the pivot value
+    * list and the unpivot column list, so the round-trip law the oracle
+    * asserts can't drift when a type is added or renamed.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
   def pivotDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))
       .groupBy("day")
-      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .pivot("event_type", EventTypes)
       .count()
       .na.fill(0L)
       .orderBy("day")
@@ -323,8 +329,7 @@ object Events {
     pivotDaily(spark, dir)
       .unpivot(
         Array(col("day")),
-        Array(col("click"), col("error"), col("purchase"), col("signup"),
-          col("view")),
+        EventTypes.map(col).toArray,
         "event_type", "n")
       .filter(col("n") > 0)
       .orderBy("day", "event_type")

@@ -228,18 +228,29 @@ object TextStats {
   def repetitionOf(docs: DataFrame): DataFrame =
     docs
       .withColumn("ws", split(col("text"), " "))
+      // length guards (the cachedDocBigrams pattern): Spark's
+      // sequence(1, 0) is a DESCENDING [1, 0] and element_at(ws, 0)
+      // throws — a sub-2/3-word doc must yield an EMPTY gram set (its
+      // rep ratio is then null: undefined, not zero), never a crash
       .withColumn("g2", expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        "case when size(ws) >= 2 then transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+          "else cast(array() as array<string>) end"))
       .withColumn("g3", expr(
-        "transform(sequence(1, size(ws) - 2), " +
-          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"))
+        "case when size(ws) >= 3 then transform(sequence(1, size(ws) - 2), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1), ' ', element_at(ws, i + 2))) " +
+          "else cast(array() as array<string>) end"))
       .select(col("doc_id"),
         size(col("ws")).cast("long").as("n_words"),
-        round((size(col("g2")) - size(array_distinct(col("g2"))))
-          .cast("double") / size(col("g2")), 6).as("rep2"),
-        round((size(col("g3")) - size(array_distinct(col("g3"))))
-          .cast("double") / size(col("g3")), 6).as("rep3"))
+        // empty gram set -> NULL ratio (undefined, not zero) — and never
+        // an ANSI divide-by-zero error on a degenerate doc
+        round(when(size(col("g2")) > 0,
+          (size(col("g2")) - size(array_distinct(col("g2"))))
+            .cast("double") / size(col("g2"))), 6).as("rep2"),
+        round(when(size(col("g3")) > 0,
+          (size(col("g3")) - size(array_distinct(col("g3"))))
+            .cast("double") / size(col("g3"))), 6).as("rep3"))
+      // three-valued on purpose: an undefined ratio leaves flagged NULL
       .withColumn("flagged", col("rep2") > 0.20 || col("rep3") > 0.18)
       .orderBy("doc_id")
 

@@ -44,20 +44,28 @@ case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
 }
 
 object BloomPrefilter {
-  private val FnName = "graft_bloom_might_contain"
+  private val fnId = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Build a Bloom filter over `build.keyCol` (distributed aggregate via
     * the public `DataFrameStatFunctions.bloomFilter`; `expectedKeys` sizes
     * the bitmap, 0.01 fpp costs ~9.6 bits/key) and return the membership
     * predicate over `probeKey`, registered on the session's function
     * registry (the [[CosineSim]] pattern).
+    *
+    * Each call registers under a UNIQUE name: `call_function` resolves
+    * lazily at analysis time, so a shared fixed name would bind every
+    * outstanding predicate to the LAST-built bloom (wrong-key membership
+    * ⟹ silent false negatives) whenever two prefilters are built before
+    * their consumers are analyzed. Registrations are tiny and bounded by
+    * prefilter calls per session, so they are simply left in place.
     */
   def prefilter(build: DataFrame, keyCol: String, expectedKeys: Long,
                 fpp: Double = 0.01)(probeKey: Column): Column = {
     val bloom = build.stat.bloomFilter(keyCol, expectedKeys, fpp)
     val spark = build.sparkSession
+    val fnName = s"graft_bloom_might_contain_${fnId.incrementAndGet()}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      FnName, exprs => BloomMightContainLong(exprs.head, bloom), "built-in")
-    call_function(FnName, probeKey)
+      fnName, exprs => BloomMightContainLong(exprs.head, bloom), "built-in")
+    call_function(fnName, probeKey)
   }
 }

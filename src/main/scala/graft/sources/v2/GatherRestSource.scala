@@ -151,7 +151,13 @@ private[v2] class GatherScanBuilder(fullSchema: StructType,
       required = StructType(
         fullSchema.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  // Symmetric with pushAggregation's limit guard: once an aggregate is
+  // pushed, a limit ABOVE it must not reach the wire — a cooperating
+  // server would truncate the body BEFORE the scan-side aggregation and
+  // corrupt count/min/max. (Spark pushes aggregates before limits, so
+  // both orders of the hazard are now refused.)
+  override def pushLimit(n: Int): Boolean =
+    if (aggSpec.isDefined) false else { limit = n; true }
   // isPartiallyPushed stays default-true: Spark re-applies the limit, so a
   // multi-partition scan (each partition truncates to n locally) is exact.
 
@@ -361,9 +367,13 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
         pushed.collect {
           case EqualTo(a, v) => s"f_${enc(a)}=${enc(String.valueOf(v))}"
           // advisory for cooperating servers; the reader re-applies the
-          // full typed IN either way (null members can never match)
+          // full typed IN either way (null members can never match).
+          // Each VALUE is encoded separately and values are joined with a
+          // raw ',' — an embedded comma travels as %2C, so the separator
+          // stays unambiguous and a cooperating server can never split a
+          // value in two (and drop rows the reader cannot restore)
           case In(a, vs) => s"in_${enc(a)}=" +
-            enc(vs.filter(_ != null).map(String.valueOf).mkString(","))
+            vs.filter(_ != null).map(v => enc(String.valueOf(v))).mkString(",")
           case IsNotNull(a)  => s"nn_${enc(a)}=1"
         }
       url + (if (url.contains('?')) "&" else "?") + params.mkString("&")

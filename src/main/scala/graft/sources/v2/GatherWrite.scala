@@ -33,9 +33,11 @@ import graft.client.HttpGatherClient
   *    lines to a hidden temp file and atomically renames it to
   *    `part-NNNNN.jsonl` on task commit (driver commit coordination keeps
   *    concurrent attempts from double-committing). A landing dir holds ONE
-  *    action batch; re-landing the same batch overwrites the same part
-  *    names with identical bytes — idempotent replay. The [[GatherScan]]
-  *    file transport reads the directory back.
+  *    action batch: re-landing the same batch overwrites the same part
+  *    names with identical bytes (idempotent replay), and the job-level
+  *    commit removes batch parts a previous landing left that this batch
+  *    did not rewrite — so the dir always reads back as exactly the last
+  *    committed batch. The [[GatherScan]] file transport reads it back.
   *
   * Append-only by design: an action table is a batch of deliveries, not a
   * table state — there is nothing to truncate or overwrite.
@@ -78,9 +80,30 @@ private[v2] final case class GatherWrite(schema: StructType, url: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = this
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory = this
 
-  // deliveries are per-task (POST batches / moved part files) — the job
-  // level has nothing left to do; failed tasks surface through Spark
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  // HTTP deliveries are per-task (POST batches); for a landing DIRECTORY
+  // the job-level commit enforces the one-batch-per-dir contract: batch
+  // part files from a PREVIOUS landing that this batch did not rewrite
+  // (fewer partitions, or a partition that went empty and so renamed no
+  // file) are removed, so the directory always reads back as exactly the
+  // last committed batch — never a stale mix. Epoch-named streaming parts
+  // (part-EEEEE-PPPPP) are untouched: epochs accumulate by design.
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (!isHttp) {
+      val kept = messages.collect {
+        case GatherWriteCommit(p, rows) if rows > 0 => f"part-$p%05d.jsonl"
+      }.toSet
+      val dir = Paths.get(
+        if (url.startsWith("file:")) URI.create(url).getPath else url)
+      if (Files.isDirectory(dir)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(dir).iterator().asScala
+          .filter { f =>
+            val n = f.getFileName.toString
+            n.matches("part-\\d{5}\\.jsonl") && !kept(n)
+          }
+          .foreach(f => Files.deleteIfExists(f))
+      }
+    }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()

@@ -351,6 +351,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(planted(0L).getAs[Boolean]("flagged"))
     assert(planted(1L).getAs[Double]("rep2") == 0.0)
     assert(!planted(1L).getAs[Boolean]("flagged"))
+    // degenerate sub-2/3-word docs must yield null ratios (undefined),
+    // never crash on Spark's descending sequence(1, 0)
+    val short = TextStats.repetitionOf(Seq(
+      (2L, "solo"), (3L, "two words")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(short(2L).isNullAt(short(2L).fieldIndex("rep2")))
+    assert(short(3L).getAs[Double]("rep2") == 0.0) // one bigram, distinct
+    assert(short(3L).isNullAt(short(3L).fieldIndex("rep3")))
   }
 
   test("funnel: step counts monotone, ratios consistent, steps named") {
@@ -465,6 +473,23 @@ class ExtensionsSpec extends SparkSpec {
       finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
     }
     assert(kept(true) == kept(false))
+  }
+
+  test("two bloom predicates built before analysis bind to their own filters") {
+    // regression: a fixed registration name bound every outstanding
+    // call_function to the LAST-built bloom — two predicates constructed
+    // before the consuming plan is analyzed must stay independent
+    val keysA = Seq(1L, 2L, 3L).toDF("k")
+    val keysB = Seq(100L, 200L).toDF("k")
+    val pA = graft.functions.BloomPrefilter.prefilter(keysA, "k", 100)($"x")
+    val pB = graft.functions.BloomPrefilter.prefilter(keysB, "k", 100)($"y")
+    val probe = Seq((1L, 100L), (1L, 999L), (50L, 100L), (2L, 200L))
+      .toDF("x", "y")
+    val both = probe.filter(pA && pB).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bloom has no false negatives: exactly the pairs in A×B survive
+    assert(both == Set((1L, 100L), (2L, 200L)),
+      s"predicates cross-bound to the wrong bloom: $both")
   }
 
   test("bloom prefilter: equals plain join; predicate below the shuffle") {

@@ -29,7 +29,9 @@ class GatherRestSourceSpec extends SparkSpec {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val requests = new ConcurrentLinkedQueue[String]()
     server.createContext("/projects", (ex: HttpExchange) => {
-      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      // RAW query: percent-escapes preserved, so tests can distinguish an
+      // encoded comma inside a value (%2C) from a raw separator comma
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       requests.add(q)
       // server-side paging: shard lines by part/parts when asked (the
       // cooperating-server case; pruning/limit params are ignored here,
@@ -100,6 +102,24 @@ class GatherRestSourceSpec extends SparkSpec {
       assert(inF.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
       val iq = requests.asScala.toSeq.last
       assert(iq.contains("in_id="), s"IN did not reach the wire: $iq")
+
+      // a value containing a comma must stay one value on the wire:
+      // per-value encoding (%2C inside values, raw ',' as separator)
+      base.filter(col("title").isin("a,b", "c")).select("id").collect()
+      val cq = requests.asScala.toSeq.last
+      assert(cq.contains("in_title=a%2Cb,c"),
+        s"embedded comma must encode as %2C, separators stay raw: $cq")
+
+      // a limit above a pushed aggregate must NOT reach the wire — a
+      // cooperating server would truncate the body before aggregating
+      val aggLim = base.agg(min("id").as("mn"), max("id").as("mx")).limit(1)
+      val adesc = scanDescription(aggLim)
+      assert(adesc.contains("PushedAggregates: [min(id), max(id)]"),
+        s"aggregate should still push:\n$adesc")
+      assert(adesc.contains("PushedLimit: none"),
+        s"limit must be refused once an aggregate is pushed:\n$adesc")
+      assert(aggLim.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        Seq((1L, 4L)))
     }
   }
 

@@ -83,6 +83,17 @@ class GatherWriteSpec extends SparkSpec {
     // re-landing the same batch replaces the same part names: no growth
     graft.sink.Actions.applyV2(df, dir.toString)
     assert(readBack() == first, "re-landing the same batch must be a no-op")
+
+    // re-landing a DIFFERENT batch with FEWER partitions must not leave
+    // stale parts from the wider batch behind: the job commit enforces
+    // the one-batch-per-dir contract (directory == last committed batch)
+    import spark.implicits._
+    val df2 = (101 to 110).map(i => (i.toLong, s"g$i.shp", s"md5_$i"))
+      .toDF("ord", "file", "md5").coalesce(1)
+    graft.sink.Actions.applyV2(df2, dir.toString)
+    assert(readBack() == (101 to 110)
+      .map(i => (i.toLong, s"g$i.shp", s"md5_$i")),
+      "stale parts from the previous wider batch leaked into the read")
   }
 
   test("streaming write: epoch-named parts, replaying the stream lands identically") {
