@@ -449,7 +449,10 @@ object SparkEntry {
     // calendar densify + forward fill (bounded by span-days per user)
     "events_gap_fill" -> ((s, d) => graft.ext.Events.gapFill(s, d)),
     // error-safe try_cast / try_divide (nulls, not task failures)
-    "try_arithmetic_family" -> ((s, d) => graft.ext.Analytics.tryArithmeticFamily(s, d)))
+    "try_arithmetic_family" -> ((s, d) => graft.ext.Analytics.tryArithmeticFamily(s, d)),
+    // exact PERCENTILE_DISC at rank ceil(p*n) — the exact twin of the
+    // sketch-gated approx_percentile in agg_sketch_family
+    "agg_percentile_disc" -> ((s, d) => graft.ext.Analytics.percentileDisc(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

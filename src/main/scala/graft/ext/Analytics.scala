@@ -833,6 +833,32 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Exact discrete percentiles (PERCENTILE_DISC semantics): the value at
+    * rank ⌈p·n⌉ of the tie-broken (value, event_id) total order per
+    * group — no interpolation, so the result is a VALUE FROM THE DATA and
+    * hash-compares exactly across engines (interpolated PERCENTILE_CONT
+    * would manufacture floats). This is the exact twin of the rsd-gated
+    * approx_percentile in agg_sketch_family: one shuffle + per-group sort
+    * here vs a mergeable sketch there — the classic exactness/cost trade
+    * a warehouse offers side by side. A conditional MAX per requested p
+    * reads the ranks in the same pass.
+    */
+  def percentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val wn = Window.partitionBy("event_type")
+    def at(p: Double) = max(when(
+      col("rn") === expr(s"CAST(ceil($p * n) AS BIGINT)"), col("value")))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("event_type")
+      .agg(max("n").as("n_rows"),
+        at(0.5).as("p50"), at(0.9).as("p90"), at(0.99).as("p99"),
+        min("value").as("p0"), max("value").as("p100"))
+      .orderBy("event_type")
+  }
+
   /** Error-safe arithmetic — the "try" forms that turn malformed input
     * and division-by-zero into NULLs instead of task failures, which is
     * what lets a 100 TB ingest keep running past dirty rows (the

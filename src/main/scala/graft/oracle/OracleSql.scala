@@ -2370,6 +2370,21 @@ shingles AS (
         SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n
         FROM common GROUP BY user_id)
       ORDER BY op, user_id""",
+    // exact discrete percentiles: the selected rank's VALUE, never an
+    // interpolated float — hash-identical across engines by construction
+    "agg_percentile_disc" -> """
+      WITH ranked AS (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, MAX(n) AS n_rows,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+             MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+             MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99,
+             MIN(value) AS p0, MAX(value) AS p100
+      FROM ranked GROUP BY event_type ORDER BY event_type""",
     // TRY_CAST is spelled identically on both engines; try_divide's
     // null-on-zero is the portable a / NULLIF(b, 0)
     "try_arithmetic_family" -> s"""
