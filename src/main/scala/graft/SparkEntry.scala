@@ -452,7 +452,11 @@ object SparkEntry {
     "try_arithmetic_family" -> ((s, d) => graft.ext.Analytics.tryArithmeticFamily(s, d)),
     // exact PERCENTILE_DISC at rank ceil(p*n) — the exact twin of the
     // sketch-gated approx_percentile in agg_sketch_family
-    "agg_percentile_disc" -> ((s, d) => graft.ext.Analytics.percentileDisc(s, d)))
+    "agg_percentile_disc" -> ((s, d) => graft.ext.Analytics.percentileDisc(s, d)),
+    // radius-bounded nearest-facility (spatial argmin on the grid join)
+    "spatial_nearest" -> ((s, d) => graft.ext.Spatial.nearestFacility(s, d)),
+    // BIT_AND/OR/XOR aggregates (mask fold; map-side combinable)
+    "agg_bitwise_family" -> ((s, d) => graft.ext.Analytics.bitwiseFamily(s, d)))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

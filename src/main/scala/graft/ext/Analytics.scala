@@ -833,6 +833,20 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** Bitwise aggregate family — BIT_AND/BIT_OR/BIT_XOR fold group members
+    * into one machine word (permission masks, feature-flag unions, parity
+    * checks). All three are commutative+associative, so they partial-
+    * aggregate map-side like sum; exact integral results on both engines.
+    */
+  def bitwiseFamily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_and(user_id)").as("and_users"),
+        expr("bit_or(user_id)").as("or_users"),
+        expr("bit_xor(event_id)").as("xor_ids"))
+      .orderBy("event_type")
+
   /** Exact discrete percentiles (PERCENTILE_DISC semantics): the value at
     * rank ⌈p·n⌉ of the tie-broken (value, event_id) total order per
     * group — no interpolation, so the result is a VALUE FROM THE DATA and

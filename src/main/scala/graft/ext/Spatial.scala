@@ -88,4 +88,20 @@ object Spatial {
   def proximityQuery(spark: SparkSession, dir: String): DataFrame =
     gridJoin(sites(spark, dir), facilities(spark, dir))
       .orderBy("site_id", "fac_id")
+
+  /** Nearest facility per site (spatial argmin, radius-bounded): top-1 of
+    * the grid join's candidates by (dist², fac_id) — sites with no
+    * facility in range are absent, exactly like a bounded-radius NN
+    * query. The window reuses the join's site_id partitioning; ties
+    * break on fac_id so the result is total-order deterministic.
+    */
+  def nearestFacility(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("site_id").orderBy("dist2", "fac_id")
+    gridJoin(sites(spark, dir), facilities(spark, dir))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("site_id"), col("fac_id").as("nearest_fac"), col("dist2"))
+      .orderBy("site_id")
+  }
 }

@@ -2370,6 +2370,36 @@ shingles AS (
         SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n
         FROM common GROUP BY user_id)
       ORDER BY op, user_id""",
+    // spatial argmin over the same all-pairs statement the grid entry
+    // uses — sites with no facility within R are simply absent
+    "spatial_nearest" -> """
+      WITH sites AS (
+        SELECT c_custkey AS site_id,
+               (c_custkey * 5761) % 10000 AS x,
+               ((c_custkey * 5761) // 10000) % 10000 AS y
+        FROM customer),
+      facs AS (
+        SELECT s_suppkey AS fac_id,
+               (s_suppkey * 5761) % 10000 AS fx,
+               ((s_suppkey * 5761) // 10000) % 10000 AS fy
+        FROM supplier),
+      cand AS (
+        SELECT site_id, fac_id,
+               (x-fx)*(x-fx) + (y-fy)*(y-fy) AS dist2
+        FROM sites, facs
+        WHERE (x-fx)*(x-fx) + (y-fy)*(y-fy) <= 62500),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY site_id
+                                     ORDER BY dist2, fac_id) AS rn
+        FROM cand)
+      SELECT site_id, fac_id AS nearest_fac, dist2
+      FROM ranked WHERE rn = 1 ORDER BY site_id""",
+    "agg_bitwise_family" -> """
+      SELECT event_type, COUNT(*) AS n,
+             bit_and(user_id) AS and_users,
+             bit_or(user_id) AS or_users,
+             bit_xor(event_id) AS xor_ids
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // exact discrete percentiles: the selected rank's VALUE, never an
     // interpolated float — hash-identical across engines by construction
     "agg_percentile_disc" -> """
