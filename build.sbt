@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses the LAST stdout line as JSON; sbt's
+// `[success] Total time: ...` epilogue otherwise trails the contract
+// line and the driver records parsed:null.
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not another setting —
+// exclude it from the unused-key lint so builds stay warning-quiet.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
