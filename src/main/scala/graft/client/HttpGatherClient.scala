@@ -38,7 +38,8 @@ import graft.sink.Actions
   * `maxRetries`.
   */
 class HttpGatherClient(spark: SparkSession, baseUrl: String,
-                       maxRetries: Int = 3) extends GatherClient {
+                       maxRetries: Int = 3,
+                       token: Option[String] = None) extends GatherClient {
 
   private val projectSchema = StructType(Seq(
     StructField("id", LongType), StructField("iam", StringType),
@@ -57,10 +58,11 @@ class HttpGatherClient(spark: SparkSession, baseUrl: String,
     // (FAILFAST posture): a malformed or schema-drifted server line fails
     // the task loudly rather than feeding all-null rows — a null
     // p_md5/p_file would silently mis-classify projects in the match core.
-    spark.read.format(graft.sources.v2.GatherSource.Format)
-      .schema(schema)
-      .option("url", s"$baseUrl$path")
-      .option("retries", maxRetries)
+    token.foldLeft(
+      spark.read.format(graft.sources.v2.GatherSource.Format)
+        .schema(schema)
+        .option("url", s"$baseUrl$path")
+        .option("retries", maxRetries))((r, t) => r.option("token", t))
       .load()
 
   /** Reshape the flat wire records to the API's nested §1.1 shape. */
@@ -83,7 +85,7 @@ class HttpGatherClient(spark: SparkSession, baseUrl: String,
     // the V2 write boundary (symmetric with the V2 scans above): JSON
     // batches POST executor-side per partition under md5-of-payload
     // idempotency keys, with Spark-managed task retry/commit semantics
-    Actions.applyV2(actions, s"$baseUrl$path", maxRetries)
+    Actions.applyV2(actions, s"$baseUrl$path", maxRetries, token = token)
 
   override def applyCreates(creates: DataFrame): Unit =
     post("/projects/create", creates)
@@ -107,11 +109,20 @@ object HttpGatherClient {
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
 
+  /** Attach `Authorization: Bearer <token>` when credentials are
+    * configured — the reference's client is constructed from a
+    * credentials file (index.js:1,9); here the token rides the V2
+    * `token` option so executors authenticate without any driver-side
+    * session state.
+    */
+  private def withAuth(b: HttpRequest.Builder, token: Option[String]): HttpRequest.Builder =
+    token.fold(b)(t => b.header("Authorization", s"Bearer $t"))
+
   /** GET with bounded retry; returns the response body. */
-  def get(url: String, maxRetries: Int): String =
+  def get(url: String, maxRetries: Int, token: Option[String] = None): String =
     retrying(maxRetries, s"GET $url") {
       val resp = client.send(
-        HttpRequest.newBuilder(URI.create(url)).GET().build(),
+        withAuth(HttpRequest.newBuilder(URI.create(url)), token).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       failOnStatus("GET", url, resp.statusCode())
       resp.body()
@@ -120,10 +131,11 @@ object HttpGatherClient {
   /** POST a JSON batch with an md5-of-payload Idempotency-Key and bounded
     * retry — replays of the same batch are server-side no-ops.
     */
-  def post(url: String, body: String, maxRetries: Int): Unit =
+  def post(url: String, body: String, maxRetries: Int,
+           token: Option[String] = None): Unit =
     retrying(maxRetries, s"POST $url") {
       val resp = client.send(
-        HttpRequest.newBuilder(URI.create(url))
+        withAuth(HttpRequest.newBuilder(URI.create(url)), token)
           .header("Content-Type", "application/json")
           .header("Idempotency-Key", md5Hex(body))
           .POST(HttpRequest.BodyPublishers.ofString(body)).build(),

@@ -37,11 +37,12 @@ object Actions {
     * partition; other urls land JSON-lines part files in a directory.
     */
   def applyV2(actions: DataFrame, url: String, retries: Int = 3,
-              batchSize: Int = 1000): Unit =
-    actions.write.format(graft.sources.v2.GatherSource.Format)
-      .option("url", url)
-      .option("retries", retries)
-      .option("batchSize", batchSize)
+              batchSize: Int = 1000, token: Option[String] = None): Unit =
+    token.foldLeft(
+      actions.write.format(graft.sources.v2.GatherSource.Format)
+        .option("url", url)
+        .option("retries", retries)
+        .option("batchSize", batchSize))((w, t) => w.option("token", t))
       .mode("append")
       .save()
 

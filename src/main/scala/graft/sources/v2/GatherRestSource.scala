@@ -128,7 +128,8 @@ private[v2] class GatherTable(tableSchema: StructType,
       Option(merged.get("url")).getOrElse(
         throw new IllegalArgumentException("gather sink requires a url option")),
       merged.getInt("retries", 3),
-      math.max(1, merged.getInt("batchSize", 1000)))
+      math.max(1, merged.getInt("batchSize", 1000)),
+      Option(merged.get("token")))
   }
 }
 
@@ -247,7 +248,8 @@ private[v2] class GatherScanBuilder(fullSchema: StructType,
     wireSchema = fullSchema, required = required, limit = limit,
     pushed = pushed, agg = aggSpec,
     statsSizeBytes = options.getLong("statsSizeBytes", -1L),
-    statsRows = options.getLong("statsRows", -1L))
+    statsRows = options.getLong("statsRows", -1L),
+    token = Option(options.get("token")))
 }
 
 private[v2] final case class GatherInputPartition(
@@ -280,7 +282,8 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
                                         pushed: Array[Filter],
                                         agg: Option[GatherAggSpec] = None,
                                         statsSizeBytes: Long = -1L,
-                                        statsRows: Long = -1L)
+                                        statsRows: Long = -1L,
+                                        token: Option[String] = None)
     extends Scan with Batch with PartitionReaderFactory
     with SupportsReportStatistics {
 
@@ -319,10 +322,13 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
 
   private def localFootprint(p: java.nio.file.Path): Long =
     try {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala
+      if (Files.isDirectory(p)) {
+        // close the directory stream eagerly — each leaked stream pins an fd
+        val stream = Files.list(p)
+        try stream.iterator().asScala
           .filter(Files.isRegularFile(_)).map(Files.size).sum
-      else if (Files.isRegularFile(p)) Files.size(p)
+        finally stream.close()
+      } else if (Files.isRegularFile(p)) Files.size(p)
       else -1L
     } catch { case _: Throwable => -1L }
 
@@ -396,7 +402,7 @@ private[v2] final case class GatherScan(url: String, parts: Int, retries: Int,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GatherInputPartition]
-    new GatherPartitionReader(gp, retries, wireSchema, required, limit, pushed, agg)
+    new GatherPartitionReader(gp, retries, wireSchema, required, limit, pushed, agg, token)
   }
 }
 
@@ -445,7 +451,7 @@ private[v2] final class GatherPollStream(scan: GatherScan)
 private[v2] final class GatherPartitionReader(
     p: GatherInputPartition, retries: Int, wireSchema: StructType,
     required: StructType, limit: Int, pushed: Array[Filter],
-    agg: Option[GatherAggSpec] = None)
+    agg: Option[GatherAggSpec] = None, token: Option[String] = None)
   extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
@@ -462,14 +468,17 @@ private[v2] final class GatherPartitionReader(
         // its part files concatenated in name order — hidden temp files
         // from uncommitted tasks are never visible
         if (Files.isDirectory(path)) {
-          val parts = Files.list(path).iterator().asScala
-            .filter(f => Files.isRegularFile(f) &&
-              !f.getFileName.toString.startsWith("."))
-            .toSeq.sortBy(_.getFileName.toString)
+          val stream = Files.list(path)
+          val parts =
+            try stream.iterator().asScala
+              .filter(f => Files.isRegularFile(f) &&
+                !f.getFileName.toString.startsWith("."))
+              .toSeq.sortBy(_.getFileName.toString)
+            finally stream.close()
           parts.map(f => new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
             .mkString("\n")
         } else new String(Files.readAllBytes(path), StandardCharsets.UTF_8)
-      } else HttpGatherClient.get(p.requestUrl, retries)
+      } else HttpGatherClient.get(p.requestUrl, retries, token)
     val all = body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
     // without server-side paging every partition holds the full body:
     // partition i owns every parts-th line (deterministic, disjoint,

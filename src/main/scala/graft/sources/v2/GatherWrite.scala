@@ -43,16 +43,18 @@ import graft.client.HttpGatherClient
   * table state — there is nothing to truncate or overwrite.
   */
 private[v2] class GatherWriteBuilder(schema: StructType, url: String,
-                                     retries: Int, batchSize: Int)
+                                     retries: Int, batchSize: Int,
+                                     token: Option[String] = None)
     extends WriteBuilder {
-  override def build(): Write = GatherWrite(schema, url, retries, batchSize)
+  override def build(): Write = GatherWrite(schema, url, retries, batchSize, token)
 }
 
 private[v2] final case class GatherWriteCommit(partitionId: Int, rows: Long)
   extends WriterCommitMessage
 
 private[v2] final case class GatherWrite(schema: StructType, url: String,
-                                         retries: Int, batchSize: Int)
+                                         retries: Int, batchSize: Int,
+                                         token: Option[String] = None)
     extends Write with BatchWrite with StreamingWrite
     with DataWriterFactory with StreamingDataWriterFactory {
 
@@ -96,12 +98,17 @@ private[v2] final case class GatherWrite(schema: StructType, url: String,
         if (url.startsWith("file:")) URI.create(url).getPath else url)
       if (Files.isDirectory(dir)) {
         import scala.jdk.CollectionConverters._
-        Files.list(dir).iterator().asScala
-          .filter { f =>
-            val n = f.getFileName.toString
-            n.matches("part-\\d{5}\\.jsonl") && !kept(n)
-          }
-          .foreach(f => Files.deleteIfExists(f))
+        // Files.list holds a directory-stream fd until closed — a leak per
+        // committed landing if left to GC.
+        val stream = Files.list(dir)
+        try {
+          stream.iterator().asScala
+            .filter { f =>
+              val n = f.getFileName.toString
+              n.matches("part-\\d{5}\\.jsonl") && !kept(n)
+            }
+            .foreach(f => Files.deleteIfExists(f))
+        } finally stream.close()
       }
     }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -114,12 +121,12 @@ private[v2] final case class GatherWrite(schema: StructType, url: String,
   }
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (isHttp) new HttpBatchWriter(schema, url, retries, batchSize, partitionId)
+    if (isHttp) new HttpBatchWriter(schema, url, retries, batchSize, partitionId, token)
     else new LandingFileWriter(schema, url, partitionId, taskId, epoch = None)
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
-    if (isHttp) new HttpBatchWriter(schema, url, retries, batchSize, partitionId)
+    if (isHttp) new HttpBatchWriter(schema, url, retries, batchSize, partitionId, token)
     else new LandingFileWriter(schema, url, partitionId, taskId, epoch = Some(epochId))
 }
 
@@ -155,14 +162,15 @@ private[v2] abstract class JsonRowWriter(schema: StructType)
   */
 private[v2] final class HttpBatchWriter(schema: StructType, url: String,
                                         retries: Int, batchSize: Int,
-                                        partitionId: Int)
+                                        partitionId: Int,
+                                        token: Option[String] = None)
     extends JsonRowWriter(schema) {
 
   private val buf = new scala.collection.mutable.ArrayBuffer[String](batchSize)
   private var rows = 0L
 
   private def flush(): Unit = if (buf.nonEmpty) {
-    HttpGatherClient.post(url, buf.mkString("[", ",", "]"), retries)
+    HttpGatherClient.post(url, buf.mkString("[", ",", "]"), retries, token)
     buf.clear()
   }
 

@@ -224,6 +224,53 @@ class GatherRestSourceSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("token option attaches Authorization: Bearer on scan GETs and write POSTs") {
+    // mirrors the reference's credentialed client construction
+    // (index.js:1,9 — GatherClient(credentials, ...)): the V2 `token`
+    // option must reach the wire from EXECUTOR-side requests on both
+    // transports, and stay absent when unconfigured.
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val auths = new ConcurrentLinkedQueue[String]()
+    def recordAuth(ex: HttpExchange): Unit =
+      auths.add(Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("<none>"))
+    server.createContext("/projects", (ex: HttpExchange) => {
+      recordAuth(ex)
+      val b = wireLines.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    })
+    server.createContext("/projects/create", (ex: HttpExchange) => {
+      recordAuth(ex)
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      // scan with a token: every GET carries the bearer header
+      val n = spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema)
+        .option("url", s"$base/projects").option("token", "sekrit-123")
+        .load().count()
+      assert(n == 4)
+      // write with a token: every POST batch carries it too
+      import spark.implicits._
+      val actions = Seq((1L, "a.shp"), (2L, "b.shp")).toDF("id", "file")
+        .repartition(2)
+      graft.sink.Actions.applyV2(actions, s"$base/projects/create",
+        token = Some("sekrit-123"))
+      val seen = auths.asScala.toSeq
+      assert(seen.nonEmpty && seen.forall(_ == "Bearer sekrit-123"),
+        s"expected Bearer on every request, saw: $seen")
+      // unconfigured: no Authorization header leaks
+      auths.clear()
+      spark.read.format(GatherSource.Format)
+        .schema(GatherSource.ProjectsSchema)
+        .option("url", s"$base/projects").load().count()
+      assert(auths.asScala.forall(_ == "<none>"),
+        s"tokenless scan must not send Authorization: ${auths.asScala.toSeq}")
+    } finally server.stop(0)
+  }
+
   test("aggregate pushdown: count/min/max compute in the scan, limit refuses it") {
     withServer { (url, _) =>
       val base = spark.read.format(GatherSource.Format)

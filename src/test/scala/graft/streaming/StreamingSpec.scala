@@ -37,6 +37,34 @@ class StreamingSpec extends SparkSpec {
     assert(stream.collect().toSeq.map(_.toSeq) == batch.collect().toSeq.map(_.toSeq))
   }
 
+  test("continuous watch (ProcessingTime): files arriving between micro-batches are picked up") {
+    // ST1's actual indefinite-watch semantics (DW.js:32): the daemon never
+    // exits; new arrivals surface in a later micro-batch of the SAME
+    // running query — not a restart.
+    val root = Files.createTempDirectory("graft-watch-cont")
+    Files.write(root.resolve("first.shp"), "first".getBytes)
+    val (q, table) = FileWatch.watch(spark, root.toString, intervalMs = 100L)
+    try {
+      def seen(): Set[String] = spark.table(table).collect()
+        .map(_.getAs[String]("file")).toSet
+      def awaitSeen(want: Set[String]): Unit = {
+        val deadline = System.nanoTime() + 60e9.toLong
+        while (seen() != want && System.nanoTime() < deadline) {
+          q.processAllAvailable()
+          Thread.sleep(50L)
+        }
+        assert(seen() == want, s"watch saw ${seen()}, wanted $want")
+      }
+      awaitSeen(Set("first.shp"))
+      // the query is still running; drop two more files mid-watch
+      Files.write(root.resolve("second.shp"), "second".getBytes)
+      Files.write(root.resolve("third.SHP"), "third".getBytes)
+      Files.write(root.resolve("ignored.txt"), "no".getBytes)
+      awaitSeen(Set("first.shp", "second.shp", "third.SHP"))
+      assert(q.isActive, "a continuous watch must not self-terminate")
+    } finally q.stop()
+  }
+
   test("file-watch snapshot: quiesced inventory of a temp dir (ST1+S1)") {
     val root = Files.createTempDirectory("graft-watch")
     Files.createDirectories(root.resolve("d"))
