@@ -75,16 +75,19 @@ object Events {
   }
 
   /** JSON property extraction (`get_json_object`, codegen'd — no UDF)
-    * aggregated per event type.
+    * aggregated per event type. `$.k` is projected ONCE before the
+    * aggregate: binding the extraction inside each of sum/min/max would
+    * re-parse the JSON blob three times per row — noise at sf0.1, real
+    * money over 100 TB of props.
     */
-  def jsonExtractStats(spark: SparkSession, dir: String): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
+  def jsonExtractStats(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
-        sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"))
+        sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
-  }
 
   /** Per-user lag/lead/rank analytics (X6 window family). */
   def lagLeadRank(spark: SparkSession, dir: String): DataFrame = {
@@ -100,16 +103,16 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
-  /** Pivot: per-day event counts widened into one column per type
-    * (explicit value list — required for a deterministic schema, and at
-    * scale it avoids the extra distinct-values job).
-    */
   /** The fixture's event-type domain — single source for the pivot value
     * list and the unpivot column list, so the round-trip law the oracle
     * asserts can't drift when a type is added or renamed.
     */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
+  /** Pivot: per-day event counts widened into one column per type
+    * (explicit value list — required for a deterministic schema, and at
+    * scale it avoids the extra distinct-values job).
+    */
   def pivotDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),

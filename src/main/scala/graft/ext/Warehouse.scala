@@ -55,25 +55,44 @@ object Warehouse {
 
   /** MERGE INTO base USING changes ON key: WHEN MATCHED AND op='U' →
     * update, WHEN MATCHED AND op='D' → delete, WHEN NOT MATCHED AND
-    * op='I' → insert. Expressed as ONE full-outer equi-join on the key +
-    * branch projection — the co-partitioned single-shuffle plan. At 100 TB
-    * the base side is bucketed/partitioned on the key so the recurring
-    * merge shuffles only the (small) change set; nothing here is
-    * driver-side row-at-a-time.
+    * op='I' → insert. Any other combination is a no-op per ANSI MERGE:
+    * a MATCHED row whose op is 'I' keeps the base row (it does NOT
+    * overwrite), and an unmatched 'U'/'D' touches nothing.
+    *
+    * Contract (as in SQL MERGE, where a multiply-matched target row is a
+    * runtime error): `changes` must carry at most one row per key.
+    * Duplicate change keys would fan out through the equi-join and yield
+    * one output row per duplicate; callers own that dedup because
+    * asserting it here would cost an extra aggregate pass over the
+    * change set on every merge.
+    *
+    * Expressed as ONE full-outer equi-join on the key + branch
+    * projection — the co-partitioned single-shuffle plan. At 100 TB the
+    * base side is bucketed/partitioned on the key so the recurring merge
+    * shuffles only the (small) change set; nothing here is driver-side
+    * row-at-a-time.
     */
   def mergeUpsert(base: DataFrame, changes: DataFrame): DataFrame = {
-    val matchedOp = coalesce(col("op"), lit("keep"))
-    base.join(changes, Seq("key"), "full_outer")
-      .filter(matchedOp =!= "D")
+    // Presence markers survive the full-outer join where natural columns
+    // could be legitimately NULL on a present side.
+    val b = base.withColumn("_base", lit(true))
+    val c = changes.withColumn("_chg", lit(true))
+    val matched = col("_base").isNotNull && col("_chg").isNotNull
+    val action = when(matched && col("op") === "U", "updated")
+      .when(matched && col("op") === "D", "deleted")
+      .when(col("_base").isNull && col("op") === "I", "inserted")
+      .when(col("_base").isNotNull, "kept") // incl. matched+'I' fall-through
+    // NULL action = change-only 'U'/'D' (no target row): no-op, dropped.
+    b.join(c, Seq("key"), "full_outer")
+      .withColumn("action", action)
+      .filter(col("action").isNotNull && col("action") =!= "deleted")
       .select(
         col("key"),
-        when(matchedOp.isin("U", "I"), col("u_name"))
+        when(col("action").isin("updated", "inserted"), col("u_name"))
           .otherwise(col("name")).as("name"),
-        when(matchedOp.isin("U", "I"), col("u_bal"))
+        when(col("action").isin("updated", "inserted"), col("u_bal"))
           .otherwise(col("bal")).cast("double").as("bal"),
-        when(col("op") === "U", "updated")
-          .when(col("op") === "I", "inserted")
-          .otherwise("kept").as("action"))
+        col("action"))
   }
 
   /** The oracled fixture instantiation of [[mergeUpsert]]. */

@@ -1741,11 +1741,12 @@ shingles AS (
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               CAST(SUM(n_tokens)
+                 OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
                  AS cum_tokens
         FROM d)
       SELECT doc_id, n_tokens, cum_tokens,
-             (cum_tokens - n_tokens) // 2000 AS shard_id
+             CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
       FROM c ORDER BY doc_id""",
     // PII scrub: synthetic deterministic PII appended (the corpus has
     // none), then count + redact email/IPv4/phone. Regexes are the

@@ -36,6 +36,21 @@ class WarehouseSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("mergeUpsert: ANSI no-op branches — matched 'I' keeps base, unmatched 'U'/'D' vanish") {
+    val changes = Seq(
+      // matched row with op='I': NOT an overwrite — base row survives as-is
+      (1L, "SHOULD NOT APPEAR", BigDecimal("999.00"), "I"),
+      // update/delete of keys absent from base: no target row, no output
+      (8L, "ghost", BigDecimal("1.00"), "U"),
+      (9L, "ghost", BigDecimal("1.00"), "D"))
+      .toDF("key", "u_name", "u_bal", "op")
+    val out = Warehouse.mergeUpsert(base, changes).orderBy("key").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3))).toSeq == Seq(
+      (1L, "a", 10.0, "kept"),
+      (2L, "b", 20.0, "kept"),
+      (3L, "c", 30.0, "kept")))
+  }
+
   test("cdcApply: last op wins, deletes drop, delete-then-insert resurrects") {
     val log = Seq(
       // key 1: I then U -> present with the U payload
