@@ -195,6 +195,8 @@ object SparkEntry {
     // canonical survivor flagged. Oracled against an unrolled fixed-round
     // propagation (components converge well inside the unroll bound).
     "dedup_clusters" -> ((s, d) => graft.ext.TextDedup.nearDupClusters(s, d)),
+    "dedup_clusters_star" -> ((s, d) => graft.ext.TextDedup.nearDupClustersStar(s, d)),
+    "dedup_incremental" -> ((s, d) => graft.ext.TextDedup.incrementalDedup(s, d)),
     "dedup_jaccard_pairs" -> ((s, d) => graft.ext.TextDedup.jaccardPairs(s, d)),
     "embed_cosine_topk" -> ((s, d) => graft.ext.Similarity.cosineTopK(s, d)),
     "embed_ann_lsh" -> ((s, d) => graft.ext.Similarity.annLshTopK(s, d)),

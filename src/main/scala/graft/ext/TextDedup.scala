@@ -494,6 +494,58 @@ object TextDedup {
   def exactSalted(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
     exactSaltedOf(Tables.documents(spark, dir), salts)
 
+  /** X49: incremental corpus dedup — the recurring-ingest form of exact
+    * dedup. A NEW batch (doc_id % 10 == 0, the deterministic fixture
+    * split) must be deduplicated against the already-curated corpus
+    * (everything else) without reprocessing the corpus: per batch doc,
+    * was its content already in the corpus (`dup_in_corpus`), is it a
+    * repeat within its own batch (`dup_in_batch`, keep-first), and the
+    * resulting admission verdict (`keep`). Content key = the sync
+    * fixture's md5 derivation (DataWarehouse.js:97-99's quirk-preserving
+    * dup injection), so every branch is populated at every SF.
+    *
+    * Scale shape — the point of the operator: the corpus side is never
+    * re-shuffled per ingest. Its key set is summarized ONCE into a Bloom
+    * filter (distributed `stat.bloomFilter` build; the driver holds only
+    * the fixed-size bitmap, ~9.6 bits/key at 1% fpp) applied as a
+    * codegen'd predicate ([[graft.functions.BloomPrefilter]]) on the
+    * batch BEFORE any join: only the fpp-bounded survivor set pays the
+    * exact confirm semi-join (no false negatives ⟹ bit-identical to the
+    * plain join). Within-batch keep-first is one window over the batch
+    * alone. At 100 TB the bloom is built once per cycle and reused for
+    * every arriving batch; the confirm join's corpus side is a
+    * key-distinct projection that prunes to one column at the scan.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 17 === 5,
+        md5(concat(lit("dup_"), (col("doc_id") % 4).cast("string"))))
+        .otherwise(md5(col("text"))).as("h"))
+    val corpusKeys = keyed.filter(col("doc_id") % 10 =!= 0)
+      .select("h").distinct()
+    val batch = keyed.filter(col("doc_id") % 10 === 0)
+    val mightBeDup = graft.functions.BloomPrefilter.prefilter(
+      corpusKeys.select(xxhash64(col("h")).as("hk")), "hk",
+      expectedKeys = 1L << 16)(xxhash64(col("h")))
+    val flagged = batch.withColumn("maybe", mightBeDup)
+    // exact confirm ONLY for bloom survivors; pruned rows rejoin with a
+    // definitive false (bloom has no false negatives)
+    val confirmed = flagged.filter(col("maybe"))
+      .join(corpusKeys.withColumn("in_corpus", lit(true)), Seq("h"), "left")
+      .withColumn("in_corpus", coalesce(col("in_corpus"), lit(false)))
+    val pruned = flagged.filter(!col("maybe"))
+      .withColumn("in_corpus", lit(false))
+    val w = Window.partitionBy("h")
+    confirmed.unionByName(pruned)
+      .withColumn("first_id", min("doc_id").over(w))
+      .select(col("doc_id"),
+        col("in_corpus").as("dup_in_corpus"),
+        (col("doc_id") =!= col("first_id")).as("dup_in_batch"),
+        (!col("in_corpus") && col("doc_id") === col("first_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** X2 verification — exact n-gram Jaccard via a *prefix-filtered*
     * set-similarity self-join (PPJoin-style).
     *
@@ -612,9 +664,10 @@ object TextDedup {
     * (labels and edges never leave the cluster; only the one-row
     * convergence probe comes back). Near-dup components are
     * diameter-bounded by construction (band collisions chain only through
-    * genuinely similar docs), so the round count stays single-digit; on
-    * an adversarial long-chain graph at 100 TB the same join shape runs
-    * as large-star/small-star rewiring to bound rounds at O(log n).
+    * genuinely similar docs), so the round count stays single-digit; for
+    * adversarial long-chain graphs the large-star/small-star form
+    * ([[nearDupClustersStar]] / [[Components.starComponents]]) bounds
+    * rounds at O(log n).
     * Each round is one shuffle on the node id; labels persist per round
     * and unpersist as soon as the next round lands.
     */
@@ -714,6 +767,35 @@ object TextDedup {
     backing.unpersist()
     edges.unpersist()
     result.orderBy("doc_id")
+  }
+
+  /** [[nearDupClusters]] computed by alternating large-star/small-star
+    * rewiring ([[Components.starComponents]]) instead of min-label
+    * propagation — identical output (same pair graph, same min-id
+    * canonical labeling), logarithmic rounds on adversarial chain-shaped
+    * graphs where propagation would need diameter rounds. Kept beside
+    * the propagation form as an oracled twin so both stay verified; at
+    * 100 TB this is the variant to run when pair-graph diameter is
+    * unknown.
+    */
+  def nearDupClustersStar(spark: SparkSession, dir: String,
+                          minSim: Double = 0.5): DataFrame = {
+    // Same loop-local tuning rationale as nearDupClusters: shuffles are
+    // sized to the pair graph, AQE's per-exchange re-planning is pure
+    // latency on an iterative chain of small bounded shuffles.
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pairs = cachedMinhashPairs(spark, dir)
+        .filter(col("est_sim") >= minSim).select("doc_a", "doc_b")
+      Components.starComponents(pairs).labels
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          (col("id") === col("comp")).as("is_canonical"))
+        .orderBy("doc_id")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   // ------------------------------------------ duplication coverage / boilerplate

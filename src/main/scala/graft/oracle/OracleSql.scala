@@ -2147,6 +2147,28 @@ shingles AS (
       SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
              COUNT(*) AS n_copies
       FROM documents GROUP BY md5(text) ORDER BY keep_doc_id""",
+    // Incremental corpus dedup: batch = doc_id%10==0, corpus = the rest;
+    // content key = the sync fixture's dup-injecting md5 derivation. The
+    // Spark side's Bloom prefilter has no false negatives, so the naive
+    // IN-subquery statement here is value-identical by construction.
+    "dedup_incremental" -> """
+      WITH keyed AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 5
+                    THEN md5('dup_' || CAST(doc_id % 4 AS VARCHAR))
+                    ELSE md5(text) END AS h
+        FROM documents),
+      corpus AS (SELECT DISTINCT h FROM keyed WHERE doc_id % 10 <> 0),
+      batch AS (SELECT doc_id, h FROM keyed WHERE doc_id % 10 = 0),
+      b AS (
+        SELECT doc_id, h,
+               MIN(doc_id) OVER (PARTITION BY h) AS first_id,
+               h IN (SELECT h FROM corpus) AS dup_in_corpus
+        FROM batch)
+      SELECT doc_id, dup_in_corpus,
+             doc_id <> first_id AS dup_in_batch,
+             (NOT dup_in_corpus) AND doc_id = first_id AS keep
+      FROM b ORDER BY doc_id""",
     // Mirrors Events.rangeJoinSignupWindow: purchases within the hour
     // after each signup (equi-key + interval predicate in the join).
     "events_range_join" -> s"""
@@ -2495,5 +2517,8 @@ shingles AS (
     */
   def all: Map[String, String] =
     sync_queries ++ analytics_queries ++ events_queries ++ llm_queries ++
-      stream_sink_queries ++ coverage_queries ++ warehouse_queries
+      stream_sink_queries ++ coverage_queries ++ warehouse_queries +
+      // the star-rewiring CC twin computes the SAME clustering as the
+      // propagation form, so it shares dedup_clusters' oracle verbatim
+      ("dedup_clusters_star" -> llm_queries("dedup_clusters"))
 }
