@@ -219,6 +219,15 @@ object SparkEntry {
     // BM25 keyword relevance top-k (fixed small query → narrow per-doc
     // tf arrays + one broadcast stats row + TakeOrderedAndProject)
     "text_bm25_topk" -> ((s, d) => graft.ext.Search.bm25TopK(s, d)),
+    // per-doc cross-entropy under the corpus-trained unigram LM
+    // (CCNet-style quality signal; (doc,type)-combined scoring join)
+    "text_lm_crossentropy" -> ((s, d) => graft.ext.LangModel.lmCrossEntropy(s, d)),
+    // BPE tokenizer training's pair-selection step: top adjacent char
+    // pairs over word TYPES weighted by count (vocabulary-collapsed)
+    "text_bpe_merges" -> ((s, d) => graft.ext.LangModel.bpeMerges(s, d)),
+    // uniform-target language rebalancing: integer-threshold md5 sampler,
+    // group stats broadcast, the sample itself a narrow scan filter
+    "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
     // top co-occurring token pairs (per-doc distinct self-join + PMI)
     "text_collocations" -> ((s, d) => graft.ext.Search.collocations(s, d)),
     // per-day volume z-score monitor (exact integral moments)
@@ -404,6 +413,9 @@ object SparkEntry {
     // CDC changelog -> snapshot compaction (last op per key wins,
     // deletes drop the key; one window shuffle)
     "cdc_apply" -> ((s, d) => graft.ext.Warehouse.cdcApplyQuery(s, d)),
+    // version-to-version table diff on content fingerprints (full-outer
+    // key join over two narrow (key, md5) projections)
+    "warehouse_snapshot_diff" -> ((s, d) => graft.ext.Warehouse.snapshotDiffQuery(s, d)),
     // native UNPIVOT of the wide day×type matrix; oracle states the
     // round-trip law unpivot(pivot(x)) == groupBy(x)
     "events_unpivot" -> ((s, d) => graft.ext.Events.unpivotDaily(s, d)),

@@ -385,6 +385,47 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** X52: data-mixture rebalancing — downsample over-represented
+    * language groups to a uniform target mixture (the data-mixing step
+    * every multilingual training pipeline runs; DoReMi/ROOTS-style but
+    * with the classic deterministic-hash sampler). Downsample-only: the
+    * target per-group count is the smallest group's `n_min`, so
+    * keep-probability is `n_min/n_g` and no group is ever upsampled.
+    *
+    * The admission decision is a pure per-row predicate (md5 bucket of
+    * doc_id vs an INTEGER threshold `65536*n_min/n_g` — exact integer
+    * math, no float boundary): at 100 TB the group stats are one tiny
+    * aggregate broadcast back, and the sample itself never shuffles — a
+    * narrow filter over the scan, reproducible run-to-run by salt.
+    * Output is the per-group audit row: planned probability vs realized
+    * kept count.
+    */
+  def mixRebalance(spark: SparkSession, dir: String,
+                   salt: String = "mix_v1"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nMin = byLang.agg(min("n_docs").as("n_min"), sum("n_docs").as("n_total"))
+    val stats = byLang.crossJoin(broadcast(nMin))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("share"),
+        // exact integer threshold over the 16-bit md5 bucket space —
+        // `div`, never `/`+cast: float division would round-vs-truncate
+        // differently across engines right at the cast boundary
+        expr("(65536 * n_min) div n_docs").as("threshold"))
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long") // 0..65535
+    val kept = docs.select(col("doc_id"), col("lang"))
+      .withColumn("bucket", bucket)
+      .join(broadcast(stats.select("lang", "threshold")), Seq("lang"))
+      .filter(col("bucket") < col("threshold"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    stats.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("share"),
+        round(col("threshold").cast("double") / 65536d, 6).as("keep_prob"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** The higher-order array-function surface (transform / filter /
     * aggregate / array_sort / slice) over per-doc token lists — all
     * codegen'd lambda expressions evaluated inline per row, zero shuffle,

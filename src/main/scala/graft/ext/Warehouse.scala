@@ -137,4 +137,48 @@ object Warehouse {
   /** The oracled fixture instantiation of [[cdcApply]]. */
   def cdcApplyQuery(spark: SparkSession, dir: String): DataFrame =
     cdcApply(docChangelog(spark, dir)).orderBy("key")
+
+  /** X53: snapshot diff — classify every key across two table versions
+    * as added / removed / changed / unchanged (the "what did this load
+    * do" audit between lakehouse versions, i.e. table time-travel diff).
+    *
+    * Change detection compares md5 CONTENT fingerprints, never the full
+    * payload: at 100 TB both sides project (key, fingerprint) at the
+    * scan — two narrow columns through one co-partitioned full-outer
+    * join on the key, identical shape to [[mergeUpsert]]. The reference
+    * does the same classification one `filter`/`find` pair at a time
+    * (DataWarehouse.js:140-180); here it is a single relational pass.
+    */
+  def snapshotDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("fp").as("fp1"),
+      lit(true).as("_v1"))
+    val b = v2.select(col("doc_id"), col("fp").as("fp2"),
+      lit(true).as("_v2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("_v1").isNull, "added")
+          .when(col("_v2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** The oracled fixture instantiation of [[snapshotDiff]]: v1 is the
+    * documents table, v2 a deterministic next version — every 31st doc
+    * (mod 7) dropped, every 13th (mod 3) edited, a disjoint +1e6-keyed
+    * batch appended — so all four statuses are populated at every SF.
+    */
+  def snapshotDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val v2base = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 31 =!= 7)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 13 === 3, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp"))
+    val v2new = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        md5(concat(lit("new "), col("text"))).as("fp"))
+    snapshotDiff(v1, v2base.unionByName(v2new)).orderBy("doc_id")
+  }
 }

@@ -1846,6 +1846,71 @@ shingles AS (
     // so AVG(dl) is partition-order-exact; ordering uses the UNROUNDED
     // score (cross-engine ties are exactly-equal doubles, broken by
     // doc_id) and only the projected score is rounded.
+    // Unigram-LM cross-entropy: Spark scores over (doc, type, cnt)
+    // triples, the oracle over raw occurrences — identical sums up to FP
+    // association, settled by the 6dp round. The join-back token key is
+    // total by construction (every doc token is in the corpus model).
+    "text_lm_crossentropy" -> """
+      WITH raw AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents),
+      t AS (SELECT doc_id, tok FROM raw WHERE tok <> ''),
+      counts AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+      tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM counts),
+      model AS (
+        SELECT tok, CAST(c + 1 AS DOUBLE) / (n + v) AS p FROM counts, tot)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             ROUND(-SUM(log2(p)) / COUNT(*), 6) AS bits_per_token
+      FROM t JOIN model USING (tok)
+      GROUP BY doc_id ORDER BY doc_id""",
+    // BPE pair selection: pair counts ride word-TYPE counts (the same
+    // vocabulary collapse the Spark side does); deterministic tie-break
+    // on the pair text before the LIMIT cut.
+    "text_bpe_merges" -> """
+      WITH raw AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents),
+      wc AS (
+        SELECT w, COUNT(*) AS wc FROM raw WHERE length(w) >= 2 GROUP BY w),
+      pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+        FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM wc) t)
+      SELECT pair, CAST(SUM(wc) AS BIGINT) AS freq
+      FROM pairs GROUP BY pair
+      ORDER BY freq DESC, pair LIMIT 20""",
+    // Mixture rebalance: the admission threshold is EXACT integer math
+    // ((65536*n_min) // n_g) on both engines — float division would
+    // round-vs-truncate differently at the cast; only the reported
+    // share/keep_prob columns are float, and both are 6dp-rounded.
+    "curation_mix_rebalance" -> """
+      WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      m AS (SELECT MIN(n_docs) AS n_min, SUM(n_docs) AS n_total FROM g),
+      stats AS (
+        SELECT lang, n_docs,
+               ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS share,
+               CAST((65536 * n_min) // n_docs AS BIGINT) AS threshold
+        FROM g, m),
+      b AS (
+        SELECT lang,
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+               (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+               (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS bucket
+        FROM (SELECT lang,
+                     md5(CAST(doc_id AS VARCHAR) || '|' || 'mix_v1') AS h
+              FROM documents) t),
+      k AS (
+        SELECT b.lang, COUNT(*) AS n_kept
+        FROM b JOIN stats s ON b.lang = s.lang
+        WHERE b.bucket < s.threshold
+        GROUP BY b.lang)
+      SELECT lang, n_docs, share,
+             ROUND(CAST(threshold AS DOUBLE) / 65536, 6) AS keep_prob,
+             CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+      FROM stats LEFT JOIN k USING (lang)
+      ORDER BY lang""",
     "text_bm25_topk" -> """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       t AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
@@ -2288,6 +2353,26 @@ shingles AS (
       SELECT key, val, lang, op AS last_op, n_ops
       FROM ranked WHERE rn = 1 AND op <> 'D'
       ORDER BY key""",
+    // Version-to-version diff on md5 content fingerprints; v2 is the
+    // deterministic mutation (drop %31=7, edit %13=3, append +1e6 keys)
+    // so all four statuses exist at every SF.
+    "warehouse_snapshot_diff" -> """
+      WITH v1 AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      v2 AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 13 = 3 THEN text || ' v2'
+                        ELSE text END) AS fp
+        FROM documents WHERE doc_id % 31 <> 7
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, md5('new ' || text) AS fp
+        FROM documents WHERE doc_id % 50 = 0)
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.fp <> v2.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      ORDER BY doc_id""",
     // The oracle states the SEMANTICS (naive all-pairs distance filter);
     // the Spark side computes it as a lossless grid join — agreement
     // proves the 3×3 neighborhood covers the search disc. Integer

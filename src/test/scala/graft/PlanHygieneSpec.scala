@@ -18,7 +18,9 @@ class PlanHygieneSpec extends SparkSpec {
     *  - broadcast single global-aggregate row (moments, totals,
     *    thresholds): dq_volume_anomaly, events_rolling_users,
     *    text_heavy_hitters, text_collocations, text_langid_ngram,
-    *    sync_summary, events_funnel (per-stage bound row)
+    *    sync_summary, events_funnel (per-stage bound row),
+    *    text_lm_crossentropy (one (N,V) smoothing row),
+    *    curation_mix_rebalance (one (n_min,n_total) row)
     *  - TPC-H scalar/IN subqueries over dimension-sized sets:
     *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
     *    tpch_q22_dormant
@@ -32,7 +34,7 @@ class PlanHygieneSpec extends SparkSpec {
     "text_bm25_topk",
     "dq_volume_anomaly", "events_rolling_users", "text_heavy_hitters",
     "text_collocations", "text_langid_ngram", "sync_summary",
-    "events_funnel",
+    "events_funnel", "text_lm_crossentropy", "curation_mix_rebalance",
     "tpch_q9_profit", "tpch_q11_stock", "tpch_q16_partsupp",
     "tpch_q20_promo", "tpch_q22_dormant")
 

@@ -79,4 +79,20 @@ class WarehouseSpec extends SparkSpec {
     val ins = chg.filter(col("op") === "I").count()
     assert(n == baseN - dels + ins)
   }
+
+  test("snapshotDiff: statuses match the modular construction exactly") {
+    val ids = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected =
+      ids.map { id =>
+        id -> (if (id % 31 == 7) "removed"
+               else if (id % 13 == 3) "changed"
+               else "unchanged")
+      } ++ ids.filter(_ % 50 == 0).map(id => (id + 1000000L) -> "added")
+    val got = Warehouse.snapshotDiffQuery(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == expected)
+    // all four statuses populated at the smallest SF
+    assert(got.map(_._2) == Set("added", "removed", "changed", "unchanged"))
+  }
 }
