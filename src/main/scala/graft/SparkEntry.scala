@@ -318,6 +318,9 @@ object SparkEntry {
     "dedup_exact_salted" -> ((s, d) => graft.ext.TextDedup.exactSalted(s, d)),
     "events_asof_join" -> (graft.ext.Events.asofSignup(_, _)),
     "events_range_join" -> ((s, d) => graft.ext.Events.rangeJoinSignupWindow(s, d)),
+    // naive no-equi-key abs(Δt)<=w join, planned as a banded equi-join
+    // by the injected BandJoinRewrite optimizer rule
+    "events_band_join" -> ((s, d) => graft.ext.Events.bandJoinNearClicks(s, d)),
     // rows-only (Spark-internal hash family; portable twin: dedup_minhash_pairs)
     "dedup_minhash_ml" -> ((s, d) => graft.ext.TextDedup.mlMinhashPairs(s, d)),
     // faithful sequential-claim pass 2 (cogroup-per-md5 greedy); oracled

@@ -161,6 +161,29 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Cross-USER temporal proximity — clicks within ±30 min of each error
+    * event, no equi key anywhere: the query a user writes naively as
+    * `JOIN ON abs(e.us - c.us) <= w`, which Spark alone can only plan as
+    * an O(n·m) nested loop. [[graft.plans.BandJoinRewrite]] (registered
+    * on the live session here; injected via GraftExtensions in
+    * session-built deployments) rewrites it to a banded equi-join — the
+    * DataFrame stays the naive declarative form, the OPTIMIZER supplies
+    * the scale. BandJoinRewriteSpec pins both plan shapes and value
+    * equality against the un-rewritten nested loop.
+    */
+  def bandJoinNearClicks(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.BandJoinRewrite.ensureRegistered(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("us").as("e_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("us").as("c_us"))
+    errors.join(clicks, abs(col("e_us") - col("c_us")) <= lit(1800000000L))
+      .groupBy("event_id").agg(count(lit(1)).as("n_near"))
+      .orderBy("event_id")
+  }
+
   /** Interval/range join: purchases landing inside the hour after each
     * signup of the same user. The range predicate rides the user_id
     * equi-key, so this plans as a hash/sort-merge join on user with the

@@ -2252,6 +2252,19 @@ shingles AS (
                         AND p.p_us >= s.s_us AND p.p_us < s.s_us + 3600000000
       GROUP BY s.signup_id, s.user_id, s.s_us
       ORDER BY s.signup_id""",
+    // The oracle states the NAIVE band join; the Spark side runs the
+    // same naive form and the BandJoinRewrite optimizer rule supplies
+    // the banded equi-join plan — agreement proves the rewrite lossless.
+    "events_band_join" -> """
+      WITH ev AS (
+        SELECT event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      e AS (SELECT event_id, us AS e_us FROM ev WHERE event_type = 'error'),
+      c AS (SELECT us AS c_us FROM ev WHERE event_type = 'click')
+      SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_near
+      FROM e JOIN c ON abs(e.e_us - c.c_us) <= 1800000000
+      GROUP BY e.event_id ORDER BY e.event_id""",
     "events_asof_join" -> """
       SELECT event_id, user_id, us, prev_signup_us,
              us - prev_signup_us AS since_signup_us
