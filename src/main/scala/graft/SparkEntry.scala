@@ -230,6 +230,10 @@ object SparkEntry {
     "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
     // top co-occurring token pairs (per-doc distinct self-join + PMI)
     "text_collocations" -> ((s, d) => graft.ext.Search.collocations(s, d)),
+    // posting-list relation as a first-class artifact (sorted postings)
+    "text_inverted_index" -> ((s, d) => graft.ext.Search.invertedIndex(s, d)),
+    // 3-round PageRank power iteration over the cust<->supp trade graph
+    "graph_pagerank" -> ((s, d) => graft.ext.Graphs.pagerank(s, d)),
     // per-day volume z-score monitor (exact integral moments)
     "dq_volume_anomaly" -> ((s, d) => graft.ext.DataQuality.volumeAnomalies(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),

@@ -1846,6 +1846,61 @@ shingles AS (
     // so AVG(dl) is partition-order-exact; ordering uses the UNROUNDED
     // score (cross-engine ties are exactly-equal doubles, broken by
     // doc_id) and only the projected score is rounded.
+    // Inverted index: sorted CSV posting lists are engine-portable and
+    // hash-exact (no float, no list-type comparison quirks).
+    "text_inverted_index" -> """
+      WITH t AS (
+        SELECT DISTINCT doc_id, term
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+              FROM documents)
+        WHERE term <> '')
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             array_to_string(list_sort(list(doc_id)), ',') AS postings
+      FROM t GROUP BY term HAVING COUNT(*) >= 2
+      ORDER BY term""",
+    // PageRank: the oracle unrolls the exact 3 power iterations the
+    // Spark side runs (same damping, same symmetric edge set, no
+    // dangling term because symmetrization gives every node outdeg>=1);
+    // ranks are reported x N so the 6dp round is scale-meaningful.
+    "graph_pagerank" -> """
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 10000000 AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM cs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM cs),
+      outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      pr0 AS (SELECT id, 1.0 / n AS pr FROM nodes, nn),
+      pr1 AS (
+        SELECT nd.id, 0.15 / nn.n + 0.85 * COALESCE(s.c, 0) AS pr
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (SELECT e.dst AS id, SUM(p.pr / od.deg) AS c
+                   FROM edges e
+                   JOIN outdeg od ON od.src = e.src
+                   JOIN pr0 p ON p.id = e.src
+                   GROUP BY e.dst) s ON s.id = nd.id),
+      pr2 AS (
+        SELECT nd.id, 0.15 / nn.n + 0.85 * COALESCE(s.c, 0) AS pr
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (SELECT e.dst AS id, SUM(p.pr / od.deg) AS c
+                   FROM edges e
+                   JOIN outdeg od ON od.src = e.src
+                   JOIN pr1 p ON p.id = e.src
+                   GROUP BY e.dst) s ON s.id = nd.id),
+      pr3 AS (
+        SELECT nd.id, 0.15 / nn.n + 0.85 * COALESCE(s.c, 0) AS pr
+        FROM nodes nd CROSS JOIN nn
+        LEFT JOIN (SELECT e.dst AS id, SUM(p.pr / od.deg) AS c
+                   FROM edges e
+                   JOIN outdeg od ON od.src = e.src
+                   JOIN pr2 p ON p.id = e.src
+                   GROUP BY e.dst) s ON s.id = nd.id)
+      SELECT id, ROUND(pr * nn.n, 6) AS pr_norm
+      FROM pr3 CROSS JOIN nn ORDER BY id""",
     // Unigram-LM cross-entropy: Spark scores over (doc, type, cnt)
     // triples, the oracle over raw occurrences — identical sums up to FP
     // association, settled by the 6dp round. The join-back token key is

@@ -20,7 +20,8 @@ class PlanHygieneSpec extends SparkSpec {
     *    text_heavy_hitters, text_collocations, text_langid_ngram,
     *    sync_summary, events_funnel (per-stage bound row),
     *    text_lm_crossentropy (one (N,V) smoothing row),
-    *    curation_mix_rebalance (one (n_min,n_total) row)
+    *    curation_mix_rebalance (one (n_min,n_total) row),
+    *    graph_pagerank (one node-count row per iteration)
     *  - TPC-H scalar/IN subqueries over dimension-sized sets:
     *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
     *    tpch_q22_dormant
@@ -35,6 +36,7 @@ class PlanHygieneSpec extends SparkSpec {
     "dq_volume_anomaly", "events_rolling_users", "text_heavy_hitters",
     "text_collocations", "text_langid_ngram", "sync_summary",
     "events_funnel", "text_lm_crossentropy", "curation_mix_rebalance",
+    "graph_pagerank",
     "tpch_q9_profit", "tpch_q11_stock", "tpch_q16_partsupp",
     "tpch_q20_promo", "tpch_q22_dormant")
 
