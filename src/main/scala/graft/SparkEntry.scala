@@ -325,6 +325,8 @@ object SparkEntry {
     // naive no-equi-key abs(Δt)<=w join, planned as a banded equi-join
     // by the injected BandJoinRewrite optimizer rule
     "events_band_join" -> ((s, d) => graft.ext.Events.bandJoinNearClicks(s, d)),
+    // asymmetric (strictly-after) band conjuncts through the same rule
+    "events_band_join_after" -> ((s, d) => graft.ext.Events.bandJoinClicksAfter(s, d)),
     // rows-only (Spark-internal hash family; portable twin: dedup_minhash_pairs)
     "dedup_minhash_ml" -> ((s, d) => graft.ext.TextDedup.mlMinhashPairs(s, d)),
     // faithful sequential-claim pass 2 (cogroup-per-md5 greedy); oracled

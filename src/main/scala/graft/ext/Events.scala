@@ -184,6 +184,27 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** The DIRECTIONAL band join — clicks in the 30 minutes strictly AFTER
+    * each error (any user): the asymmetric `0 <= c - e <= w` conjunct
+    * pair, which [[graft.plans.BandJoinRewrite]] normalizes into the
+    * symmetric band form in doubled coordinates. Same naive declarative
+    * DataFrame, same optimizer-supplied scale.
+    */
+  def bandJoinClicksAfter(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.BandJoinRewrite.ensureRegistered(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("us").as("e_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("us").as("c_us"))
+    errors.join(clicks,
+        col("c_us") - col("e_us") <= lit(1800000000L) &&
+          col("e_us") - col("c_us") <= lit(0L))
+      .groupBy("event_id").agg(count(lit(1)).as("n_after"))
+      .orderBy("event_id")
+  }
+
   /** Interval/range join: purchases landing inside the hour after each
     * signup of the same user. The range predicate rides the user_id
     * equi-key, so this plans as a hash/sort-merge join on user with the

@@ -2320,6 +2320,18 @@ shingles AS (
       SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_near
       FROM e JOIN c ON abs(e.e_us - c.c_us) <= 1800000000
       GROUP BY e.event_id ORDER BY e.event_id""",
+    // the asymmetric twin: clicks 0..30 min strictly AFTER each error
+    "events_band_join_after" -> """
+      WITH ev AS (
+        SELECT event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      e AS (SELECT event_id, us AS e_us FROM ev WHERE event_type = 'error'),
+      c AS (SELECT us AS c_us FROM ev WHERE event_type = 'click')
+      SELECT e.event_id, CAST(COUNT(*) AS BIGINT) AS n_after
+      FROM e JOIN c ON c.c_us - e.e_us <= 1800000000
+                   AND e.e_us - c.c_us <= 0
+      GROUP BY e.event_id ORDER BY e.event_id""",
     "events_asof_join" -> """
       SELECT event_id, user_id, us, prev_signup_us,
              us - prev_signup_us AS since_signup_us

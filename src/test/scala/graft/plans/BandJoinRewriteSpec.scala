@@ -62,6 +62,38 @@ class BandJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("asymmetric conjuncts rewrite too, all spellings, value-invisible") {
+    val xs = Seq(-40L, -13L, -1L, 0L, 1L, 7L, 13L, 26L, 100L)
+    val ys = Seq(-26L, -14L, -13L, -2L, 0L, 6L, 13L, 39L, 87L)
+    // (w1, w2): y in [x - w1, x + w2]; includes a negative bound
+    // (strictly-after windows) and a zero-width point band
+    for ((w1, w2) <- Seq((0L, 20L), (5L, 5L), (-3L, 10L), (0L, 0L), (30L, -1L))) {
+      def cond = (col("x") - col("y") <= lit(w1)) &&
+        (col("y") - col("x") <= lit(w2))
+      val df = xs.toDF("x").join(ys.toDF("y"), cond)
+      val expected = (for (x <- xs; y <- ys if y >= x - w1 && y <= x + w2)
+        yield (x, y)).sorted
+      val plain = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val (rewritten, plan) = withRule {
+        val d2 = xs.toDF("x").join(ys.toDF("y"), cond)
+        (d2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
+          d2.queryExecution.executedPlan.toString)
+      }
+      assert(plain == expected, s"($w1,$w2): naive form wrong")
+      assert(rewritten == expected, s"($w1,$w2): rewrite changed the result")
+      if (w1 + w2 >= 0)
+        assert(plan.contains("graft_band"), s"($w1,$w2): not rewritten:\n$plan")
+    }
+    // spelling variants normalize: literal-on-left and > / >= forms
+    withRule {
+      val a = xs.toDF("x").join(ys.toDF("y"),
+        (lit(0L) >= col("x") - col("y")) && (col("y") - col("x") < lit(21L)))
+      assert(a.queryExecution.executedPlan.toString.contains("graft_band"))
+      val exp = (for (x <- xs; y <- ys if x - y <= 0 && y - x <= 20) yield (x, y)).sorted
+      assert(a.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == exp)
+    }
+  }
+
   test("fixture entry equals its un-rewritten twin") {
     val plain = graft.ext.Events.bandJoinNearClicks(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
