@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout WITHOUT the
+// `[info] ` logger prefix — the bench driver tail-parses the last stdout
+// line as raw JSON, and a prefixed line is not JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The bench driver tail-parses the LAST stdout line as JSON; sbt's
 // `[success] Total time: ...` epilogue otherwise trails the contract
 // line and the driver records parsed:null.

@@ -228,12 +228,50 @@ object SparkEntry {
     // uniform-target language rebalancing: integer-threshold md5 sampler,
     // group stats broadcast, the sample itself a narrow scan filter
     "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
+    // the upsampling twin: whole epochs + fractional md5-admitted extras
+    "curation_mix_upsample" -> ((s, d) => graft.ext.TextStats.mixUpsample(s, d)),
     // top co-occurring token pairs (per-doc distinct self-join + PMI)
     "text_collocations" -> ((s, d) => graft.ext.Search.collocations(s, d)),
     // posting-list relation as a first-class artifact (sorted postings)
     "text_inverted_index" -> ((s, d) => graft.ext.Search.invertedIndex(s, d)),
     // 3-round PageRank power iteration over the cust<->supp trade graph
     "graph_pagerank" -> ((s, d) => graft.ext.Graphs.pagerank(s, d)),
+    // degree-oriented node-iterator triangle counting (co-order parts)
+    "graph_triangles" -> ((s, d) => graft.ext.Graphs.triangles(s, d)),
+    // 3-hop BFS frontier expansion from the 10 smallest part ids
+    "graph_bfs_hops" -> ((s, d) => graft.ext.Graphs.bfsHops(s, d)),
+    // AS-OF join as union+running-window (no O(n*m) pair space)
+    "events_asof_join" -> ((s, d) => graft.ext.Events.asofJoin(s, d)),
+    // first-order Markov transition matrix of per-user event sequences
+    "events_transition_matrix" -> ((s, d) => graft.ext.Events.transitionMatrix(s, d)),
+    // edit-distance<=1 similarity join via deletion-neighborhood blocking
+    "text_fuzzy_join" -> ((s, d) => graft.ext.Linkage.fuzzyNameJoin(s, d)),
+    // association rules (support/confidence/lift) over co-ordered parts
+    "analytics_market_basket" -> ((s, d) => graft.ext.Linkage.marketBasket(s, d)),
+    // KMV sketch mergeability law: day partials rolled == direct monthly
+    "agg_kmv_rollup" -> ((s, d) => graft.ext.Analytics.kmvRollup(s, d)),
+    // 2-D Pareto frontier via two-phase distributed prefix max
+    "analytics_skyline" -> ((s, d) => graft.ext.Analytics.skyline(s, d)),
+    // exact per-segment MAD outliers via the value-histogram median
+    "dq_outlier_mad" -> ((s, d) => graft.ext.Analytics.outlierMad(s, d)),
+    // exact-moment least squares (slope/intercept/r2 per return flag)
+    "agg_regression_exact" -> ((s, d) => graft.ext.Analytics.regressionExact(s, d)),
+    // changelog time travel: snapshots reconstructed at three cuts
+    "cdc_time_travel" -> ((s, d) => graft.ext.Warehouse.cdcTimeTravelQuery(s, d)),
+    // per-doc TF-IDF top-3 keyword extraction (WindowGroupLimit)
+    "text_tfidf_topterms" -> ((s, d) => graft.ext.Search.tfidfTopTerms(s, d)),
+    // exact equi-depth boundaries via two-phase distributed prefix sum
+    "agg_equidepth_hist" -> ((s, d) => graft.ext.Analytics.equidepthHist(s, d)),
+    // debounce-leading dedup: keep burst-starting events only
+    "events_throttle_dedup" -> ((s, d) => graft.ext.Events.throttleDedup(s, d)),
+    // interval-overlap join on a 6h grid (sessions x promo windows)
+    "events_interval_join" -> ((s, d) => graft.ext.Events.intervalJoin(s, d)),
+    // incremental JOIN-view maintenance: delta-only join + partial merge
+    "incr_join_merge" -> ((s, d) => graft.ext.Materialize.incrJoinMerge(s, d)),
+    // anti-entropy replica diff via per-range count+xor fingerprints
+    "dq_merkle_ranges" -> ((s, d) => graft.ext.DataQuality.merkleRanges(s, d)),
+    // canonical-representative keep per blocking key (WindowGroupLimit)
+    "dedup_priority_keep" -> ((s, d) => graft.ext.TextDedup.priorityKeep(s, d)),
     // per-day volume z-score monitor (exact integral moments)
     "dq_volume_anomaly" -> ((s, d) => graft.ext.DataQuality.volumeAnomalies(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),

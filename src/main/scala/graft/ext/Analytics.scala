@@ -960,4 +960,241 @@ object Analytics {
       count(lit(1)).over(w3).as("n_in_frame"))
       .orderBy("o_custkey", "o_orderkey")
   }
+
+  /** X63: sketch mergeability as a tested LAW — per-month KMV distinct
+    * sketches built two ways: (a) DIRECT from the month's rows, and (b)
+    * ROLLED UP by merging the per-day sketches (union the k-min sets,
+    * re-take the k smallest). For a k-minimum-values sketch over a
+    * deterministic hash these are provably identical — the property that
+    * makes the sketch safe as a materialized partial aggregate: daily
+    * partials roll to monthly, monthly to yearly, without touching raw
+    * rows again. Both paths ride `slice(array_sort(...), 1, k)` array
+    * expressions (per-group state ≤ k strings; the day→month merge
+    * flattens ≤31 k-arrays). Estimates divide exact BIGINTs from the
+    * leading 15 hex nibbles, so they hash-compare cross-engine; groups
+    * with < k distinct values report their exact size. The oracle states
+    * the DIRECT computation for BOTH columns — equality of the rolled-up
+    * column is exactly the mergeability law.
+    */
+  def kmvRollup(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      date_format(date_trunc("month", col("ts")), "yyyy-MM").as("month"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      md5(col("user_id").cast("string")).as("h"))
+    val kk = lit(k)
+    // (k-1) * 2^32 / U(kth min) with U read from the first 8 hex nibbles
+    // (< 2^32, double-exact) — same estimator as [[kmvDistinct]]
+    def est(sk: org.apache.spark.sql.Column) =
+      when(size(sk) < kk, size(sk).cast("double"))
+        .otherwise(lit((k - 1) * 4294967296.0) /
+          conv(substring(element_at(sk, k), 1, 8), 16, 10).cast("double"))
+    val daily = ev.groupBy("month", "day")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sk"))
+    val rolled = daily.groupBy("month")
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("sk"))))),
+        1, k).as("sk_rolled"))
+    val direct = ev.groupBy("month")
+      .agg(slice(array_sort(collect_set(col("h"))), 1, k).as("sk_direct"),
+        countDistinct(col("h")).as("exact_distinct"))
+    // guards keep element_at in-bounds (ANSI mode) and mirror the
+    // oracle's NULL for under-filled sketches
+    direct.join(rolled, Seq("month"))
+      .select(col("month"),
+        round(est(col("sk_direct")), 6).as("kmv_direct"),
+        round(est(col("sk_rolled")), 6).as("kmv_rolled"),
+        when(size(col("sk_direct")) >= kk, element_at(col("sk_direct"), k))
+          .as("kth_min_direct"),
+        when(size(col("sk_rolled")) >= kk, element_at(col("sk_rolled"), k))
+          .as("kth_min_rolled"),
+        col("exact_distinct"))
+      .orderBy("month")
+  }
+
+  /** X64: 2-D skyline (Pareto frontier) — parts not dominated on
+    * (p_retailprice low, p_size high): no other part is both
+    * cheaper-or-equal and larger-or-equal with at least one strict. A
+    * point survives iff its size strictly exceeds the max size over all
+    * STRICTLY cheaper points. Spark-first shape: not the O(n²)
+    * dominance anti-join the oracle states, and not one unpartitioned
+    * window either (single task) — the same two-phase distributed
+    * prefix-max as the shard packer (X12): fixed-width price buckets
+    * give (a) a per-distinct-price running max WITHIN each bucket
+    * (partitioned window, one row per distinct price so frames exclude
+    * equal prices exactly) and (b) a cross-bucket prefix max over the
+    * tiny bucket-maxima relation, broadcast back. Equal-price points
+    * compare against the same cheaper-prefix and must additionally BE
+    * their price level's max (a same-price strictly-larger point
+    * dominates); ties on both axes keep all copies — matching the
+    * NOT EXISTS spelling row-for-row.
+    */
+  def skyline(spark: SparkSession, dir: String, bucketWidth: Double = 100.0): DataFrame = {
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .withColumn("bkt", floor(col("p_retailprice") / lit(bucketWidth)))
+    // one row per distinct price level inside each bucket
+    val levels = p.groupBy("bkt", "p_retailprice")
+      .agg(max(col("p_size")).as("lvl_max"))
+    val inBkt = Window.partitionBy("bkt").orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRun = levels.withColumn("run_in_bkt",
+      max(col("lvl_max")).over(inBkt))
+    // cross-bucket prefix over the tiny per-bucket maxima relation
+    val bktMax = levels.groupBy("bkt").agg(max(col("lvl_max")).as("bmax"))
+    val prevBkts = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bktPrefix = bktMax.withColumn("before_bkt",
+      max(col("bmax")).over(prevBkts)).select("bkt", "before_bkt")
+    // survive iff (a) no same-price point is strictly larger (size ==
+    // the price level's max) and (b) strictly larger than everything
+    // strictly cheaper (in-bucket run + cross-bucket prefix)
+    p.join(withRun.select(col("bkt"), col("p_retailprice"),
+        col("lvl_max"), col("run_in_bkt")),
+        Seq("bkt", "p_retailprice"))
+      .join(broadcast(bktPrefix), Seq("bkt"))
+      .filter(col("p_size") === col("lvl_max") &&
+        col("p_size") > coalesce(
+          greatest(coalesce(col("run_in_bkt"), lit(Int.MinValue)),
+            coalesce(col("before_bkt"), lit(Int.MinValue))),
+          lit(Int.MinValue)))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy("p_partkey")
+  }
+
+  /** X66: robust outlier detection via Median Absolute Deviation per
+    * market segment — the order-statistic cousin of the z-score monitor
+    * (X28), preferred when the tail itself pollutes mean/stddev. The
+    * exact PERCENTILE_DISC(0.5) median (smallest value whose cumulative
+    * count reaches ⌈n/2⌉ — a value FROM the data, so it hash-compares
+    * bit-for-bit, unlike interpolating medians) is computed via the
+    * VALUE-HISTOGRAM rewrite: group to per-(segment, value) counts,
+    * running-sum over the distinct-value relation, pick the crossing
+    * value. With a handful of segments a row-level window would funnel
+    * each segment through ONE task; the histogram form's window runs
+    * over DISTINCT VALUES (bounded by the column's fixed-precision
+    * domain, ~10⁶ for 2-decimal balances) however many rows there are —
+    * the 100 TB-safe exact-median shape. Same trick again for the MAD
+    * on |bal − median|, then per-segment tallies of rows beyond 1× /
+    * 1.5× / 2× MAD. (The fixture's balances are uniform — tail-free —
+    * so a row-level 3×MAD flag would be vacuously empty at every SF;
+    * the threshold CURVE is the observable that stays populated and
+    * pins the same machinery.)
+    */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+
+    // exact discrete median of `v` per seg via per-value counts: the
+    // windows below iterate distinct VALUES, never rows
+    def histMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val cnts = df.groupBy(col("c_mktsegment"), col(v))
+        .agg(count(lit(1)).as("cnt"))
+      val bySeg = Window.partitionBy("c_mktsegment")
+      val cum = bySeg.orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnts
+        .withColumn("cum", sum(col("cnt")).over(cum))
+        .withColumn("n", sum(col("cnt")).over(bySeg))
+        .filter(col("cum") >= expr("(n + 1) div 2")) // ceil(n/2), integer
+        .groupBy("c_mktsegment").agg(min(col(v)).as(out))
+    }
+
+    val med = histMedian(c, "c_acctbal", "seg_median")
+    val withMed = c.join(broadcast(med), Seq("c_mktsegment"))
+      .withColumn("dev", abs(col("c_acctbal") - col("seg_median")))
+    val mad = histMedian(withMed, "dev", "seg_mad")
+    withMed.join(broadcast(mad), Seq("c_mktsegment"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        first(col("seg_median")).as("seg_median"),
+        first(col("seg_mad")).as("seg_mad"),
+        sum(when(col("dev") > col("seg_mad"), 1L).otherwise(0L))
+          .as("n_beyond_1mad"),
+        sum(when(col("dev") > lit(1.5) * col("seg_mad"), 1L).otherwise(0L))
+          .as("n_beyond_15mad"),
+        sum(when(col("dev") > lit(2.0) * col("seg_mad"), 1L).otherwise(0L))
+          .as("n_beyond_2mad"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** X68: exact per-group least-squares regression — slope / intercept /
+    * r² of extendedprice vs quantity per return flag — computed from
+    * DECIMAL power sums (n, Σx, Σy, Σxy, Σx², Σy²) so the moments are
+    * exact and partition-order-independent; the closed forms then
+    * combine the exactly-represented moments as doubles identically on
+    * both engines. Spark's built-in `regr_slope` (and DuckDB's)
+    * accumulate doubles in data order — NOT reproducible under
+    * repartitioning — which is why warehouse-grade regression runs on
+    * exact moments. One map-side-combinable aggregate, zero extra
+    * shuffles. DECIMAL(18,6) inputs keep the product at precision 37,
+    * in-range for both engines' exact decimal multiply.
+    */
+  def regressionExact(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      col("l_quantity").cast(D6).as("x"),
+      col("l_extendedprice").cast(D6).as("y"))
+    li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // stepwise doubles so every IEEE op (and its order) mirrors the
+      // oracle's CTE exactly; num*num instead of pow to dodge libm
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("syd", col("sy").cast("double"))
+      .withColumn("num", col("nd") * col("sxy").cast("double") -
+        col("sxd") * col("syd"))
+      .withColumn("denx", col("nd") * col("sxx").cast("double") -
+        col("sxd") * col("sxd"))
+      .withColumn("deny", col("nd") * col("syy").cast("double") -
+        col("syd") * col("syd"))
+      .withColumn("slope_raw", col("num") / col("denx"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("slope_raw"), 6).as("slope"),
+        round((col("syd") - col("slope_raw") * col("sxd")) / col("nd"), 6)
+          .as("intercept"),
+        round(col("num") * col("num") / (col("denx") * col("deny")), 6)
+          .as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  /** X70: exact equi-depth histogram boundaries — the primitive under
+    * every range partitioner (repartitionByRange samples; THIS is the
+    * exact form): boundary b = the smallest value whose global
+    * cumulative count reaches ⌈b·n/B⌉. Computed with the same two-phase
+    * distributed prefix sum as the skyline/shard-pack: per-value counts
+    * grouped into coarse value buckets, an in-bucket running sum
+    * (partitioned window) plus a broadcast cross-bucket prefix gives
+    * every distinct value its GLOBAL cumulative count without any
+    * single-task global window; the B−1 rank targets ride a broadcast
+    * (B−1)-row join. All ranks are exact integer math.
+    */
+  def equidepthHist(spark: SparkSession, dir: String, nBuckets: Int = 8,
+                    coarseWidth: Double = 8192.0): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_totalprice").as("v"))
+      .withColumn("cb", floor(col("v") / lit(coarseWidth)))
+    val levels = o.groupBy("cb", "v").agg(count(lit(1)).as("cnt"))
+    val inB = Window.partitionBy("cb").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = levels.withColumn("cum_in", sum(col("cnt")).over(inB))
+    val cbTot = levels.groupBy("cb").agg(sum(col("cnt")).as("bcnt"))
+    val prevB = Window.orderBy("cb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cbPrefix = cbTot
+      .withColumn("before", coalesce(sum(col("bcnt")).over(prevB), lit(0L)))
+      .select("cb", "before")
+    val cum = withCum.join(broadcast(cbPrefix), Seq("cb"))
+      .select(col("v"), (col("cum_in") + col("before")).as("cum"))
+    val n = o.agg(count(lit(1)).as("n"))
+    val targets = n
+      .select(explode(sequence(lit(1), lit(nBuckets - 1))).as("b"), col("n"))
+      .select(col("b"),
+        expr(s"(b * n + ${nBuckets - 1}) div $nBuckets").as("target"))
+    cum.join(broadcast(targets), col("cum") >= col("target"))
+      .groupBy("b", "target").agg(min(col("v")).as("boundary"))
+      .orderBy("b")
+  }
 }

@@ -109,4 +109,37 @@ object DataQuality {
         domainViolations(d, col("n_chars") > 0)))
     checks.reduce(_.unionByName(_)).orderBy("check_name")
   }
+
+  /** X74: replica divergence detection via range fingerprints — the
+    * merkle-tree/anti-entropy pattern (Dynamo/Cassandra repair): instead
+    * of shipping or row-diffing two 100 TB replicas, each side folds its
+    * rows into per-key-range fingerprints (count + XOR of a content
+    * hash — commutative, so partition-order-free) and only the ranges
+    * whose fingerprints disagree need row-level repair. Two narrow
+    * scans, one tiny full-outer join on the range id; the output IS the
+    * repair work list. Replica B is a deterministic corruption of A
+    * (every 101st doc dropped, every 37th edited) so both divergence
+    * kinds are populated at every SF.
+    */
+  def merkleRanges(spark: SparkSession, dir: String,
+                   rangeWidth: Long = 64L): DataFrame = {
+    def fingerprint(df: DataFrame): DataFrame =
+      df.select(expr(s"doc_id div $rangeWidth").as("seg"),
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit("|"),
+            col("text"))), 1, 8), 16, 10).cast("long").as("fp"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), bit_xor(col("fp")).as("x"))
+    val a = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val b = a.filter(col("doc_id") % 101 =!= 13)
+      .select(col("doc_id"),
+        when(col("doc_id") % 37 === 5, concat(col("text"), lit(" corrupted")))
+          .otherwise(col("text")).as("text"))
+    fingerprint(a).withColumnRenamed("n", "n_a").withColumnRenamed("x", "fp_a")
+      .join(fingerprint(b).withColumnRenamed("n", "n_b")
+        .withColumnRenamed("x", "fp_b"), Seq("seg"), "full_outer")
+      .filter(col("n_a").isNull || col("n_b").isNull ||
+        col("n_a") =!= col("n_b") || col("fp_a") =!= col("fp_b"))
+      .select(col("seg"), col("n_a"), col("n_b"), col("fp_a"), col("fp_b"))
+      .orderBy("seg")
+  }
 }

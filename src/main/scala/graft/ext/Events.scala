@@ -457,4 +457,143 @@ object Events {
       date_format(col("ts") + expr("INTERVAL 90 DAY"), "yyyy-MM-dd").as("plus_90d"),
       date_format(last_day(col("ts")), "yyyy-MM-dd").as("month_end"))
       .orderBy("event_id")
+
+  /** X58: AS-OF join — for every purchase, the most recent click by the
+    * same user at or before the purchase timestamp (ties on `ts` broken
+    * toward the larger `event_id`, and an equal-timestamp click counts
+    * as "before").
+    *
+    * Spark-first shape: NOT a join at all. Both sides union into one
+    * relation tagged by kind (clicks sort before purchases at equal ts),
+    * and a single running `last(_, ignoreNulls)` window per user carries
+    * the latest click forward; purchases then just read the carried
+    * value. One shuffle on `user_id`, state bounded by one row per
+    * partition position — the classic scalable as-of form. The oracle
+    * states the naive O(n·m) spelling (left join on `user_id` with
+    * `c.ts <= p.ts`, then rank-1), which explodes quadratically per hot
+    * user at scale; the union-window form replaces that blow-up with a
+    * sort we were already paying for in the shuffle.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"))
+    // At equal (user, ts): kind orders clicks first (visible to the
+    // purchase), then event_id makes the winning click the max-id one.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"),
+        coalesce(col("click_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("asof_click_id").as("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_click_ts")))
+          .as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
+  /** X71: debounce-leading dedup — keep an event iff it starts a burst:
+    * no same-(user, type) event in the preceding hour. The relational
+    * throttle (a session-START detector at 1h gap granularity; the
+    * strict one-per-hour rate limiter is inherently sequential and
+    * lives in the streaming layer as stateful processing). One lag
+    * window on the (user, type) key — the same single shuffle as every
+    * per-user analytic; survivors carry their lead-in gap.
+    */
+  def throttleDedup(spark: SparkSession, dir: String,
+                    minGapUs: Long = 3600000000L): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us", unix_micros(col("ts")) - col("prev_us"))
+      .filter(col("prev_us").isNull || col("gap_us") >= lit(minGapUs))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** X72: interval-overlap join — user activity sessions × promotional
+    * windows. Both sides are intervals, so neither a plain equi-join nor
+    * the point-band rewrite (X55) applies; the scalable form replicates
+    * each interval onto the fixed 6-hour grid cells it spans (bounded by
+    * interval length / cell width), equi-joins on the cell, applies the
+    * exact overlap residual, and dedups — the interval twin of the
+    * spatial grid join (X37). Sessions come from the standard
+    * gaps-and-islands pass (30-min gap); promos are a deterministic
+    * 6h-every-36h lattice derived from the corpus time bounds (one
+    * broadcast row, no driver scalar). The oracle states the naive
+    * all-pairs overlap join.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val GapUs = 1800000000L       // 30 min session gap
+    val PromoEveryUs = 129600000000L // 36 h
+    val PromoLenUs = 21600000000L    // 6 h
+    val CellUs = 21600000000L        // 6 h grid
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val byUser = Window.partitionBy("user_id").orderBy("us")
+    val sess = ev
+      .withColumn("brk", when(lag(col("us"), 1).over(byUser).isNull ||
+        col("us") - lag(col("us"), 1).over(byUser) > GapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val promos = bounds
+      .select(explode(expr(s"sequence(0, CAST((mx - mn) div $PromoEveryUs AS INT))"))
+        .as("pid"), col("mn"))
+      .select(col("pid").cast("long").as("pid"),
+        (col("mn") + col("pid").cast("long") * lit(PromoEveryUs)).as("ps"),
+        (col("mn") + col("pid").cast("long") * lit(PromoEveryUs) +
+          lit(PromoLenUs)).as("pe"))
+    val sessCells = sess.select(col("user_id"), col("sid"), col("s_us"),
+      col("e_us"), explode(expr(s"sequence(s_us div $CellUs, e_us div $CellUs)"))
+        .as("cell"))
+    val promoCells = promos.select(col("pid"), col("ps"), col("pe"),
+      explode(expr(s"sequence(ps div $CellUs, pe div $CellUs)")).as("cell"))
+    sessCells.join(promoCells, Seq("cell"))
+      .filter(col("s_us") <= col("pe") && col("ps") <= col("e_us"))
+      .select(col("user_id"), col("sid"), col("s_us"), col("pid"),
+        (least(col("e_us"), col("pe")) - greatest(col("s_us"), col("ps")))
+          .as("overlap_us"))
+      .distinct()
+      .orderBy("user_id", "sid", "pid")
+  }
+
+  /** X67: event-type transition matrix — the first-order Markov view of
+    * per-user event sequences. One `lead` window per user (same shuffle
+    * key as every other per-user analytic here), then a count per
+    * (from, to) cell; probabilities are exact IEEE divisions of two
+    * exactly-representable integers, so they hash-compare cross-engine.
+    * Sequence order is (ts, event_id) — the same total order the lag/gap
+    * entry pins down.
+    */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = Window.partitionBy("from_type")
+    steps
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(fromTotals).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
 }

@@ -62,4 +62,102 @@ object Graphs {
       .orderBy("id")
     out
   }
+
+  /** The distinct co-order part graph: an undirected edge per pair of
+    * parts appearing in the same order. The per-order self-join is
+    * bounded by order size (≤7 lines in the fixture, small everywhere in
+    * practice), so the pair space is Σ|order|² — never corpus². Shared
+    * by [[triangles]] and [[bfsHops]].
+    */
+  private def coOrderEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+  }
+
+  /** X59: triangle counting on the co-order part graph via the
+    * degree-oriented node-iterator (the MapReduce-classic of Suri &
+    * Vassilvitskii, WWW'11). Every undirected edge is oriented from its
+    * lower-(degree, id) endpoint to the higher one, so each triangle is
+    * enumerated exactly once and — the scale property — the wedge join
+    * fans out by ORIENTED out-degree, which is bounded by O(√m) per node
+    * regardless of how skewed the raw degree distribution is. A
+    * celebrity node with 10⁶ neighbors produces no 10¹² wedge blow-up:
+    * its edges all point INTO it. Three hash joins total (wedge build +
+    * closing-edge semi-join), per-node counts from exploding each
+    * triangle's corners. The oracle states the naive 3-way self-join.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val und = coOrderEdges(spark, dir).persist()
+    val deg = und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src = smaller endpoint in that total order
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+                 struct(col("db").as("kd"), col("b").as("ki")).as("dstKey")))
+          .otherwise(
+          struct(col("b").as("src"), col("a").as("dst"),
+                 struct(col("da").as("kd"), col("a").as("ki")).as("dstKey"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dstKey").as("dstKey"))
+      .persist()
+    // wedges at the common low endpoint; closing edge is oriented v->w
+    // because (deg,id) is a total order
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          col("e1.dstKey") < col("e2.dstKey"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val tris = wedges.join(
+        oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+    val out = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
+      .orderBy("part_id")
+    out
+  }
+
+  /** X60: k-hop BFS from a seed set — frontier expansion as an iterative
+    * hash join, the relational form of parallel BFS (and the shape of a
+    * lineage / reachability query at warehouse scale). Seeds are the 10
+    * smallest part ids; each round joins the CURRENT frontier (only —
+    * not the visited set) against the symmetrized edge list, anti-joins
+    * out already-visited nodes, and tags newcomers with the round
+    * number. Per-round cost is |frontier ⋈ edges|, the textbook
+    * data-parallel BFS bound; `visited` stays partitioned on id so the
+    * anti-join co-locates. The oracle unrolls the same 3 rounds
+    * explicitly (NOT EXISTS against every earlier level — the
+    * graph_pagerank unrolling style, portable to both engines).
+    */
+  def bfsHops(spark: SparkSession, dir: String, hops: Int = 3,
+              nSeeds: Int = 10): DataFrame = {
+    val und = coOrderEdges(spark, dir)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    val seeds = edges.select(col("src").as("id")).distinct()
+      .orderBy("id").limit(nSeeds)
+      .select(col("id"), lit(0L).as("hop"))
+    var visited = seeds.persist()
+    var frontier = seeds
+    for (h <- 1 to hops) {
+      val next = frontier.select(col("id").as("fid"))
+        .join(edges, col("fid") === col("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .select(col("id"), lit(h.toLong).as("hop"))
+        .localCheckpoint() // cut the per-round lineage (iterative loop)
+      visited = visited.unionByName(next).persist()
+      frontier = next
+    }
+    visited.orderBy("id")
+  }
 }

@@ -49,4 +49,35 @@ object Materialize {
         round(col("sum_value") / col("n_events"), 6))
       .orderBy("user_id", "event_type")
   }
+
+  /** X73: incremental JOIN-view maintenance — the join generalization of
+    * [[incrAggMerge]]: the view is revenue-per-nation over orders ⋈
+    * customer, and when a new fact batch Δorders arrives, only
+    * Δorders ⋈ customer is computed (ΔV = agg(ΔR ⋈ S) for a static
+    * dimension — the standard delta rule; with both sides changing it
+    * extends to ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS). The base fact history is never
+    * re-joined or re-scanned: its contribution enters as the saved
+    * state partials. DECIMAL partials make merged == full recompute
+    * bit-identical (the oracle states the full recompute).
+    */
+  def incrJoinMerge(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast(D2).as("price"))
+    // the "new batch": every 10th order key — a deterministic stand-in
+    // for the latest ingest partition
+    val base = o.filter(col("o_orderkey") % 10 =!= 7)
+    val delta = o.filter(col("o_orderkey") % 10 === 7)
+    def partial(f: DataFrame): DataFrame =
+      f.join(c, f("o_custkey") === c("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cnt"), sum("price").as("rev"))
+    partial(base).unionByName(partial(delta))
+      .groupBy("c_nationkey")
+      .agg(sum("cnt").as("n_orders"),
+        sum("rev").cast("double").as("revenue"))
+      .orderBy("c_nationkey")
+  }
 }

@@ -905,4 +905,29 @@ object TextDedup {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy("doc_id")
   }
+
+  /** X75: canonical-representative selection (priority keep) — when a
+    * blocking key groups candidate duplicates, keep the copy from the
+    * most-trusted source (curated wiki beats common crawl in every
+    * published curation stack), tie-broken by id. The blocking key here
+    * is (lang, 100-char length band); priority is the source's numeric
+    * rank. One `row_number <= 1` per block — plans as WindowGroupLimit,
+    * the bounded per-group-heap shape that never materializes a
+    * full per-block sort; group size rides the same window pass.
+    */
+  def priorityKeep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("len_band"),
+        expr("CAST(substring(source, 4) AS INT)").as("prio"))
+    val blk = Window.partitionBy("lang", "len_band")
+    val w = blk.orderBy(col("prio"), col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("group_n", count(lit(1)).over(blk))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("len_band"), col("doc_id").as("kept_doc_id"),
+        col("source").as("kept_source"), col("group_n"))
+      .orderBy("lang", "len_band")
+  }
 }

@@ -426,6 +426,44 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** X52b: the UPSAMPLING twin of [[mixRebalance]] — reach the uniform
+    * target by repeating under-represented groups instead of dropping
+    * over-represented ones (the "epochs per data source" practice when
+    * no source can be discarded). Per group: `epochs = n_max div n_g`
+    * whole passes for every doc, plus one extra pass for the
+    * deterministic md5-bucket fraction that makes the expected total
+    * n_max. All thresholds are exact integer math; the audit row
+    * reports epochs, fractional admits and the emitted total
+    * (epochs·n_g + n_extra — exactly reproducible).
+    *
+    * Scale: identical shape to [[mixRebalance]] — one tiny broadcast
+    * stats row, a narrow per-row predicate; the row-level emission is
+    * `explode(sequence(1, repeat))`, map-side only, no shuffle.
+    */
+  def mixUpsample(spark: SparkSession, dir: String,
+                  salt: String = "mix_v1"): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val nMax = byLang.agg(max("n_docs").as("n_max"))
+    val stats = byLang.crossJoin(broadcast(nMax))
+      .select(col("lang"), col("n_docs"),
+        expr("n_max div n_docs").as("epochs"),
+        expr("(65536 * (n_max % n_docs)) div n_docs").as("threshold"))
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long") // 0..65535
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("bucket", bucket)
+      .join(broadcast(stats), Seq("lang"))
+      .groupBy("lang")
+      .agg(first("n_docs").as("n_docs"),
+        first("epochs").as("epochs"),
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L))
+          .as("n_extra"))
+      .select(col("lang"), col("n_docs"), col("epochs"), col("n_extra"),
+        (col("epochs") * col("n_docs") + col("n_extra")).as("n_emitted"))
+      .orderBy("lang")
+  }
+
   /** The higher-order array-function surface (transform / filter /
     * aggregate / array_sort / slice) over per-doc token lists — all
     * codegen'd lambda expressions evaluated inline per row, zero shuffle,

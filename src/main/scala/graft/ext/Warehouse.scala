@@ -138,6 +138,45 @@ object Warehouse {
   def cdcApplyQuery(spark: SparkSession, dir: String): DataFrame =
     cdcApply(docChangelog(spark, dir)).orderBy("key")
 
+  /** X65: time travel — reconstruct the table AS OF an arbitrary commit
+    * `asOfSeq` from the same changelog, i.e. [[cdcApply]] parameterized
+    * by version. The filter `seq <= asOfSeq` lands BEFORE the key
+    * shuffle (and, on a seq-partitioned log layout, prunes whole
+    * partitions at the scan — the lakehouse time-travel read path), so
+    * reconstructing an old version costs the prefix of the log, never
+    * the whole of it. Everything after the cut is identical machinery
+    * to the snapshot compaction.
+    */
+  def cdcTimeTravel(changelog: DataFrame, asOfSeq: Long): DataFrame =
+    cdcApply(changelog.filter(col("seq") <= asOfSeq))
+
+  /** Oracled instantiation of [[cdcTimeTravel]]: three version cuts
+    * (25% / 50% / 75% of the fixture's seq domain) stacked with a
+    * version tag, so the entry certifies reconstruction at several
+    * points in history in one relation. The cuts are derived from the
+    * fixture's max doc_id (a broadcast 1-row aggregate, no driver
+    * scalar).
+    */
+  def cdcTimeTravelQuery(spark: SparkSession, dir: String): DataFrame = {
+    val log = docChangelog(spark, dir)
+    val cuts = log.agg(max(col("seq")).as("mx"))
+      .select(explode(array(lit(1L), lit(2L), lit(3L))).as("ver"),
+        col("mx"))
+      .select(col("ver"), expr("(mx * ver) div 4").as("cut"))
+    // per-version reconstruction: join the log prefix to each cut, then
+    // the same last-op-per-(ver, key) window as cdcApply
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("ver", "key").orderBy(col("seq").desc)
+    log.crossJoin(broadcast(cuts))
+      .filter(col("seq") <= col("cut"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy("ver", "key")))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("ver"), col("key"), col("val"), col("lang"),
+        col("op").as("last_op"), col("n_ops"))
+      .orderBy("ver", "key")
+  }
+
   /** X53: snapshot diff — classify every key across two table versions
     * as added / removed / changed / unchanged (the "what did this load
     * do" audit between lakehouse versions, i.e. table time-travel diff).

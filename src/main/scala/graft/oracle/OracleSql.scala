@@ -1901,6 +1901,390 @@ shingles AS (
                    GROUP BY e.dst) s ON s.id = nd.id)
       SELECT id, ROUND(pr * nn.n, 6) AS pr_norm
       FROM pr3 CROSS JOIN nn ORDER BY id""",
+    // Triangles: the oracle states the naive 3-way edge self-join over
+    // the undirected a<b co-order edge set (u<v<w enumerates each
+    // triangle once); Spark's degree-oriented node-iterator must agree.
+    "graph_triangles" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      n AS (SELECT u AS part_id FROM t
+            UNION ALL SELECT v FROM t
+            UNION ALL SELECT w FROM t)
+      SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM n GROUP BY part_id ORDER BY part_id""",
+    // BFS: the oracle unrolls the 3 frontier expansions explicitly
+    // (dedup per level via NOT EXISTS against every earlier level) —
+    // the same unrolled-iteration style as graph_pagerank, portable to
+    // both engines and free of recursive-CTE path enumeration.
+    "graph_bfs_hops" -> """
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      edges AS (SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b AS src, a AS dst FROM und),
+      h0 AS (SELECT DISTINCT src AS id FROM edges ORDER BY id LIMIT 10),
+      h1 AS (SELECT DISTINCT e.dst AS id FROM h0 JOIN edges e ON e.src = h0.id
+             WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.id = e.dst)),
+      h2 AS (SELECT DISTINCT e.dst AS id FROM h1 JOIN edges e ON e.src = h1.id
+             WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.id = e.dst)
+               AND NOT EXISTS (SELECT 1 FROM h1 v WHERE v.id = e.dst)),
+      h3 AS (SELECT DISTINCT e.dst AS id FROM h2 JOIN edges e ON e.src = h2.id
+             WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.id = e.dst)
+               AND NOT EXISTS (SELECT 1 FROM h1 v WHERE v.id = e.dst)
+               AND NOT EXISTS (SELECT 1 FROM h2 v WHERE v.id = e.dst))
+      SELECT id, CAST(0 AS BIGINT) AS hop FROM h0
+      UNION ALL SELECT id, CAST(1 AS BIGINT) FROM h1
+      UNION ALL SELECT id, CAST(2 AS BIGINT) FROM h2
+      UNION ALL SELECT id, CAST(3 AS BIGINT) FROM h3
+      ORDER BY id""",
+    // AS-OF join: the oracle states the naive quadratic spelling (left
+    // join on user with c.ts <= p.ts, rank 1 by ts desc then id desc);
+    // Spark answers from the union+running-window form.
+    "events_asof_join" -> """
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+                   c.event_id AS click_id, c.ts AS c_ts
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id AND c.ts <= p.ts),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+              ORDER BY c_ts DESC NULLS LAST, click_id DESC NULLS LAST) AS rn
+            FROM j)
+      SELECT purchase_id, user_id, click_id,
+             epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+      FROM r WHERE rn = 1 ORDER BY purchase_id""",
+    // Markov transition matrix: LEAD over the same (ts, event_id)
+    // per-user total order the lag/gap entry pins; probabilities divide
+    // exactly-represented BIGINTs as doubles.
+    "events_transition_matrix" -> """
+      WITH s AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        FROM events),
+      g AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+            WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM g ORDER BY from_type, to_type""",
+    // Fuzzy join: the oracle is the naive quadratic cross join +
+    // levenshtein; agreement proves the deletion-neighborhood blocking
+    // is lossless for distance <= 1.
+    "text_fuzzy_join" -> """
+      WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+      SELECT x.name AS name_a, y.name AS name_b
+      FROM n x JOIN n y ON x.name < y.name
+      WHERE levenshtein(x.name, y.name) <= 1
+      ORDER BY name_a, name_b""",
+    // Market basket: identical pair/item/total arithmetic; every ratio
+    // divides exactly-represented BIGINTs as doubles, so the 50-row cut
+    // (fully tie-broken) hash-compares.
+    "analytics_market_basket" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM li),
+      ic AS (SELECT pk, COUNT(*) AS cnt FROM li GROUP BY pk),
+      pr AS (SELECT x.pk AS part_a, y.pk AS part_b, COUNT(*) AS pair_cnt
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY x.pk, y.pk)
+      SELECT part_a, part_b, pair_cnt, a.cnt AS cnt_a, b.cnt AS cnt_b,
+             CAST(pair_cnt AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+             CAST(pair_cnt AS DOUBLE) / CAST(a.cnt AS DOUBLE) AS confidence,
+             CAST(pair_cnt * n_orders AS DOUBLE) /
+               CAST(a.cnt * b.cnt AS DOUBLE) AS lift
+      FROM pr JOIN ic a ON a.pk = part_a
+              JOIN ic b ON b.pk = part_b
+              CROSS JOIN no
+      ORDER BY pair_cnt DESC, part_a, part_b LIMIT 50""",
+    // KMV rollup: the oracle states the DIRECT per-month sketch for BOTH
+    // column pairs — the rolled-up pair matching it IS the mergeability
+    // law under test. Estimator identical to agg_kmv_distinct.
+    "agg_kmv_rollup" -> """
+      WITH h AS (SELECT DISTINCT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month,
+                        md5(CAST(user_id AS VARCHAR)) AS h
+                 FROM events),
+      r AS (SELECT month, h,
+                   ROW_NUMBER() OVER (PARTITION BY month ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY month) AS nd
+            FROM h),
+      kk AS (SELECT month, MAX(h) AS kth_min, MAX(nd) AS nd
+             FROM r WHERE rn <= 16 GROUP BY month),
+      v AS (SELECT month, kth_min, nd,
+              (strpos('0123456789abcdef', substr(kth_min, 1, 1)) - 1) * 268435456.0 +
+              (strpos('0123456789abcdef', substr(kth_min, 2, 1)) - 1) * 16777216 +
+              (strpos('0123456789abcdef', substr(kth_min, 3, 1)) - 1) * 1048576 +
+              (strpos('0123456789abcdef', substr(kth_min, 4, 1)) - 1) * 65536 +
+              (strpos('0123456789abcdef', substr(kth_min, 5, 1)) - 1) * 4096 +
+              (strpos('0123456789abcdef', substr(kth_min, 6, 1)) - 1) * 256 +
+              (strpos('0123456789abcdef', substr(kth_min, 7, 1)) - 1) * 16 +
+              (strpos('0123456789abcdef', substr(kth_min, 8, 1)) - 1) AS v32
+            FROM kk),
+      est AS (SELECT month,
+                CASE WHEN nd < 16 THEN CAST(nd AS DOUBLE)
+                     ELSE 64424509440.0 / v32 END AS e,
+                CASE WHEN nd < 16 THEN NULL ELSE kth_min END AS km,
+                nd
+              FROM v)
+      SELECT month,
+             ROUND(e, 6) AS kmv_direct,
+             ROUND(e, 6) AS kmv_rolled,
+             km AS kth_min_direct,
+             km AS kth_min_rolled,
+             CAST(nd AS BIGINT) AS exact_distinct
+      FROM est ORDER BY month""",
+    // Skyline: the oracle states the naive NOT EXISTS dominance test;
+    // Spark answers from the two-phase bucket prefix-max.
+    "analytics_skyline" -> """
+      SELECT p.p_partkey, p.p_retailprice, p.p_size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+      ORDER BY p.p_partkey""",
+    // MAD outliers: median spelled exactly as the histogram rewrite
+    // computes it (smallest value whose cumulative count reaches
+    // ceil(n/2)) — value-from-data order statistics, no interpolation.
+    "dq_outlier_mad" -> """
+      WITH c AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      medt AS (
+        SELECT c_mktsegment, MIN(c_acctbal) AS seg_median FROM (
+          SELECT c_mktsegment, c_acctbal,
+                 SUM(cnt) OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal) AS cum,
+                 SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n
+          FROM (SELECT c_mktsegment, c_acctbal, COUNT(*) AS cnt
+                FROM c GROUP BY 1, 2) t1) t2
+        WHERE cum >= (n + 1) // 2 GROUP BY c_mktsegment),
+      d AS (SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, m.seg_median,
+                   ABS(c.c_acctbal - m.seg_median) AS dev
+            FROM c JOIN medt m USING (c_mktsegment)),
+      madt AS (
+        SELECT c_mktsegment, MIN(dev) AS seg_mad FROM (
+          SELECT c_mktsegment, dev,
+                 SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY dev) AS cum,
+                 SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n
+          FROM (SELECT c_mktsegment, dev, COUNT(*) AS cnt
+                FROM d GROUP BY 1, 2) t1) t2
+        WHERE cum >= (n + 1) // 2 GROUP BY c_mktsegment)
+      SELECT d.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(d.seg_median) AS seg_median,
+             MIN(m.seg_mad) AS seg_mad,
+             CAST(SUM(CASE WHEN d.dev > m.seg_mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_beyond_1mad,
+             CAST(SUM(CASE WHEN d.dev > 1.5 * m.seg_mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_beyond_15mad,
+             CAST(SUM(CASE WHEN d.dev > 2.0 * m.seg_mad THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_beyond_2mad
+      FROM d JOIN madt m USING (c_mktsegment)
+      GROUP BY d.c_mktsegment
+      ORDER BY d.c_mktsegment""",
+    // Exact-moment regression: DECIMAL(18,6) power sums (exact,
+    // partition-order-independent), then the identical stepwise double
+    // closed forms (num*num, no POW).
+    "agg_regression_exact" -> """
+      WITH li AS (SELECT l_returnflag,
+                         -- width 19 forces DuckDB's INT128 decimal path:
+                         -- 18x18 products multiply raw INT64s and
+                         -- overflow; values are identical either way
+                         CAST(l_quantity AS DECIMAL(19,6)) AS x,
+                         CAST(l_extendedprice AS DECIMAL(19,6)) AS y
+                  FROM lineitem),
+      m AS (SELECT l_returnflag, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM li GROUP BY l_returnflag),
+      s AS (SELECT l_returnflag, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                   CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+                   CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+                   CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+            FROM m)
+      SELECT l_returnflag, n,
+             ROUND(num / denx, 6) AS slope,
+             ROUND((syd - (num / denx) * sxd) / nd, 6) AS intercept,
+             ROUND(num * num / (denx * deny), 6) AS r2
+      FROM s ORDER BY l_returnflag""",
+    // Time travel: three prefix cuts of the cdc_apply changelog, each
+    // compacted by the same last-op-wins window.
+    "cdc_time_travel" -> """
+      WITH changelog AS (
+        SELECT doc_id AS seq, doc_id % 97 AS key,
+               CASE WHEN doc_id % 11 = 7 THEN 'D'
+                    WHEN doc_id % 3 = 0 THEN 'I'
+                    ELSE 'U' END AS op,
+               n_chars AS val, lang
+        FROM documents),
+      cuts AS (
+        SELECT ver, (mx * ver) // 4 AS cut
+        FROM (SELECT MAX(seq) AS mx FROM changelog) m,
+             (SELECT unnest(list_value(1, 2, 3)) AS ver) v),
+      pre AS (
+        SELECT c.ver, l.*
+        FROM changelog l CROSS JOIN cuts c
+        WHERE l.seq <= c.cut),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ver, key
+                    ORDER BY seq DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY ver, key) AS n_ops
+        FROM pre)
+      SELECT CAST(ver AS BIGINT) AS ver, key, val, lang,
+             op AS last_op, n_ops
+      FROM ranked WHERE rn = 1 AND op <> 'D'
+      ORDER BY ver, key""",
+    // Equi-depth boundaries: the oracle states the single global
+    // cumulative window; Spark answers from the two-phase bucket form.
+    "agg_equidepth_hist" -> """
+      WITH o AS (SELECT o_totalprice AS v FROM orders),
+      lv AS (SELECT v, COUNT(*) AS cnt FROM o GROUP BY v),
+      cumt AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM lv),
+      nn AS (SELECT COUNT(*) AS n FROM o),
+      t AS (SELECT b, (b * n + 7) // 8 AS target
+            FROM (SELECT unnest(list_value(1, 2, 3, 4, 5, 6, 7)) AS b) bb,
+                 nn)
+      SELECT b, CAST(target AS BIGINT) AS target, MIN(v) AS boundary
+      FROM cumt JOIN t ON cum >= target
+      GROUP BY b, target ORDER BY b""",
+    // Debounce-leading dedup: survivors are burst starts (gap >= 1h or
+    // first occurrence) on the (user, type) key.
+    "events_throttle_dedup" -> """
+      WITH l AS (
+        SELECT event_id, user_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) -
+                 LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+        FROM events)
+      SELECT event_id, user_id, event_type, gap_us
+      FROM l WHERE gap_us IS NULL OR gap_us >= 3600000000
+      ORDER BY event_id""",
+    // Interval-overlap join: the oracle states the naive all-pairs
+    // overlap; Spark answers from the 6h-grid replication join.
+    "events_interval_join" -> """
+      WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                  FROM events),
+      l AS (SELECT user_id, us,
+                   CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                          IS NULL
+                        OR us - LAG(us) OVER (PARTITION BY user_id
+                          ORDER BY us) > 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM ev),
+      s AS (SELECT user_id, us,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                     ROWS UNBOUNDED PRECEDING) AS sid
+            FROM l),
+      sess AS (SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+               FROM s GROUP BY user_id, sid),
+      bounds AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+      pid AS (SELECT unnest(generate_series(0,
+                CAST((mx - mn) // 129600000000 AS INT))) AS pid, mn
+              FROM bounds),
+      promos AS (SELECT pid, mn + pid * 129600000000 AS ps,
+                        mn + pid * 129600000000 + 21600000000 AS pe
+                 FROM pid)
+      SELECT sess.user_id, CAST(sess.sid AS BIGINT) AS sid, sess.s_us,
+             promos.pid,
+             LEAST(sess.e_us, promos.pe) - GREATEST(sess.s_us, promos.ps)
+               AS overlap_us
+      FROM sess JOIN promos
+        ON sess.s_us <= promos.pe AND promos.ps <= sess.e_us
+      ORDER BY sess.user_id, sid, promos.pid""",
+    // Incremental join-view maintenance: the oracle is the full
+    // recompute; the merged state+delta partials must equal it exactly
+    // (DECIMAL sums).
+    "incr_join_merge" -> """
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+    // Merkle range diff: same fingerprint fold on both replicas; output
+    // only the diverged ranges (the repair work list).
+    "dq_merkle_ranges" -> """
+      WITH a0 AS (SELECT doc_id, text FROM documents),
+      b0 AS (SELECT doc_id,
+                    CASE WHEN doc_id % 37 = 5 THEN text || ' corrupted'
+                         ELSE text END AS text
+             FROM documents WHERE doc_id % 101 <> 13),
+      fa AS (SELECT doc_id // 64 AS seg, COUNT(*) AS n_a,
+                    BIT_XOR((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * CAST(268435456 AS BIGINT) +
+                            (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216 +
+                            (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576 +
+                            (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536 +
+                            (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096 +
+                            (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256 +
+                            (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 +
+                            (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS fp_a
+             FROM (SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+                   FROM a0) t GROUP BY 1),
+      fb AS (SELECT doc_id // 64 AS seg, COUNT(*) AS n_b,
+                    BIT_XOR((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * CAST(268435456 AS BIGINT) +
+                            (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16777216 +
+                            (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 1048576 +
+                            (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 65536 +
+                            (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 4096 +
+                            (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 256 +
+                            (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 16 +
+                            (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)) AS fp_b
+             FROM (SELECT doc_id,
+                     md5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+                   FROM b0) t GROUP BY 1)
+      SELECT COALESCE(fa.seg, fb.seg) AS seg, n_a, n_b, fp_a, fp_b
+      FROM fa FULL OUTER JOIN fb ON fa.seg = fb.seg
+      WHERE n_a IS NULL OR n_b IS NULL OR n_a <> n_b OR fp_a <> fp_b
+      ORDER BY seg""",
+    // Priority keep: smallest (source rank, doc_id) per (lang, length
+    // band) block, group sizes from the same grouping.
+    "dedup_priority_keep" -> """
+      WITH d AS (
+        SELECT doc_id, lang, source, n_chars // 100 AS len_band,
+               CAST(substr(source, 4) AS INT) AS prio
+        FROM documents),
+      r AS (SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY lang, len_band
+                     ORDER BY prio, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY lang, len_band) AS group_n
+            FROM d)
+      SELECT lang, len_band, doc_id AS kept_doc_id, source AS kept_source,
+             group_n
+      FROM r WHERE rn = 1 ORDER BY lang, len_band""",
+    // TF-IDF: tf * ln(N/df) over integral doubles (the collocation
+    // parity surface); rank ties resolve on exactly-equal scores before
+    // the term tiebreak, then the WindowGroupLimit cut.
+    "text_tfidf_topterms" -> """
+      WITH raw AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term FROM raw WHERE term <> ''),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term HAVING COUNT(*) >= 2),
+      nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               CAST(tf.tf AS DOUBLE) *
+                 ln(CAST(n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN nd),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rn FROM sc)
+      SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, df,
+             ROUND(tfidf, 6) AS tfidf
+      FROM r WHERE rn <= 3 ORDER BY doc_id, rn""",
     // Unigram-LM cross-entropy: Spark scores over (doc, type, cnt)
     // triples, the oracle over raw occurrences — identical sums up to FP
     // association, settled by the 6dp round. The join-back token key is
@@ -1966,6 +2350,34 @@ shingles AS (
              CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
       FROM stats LEFT JOIN k USING (lang)
       ORDER BY lang""",
+    // Upsampling twin: whole epochs (n_max div n_g) + md5-fractional
+    // extras; same exact-integer-threshold discipline as the rebalance.
+    "curation_mix_upsample" -> """
+      WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+      m AS (SELECT MAX(n_docs) AS n_max FROM g),
+      stats AS (
+        SELECT lang, n_docs,
+               CAST(n_max // n_docs AS BIGINT) AS epochs,
+               CAST((65536 * (n_max % n_docs)) // n_docs AS BIGINT) AS threshold
+        FROM g, m),
+      b AS (
+        SELECT lang,
+               (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+               (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+               (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) AS bucket
+        FROM (SELECT lang,
+                     md5(CAST(doc_id AS VARCHAR) || '|' || 'mix_v1') AS h
+              FROM documents) t)
+      SELECT s.lang, s.n_docs, s.epochs,
+             CAST(SUM(CASE WHEN b.bucket < s.threshold THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_extra,
+             CAST(s.epochs * s.n_docs +
+               SUM(CASE WHEN b.bucket < s.threshold THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_emitted
+      FROM b JOIN stats s ON b.lang = s.lang
+      GROUP BY s.lang, s.n_docs, s.epochs
+      ORDER BY s.lang""",
     "text_bm25_topk" -> """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       t AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,

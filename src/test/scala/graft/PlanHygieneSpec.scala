@@ -20,8 +20,12 @@ class PlanHygieneSpec extends SparkSpec {
     *    text_heavy_hitters, text_collocations, text_langid_ngram,
     *    sync_summary, events_funnel (per-stage bound row),
     *    text_lm_crossentropy (one (N,V) smoothing row),
-    *    curation_mix_rebalance (one (n_min,n_total) row),
-    *    graph_pagerank (one node-count row per iteration)
+    *    curation_mix_rebalance / curation_mix_upsample (one group-stats
+    *    row), graph_pagerank (one node-count row per iteration),
+    *    analytics_market_basket (one n_orders row),
+    *    text_tfidf_topterms (one corpus-count row),
+    *    cdc_time_travel (three version-cut rows),
+    *    agg_equidepth_hist (B−1 = 7 rank-target rows)
     *  - TPC-H scalar/IN subqueries over dimension-sized sets:
     *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
     *    tpch_q22_dormant
@@ -36,7 +40,8 @@ class PlanHygieneSpec extends SparkSpec {
     "dq_volume_anomaly", "events_rolling_users", "text_heavy_hitters",
     "text_collocations", "text_langid_ngram", "sync_summary",
     "events_funnel", "text_lm_crossentropy", "curation_mix_rebalance",
-    "graph_pagerank",
+    "curation_mix_upsample", "graph_pagerank", "analytics_market_basket",
+    "text_tfidf_topterms", "cdc_time_travel", "agg_equidepth_hist",
     "tpch_q9_profit", "tpch_q11_stock", "tpch_q16_partsupp",
     "tpch_q20_promo", "tpch_q22_dormant")
 

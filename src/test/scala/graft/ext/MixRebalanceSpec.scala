@@ -42,4 +42,32 @@ class MixRebalanceSpec extends SparkSpec {
     val minLang = byLang.minBy { case (l, ids) => (ids.size, l) }._1
     assert(got(minLang)._4 == got(minLang)._1)
   }
+
+  test("upsample: epochs, fractional extras and emitted totals are exact") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val nMax = byLang.values.map(_.size).max.toLong
+    val got = TextStats.mixUpsample(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == byLang.keySet)
+    byLang.foreach { case (lang, ids) =>
+      val n = ids.size.toLong
+      val epochs = nMax / n
+      val threshold = 65536L * (nMax % n) / n
+      val extras = ids.count(md5Bucket(_) < threshold).toLong
+      assert(got(lang) == (n, epochs, extras, epochs * n + extras), s"$lang")
+    }
+    // the largest group runs exactly one epoch with no extras
+    val maxLang = byLang.maxBy { case (l, ids) => (ids.size, l) }._1
+    assert(got(maxLang)._2 == 1L && got(maxLang)._3 == 0L)
+    // expected emitted total is within one md5-bucket quantum of n_max
+    // per group: |emitted - n_max| bounded by binomial deviation; exact
+    // check already done above, this guards the CONSTRUCTION intent
+    got.values.foreach { case (n, epochs, _, emitted) =>
+      assert(emitted >= epochs * n && emitted <= (epochs + 1) * n)
+    }
+  }
 }

@@ -37,6 +37,7 @@ class ThreeWaySqlSpec extends SparkSpec {
     s = s.replace("quantile_cont(", "percentile(")
     s = s.replace("epoch_us(", "unix_micros(")
     s = s.replace("AS VARCHAR)", "AS STRING)")
+    s = s.replace("string_split_regex(", "split(") // both regex-split
     s = s.replace("string_split(", "split(")
     s = s.replace("array_to_string(", "array_join(")
     s = s.replace("unnest(", "explode(")

@@ -21,13 +21,26 @@ class BandJoinRewriteSpec extends SparkSpec {
     finally spark.experimental.extraOptimizations = prev
   }
 
+  /** Entries register the rule on the shared session and it stays; plan
+    * captures of the UN-rewritten shape must clear it explicitly or the
+    * assertion becomes test-order-dependent under the full suite.
+    */
+  private def withoutRule[T](body: => T): T = {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      prev.filterNot(_ eq BandJoinRewrite)
+    try body
+    finally spark.experimental.extraOptimizations = prev
+  }
+
   private def naiveBand(xs: Seq[Long], ys: Seq[Long], w: Long): DataFrame =
     xs.toDF("x").join(ys.toDF("y"), abs(col("x") - col("y")) <= lit(w))
 
   test("rewritten plan is a banded equi-join, not a nested loop") {
     val xs = (0L until 200L).map(_ * 7L)
     val ys = (0L until 200L).map(_ * 11L)
-    val before = naiveBand(xs, ys, 20L).queryExecution.executedPlan.toString
+    val before = withoutRule {
+      naiveBand(xs, ys, 20L).queryExecution.executedPlan.toString }
     assert(before.contains("BroadcastNestedLoopJoin"),
       s"naive band join should nested-loop without the rule:\n$before")
     withRule {
@@ -46,8 +59,9 @@ class BandJoinRewriteSpec extends SparkSpec {
     val xs = Seq(-25L, -13L, -1L, 0L, 1L, 7L, 13L, 26L, 100L)
     val ys = Seq(-26L, -13L, -12L, -2L, 0L, 6L, 13L, 39L, 87L)
     for (w <- Seq(0L, 1L, 12L, 13L, 50L)) {
-      val plain = naiveBand(xs, ys, w).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val plain = withoutRule {
+        naiveBand(xs, ys, w).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq }
       val rewritten = withRule {
         naiveBand(xs, ys, w).collect()
           .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
@@ -73,7 +87,8 @@ class BandJoinRewriteSpec extends SparkSpec {
       val df = xs.toDF("x").join(ys.toDF("y"), cond)
       val expected = (for (x <- xs; y <- ys if y >= x - w1 && y <= x + w2)
         yield (x, y)).sorted
-      val plain = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val plain = withoutRule {
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq }
       val (rewritten, plan) = withRule {
         val d2 = xs.toDF("x").join(ys.toDF("y"), cond)
         (d2.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq,
@@ -97,13 +112,13 @@ class BandJoinRewriteSpec extends SparkSpec {
   test("fixture entry equals its un-rewritten twin") {
     val plain = graft.ext.Events.bandJoinNearClicks(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
-    // bandJoinNearClicks registers the rule; build the same frame with
-    // extraOptimizations cleared to force the nested-loop plan
+    // the entry registers the rule as a side effect; rebuild the same
+    // frame with it filtered out to force the nested-loop plan
     val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = Nil
     try {
       val naive = graft.ext.Events.bandJoinNearClicks(spark, sf001)
-      spark.experimental.extraOptimizations = Nil // entry re-registered it
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq BandJoinRewrite)
       val rows = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(rows == plain && rows.nonEmpty)
     } finally spark.experimental.extraOptimizations = prev
