@@ -24,6 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectSize].getName,
         "graft_sorted_intersect_size"),
       (exprs: Seq[Expression]) => SortedIntersectSize(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_sorted_intersect_longs"),
+      new ExpressionInfo(classOf[SortedIntersectLongs].getName,
+        "graft_sorted_intersect_longs"),
+      (exprs: Seq[Expression]) => SortedIntersectLongs(exprs(0), exprs(1))))
     // non-equi band joins (abs(x - y) <= w) planned as banded equi-joins
     // instead of nested loops — see graft.plans.BandJoinRewrite
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
