@@ -272,6 +272,16 @@ object SparkEntry {
     "dq_merkle_ranges" -> ((s, d) => graft.ext.DataQuality.merkleRanges(s, d)),
     // canonical-representative keep per blocking key (WindowGroupLimit)
     "dedup_priority_keep" -> ((s, d) => graft.ext.TextDedup.priorityKeep(s, d)),
+    // local clustering coefficient (triangles / neighbor pairs)
+    "graph_clustering_coeff" -> ((s, d) => graft.ext.Graphs.clusteringCoeff(s, d)),
+    // time-weighted average per user (DECIMAL-exact weighted sums)
+    "events_twap" -> ((s, d) => graft.ext.Events.twap(s, d)),
+    // run-length encoding of per-user event-type sequences
+    "events_rle" -> ((s, d) => graft.ext.Events.eventRle(s, d)),
+    // chi-square (lang x source) independence profile, DECIMAL-exact total
+    "analytics_chisq" -> ((s, d) => graft.ext.Analytics.chisqProfile(s, d)),
+    // point-in-time join of facts onto an SCD2 dimension ledger
+    "warehouse_pit_join" -> ((s, d) => graft.ext.Warehouse.pitJoin(s, d)),
     // per-day volume z-score monitor (exact integral moments)
     "dq_volume_anomaly" -> ((s, d) => graft.ext.DataQuality.volumeAnomalies(s, d)),
     "curation_split" -> ((s, d) => graft.ext.TextStats.trainTestSplit(s, d)),

@@ -1161,6 +1161,43 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  /** X79: chi-square independence profile over the (lang × source)
+    * contingency table — the data-profiling test for "is document
+    * language independent of ingestion source". Observed counts,
+    * marginals and N are exact BIGINTs (one aggregate + two broadcast
+    * marginal joins); expected = row·col/N and the cell term
+    * (o−e)²/e are IEEE doubles of exact integers — identical on both
+    * engines per cell. The TOTAL statistic sums the 6dp-rounded terms
+    * as DECIMAL, so it is partition-order-independent and
+    * hash-comparable (a raw double Σ would vary with association
+    * order). Output: one row per cell with its term, plus the exact
+    * rounded-total via a window — degrees of freedom derivable from
+    * the marginal cardinalities.
+    */
+  def chisqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val cells = d.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("lang").agg(sum(col("o")).as("rt"))
+    val colTot = cells.groupBy("source").agg(sum(col("o")).as("ct"))
+    val n = d.agg(count(lit(1)).as("n"))
+    val D6 = DecimalType(18, 6)
+    cells
+      .join(broadcast(rowTot), Seq("lang"))
+      .join(broadcast(colTot), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("e", (col("rt") * col("ct")).cast("double") /
+        col("n").cast("double"))
+      .withColumn("term",
+        round((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"), 6))
+      .withColumn("chi2_total",
+        sum(col("term").cast(D6)).over(Window.partitionBy())
+          .cast("double"))
+      .select(col("lang"), col("source"), col("o"), round(col("e"), 6).as("e"),
+        col("term"), col("chi2_total"))
+      .orderBy("lang", "source")
+  }
+
   /** X70: exact equi-depth histogram boundaries — the primitive under
     * every range partitioner (repartitionByRange samples; THIS is the
     * exact form): boundary b = the smallest value whose global

@@ -574,6 +574,58 @@ object Events {
       .orderBy("user_id", "sid", "pid")
   }
 
+  /** X77: time-weighted average (TWAP) — per user, the mean of `value`
+    * weighted by how long each reading was in force (the price/telemetry
+    * aggregation where plain AVG over-weights bursty samples). Each
+    * event's value holds until the next event; weights are exact µs
+    * longs and the weighted sum runs in DECIMAL (value D2 × Δµs —
+    * exact, partition-order-independent), so only the final
+    * ratio-of-exact-sums is a double. One lead window + one aggregate,
+    * both on user_id.
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").cast(D2).as("v"), unix_micros(col("ts")).as("us"))
+      .withColumn("next_us", lead(col("us"), 1).over(byTime))
+      .filter(col("next_us").isNotNull) // the last reading has no span
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("next_us") - col("us")).as("span_us"),
+        sum(col("v") * (col("next_us") - col("us"))).as("wsum"))
+      .select(col("user_id"), col("n_spans"), col("span_us"),
+        round(col("wsum").cast("double") / col("span_us").cast("double"), 6)
+          .as("twap"))
+      .orderBy("user_id")
+  }
+
+  /** X78: run-length encoding of event-type sequences — per user,
+    * consecutive same-type events collapse to (type, run length, span):
+    * the sequence-compression pass behind behavioral pattern mining and
+    * the columnar RLE idea applied to event streams. Gaps-and-islands
+    * again (type-change flag → running island id), one window + one
+    * aggregate on the same user key.
+    */
+  def eventRle(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val run = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg", when(lag(col("event_type"), 1).over(byTime).isNull ||
+        lag(col("event_type"), 1).over(byTime) =!= col("event_type"), 1L)
+        .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(run))
+      .groupBy("user_id", "run_id")
+      .agg(first(col("event_type")).as("event_type"),
+        count(lit(1)).as("run_len"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .orderBy("user_id", "run_id")
+  }
+
   /** X67: event-type transition matrix — the first-order Markov view of
     * per-user event sequences. One `lead` window per user (same shuffle
     * key as every other per-user analytic here), then a count per

@@ -103,7 +103,32 @@ object Graphs {
     * edges; the DuckDB oracle needs ~60 s for the count alone),
     * identical output. The oracle states the naive 3-way self-join.
     */
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
+  def triangles(spark: SparkSession, dir: String): DataFrame =
+    trianglesPerNode(spark, dir).orderBy("part_id")
+
+  /** X76: local clustering coefficient — cc(v) = 2·tri(v) / (deg(v)·
+    * (deg(v)−1)), the fraction of a node's neighbor pairs that are
+    * themselves connected (the small-world diagnostic). Composes the
+    * triangle relation with the full undirected degree in one join; the
+    * ratio divides exactly-represented BIGINTs as IEEE doubles. Nodes
+    * with deg < 2 have no neighbor pairs and are excluded (cc
+    * undefined), matching the oracle's HAVING.
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val und = coOrderEdges(spark, dir)
+    val deg = und.select(col("a").as("part_id"))
+      .unionByName(und.select(col("b").as("part_id")))
+      .groupBy("part_id").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(trianglesPerNode(spark, dir), Seq("part_id"), "left")
+      .select(col("part_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round((lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double")) /
+          (col("deg") * (col("deg") - 1)).cast("double"), 6).as("cc"))
+      .orderBy("part_id")
+  }
+
+  private def trianglesPerNode(spark: SparkSession, dir: String): DataFrame = {
     val und = coOrderEdges(spark, dir).persist()
     val deg = und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -141,7 +166,6 @@ object Graphs {
       .unionByName(withTris
         .select(explode(col("ws")).as("part_id"), lit(1L).as("c")))
     corners.groupBy("part_id").agg(sum(col("c")).as("n_tri"))
-      .orderBy("part_id")
   }
 
   /** X60: k-hop BFS from a seed set — frontier expansion as an iterative

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -175,6 +176,55 @@ object Warehouse {
       .select(col("ver"), col("key"), col("val"), col("lang"),
         col("op").as("last_op"), col("n_ops"))
       .orderBy("ver", "key")
+  }
+
+  /** X80: point-in-time (PIT) join against an SCD2 dimension ledger —
+    * every order picks up the customer-dimension VERSION that was valid
+    * on its order date (the correctness cornerstone of slowly-changing-
+    * dimension warehousing: joining today's attributes onto historical
+    * facts corrupts history). The ledger is a deterministic 3-version
+    * derivation per customer (boundaries spread by custkey so every
+    * version is exercised at every SF).
+    *
+    * Spark-first shape: the same union+running-window as the event
+    * AS-OF join (X58), partitioned by the DIMENSION KEY — version rows
+    * and fact rows interleave in (key, time) order and `last(_,
+    * ignoreNulls)` carries the in-force version onto each fact. One
+    * shuffle on custkey; the oracle states the naive
+    * `valid_from <= d` + rank-1 range join.
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_mktsegment"))
+    val versions = c.select(col("key"),
+        explode(array(
+          struct(lit(1L).as("ver"), lit("1990-01-01").as("vf")),
+          struct(lit(2L).as("ver"), lit("1996-06-01").as("vf")),
+          struct(lit(3L).as("ver"), lit("1999-03-01").as("vf"))))
+          .as("v"))
+      .select(col("key"), col("v.ver").as("ver"),
+        col("v.vf").cast("date").as("vf"))
+    val facts = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("key"),
+        col("o_orderdate").cast("date").as("d"))
+    // union-tag: versions sort before facts on the same date (kind 0<1)
+    // so a version effective ON the order date applies to it
+    val tagged = versions.select(col("key"), col("vf").as("d"),
+        lit(0).as("kind"), col("ver"),
+        lit(null).cast("long").as("o_orderkey"))
+      .unionByName(facts.select(col("key"), col("d"), lit(1).as("kind"),
+        lit(null).cast("long").as("ver"), col("o_orderkey")))
+    val w = Window.partitionBy("key")
+      .orderBy(col("d"), col("kind"),
+        coalesce(col("ver"), lit(0L)), coalesce(col("o_orderkey"), lit(0L)))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("in_force", last(col("ver"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("o_orderkey"), col("key").as("c_custkey"),
+        date_format(col("d"), "yyyy-MM-dd").as("order_date"),
+        col("in_force").as("dim_version"))
+      .orderBy("o_orderkey")
   }
 
   /** X53: snapshot diff — classify every key across two table versions

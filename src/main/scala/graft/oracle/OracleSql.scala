@@ -2145,6 +2145,109 @@ shingles AS (
              op AS last_op, n_ops
       FROM ranked WHERE rn = 1 AND op <> 'D'
       ORDER BY ver, key""",
+    // Clustering coefficient: naive triangles + full degree, cc as an
+    // IEEE ratio of exact ints, deg < 2 excluded (cc undefined).
+    "graph_clustering_coeff" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+            FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      t AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tc AS (SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+               SELECT u AS part_id FROM t
+               UNION ALL SELECT v FROM t
+               UNION ALL SELECT w FROM t) n GROUP BY part_id),
+      d AS (SELECT id AS part_id, COUNT(*) AS deg FROM (
+              SELECT a AS id FROM e UNION ALL SELECT b FROM e) dd
+            GROUP BY id)
+      SELECT d.part_id, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+             ROUND(2.0 * CAST(COALESCE(tc.n_tri, 0) AS DOUBLE) /
+               CAST(d.deg * (d.deg - 1) AS DOUBLE), 6) AS cc
+      FROM d LEFT JOIN tc ON tc.part_id = d.part_id
+      WHERE d.deg >= 2
+      ORDER BY d.part_id""",
+    // TWAP: value held until the next event; weighted sum in DECIMAL so
+    // the only double is the final ratio of exact sums.
+    "events_twap" -> """
+      WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(value AS DECIMAL(18,2)) AS v,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LEAD(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_us
+        FROM events)
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(next_us - us) AS BIGINT) AS span_us,
+             ROUND(CAST(SUM(v * (next_us - us)) AS DOUBLE) /
+               CAST(SUM(next_us - us) AS DOUBLE), 6) AS twap
+      FROM ev WHERE next_us IS NOT NULL
+      GROUP BY user_id ORDER BY user_id""",
+    // RLE: gaps-and-islands on type change, runs summarized per island.
+    "events_rle" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(event_type) OVER (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        FROM events),
+      f AS (SELECT *, CASE WHEN prev_type IS NULL
+                             OR prev_type <> event_type
+                           THEN 1 ELSE 0 END AS chg FROM ev),
+      r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id
+              ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM f)
+      SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+             MIN(event_type) AS event_type,
+             CAST(COUNT(*) AS BIGINT) AS run_len,
+             MIN(us) AS start_us, MAX(us) AS end_us
+      FROM r GROUP BY user_id, run_id
+      ORDER BY user_id, run_id""",
+    // Chi-square profile: per-cell terms are IEEE doubles of exact ints;
+    // the total sums the 6dp-rounded terms as DECIMAL (order-free).
+    "analytics_chisq" -> """
+      WITH cells AS (SELECT lang, source, COUNT(*) AS o
+                     FROM documents GROUP BY lang, source),
+      rt AS (SELECT lang, SUM(o) AS rt FROM cells GROUP BY lang),
+      ct AS (SELECT source, SUM(o) AS ct FROM cells GROUP BY source),
+      nn AS (SELECT COUNT(*) AS n FROM documents),
+      terms AS (
+        SELECT cells.lang, cells.source, cells.o,
+               CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+               ROUND((CAST(cells.o AS DOUBLE) -
+                       CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n AS DOUBLE)) *
+                     (CAST(cells.o AS DOUBLE) -
+                       CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n AS DOUBLE)) /
+                     (CAST(rt.rt * ct.ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                 AS term
+        FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+        CROSS JOIN nn)
+      SELECT lang, source, o, ROUND(e, 6) AS e, term,
+             CAST(SUM(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE)
+               AS chi2_total
+      FROM terms ORDER BY lang, source""",
+    // PIT join: the oracle states the naive SCD2 range join (version
+    // valid at the order date via rank over valid_from desc).
+    "warehouse_pit_join" -> """
+      WITH v AS (
+        SELECT c_custkey AS key, 1 AS ver,
+               CAST('1990-01-01' AS DATE) AS vf FROM customer
+        UNION ALL
+        SELECT c_custkey, 2, CAST('1996-06-01' AS DATE) FROM customer
+        UNION ALL
+        SELECT c_custkey, 3, CAST('1999-03-01' AS DATE) FROM customer),
+      f AS (SELECT o_orderkey, o_custkey AS key,
+                   CAST(o_orderdate AS DATE) AS d FROM orders),
+      j AS (SELECT f.o_orderkey, f.key, f.d, v.ver,
+                   ROW_NUMBER() OVER (PARTITION BY f.o_orderkey
+                     ORDER BY v.vf DESC, v.ver DESC) AS rn
+            FROM f JOIN v ON v.key = f.key AND v.vf <= f.d)
+      SELECT o_orderkey, key AS c_custkey,
+             strftime(d, '%Y-%m-%d') AS order_date,
+             CAST(ver AS BIGINT) AS dim_version
+      FROM j WHERE rn = 1 ORDER BY o_orderkey""",
     // Equi-depth boundaries: the oracle states the single global
     // cumulative window; Spark answers from the two-phase bucket form.
     "agg_equidepth_hist" -> """
