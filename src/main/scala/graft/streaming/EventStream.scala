@@ -20,27 +20,33 @@ object EventStream {
 
   private val sinkId = new AtomicInteger(0)
 
-  /** Parquet physical schema with ns-timestamps read as longs. */
+  /** Parquet physical schema with ns-timestamps read as longs — the
+    * shape of OUR sentinel files (written below as ns longs regardless
+    * of the fixture generation).
+    */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** The events stream: file source over the fixture parquet, ns-long ts
-    * converted to a microsecond event-time column.
+  /** The events stream: file source over the fixture parquet with the
+    * fixture's actual `ts` physical type (ns-long or TIMESTAMP_NTZ µs —
+    * a file stream needs an explicit schema, so probe it from the batch
+    * footer once), normalized to a microsecond event-time column.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fixtureSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file stream source takes a directory; select the events table
     // out of the fixture dir by glob. No maxFilesPerTrigger: AvailableNow
     // takes every matching file in one micro-batch, so the update-mode
     // entries stay single-batch-correct even if the fixture is ever
     // regenerated as several files.
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", graft.tables.Tables.nsTsToMicros)
+    graft.tables.Tables.normalizeTs(
+      spark.readStream
+        .schema(fixtureSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Run a finite streaming query (AvailableNow) into a memory sink and

@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   *
   * All loaders return plain DataFrames so Catalyst can push filters and
   * prune columns into the Parquet scans. The only impedance mismatch is
-  * `events.ts`, stored as parquet TIMESTAMP(NANOS) which Spark's vectorized
-  * reader rejects; we read it as nanosecond longs
-  * (`spark.sql.legacy.parquet.nanosAsLong`) and derive a microsecond
-  * TimestampType column, truncating exactly like DuckDB's
-  * `CAST(ts AS TIMESTAMP)` (floor for post-epoch values).
+  * `events.ts`, whose physical type has varied across fixture
+  * generations: TIMESTAMP(NANOS) (read as nanosecond longs via
+  * `spark.sql.legacy.parquet.nanosAsLong`, then floored to microseconds
+  * exactly like DuckDB's `CAST(ts AS TIMESTAMP)`) or
+  * TIMESTAMP(MICROS, isAdjustedToUTC=false) (inferred as
+  * TIMESTAMP_NTZ, cast to the session-zone TimestampType — value-identical
+  * under the engine-wide UTC session zone). [[normalizeTs]] folds both
+  * generations to the same microsecond TimestampType column so every
+  * consumer computes on one type.
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -37,9 +41,22 @@ object Tables {
   def nsTsToMicros: org.apache.spark.sql.Column =
     timestamp_micros(expr("ts div 1000"))
 
-  /** `events` with `ts` converted ns-long -> microsecond timestamp. */
+  /** Fold either `ts` generation (ns-long / TIMESTAMP_NTZ µs) to the
+    * session-zone microsecond TimestampType. Shared by the batch loader
+    * and the streaming read path.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", nsTsToMicros)
+      case _ =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+
+  /** `events` with `ts` normalized to a microsecond timestamp. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events").withColumn("ts", nsTsToMicros)
+    normalizeTs(table(spark, dir, "events"))
   }
 }

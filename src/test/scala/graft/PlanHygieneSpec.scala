@@ -25,7 +25,10 @@ class PlanHygieneSpec extends SparkSpec {
     *    analytics_market_basket (one n_orders row),
     *    text_tfidf_topterms (one corpus-count row),
     *    cdc_time_travel (three version-cut rows),
-    *    agg_equidepth_hist (B−1 = 7 rank-target rows)
+    *    agg_equidepth_hist (B−1 = 7 rank-target rows),
+    *    analytics_chisq (one N row), analytics_pareto80 (one
+    *    corpus-total row), curation_dsir_weights (one (nt,nr)
+    *    smoothing-totals row)
     *  - TPC-H scalar/IN subqueries over dimension-sized sets:
     *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
     *    tpch_q22_dormant
@@ -43,7 +46,8 @@ class PlanHygieneSpec extends SparkSpec {
     "curation_mix_upsample", "graph_pagerank", "analytics_market_basket",
     "text_tfidf_topterms", "cdc_time_travel", "agg_equidepth_hist",
     "tpch_q9_profit", "tpch_q11_stock", "tpch_q16_partsupp",
-    "tpch_q20_promo", "tpch_q22_dormant")
+    "tpch_q20_promo", "tpch_q22_dormant",
+    "analytics_chisq", "analytics_pareto80", "curation_dsir_weights")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —
