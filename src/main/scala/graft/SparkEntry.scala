@@ -139,6 +139,8 @@ object SparkEntry {
     "events_tumbling" -> (graft.ext.Events.tumblingHourly(_, _)),
     "events_sliding" -> (graft.ext.Events.slidingQuarterHourly(_, _)),
     "events_sessions" -> ((s, d) => graft.ext.Events.sessionize(s, d)),
+    // inactivity sessions split again at fixed duration-cap boundaries
+    "events_sessions_capped" -> ((s, d) => graft.ext.Events.sessionizeCapped(s, d)),
     "events_json_extract" -> (graft.ext.Events.jsonExtractStats(_, _)),
     "events_lag_gap" -> (graft.ext.Events.lagLeadRank(_, _)),
     "events_rollup_day" -> (graft.ext.Events.rollupDaily(_, _)),
@@ -205,6 +207,10 @@ object SparkEntry {
     // SemDeDup-shape semantic dedup: min-id representative per similar
     // set (pairwise-greedy, single pass — no iteration)
     "dedup_semantic_keep" -> ((s, d) => graft.ext.Similarity.semanticKeep(s, d)),
+    // thresholded cosine pair graph labeled by star connected components
+    "dedup_semantic_clusters" -> ((s, d) => graft.ext.Similarity.semanticClusters(s, d)),
+    // per-label centroids (DECIMAL-exact) + inter-centroid cosine matrix
+    "embed_centroid_sim" -> ((s, d) => graft.ext.Similarity.centroidSim(s, d)),
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),
     "text_langid_ngram" -> ((s, d) => graft.ext.TextStats.langIdNgram(s, d)),
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),
@@ -228,6 +234,10 @@ object SparkEntry {
     // uniform-target language rebalancing: integer-threshold md5 sampler,
     // group stats broadcast, the sample itself a narrow scan filter
     "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
+    // DSIR hashed-ngram importance weights: target-vs-raw log-ratio scoring
+    "curation_dsir_weights" -> ((s, d) => graft.ext.LangModel.dsirWeights(s, d)),
+    // cumulative token coverage in size order; exact-integer 80% flag
+    "analytics_pareto80" -> ((s, d) => graft.ext.TextStats.paretoCoverage(s, d)),
     // the upsampling twin: whole epochs + fractional md5-admitted extras
     "curation_mix_upsample" -> ((s, d) => graft.ext.TextStats.mixUpsample(s, d)),
     // top co-occurring token pairs (per-doc distinct self-join + PMI)
@@ -238,12 +248,18 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => graft.ext.Graphs.pagerank(s, d)),
     // degree-oriented node-iterator triangle counting (co-order parts)
     "graph_triangles" -> ((s, d) => graft.ext.Graphs.triangles(s, d)),
+    // deterministic synchronous label-propagation communities (3 rounds)
+    "graph_label_prop" -> ((s, d) => graft.ext.Graphs.labelProp(s, d)),
     // 3-hop BFS frontier expansion from the 10 smallest part ids
     "graph_bfs_hops" -> ((s, d) => graft.ext.Graphs.bfsHops(s, d)),
     // AS-OF join as union+running-window (no O(n*m) pair space)
     "events_asof_join" -> ((s, d) => graft.ext.Events.asofJoin(s, d)),
     // first-order Markov transition matrix of per-user event sequences
     "events_transition_matrix" -> ((s, d) => graft.ext.Events.transitionMatrix(s, d)),
+    // last-touch revenue attribution via the as-of running window
+    "events_attribution" -> ((s, d) => graft.ext.Events.attribution(s, d)),
+    // exact decile-trimmed mean per event type (integer-rank cuts)
+    "agg_trimmed_mean" -> ((s, d) => graft.ext.Analytics.trimmedMean(s, d)),
     // edit-distance<=1 similarity join via deletion-neighborhood blocking
     "text_fuzzy_join" -> ((s, d) => graft.ext.Linkage.fuzzyNameJoin(s, d)),
     // association rules (support/confidence/lift) over co-ordered parts
@@ -292,6 +308,10 @@ object SparkEntry {
     "curation_contamination" -> ((s, d) => graft.ext.TextDedup.contamination(s, d)),
     // per-doc duplication coverage (Lee et al. 2022 diagnostic)
     "text_dup_coverage" -> ((s, d) => graft.ext.TextDedup.dupCoverage(s, d)),
+    // first-occurrence n-gram novelty per doc (crawl-admission signal)
+    "text_novelty" -> ((s, d) => graft.ext.TextDedup.noveltyScore(s, d)),
+    // pairwise source shingle-overlap matrix (dedup planning signal)
+    "analytics_source_overlap" -> ((s, d) => graft.ext.TextDedup.sourceOverlap(s, d)),
     // cross-doc boilerplate chunk removal (CCNet/RefinedWeb paragraph
     // dedup at fixed 5-word-chunk granularity)
     "text_strip_boilerplate" -> ((s, d) => graft.ext.TextDedup.stripBoilerplate(s, d)),

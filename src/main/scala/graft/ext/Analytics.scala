@@ -1234,4 +1234,34 @@ object Analytics {
       .groupBy("b", "target").agg(min(col("v")).as("boundary"))
       .orderBy("b")
   }
+
+  /** X90: exact 10%-trimmed mean per event type — the robust-statistics
+    * twin of the plain mean: rank every value (ties broken by event_id,
+    * the X46 total order), drop the bottom and top deciles by EXACT
+    * integer rank arithmetic (`rn·10 > n` / `rn·10 ≤ 9·n` — no float
+    * threshold, no ceil-of-0.1·n double wobble), and average what
+    * remains with a DECIMAL sum over an exact count. The plain mean
+    * rides along for the contrast column, computed the same exact way —
+    * never `avg(double)`, whose association order is partition-dependent.
+    *
+    * Scale shape: one rank window per event_type (the same shuffle every
+    * per-type analytic here shares) + one aggregate; nothing global.
+    */
+  def trimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val byVal = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val perType = Window.partitionBy("event_type")
+    val kept = col("rn") * 10 > col("n") && col("rn") * 10 <= lit(9) * col("n")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(byVal).cast("long"))
+      .withColumn("n", count(lit(1)).over(perType))
+      .groupBy("event_type")
+      .agg(max("n").as("n_rows"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(kept, col("value").cast(D2))).cast("double") /
+          sum(when(kept, 1L).otherwise(0L)), 6).as("trimmed_mean"),
+        round(sum(col("value").cast(D2)).cast("double") / max("n"), 6)
+          .as("plain_mean"))
+      .orderBy("event_type")
+  }
 }

@@ -74,6 +74,41 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** X85: sessionization with a hard duration cap — inactivity sessions
+    * ([[sessionize]]'s 30-minute gap rule) additionally split at fixed
+    * `capMicros` boundaries from each session's start (the bounded-
+    * session policy analytics stores enforce so one always-on device
+    * can't produce an unbounded session row). The cap is the
+    * deterministic fixed-boundary form — sub-session = ⌊(t −
+    * session_start)/cap⌋ — not the sequential "restart the clock at the
+    * first event past the cap" greedy, which is an inherently ordered
+    * scan (declared streaming-stateful, like X71's strict rate
+    * limiter). Three windows + one aggregate, all keyed on user_id —
+    * the same single shuffle as every per-user analytic here.
+    */
+  def sessionizeCapped(spark: SparkSession, dir: String,
+                       gapMicros: Long = 30L * 60 * 1000000,
+                       capMicros: Long = 10L * 60 * 1000000): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val ws = Window.partitionBy("user_id", "session_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .withColumn("s_start", min("us").over(ws))
+      .withColumn("sub_id", expr(s"(us - s_start) div $capMicros"))
+      .groupBy("user_id", "session_id", "sub_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"),
+        sum(col("value").cast(D2)).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_id", "sub_id")
+  }
+
   /** JSON property extraction (`get_json_object`, codegen'd — no UDF)
     * aggregated per event type. `$.k` is projected ONCE before the
     * aggregate: binding the extraction inside each of sum/min/max would
@@ -647,5 +682,35 @@ object Events {
       .withColumn("p", col("n").cast("double") /
         sum(col("n")).over(fromTotals).cast("double"))
       .orderBy("from_type", "to_type")
+  }
+
+  /** X89: last-touch revenue attribution — every purchase credits its
+    * value to the most recent PRECEDING non-purchase event of the same
+    * user (the classic marketing-attribution query; "none" when the
+    * purchase is the user's first activity). The as-of machinery is
+    * X58's union+running-window: one shuffle on user_id, no pair space,
+    * purchases and touches interleaved on (us, kind, event_id) with
+    * touches ordered before a same-instant purchase. Credited revenue
+    * sums in DECIMAL (exact, order-free); only the final per-channel
+    * double leaves decimal land.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("kind",
+        when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("touch",
+        when(col("kind") === 0, col("event_type")))
+      .withColumn("last_touch",
+        last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(D2)).cast("double").as("attributed_value"))
+      .orderBy("channel")
   }
 }

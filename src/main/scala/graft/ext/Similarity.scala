@@ -252,4 +252,81 @@ object Similarity {
       .filter(col("rk") <= k)
       .orderBy("q_id", "rk")
   }
+
+  /** X82: per-label centroids + the inter-centroid cosine matrix — the
+    * cluster-geometry diagnostic of every embedding-space curation run
+    * (are the label groups actually separated? which pairs are close
+    * enough to merge?).
+    *
+    * Exactness: a naive float centroid is partition-order-dependent
+    * (IEEE addition does not associate). Here every component is cast
+    * exact float→double, 6dp-rounded, then summed as DECIMAL(18,6) per
+    * (label, dim) — exact and order-free — and the centroid component
+    * re-rounds the exact-sum/count ratio. The pairwise stage multiplies
+    * those DECIMAL components (still exact) so dot products and norms
+    * are exact decimals; only the final cosine (one division + two
+    * correctly-rounded sqrts) is IEEE, and it is 6dp-rounded for the
+    * comparison.
+    *
+    * Scale shape: posexplode shuffles on (label, dim) — 64·|labels|
+    * cells regardless of corpus size, with partial aggregation
+    * map-side; the centroid relation is tiny and the pair matrix is
+    * |labels|² rows. At 100 TB nothing but the first aggregate ever
+    * touches the corpus.
+    */
+  def centroidSim(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum(round(col("v").cast("double"), 6).cast(D6)).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        round(col("s").cast("double") / col("n"), 6).cast(D6).as("c"))
+    val a = cent.select(col("label").as("label_a"), col("dim"), col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("dim"), col("c").as("cb"))
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("na"),
+        sum(col("cb") * col("cb")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos_sim"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** X84: semantic duplicate clusters — the transitive-closure companion
+    * to [[semanticKeep]]: the thresholded cosine pair graph
+    * ([[embedCosinePairs]]) labeled by connected components
+    * ([[Components.starComponents]], the O(log n)-round star rewiring),
+    * singletons kept as their own cluster. Where semanticKeep answers
+    * "which copies do I drop" in one greedy pass, this names every
+    * semantic group — the form SemDeDup-style pipelines persist so a
+    * later stage can pick size-aware representatives.
+    *
+    * Scale shape: the pair graph is sign-LSH-bucketed (Σ bucket², never
+    * n²); star rewiring is O(log n) rounds of node-keyed shuffles; the
+    * final size/label join keys on cluster id. Nothing here holds a
+    * component in memory.
+    */
+  def semanticClusters(spark: SparkSession, dir: String,
+                       threshold: Double = 0.35, bits: Int = 8): DataFrame = {
+    val pairs = embedCosinePairs(spark, dir, threshold, bits)
+      .select(col("vec_a"), col("vec_b"))
+    val labels = Components.starComponents(pairs).labels
+      .select(col("id").as("vec_id"), col("comp"))
+    val sized = Tables.embeddings(spark, dir)
+      .select(col("vec_id"))
+      .join(labels, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+    val sizes = sized.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    sized.join(sizes, Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("is_canonical"))
+      .orderBy("vec_id")
+  }
 }

@@ -930,4 +930,65 @@ object TextDedup {
         col("source").as("kept_source"), col("group_n"))
       .orderBy("lang", "len_band")
   }
+
+  /** X86: n-gram novelty scoring — what fraction of a document's
+    * 3-gram shingles FIRST appear in it (first occurrence = minimum
+    * doc_id over the corpus)? The incremental-crawl admission signal:
+    * a low-novelty document adds almost nothing the corpus doesn't
+    * already contain, even when no single earlier document is a
+    * near-duplicate of it (X2 can't see diffuse copying; this can).
+    *
+    * Scale shape: one MIN aggregate on the shingle key + one join back
+    * on the same key — the shingle shuffle happens once and is shared
+    * through [[cachedShingles]] with the whole dedup family.
+    * Boilerplate shingles are the classic heavy hitters on that key;
+    * AQE skew-split handles them, and the aggregate itself is
+    * map-side-combinable. Docs with fewer than 3 words have no
+    * shingles and no row (inner-join semantics, mirrored in the
+    * oracle).
+    */
+  def noveltyScore(spark: SparkSession, dir: String): DataFrame = {
+    val occ = cachedShingles(spark, dir)
+    val fo = occ.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    occ.join(fo, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** X87: cross-source overlap matrix — for every pair of ingestion
+    * sources, how many distinct 3-gram shingles they share, and the
+    * overlap coefficient |A∩B| / min(|A|,|B|) (the "should these two
+    * feeds be deduplicated against each other first" planning signal
+    * every multi-source curation run wants before it burns the big
+    * MinHash pass).
+    *
+    * Scale shape: the corpus collapses to distinct (source, shingle)
+    * first; the pair join is keyed on the shingle and fans out at most
+    * C(|sources|, 2) per shingle — bounded by the (tiny) source count,
+    * never by corpus size. Totals are |sources| rows, broadcast back.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ss = cachedShingles(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        Seq("doc_id"))
+      .select("source", "sh").distinct()
+    val tot = ss.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    ss.as("a").join(ss.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n_sh").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n_sh").as("n_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("overlap_coef"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -385,6 +385,52 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** X83: Pareto token-coverage — "which documents carry 80% of the
+    * corpus tokens": every doc's cumulative token count and share in
+    * (n_tokens DESC, doc_id) order, flagged while it STARTS before the
+    * 80% point (the long-tail audit behind dedup-priority and storage-
+    * tiering decisions).
+    *
+    * Scale shape: the prefix sum never runs as one global window — the
+    * corpus is range-partitioned on the SORT key (so partition p's rows
+    * all precede partition p+1's in the total order; unlike X12's
+    * doc_id buckets, the bucket here must follow the n_tokens ordering),
+    * per-partition subtotals make a tiny prefix relation, and each
+    * partition adds its broadcast offset to a local window. Because
+    * (n_tokens, doc_id) is a total order, every row's cum is
+    * independent of where the range boundaries land — sampling
+    * nondeterminism in the range partitioner cannot reach the values.
+    * The 80% test is exact integer arithmetic (`(cum−n)·5 < total·4`) —
+    * no float threshold at the boundary.
+    */
+  def paretoCoverage(spark: SparkSession, dir: String,
+                     num: Int = 4, den: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val total = docs.agg(sum("n_tokens").as("total"))
+    val ranged = docs
+      .repartitionByRange(32, col("n_tokens").desc, col("doc_id"))
+      .withColumn("p", spark_partition_id().cast("long"))
+    val prefix = ranged.groupBy("p").agg(sum("n_tokens").as("bt"))
+      .withColumn("prev_total", coalesce(
+        sum("bt").over(Window.orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("p", "prev_total")
+    ranged.join(broadcast(prefix), Seq("p"))
+      .withColumn("cum_tokens", col("prev_total") +
+        sum("n_tokens").over(Window.partitionBy("p")
+          .orderBy(col("n_tokens").desc, col("doc_id"))))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        round(col("cum_tokens").cast("double") / col("total"), 6)
+          .as("cum_share"),
+        ((col("cum_tokens") - col("n_tokens")) * den < col("total") * num)
+          .as("in_pareto80"))
+      .orderBy("cum_tokens", "doc_id")
+  }
+
   /** X52: data-mixture rebalancing — downsample over-represented
     * language groups to a uniform target mixture (the data-mixing step
     * every multilingual training pipeline runs; DoReMi/ROOTS-style but

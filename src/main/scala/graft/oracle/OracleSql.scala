@@ -532,6 +532,31 @@ cat_remove AS (
              MIN(us) AS start_us, MAX(us) AS end_us,
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+    // X85 capped sessions: the 30-min-gap islands split again at fixed
+    // 10-min boundaries from each session's start (sub_id = floor
+    // offset / cap — the deterministic fixed-boundary cap, not the
+    // sequential greedy restart).
+    "events_sessions_capped" -> s"""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events
+      ), flagged AS (
+        SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000 OR LAG(us) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ), sess AS (
+        SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+      ), capped AS (
+        SELECT *, CAST((us - MIN(us) OVER (PARTITION BY user_id, session_id))
+                       // 600000000 AS BIGINT) AS sub_id
+        FROM sess
+      )
+      SELECT user_id, session_id, sub_id, COUNT(*) AS n_events,
+             MIN(us) AS start_us, MAX(us) AS end_us,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value
+      FROM capped GROUP BY user_id, session_id, sub_id
+      ORDER BY user_id, session_id, sub_id""",
     "events_json_extract" -> """
       SELECT event_type,
              COUNT(*) AS n,
@@ -1349,6 +1374,78 @@ shingles AS (
              (d.vec_id IS NULL) AS kept
       FROM b LEFT JOIN drops d ON b.vec_id = d.vec_id
       ORDER BY b.vec_id""",
+    // X84 semantic clusters: the thresholded cosine pair graph (the
+    // dedup_embed_pairs edge set) closed under 8-round min-label
+    // propagation (the dedup_clusters unrolling — the Spark side runs
+    // star rewiring to a PROVEN fixpoint, so a divergence can't
+    // silently hash-match); vectors with no pair are their own cluster.
+    "dedup_semantic_clusters" -> ("""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      pairs AS MATERIALIZED (
+        SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_dot_product(a.v, b2.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b2.v, b2.v))) >= 0.35),
+      edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b AS src, vec_a AS dst FROM pairs),
+      edges2 AS MATERIALIZED (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT DISTINCT src, src FROM edges),
+      l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges2),
+""" + (1 to 8).map(k => s"""      l$k AS (
+        SELECT e.dst AS id, MIN(l.lab) AS lab
+        FROM l${k - 1} l JOIN edges2 e ON e.src = l.id
+        GROUP BY e.dst
+      )""").mkString(",\n") + """,
+      labeled AS (
+        SELECT e.vec_id, COALESCE(l.lab, e.vec_id) AS cluster_id
+        FROM embeddings e LEFT JOIN l8 l ON l.id = e.vec_id),
+      sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM labeled GROUP BY cluster_id)
+      SELECT vec_id, cluster_id, cluster_size,
+             vec_id = cluster_id AS is_canonical
+      FROM labeled JOIN sizes USING (cluster_id) ORDER BY vec_id"""),
+    // X82 centroid similarity: per-(label, dim) DECIMAL-exact centroid
+    // (6dp-rounded doubles summed as DECIMAL — partition/association
+    // order can't reach the value) and the exact-decimal dot/norm pair
+    // stage; one IEEE division + two correctly-rounded sqrts at the end.
+    // DuckDB's 1-based dim vs Spark's 0-based posexplode is internal —
+    // dim never leaves the query.
+    "embed_centroid_sim" -> """
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      e AS (SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS v
+            FROM embeddings, dims),
+      cent AS (
+        SELECT label, dim,
+               CAST(ROUND(CAST(SUM(CAST(ROUND(v, 6) AS DECIMAL(18,6)))
+                               AS DOUBLE) / COUNT(*), 6)
+                    AS DECIMAL(18,6)) AS c
+        FROM e GROUP BY label, dim),
+      p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(a.c * b.c) AS dot,
+               SUM(a.c * a.c) AS na, SUM(b.c * b.c) AS nb
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label)
+      SELECT label_a, label_b,
+             ROUND(CAST(dot AS DOUBLE) /
+               (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))), 6)
+               AS cos_sim
+      FROM p ORDER BY label_a, label_b""",
     "embed_knn_join" -> """
       WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
                  FROM embeddings WHERE vec_id < 20),
@@ -1667,6 +1764,38 @@ shingles AS (
                   ELSE 0.0 END AS dup_ratio
       FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
       ORDER BY b.doc_id""",
+    // X86 novelty: a doc's share of 3-gram shingles whose FIRST corpus
+    // occurrence (min doc_id) is that doc. Docs without shingles (< 3
+    // words) have no row — inner-join semantics on both sides.
+    "text_novelty" -> (s"""
+      WITH ${SHINGLES.trim},
+      fo AS (SELECT sh, MIN(doc_id) AS first_doc FROM shingles GROUP BY sh)
+      SELECT s.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+             ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS novelty
+      FROM shingles s JOIN fo f ON s.sh = f.sh
+      GROUP BY s.doc_id ORDER BY s.doc_id"""),
+    // X87 source overlap: distinct (source, shingle) sets pairwise
+    // intersected on the shingle key; overlap coefficient over the
+    // smaller set.
+    "analytics_source_overlap" -> (s"""
+      WITH ${SHINGLES.trim},
+      ss AS (
+        SELECT DISTINCT d.source, s.sh
+        FROM shingles s JOIN documents d ON s.doc_id = d.doc_id),
+      tot AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+      p AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source)
+      SELECT p.src_a, p.src_b, ta.n_sh AS n_a, tb.n_sh AS n_b, p.n_shared,
+             ROUND(CAST(p.n_shared AS DOUBLE) /
+                   least(ta.n_sh, tb.n_sh), 6) AS overlap_coef
+      FROM p JOIN tot ta ON p.src_a = ta.source
+             JOIN tot tb ON p.src_b = tb.source
+      ORDER BY p.src_a, p.src_b"""),
     // Boilerplate strip: non-overlapping 5-word chunks; a chunk text in
     // >= 2 distinct docs is boilerplate; docs rebuild from surviving
     // chunks in original order (exact dups lose every chunk).
@@ -1733,6 +1862,66 @@ shingles AS (
       SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
       FROM ranked WHERE sample_rank <= 20
       ORDER BY lang, sample_rank""",
+    // X81 DSIR importance weights: hashed unigram+bigram buckets, target
+    // (source='src0') vs raw add-one-smoothed multinomials, per-doc sum
+    // of 6dp-rounded DECIMAL log-ratios (exact, order-free on both
+    // engines). The 16-bit md5 prefix hash mirrors the X53 sampler
+    // spelling; `% 1024` folds it to the bucket space.
+    "curation_dsir_weights" -> """
+      WITH d AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+      feats AS (
+        SELECT doc_id, source, unnest(ws) AS feat FROM d
+        UNION ALL
+        SELECT doc_id, source, array_to_string(ws[i:i+1], '_') AS feat
+        FROM (SELECT doc_id, source, ws,
+                     unnest(generate_series(1, len(ws) - 1)) AS i FROM d) t),
+      bf AS (
+        SELECT doc_id, source,
+               ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 1024 AS b
+        FROM (SELECT doc_id, source, md5(feat) AS h FROM feats) t),
+      counts AS (
+        SELECT b,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS cr
+        FROM bf GROUP BY b),
+      tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts),
+      wts AS (
+        SELECT b, CAST(ROUND(ln(CAST(ct + 1 AS DOUBLE) / (nt + 1024)) -
+                             ln(CAST(cr + 1 AS DOUBLE) / (nr + 1024)), 6)
+                       AS DECIMAL(18,6)) AS logratio
+        FROM counts, tot)
+      SELECT doc_id, COUNT(*) AS n_feats,
+             CAST(SUM(logratio) AS DOUBLE) AS logw_sum,
+             ROUND(CAST(SUM(logratio) AS DOUBLE) / COUNT(*), 6) AS logw_avg
+      FROM bf JOIN wts USING (b)
+      WHERE source <> 'src0'
+      GROUP BY doc_id ORDER BY doc_id""",
+    // X83 Pareto coverage: naive global window cumsum in (n_tokens DESC,
+    // doc_id) order — the Spark side range-partitions on the sort key and
+    // runs the two-phase prefix sum; identical by associativity. The 80%
+    // membership test is exact integer arithmetic on both sides.
+    "analytics_pareto80" -> """
+      WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      t AS (SELECT SUM(n_tokens) AS total FROM d),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens)
+                 OVER (ORDER BY n_tokens DESC, doc_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS cum_tokens
+        FROM d)
+      SELECT doc_id, n_tokens, cum_tokens,
+             ROUND(CAST(cum_tokens AS DOUBLE) / total, 6) AS cum_share,
+             (cum_tokens - n_tokens) * 5 < total * 4 AS in_pareto80
+      FROM c, t ORDER BY cum_tokens, doc_id""",
     // Shard packing twin: the naive single-window prefix sum — the Spark
     // side computes the same values with a two-phase distributed cumsum.
     "curation_shard_pack" -> """
@@ -1917,6 +2106,34 @@ shingles AS (
             UNION ALL SELECT w FROM t)
       SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_tri
       FROM n GROUP BY part_id ORDER BY part_id""",
+    // X88 label propagation: three synchronous rounds unrolled — votes =
+    // neighbour labels counted, argmax per node with (count DESC, label)
+    // tie-break; l0 is self-labeling. Mirrors Graphs.labelProp exactly.
+    "graph_label_prop" -> ("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL
+        SELECT b AS u, a AS v FROM e0),
+      l0 AS (SELECT DISTINCT u AS id, u AS lab FROM sym),
+""" + (1 to 3).map(k => s"""      v$k AS (
+        SELECT s.u AS id, l.lab, COUNT(*) AS c
+        FROM sym s JOIN l${k - 1} l ON l.id = s.v
+        GROUP BY s.u, l.lab
+      ),
+      l$k AS (
+        SELECT id, lab FROM (
+          SELECT id, lab,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rk
+          FROM v$k) t
+        WHERE rk = 1
+      )""").mkString(",\n") + """,
+      sizes AS (SELECT lab, COUNT(*) AS community_size FROM l3 GROUP BY lab)
+      SELECT l.id AS part_id, l.lab AS community, s.community_size
+      FROM l3 l JOIN sizes s ON l.lab = s.lab
+      ORDER BY part_id"""),
     // BFS: the oracle unrolls the 3 frontier expansions explicitly
     // (dedup per level via NOT EXISTS against every earlier level) —
     // the same unrolled-iteration style as graph_pagerank, portable to
@@ -1946,6 +2163,26 @@ shingles AS (
     // AS-OF join: the oracle states the naive quadratic spelling (left
     // join on user with c.ts <= p.ts, rank 1 by ts desc then id desc);
     // Spark answers from the union+running-window form.
+    // X89 last-touch attribution: the asof running window over the
+    // interleaved (us, kind, event_id) order — touches sort before a
+    // same-instant purchase; purchases with no prior touch fall to
+    // 'none'. DECIMAL-exact revenue sums.
+    "events_attribution" -> s"""
+      WITH e AS (
+        SELECT event_id, user_id, event_type, value,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+        FROM events),
+      t AS (
+        SELECT *, LAST_VALUE(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+                        ROWS UNBOUNDED PRECEDING) AS last_touch
+        FROM e)
+      SELECT COALESCE(last_touch, 'none') AS channel,
+             COUNT(*) AS n_purchases,
+             CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS attributed_value
+      FROM t WHERE kind = 1
+      GROUP BY COALESCE(last_touch, 'none') ORDER BY channel""",
     "events_asof_join" -> """
       WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
                  FROM events WHERE event_type = 'click'),
@@ -3117,6 +3354,25 @@ shingles AS (
              MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
              MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99,
              MIN(value) AS p0, MAX(value) AS p100
+      FROM ranked GROUP BY event_type ORDER BY event_type""",
+    // X90 trimmed mean: decile cuts by EXACT integer rank arithmetic
+    // (rn*10 > n / rn*10 <= 9*n) over the X46 total order; DECIMAL sums.
+    "agg_trimmed_mean" -> s"""
+      WITH ranked AS (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, MAX(n) AS n_rows,
+             CAST(SUM(CASE WHEN rn * 10 > n AND rn * 10 <= 9 * n
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             ROUND(CAST(SUM(CASE WHEN rn * 10 > n AND rn * 10 <= 9 * n
+                                 THEN CAST(value AS $D2) END) AS DOUBLE) /
+                   SUM(CASE WHEN rn * 10 > n AND rn * 10 <= 9 * n
+                            THEN 1 ELSE 0 END), 6) AS trimmed_mean,
+             ROUND(CAST(SUM(CAST(value AS $D2)) AS DOUBLE) / MAX(n), 6)
+               AS plain_mean
       FROM ranked GROUP BY event_type ORDER BY event_type""",
     // TRY_CAST is spelled identically on both engines; try_divide's
     // null-on-zero is the portable a / NULLIF(b, 0)

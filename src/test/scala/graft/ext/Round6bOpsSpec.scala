@@ -1,0 +1,149 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Laws for the second round-6 operator batch beyond what the DuckDB
+  * oracles pin (those already prove value equality): Pareto prefix
+  * structure, DSIR feature accounting and slice exclusion, centroid
+  * cosine geometry, semantic-cluster/pair-graph consistency, and the
+  * capped-session rollup identity back onto plain sessionization.
+  */
+class Round6bOpsSpec extends SparkSpec {
+
+  test("pareto coverage: cum is a permutation prefix sum; flag is a prefix") {
+    val rows = TextStats.paretoCoverage(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    // ordered output: cum strictly increases by exactly n_tokens
+    rows.sliding(2).withFilter(_.length == 2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(b._3 - b._2 == a._3, s"gap at doc ${b._1}")
+    }
+    assert(rows.head._3 == rows.head._2)
+    // the 80% membership is a PREFIX of the size order: never true
+    // again after the first false
+    val flags = rows.map(_._4)
+    assert(flags.head, "the largest doc always starts inside the budget")
+    assert(!flags.dropWhile(identity).contains(true), "flag must be a prefix")
+    // the flagged set is minimal-by-construction: the last flagged doc
+    // STARTS before the 80% point, the first unflagged one doesn't
+    val total = rows.last._3
+    val lastIn = rows.takeWhile(_._4).last
+    assert((lastIn._3 - lastIn._2) * 5 < total * 4)
+  }
+
+  test("dsir: target slice never scored; n_feats = unigrams + bigrams") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')").as("ws"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val got = LangModel.dsirWeights(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val raw = docs.filter(_._2 != "src0")
+    assert(got.keySet == raw.map(_._1).toSet, "exactly the raw slice is scored")
+    raw.foreach { case (id, _, ws) =>
+      val want = ws.length + math.max(ws.length - 1, 0)
+      assert(got(id) == want, s"doc $id feature count")
+    }
+  }
+
+  test("centroid similarity: full label pair matrix, cosine within [-1, 1]") {
+    val nLabels = graft.tables.Tables.embeddings(spark, sf001)
+      .select("label").distinct().count()
+    val rows = Similarity.centroidSim(spark, sf001).collect()
+    assert(rows.length == nLabels * (nLabels - 1) / 2)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0 && r.getInt(0) < r.getInt(1))
+    }
+  }
+
+  test("semantic clusters: pair endpoints co-labeled, sizes partition, min id canonical") {
+    val pairs = Similarity.embedCosinePairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Similarity.semanticClusters(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val label = rows.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+    }
+    // every row carries its cluster's true cardinality
+    val bySize = rows.groupBy(_._2).map { case (c, rs) => c -> rs.length.toLong }
+    rows.foreach(r => assert(r._3 == bySize(r._2)))
+    // canonical = the min id of its cluster, exactly one per cluster
+    val mins = rows.groupBy(_._2).map { case (c, rs) => c -> rs.map(_._1).min }
+    rows.foreach(r => assert(r._4 == (r._1 == mins(r._2))))
+    assert(rows.count(_._4) == bySize.size)
+  }
+
+  test("novelty: the first document is fully novel; ratios in (0, 1]") {
+    val rows = TextDedup.noveltyScore(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3 && first._4 == 1.0,
+      "every shingle of the minimum doc_id first-occurs there")
+    rows.foreach { case (id, n, novel, ratio) =>
+      assert(novel >= 0 && novel <= n && ratio >= 0.0 && ratio <= 1.0, s"doc $id")
+    }
+  }
+
+  test("source overlap: full pair matrix, coefficient laws") {
+    val k = graft.tables.Tables.documents(spark, sf001)
+      .select("source").distinct().count()
+    val rows = TextDedup.sourceOverlap(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // sparse pairs with zero shared shingles may be absent; never more
+    // than the full matrix
+    assert(rows.length <= k * (k - 1) / 2 && rows.nonEmpty)
+    rows.foreach { case (a, b, na, nb, shared, coef) =>
+      assert(a < b && shared <= math.min(na, nb) && coef > 0.0 && coef <= 1.0)
+    }
+  }
+
+  test("label prop: labels are member node ids; sizes partition the node set") {
+    val rows = Graphs.labelProp(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byComm = rows.groupBy(_._2)
+    rows.foreach(r => assert(r._3 == byComm(r._2).length.toLong))
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("attribution: purchase count and revenue are conserved") {
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)), sum(col("value").cast("decimal(18,2)")))
+      .head()
+    val rows = Events.attribution(spark, sf001).collect()
+    assert(rows.map(_.getLong(1)).sum == ev.getLong(0))
+    val got = BigDecimal(rows.map(r => BigDecimal(r.getDouble(2))).sum.toString)
+    assert((got - BigDecimal(ev.getDecimal(1).toString)).abs < BigDecimal("0.01"))
+  }
+
+  test("trimmed mean: integer-rank cut counts; trimmed within [min, max]") {
+    val rows = Analytics.trimmedMean(spark, sf001).collect()
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      // #{rn : rn*10 > n && rn*10 <= 9n} counted directly
+      val want = (1L to n).count(rn => rn * 10 > n && rn * 10 <= 9 * n)
+      assert(kept == want, s"${r.getString(0)}: kept $kept want $want")
+      assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN)
+    }
+  }
+
+  test("capped sessions roll back up to plain sessions; sub spans bounded by cap") {
+    val cap = 10L * 60 * 1000000
+    val capped = Events.sessionizeCapped(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getLong(4), r.getLong(5))))
+    // every sub-session fits inside one cap window
+    capped.foreach { case (_, (_, s, e)) => assert(e - s < cap) }
+    // re-aggregating the cap splits reproduces sessionize exactly
+    val rolled = capped.groupBy(_._1).map { case (k, subs) =>
+      k -> (subs.map(_._2._1).sum, subs.map(_._2._2).min, subs.map(_._2._3).max)
+    }
+    val plain = Events.sessionize(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rolled == plain)
+  }
+}
