@@ -250,6 +250,8 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => graft.ext.Graphs.triangles(s, d)),
     // deterministic synchronous label-propagation communities (3 rounds)
     "graph_label_prop" -> ((s, d) => graft.ext.Graphs.labelProp(s, d)),
+    // degree histogram + cumulative share over the distinct-degree relation
+    "graph_degree_dist" -> ((s, d) => graft.ext.Graphs.degreeDist(s, d)),
     // 3-hop BFS frontier expansion from the 10 smallest part ids
     "graph_bfs_hops" -> ((s, d) => graft.ext.Graphs.bfsHops(s, d)),
     // AS-OF join as union+running-window (no O(n*m) pair space)
@@ -260,6 +262,10 @@ object SparkEntry {
     "events_attribution" -> ((s, d) => graft.ext.Events.attribution(s, d)),
     // exact decile-trimmed mean per event type (integer-rank cuts)
     "agg_trimmed_mean" -> ((s, d) => graft.ext.Analytics.trimmedMean(s, d)),
+    // top session-opening event-type paths (first 3 per session)
+    "events_top_paths" -> ((s, d) => graft.ext.Events.topPaths(s, d)),
+    // equi-depth bucket assignment + per-bucket depth audit (X70 composed)
+    "analytics_bucket_assign" -> ((s, d) => graft.ext.Analytics.bucketAssign(s, d)),
     // edit-distance<=1 similarity join via deletion-neighborhood blocking
     "text_fuzzy_join" -> ((s, d) => graft.ext.Linkage.fuzzyNameJoin(s, d)),
     // association rules (support/confidence/lift) over co-ordered parts
@@ -310,6 +316,8 @@ object SparkEntry {
     "text_dup_coverage" -> ((s, d) => graft.ext.TextDedup.dupCoverage(s, d)),
     // first-occurrence n-gram novelty per doc (crawl-admission signal)
     "text_novelty" -> ((s, d) => graft.ext.TextDedup.noveltyScore(s, d)),
+    // corpus top-1k vocabulary coverage per doc (OOV/gibberish filter)
+    "text_vocab_coverage" -> ((s, d) => graft.ext.TextStats.vocabCoverage(s, d)),
     // pairwise source shingle-overlap matrix (dedup planning signal)
     "analytics_source_overlap" -> ((s, d) => graft.ext.TextDedup.sourceOverlap(s, d)),
     // cross-doc boilerplate chunk removal (CCNet/RefinedWeb paragraph

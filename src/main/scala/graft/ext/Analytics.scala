@@ -1235,6 +1235,33 @@ object Analytics {
       .orderBy("b")
   }
 
+  /** X92: equi-depth bucket assignment — every order lands in the
+    * histogram bucket its price belongs to, bucket = #{boundaries
+    * strictly below the value} over the X70 exact boundaries; the
+    * output is the per-bucket audit (count, min, max) that proves the
+    * depths actually came out equal. This is the range-partitioner
+    * composition: X70 computes the split points, this assigns rows to
+    * splits — exactly what `repartitionByRange` does internally, made
+    * exact and inspectable.
+    *
+    * Scale shape: the boundary relation is B−1 rows broadcast; the
+    * assignment is a broadcast nested-loop bounded by that fixed-B fan
+    * (declared on the PlanHygiene allowlist), and the audit aggregate
+    * shuffles on the B-sized bucket key.
+    */
+  def bucketAssign(spark: SparkSession, dir: String,
+                   nBuckets: Int = 8): DataFrame = {
+    val bnd = equidepthHist(spark, dir, nBuckets).select("boundary")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"), col("o_totalprice").as("v"))
+      .join(broadcast(bnd), col("v") > col("boundary"), "left")
+      .groupBy("ok", "v").agg(count(col("boundary")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .orderBy("bucket")
+  }
+
   /** X90: exact 10%-trimmed mean per event type — the robust-statistics
     * twin of the plain mean: rank every value (ties broken by event_id,
     * the X46 total order), drop the bottom and top deciles by EXACT

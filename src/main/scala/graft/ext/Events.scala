@@ -684,6 +684,43 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** X93: frequent session paths — the top session-opening event-type
+    * sequences (first 3 events per inactivity session, joined as
+    * "a>b>c"): the behavioral-pattern query behind onboarding and
+    * funnel design. Sessions are X6's 30-min gap islands; the path is
+    * canonical because the collect is sorted on the (us, event_id)
+    * total order before joining (collect_list alone is
+    * partition-order-dependent — the array_sort is what makes this
+    * hash-comparable).
+    *
+    * Scale shape: one user-keyed window chain (shared with every
+    * session analytic), a per-session 3-row cap BEFORE the collect (so
+    * state per session is O(3)), a path-keyed count, and a
+    * TakeOrderedAndProject top-k — no global sort.
+    */
+  def topPaths(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val inSess = Window.partitionBy("user_id", "session_id")
+      .orderBy("us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .withColumn("rn", row_number().over(inSess))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(us, event_id, event_type))), " +
+          "x -> x.event_type)"), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(k)
+  }
+
   /** X89: last-touch revenue attribution — every purchase credits its
     * value to the most recent PRECEDING non-purchase event of the same
     * user (the classic marketing-attribution query; "none" when the

@@ -252,4 +252,30 @@ object Graphs {
         col("community_size"))
       .orderBy("part_id")
   }
+
+  /** X94: degree distribution with cumulative share — the first graph
+    * profile anyone computes (is this co-occurrence graph heavy-tailed
+    * enough to need the X59 orientation / X21 salting machinery?).
+    * Nodes collapse to per-degree counts first, so the running total
+    * windows over the DISTINCT-DEGREE relation — thousands of rows at
+    * any corpus size, never node count; the same value-histogram trick
+    * as the X66 median.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = coOrderEdges(spark, dir)
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val hist = deg.groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+    val total = hist.agg(sum("n_nodes").as("n_total"))
+    hist.crossJoin(broadcast(total))
+      .withColumn("cum_nodes",
+        sum("n_nodes").over(Window.orderBy("deg")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("deg"), col("n_nodes"), col("cum_nodes"),
+        round(col("cum_nodes").cast("double") / col("n_total"), 6)
+          .as("cum_share"))
+      .orderBy("deg")
+  }
 }

@@ -431,6 +431,38 @@ object TextStats {
       .orderBy("cum_tokens", "doc_id")
   }
 
+  /** X91: vocabulary coverage — the share of each document's tokens
+    * that fall inside the corpus top-`topK` vocabulary (the cheap
+    * gibberish/OOV filter a pipeline runs before any tokenizer exists;
+    * low coverage ⇒ the doc is mostly words the tokenizer will shred).
+    * The vocabulary cut is deterministic: (count DESC, token) total
+    * order, so the boundary tie at rank `topK` resolves identically on
+    * both engines.
+    *
+    * Scale shape: one token-keyed count (AQE-skew-handled stopword
+    * heavy hitters), a topK TakeOrdered over the vocabulary-sized
+    * relation, broadcast back over a narrow left join — docs are
+    * touched twice but only through the same exploded token stream,
+    * and the per-doc aggregate is map-side combinable.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String,
+                    topK: Int = 1000): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
+          .as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topK)
+      .select(col("tok"), lit(1L).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_v"), lit(0L))).as("n_in_vocab"))
+      .withColumn("coverage",
+        round(col("n_in_vocab").cast("double") / col("n_tokens"), 6))
+      .orderBy("doc_id")
+  }
+
   /** X52: data-mixture rebalancing — downsample over-represented
     * language groups to a uniform target mixture (the data-mixing step
     * every multilingual training pipeline runs; DoReMi/ROOTS-style but

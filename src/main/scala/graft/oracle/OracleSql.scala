@@ -1777,6 +1777,26 @@ shingles AS (
                         AS DOUBLE) / COUNT(*), 6) AS novelty
       FROM shingles s JOIN fo f ON s.sh = f.sh
       GROUP BY s.doc_id ORDER BY s.doc_id"""),
+    // X91 vocabulary coverage: corpus top-1000 tokens by (count DESC,
+    // token) — the deterministic boundary cut — left-joined back over
+    // the token stream.
+    "text_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  t -> t <> '')) AS tok
+        FROM documents),
+      vc AS (
+        SELECT tok AS vtok FROM (
+          SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+          ORDER BY cnt DESC, tok LIMIT 1000) t)
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN vtok IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_in_vocab,
+             ROUND(CAST(SUM(CASE WHEN vtok IS NOT NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS coverage
+      FROM toks LEFT JOIN vc ON tok = vtok
+      GROUP BY doc_id ORDER BY doc_id""",
     // X87 source overlap: distinct (source, shingle) sets pairwise
     // intersected on the shingle key; overlap coefficient over the
     // smaller set.
@@ -2134,6 +2154,23 @@ shingles AS (
       SELECT l.id AS part_id, l.lab AS community, s.community_size
       FROM l3 l JOIN sizes s ON l.lab = s.lab
       ORDER BY part_id"""),
+    // X94 degree distribution: per-degree node counts + running share
+    // windowed over the distinct-degree histogram (value-histogram
+    // trick — the window never touches node-sized relations).
+    "graph_degree_dist" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      nid AS (SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0),
+      dg AS (SELECT id, COUNT(*) AS deg FROM nid GROUP BY id),
+      hist AS (SELECT deg, COUNT(*) AS n_nodes FROM dg GROUP BY deg),
+      tt AS (SELECT SUM(n_nodes) AS n_total FROM hist)
+      SELECT deg, n_nodes,
+             CAST(SUM(n_nodes) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_nodes,
+             ROUND(CAST(SUM(n_nodes) OVER (ORDER BY deg ROWS UNBOUNDED PRECEDING)
+                        AS DOUBLE) / n_total, 6) AS cum_share
+      FROM hist, tt ORDER BY deg""",
     // BFS: the oracle unrolls the 3 frontier expansions explicitly
     // (dedup per level via NOT EXISTS against every earlier level) —
     // the same unrolled-iteration style as graph_pagerank, portable to
@@ -2183,6 +2220,36 @@ shingles AS (
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS attributed_value
       FROM t WHERE kind = 1
       GROUP BY COALESCE(last_touch, 'none') ORDER BY channel""",
+    // X93 top session paths: the events_sessions islands, first 3
+    // events per session string_agg'd in the (us, event_id) total
+    // order, top-20 by (count DESC, path).
+    "events_top_paths" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000
+                         OR LAG(us) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      sess AS (
+        SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY us, event_id
+                                        ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS session_id
+        FROM flagged),
+      rn3 AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                     ORDER BY us, event_id) AS rn
+        FROM sess),
+      paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY us, event_id) AS path
+        FROM rn3 WHERE rn <= 3 GROUP BY user_id, session_id)
+      SELECT path, COUNT(*) AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 20""",
     "events_asof_join" -> """
       WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
                  FROM events WHERE event_type = 'click'),
@@ -2498,6 +2565,28 @@ shingles AS (
       SELECT b, CAST(target AS BIGINT) AS target, MIN(v) AS boundary
       FROM cumt JOIN t ON cum >= target
       GROUP BY b, target ORDER BY b""",
+    // X92 bucket assignment: the X70 boundaries (naive-window spelling,
+    // same values) assign every order to bucket = #{boundaries < v};
+    // output is the per-bucket depth audit. COUNT(boundary) counts
+    // matches, so bucket 0 (no boundary below) falls out of the left
+    // join naturally.
+    "analytics_bucket_assign" -> """
+      WITH o AS (SELECT o_orderkey AS ok, o_totalprice AS v FROM orders),
+      lv AS (SELECT v, COUNT(*) AS cnt FROM o GROUP BY v),
+      cumt AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM lv),
+      nn AS (SELECT COUNT(*) AS n FROM o),
+      t AS (SELECT b, (b * n + 7) // 8 AS target
+            FROM (SELECT unnest(list_value(1, 2, 3, 4, 5, 6, 7)) AS b) bb,
+                 nn),
+      bnd AS (SELECT b, MIN(v) AS boundary
+              FROM cumt JOIN t ON cum >= target GROUP BY b),
+      a AS (
+        SELECT o.ok, o.v, COUNT(bnd.boundary) AS bucket
+        FROM o LEFT JOIN bnd ON o.v > bnd.boundary
+        GROUP BY o.ok, o.v)
+      SELECT bucket, COUNT(*) AS n_orders,
+             MIN(v) AS min_v, MAX(v) AS max_v
+      FROM a GROUP BY bucket ORDER BY bucket""",
     // Debounce-leading dedup: survivors are burst starts (gap >= 1h or
     // first occurrence) on the (user, type) key.
     "events_throttle_dedup" -> """

@@ -28,7 +28,8 @@ class PlanHygieneSpec extends SparkSpec {
     *    agg_equidepth_hist (B−1 = 7 rank-target rows),
     *    analytics_chisq (one N row), analytics_pareto80 (one
     *    corpus-total row), curation_dsir_weights (one (nt,nr)
-    *    smoothing-totals row)
+    *    smoothing-totals row), analytics_bucket_assign (B−1 = 7
+    *    boundary rows), graph_degree_dist (one node-total row)
     *  - TPC-H scalar/IN subqueries over dimension-sized sets:
     *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
     *    tpch_q22_dormant
@@ -47,7 +48,8 @@ class PlanHygieneSpec extends SparkSpec {
     "text_tfidf_topterms", "cdc_time_travel", "agg_equidepth_hist",
     "tpch_q9_profit", "tpch_q11_stock", "tpch_q16_partsupp",
     "tpch_q20_promo", "tpch_q22_dormant",
-    "analytics_chisq", "analytics_pareto80", "curation_dsir_weights")
+    "analytics_chisq", "analytics_pareto80", "curation_dsir_weights",
+    "analytics_bucket_assign", "graph_degree_dist")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —

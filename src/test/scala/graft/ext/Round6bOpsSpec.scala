@@ -131,6 +131,55 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab coverage: ratios in [0,1]; token totals match the tokenizer") {
+    val rows = TextStats.vocabCoverage(spark, sf001).collect()
+    val want = graft.tables.Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')"))
+          .cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == want(r.getLong(0)))
+      assert(r.getLong(2) <= r.getLong(1) && r.getDouble(3) <= 1.0)
+    }
+  }
+
+  test("bucket assignment: depths are equal within ceil slack; ranges disjoint") {
+    val rows = Analytics.bucketAssign(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 8L))
+    val n = rows.map(_._2).sum
+    // exact equi-depth: every bucket holds between floor and ceil of n/8
+    // (+1 slack for boundary-tie pile-up on duplicate values; prices at
+    // this SF are near-distinct)
+    rows.foreach { case (b, cnt, _, _) =>
+      assert(math.abs(cnt - n / 8.0) <= n / 8.0 * 0.02 + 2, s"bucket $b: $cnt")
+    }
+    rows.sliding(2).withFilter(_.length == 2).foreach { w =>
+      assert(w(0)._4 <= w(1)._3, "bucket value ranges must not interleave")
+    }
+  }
+
+  test("top paths: counts descend; paths have at most 3 steps") {
+    val rows = Events.topPaths(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.sliding(2).withFilter(_.length == 2).foreach { w =>
+      assert(w(0)._2 > w(1)._2 || (w(0)._2 == w(1)._2 && w(0)._1 < w(1)._1))
+    }
+    rows.foreach { case (p, _) => assert(p.split(">").length <= 3) }
+  }
+
+  test("degree distribution: cumulative share reaches exactly 1") {
+    val rows = Graphs.degreeDist(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.last._3 == rows.map(_._2).sum && rows.last._4 == 1.0)
+    rows.sliding(2).withFilter(_.length == 2).foreach { w =>
+      assert(w(1)._3 - w(1)._2 == w(0)._3, "cum must telescope")
+    }
+  }
+
   test("capped sessions roll back up to plain sessions; sub spans bounded by cap") {
     val cap = 10L * 60 * 1000000
     val capped = Events.sessionizeCapped(spark, sf001).collect()
