@@ -415,6 +415,8 @@ object SparkEntry {
     }),
     // streaming arbitrary state (flatMapGroupsWithState)
     "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)),
+    // strict sequential rate limiter: keyed state recurrence (X71's gap)
+    "stream_throttle_greedy" -> (graft.streaming.EventStream.throttleGreedy(_, _)),
     // streaming arbitrary state, new API (transformWithState + RocksDB)
     "stream_transform_state" -> (graft.streaming.EventStream.transformStateUserCounts(_, _)),
     // oracled: sketch values surface as bound predicates beside their

@@ -542,7 +542,9 @@ object Events {
     * no same-(user, type) event in the preceding hour. The relational
     * throttle (a session-START detector at 1h gap granularity; the
     * strict one-per-hour rate limiter is inherently sequential and
-    * lives in the streaming layer as stateful processing). One lag
+    * lives in the streaming layer as stateful processing —
+    * implemented there as
+    * [[graft.streaming.EventStream.throttleGreedy]]). One lag
     * window on the (user, type) key — the same single shuffle as every
     * per-user analytic; survivors carry their lead-in gap.
     */

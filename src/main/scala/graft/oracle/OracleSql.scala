@@ -2949,6 +2949,32 @@ shingles AS (
     "stream_transform_state" -> """
       SELECT user_id, COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id""",
+    // X95 strict rate limiter twin: the admit-iff->=1h-since-last-ADMITTED
+    // recurrence as a per-(user, type) recursive walk in (us, event_id)
+    // order — last_adm carries the recurrence, admitted flags the output.
+    "stream_throttle_greedy" -> """
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                 AS BIGINT) AS rn
+        FROM events),
+      walk AS (
+        SELECT user_id, event_type, event_id, us, rn,
+               us AS last_adm, TRUE AS admitted
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_type, e.event_id, e.us, e.rn,
+               CASE WHEN e.us - w.last_adm >= 3600000000
+                    THEN e.us ELSE w.last_adm END,
+               e.us - w.last_adm >= 3600000000
+        FROM walk w JOIN e ON e.user_id = w.user_id
+                          AND e.event_type = w.event_type
+                          AND e.rn = w.rn + 1)
+      SELECT event_id, user_id, event_type, us
+      FROM walk WHERE admitted ORDER BY event_id""",
     "sink_sql_insert" -> s"""
       WITH ${SYNC_CTES.trim}
       SELECT name,

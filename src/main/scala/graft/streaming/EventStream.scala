@@ -237,6 +237,49 @@ object EventStream {
     }
   }
 
+  /** X95: the strict sequential rate limiter — the operator the batch
+    * debounce (X71, `Events.throttleDedup`) explicitly declares
+    * streaming-stateful and does NOT implement: admit an event iff at
+    * least `minGapUs` has passed since the last ADMITTED event of the
+    * same (user, type) — a recurrence on the admitted sequence, not a
+    * window over the raw one (a burst of 3 events 40 min apart admits
+    * #1 and #3 here; the batch lag-window form admits only #1).
+    *
+    * Keyed `flatMapGroupsWithState`: state is one long (last admitted
+    * µs) per live (user, type) key — O(keys) state, no buffering of the
+    * stream itself. Rows inside a micro-batch are sorted per key before
+    * the walk (the shuffle does not preserve event-time order); across
+    * micro-batches the state value carries the recurrence forward, so
+    * the same operator runs unchanged on an unbounded stream. The
+    * oracle states the recurrence as a per-key recursive CTE.
+    */
+  def throttleGreedy(spark: SparkSession, dir: String,
+                     minGapUs: Long = 3600000000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val admitted = readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Long, String), rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[Long]) => {
+          var last = state.getOption.getOrElse(Long.MinValue)
+          val out = Vector.newBuilder[(Long, Long, String, Long)]
+          rows.toVector.sortBy(r => (r._3, r._4)).foreach { r =>
+            if (last == Long.MinValue || r._3 - last >= minGapUs) {
+              out += ((r._4, r._1, r._2, r._3))
+              last = r._3
+            }
+          }
+          state.update(last)
+          out.result().iterator
+        })
+      .toDF("event_id", "user_id", "event_type", "us")
+    runToMemory(admitted, "append").orderBy("event_id")
+  }
+
   /** Stream-stream interval join — the two-sided stateful join class:
     * signups and purchases arrive as two watermarked streams, joined on
     * user plus a one-hour event-time range. The time-bound condition plus

@@ -180,6 +180,35 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("greedy throttle vs window debounce: the burst case that separates them") {
+    import spark.implicits._
+    // one user, one type, events 40 min apart: the lag-window debounce
+    // (X71) keeps only the burst start; the sequential greedy (X95)
+    // admits #1 (t=0) and #3 (t=80min >= 1h since #1) — the recurrence
+    // on ADMITTED events, not a window over raw ones
+    val min40 = 40L * 60 * 1000000
+    val tmp = java.nio.file.Files.createTempDirectory("thr")
+    // the stream source globs for a FILE named events.parquet (the
+    // fixture layout); stage the single part file under that name
+    val stage = java.nio.file.Files.createTempDirectory("thr-stage")
+    (0 to 2).map(i => (i.toLong, i * min40 * 1000, 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = {
+      val s = java.nio.file.Files.list(stage)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get
+      finally s.close()
+    }
+    java.nio.file.Files.move(part, tmp.resolve("events.parquet"))
+    val greedy = graft.streaming.EventStream.throttleGreedy(spark, tmp.toString)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    val window = Events.throttleDedup(spark, tmp.toString)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(greedy.toSeq == Seq(0L, 2L), s"greedy got ${greedy.toSeq}")
+    assert(window.toSeq == Seq(0L), s"window got ${window.toSeq}")
+  }
+
   test("capped sessions roll back up to plain sessions; sub spans bounded by cap") {
     val cap = 10L * 60 * 1000000
     val capped = Events.sessionizeCapped(spark, sf001).collect()
