@@ -60,10 +60,19 @@ object Bench {
       // the sampling/split curation entries never touch these relations
       // and must not pay eight corpus-wide warmup shuffles for nothing.
       val sharedRelConsumers = Set("curation_contamination",
-        "curation_pipeline", "text_dup_coverage", "text_strip_boilerplate")
+        "curation_pipeline", "text_dup_coverage", "text_strip_boilerplate",
+        "text_novelty", "analytics_source_overlap")
       if (selected.exists { case (n, _) =>
         n.startsWith("dedup_") || sharedRelConsumers(n) }) {
         graft.ext.TextDedup.warmSharedRelations(spark, sfDir)
+      }
+      // Co-order edge warmup: five graph entries share the memoized
+      // part-pair edge relation (pagerank runs on a different graph and
+      // must not trigger the build).
+      val edgeConsumers = Set("graph_bfs_hops", "graph_clustering_coeff",
+        "graph_degree_dist", "graph_label_prop", "graph_triangles")
+      if (selected.exists { case (n, _) => edgeConsumers(n) }) {
+        graft.ext.Graphs.warmSharedRelations(spark, sfDir)
       }
     }
     val results = selected.map { case (name, fn) =>
@@ -87,6 +96,7 @@ object Bench {
       // JVM instead of competing with ~GBs of parked storage memory.
       if (name == "text_strip_boilerplate") graft.ext.TextDedup.clearCaches(spark)
       if (name == "embed_knn_join") graft.ext.Similarity.clearCaches(spark)
+      if (name == "graph_triangles") graft.ext.Graphs.clearCaches(spark)
       name -> t
     }
     // The driver tail-captures the LAST 2000 bytes of stdout, so the line

@@ -225,6 +225,10 @@ object SparkEntry {
     // BM25 keyword relevance top-k (fixed small query → narrow per-doc
     // tf arrays + one broadcast stats row + TakeOrderedAndProject)
     "text_bm25_topk" -> ((s, d) => graft.ext.Search.bm25TopK(s, d)),
+    // conjunctive boolean retrieval over the posting stream (EXISTS-oracle)
+    "text_search_and" -> ((s, d) => graft.ext.Search.searchAnd(s, d)),
+    // deterministic A/B arms by salted hash + per-arm lift readout
+    "analytics_ab_lift" -> ((s, d) => graft.ext.Analytics.abLift(s, d)),
     // per-doc cross-entropy under the corpus-trained unigram LM
     // (CCNet-style quality signal; (doc,type)-combined scoring join)
     "text_lm_crossentropy" -> ((s, d) => graft.ext.LangModel.lmCrossEntropy(s, d)),
@@ -503,6 +507,8 @@ object SparkEntry {
     // version-to-version table diff on content fingerprints (full-outer
     // key join over two narrow (key, md5) projections)
     "warehouse_snapshot_diff" -> ((s, d) => graft.ext.Warehouse.snapshotDiffQuery(s, d)),
+    // GDPR cascade-delete audit through the customer->orders->lineitem FK chain
+    "warehouse_cascade_delete" -> ((s, d) => graft.ext.Warehouse.cascadeDelete(s, d)),
     // native UNPIVOT of the wide day×type matrix; oracle states the
     // round-trip law unpivot(pivot(x)) == groupBy(x)
     "events_unpivot" -> ((s, d) => graft.ext.Events.unpivotDaily(s, d)),

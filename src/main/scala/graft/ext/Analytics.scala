@@ -1235,6 +1235,40 @@ object Analytics {
       .orderBy("b")
   }
 
+  /** X98: deterministic A/B bucketing + per-arm lift stats — users land
+    * in arm A or B by the salted 16-bit md5 bucket of their id (the X53
+    * sampler's hash — reproducible run-to-run, uniform by construction,
+    * assignment is a pure per-row predicate with no shuffle), then each
+    * arm reports the experiment read-out: users, converters (≥1
+    * purchase), conversion rate, DECIMAL-exact revenue, ARPU. The
+    * per-user collapse happens BEFORE the arm aggregate, so the big
+    * shuffle is user-keyed (shared with every per-user analytic) and
+    * the arm aggregate touches |users| rows.
+    */
+  def abLift(spark: SparkSession, dir: String,
+             salt: String = "ab_v1"): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purch"),
+        sum(when(col("event_type") === "purchase", col("value").cast(D2)))
+          .as("revenue"))
+      .withColumn("arm",
+        when(conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("|"), lit(salt))), 1, 4), 16, 10).cast("long") < 32768, "A")
+          .otherwise("B"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("n_purch") > 0, 1L).otherwise(0L)).as("n_converted"),
+        sum(col("n_purch")).as("n_purchases"),
+        coalesce(sum(col("revenue")), lit(0).cast(D2)).cast("double")
+          .as("revenue"))
+      .withColumn("conv_rate",
+        round(col("n_converted").cast("double") / col("n_users"), 6))
+      .withColumn("arpu", round(col("revenue") / col("n_users"), 6))
+      .orderBy("arm")
+  }
+
   /** X92: equi-depth bucket assignment — every order lands in the
     * histogram bucket its price belongs to, bucket = #{boundaries
     * strictly below the value} over the X70 exact boundaries; the

@@ -270,4 +270,37 @@ object Warehouse {
         md5(concat(lit("new "), col("text"))).as("fp"))
     snapshotDiff(v1, v2base.unionByName(v2new)).orderBy("doc_id")
   }
+
+  /** X97: cascade delete audit — the right-to-erasure (GDPR art. 17)
+    * propagation every warehouse needs: a deletion key set on the root
+    * entity (customers with custkey ≡ 0 mod 97 stand in for the request
+    * queue) cascades through the foreign-key chain customer → orders →
+    * lineitem; the output is the per-table audit (rows deleted /
+    * surviving) that the erasure job logs.
+    *
+    * Scale shape: deletes are anti-join predicates, never row-by-row —
+    * the root key set broadcasts; the orders-level delete set is itself
+    * the join key for the lineitem cascade (one hash semi-join per FK
+    * hop). On a real lakehouse the same relations drive deletion-vector
+    * writes; the audit aggregate is what this entry pins.
+    */
+  def cascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val delC = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0).select("c_custkey")
+    val orders = Tables.orders(spark, dir)
+    val delO = orders.join(broadcast(delC),
+      orders("o_custkey") === delC("c_custkey"), "left_semi")
+      .select("o_orderkey")
+    val li = Tables.lineitem(spark, dir)
+    def audit(table: String, total: DataFrame, deleted: DataFrame): DataFrame =
+      total.agg(count(lit(1)).as("n_total"))
+        .crossJoin(broadcast(deleted.agg(count(lit(1)).as("n_deleted"))))
+        .select(lit(table).as("table_name"), col("n_deleted"),
+          (col("n_total") - col("n_deleted")).as("n_surviving"))
+    audit("customer", Tables.customer(spark, dir), delC)
+      .unionByName(audit("orders", orders, delO))
+      .unionByName(audit("lineitem", li,
+        li.join(delO, li("l_orderkey") === delO("o_orderkey"), "left_semi")))
+      .orderBy("table_name")
+  }
 }

@@ -1777,6 +1777,26 @@ shingles AS (
                         AS DOUBLE) / COUNT(*), 6) AS novelty
       FROM shingles s JOIN fo f ON s.sh = f.sh
       GROUP BY s.doc_id ORDER BY s.doc_id"""),
+    // X96 conjunctive search: the same ALL-terms predicate as three
+    // correlated EXISTS semi-joins over the tokenized relation — a
+    // different plan shape than the Spark group-count conjunction,
+    // agreeing on values.
+    "text_search_and" -> """
+      WITH toks AS (
+        SELECT DISTINCT doc_id, t FROM (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z]+')) AS t
+          FROM documents) x
+        WHERE t <> '')
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d
+      WHERE EXISTS (SELECT 1 FROM toks
+                    WHERE doc_id = d.doc_id AND t = 'join')
+        AND EXISTS (SELECT 1 FROM toks
+                    WHERE doc_id = d.doc_id AND t = 'hash')
+        AND EXISTS (SELECT 1 FROM toks
+                    WHERE doc_id = d.doc_id AND t = 'scan')
+      ORDER BY d.doc_id""",
     // X91 vocabulary coverage: corpus top-1000 tokens by (count DESC,
     // token) — the deterministic boundary cut — left-joined back over
     // the token stream.
@@ -2126,6 +2146,27 @@ shingles AS (
             UNION ALL SELECT w FROM t)
       SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_tri
       FROM n GROUP BY part_id ORDER BY part_id""",
+    // X97 cascade delete: the FK chain as IN-subquery delete sets +
+    // scalar-subquery audit counts per table.
+    "warehouse_cascade_delete" -> """
+      WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+      delo AS (SELECT o_orderkey FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+      dell AS (SELECT l_orderkey FROM lineitem
+               WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+      SELECT 'customer' AS table_name,
+             (SELECT COUNT(*) FROM delc) AS n_deleted,
+             (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM delc)
+               AS n_surviving
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT COUNT(*) FROM dell),
+             (SELECT COUNT(*) FROM lineitem) - (SELECT COUNT(*) FROM dell)
+      UNION ALL
+      SELECT 'orders',
+             (SELECT COUNT(*) FROM delo),
+             (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM delo)
+      ORDER BY table_name""",
     // X88 label propagation: three synchronous rounds unrolled — votes =
     // neighbour labels counted, argmax per node with (count DESC, label)
     // tie-break; l0 is self-labeling. Mirrors Graphs.labelProp exactly.
@@ -2565,6 +2606,36 @@ shingles AS (
       SELECT b, CAST(target AS BIGINT) AS target, MIN(v) AS boundary
       FROM cumt JOIN t ON cum >= target
       GROUP BY b, target ORDER BY b""",
+    // X98 A/B lift: salted 16-bit md5 bucket assigns the arm (X53's
+    // sampler spelling); per-user collapse first, then per-arm stats.
+    "analytics_ab_lift" -> s"""
+      WITH pu AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS n_purch,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS $D2) END) AS revenue
+        FROM events GROUP BY user_id),
+      armed AS (
+        SELECT *,
+               CASE WHEN ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+                          (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+                          (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+                          (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) < 32768
+                    THEN 'A' ELSE 'B' END AS arm
+        FROM (SELECT pu.*,
+                     md5(CAST(user_id AS VARCHAR) || '|' || 'ab_v1') AS h
+              FROM pu) t)
+      SELECT arm, COUNT(*) AS n_users,
+             CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+             CAST(SUM(n_purch) AS BIGINT) AS n_purchases,
+             CAST(COALESCE(SUM(revenue), 0) AS DOUBLE) AS revenue,
+             ROUND(CAST(SUM(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS conv_rate,
+             ROUND(CAST(COALESCE(SUM(revenue), 0) AS DOUBLE) / COUNT(*), 6)
+               AS arpu
+      FROM armed GROUP BY arm ORDER BY arm""",
     // X92 bucket assignment: the X70 boundaries (naive-window spelling,
     // same values) assign every order to bucket = #{boundaries < v};
     // output is the per-bucket depth audit. COUNT(boundary) counts

@@ -29,7 +29,8 @@ class PlanHygieneSpec extends SparkSpec {
     *    analytics_chisq (one N row), analytics_pareto80 (one
     *    corpus-total row), curation_dsir_weights (one (nt,nr)
     *    smoothing-totals row), analytics_bucket_assign (B−1 = 7
-    *    boundary rows), graph_degree_dist (one node-total row)
+    *    boundary rows), graph_degree_dist (one node-total row),
+    *    warehouse_cascade_delete (three 1-row audit-count crossJoins)
     *  - TPC-H scalar/IN subqueries over dimension-sized sets:
     *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
     *    tpch_q22_dormant
@@ -49,7 +50,8 @@ class PlanHygieneSpec extends SparkSpec {
     "tpch_q9_profit", "tpch_q11_stock", "tpch_q16_partsupp",
     "tpch_q20_promo", "tpch_q22_dormant",
     "analytics_chisq", "analytics_pareto80", "curation_dsir_weights",
-    "analytics_bucket_assign", "graph_degree_dist")
+    "analytics_bucket_assign", "graph_degree_dist",
+    "warehouse_cascade_delete")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —
