@@ -322,6 +322,8 @@ object SparkEntry {
     "text_novelty" -> ((s, d) => graft.ext.TextDedup.noveltyScore(s, d)),
     // corpus top-1k vocabulary coverage per doc (OOV/gibberish filter)
     "text_vocab_coverage" -> ((s, d) => graft.ext.TextStats.vocabCoverage(s, d)),
+    // Count-Min-Sketch heavy hitters: 1024-cell sketch, min-probe estimates
+    "agg_cms_heavy_hitters" -> ((s, d) => graft.ext.TextStats.cmsHeavyHitters(s, d)),
     // pairwise source shingle-overlap matrix (dedup planning signal)
     "analytics_source_overlap" -> ((s, d) => graft.ext.TextDedup.sourceOverlap(s, d)),
     // cross-doc boilerplate chunk removal (CCNet/RefinedWeb paragraph
@@ -421,6 +423,8 @@ object SparkEntry {
     "stream_stateful_counts" -> (graft.streaming.EventStream.statefulUserCounts(_, _)),
     // strict sequential rate limiter: keyed state recurrence (X71's gap)
     "stream_throttle_greedy" -> (graft.streaming.EventStream.throttleGreedy(_, _)),
+    // streaming last-touch attribution: per-user keyed state, per-purchase rows
+    "stream_attribution" -> (graft.streaming.EventStream.streamAttribution(_, _)),
     // streaming arbitrary state, new API (transformWithState + RocksDB)
     "stream_transform_state" -> (graft.streaming.EventStream.transformStateUserCounts(_, _)),
     // oracled: sketch values surface as bound predicates beside their

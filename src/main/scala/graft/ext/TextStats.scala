@@ -173,6 +173,50 @@ object TextStats {
       .orderBy("tok")
   }
 
+  /** X100: Count-Min-Sketch heavy-hitter estimation — the bounded-memory
+    * frequency sketch (Cormode & Muthukrishnan 2005) built relationally:
+    * d=4 hash rows × w=256 counters is ONE (row, bucket) aggregate
+    * (d·w = 1024 cells regardless of corpus size — the whole point),
+    * and each exact heavy hitter's estimate is the min over its d
+    * counters. The md5-derived bucket hash is the engine-portable
+    * spelling every sketch entry here uses, so estimate, exact count,
+    * overcount, and the one-sided guarantee est ≥ true (CMS never
+    * undercounts — deterministic, unlike the probabilistic upper bound)
+    * are all value-identical cross-engine and hash-comparable.
+    *
+    * Scale shape: the counter build is a map-side-combinable aggregate
+    * to 1024 cells; the probe side is the (tiny) heavy-hitter set with
+    * its d lookups as a broadcast join against the cell relation.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+                      depth: Int = 4, width: Int = 256,
+                      support: Double = 0.005): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val rows = toks.select(col("tok"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("b", conv(substring(md5(concat(col("j").cast("string"),
+        lit("|"), col("tok"))), 1, 4), 16, 10).cast("long") % width)
+    val counters = rows.groupBy("j", "b").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val heavy = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("true_cnt") > col("n_total") * support)
+      .select("tok", "true_cnt")
+    heavy
+      .select(col("tok"), col("true_cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .withColumn("b", conv(substring(md5(concat(col("j").cast("string"),
+        lit("|"), col("tok"))), 1, 4), 16, 10).cast("long") % width)
+      .join(broadcast(counters), Seq("j", "b"))
+      .groupBy("tok", "true_cnt")
+      .agg(min(col("c")).as("est_cnt"))
+      .select(col("tok"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"),
+        (col("est_cnt") >= col("true_cnt")).as("never_undercounts"))
+      .orderBy("tok")
+  }
+
   /** Deterministic train/validation/test split — the assignment a
     * training-data pipeline must be able to reproduce forever: bucket by
     * the first 4 hex chars of md5(doc_id || salt) (content-independent,

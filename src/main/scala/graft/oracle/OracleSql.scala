@@ -1613,6 +1613,40 @@ shingles AS (
       GROUP BY tok, n_total
       HAVING COUNT(*) > n_total * 0.005
       ORDER BY tok""",
+    // X100 Count-Min-Sketch: d=4 × w=256 counters as one aggregate;
+    // estimate = min over the d probed cells; est >= true is the
+    // deterministic one-sided CMS guarantee.
+    "agg_cms_heavy_hitters" -> """
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      cells AS (
+        SELECT tok, j,
+               ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 256 AS b
+        FROM (SELECT tok, j, md5(CAST(j AS VARCHAR) || '|' || tok) AS h
+              FROM toks, (SELECT unnest(generate_series(0, 3)) AS j) g) t),
+      counters AS (SELECT j, b, COUNT(*) AS c FROM cells GROUP BY j, b),
+      tot AS (SELECT COUNT(*) AS n_total FROM toks),
+      heavy AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM toks, tot GROUP BY tok, n_total
+        HAVING COUNT(*) > n_total * 0.005),
+      probes AS (
+        SELECT tok, true_cnt, j,
+               ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 256 AS b
+        FROM (SELECT tok, true_cnt, j,
+                     md5(CAST(j AS VARCHAR) || '|' || tok) AS h
+              FROM heavy, (SELECT unnest(generate_series(0, 3)) AS j) g2) t2)
+      SELECT p.tok, p.true_cnt,
+             CAST(MIN(c.c) AS BIGINT) AS est_cnt,
+             CAST(MIN(c.c) - p.true_cnt AS BIGINT) AS overcount,
+             MIN(c.c) >= p.true_cnt AS never_undercounts
+      FROM probes p JOIN counters c ON p.j = c.j AND p.b = c.b
+      GROUP BY p.tok, p.true_cnt ORDER BY p.tok""",
     "curation_pipeline" -> s"""
       WITH ${SHINGLES.trim},
       sigs AS (
@@ -3020,6 +3054,24 @@ shingles AS (
     "stream_transform_state" -> """
       SELECT user_id, COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id""",
+    // X99 streaming attribution twin: per-purchase last-touch rows —
+    // the batch LAST_VALUE window states what the keyed stream state
+    // computes; agreement proved per purchase.
+    "stream_attribution" -> s"""
+      WITH e AS (
+        SELECT event_id, user_id, event_type,
+               CAST(CAST(value AS $D2) AS DOUBLE) AS v,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+        FROM events),
+      t AS (
+        SELECT *, LAST_VALUE(CASE WHEN kind = 0 THEN event_type END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY us, kind, event_id
+                        ROWS UNBOUNDED PRECEDING) AS last_touch
+        FROM e)
+      SELECT event_id AS purchase_id,
+             COALESCE(last_touch, 'none') AS channel, v AS value
+      FROM t WHERE kind = 1 ORDER BY purchase_id""",
     // X95 strict rate limiter twin: the admit-iff->=1h-since-last-ADMITTED
     // recurrence as a per-(user, type) recursive walk in (us, event_id)
     // order — last_adm carries the recurrence, admitted flags the output.

@@ -280,6 +280,46 @@ object EventStream {
     runToMemory(admitted, "append").orderBy("event_id")
   }
 
+  /** X99: streaming last-touch attribution — the stream twin of the
+    * batch as-of attribution (X89, `Events.attribution`): per-user
+    * keyed state carries (last touch type, its µs) across micro-
+    * batches; every purchase emits its attribution row the moment it's
+    * processed. Emitting per-purchase rows (not the channel aggregate)
+    * keeps the operator append-mode-clean — Spark forbids another
+    * aggregate downstream of arbitrary state in append mode, and the
+    * per-row form is what a production pipeline sinks anyway (the
+    * channel roll-up is a batch query over the sink). The oracle is
+    * the batch LAST_VALUE window — stream/batch agreement proved per
+    * purchase, not just in aggregate.
+    */
+  def streamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val rows = readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        col("value").cast("decimal(18,2)").cast("double").as("v"))
+      .as[(Long, String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, String, Long, Long, Double)],
+         state: GroupState[(String, Long)]) => {
+          var touch = state.getOption.getOrElse(("none", Long.MinValue))
+          val out = Vector.newBuilder[(Long, String, Double)]
+          // within-batch sort restores event-time order; the (kind,
+          // event_id) tie keys match the batch window's ordering
+          it.toVector.sortBy(r => (r._3, r._2 == "purchase", r._4))
+            .foreach { r =>
+              if (r._2 == "purchase") out += ((r._4, touch._1, r._5))
+              else touch = (r._2, r._3)
+            }
+          state.update(touch)
+          out.result().iterator
+        })
+      .toDF("purchase_id", "channel", "value")
+    runToMemory(rows, "append").orderBy("purchase_id")
+  }
+
   /** Stream-stream interval join — the two-sided stateful join class:
     * signups and purchases arrive as two watermarked streams, joined on
     * user plus a one-hour event-time range. The time-bound condition plus
