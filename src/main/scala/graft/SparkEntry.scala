@@ -240,6 +240,10 @@ object SparkEntry {
     "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
     // DSIR hashed-ngram importance weights: target-vs-raw log-ratio scoring
     "curation_dsir_weights" -> ((s, d) => graft.ext.LangModel.dsirWeights(s, d)),
+    // deterministic A-Res weighted sample (ln(u)/w priority, top-50)
+    "curation_weighted_sample" -> ((s, d) => graft.ext.TextStats.weightedSample(s, d)),
+    // cross-language quantile normalization at exact integer ranks
+    "curation_quantile_norm" -> ((s, d) => graft.ext.TextStats.quantileNormalize(s, d)),
     // cumulative token coverage in size order; exact-integer 80% flag
     "analytics_pareto80" -> ((s, d) => graft.ext.TextStats.paretoCoverage(s, d)),
     // the upsampling twin: whole epochs + fractional md5-admitted extras

@@ -173,6 +173,89 @@ object TextStats {
       .orderBy("tok")
   }
 
+  /** X101: weighted sampling without replacement (A-Res, Efraimidis &
+    * Spirakis 2006) — the quality-weighted subset selection every
+    * curation pipeline runs ("sample 50 docs, long documents
+    * proportionally more often"), made deterministic and
+    * engine-portable: u_i = (bucket16(md5(id|salt)) + 1)/65536 is an
+    * exact rational in (0,1], and the A-Res priority u^(1/w) is ranked
+    * through its monotone transform ln(u)/w — one ln + one exact
+    * integer division instead of pow, the numerically calmer spelling —
+    * 6dp-rounded with a doc_id tie-break so the cut is total.
+    *
+    * Scale shape: the key is a pure per-row expression (no shuffle to
+    * assign), and the top-k is TakeOrderedAndProject — per-partition
+    * heaps + driver merge of k rows, never a global sort.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50,
+                     salt: String = "wsample_v1"): DataFrame = {
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("u", (bucket + 1).cast("double") / 65536d)
+      .withColumn("prio", round(log(col("u")) / col("n_chars"), 6))
+      .orderBy(col("prio").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("prio").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("lang"), col("n_chars"),
+        col("prio"))
+      .orderBy("rk")
+  }
+
+  /** X102: cross-group quantile normalization — map every document's
+    * quality score onto the GLOBAL score distribution at its
+    * within-language percentile (the batch-effect correction that makes
+    * quality thresholds comparable across languages whose raw score
+    * distributions differ). Exact integer-rank form: a doc at in-group
+    * rank r of n_g takes the global value at rank ⌈r·N/n_g⌉ — computed
+    * as `(r·N + n_g − 1) div n_g`, no float quantile anywhere.
+    *
+    * Scale shape: the global rank is the X83 two-phase prefix
+    * (range-partition on the (score, doc_id) sort key, per-partition
+    * row_number + broadcast offsets) — never a single global window at
+    * scale; the within-group rank windows on the lang key; the value
+    * lookup is an equi-join on the computed global rank.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_d"))
+      .withColumn("score",
+        round(least(col("n_words").cast("double") / 100, lit(1.0)) *
+          (col("n_d").cast("double") / col("n_words")), 6))
+      .select("doc_id", "lang", "score")
+    // global rank via the two-phase range-partitioned prefix count
+    val ranged = scored.repartitionByRange(32, col("score"), col("doc_id"))
+      .withColumn("p", spark_partition_id().cast("long"))
+    val offs = ranged.groupBy("p").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(Window.orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("p", "off")
+    val ranked = ranged.join(broadcast(offs), Seq("p"))
+      .withColumn("grank", col("off") +
+        row_number().over(Window.partitionBy("p")
+          .orderBy(col("score"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("lang"), col("score"), col("grank"))
+    val n = ranked.agg(count(lit(1)).as("n"))
+    val inGroup = Window.partitionBy("lang").orderBy(col("score"), col("doc_id"))
+    val gTot = Window.partitionBy("lang")
+    ranked
+      .withColumn("r", row_number().over(inGroup).cast("long"))
+      .withColumn("n_g", count(lit(1)).over(gTot))
+      .crossJoin(broadcast(n))
+      .withColumn("t", expr("(r * n + n_g - 1) div n_g"))
+      .join(ranked.select(col("grank").as("t"), col("score").as("norm_score")),
+        Seq("t"))
+      .select(col("doc_id"), col("lang"), col("score"), col("r"),
+        col("n_g"), col("norm_score"))
+      .orderBy("doc_id")
+  }
+
   /** X100: Count-Min-Sketch heavy-hitter estimation — the bounded-memory
     * frequency sketch (Cormode & Muthukrishnan 2005) built relationally:
     * d=4 hash rows × w=256 counters is ONE (row, bucket) aggregate

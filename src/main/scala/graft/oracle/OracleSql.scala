@@ -1977,6 +1977,54 @@ shingles AS (
       FROM bf JOIN wts USING (b)
       WHERE source <> 'src0'
       GROUP BY doc_id ORDER BY doc_id""",
+    // X101 weighted sampling (A-Res): exact-rational u from the 16-bit
+    // md5 bucket, priority ranked via the monotone ln(u)/w transform,
+    // 6dp-rounded with doc_id ties — the top-50 cut is total.
+    "curation_weighted_sample" -> """
+      WITH b AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 +
+                     (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 +
+                     (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) + 1)
+                    AS DOUBLE) / 65536 AS u
+        FROM (SELECT doc_id, lang, n_chars,
+                     md5(CAST(doc_id AS VARCHAR) || '|' || 'wsample_v1') AS h
+              FROM documents) t),
+      p AS (
+        SELECT doc_id, lang, n_chars, ROUND(ln(u) / n_chars, 6) AS prio
+        FROM b ORDER BY prio DESC, doc_id LIMIT 50)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS BIGINT)
+               AS rk,
+             doc_id, lang, n_chars, prio
+      FROM p ORDER BY rk""",
+    // X102 quantile normalization: naive global + per-lang rank windows;
+    // the Spark side computes the global rank with the two-phase
+    // range-partitioned prefix. Target rank is exact integer math.
+    "curation_quantile_norm" -> """
+      WITH scored AS (
+        SELECT doc_id, lang,
+               ROUND(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100,
+                           1.0) *
+                     (CAST(len(list_distinct(string_split(text, ' ')))
+                           AS DOUBLE) /
+                      len(string_split(text, ' '))), 6) AS score
+        FROM documents),
+      g AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score, doc_id)
+                           AS BIGINT) AS grank
+            FROM scored),
+      nn AS (SELECT COUNT(*) AS n FROM scored),
+      rg AS (SELECT *,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                            ORDER BY score, doc_id)
+                         AS BIGINT) AS r,
+                    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_g
+             FROM g),
+      tt AS (SELECT rg.*, ((r * n + n_g - 1) // n_g) AS tk FROM rg, nn)
+      SELECT tt.doc_id, tt.lang, tt.score, tt.r, tt.n_g,
+             v.score AS norm_score
+      FROM tt JOIN g v ON tt.tk = v.grank
+      ORDER BY tt.doc_id""",
     // X83 Pareto coverage: naive global window cumsum in (n_tokens DESC,
     // doc_id) order — the Spark side range-partitions on the sort key and
     // runs the two-phase prefix sum; identical by associativity. The 80%

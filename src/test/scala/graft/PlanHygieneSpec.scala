@@ -31,7 +31,8 @@ class PlanHygieneSpec extends SparkSpec {
     *    smoothing-totals row), analytics_bucket_assign (B−1 = 7
     *    boundary rows), graph_degree_dist (one node-total row),
     *    warehouse_cascade_delete (three 1-row audit-count crossJoins),
-    *    agg_cms_heavy_hitters (one token-total row)
+    *    agg_cms_heavy_hitters (one token-total row),
+    *    curation_quantile_norm (one corpus-count row)
     *  - TPC-H scalar/IN subqueries over dimension-sized sets:
     *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
     *    tpch_q22_dormant
@@ -52,7 +53,8 @@ class PlanHygieneSpec extends SparkSpec {
     "tpch_q20_promo", "tpch_q22_dormant",
     "analytics_chisq", "analytics_pareto80", "curation_dsir_weights",
     "analytics_bucket_assign", "graph_degree_dist",
-    "warehouse_cascade_delete", "agg_cms_heavy_hitters")
+    "warehouse_cascade_delete", "agg_cms_heavy_hitters",
+    "curation_quantile_norm")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —

@@ -209,6 +209,35 @@ class Round6bOpsSpec extends SparkSpec {
     assert(window.toSeq == Seq(0L), s"window got ${window.toSeq}")
   }
 
+  test("weighted sample: size-biased — the sample is heavier than the corpus") {
+    val rows = TextStats.weightedSample(spark, sf001).collect()
+    assert(rows.length == 50 &&
+      rows.map(_.getLong(1)).distinct.length == 50)
+    val sampleMean = rows.map(_.getLong(3).toDouble).sum / rows.length
+    val corpusMean = graft.tables.Tables.documents(spark, sf001)
+      .agg(avg("n_chars")).head().getDouble(0)
+    // A-Res with w = n_chars: inclusion probability grows with weight,
+    // so the sampled mean weight must exceed the corpus mean (a
+    // deterministic fact of this fixed hash + corpus, not a flaky
+    // statistical assertion)
+    assert(sampleMean > corpusMean, s"$sampleMean vs $corpusMean")
+  }
+
+  test("quantile normalization: monotone within language; top maps to global top") {
+    val rows = TextStats.quantileNormalize(spark, sf001).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4),
+        r.getDouble(2), r.getDouble(5)))
+    val globalMax = rows.map(_._4).max
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val byRank = rs.sortBy(_._2)
+      byRank.sliding(2).withFilter(_.length == 2).foreach { w =>
+        assert(w(0)._5 <= w(1)._5, s"$lang: norm_score must be monotone in rank")
+      }
+      // the in-group top doc lands on the global maximum score
+      assert(byRank.last._5 == globalMax, s"$lang top")
+    }
+  }
+
   test("capped sessions roll back up to plain sessions; sub spans bounded by cap") {
     val cap = 10L * 60 * 1000000
     val capped = Events.sessionizeCapped(spark, sf001).collect()
