@@ -209,6 +209,8 @@ object SparkEntry {
     "dedup_semantic_keep" -> ((s, d) => graft.ext.Similarity.semanticKeep(s, d)),
     // thresholded cosine pair graph labeled by star connected components
     "dedup_semantic_clusters" -> ((s, d) => graft.ext.Similarity.semanticClusters(s, d)),
+    // multi-probe LSH: query bucket + 8 one-flip neighbours (recall repair)
+    "embed_ann_multiprobe" -> ((s, d) => graft.ext.Similarity.annMultiProbeTopK(s, d)),
     // per-label centroids (DECIMAL-exact) + inter-centroid cosine matrix
     "embed_centroid_sim" -> ((s, d) => graft.ext.Similarity.centroidSim(s, d)),
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),

@@ -77,6 +77,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** X103: multi-probe sign-LSH ANN (Lv et al., VLDB 2007 shape) — the
+    * recall repair for single-bucket LSH: beside the query's own sign
+    * bucket, probe the `bits` neighbouring buckets at Hamming distance
+    * 1 (each single sign flipped — the buckets a near-neighbour most
+    * plausibly fell into when one projection landed near zero). Same
+    * index, same memory, ~(bits+1)× the candidate set; recall strictly
+    * dominates [[annLshTopK]] by construction since the probe set is a
+    * superset.
+    *
+    * Scale shape: the probe set is bits+1 = 9 strings carried on the
+    * ONE broadcast query row and exploded — candidate selection is a
+    * broadcast semi-join on the bucket key (the partition/bucket-by key
+    * at 100 TB), never a scan-wide OR chain.
+    */
+  def annMultiProbeTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                        k: Int = 10, bits: Int = 8): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val b = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    // the query's bucket + its `bits` one-flip variants, one probe row each
+    val flips = (1 to bits).map(i =>
+      concat(substring(col("qb"), 1, i - 1),
+        when(substring(col("qb"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("qb"), i + 1, bits - i)))
+    val probes = b.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("qv"), col("bucket").as("qb"))
+      .select(col("qv"), col("qb"),
+        explode(array(col("qb") +: flips: _*)).as("probe"))
+    b.join(broadcast(probes), col("bucket") === col("probe"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("bucket"),
+        (col("bucket") === col("qb")).as("home_bucket"),
+        round(cosine(dbl(col("embedding")), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** The trained IVF index, memoized per (application, dir, nCells):
     * spark.ml KMeans coarse quantizer -> (cell-assigned vectors, centroid
     * table). Training is a bounded iterative job (k × dim centroids on the

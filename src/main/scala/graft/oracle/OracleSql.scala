@@ -1325,6 +1325,36 @@ shingles AS (
                 sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
       FROM b, q WHERE bucket = qb AND vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // X103 multi-probe LSH: the query bucket + its 8 one-flip neighbours
+    // as a 9-row probe relation; candidates via the bucket semi-join.
+    "embed_ann_multiprobe" -> """
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+      probes AS (
+        SELECT qv, qb, qb AS probe FROM q
+        UNION ALL
+        SELECT qv, qb,
+               substr(qb, 1, i - 1) ||
+               (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END) ||
+               substr(qb, i + 1, 8 - i) AS probe
+        FROM q, (SELECT unnest(generate_series(1, 8)) AS i) g)
+      SELECT vec_id, bucket, bucket = qb AS home_bucket,
+             ROUND(list_dot_product(v, qv) /
+               (sqrt(list_dot_product(v, v)) *
+                sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      FROM b JOIN probes ON b.bucket = probes.probe
+      WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     // Mirrors Similarity.embedCosinePairs: sign-LSH bucket self-join +
     // exact left-fold cosine (list_dot_product == the fused Spark kernel,
     // bit-identical) at the fixture-tuned 0.35 threshold.

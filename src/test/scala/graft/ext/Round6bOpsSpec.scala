@@ -238,6 +238,25 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH dominates single-bucket LSH (superset candidate set)") {
+    val single = Similarity.annLshTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val multi = Similarity.annMultiProbeTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getDouble(3)))
+    assert(multi.nonEmpty && multi.length <= 10)
+    // the probe set is a superset of the home bucket, so the best
+    // multi-probe hit can never be worse than the best single-bucket hit
+    if (single.nonEmpty)
+      assert(multi.head._3 >= single.head._2)
+    // every multi-probe result from the home bucket also appears in the
+    // single-bucket candidate ranking (same bucket, same scoring)
+    val singleIds = single.map(_._1).toSet
+    multi.filter(_._2).foreach { case (id, _, cos) =>
+      assert(singleIds.contains(id) || cos <= single.last._2,
+        s"home-bucket hit $id missing from the single-bucket top-k")
+    }
+  }
+
   test("capped sessions roll back up to plain sessions; sub spans bounded by cap") {
     val cap = 10L * 60 * 1000000
     val capped = Events.sessionizeCapped(spark, sf001).collect()
