@@ -274,6 +274,8 @@ object SparkEntry {
     "agg_trimmed_mean" -> ((s, d) => graft.ext.Analytics.trimmedMean(s, d)),
     // top session-opening event-type paths (first 3 per session)
     "events_top_paths" -> ((s, d) => graft.ext.Events.topPaths(s, d)),
+    // hourly-volume lag autocorrelation (daily-seasonality detector)
+    "events_autocorr" -> ((s, d) => graft.ext.Events.autocorr(s, d)),
     // equi-depth bucket assignment + per-bucket depth audit (X70 composed)
     "analytics_bucket_assign" -> ((s, d) => graft.ext.Analytics.bucketAssign(s, d)),
     // edit-distance<=1 similarity join via deletion-neighborhood blocking

@@ -723,6 +723,48 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path")).limit(k)
   }
 
+  /** X104: lag autocorrelation over the hourly volume series — the
+    * seasonality detector (is traffic daily-periodic? lag-24 r ≫ lag-1
+    * r says yes) behind forecasting and anomaly baselines. The hourly
+    * series is densified onto the full hour grid (gap hours count 0 —
+    * autocorrelation over a sparse series silently skips the quiet
+    * hours that ARE the seasonality), then each lag is one self-join
+    * of the tiny series relation and a Pearson r whose moment sums
+    * (n, Σx, Σy, Σxy, Σx², Σy²) are all exact BIGINTs — IEEE enters
+    * only in the final ratio, so the statistic hash-compares
+    * cross-engine.
+    *
+    * Scale shape: the corpus collapses to per-hour counts first (one
+    * aggregate); the grid, joins, and moments all run over the
+    * hours-sized relation (720 rows per month regardless of event
+    * volume).
+    */
+  def autocorr(spark: SparkSession, dir: String,
+               lags: Seq[Int] = Seq(1, 24)): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val grid = counts.agg(min("h").as("h0"), max("h").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val series = grid.join(counts, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+      .persist()
+    lags.map { lag =>
+      val a = series.select(col("h"), col("c").as("x"))
+      val sh = series.select((col("h") + lag).as("h"), col("c").as("y"))
+      a.join(sh, Seq("h"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(lit(lag.toLong).as("lag"), col("n"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+            .as("pearson_r"))
+    }.reduce(_.unionByName(_)).orderBy("lag")
+  }
+
   /** X89: last-touch revenue attribution — every purchase credits its
     * value to the most recent PRECEDING non-purchase event of the same
     * user (the classic marketing-attribution query; "none" when the

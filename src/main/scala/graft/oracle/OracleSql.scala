@@ -2353,6 +2353,31 @@ shingles AS (
     // AS-OF join: the oracle states the naive quadratic spelling (left
     // join on user with c.ts <= p.ts, rank 1 by ts desc then id desc);
     // Spark answers from the union+running-window form.
+    // X104 autocorrelation: dense hourly series (gap hours = 0), one
+    // shifted self-join per lag, exact-BIGINT Pearson moments.
+    "events_autocorr" -> """
+      WITH c AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1),
+      grid AS (
+        SELECT unnest(generate_series((SELECT MIN(h) FROM c),
+                                      (SELECT MAX(h) FROM c))) AS h),
+      s AS (
+        SELECT g.h, COALESCE(c.c, 0) AS c
+        FROM grid g LEFT JOIN c ON g.h = c.h),
+      lagged AS (
+        SELECT CAST(1 AS BIGINT) AS lag, a.c AS x, b.c AS y
+        FROM s a JOIN s b ON a.h = b.h + 1
+        UNION ALL
+        SELECT CAST(24 AS BIGINT) AS lag, a.c AS x, b.c AS y
+        FROM s a JOIN s b ON a.h = b.h + 24)
+      SELECT lag, COUNT(*) AS n,
+             ROUND(CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE) /
+               (sqrt(CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE)) *
+                sqrt(CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS DOUBLE))), 6)
+               AS pearson_r
+      FROM lagged GROUP BY lag ORDER BY lag""",
     // X89 last-touch attribution: the asof running window over the
     // interleaved (us, kind, event_id) order — touches sort before a
     // same-instant purchase; purchases with no prior touch fall to
