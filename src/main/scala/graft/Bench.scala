@@ -97,6 +97,7 @@ object Bench {
       if (name == "text_strip_boilerplate") graft.ext.TextDedup.clearCaches(spark)
       if (name == "embed_knn_join") graft.ext.Similarity.clearCaches(spark)
       if (name == "graph_triangles") graft.ext.Graphs.clearCaches(spark)
+      if (name == "curation_dsir_weights") graft.ext.LangModel.clearCaches(spark)
       name -> t
     }
     // The driver tail-captures the LAST 2000 bytes of stdout, so the line
