@@ -410,7 +410,7 @@ object SparkEntry {
         .orderBy("ord")
     }),
     "dedup_exact_salted" -> ((s, d) => graft.ext.TextDedup.exactSalted(s, d)),
-    "events_asof_join" -> (graft.ext.Events.asofSignup(_, _)),
+    "events_asof_signup" -> (graft.ext.Events.asofSignup(_, _)),
     "events_range_join" -> ((s, d) => graft.ext.Events.rangeJoinSignupWindow(s, d)),
     // naive no-equi-key abs(Δt)<=w join, planned as a banded equi-join
     // by the injected BandJoinRewrite optimizer rule
@@ -576,6 +576,20 @@ object SparkEntry {
     "spatial_nearest" -> ((s, d) => graft.ext.Spatial.nearestFacility(s, d)),
     // BIT_AND/OR/XOR aggregates (mask fold; map-side combinable)
     "agg_bitwise_family" -> ((s, d) => graft.ext.Analytics.bitwiseFamily(s, d)))
+
+  /** The per-family maps that compose `queries`, named for diagnostics.
+    * Exposed so DuplicateKeyGuardSpec can prove the `++` merge below drops
+    * nothing: a key collision between families silently shadows the earlier
+    * entry (this bit us once — an as-of twin hid X58 for a round).
+    */
+  private[graft] def queryFamilies: Seq[(String, Map[String, Q])] = Seq(
+    "sync" -> syncQueries,
+    "analytics" -> analyticsQueries,
+    "events" -> eventsQueries,
+    "llm" -> llmQueries,
+    "streamSourceSink" -> streamSourceSinkQueries,
+    "coverage" -> coverageQueries,
+    "warehouse" -> warehouseQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =

@@ -3425,7 +3425,7 @@ shingles AS (
       FROM e JOIN c ON c.c_us - e.e_us <= 1800000000
                    AND e.e_us - c.c_us <= 0
       GROUP BY e.event_id ORDER BY e.event_id""",
-    "events_asof_join" -> """
+    "events_asof_signup" -> """
       SELECT event_id, user_id, us, prev_signup_us,
              us - prev_signup_us AS since_signup_us
       FROM (
@@ -3788,6 +3788,24 @@ shingles AS (
              bool_or(price_n IS NULL) AS any_unpriced,
              COUNT(NULLIF(o_orderpriority, o_orderpriority)) AS n_nullif
       FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+
+  /** The per-family maps composing `all`, for DuplicateKeyGuardSpec: a key
+    * shared by two families would make `++` silently keep only the later
+    * SQL, so the gate would verify the wrong query.
+    */
+  private[graft] def oracleFamilies: Seq[(String, Map[String, String])] = Seq(
+    "sync" -> sync_queries,
+    "analytics" -> analytics_queries,
+    "events" -> events_queries,
+    "llm" -> llm_queries,
+    "streamSink" -> stream_sink_queries,
+    "coverage" -> coverage_queries,
+    "warehouse" -> warehouse_queries)
+
+  /** Keys deliberately added to `all` outside any family map (aliases that
+    * reuse another entry's SQL verbatim). The guard spec accounts for these.
+    */
+  private[graft] val aliasKeys: Set[String] = Set("dedup_clusters_star")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
