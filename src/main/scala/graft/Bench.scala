@@ -72,7 +72,8 @@ object Bench {
       val edgeConsumers = Set("graph_bfs_hops", "graph_clustering_coeff",
         "graph_degree_dist", "graph_label_prop", "graph_triangles")
       if (selected.exists { case (n, _) => edgeConsumers(n) }) {
-        graft.ext.Graphs.warmSharedRelations(spark, sfDir)
+        graft.ext.Graphs.warmSharedRelations(spark, sfDir,
+          selected.map(_._1).toSet)
       }
     }
     val results = selected.map { case (name, fn) =>
@@ -95,6 +96,7 @@ object Bench {
       // LAST name-sorted consumer: later families then time on a quiet
       // JVM instead of competing with ~GBs of parked storage memory.
       if (name == "text_strip_boilerplate") graft.ext.TextDedup.clearCaches(spark)
+      if (name == "events_autocorr") graft.ext.Events.clearCaches(spark)
       if (name == "embed_knn_join") graft.ext.Similarity.clearCaches(spark)
       if (name == "graph_triangles") graft.ext.Graphs.clearCaches(spark)
       if (name == "curation_dsir_weights") graft.ext.LangModel.clearCaches(spark)
