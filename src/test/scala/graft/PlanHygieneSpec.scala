@@ -62,6 +62,45 @@ class PlanHygieneSpec extends SparkSpec {
   private def swept(name: String): Boolean =
     !name.startsWith("stream_") && name != "scan_inventory"
 
+  /** Entries whose plans legitimately contain a PARTITIONLESS window —
+    * every one windows over a COLLAPSED relation (a value histogram,
+    * per-bucket subtotals, or a fixed-k prefix), never the row-sized
+    * input, so the forced single partition is bounded by value/bucket
+    * cardinality, not data volume. Each value documents the tiny
+    * relation. The pin is directional like the nested-loop one: an
+    * entry gaining an UNDECLARED global window fails the sweep — the
+    * `WindowExec: No Partition Defined` warnings in the logs are
+    * exactly these declared sites and nothing else.
+    */
+  private val allowedGlobalWindow: Map[String, String] = Map(
+    "agg_equidepth_hist" -> "cross-bucket prefix over per-bucket count subtotals (fixed bucket grid)",
+    "analytics_bucket_assign" -> "cross-bucket prefix over per-bucket counts (fixed candidate-bucket grid)",
+    "analytics_chisq" -> "global chi-square term sum over the (event_type x value-band) contingency cells",
+    "analytics_pareto80" -> "range-partition offset cumsum over 32 per-partition subtotal rows",
+    "analytics_skyline" -> "cross-bucket prefix over per-price-bucket maxima",
+    "curation_quantile_norm" -> "range-partition offset cumsum over 32 per-partition subtotal rows",
+    "curation_shard_pack" -> "cross-bucket prefix over doc_id-bucket token subtotals (corpus/100 rows)",
+    "curation_weighted_sample" -> "rank over the already-limited top-k (k=50) sample",
+    "events_funnel" -> "running min over the 3-row per-stage bound relation",
+    "graph_degree_dist" -> "cumulative share over the distinct-degree histogram")
+
+  test("partitionless windows only on the value-histogram allowlist") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => swept(n) }
+      .flatMap { case (name, fn) =>
+        val global = fn(spark, sf001).queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+          case g: org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+            if g.partitionSpec.isEmpty => g
+        }
+        if (global.nonEmpty && !allowedGlobalWindow.contains(name))
+          Some(s"$name: ${global.size} undeclared partitionless window(s)")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no cartesian product anywhere; nested-loop joins only on the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => swept(n) }
