@@ -7,18 +7,25 @@ import graft.tables.Tables
 /** X5 — multimodal column plumbing: opaque `BINARY` payloads with typed
   * metadata, and a partition-wise decode/feature-extract stage.
   *
-  * The image/audio codecs aren't present in this environment, so
-  * [[decodeStub]] is a clearly-marked deterministic stand-in — but the
-  * Spark-side plumbing is the real thing a production pipeline needs:
+  * The image leg is a REAL codec: payloads are genuine PNG files
+  * (encoded per-partition from deterministic test-card pixels, since the
+  * read-only fixtures carry no media) and [[decodePng]] decodes them
+  * with JDK `javax.imageio` — actual DEFLATE inflate + raster traversal,
+  * no byte-sum stand-in. The Spark-side plumbing is the production
+  * shape:
   *  - payloads travel as a `BinaryType` column (never stringified),
-  *  - metadata is a typed struct alongside, prunable independently,
-  *  - decoding runs via `mapPartitions` over a typed Dataset — the Scala
-  *    analogue of `mapInPandas`: batch-at-a-time, codec state initialized
-  *    once per partition (where a real decoder would open its context),
-  *    output schema fixed by the `Decoded` encoder.
+  *  - metadata is carried alongside, prunable independently,
+  *  - codec stages run via `mapPartitions` over typed Datasets — the
+  *    Scala analogue of `mapInPandas`: batch-at-a-time, codec state per
+  *    partition, output schema fixed by the case-class encoder.
+  *
+  * Because the pixels are a stated function of (doc_id, n_chars) and PNG
+  * is lossless, the decoded width/height/pixel-checksum are exactly
+  * oracle-able in SQL — the oracle recomputes them arithmetically, so a
+  * broken encode OR a broken decode fails the hash gate.
   *
   * At 100 TB payloads would live in Parquet binary columns (or pointers
-  * into object storage); the decode stage parallelizes per partition with
+  * into object storage); the codec stages parallelize per partition with
   * no driver involvement and no shuffle.
   */
 object Multimodal {
@@ -27,12 +34,12 @@ object Multimodal {
   final case class Payload(doc_id: Long, content: Array[Byte],
                            n_bytes: Long, content_sig: String)
 
-  /** Deterministic fake of a decoded asset. A real implementation would
-    * replace [[decodeOne]]'s body with the codec call; everything else
-    * (schema, batching, partitioning) stays as-is.
-    */
-  final case class Decoded(doc_id: Long, n_bytes: Long, checksum: Long,
-                           fake_width: Long, fake_height: Long)
+  /** A real binary media payload (PNG bytes). */
+  final case class ImagePayload(doc_id: Long, content: Array[Byte])
+
+  /** Features read back from a decoded raster. */
+  final case class DecodedImage(doc_id: Long, width: Long, height: Long,
+                                px_checksum: Long)
 
   /** Documents as binary payloads (text bytes stand in for media bytes). */
   def payloads(spark: SparkSession, dir: String): Dataset[Payload] = {
@@ -45,38 +52,79 @@ object Multimodal {
       .as[Payload]
   }
 
-  /** STUB — deterministic fake decode: byte-sum checksum + fake dims
-    * derived from the first bytes. Replace with the real codec.
+  /** Deterministic grayscale test-card pixel: v(d, x, y) = (31d + 7x +
+    * 13y) mod 256. Stated arithmetic so the oracle can recompute the
+    * decoded raster exactly.
     */
-  private def decodeOne(p: Payload): Decoded = {
-    var sum = 0L
-    var i = 0
-    while (i < p.content.length) { sum += p.content(i) & 0xff; i += 1 }
-    Decoded(p.doc_id, p.n_bytes, sum % 997,
-      fake_width = 16 + (p.content.headOption.getOrElse(0: Byte) & 0xff) % 16,
-      fake_height = 16 + (p.content.lastOption.getOrElse(0: Byte) & 0xff) % 16)
+  private def pixel(d: Long, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(d * 31 + x * 7 + y * 13, 256).toInt
+
+  /** The encode stage: each document becomes a REAL PNG (dimensions
+    * 8 + doc_id mod 9 × 8 + n_chars mod 9, test-card pixels) via
+    * `javax.imageio` inside `mapPartitions`. In production the payload
+    * column arrives from storage already encoded; synthesizing it here
+    * keeps the read-only fixtures untouched while making every
+    * downstream byte genuinely PNG.
+    */
+  def pngPayloads(spark: SparkSession, dir: String): Dataset[ImagePayload] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        it.map { case (id, nChars) =>
+          val w = (8 + java.lang.Math.floorMod(id, 9)).toInt
+          val h = (8 + java.lang.Math.floorMod(nChars, 9)).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = pixel(id, x, y)
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImagePayload(id, bos.toByteArray)
+        }
+      }
   }
 
-  /** The decode stage: one codec context per partition, streamed rows.
-    * Deliberately `mapPartitions` even though the stub math is expressible
-    * in built-ins — per-partition codec-context placement is the point
-    * being demonstrated; [[metaQuery]] is the pure-Catalyst twin for
-    * everything that doesn't need the codec.
+  /** The decode stage: one codec pass per partition, streamed rows —
+    * `ImageIO.read` inflates the PNG and the checksum walks the decoded
+    * raster (one channel; the test card is grayscale so all three
+    * agree). PNG byte LENGTH is deliberately not surfaced: it depends
+    * on the encoder's DEFLATE choices, while the decoded pixels are
+    * lossless and engine-portable.
     */
-  def decodeStub(spark: SparkSession, dir: String): Dataset[Decoded] = {
+  def decodePng(spark: SparkSession, dir: String): Dataset[DecodedImage] = {
     import spark.implicits._
-    payloads(spark, dir).mapPartitions { it =>
-      // real impl: open codec/context here, close after the iterator
-      it.map(decodeOne)
+    pngPayloads(spark, dir).mapPartitions { it =>
+      it.map { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.content))
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += img.getRGB(x, y) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        DecodedImage(p.doc_id, img.getWidth.toLong, img.getHeight.toLong, sum)
+      }
     }
   }
 
-  /** Oracle-checked query form: decoded features, ordered. (The byte-sum
-    * checksum is reproducible in SQL because the fixture text is ASCII —
-    * byte sum == codepoint sum.)
-    */
+  /** Oracle-checked query form: real decoded features, ordered. */
   def decodeQuery(spark: SparkSession, dir: String): DataFrame =
-    decodeStub(spark, dir).toDF().orderBy("doc_id")
+    decodePng(spark, dir).toDF().orderBy("doc_id")
 
   /** Frame sampling — the video-ish member of the X5 family: k frames per
     * payload at deterministic evenly-spaced byte offsets, each frame a

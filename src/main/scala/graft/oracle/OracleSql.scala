@@ -1721,18 +1721,25 @@ shingles AS (
       WHERE q.quality_score >= 0.2 AND q.n_words >= 20
         AND d.doc_id NOT IN (SELECT doc_id FROM drop_dups)
       GROUP BY d.lang ORDER BY d.lang""",
+    // Mirrors Multimodal.pngPayloads/decodePng: the Spark side encodes a
+    // real PNG per document (test-card pixels v = (31d+7x+13y) mod 256,
+    // dims 8 + doc_id mod 9 x 8 + n_chars mod 9) and decodes it with
+    // javax.imageio; the oracle recomputes the decoded raster
+    // arithmetically. Agreement proves the encode->DEFLATE->decode
+    // round trip preserved every pixel.
     "multimodal_decode" -> """
-      WITH csum AS (
-        SELECT doc_id, CAST(SUM(ascii(substr(text, i, 1))) AS BIGINT) AS bytesum
-        FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i
-              FROM documents) t
-        GROUP BY doc_id)
-      SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes,
-             c.bytesum % 997 AS checksum,
-             16 + ascii(substr(d.text, 1, 1)) % 16 AS fake_width,
-             16 + ascii(substr(d.text, length(d.text), 1)) % 16 AS fake_height
-      FROM documents d JOIN csum c ON d.doc_id = c.doc_id
-      ORDER BY d.doc_id""",
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h
+        FROM documents),
+      xs AS (
+        SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+      px AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM xs)
+      SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+             CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
+               AS px_checksum
+      FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
     "multimodal_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              substr(md5(text), 1, 8) AS content_sig,

@@ -563,6 +563,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal decode: payloads are real PNGs; imageio round trip exact") {
+    val payloads = Multimodal.pngPayloads(spark, sf001).collect()
+    assert(payloads.nonEmpty)
+    // genuine PNG container: 8-byte magic on every payload
+    val magic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    payloads.foreach(p => assert(p.content.take(8).sameElements(magic),
+      s"doc ${p.doc_id}: not a PNG header"))
+    // decoded dims + checksum match the stated pixel function exactly
+    val decoded = Multimodal.decodePng(spark, sf001).collect()
+      .map(d => d.doc_id -> d).toMap
+    val dims = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decoded.size == dims.size)
+    decoded.values.foreach { d =>
+      val w = 8 + (d.doc_id % 9)
+      val h = 8 + (dims(d.doc_id) % 9)
+      assert(d.width == w && d.height == h,
+        s"doc ${d.doc_id}: ${d.width}x${d.height} vs ${w}x$h")
+      val expect = (for {
+        y <- 0L until h; x <- 0L until w
+      } yield java.lang.Math.floorMod(d.doc_id * 31 + x * 7 + y * 13, 256)).sum
+      assert(d.px_checksum == expect,
+        s"doc ${d.doc_id}: checksum ${d.px_checksum} vs $expect")
+    }
+  }
+
   test("multimodal embed: vectors recompute from md5 nibbles; top-k sane") {
     val rows = Multimodal.embedTopK(spark, sf001).collect()
     assert(rows.length == 10)
