@@ -47,27 +47,25 @@ object Components {
 
     // canonical direction (big, small) + dedup; self-edges contribute
     // nothing to connectivity. Partitioned once on the round's join key.
-    // LINEAGE IS CUT EVERY ROUND (eager localCheckpoint): each pass
+    // LINEAGE IS CUT EVERY ROUND (eager Checkpoints.cut): each pass
     // references its input several times (symmetrize + min-join), so a
     // merely-persisted chain would grow the ANALYZED plan ~6× per round —
     // exponential in rounds, an analyzer OOM long before any data
-    // pressure. Checkpointing makes every round's plan O(1); a real
-    // cluster run points `spark.sparkContext.setCheckpointDir` at durable
-    // storage and swaps in `.checkpoint()` for executor-loss resilience.
+    // pressure. Checkpointing makes every round's plan O(1); a cluster
+    // run sets `graft.checkpoint.dir` to durable storage and the cuts
+    // become reliable `checkpoint()`s for executor-loss resilience.
     val cols = pairs.columns
-    val init = pairs
+    val init = graft.Checkpoints.cut(pairs
       .select(col(cols(0)).as("a"), col(cols(1)).as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct()
-      .repartition(parts, col("u"))
-      .localCheckpoint()
+      .repartition(parts, col("u")))
     // nodes whose only edges were self-loops still deserve a label
-    val allNodes = pairs
+    val allNodes = graft.Checkpoints.cut(pairs
       .select(explode(array(col(cols(0)), col(cols(1)))).as("id"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
 
     // large-star over the symmetrized neighborhood: (x, m(u)) for every
     // neighbour x > u. Result is (big, small)-directed again since
@@ -105,9 +103,8 @@ object Components {
     var converged = edges.isEmpty // a loop-free pair set is already done
     while (!converged && rounds < maxRounds) {
       // eager: materialized before the probes, plan truncated to a scan
-      val next = smallStar(largeStar(edges))
-        .repartition(parts, col("u"))
-        .localCheckpoint()
+      val next = graft.Checkpoints.cut(
+        smallStar(largeStar(edges)).repartition(parts, col("u")))
       converged = same(next, edges)
       edges.unpersist()
       edges = next

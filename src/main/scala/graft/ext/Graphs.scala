@@ -277,23 +277,24 @@ object Graphs {
     // persist its own copy of the same 2.4 M rows
     val edges = symEdges(spark, dir)
       .select(col("u").as("src"), col("v").as("dst"))
-    // seeds and every frontier are eager localCheckpoints, so `visited`
+    // seeds and every frontier are eager lineage cuts (Checkpoints.cut:
+    // local blocks, or durable under graft.checkpoint.dir), so `visited`
     // is always a union of already-materialized node-sized blocks — no
     // per-round persist needed (the old per-round persists parked
     // hops+1 never-released copies per call)
-    val seeds = edges.select(col("src").as("id")).distinct()
-      .orderBy("id").limit(nSeeds)
-      .select(col("id"), lit(0L).as("hop"))
-      .localCheckpoint()
+    val seeds = graft.Checkpoints.cut(
+      edges.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(nSeeds)
+        .select(col("id"), lit(0L).as("hop")))
     var visited = seeds
     var frontier = seeds
     for (h <- 1 to hops) {
-      val next = frontier.select(col("id").as("fid"))
-        .join(edges, col("fid") === col("src"))
-        .select(col("dst").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .select(col("id"), lit(h.toLong).as("hop"))
-        .localCheckpoint() // cut the per-round lineage (iterative loop)
+      val next = graft.Checkpoints.cut( // cut the per-round lineage
+        frontier.select(col("id").as("fid"))
+          .join(edges, col("fid") === col("src"))
+          .select(col("dst").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .select(col("id"), lit(h.toLong).as("hop")))
       visited = visited.unionByName(next)
       frontier = next
     }

@@ -60,6 +60,32 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("durable checkpoint flag: star-CC green with reliable checkpoints on disk") {
+    withLoopConfs {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ckpt").toString
+      spark.conf.set(graft.Checkpoints.ConfKey, dir)
+      try {
+        val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("x", "y")
+        val r = Components.starComponents(edges)
+        val got = r.labels.collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSet
+        assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+        r.labels.unpersist()
+        // reliable checkpoints actually landed under the configured dir
+        def rddFiles(f: java.io.File): Seq[java.io.File] =
+          Option(f.listFiles()).toSeq.flatten
+            .flatMap(c => if (c.isDirectory) rddFiles(c) else Seq(c))
+        assert(rddFiles(new java.io.File(dir)).nonEmpty,
+          s"no checkpoint files written under $dir")
+      } finally {
+        spark.conf.unset(graft.Checkpoints.ConfKey)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(dir))
+      }
+    }
+  }
+
   test("star clustering equals min-label propagation on the fixture pair graph") {
     val prop = TextDedup.nearDupClusters(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
