@@ -443,10 +443,10 @@ object SparkEntry {
     // KMV sketch via the typed Aggregator UDAF — deterministic set
     // property, so exactly oracled (not bound-gated like agg_sketch_family)
     "agg_kmv_distinct" -> (graft.ext.Analytics.kmvDistinct(_, _)),
-    // rows-only: IVF over trained spark.ml KMeans cells (centroids come
-    // from order-dependent float reductions -> no cross-engine oracle;
-    // recall vs the exact scan asserted in CosineSimSpec AND oracled as
-    // the embed_ann_recall bound entry below)
+    // IVF over deterministic hash-seeded cells — quantizer, assignment
+    // and probe are all exactly hash-oracled (was rows-only when the
+    // quantizer was trained KMeans); recall additionally asserted in
+    // CosineSimSpec AND oracled as the embed_ann_recall bound below
     "embed_ann_ivf" -> ((s, d) => graft.ext.Similarity.ivfTopK(s, d)),
     // oracled recall bound for the IVF tier (sketchFamily pattern): the
     // oracle derives the exact top-k count and asserts recall_ok TRUE

@@ -114,12 +114,19 @@ object Similarity {
       .limit(k)
   }
 
-  /** The trained IVF index, memoized per (application, dir, nCells):
-    * spark.ml KMeans coarse quantizer -> (cell-assigned vectors, centroid
-    * table). Training is a bounded iterative job (k × dim centroids on the
-    * driver); at 100 TB you fit on a sample and `transform` assigns cells
-    * in one narrow pass — the same two relations come out, with `cell` as
-    * the partitioning/bucketing key of the inverted lists.
+  /** The IVF index, memoized per (application, dir, nCells): a
+    * DETERMINISTIC hash-seeded coarse quantizer -> (cell-assigned
+    * vectors, centroid table). Centroids are the `nCells` corpus vectors
+    * with the smallest md5(vec_id) — an order-free, engine-portable seed
+    * choice (k-means at zero iterations / a Voronoi partition around
+    * random medoids), so cell assignment and therefore the whole probe
+    * result is exactly statable in SQL and hash-oracled; a TRAINED
+    * quantizer would only sharpen the cells (the recall bound entry
+    * guards quality either way), at the price of order-dependent float
+    * centroids no second engine can reproduce. At 100 TB the seed pick
+    * is a top-k by hash (no shuffle beyond it), assignment is one
+    * narrow broadcast pass, and `cell` is the partitioning/bucketing
+    * key of the inverted lists.
     */
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), (DataFrame, DataFrame)]
@@ -140,34 +147,41 @@ object Similarity {
                        nCells: Int): (DataFrame, DataFrame) =
     ivfCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, nCells), {
-        import org.apache.spark.ml.clustering.KMeans
-        import org.apache.spark.ml.functions.array_to_vector
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.CosineSim.register(spark)
         val emb = Tables.embeddings(spark, dir)
           .select(col("vec_id"), dbl(col("embedding")).as("v"))
-          .withColumn("fv", array_to_vector(col("v")))
-        // random init + few iterations: a coarse quantizer only needs
-        // rough cells (k-means|| init costs extra full passes and buys
-        // nothing at k=8); recall is asserted in CosineSimSpec either way
-        val model = new KMeans().setK(nCells).setSeed(42L).setMaxIter(5)
-          .setInitMode("random")
-          .setFeaturesCol("fv").setPredictionCol("cell")
-          .fit(emb)
-        val assigned = model.transform(emb)
+        // seed pick: nCells smallest md5(vec_id) — top-k by hash (a
+        // TakeOrdered, no full sort), then ranked over the k-row result
+        // (the partitionless window is bounded by nCells; allowlisted)
+        val hashed = emb
+          .withColumn("hk", md5(col("vec_id").cast("string")))
+        val seeds = hashed.orderBy("hk", "vec_id").limit(nCells)
+          .withColumn("cell",
+            (row_number().over(Window.orderBy("hk", "vec_id")) - 1)
+              .cast("long"))
+          .select(col("cell"), col("v").as("centroid"))
+        // nearest-seed assignment: one narrow broadcast pass; argmax as
+        // max(struct(c_sim, -cell)) — map-side combinable, ties to the
+        // smaller cell, matching the oracle's (c_sim DESC, cell) rank
+        val best = emb.crossJoin(broadcast(seeds))
+          .withColumn("c_sim", cosine(col("v"), col("centroid")))
+          .groupBy("vec_id")
+          .agg(max(struct(col("c_sim").as("c"),
+            (col("cell") * -1).as("negc"))).as("m"))
+          .select(col("vec_id"), (col("m.negc") * -1).as("cell"))
+        val assigned = emb.join(best, Seq("vec_id"))
           .select(col("vec_id"), col("v"), col("cell")).persist()
-        val session = spark
-        import session.implicits._
-        val centroids = model.clusterCenters.toSeq.zipWithIndex
-          .map { case (c, i) => (i, c.toArray) }
-          .toDF("cell", "centroid")
-        (assigned, centroids)
+        (assigned, seeds.persist())
       })
 
-  /** IVF ANN: rank KMeans cells by centroid similarity to the query, then
-    * search only the `nProbe` nearest inverted lists. A probe touches
-    * nProbe partitions instead of the full corpus. Rows-only checked
-    * (KMeans centroids come from order-dependent float reductions, so no
-    * cross-engine oracle); recall vs the exact scan is asserted in
-    * CosineSimSpec.
+  /** IVF ANN: rank the quantizer cells by centroid similarity to the
+    * query, then search only the `nProbe` nearest inverted lists. A probe
+    * touches nProbe partitions instead of the full corpus. With the
+    * hash-seeded deterministic quantizer the whole result (cells
+    * included) is exactly hash-oracled; recall vs the exact scan is
+    * additionally asserted in CosineSimSpec and the `embed_ann_recall`
+    * bound entry.
     */
   def ivfTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
               k: Int = 10, nProbe: Int = 2, nCells: Int = 8): DataFrame = {
@@ -188,18 +202,17 @@ object Similarity {
       .limit(k)
   }
 
-  /** Recall@k of the trained-IVF probe vs the exact scan, surfaced as an
+  /** Recall@k of the IVF probe vs the exact scan, surfaced as an
     * oracled *bound predicate* (the [[Analytics.sketchFamily]] pattern):
-    * the IVF result itself has no cross-engine oracle (KMeans centroids
-    * come from order-dependent float reductions), but "the probe recovers
-    * ≥ `bound` of the true top-k" is an engine-independent claim — the
-    * DuckDB twin computes the exact top-k count and asserts the boolean
-    * literally TRUE, so a quantizer/probe regression dropping recall
-    * below the bound hash-mismatches the gate. (The sign-LSH tier needs
-    * no recall bound here: its result is deterministic and fully value-
-    * oracled as `embed_ann_lsh`.) nProbe=4 of 8 cells holds recall
-    * 0.7–0.8 across all fixture SFs — 0.6 leaves headroom for boundary
-    * vectors, mirroring CosineSimSpec's assertion.
+    * beyond the value-exact `embed_ann_ivf` oracle, "the probe recovers
+    * ≥ `bound` of the true top-k" is the QUALITY claim — the DuckDB twin
+    * computes the exact top-k count and asserts the boolean literally
+    * TRUE, so a quantizer/probe regression dropping recall below the
+    * bound hash-mismatches the gate. (The sign-LSH tier needs no recall
+    * bound here: its result is deterministic and fully value-oracled as
+    * `embed_ann_lsh`.) nProbe=4 of 8 cells holds recall ≥ 0.6 across all
+    * fixture SFs with the hash-seeded quantizer, mirroring
+    * CosineSimSpec's assertion.
     */
   def annRecallBound(spark: SparkSession, dir: String, queryId: Long = 0L,
                      k: Int = 10, nProbe: Int = 4,

@@ -1306,6 +1306,49 @@ shingles AS (
              (SELECT COUNT(*) FROM topk) AS exact_k,
              TRUE AS recall_ok
       ORDER BY method""",
+    // Mirrors Similarity.ivfTopK over the hash-seeded quantizer: seeds =
+    // the 8 vectors with smallest md5(vec_id); every vector joins its
+    // argmax-cosine seed (ties to the smaller cell = Spark's
+    // max(struct(c_sim, -cell))); the probe searches the 2 cells whose
+    // centroids are nearest the query. Exact value oracle incl. cells.
+    "embed_ann_ivf" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (
+        SELECT cell, v AS centroid FROM (
+          SELECT v, ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+          FROM e) t
+        WHERE cell < 8),
+      sim AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.v, s.centroid) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.centroid, s.centroid))) AS c_sim
+        FROM e, seeds s),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS rn
+          FROM sim) t WHERE rn = 1),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      probed AS (
+        SELECT cell FROM (
+          SELECT s.cell,
+                 list_dot_product(s.centroid, q.qv) /
+                   (sqrt(list_dot_product(s.centroid, s.centroid)) *
+                    sqrt(list_dot_product(q.qv, q.qv))) AS c_sim
+          FROM seeds s, q) t
+        ORDER BY c_sim DESC, cell LIMIT 2)
+      SELECT e.vec_id, a.cell,
+             ROUND(list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM e
+      JOIN assigned a ON e.vec_id = a.vec_id
+      JOIN probed p ON a.cell = p.cell
+      CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
     "embed_ann_lsh" -> """
       WITH b AS (
         SELECT vec_id, embedding,

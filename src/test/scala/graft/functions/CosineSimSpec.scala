@@ -28,7 +28,7 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
-  test("IVF recall: trained-KMeans probe covers most of the exact top-k") {
+  test("IVF recall: hash-seeded probe covers most of the exact top-k") {
     val k = 10
     val exact = graft.ext.Similarity.cosineTopK(spark, sf001, queryId = 0L, k = k)
       .select("vec_id").as[Long].collect().toSet
