@@ -874,9 +874,12 @@ shingles AS (
                   JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
       GROUP BY c.doc_a, c.doc_b ORDER BY c.doc_a, c.doc_b""",
     // Connected components over the thresholded minhash pair graph
-    // (TextDedup.nearDupClusters): min-label propagation unrolled to 8
+    // (TextDedup.nearDupClusters): min-label propagation unrolled to 16
     // fixed rounds — the Spark side iterates to convergence, and near-dup
     // components converge in ≤ diameter ≤ 8 rounds on every fixture SF
+    // (unrolled to 2× that so a fixture regeneration with a longer
+    // chain cannot fail correct Spark output; the extra rounds are
+    // no-ops at the fixpoint and cheap on the tiny pair graph)
     // (the Spark side THROWS past 20 rounds rather than emit a partial
     // clustering, so a divergence can never silently hash-match).
     // PLAN SHAPE MATTERS: each round references the previous round
@@ -922,13 +925,13 @@ shingles AS (
         SELECT DISTINCT src, src FROM edges
       ),
       l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges2),
-""" + (1 to 8).map(k => s"""      l$k AS (
+""" + (1 to 16).map(k => s"""      l$k AS (
         SELECT e.dst AS id, MIN(l.lab) AS lab
         FROM l${k - 1} l JOIN edges2 e ON e.src = l.id
         GROUP BY e.dst
       )""").mkString(",\n") + """
       SELECT id AS doc_id, lab AS cluster_id, id = lab AS is_canonical
-      FROM l8 ORDER BY doc_id"""),
+      FROM l16 ORDER BY doc_id"""),
     "text_simhash" -> """
       WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
@@ -1448,7 +1451,7 @@ shingles AS (
       FROM b LEFT JOIN drops d ON b.vec_id = d.vec_id
       ORDER BY b.vec_id""",
     // X84 semantic clusters: the thresholded cosine pair graph (the
-    // dedup_embed_pairs edge set) closed under 8-round min-label
+    // dedup_embed_pairs edge set) closed under 16-round min-label
     // propagation (the dedup_clusters unrolling — the Spark side runs
     // star rewiring to a PROVEN fixpoint, so a divergence can't
     // silently hash-match); vectors with no pair are their own cluster.
@@ -1479,14 +1482,14 @@ shingles AS (
         UNION ALL
         SELECT DISTINCT src, src FROM edges),
       l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges2),
-""" + (1 to 8).map(k => s"""      l$k AS (
+""" + (1 to 16).map(k => s"""      l$k AS (
         SELECT e.dst AS id, MIN(l.lab) AS lab
         FROM l${k - 1} l JOIN edges2 e ON e.src = l.id
         GROUP BY e.dst
       )""").mkString(",\n") + """,
       labeled AS (
         SELECT e.vec_id, COALESCE(l.lab, e.vec_id) AS cluster_id
-        FROM embeddings e LEFT JOIN l8 l ON l.id = e.vec_id),
+        FROM embeddings e LEFT JOIN l16 l ON l.id = e.vec_id),
       sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
                 FROM labeled GROUP BY cluster_id)
       SELECT vec_id, cluster_id, cluster_size,
