@@ -96,6 +96,7 @@ object Bench {
       // LAST name-sorted consumer: later families then time on a quiet
       // JVM instead of competing with ~GBs of parked storage memory.
       if (name == "text_strip_boilerplate") graft.ext.TextDedup.clearCaches(spark)
+      if (name == "agg_hll_rollup") graft.ext.Sketches.clearCaches(spark)
       if (name == "events_autocorr") graft.ext.Events.clearCaches(spark)
       if (name == "embed_knn_join") graft.ext.Similarity.clearCaches(spark)
       if (name == "graph_triangles") graft.ext.Graphs.clearCaches(spark)

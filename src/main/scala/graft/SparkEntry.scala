@@ -284,6 +284,18 @@ object SparkEntry {
     "analytics_market_basket" -> ((s, d) => graft.ext.Linkage.marketBasket(s, d)),
     // KMV sketch mergeability law: day partials rolled == direct monthly
     "agg_kmv_rollup" -> ((s, d) => graft.ext.Analytics.kmvRollup(s, d)),
+    // relational HyperLogLog: integer-exact registers, est beside exact
+    "agg_hll_distinct" -> ((s, d) => graft.ext.Sketches.hllDistinct(s, d)),
+    // HLL mergeability law: per-type registers max-merged == direct
+    "agg_hll_rollup" -> ((s, d) => graft.ext.Sketches.hllRollup(s, d)),
+    // span-level decontamination: cut contaminated 8-gram windows, keep the doc
+    "text_decontaminate_spans" -> ((s, d) => graft.ext.TextDedup.decontaminateSpans(s, d)),
+    // int8 scalar quantization + integer-dot quantized top-k (SQ8)
+    "embed_scalar_quant" -> ((s, d) => graft.ext.Similarity.scalarQuantTopK(s, d)),
+    // HITS hubs/authorities: 2 exact-integer rounds on the cust->part graph
+    "graph_hits" -> ((s, d) => graft.ext.Graphs.hits(s, d)),
+    // CEP with negation: view->purchase<=1h with no error between
+    "events_cep_pattern" -> ((s, d) => graft.ext.Events.cepCleanConversion(s, d)),
     // 2-D Pareto frontier via two-phase distributed prefix max
     "analytics_skyline" -> ((s, d) => graft.ext.Analytics.skyline(s, d)),
     // exact per-segment MAD outliers via the value-histogram median
@@ -435,6 +447,8 @@ object SparkEntry {
     "stream_attribution" -> (graft.streaming.EventStream.streamAttribution(_, _)),
     // streaming arbitrary state, new API (transformWithState + RocksDB)
     "stream_transform_state" -> (graft.streaming.EventStream.transformStateUserCounts(_, _)),
+    // streaming keep-first dedup: transformWithState gate (X1's stream twin)
+    "stream_dedup_state" -> (graft.streaming.EventStream.streamDedupState(_, _)),
     // oracled: sketch values surface as bound predicates beside their
     // exact twins (the oracle asserts the booleans literally TRUE), so
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers

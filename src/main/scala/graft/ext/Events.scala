@@ -816,4 +816,48 @@ object Events {
         sum(col("value").cast(D2)).cast("double").as("attributed_value"))
       .orderBy("channel")
   }
+
+  /** X110: complex-event pattern detection with a NEGATIVE condition —
+    * MATCH_RECOGNIZE's `A B* C` with an exclusion, stated relationally:
+    * emit every `view` that is followed by a `purchase` of the same
+    * user within one hour with NO `error` event strictly between them.
+    * The funnel (X15) counts ordered stage reachability; this is the
+    * per-instance matcher with an absence constraint — the alerting /
+    * session-repair primitive ("clean conversion") that CEP engines
+    * sell, as two FOLLOWING-frame window minima instead of per-row
+    * subqueries: for each view, the next purchase µs and next error µs
+    * in the user's timeline decide the match in one pass.
+    *
+    * Scale shape: one shuffle on user_id (the window partition), frames
+    * scan forward once per row (Spark's running-min over the reversed
+    * order is linear); the purchase-id resolution join keys on the
+    * matched (user, µs) pair — purchase-sized, not event-sized. No
+    * self-join over the raw stream, no pair space.
+    */
+  def cepCleanConversion(spark: SparkSession, dir: String,
+                         windowUs: Long = 3600000000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val views = ev
+      .withColumn("p_us",
+        min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .withColumn("e_us",
+        min(when(col("event_type") === "error", col("us"))).over(w))
+      .filter(col("event_type") === "view")
+      .filter(col("p_us").isNotNull &&
+        col("p_us") - col("us") <= windowUs &&
+        (col("e_us").isNull || col("e_us") >= col("p_us")))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("us").as("view_us"), col("p_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("us").as("p_us"))
+      .agg(min("event_id").as("purchase_id"))
+    views.join(purchases, Seq("user_id", "p_us"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        (col("p_us") - col("view_us")).as("gap_us"))
+      .orderBy("view_id")
+  }
 }

@@ -369,4 +369,64 @@ object Graphs {
           .as("cum_share"))
       .orderBy("deg")
   }
+
+  /** X109: HITS hubs & authorities (Kleinberg, JACM'99) on the bipartite
+    * customer→part purchase graph: a part's authority is the summed hub
+    * weight of the customers who buy it; a customer's hub weight is the
+    * summed authority of the parts they buy. Two full mutual-
+    * reinforcement rounds from h₀ = 1, UNNORMALIZED — on a bipartite
+    * graph the iterates then stay exact integers (a₁ = part degree,
+    * h₁ = Σ a₁, …), summed in DECIMAL(38,0) so partition order can
+    * never perturb them; IEEE appears only in the final max-
+    * normalization, making the whole iteration hash-stable and the
+    * oracle a plain unrolled join chain. (Classic HITS L2-normalizes
+    * every round; normalization only rescales — the RANKING, and the
+    * score/max ratio after equally many rounds, are identical.)
+    *
+    * Scale shape: the edge list is the one big relation; each half-
+    * round is edges ⋈ current-scores (key: the scoring side) feeding a
+    * map-side-combinable sum keyed on the other side — two shuffles per
+    * round, vectors only ever node-sized. Top-k is TakeOrdered, no
+    * global sort. The edge relation is memoized with the rest of the
+    * graph family. DECIMAL(38,0) holds Σdeg-weighted growth for ~12
+    * rounds on a 10¹²-edge graph before overflow would force the
+    * normalized-double variant.
+    */
+  def hits(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val edges = memo(spark, dir, "hits_edges") {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
+        .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust")),
+          Seq("ok"))
+        .select("cust", "part").distinct()
+    }
+    val dec = "decimal(38,0)"
+    // round 1: a1(part) = Σ_cust 1 ; h1(cust) = Σ_part a1
+    val a1 = edges.groupBy("part")
+      .agg(count(lit(1)).cast(dec).as("a"))
+    val h1 = edges.join(a1, Seq("part"))
+      .groupBy("cust").agg(sum("a").as("h"))
+    // round 2: a2(part) = Σ_cust h1 ; h2(cust) = Σ_part a2
+    val a2 = edges.join(h1, Seq("cust"))
+      .groupBy("part").agg(sum("h").as("a"))
+    val h2 = edges.join(a2, Seq("part"))
+      .groupBy("cust").agg(sum("a").as("h"))
+    val topAuth = a2
+      .crossJoin(broadcast(a2.agg(max("a").as("mx"))))
+      .select(lit("authority").as("role"), col("part").as("node_id"),
+        col("a").cast("long").as("score"),
+        round(col("a").cast("double") / col("mx").cast("double"), 6)
+          .as("score_norm"))
+      .orderBy(col("score").desc, col("node_id")).limit(k)
+    val topHub = h2
+      .crossJoin(broadcast(h2.agg(max("h").as("mx"))))
+      .select(lit("hub").as("role"), col("cust").as("node_id"),
+        col("h").cast("long").as("score"),
+        round(col("h").cast("double") / col("mx").cast("double"), 6)
+          .as("score_norm"))
+      .orderBy(col("score").desc, col("node_id")).limit(k)
+    topAuth.unionByName(topHub)
+      .orderBy(col("role"), col("score").desc, col("node_id"))
+  }
 }

@@ -50,7 +50,7 @@ object LangModel {
         explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
       .filter(col("tok") =!= "")
 
-  /** X50: per-doc cross-entropy (bits/token) under the corpus unigram
+  /** X51: per-doc cross-entropy (bits/token) under the corpus unigram
     * model, add-one smoothed: p(w) = (c(w)+1)/(N+V).
     *
     * Scale shape: occurrences collapse to (doc, type, cnt) BEFORE the
@@ -79,7 +79,7 @@ object LangModel {
       .orderBy("doc_id")
   }
 
-  /** X51: top-`topK` adjacent character pairs by corpus frequency — the
+  /** X52: top-`topK` adjacent character pairs by corpus frequency — the
     * pair-selection step of BPE training. Ties break lexicographically
     * so the cut is deterministic on both engines.
     *

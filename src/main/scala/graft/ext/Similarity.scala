@@ -379,4 +379,50 @@ object Similarity {
         (col("vec_id") === col("cluster_id")).as("is_canonical"))
       .orderBy("vec_id")
   }
+
+  /** X108: int8 scalar quantization + quantized top-k — the
+    * memory-bandwidth play every billion-vector ANN serving tier makes
+    * (FAISS `SQ8`): per-dimension min/max over the corpus maps each
+    * float to an 8-bit code, and retrieval scores candidates by the
+    * INTEGER dot product of codes — 4× less bandwidth than float32 and
+    * exact BIGINT arithmetic, so the ranking is bit-reproducible
+    * across engines (the float→code mapping itself is a fixed IEEE
+    * expression — sub, mul, div, floor — evaluated identically on
+    * identical doubles; everything after it is integer land). The
+    * score lives in CODE space — the per-dim shifted-scaled inner
+    * product, the symmetric-distance-computation score a quantized
+    * index actually serves — and the spec pins its recall against the
+    * same score computed without the floor (the only lossy step).
+    *
+    * Scale shape: the trainer is one 64-row min/max aggregate
+    * (map-side-combinable); codes are assigned map-side against the
+    * BROADCAST stats; the query's 64 codes broadcast likewise, so
+    * scoring is a narrow per-cell multiply + per-vec sum — one
+    * aggregate shuffle keyed on vec_id, then a TakeOrdered top-k. In a
+    * serving layout the codes pack back into a 64-byte binary column
+    * and the sum fuses into a codegen kernel ([[graft.functions.CosineSim]]'s
+    * shape); the relational form here keeps the whole path
+    * oracle-checkable cell by cell.
+    */
+  def scalarQuantTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                      k: Int = 10): DataFrame = {
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("dim"),
+        col("col").cast("double").as("v"))
+    val stats = cells.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    val codes = cells.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")) * lit(255.0) /
+            (col("mx") - col("mn"))), lit(255.0)))
+          .otherwise(lit(0.0)).cast("long").as("code"))
+    val qc = codes.filter(col("vec_id") === queryId)
+      .select(col("dim"), col("code").as("qcode"))
+    codes.filter(col("vec_id") =!= queryId)
+      .join(broadcast(qc), Seq("dim"))
+      .groupBy("vec_id").agg(sum(col("code") * col("qcode")).as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(k)
+  }
 }

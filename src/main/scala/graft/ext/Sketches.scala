@@ -1,0 +1,140 @@
+package graft.ext
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Relational HyperLogLog (Flajolet et al., AofA'07) — the
+  * register-exact, cross-engine-reproducible distinct sketch that
+  * complements the KMV family ([[graft.functions.KmvMinK]]): KMV keeps
+  * the k smallest hashes (state O(k) VALUES), HLL keeps one max-rank
+  * byte per bucket (state O(m) BITS — the sketch you ship to a
+  * dashboard or gossip between 1000 executors).
+  *
+  * Everything before the final estimate is INTEGER-exact, so the sketch
+  * hash-compares across engines:
+  *  - hash  = first 32 bits of md5(value), via hex — engine-portable;
+  *  - bucket = hash mod 256 (p=8), w = hash div 256 (24 bits);
+  *  - rho   = leading-zero count of w within 24 bits, plus 1 —
+  *            computed as `25 - length(bin(w))` (bin() prints the
+  *            minimal binary string in both Spark and DuckDB; its
+  *            LENGTH is the MSB position, an integer-exact way to take
+  *            floor(log2) that never touches IEEE);
+  *  - register M_b = max rho per bucket (0 for empty buckets).
+  * The harmonic sum S = Σ 2^-M_b is ALSO exact: 256 terms, each an
+  * exact power of two in [2^-25, 1], spans 33 mantissa bits < 53 — the
+  * double sum is the true rational regardless of add order. IEEE enters
+  * only in the last division (and ln() on the linear-counting branch),
+  * both computed with textually identical expressions on both engines.
+  *
+  * Scale shape: the raw stream collapses to (scope, bucket, max-rho) by
+  * a map-side-combinable aggregate — 256 rows per scope out of any
+  * event volume; the grid join, harmonic sum and estimate all run over
+  * that sketch-sized relation. Merging scopes is a max per bucket
+  * (associative, idempotent) — the rollup entry proves merged == direct
+  * in the output itself.
+  */
+object Sketches {
+
+  private val m = 256 // buckets (p = 8); std err 1.04/sqrt(m) = 6.5%
+
+  /** Memoized per-(app, dir): X105 and X106 share one cells pass. */
+  private val relCache = TrieMap.empty[(String, String), DataFrame]
+
+  def clearCaches(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    relCache.keys.filter(_._1 == app).foreach { k =>
+      relCache.remove(k).foreach(_.unpersist(false))
+    }
+  }
+
+  /** (bucket, rho) per raw event row — the hash/bucket/rank pipeline
+    * shared by the grouped and the direct register builds.
+    */
+  private def rhoCells(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      // h/m is double division, but m is a power of two, so the quotient
+      // is exact (exponent shift) and the long cast IS integer div —
+      // matching the oracle's `h // 256`
+      .select(col("event_type"), pmod(col("h"), lit(m)).as("b"),
+        (col("h") / lit(m)).cast("long").as("w"))
+      .select(col("event_type"), col("b"),
+        when(col("w") === 0, lit(25))
+          .otherwise(lit(25) - length(bin(col("w")))).as("rho"))
+
+  /** Per-(event_type, bucket) registers — the only full pass over the
+    * raw table that X105 and X106's merged leg share (memoized).
+    */
+  private def cells(spark: SparkSession, dir: String): DataFrame =
+    relCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      rhoCells(spark, dir)
+        .groupBy("event_type", "b").agg(max("rho").as("rho"))
+        .persist())
+
+  /** The full 0..m-1 register vector for each scope in `regs`
+    * (scope, b, rho over PRESENT buckets): empty buckets must
+    * contribute 2^0 to the harmonic sum and count toward V.
+    */
+  private def estimate(regs: DataFrame, scopes: DataFrame): DataFrame = {
+    val grid = scopes.select(col("scope"),
+      explode(sequence(lit(0), lit(m - 1))).as("b"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    grid.join(regs, Seq("scope", "b"), "left")
+      .select(col("scope"), coalesce(col("rho"), lit(0)).as("rho"))
+      .groupBy("scope")
+      .agg(sum(pow(lit(2.0), -col("rho"))).as("s"),
+        sum(when(col("rho") === 0, 1).otherwise(0)).as("v"))
+      .select(col("scope"),
+        round(
+          when((alpha * lit(m.toDouble * m) / col("s")) <= lit(2.5 * m) &&
+               col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .otherwise(alpha * lit(m.toDouble * m) / col("s")), 6)
+          .as("hll_est"))
+  }
+
+  /** X105: per-event-type distinct users, estimated by the relational
+    * HLL beside the exact count — the output carries its own error
+    * audit (|est/exact - 1|, HLL's 6.5% std-err band at m=256).
+    */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val regs = cells(spark, dir).withColumnRenamed("event_type", "scope")
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type").as("scope"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    estimate(regs, exact.select("scope"))
+      .join(exact, Seq("scope"))
+      .select(col("scope").as("event_type"), col("exact_users"),
+        col("hll_est"),
+        round(abs(col("hll_est") / col("exact_users") - lit(1.0)) * 100, 4)
+          .as("err_pct"))
+      .orderBy("event_type")
+  }
+
+  /** X106: the mergeability law, stated in the output — the global
+    * sketch computed two ways: `all_direct` (registers over the
+    * ungrouped stream) and `all_merged` (per-type registers merged by
+    * max-per-bucket). They are equal by max-associativity; a reader —
+    * and the oracle hash — sees identical estimates, which is exactly
+    * the property that lets 1000 executors sketch independently and a
+    * coordinator fold the 256-byte states.
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val perType = cells(spark, dir).withColumnRenamed("event_type", "scope")
+    // genuinely different dataflows: `direct` registers the ungrouped
+    // stream; `merged` folds the per-type sketches by max-per-bucket
+    val direct = rhoCells(spark, dir).groupBy("b").agg(max("rho").as("rho"))
+      .select(lit("all_direct").as("scope"), col("b"), col("rho"))
+    val merged = perType.groupBy("b").agg(max("rho").as("rho"))
+      .select(lit("all_merged").as("scope"), col("b"), col("rho"))
+    val regs = perType.unionByName(direct).unionByName(merged)
+    estimate(regs, regs.select("scope").distinct())
+      .orderBy("scope")
+  }
+}

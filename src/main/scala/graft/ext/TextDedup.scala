@@ -991,4 +991,68 @@ object TextDedup {
           least(col("n_a"), col("n_b")), 6).as("overlap_coef"))
       .orderBy("src_a", "src_b")
   }
+
+  /** X107: span-level decontamination — the REMEDIATION half of the
+    * benchmark-leakage pipeline whose detection half is
+    * [[contamination]]: instead of flagging a training document that
+    * shares a long n-gram (8 words; GPT-3 appendix C / PaLM §6 use
+    * 8–13) with the held-out eval slice (`doc_id % 7 = 0` — a wider
+    * slice than [[contamination]]'s %97 so the fixture actually
+    * exercises span removal at every SF; 8-gram sharing is much rarer
+    * than 3-gram sharing), cut the
+    * overlapping WINDOWS out and keep the rest of the document — the
+    * span-masking posture the decontamination literature recommends
+    * over whole-doc dropping (dropping loses the clean 99% of a long
+    * doc that quotes one benchmark sentence). A contaminated 8-gram at
+    * word position i covers positions i..i+7; overlapping covers merge
+    * by construction (position-set union), and the cleaned text is the
+    * surviving words rejoined in order. Emits only the docs that
+    * actually lost words — including full benchmark copies, which
+    * survive as empty strings (0 kept) rather than vanishing.
+    *
+    * Scale shape: eval benchmarks are MBs against a 100 TB corpus, so
+    * the distinct eval-gram set BROADCASTS and contaminated positions
+    * come from a map-side semi-join — the train side's positioned gram
+    * stream never shuffles; the wide ops are the per-(doc, position)
+    * distinct and the per-doc rebuild aggregate, both keyed on doc_id
+    * and bounded by document length, not corpus size. The rebuild's
+    * sort lives INSIDE each row (array_sort over the collected
+    * position structs), not in a global or windowed sort.
+    */
+  def decontaminateSpans(spark: SparkSession, dir: String,
+                         n: Int = 8, evalMod: Int = 7): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = words.filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${n - 1})")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"concat_ws(' ', slice(w, i, $n))").as("sh"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select("sh").distinct()
+    // positions covered by any contaminated window, merged by union
+    val covered = grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("sh"), "left_semi")
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${n - 1})")).as("pos"))
+      .distinct()
+    val positions = words.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+    val contaminatedDocs = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"))
+    val keptAgg = positions
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .join(contaminatedDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"))
+          .as("cleaned_text"))
+    contaminatedDocs.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
 }

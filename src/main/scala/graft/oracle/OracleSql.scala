@@ -2542,6 +2542,192 @@ shingles AS (
     // KMV rollup: the oracle states the DIRECT per-month sketch for BOTH
     // column pairs — the rolled-up pair matching it IS the mergeability
     // law under test. Estimator identical to agg_kmv_distinct.
+    // X105 HLL: registers are integer-exact (hex hash + bin()-length
+    // rank); the harmonic sum is 256 exact powers of two (order-free);
+    // IEEE enters only in the final division / ln, mirrored textually.
+    "agg_hll_distinct" -> """
+      WITH cells AS (
+        SELECT event_type,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events),
+      bw AS (SELECT event_type, h % 256 AS b, h // 256 AS w FROM cells),
+      rho AS (
+        SELECT event_type, b,
+               MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rho
+        FROM bw GROUP BY event_type, b),
+      grid AS (
+        SELECT t.event_type, g.b
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(0, 255)) AS b) g),
+      regs AS (
+        SELECT grid.event_type, grid.b, COALESCE(rho.rho, 0) AS rho
+        FROM grid LEFT JOIN rho ON grid.event_type = rho.event_type
+                               AND grid.b = rho.b),
+      agg AS (
+        SELECT event_type, SUM(power(2.0, -rho)) AS s,
+               SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+        FROM regs GROUP BY event_type),
+      est AS (
+        SELECT event_type,
+               ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s <= 640.0
+                          AND v > 0
+                     THEN 256.0 * ln(256.0 / v)
+                     ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s END, 6)
+                 AS hll_est
+        FROM agg),
+      ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+             FROM events GROUP BY event_type)
+      SELECT est.event_type, ex.exact_users, est.hll_est,
+             ROUND(abs(est.hll_est / ex.exact_users - 1.0) * 100, 4) AS err_pct
+      FROM est JOIN ex ON est.event_type = ex.event_type
+      ORDER BY est.event_type""",
+    // X106: the mergeability law in the output — `all_direct` registers
+    // the ungrouped stream, `all_merged` max-folds the per-type sketches.
+    "agg_hll_rollup" -> """
+      WITH cells AS (
+        SELECT event_type,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events),
+      rc AS (
+        SELECT event_type, h % 256 AS b,
+               CASE WHEN h // 256 = 0 THEN 25
+                    ELSE 25 - length(bin(h // 256)) END AS rho
+        FROM cells),
+      perq AS (SELECT event_type AS scope, b, MAX(rho) AS rho
+               FROM rc GROUP BY event_type, b),
+      direct AS (SELECT 'all_direct' AS scope, b, MAX(rho) AS rho
+                 FROM rc GROUP BY b),
+      merged AS (SELECT 'all_merged' AS scope, b, MAX(rho) AS rho
+                 FROM perq GROUP BY b),
+      regs0 AS (SELECT * FROM perq UNION ALL SELECT * FROM direct
+                UNION ALL SELECT * FROM merged),
+      grid AS (
+        SELECT s.scope, g.b
+        FROM (SELECT DISTINCT scope FROM regs0) s,
+             (SELECT unnest(generate_series(0, 255)) AS b) g),
+      regs AS (
+        SELECT grid.scope, grid.b, COALESCE(regs0.rho, 0) AS rho
+        FROM grid LEFT JOIN regs0 ON grid.scope = regs0.scope
+                                 AND grid.b = regs0.b),
+      agg AS (
+        SELECT scope, SUM(power(2.0, -rho)) AS s,
+               SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+        FROM regs GROUP BY scope)
+      SELECT scope,
+             ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s <= 640.0
+                        AND v > 0
+                   THEN 256.0 * ln(256.0 / v)
+                   ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s END, 6)
+               AS hll_est
+      FROM agg ORDER BY scope""",
+    // X107: span decontamination — contaminated 8-gram windows cut by
+    // position-set union, survivors rejoined in order.
+    "text_decontaminate_spans" -> """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      grams AS (
+        SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS sh
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+              FROM words WHERE len(w) >= 8) t),
+      eg AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 7 = 0),
+      covered AS (
+        SELECT DISTINCT doc_id, pos
+        FROM (SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS pos
+              FROM grams g JOIN eg ON g.sh = eg.sh
+              WHERE g.doc_id % 7 <> 0) c),
+      pos2 AS (
+        SELECT doc_id, pos, w[pos] AS word
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+              FROM words WHERE doc_id % 7 <> 0) p),
+      cdocs AS (SELECT doc_id, COUNT(*) AS n_removed
+                FROM covered GROUP BY doc_id),
+      kept AS (
+        SELECT p.doc_id, COUNT(*) AS n_kept,
+               string_agg(p.word, ' ' ORDER BY p.pos) AS cleaned_text
+        FROM pos2 p
+        LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        WHERE c.pos IS NULL AND p.doc_id IN (SELECT doc_id FROM cdocs)
+        GROUP BY p.doc_id)
+      SELECT d.doc_id, d.n_removed,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.cleaned_text, '') AS cleaned_text
+      FROM cdocs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      ORDER BY d.doc_id""",
+    // X108: SQ8 — the float->code map is one fixed IEEE expression
+    // (identical operand order on both engines); scoring is BIGINT.
+    "embed_scalar_quant" -> """
+      WITH cells AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+               embedding
+        FROM embeddings),
+      c2 AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS v FROM cells),
+      stats AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM c2 GROUP BY dim),
+      codes AS (
+        SELECT vec_id, c2.dim,
+               CAST(CASE WHEN mx > mn
+                    THEN least(floor((v - mn) * 255.0 / (mx - mn)), 255.0)
+                    ELSE 0.0 END AS BIGINT) AS code
+        FROM c2 JOIN stats ON c2.dim = stats.dim),
+      q AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0)
+      SELECT c.vec_id, CAST(SUM(c.code * q.qcode) AS BIGINT) AS qdot
+      FROM codes c JOIN q ON c.dim = q.dim
+      WHERE c.vec_id <> 0
+      GROUP BY c.vec_id
+      ORDER BY qdot DESC, vec_id LIMIT 10""",
+    // X109 HITS: unnormalized bipartite rounds stay exact integers
+    // (DECIMAL(38,0) sums); IEEE only in the final max-normalization.
+    "graph_hits" -> """
+      WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      a1 AS (SELECT part, CAST(COUNT(*) AS DECIMAL(38,0)) AS a
+             FROM edges GROUP BY part),
+      h1 AS (SELECT e.cust, SUM(a1.a) AS h
+             FROM edges e JOIN a1 ON e.part = a1.part GROUP BY e.cust),
+      a2 AS (SELECT e.part, SUM(h1.h) AS a
+             FROM edges e JOIN h1 ON e.cust = h1.cust GROUP BY e.part),
+      h2 AS (SELECT e.cust, SUM(a2.a) AS h
+             FROM edges e JOIN a2 ON e.part = a2.part GROUP BY e.cust),
+      ta AS (
+        SELECT 'authority' AS role, part AS node_id, CAST(a AS BIGINT) AS score,
+               ROUND(CAST(a AS DOUBLE) /
+                     CAST((SELECT MAX(a) FROM a2) AS DOUBLE), 6) AS score_norm
+        FROM a2 ORDER BY score DESC, node_id LIMIT 20),
+      th AS (
+        SELECT 'hub' AS role, cust AS node_id, CAST(h AS BIGINT) AS score,
+               ROUND(CAST(h AS DOUBLE) /
+                     CAST((SELECT MAX(h) FROM h2) AS DOUBLE), 6) AS score_norm
+        FROM h2 ORDER BY score DESC, node_id LIMIT 20)
+      SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th) u
+      ORDER BY role, score DESC, node_id""",
+    // X110 CEP with negation: two FOLLOWING-frame minima decide the
+    // match — window spec mirrored exactly, so tie semantics align.
+    "events_cep_pattern" -> """
+      WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      wv AS (
+        SELECT *,
+          MIN(CASE WHEN event_type = 'purchase' THEN us END) OVER
+            (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS p_us,
+          MIN(CASE WHEN event_type = 'error' THEN us END) OVER
+            (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS e_us
+        FROM ev),
+      v AS (
+        SELECT user_id, event_id AS view_id, us AS view_us, p_us
+        FROM wv
+        WHERE event_type = 'view' AND p_us IS NOT NULL
+          AND p_us - us <= 3600000000
+          AND (e_us IS NULL OR e_us >= p_us)),
+      p AS (
+        SELECT user_id, us AS p_us, MIN(event_id) AS purchase_id
+        FROM ev WHERE event_type = 'purchase' GROUP BY user_id, us)
+      SELECT v.view_id, p.purchase_id, v.user_id,
+             v.p_us - v.view_us AS gap_us
+      FROM v JOIN p ON v.user_id = p.user_id AND v.p_us = p.p_us
+      ORDER BY view_id""",
     "agg_kmv_rollup" -> """
       WITH h AS (SELECT DISTINCT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month,
                         md5(CAST(user_id AS VARCHAR)) AS h
@@ -3210,6 +3396,20 @@ shingles AS (
     "stream_transform_state" -> """
       SELECT user_id, COUNT(*) AS n_events
       FROM events GROUP BY user_id ORDER BY user_id""",
+    // X111 streaming keep-first dedup twin: the batch min-(us, event_id)
+    // per (user, type) states what the transformWithState gate admits
+    // (AvailableNow = one micro-batch over the finite fixture).
+    "stream_dedup_state" -> """
+      WITH e AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY user_id, event_type ORDER BY us, event_id) AS rn
+        FROM e)
+      SELECT event_id, user_id, event_type, us
+      FROM r WHERE rn = 1 ORDER BY event_id""",
     // X99 streaming attribution twin: per-purchase last-touch rows —
     // the batch LAST_VALUE window states what the keyed stream state
     // computes; agreement proved per purchase.

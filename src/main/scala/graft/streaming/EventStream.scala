@@ -237,6 +237,62 @@ object EventStream {
     }
   }
 
+  /** X111: streaming keep-first dedup as a `transformWithState`
+    * StatefulProcessor — the second entry on the modern state API (the
+    * first, [[UserCountProcessor]], is an updating counter; this one is
+    * the GATE shape: per-key state decides once and suppresses forever,
+    * the streaming half of X1's batch exact dedup). State is a single
+    * boolean per live (user, type) key; rows inside a micro-batch are
+    * sorted by (µs, event_id) before the gate so shuffle order never
+    * picks the survivor, and across batches the flag carries — exactly
+    * the dropDuplicates contract, but with state the operator owns (a
+    * TTL on the handle turns it into bounded-state approximate dedup,
+    * which built-in dropDuplicates cannot express).
+    */
+  private class KeepFirstProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Long, String), (Long, String, Long, Long), (Long, Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var seen: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen",
+        org.apache.spark.sql.Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: (Long, String),
+                                 rows: Iterator[(Long, String, Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, String, Long)] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        // (us, event_id) min = the deterministic survivor within the batch
+        val first = rows.minBy(r => (r._3, r._4))
+        seen.update(true)
+        Iterator((first._4, first._1, first._2, first._3))
+      }
+    }
+  }
+
+  def streamDedupState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val firsts = readEvents(spark, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey(r => (r._1, r._2))
+        .transformWithState(new KeepFirstProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("event_id", "user_id", "event_type", "us")
+      runToMemory(firsts, "append").orderBy("event_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** X95: the strict sequential rate limiter — the operator the batch
     * debounce (X71, `Events.throttleDedup`) explicitly declares
     * streaming-stateful and does NOT implement: admit an event iff at

@@ -32,7 +32,8 @@ class PlanHygieneSpec extends SparkSpec {
     *    boundary rows), graph_degree_dist (one node-total row),
     *    warehouse_cascade_delete (three 1-row audit-count crossJoins),
     *    agg_cms_heavy_hitters (one token-total row),
-    *    curation_quantile_norm (one corpus-count row)
+    *    curation_quantile_norm (one corpus-count row),
+    *    graph_hits (two 1-row max-score normalization crossJoins)
     *  - TPC-H scalar/IN subqueries over dimension-sized sets:
     *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
     *    tpch_q22_dormant
@@ -54,7 +55,7 @@ class PlanHygieneSpec extends SparkSpec {
     "analytics_chisq", "analytics_pareto80", "curation_dsir_weights",
     "analytics_bucket_assign", "graph_degree_dist",
     "warehouse_cascade_delete", "agg_cms_heavy_hitters",
-    "curation_quantile_norm")
+    "curation_quantile_norm", "graph_hits")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —

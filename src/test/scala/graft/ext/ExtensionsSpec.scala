@@ -208,7 +208,7 @@ class ExtensionsSpec extends SparkSpec {
       .collect()
     assert(r.length <= 10 && r.nonEmpty)
     assert(r.map(_.getAs[Long]("vec_id")).forall(_ != 0L))
-    assert(r.map(_.getAs[Int]("cell")).distinct.length <= 2) // ≤ nProbe cells
+    assert(r.map(_.getAs[Long]("cell")).distinct.length <= 2) // ≤ nProbe cells
     // sims sorted descending
     val sims = r.map(_.getAs[Double]("cos_sim")).toSeq
     assert(sims == sims.sorted.reverse)
