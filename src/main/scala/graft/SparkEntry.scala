@@ -296,6 +296,22 @@ object SparkEntry {
     "graph_hits" -> ((s, d) => graft.ext.Graphs.hits(s, d)),
     // CEP with negation: view->purchase<=1h with no error between
     "events_cep_pattern" -> ((s, d) => graft.ext.Events.cepCleanConversion(s, d)),
+    // per-column completeness/cardinality profile off ONE unpivot pass
+    "dq_null_profile" -> ((s, d) => graft.ext.DataQuality.nullProfile(s, d)),
+    // MDM survivorship: modal/min/max attribute merge per dup cluster
+    "warehouse_golden_record" -> ((s, d) => graft.ext.Warehouse.goldenRecord(s, d)),
+    // exponential-decay leaderboard in exact shifted-BIGINT arithmetic
+    "events_decayed_topk" -> ((s, d) => graft.ext.Events.decayedTopK(s, d)),
+    // frontier Bellman-Ford shortest paths, integer trade-distance weights
+    "graph_sssp" -> ((s, d) => graft.ext.Graphs.sssp(s, d)),
+    // ExactSubstr cross-doc span dedup: min-doc_id owner keeps the gram
+    "dedup_substring_spans" -> ((s, d) => graft.ext.TextDedup.crossDocSpans(s, d)),
+    // product quantization ADC top-k with md5-seeded codebooks
+    "embed_ann_pq" -> ((s, d) => graft.ext.Similarity.pqTopK(s, d)),
+    // truncated-dim (Matryoshka) retrieval recall audit vs full-dim
+    "embed_matryoshka" -> ((s, d) => graft.ext.Similarity.matryoshkaRecall(s, d)),
+    // trailing-7d distinct users per day by per-day HLL register merge
+    "agg_hll_sliding" -> ((s, d) => graft.ext.Sketches.hllSlidingDays(s, d)),
     // 2-D Pareto frontier via two-phase distributed prefix max
     "analytics_skyline" -> ((s, d) => graft.ext.Analytics.skyline(s, d)),
     // exact per-segment MAD outliers via the value-histogram median

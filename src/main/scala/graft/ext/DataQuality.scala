@@ -142,4 +142,60 @@ object DataQuality {
       .select(col("seg"), col("n_a"), col("n_b"), col("fp_a"), col("fp_b"))
       .orderBy("seg")
   }
+
+  /** X112: per-column completeness/cardinality profile — the
+    * schema-driven "describe" a landed feed gets before anything trusts
+    * it (null rate, blank rate for strings, exact distinct count). The
+    * table is unpivoted ONCE into (column, value-as-string) cells and
+    * every per-column statistic comes off that one relation: the
+    * null/blank counters are a single map-side-combinable aggregate,
+    * and the distinct count is a two-level (column, value) →
+    * (column) aggregate — never one `countDistinct` per column, which
+    * Catalyst would plan as an expand ×N over the full table. At
+    * 100 TB the unpivot is a narrow projection (no shuffle), and both
+    * aggregates shuffle only (column, value) pairs — bounded by the
+    * actual cardinality, with per-column skew absorbed by the
+    * two-level distinct's partial step.
+    *
+    * Values are profiled in their canonical string form (`CAST(v AS
+    * STRING)`), which is also what makes the profile engine-portable:
+    * the oracle states the same casts. Timestamps are profiled as
+    * epoch-micros so the string form cannot depend on a session zone.
+    */
+  def nullProfile(spark: SparkSession, dir: String): DataFrame = {
+    // unpivot = union of narrow (column, value) projections; Catalyst
+    // collapses these into one scan per table with a single Project
+    def unpivot(table: String, df: DataFrame,
+                cols: Seq[(String, Column)]): DataFrame =
+      cols.map { case (n, c) =>
+        df.select(lit(table).as("tbl"), lit(n).as("col"),
+          c.cast("string").as("v"))
+      }.reduce(_.unionByName(_))
+    val doc = Tables.documents(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val cells =
+      unpivot("documents", doc, Seq(
+        "doc_id" -> col("doc_id"), "text" -> col("text"),
+        "lang" -> col("lang"), "source" -> col("source"),
+        "n_chars" -> col("n_chars")))
+      .unionByName(unpivot("events", ev, Seq(
+        "event_id" -> col("event_id"),
+        "ts" -> expr("unix_micros(ts)"),
+        "user_id" -> col("user_id"), "event_type" -> col("event_type"),
+        "value" -> col("value"), "props" -> col("props"))))
+    val base = cells.groupBy("tbl", "col").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("v").isNotNull && trim(col("v")) === "", 1L)
+        .otherwise(0L)).as("n_blank"))
+    val distinctCnt = cells.filter(col("v").isNotNull)
+      .groupBy("tbl", "col", "v").agg(count(lit(1)).as("dummy"))
+      .groupBy("tbl", "col").agg(count(lit(1)).as("n_distinct"))
+    base.join(distinctCnt, Seq("tbl", "col"), "left")
+      .select(col("tbl"), col("col"), col("n_rows"), col("n_null"),
+        col("n_blank"), coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(col("n_null").cast("double") / col("n_rows"), 6)
+          .as("null_rate"))
+      .orderBy("tbl", "col")
+  }
 }

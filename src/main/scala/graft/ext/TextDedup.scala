@@ -1055,4 +1055,63 @@ object TextDedup {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy("doc_id")
   }
+
+  /** X116: cross-document exact-substring dedup at span granularity —
+    * the ExactSubstr posture (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"): a long n-gram (8 words here;
+    * the paper uses 50 tokens) that occurs in more than one document is
+    * kept ONLY in its canonical occurrence (the smallest doc_id) and
+    * cut everywhere else, so boilerplate shared across thousands of
+    * pages disappears from all but one copy while each page's unique
+    * remainder survives. Differs from [[decontaminateSpans]] (X107) in
+    * the authority relation: there the cut set comes from an external
+    * eval corpus that broadcasts; here it is the corpus against ITSELF
+    * — per-gram canonical owner = min(doc_id) over the corpus, so the
+    * gram→owner relation is corpus-sized and the probe is a SHUFFLE
+    * join on the gram key, never a broadcast. Repeats within a single
+    * document are untouched (that is [[gopherRepetition]]'s signal,
+    * X14): a doc is cut at a position only when a STRICTLY smaller
+    * doc_id also contains the gram.
+    *
+    * Scale shape: gram extraction is a narrow explode; the min-owner
+    * aggregate and the probe join both key on the gram hash — bounded
+    * by distinct-gram cardinality, map-side combinable, and the
+    * natural bucketing key for the posting relation at 100 TB. The
+    * position-union distinct and the rebuild aggregate key on doc_id,
+    * bounded by document length. Rebuild sort lives inside each row.
+    */
+  def crossDocSpans(spark: SparkSession, dir: String,
+                    n: Int = 8): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = words.filter(size(col("w")) >= n)
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(1, size(w) - ${n - 1})")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"concat_ws(' ', slice(w, i, $n))").as("sh"))
+    val owner = grams.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    val covered = grams.join(owner, Seq("sh"))
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + ${n - 1})")).as("pos"))
+      .distinct()
+    val positions = words
+      .select(col("doc_id"), posexplode(col("w")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("word"))
+    val cutDocs = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_removed"))
+    val keptAgg = positions
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .join(cutDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, word))), x -> x.word)"))
+          .as("cleaned_text"))
+    cutDocs.join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
 }

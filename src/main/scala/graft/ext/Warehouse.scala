@@ -303,4 +303,54 @@ object Warehouse {
         li.join(delO, li("l_orderkey") === delO("o_orderkey"), "left_semi")))
       .orderBy("table_name")
   }
+
+  /** X113: golden-record survivorship — after dedup finds that N source
+    * rows are the same entity, something has to decide which attribute
+    * values the ONE canonical row keeps (the MDM "merge" step; dedup
+    * without it just produces clusters). Clusters here key on the
+    * 5-word-prefix blocking fingerprint (the fixtures contain no
+    * verbatim-identical texts, so the X1 exact key would yield only
+    * singletons; in production the cluster id is whatever the dedup
+    * family emitted — X50's component id plugs in unchanged) with ≥ 2
+    * members;
+    * survivorship rules are the standard trio, each stated as an
+    * order-free aggregate so the result is identical in any partition
+    * order:
+    *   - `doc_id`     → MIN (oldest id wins — recency/priority proxy)
+    *   - `lang`/`source` → MODE, ties to the lexicographically smallest
+    *     value, computed as `min(struct(-cnt, value))` over per-cluster
+    *     value counts — an argmax with a total tie order, not a window
+    *   - `n_chars`    → MAX (the most complete variant survives)
+    *
+    * Scale shape: one groupBy(cluster) pass for the scalar rules, one
+    * two-level groupBy(cluster, value) → argmax pass per modal column;
+    * everything is map-side combinable and shuffles only cluster keys.
+    * No window functions, so no per-cluster sort at any scale.
+    */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(expr("concat_ws(' ', slice(split(text, ' '), 1, 5))"))
+          .as("cluster"),
+        col("lang"), col("source"), col("n_chars"))
+    val dupClusters = docs.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+        min("doc_id").as("golden_doc_id"),
+        max("n_chars").as("n_chars"))
+      .filter(col("n_members") >= 2)
+    def modal(valueCol: String): DataFrame =
+      docs.join(dupClusters.select("cluster"), Seq("cluster"), "left_semi")
+        .groupBy(col("cluster"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("cluster")
+        .agg(min(struct((col("cnt") * -1).as("negc"), col("v")))
+          .as("m"))
+        .select(col("cluster"), col("m.v").as(valueCol))
+    dupClusters
+      .join(modal("lang"), Seq("cluster"))
+      .join(modal("source"), Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("golden_doc_id"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy("cluster")
+  }
 }

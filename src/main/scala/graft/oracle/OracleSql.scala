@@ -2728,6 +2728,248 @@ shingles AS (
              v.p_us - v.view_us AS gap_us
       FROM v JOIN p ON v.user_id = p.user_id AND v.p_us = p.p_us
       ORDER BY view_id""",
+    // X112: one unpivot pass; stats are counts only, so the per-engine
+    // VARCHAR rendering of numerics never reaches the output (CAST is
+    // injective — distinct-of-string == distinct-of-value)
+    "dq_null_profile" -> """
+      WITH cells AS (
+        SELECT 'documents' AS tbl, 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS v FROM documents
+        UNION ALL SELECT 'documents', 'text', text FROM documents
+        UNION ALL SELECT 'documents', 'lang', lang FROM documents
+        UNION ALL SELECT 'documents', 'source', source FROM documents
+        UNION ALL SELECT 'documents', 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        UNION ALL SELECT 'events', 'event_id', CAST(event_id AS VARCHAR) FROM events
+        UNION ALL SELECT 'events', 'ts', CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR) FROM events
+        UNION ALL SELECT 'events', 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL SELECT 'events', 'event_type', event_type FROM events
+        UNION ALL SELECT 'events', 'value', CAST("value" AS VARCHAR) FROM events
+        UNION ALL SELECT 'events', 'props', props FROM events),
+      base AS (
+        SELECT tbl, col, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               CAST(SUM(CASE WHEN v IS NOT NULL AND trim(v) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank
+        FROM cells GROUP BY tbl, col),
+      dc AS (
+        SELECT tbl, col, COUNT(*) AS n_distinct
+        FROM (SELECT DISTINCT tbl, col, v FROM cells WHERE v IS NOT NULL) d
+        GROUP BY tbl, col)
+      SELECT b.tbl, b.col, b.n_rows, b.n_null, b.n_blank,
+             COALESCE(dc.n_distinct, 0) AS n_distinct,
+             ROUND(CAST(b.n_null AS DOUBLE) / b.n_rows, 6) AS null_rate
+      FROM base b LEFT JOIN dc ON b.tbl = dc.tbl AND b.col = dc.col
+      ORDER BY b.tbl, b.col""",
+    // X113: survivorship — modal rules stated as (cnt DESC, value) rank
+    "warehouse_golden_record" -> """
+      WITH d AS (SELECT doc_id,
+                        md5(array_to_string(w[1:5], ' ')) AS cluster,
+                        lang, source, n_chars
+                 FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                              lang, source, n_chars
+                       FROM documents) t0),
+      cl AS (SELECT cluster, COUNT(*) AS n_members, MIN(doc_id) AS golden_doc_id,
+                    MAX(n_chars) AS n_chars
+             FROM d GROUP BY cluster HAVING COUNT(*) >= 2),
+      lm AS (SELECT cluster, lang FROM (
+               SELECT cluster, lang, ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY cnt DESC, lang) AS rn
+               FROM (SELECT cluster, lang, COUNT(*) AS cnt
+                     FROM d GROUP BY cluster, lang) t) r
+             WHERE rn = 1),
+      sm AS (SELECT cluster, source FROM (
+               SELECT cluster, source, ROW_NUMBER() OVER (PARTITION BY cluster
+                 ORDER BY cnt DESC, source) AS rn
+               FROM (SELECT cluster, source, COUNT(*) AS cnt
+                     FROM d GROUP BY cluster, source) t) r
+             WHERE rn = 1)
+      SELECT cl.cluster, cl.n_members, cl.golden_doc_id, lm.lang, sm.source, cl.n_chars
+      FROM cl JOIN lm ON cl.cluster = lm.cluster
+              JOIN sm ON cl.cluster = sm.cluster
+      ORDER BY cl.cluster""",
+    // X114: decay weights are BIGINT shifts (2^(40-age)) — no float pow
+    "events_decayed_topk" -> """
+      WITH days AS (
+        SELECT event_type, user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num
+        FROM events),
+      ref AS (SELECT MAX(day_num) AS ref_day FROM days),
+      sc AS (
+        SELECT event_type, user_id,
+               CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - (ref_day - day_num) AS INT)) AS BIGINT) AS scaled
+        FROM days, ref WHERE ref_day - day_num <= 40
+        GROUP BY event_type, user_id),
+      rk AS (SELECT event_type, user_id, scaled,
+                    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY scaled DESC, user_id) AS INT) AS rank
+             FROM sc)
+      SELECT event_type, rank, user_id,
+             ROUND(CAST(scaled AS DOUBLE) / 1099511627776.0, 6) AS decayed_score
+      FROM rk WHERE rank <= 5
+      ORDER BY event_type, rank""",
+    // X115: naive unrolled Bellman-Ford (the frontier form computes the
+    // same dist_r); integer trade-distance weights, BIGINT path sums
+    "graph_sssp" -> """
+      WITH tr AS (
+        SELECT o_custkey AS cust, l_suppkey + 10000000 AS supp, COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, l_suppkey),
+      e AS (SELECT cust AS src, supp AS dst, 8 - LEAST(n, 7) AS w FROM tr
+            UNION ALL
+            SELECT supp AS src, cust AS dst, 8 - LEAST(n, 7) AS w FROM tr),
+      d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist FROM e),
+      d1 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d0
+               UNION ALL
+               SELECT e.dst AS node, d0.dist + e.w AS dist
+               FROM d0 JOIN e ON e.src = d0.node) u GROUP BY node),
+      d2 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d1
+               UNION ALL
+               SELECT e.dst AS node, d1.dist + e.w AS dist
+               FROM d1 JOIN e ON e.src = d1.node) u GROUP BY node),
+      d3 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d2
+               UNION ALL
+               SELECT e.dst AS node, d2.dist + e.w AS dist
+               FROM d2 JOIN e ON e.src = d2.node) u GROUP BY node),
+      d4 AS (SELECT node, MIN(dist) AS dist FROM (
+               SELECT node, dist FROM d3
+               UNION ALL
+               SELECT e.dst AS node, d3.dist + e.w AS dist
+               FROM d3 JOIN e ON e.src = d3.node) u GROUP BY node)
+      SELECT node, dist FROM d4 ORDER BY node""",
+    // X116: ExactSubstr — per-gram canonical owner is MIN(doc_id); a doc
+    // is cut at a position only when a strictly smaller doc_id shares
+    // the 8-gram
+    "dedup_substring_spans" -> """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      grams AS (
+        SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS sh
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+              FROM words WHERE len(w) >= 8) t),
+      own AS (SELECT sh, MIN(doc_id) AS first_doc FROM grams GROUP BY sh),
+      covered AS (
+        SELECT DISTINCT doc_id, pos
+        FROM (SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS pos
+              FROM grams g JOIN own ON g.sh = own.sh
+              WHERE g.doc_id > own.first_doc) c),
+      pos2 AS (
+        SELECT doc_id, pos, w[pos] AS word
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+              FROM words) p),
+      cdocs AS (SELECT doc_id, COUNT(*) AS n_removed
+                FROM covered GROUP BY doc_id),
+      kept AS (
+        SELECT p.doc_id, COUNT(*) AS n_kept,
+               string_agg(p.word, ' ' ORDER BY p.pos) AS cleaned_text
+        FROM pos2 p
+        LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        WHERE c.pos IS NULL AND p.doc_id IN (SELECT doc_id FROM cdocs)
+        GROUP BY p.doc_id)
+      SELECT d.doc_id, d.n_removed,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.cleaned_text, '') AS cleaned_text
+      FROM cdocs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      ORDER BY d.doc_id""",
+    // X117: PQ/ADC — md5-seeded codebooks; L2 stated as the fixed
+    // expression s.s - 2 s.c + c.c; ADC re-adds cells in subspace order
+    "embed_ann_pq" -> """
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (
+        SELECT v, CAST(ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS BIGINT) AS code
+        FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      ms AS (SELECT unnest(generate_series(0, 3)) AS m),
+      books AS (SELECT m, code, list_slice(v, m*16+1, m*16+16) AS c
+                FROM seeds, ms),
+      subs AS (SELECT vec_id, m, list_slice(v, m*16+1, m*16+16) AS s
+               FROM emb, ms),
+      dist AS (
+        SELECT vec_id, subs.m, code,
+               list_dot_product(s, s) - 2.0 * list_dot_product(s, c) +
+                 list_dot_product(c, c) AS d
+        FROM subs JOIN books ON subs.m = books.m),
+      assigned AS (
+        SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+            ORDER BY d, code) AS rn
+          FROM dist) r WHERE rn = 1),
+      q AS (SELECT m, s AS qs FROM subs WHERE vec_id = 0),
+      tbl AS (SELECT books.m, code, list_dot_product(qs, c) AS t
+              FROM books JOIN q ON books.m = q.m)
+      SELECT vec_id,
+             ROUND(SUM(CASE WHEN a.m = 0 THEN t END) +
+                   SUM(CASE WHEN a.m = 1 THEN t END) +
+                   SUM(CASE WHEN a.m = 2 THEN t END) +
+                   SUM(CASE WHEN a.m = 3 THEN t END), 6) AS adc_score
+      FROM assigned a JOIN tbl ON a.m = tbl.m AND a.code = tbl.code
+      WHERE vec_id <> 0 GROUP BY vec_id
+      ORDER BY adc_score DESC, vec_id LIMIT 10""",
+    // X118: prefix-dim retrieval audit; the bound predicate is asserted
+    // literally TRUE by the gate (annRecallBound pattern)
+    "embed_matryoshka" -> """
+      WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      q AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+      ex AS (SELECT vec_id FROM (
+               SELECT e.vec_id,
+                      list_dot_product(e.v, qv) /
+                        (sqrt(list_dot_product(e.v, e.v)) *
+                         sqrt(list_dot_product(qv, qv))) AS cos
+               FROM emb e, q WHERE e.vec_id <> 0) t
+             ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 10),
+      cnd AS (SELECT vec_id FROM (
+               SELECT e.vec_id,
+                      ROUND(list_dot_product(list_slice(e.v, 1, 16), list_slice(qv, 1, 16)) /
+                        (sqrt(list_dot_product(list_slice(e.v, 1, 16), list_slice(e.v, 1, 16))) *
+                         sqrt(list_dot_product(list_slice(qv, 1, 16), list_slice(qv, 1, 16)))), 6) AS cs
+               FROM emb e, q WHERE e.vec_id <> 0) t
+             ORDER BY cs DESC, vec_id LIMIT 100),
+      rr AS (SELECT e.vec_id FROM (
+               SELECT e2.vec_id,
+                      ROUND(list_dot_product(e2.v, qv) /
+                        (sqrt(list_dot_product(e2.v, e2.v)) *
+                         sqrt(list_dot_product(qv, qv))), 6) AS fc
+               FROM emb e2, q
+               WHERE e2.vec_id IN (SELECT vec_id FROM cnd)) e
+             ORDER BY fc DESC, vec_id LIMIT 10),
+      h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+            FROM rr JOIN ex ON rr.vec_id = ex.vec_id),
+      ek AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_k FROM ex)
+      SELECT 'matryoshka16_rerank100' AS method, CAST(10 AS BIGINT) AS k,
+             ek.exact_k, h.hits,
+             (CAST(h.hits AS DOUBLE) / ek.exact_k >= 0.5) AS recall_ok
+      FROM h, ek ORDER BY method""",
+    // X119: trailing-7d HLL — per-day registers max-folded per window;
+    // register-exact (X105 argument), so the estimate hash-oracles
+    "agg_hll_sliding" -> """
+      WITH cells AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events),
+      bw AS (SELECT day_num, h % 256 AS b, h // 256 AS w FROM cells),
+      dayrho AS (
+        SELECT day_num, b,
+               MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rho
+        FROM bw GROUP BY day_num, b),
+      present AS (SELECT DISTINCT day_num FROM dayrho),
+      wr AS (SELECT p.day_num AS scope, d.b, MAX(d.rho) AS rho
+             FROM dayrho d JOIN present p
+               ON p.day_num BETWEEN d.day_num AND d.day_num + 6
+             GROUP BY p.day_num, d.b),
+      grid AS (SELECT p.day_num AS scope, g.b
+               FROM present p, (SELECT unnest(generate_series(0, 255)) AS b) g),
+      regs AS (SELECT grid.scope, grid.b, COALESCE(wr.rho, 0) AS rho
+               FROM grid LEFT JOIN wr ON grid.scope = wr.scope
+                                     AND grid.b = wr.b),
+      agg AS (SELECT scope, SUM(power(2.0, -rho)) AS s,
+                     SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+              FROM regs GROUP BY scope)
+      SELECT scope AS window_end_day,
+             ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s <= 640.0
+                        AND v > 0
+                   THEN 256.0 * ln(256.0 / v)
+                   ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s END, 6)
+               AS hll_est
+      FROM agg ORDER BY window_end_day""",
     "agg_kmv_rollup" -> """
       WITH h AS (SELECT DISTINCT strftime(date_trunc('month', CAST(ts AS TIMESTAMP)), '%Y-%m') AS month,
                         md5(CAST(user_id AS VARCHAR)) AS h

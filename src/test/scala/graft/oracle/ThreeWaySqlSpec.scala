@@ -53,6 +53,11 @@ class ThreeWaySqlSpec extends SparkSpec {
     // DuckDB CTE materialization hint; Spark has no spelling for it and
     // reuses multi-referenced CTEs on its own
     s = s.replace(" AS MATERIALIZED (", " AS (")
+    // DuckDB hex parse ('0x' || h)::BIGINT == Spark conv(h, 16, 10):
+    // the same base-16 string-to-integer read, spelled per engine
+    s = raw"\('0x'\s*\|\|\s*(.+?)\)::BIGINT".r.replaceAllIn(s,
+      m => java.util.regex.Matcher.quoteReplacement(
+        s"CAST(conv(${m.group(1)}, 16, 10) AS BIGINT)"))
     // DuckDB list comprehension [f(i) FOR i IN g] == transform(g, i -> f(i))
     s = raw"(?s)\[(.+?)\s+FOR\s+(\w+)\s+IN\s+(.+?)\]".r.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement(
@@ -124,6 +129,17 @@ class ThreeWaySqlSpec extends SparkSpec {
     s = raw"list_sum\(($arg)\)".r.replaceAllIn(s,
       m => java.util.regex.Matcher.quoteReplacement(
         s"aggregate(${m.group(1)}, CAST(0 AS BIGINT), (lsa, lsv) -> lsa + lsv)"))
+    // DuckDB list_slice(x, a, b) (end-inclusive) == slice(x, a, b-a+1)
+    s = raw"list_slice\(($arg),\s*($arg),\s*($arg)\)".r.replaceAllIn(s, m => {
+      val (a, b) = (m.group(2), m.group(3))
+      val len = if (a == "1") b else s"($b) - ($a) + 1"
+      java.util.regex.Matcher.quoteReplacement(
+        s"slice(${m.group(1)}, $a, $len)")
+    })
+    // DuckDB's infix shift-left on the BIGINT one == Spark shiftleft
+    s = raw"CAST\(1 AS BIGINT\) << (CAST\((?:[^()]|\([^()]*\))* AS INT\))".r
+      .replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+        s"shiftleft(CAST(1 AS BIGINT), ${m.group(1)})"))
     // DuckDB 1-based end-inclusive list slicing x[a:b] == Spark
     // slice(x, a, b - a + 1); bare x[i] / f(..)[i] == element_at
     s = raw"(\w+)\[(\w+):($inner)\]".r.replaceAllIn(s, m => {
