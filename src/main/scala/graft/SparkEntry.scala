@@ -237,6 +237,8 @@ object SparkEntry {
     // BPE tokenizer training's pair-selection step: top adjacent char
     // pairs over word TYPES weighted by count (vocabulary-collapsed)
     "text_bpe_merges" -> ((s, d) => graft.ext.LangModel.bpeMerges(s, d)),
+    // BPE APPLY: top-5 merges encoded via boundary-safe literal replace
+    "text_bpe_encode" -> ((s, d) => graft.ext.LangModel.bpeEncode(s, d)),
     // uniform-target language rebalancing: integer-threshold md5 sampler,
     // group stats broadcast, the sample itself a narrow scan filter
     "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
@@ -465,6 +467,8 @@ object SparkEntry {
     "stream_transform_state" -> (graft.streaming.EventStream.transformStateUserCounts(_, _)),
     // streaming keep-first dedup: transformWithState gate (X1's stream twin)
     "stream_dedup_state" -> (graft.streaming.EventStream.streamDedupState(_, _)),
+    // streaming HLL: 256-byte sketch state per key (transformWithState)
+    "stream_hll" -> (graft.streaming.EventStream.streamHll(_, _)),
     // oracled: sketch values surface as bound predicates beside their
     // exact twins (the oracle asserts the booleans literally TRUE), so
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers

@@ -177,4 +177,74 @@ object LangModel {
           .as("logw_avg"))
       .orderBy("doc_id")
   }
+
+  /** X121: BPE tokenization APPLY — the encode half whose merge-table
+    * half is [[bpeMerges]] (X52): the corpus's top-`nMerges` character
+    * pairs are applied to every document in rank order, yielding the
+    * real post-BPE token count (the number every "tokens per doc"
+    * pipeline stat actually wants; X4's whitespace count is the
+    * pre-tokenizer proxy).
+    *
+    * The encoding is plain string algebra, exact in any engine: a word
+    * encodes as each character wrapped `<c>`, and applying merge (a,b)
+    * is the literal replace `<a><b>` → `<ab>`. The wrapping is what
+    * makes literal replace CORRECT BPE: token boundaries are explicit,
+    * so `<l>` never matches the tail of a merged `<al>`, and
+    * non-overlapping left-to-right replacement is exactly BPE's
+    * leftmost-first greedy application (`<l><l><l>` → `<ll><l>`).
+    * Tokens are a-z only (the [[tokens]] tokenization), so the wrap
+    * characters cannot collide. Merges are the 2-char pairs X52 mines
+    * — all first-round merges over the base alphabet, so rank order
+    * only matters where pairs share a character, which the fixed
+    * r1..r5 application order resolves deterministically.
+    *
+    * Scale shape: the merge table is a broadcast 1-row pivot (the
+    * whole tokenizer state — like production BPE, KBs of merges
+    * against TBs of text); encoding is one narrow map pass, and the
+    * per-doc reassembly aggregate keys on doc_id with the in-row sort
+    * ([[graft.ext.TextDedup.decontaminateSpans]]'s rebuild shape).
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+                nMerges: Int = 5): DataFrame = {
+    val merges = bpeMerges(spark, dir, nMerges)
+      .select(col("pair"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("freq"), asc("pair"))).as("rk"))
+    // 1-row pivot: s_i / r_i = search/replace literals for merge rank i
+    val aggs = (1 to nMerges).flatMap { i =>
+      Seq(max(when(col("rk") === i, concat(lit("<"),
+            expr("substring(pair, 1, 1)"), lit("><"),
+            expr("substring(pair, 2, 1)"), lit(">"))))
+          .as(s"s$i"),
+        max(when(col("rk") === i,
+            concat(lit("<"), col("pair"), lit(">")))).as(s"r$i"))
+    }
+    val mergeRow = merges.groupBy().agg(aggs.head, aggs.tail: _*)
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(
+        expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')")))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+    val wrapped = words.crossJoin(broadcast(mergeRow))
+      .withColumn("enc", regexp_replace(col("w"), "(.)", "<$1>"))
+    val encoded = (1 to nMerges)
+      .foldLeft(wrapped) { (df, i) =>
+        df.withColumn("enc", expr(s"replace(enc, s$i, r$i)"))
+      }
+      .select(col("doc_id"), col("pos"), col("w"),
+        (length(col("enc")) -
+          length(regexp_replace(col("enc"), "<", ""))).as("n_tok"),
+        col("enc"))
+    encoded.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_base_tokens"),
+        sum(col("n_tok").cast("long")).as("n_bpe_tokens"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(pos, enc))), x -> x.enc)"))
+          .as("encoded"))
+      .select(col("doc_id"), col("n_words"), col("n_base_tokens"),
+        col("n_bpe_tokens"),
+        (col("n_base_tokens") - col("n_bpe_tokens")).as("n_merged"),
+        col("encoded"))
+      .orderBy("doc_id")
+  }
 }

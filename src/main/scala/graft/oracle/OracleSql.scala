@@ -2728,6 +2728,56 @@ shingles AS (
              v.p_us - v.view_us AS gap_us
       FROM v JOIN p ON v.user_id = p.user_id AND v.p_us = p.p_us
       ORDER BY view_id""",
+    // X121: BPE apply — merges mined like X52, applied in rank order as
+    // boundary-safe literal replaces over <c>-wrapped words
+    "text_bpe_encode" -> """
+      WITH raw AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents),
+      wc AS (
+        SELECT w, COUNT(*) AS wc FROM raw WHERE length(w) >= 2 GROUP BY w),
+      pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+        FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM wc) t),
+      topm AS (SELECT pair, SUM(wc) AS freq FROM pairs GROUP BY pair
+               ORDER BY freq DESC, pair LIMIT 5),
+      rk AS (SELECT pair,
+                    ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS rk
+             FROM topm),
+      mrow AS (SELECT
+        MAX(CASE WHEN rk = 1 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s1,
+        MAX(CASE WHEN rk = 1 THEN '<' || pair || '>' END) AS r1,
+        MAX(CASE WHEN rk = 2 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s2,
+        MAX(CASE WHEN rk = 2 THEN '<' || pair || '>' END) AS r2,
+        MAX(CASE WHEN rk = 3 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s3,
+        MAX(CASE WHEN rk = 3 THEN '<' || pair || '>' END) AS r3,
+        MAX(CASE WHEN rk = 4 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s4,
+        MAX(CASE WHEN rk = 4 THEN '<' || pair || '>' END) AS r4,
+        MAX(CASE WHEN rk = 5 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s5,
+        MAX(CASE WHEN rk = 5 THEN '<' || pair || '>' END) AS r5
+       FROM rk),
+      words AS (
+        SELECT doc_id, i - 1 AS pos, w[i] AS word
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                       t -> t <> '') AS w
+                    FROM documents) d) t),
+      enc AS (
+        SELECT doc_id, pos, word,
+               replace(replace(replace(replace(replace(
+                 regexp_replace(word, '(.)', '<\1>', 'g'),
+                 s1, r1), s2, r2), s3, r3), s4, r4), s5, r5) AS e
+        FROM words, mrow)
+      SELECT doc_id, COUNT(*) AS n_words,
+             CAST(SUM(length(word)) AS BIGINT) AS n_base_tokens,
+             CAST(SUM(length(e) - length(replace(e, '<', ''))) AS BIGINT)
+               AS n_bpe_tokens,
+             CAST(SUM(length(word)) - SUM(length(e) - length(replace(e, '<', ''))) AS BIGINT)
+               AS n_merged,
+             string_agg(e, ' ' ORDER BY pos) AS encoded
+      FROM enc GROUP BY doc_id ORDER BY doc_id""",
     // X112: one unpivot pass; stats are counts only, so the per-engine
     // VARCHAR rendering of numerics never reaches the output (CAST is
     // injective — distinct-of-string == distinct-of-value)
@@ -3652,6 +3702,38 @@ shingles AS (
         FROM e)
       SELECT event_id, user_id, event_type, us
       FROM r WHERE rn = 1 ORDER BY event_id""",
+    // X120 streaming HLL twin: the batch register build (X105's SQL,
+    // estimate only) — the stream's 256-byte state max-folds to exactly
+    // these registers at any micro-batch split
+    "stream_hll" -> """
+      WITH cells AS (
+        SELECT event_type,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events),
+      bw AS (SELECT event_type, h % 256 AS b, h // 256 AS w FROM cells),
+      rho AS (
+        SELECT event_type, b,
+               MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS rho
+        FROM bw GROUP BY event_type, b),
+      grid AS (
+        SELECT t.event_type, g.b
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(generate_series(0, 255)) AS b) g),
+      regs AS (
+        SELECT grid.event_type, grid.b, COALESCE(rho.rho, 0) AS rho
+        FROM grid LEFT JOIN rho ON grid.event_type = rho.event_type
+                               AND grid.b = rho.b),
+      agg AS (
+        SELECT event_type, SUM(power(2.0, -rho)) AS s,
+               SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS v
+        FROM regs GROUP BY event_type)
+      SELECT event_type,
+             ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s <= 640.0
+                        AND v > 0
+                   THEN 256.0 * ln(256.0 / v)
+                   ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s END, 6)
+               AS hll_est
+      FROM agg ORDER BY event_type""",
     // X99 streaming attribution twin: per-purchase last-touch rows —
     // the batch LAST_VALUE window states what the keyed stream state
     // computes; agreement proved per purchase.

@@ -293,6 +293,91 @@ object EventStream {
     }
   }
 
+  /** X120: streaming HLL registers as a `transformWithState`
+    * StatefulProcessor — the third state shape on the modern API beside
+    * the counter ([[UserCountProcessor]]) and the gate
+    * ([[KeepFirstProcessor]]): a MERGEABLE SKETCH. Per event_type the
+    * state is the 256-byte register vector (one byte per bucket —
+    * exactly the serialized form a sketch tier ships between
+    * executors); each micro-batch folds its rows in by max-per-bucket
+    * and emits the updated estimate, so downstream sees a continuously
+    * refining distinct-count that never re-reads history — the
+    * streaming twin of the batch [[graft.ext.Sketches.hllDistinct]]
+    * (X105), with byte-identical registers by construction (same md5
+    * bucket/rank split, and max-folding is order-free, so batch
+    * boundaries cannot change the result — the agreement the spec
+    * pins).
+    *
+    * Scale shape: state is 256 bytes per key regardless of stream
+    * volume — the whole point of sketch state; a billion-user stream
+    * holds the same bytes per key as the fixture. One shuffle on the
+    * key, RocksDB-backed.
+    */
+  private class HllRegisterProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Double)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var regs: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getValueState[Array[Byte]]("regs",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long)],
+                                 timers: TimerValues): Iterator[(String, Double)] = {
+      val r = if (regs.exists()) regs.get() else new Array[Byte](256)
+      rows.foreach { case (_, userId) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(userId.toString.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex, 16)
+        val b = (h % 256).toInt
+        val w = h / 256
+        val rho =
+          if (w == 0) 25
+          else 25 - java.lang.Long.toBinaryString(w).length
+        if (rho > r(b)) r(b) = rho.toByte
+      }
+      regs.update(r)
+      // the X105 estimator over the current registers (m = 256)
+      val s = r.map(v => math.pow(2.0, -v.toInt)).sum
+      val v0 = r.count(_ == 0)
+      val alpha = 0.7213 / (1.0 + 1.079 / 256.0)
+      val e = alpha * 256.0 * 256.0 / s
+      val est = if (e <= 2.5 * 256 && v0 > 0) 256.0 * math.log(256.0 / v0)
+                else e
+      Iterator((key,
+        BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+  }
+
+  def streamHll(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ests = readEvents(spark, dir)
+        .select(col("event_type"), col("user_id"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new HllRegisterProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("event_type", "hll_est")
+      // update mode re-emits per micro-batch; the LAST update per key is
+      // the converged sketch (AvailableNow replay ends at one batch, but
+      // the max-fold makes this correct at any batch split)
+      runToMemory(ests, "update")
+        .groupBy("event_type").agg(max("hll_est").as("hll_est"))
+        .orderBy("event_type")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** X95: the strict sequential rate limiter — the operator the batch
     * debounce (X71, `Events.throttleDedup`) explicitly declares
     * streaming-stateful and does NOT implement: admit an event iff at

@@ -56,9 +56,9 @@ class PlanHygieneSpec extends SparkSpec {
     "analytics_bucket_assign", "graph_degree_dist",
     "warehouse_cascade_delete", "agg_cms_heavy_hitters",
     "curation_quantile_norm", "graph_hits",
-    // 1-row broadcast sides: the query vector / hit-count pair, and the
-    // reference-day aggregate
-    "embed_matryoshka", "events_decayed_topk")
+    // 1-row broadcast sides: the query vector / hit-count pair, the
+    // reference-day aggregate, and the pivoted 1-row BPE merge table
+    "embed_matryoshka", "events_decayed_topk", "text_bpe_encode")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —
@@ -86,6 +86,7 @@ class PlanHygieneSpec extends SparkSpec {
     "curation_shard_pack" -> "cross-bucket prefix over doc_id-bucket token subtotals (corpus/100 rows)",
     "curation_weighted_sample" -> "rank over the already-limited top-k (k=50) sample",
     "embed_ann_pq" -> "code rank over the already-limited 8-row seed pick (once per unpersisted consumer)",
+    "text_bpe_encode" -> "merge rank over the already-limited 5-row top-pair table",
     "events_funnel" -> "running min over the 3-row per-stage bound relation",
     "graph_degree_dist" -> "cumulative share over the distinct-degree histogram")
 

@@ -195,6 +195,52 @@ class Round7bOpsSpec extends SparkSpec {
     }
   }
 
+  test("bpe encode: greedy merge application recomputed per word") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z]+").toSeq.filter(_.nonEmpty)
+    // mine the top-5 pairs exactly like X52
+    val wc = docs.flatMap(d => toks(d._2)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }
+    val merges = wc.toSeq.flatMap { case (w, c) =>
+      (0 until w.length - 1).map(i => (w.substring(i, i + 2), c))
+    }.groupBy(_._1).map { case (p, o) => (p, o.map(_._2).sum) }
+      .toSeq.sortBy { case (p, f) => (-f, p) }.take(5).map(_._1)
+    def encode(w: String): String = {
+      var e = w.map(c => s"<$c>").mkString
+      merges.foreach { p =>
+        e = e.replace(s"<${p(0)}><${p(1)}>", s"<$p>")
+      }
+      e
+    }
+    val expected = docs.flatMap { case (id, t) =>
+      val ws = toks(t)
+      if (ws.isEmpty) None
+      else {
+        val es = ws.map(encode)
+        val base = ws.map(_.length.toLong).sum
+        val bpe = es.map(_.count(_ == '<').toLong).sum
+        Some((id, ws.length.toLong, base, bpe, base - bpe, es.mkString(" ")))
+      }
+    }.sortBy(_._1).toSeq
+    val rows = LangModel.bpeEncode(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(rows == expected)
+    assert(rows.exists(_._5 > 0), "top-5 merges must actually fire")
+  }
+
+  test("stream hll: state-folded estimates equal the batch registers") {
+    val streamed = graft.streaming.EventStream.streamHll(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = Sketches.hllDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(streamed == batch,
+      "streaming 256-byte sketch state must reproduce the batch estimate")
+  }
+
   test("golden record: survivorship rules recomputed per cluster") {
     val docs = graft.tables.Tables.documents(spark, sf001)
       .select("doc_id", "text", "lang", "source", "n_chars").collect()

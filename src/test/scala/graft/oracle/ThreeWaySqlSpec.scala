@@ -53,6 +53,8 @@ class ThreeWaySqlSpec extends SparkSpec {
     // DuckDB CTE materialization hint; Spark has no spelling for it and
     // reuses multi-referenced CTEs on its own
     s = s.replace(" AS MATERIALIZED (", " AS (")
+    // regex replacement backreference: RE2 spells it \1, Java $1
+    s = s.replace("""'<\1>'""", "'<$1>'")
     // DuckDB hex parse ('0x' || h)::BIGINT == Spark conv(h, 16, 10):
     // the same base-16 string-to-integer read, spelled per engine
     s = raw"\('0x'\s*\|\|\s*(.+?)\)::BIGINT".r.replaceAllIn(s,
