@@ -314,6 +314,12 @@ object SparkEntry {
     "embed_matryoshka" -> ((s, d) => graft.ext.Similarity.matryoshkaRecall(s, d)),
     // trailing-7d distinct users per day by per-day HLL register merge
     "agg_hll_sliding" -> ((s, d) => graft.ext.Sketches.hllSlidingDays(s, d)),
+    // per-edge Jaccard link prediction off the shared triangle kernel
+    "graph_edge_jaccard" -> ((s, d) => graft.ext.Graphs.edgeJaccard(s, d)),
+    // asymmetric set-containment join (quote/subsumption detector)
+    "dedup_containment_pairs" -> ((s, d) => graft.ext.TextDedup.containmentPairs(s, d)),
+    // cohort LTV triangle: exact-DECIMAL running revenue per cohort week
+    "events_cohort_ltv" -> ((s, d) => graft.ext.Events.cohortLtv(s, d)),
     // 2-D Pareto frontier via two-phase distributed prefix max
     "analytics_skyline" -> ((s, d) => graft.ext.Analytics.skyline(s, d)),
     // exact per-segment MAD outliers via the value-histogram median

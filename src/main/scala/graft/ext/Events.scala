@@ -905,4 +905,51 @@ object Events {
           .as("decayed_score"))
       .orderBy("event_type", "rank")
   }
+
+  /** X124: cohort LTV curves — cumulative purchase revenue per signup
+    * cohort as a function of account age, the lifetime-value triangle
+    * every subscription/commerce warehouse maintains. Cohort = the
+    * epoch-week of a user's FIRST event of any kind (the "acquisition"
+    * proxy the fixture supports); each purchase lands at its week
+    * offset from that cohort; the curve is the per-cohort running sum.
+    * Rows exist only for (cohort, offset) cells with purchase activity
+    * — the cumulative column carries the curve across gaps.
+    *
+    * Money is exact: values go through DECIMAL(18,2) BEFORE any sum
+    * (the repo-wide money rule), the running total is a DECIMAL window
+    * sum partitioned by cohort (never partitionless — cohorts are the
+    * partition key), and IEEE appears only in the final per-user
+    * division. Scale shape: first-event extraction is one min-aggregate
+    * keyed on user; the cell aggregate keys on (cohort, offset); the
+    * window sorts offsets WITHIN each cohort partition (bounded by the
+    * observation span in weeks, not by users or events).
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("wk"),
+        col("value"))
+    val cohorts = ev.groupBy("user_id").agg(min("wk").as("cohort_week"))
+    val cohortSize = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("active_users"),
+        sum(col("value").cast(D2)).as("revenue"))
+    cells.join(cohortSize, Seq("cohort_week"))
+      .withColumn("cum_revenue",
+        sum(col("revenue")).over(Window.partitionBy("cohort_week")
+          .orderBy("week_offset")))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("active_users"),
+        col("revenue").cast("double").as("revenue"),
+        col("cum_revenue").cast("double").as("cum_revenue"),
+        round(col("cum_revenue").cast("double") / col("cohort_size"), 6)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -209,11 +209,19 @@ object Graphs {
     * too (rather than persisted per call) so `clearCaches` releases it —
     * a per-call persist parked an unreleasable copy per invocation.
     */
+  /** Sorted out-adjacency arrays over the oriented edges — memoized:
+    * the triangle kernel and the edge-Jaccard kernel share it.
+    */
+  private def outAdjacency(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "adj") {
+      orientedEdges(spark, dir).groupBy("src")
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    }
+
   private def triangleCounts(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "tri_counts") {
       val oriented = orientedEdges(spark, dir)
-      val adj = oriented.groupBy("src")
-        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+      val adj = outAdjacency(spark, dir)
       // triangles closed at edge (u,v): common out-neighbors of u and v.
       // graft_sorted_intersect_longs (codegen two-pointer merge over
       // primitive longs) instead of array_intersect, whose per-row boxed
@@ -428,6 +436,66 @@ object Graphs {
       .orderBy(col("score").desc, col("node_id")).limit(k)
     topAuth.unionByName(topHub)
       .orderBy(col("role"), col("score").desc, col("node_id"))
+  }
+
+  /** X122: per-edge Jaccard neighbor similarity — the classical
+    * link-prediction / edge-strength score: for each co-order edge
+    * (a,b), J = |N(a)∩N(b)| / |N(a)∪N(b)| over the full undirected
+    * neighborhoods (Liben-Nowell & Kleinberg 2003). The common-neighbor
+    * count is NOT a fresh wedge enumeration: every triangle {u,v,w} the
+    * oriented edge-iterator kernel finds (the X59 machinery, adjacency
+    * memoized and shared) is attributed to its THREE undirected edges,
+    * so common(a,b) = per-edge triangle count and the whole score rides
+    * the same Σ outdeg² intersection work triangles already bounded —
+    * no deg(a)·deg(b) pair space anywhere. Union size comes from the
+    * degree aggregate: |N(a)∪N(b)| = deg(a)+deg(b)−common−(a,b are
+    * neighbors by construction: −2 for the edge endpoints themselves,
+    * which are in each other's neighborhood but never common).
+    *
+    * Scale shape: one explode of the per-edge intersection arrays
+    * (3 rows per triangle), one groupBy on the undirected edge key, a
+    * broadcast-free join against the memoized edge/degree relations,
+    * TakeOrdered top-k. Exact BIGINT counts; IEEE only in the final
+    * ratio.
+    */
+  def edgeJaccard(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val oriented = orientedEdges(spark, dir)
+    val adj = outAdjacency(spark, dir)
+    graft.functions.SortedIntersectLongs.register(spark)
+    val withTris = oriented
+      .select(col("src").as("u"), col("dst").as("v"))
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), Seq("v"),
+        "left")
+      .select(col("u"), col("v"),
+        explode(graft.functions.SortedIntersectLongs.intersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
+    val common = withTris
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val und = coOrderEdges(spark, dir)
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    und.join(common, Seq("a", "b"), "left")
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"),
+        coalesce(col("common"), lit(0L)).as("common"))
+      // endpoint-excluded union; guard the degenerate isolated-edge
+      // denominator (never hit on the fixture, cheap to state)
+      .filter(col("deg_a") + col("deg_b") - col("common") - 2 > 0)
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("deg_a") + col("deg_b") - col("common") - 2).cast("double"), 6))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(k)
   }
 
   /** X115: weighted single-source shortest paths, `rounds` Bellman-Ford

@@ -623,6 +623,63 @@ object TextDedup {
     jaccardPairsOf(cachedDocSets(spark, dir), threshold,
       Some(cachedJaccardPrefix(spark, dir, threshold)))
 
+  /** X123: set-CONTAINMENT similarity join — C(A→B) = |A∩B| / |A| ≥ τ,
+    * the ASYMMETRIC near-dup relation Jaccard cannot see: a short
+    * document quoted wholesale inside a long one scores J ≈ |A|/|B|
+    * (arbitrarily low) but C(A→B) ≈ 1. This is the quote/boilerplate-
+    * subsumption detector a curation pipeline runs beside symmetric
+    * dedup (drop A when it is τ-contained in a longer B). Output is
+    * directional — (a⊂b) and (b⊂a) are separate rows.
+    *
+    * Prefix filtering survives asymmetry: C ≥ τ needs common ≥
+    * ⌈τ·n_a⌉, so if NONE of A's first n_a−⌈τ·n_a⌉+1 df-ranked shingles
+    * hit B, the remaining ⌈τ·n_a⌉−1 cannot reach the bound — the SAME
+    * prefix relation the Jaccard join memoizes ([[prefixOf]]), probed
+    * against the FULL posting list on the B side (B cannot be
+    * prefix-pruned: containment puts no upper bound on n_b, only
+    * n_b ≥ τ·n_a, which the candidate filter applies). Losslessness is
+    * property-tested against the quadratic brute force.
+    *
+    * Scale shape: candidates = Σ_sh prefix_postings(sh) ×
+    * full_postings(sh) — A-side hot shingles never enter a prefix
+    * (df-ranked), so the hot-shingle side of every candidate product
+    * is the RARE end of the df distribution; verification is the same
+    * memoized sorted-array intersect kernel as Jaccard, keyed on the
+    * pair.
+    */
+  def containmentPairsOf(sets: DataFrame, threshold: Double,
+                         prefixRel: Option[DataFrame] = None): DataFrame = {
+    graft.functions.SortedIntersectSize.register(sets.sparkSession)
+    val prefix = prefixRel.getOrElse(prefixOf(sets, threshold))
+    val a = prefix.select(col("doc_id").as("doc_a"), col("sh"),
+      col("n").as("na"))
+    val b = sets.select(col("doc_id").as("doc_b"),
+      explode(col("shs")).as("sh"), col("n").as("nb"))
+    val cand = a.join(b, Seq("sh"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("nb") >= lit(threshold) * col("na"))
+      .select("doc_a", "doc_b").distinct()
+    val verified = cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("both",
+        graft.functions.SortedIntersectSize.intersectSize(
+          col("shs_a"), col("shs_b")))
+    val cont = col("both").cast("double") / col("na")
+    verified
+      .filter(cont >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        round(cont, 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def containmentPairs(spark: SparkSession, dir: String,
+                       threshold: Double = 0.5): DataFrame =
+    containmentPairsOf(cachedDocSets(spark, dir), threshold,
+      Some(cachedJaccardPrefix(spark, dir, threshold)))
+
   /** The curation decision table: every near-dup method side by side —
     * pairs found and docs that would be dropped (higher doc id of each
     * pair; exact dedup drops non-survivors). Composes the five operators

@@ -2728,6 +2728,70 @@ shingles AS (
              v.p_us - v.view_us AS gap_us
       FROM v JOIN p ON v.user_id = p.user_id AND v.p_us = p.p_us
       ORDER BY view_id""",
+    // X122: edge Jaccard — naive per-edge common-neighbor count (the
+    // engine attributes triangles instead; identical values)
+    "graph_edge_jaccard" -> """
+      WITH l AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (SELECT x.pk AS a, y.pk AS b
+            FROM l x JOIN l y ON x.ok = y.ok AND x.pk < y.pk
+            GROUP BY x.pk, y.pk),
+      sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b AS u, a AS v FROM e),
+      deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u),
+      com AS (SELECT e.a, e.b, COUNT(*) AS cn
+              FROM e JOIN sym sa ON sa.u = e.a
+                     JOIN sym sb ON sb.u = e.b AND sb.v = sa.v
+              GROUP BY e.a, e.b)
+      SELECT e.a, e.b, da.deg AS deg_a, db.deg AS deg_b,
+             CAST(COALESCE(com.cn, 0) AS BIGINT) AS common,
+             ROUND(CAST(COALESCE(com.cn, 0) AS DOUBLE) /
+                   (da.deg + db.deg - COALESCE(com.cn, 0) - 2), 6) AS jaccard
+      FROM e JOIN deg da ON da.u = e.a
+             JOIN deg db ON db.u = e.b
+             LEFT JOIN com ON com.a = e.a AND com.b = e.b
+      WHERE da.deg + db.deg - COALESCE(com.cn, 0) - 2 > 0
+      ORDER BY jaccard DESC, e.a, e.b LIMIT 20""",
+    // X123: containment — quadratic shared-shingle oracle (the engine
+    // prefix-filters; losslessness is property-tested)
+    "dedup_containment_pairs" -> """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+             FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                   FROM words WHERE len(w) >= 3) t),
+      n AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cn
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, na.n AS na, nb.n AS nb,
+             ROUND(CAST(cn AS DOUBLE) / na.n, 6) AS containment
+      FROM com JOIN n na ON na.doc_id = doc_a
+               JOIN n nb ON nb.doc_id = doc_b
+      WHERE CAST(cn AS DOUBLE) / na.n >= 0.5
+      ORDER BY doc_a, doc_b""",
+    // X124: cohort LTV — DECIMAL(18,2) before any sum; the running
+    // total is a cohort-partitioned DECIMAL window sum
+    "events_cohort_ltv" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 // 7 AS wk,
+                         "value" AS v
+                  FROM events),
+      c AS (SELECT user_id, MIN(wk) AS cohort_week FROM ev GROUP BY user_id),
+      cs AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM c GROUP BY cohort_week),
+      cells AS (SELECT c.cohort_week, ev.wk - c.cohort_week AS week_offset,
+                       COUNT(DISTINCT ev.user_id) AS active_users,
+                       SUM(CAST(ev.v AS DECIMAL(18,2))) AS revenue
+                FROM ev JOIN c ON ev.user_id = c.user_id
+                WHERE ev.event_type = 'purchase'
+                GROUP BY c.cohort_week, ev.wk - c.cohort_week),
+      cum AS (SELECT cohort_week, week_offset, active_users, revenue,
+                     SUM(revenue) OVER (PARTITION BY cohort_week
+                       ORDER BY week_offset) AS cum_revenue
+              FROM cells)
+      SELECT cum.cohort_week, week_offset, cs.cohort_size, active_users,
+             CAST(revenue AS DOUBLE) AS revenue,
+             CAST(cum_revenue AS DOUBLE) AS cum_revenue,
+             ROUND(CAST(cum_revenue AS DOUBLE) / cs.cohort_size, 6) AS ltv_per_user
+      FROM cum JOIN cs ON cum.cohort_week = cs.cohort_week
+      ORDER BY cum.cohort_week, week_offset""",
     // X121: BPE apply — merges mined like X52, applied in rank order as
     // boundary-safe literal replaces over <c>-wrapped words
     "text_bpe_encode" -> """

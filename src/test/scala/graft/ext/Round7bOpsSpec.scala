@@ -241,6 +241,100 @@ class Round7bOpsSpec extends SparkSpec {
       "streaming 256-byte sketch state must reproduce the batch estimate")
   }
 
+  test("containment: prefix-filtered join is lossless vs the brute force") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 3) Set.empty
+      else (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => (id, shingles(t)) }
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (ida, sa) <- sets; (idb, sb) <- sets if ida != idb
+      both = (sa & sb).size
+      if both.toDouble / sa.size >= 0.5
+    } yield (ida, idb, sa.size.toLong, sb.size.toLong,
+      BigDecimal(both.toDouble / sa.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val rows = TextDedup.containmentPairs(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(rows == expected)
+    assert(rows.nonEmpty, "fixture must contain tau-contained docs")
+    // direction-specific scoring: C(a→b) uses |A| as the denominator,
+    // so a size-skewed pair scores differently per direction (the tiny
+    // fixture's planted dups are same-length, so only the score law —
+    // not a strictly one-way pair — is assertable at sf0.001)
+    val score = rows.map(r => ((r._1, r._2), (r._3, r._5))).toMap
+    rows.foreach { case (a, b, na, _, c) =>
+      score.get((b, a)).foreach { case (nb2, c2) =>
+        if (na != nb2) assert(c != c2, s"($a,$b) sizes differ, scores equal")
+      }
+    }
+  }
+
+  test("edge jaccard: triangle attribution equals naive neighbor sets") {
+    val li = graft.tables.Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).values
+      .map(_.map(_._2).distinct.sorted)
+    val edges = byOrder.flatMap(ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)))
+      .toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSet) }
+    val expected = edges.toSeq.map { case (a, b) =>
+      val common = (adj(a) & adj(b)).size.toLong
+      val denom = adj(a).size + adj(b).size - common - 2
+      (a, b, adj(a).size.toLong, adj(b).size.toLong, common,
+        BigDecimal(common.toDouble / denom)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.filter(r => r._3 + r._4 - r._5 - 2 > 0)
+      .sortBy(r => (-r._6, r._1, r._2)).take(20)
+    val rows = Graphs.edgeJaccard(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(rows == expected)
+  }
+
+  test("cohort ltv: curve recomputed from first-event cohorts") {
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("wk"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val cohort = ev.groupBy(_._1).map { case (u, es) => (u, es.map(_._3).min) }
+    val size = cohort.values.groupBy(identity)
+      .map { case (w, o) => (w, o.size.toLong) }
+    val cells = ev.filter(_._2 == "purchase")
+      .map(e => ((cohort(e._1), e._3 - cohort(e._1)), e))
+      .groupBy(_._1)
+      .map { case ((cw, off), es) =>
+        (cw, off, es.map(_._2._1).distinct.size.toLong,
+          es.map(e => BigDecimal(e._2._4).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP)).sum)
+      }.toSeq
+    val expected = cells.groupBy(_._1).toSeq.flatMap { case (cw, cs) =>
+      val sorted = cs.sortBy(_._2)
+      var cum = BigDecimal(0)
+      sorted.map { case (_, off, users, rev) =>
+        cum += rev
+        (cw, off, size(cw), users, rev.toDouble, cum.toDouble,
+          BigDecimal(cum.toDouble / size(cw))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val rows = Events.cohortLtv(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(rows == expected)
+  }
+
   test("golden record: survivorship rules recomputed per cluster") {
     val docs = graft.tables.Tables.documents(spark, sf001)
       .select("doc_id", "text", "lang", "source", "n_chars").collect()
