@@ -320,6 +320,21 @@ object SparkEntry {
     "dedup_containment_pairs" -> ((s, d) => graft.ext.TextDedup.containmentPairs(s, d)),
     // cohort LTV triangle: exact-DECIMAL running revenue per cohort week
     "events_cohort_ltv" -> ((s, d) => graft.ext.Events.cohortLtv(s, d)),
+    // k-core dense backbone via iterative peeling to the fixpoint
+    "graph_kcore" -> ((s, d) => graft.ext.Graphs.kcore(s, d)),
+    // referential audit: orphan children + childless parents per FK edge
+    "dq_fk_orphans" -> ((s, d) => graft.ext.DataQuality.fkOrphanAudit(s, d)),
+    // sweep-line open-order concurrency (per-month peak / end-of-month)
+    "analytics_order_concurrency" -> ((s, d) => graft.ext.Analytics.orderConcurrency(s, d)),
+    // mergeable log2-bucket quantile sketch with the merge law in-output
+    "agg_log2_quantiles" -> ((s, d) => graft.ext.Sketches.log2Quantiles(s, d)),
+    // incremental cluster maintenance: delta edges contracted through
+    // yesterday's labels, merge-CC over the contracted graph only
+    "incr_cc_merge" -> ((s, d) => graft.ext.TextDedup.incrementalClusterMerge(s, d)),
+    // KMV set-intersection estimate per event-type pair (theta sketch)
+    "agg_kmv_intersect" -> ((s, d) => graft.ext.Analytics.kmvIntersect(s, d)),
+    // RAKE keyword extraction, integer-deg scoring, gaps-and-islands phrases
+    "text_rake_keywords" -> ((s, d) => graft.ext.Search.rakeKeywords(s, d)),
     // 2-D Pareto frontier via two-phase distributed prefix max
     "analytics_skyline" -> ((s, d) => graft.ext.Analytics.skyline(s, d)),
     // exact per-segment MAD outliers via the value-histogram median
@@ -475,6 +490,8 @@ object SparkEntry {
     "stream_dedup_state" -> (graft.streaming.EventStream.streamDedupState(_, _)),
     // streaming HLL: 256-byte sketch state per key (transformWithState)
     "stream_hll" -> (graft.streaming.EventStream.streamHll(_, _)),
+    // timer-driven sessionization: transformWithState + event-time timers
+    "stream_sessions_state" -> (graft.streaming.EventStream.sessionState(_, _)),
     // oracled: sketch values surface as bound predicates beside their
     // exact twins (the oracle asserts the booleans literally TRUE), so
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers

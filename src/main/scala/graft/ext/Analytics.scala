@@ -1325,4 +1325,118 @@ object Analytics {
           .as("plain_mean"))
       .orderBy("event_type")
   }
+
+  /** X130: KMV set-INTERSECTION estimate (Beyer et al., SIGMOD'07 —
+    * the theta-sketch idea on the KMV state): per event type, keep the
+    * k=64 smallest distinct user-hash samples ([[graft.functions
+    * .KmvSampleSet]], constant-size associative state); for every type
+    * pair, θ = the k-th smallest of the UNION of the two sample sets
+    * and the intersection estimate is |{common samples < θ}| · 2³² / θ.
+    * Distinct-overlap between segments is THE audience-overlap /
+    * cross-contamination question, answered from two 64-entry sketches
+    * instead of a corpus join. Every quantity before the one final
+    * division is a deterministic function of the distinct hash sets
+    * (md5 order, integer counts), so — like the KMV distinct entry —
+    * the whole output hash-oracles EXACTLY, including the estimate.
+    * When the union holds fewer than k samples the sketch has seen
+    * everything: θ degrades to the sentinel 2³² and the "estimate" IS
+    * the exact sample intersection (both engines state the same rule).
+    * The exact intersection rides along as the accuracy yardstick.
+    *
+    * Scale shape: one ObjectHashAggregate pass builds all sketches
+    * (partial-merged, k strings per group); the pair stage is a
+    * self-join of #types rows with array-function comparisons — sketch
+    * work never touches the raw stream again. The exact yardstick is
+    * the only corpus-sized piece (distinct (type, user) self-join on
+    * user) and exists to audit the estimator.
+    */
+  def kmvIntersect(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSampleSet(k))
+    val sk = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        md5(col("user_id").cast("string")).as("h"))
+      .groupBy("t").agg(kmv(col("h")).as("s"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("t1"), col("b.t").as("t2"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+    val withTheta = pairs
+      .withColumn("u", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      // hex strings order like the 128-bit values, so θ as a STRING
+      // bound is exact; 'zz' > any hex digit = the seen-everything case
+      .withColumn("theta_hex",
+        when(size(col("u")) >= k, element_at(col("u"), k)).otherwise(lit("zz")))
+      .withColumn("theta",
+        when(size(col("u")) >= k,
+          conv(substring(element_at(col("u"), k), 1, 8), 16, 10).cast("long"))
+          .otherwise(lit(4294967296L)))
+      .withColumn("common_below",
+        size(filter(array_intersect(col("sa"), col("sb")),
+          h => h < col("theta_hex"))).cast("long"))
+    val du = Tables.events(spark, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val exact = du.as("x").join(du.as("y"),
+        col("x.u") === col("y.u") && col("x.t") < col("y.t"))
+      .groupBy(col("x.t").as("t1"), col("y.t").as("t2"))
+      .agg(count(lit(1)).as("exact_common"))
+    withTheta.join(exact, Seq("t1", "t2"), "left")
+      .select(col("t1"), col("t2"),
+        coalesce(col("exact_common"), lit(0L)).as("exact_common"),
+        col("common_below"), col("theta"),
+        round(col("common_below") * lit(4294967296.0) / col("theta"), 6)
+          .as("kmv_est"))
+      .orderBy("t1", "t2")
+  }
+
+  /** X127: sweep-line interval concurrency — how many orders are OPEN
+    * (placed but not fully shipped) on each calendar day, reported as
+    * the per-month peak and end-of-month level. An order's interval is
+    * [order date, max lineitem ship date]; the classic interval-overlap
+    * counting problem solved without any interval join: every interval
+    * becomes a +1 delta at open and a −1 delta the day after close, and
+    * concurrency is the running sum of deltas over the day grid (the
+    * capacity-planning / "concurrent sessions" query every ops
+    * dashboard needs).
+    *
+    * Scale shape: the fact table collapses to per-DAY delta subtotals
+    * first (map-side combinable, bounded by the calendar span — a few
+    * thousand rows out of any order volume), the dense day grid comes
+    * from one broadcast min/max row + `sequence`, and the single
+    * running-sum window runs over that day-sized relation (PlanHygiene
+    * allowlisted as a value histogram). The month rollup is a tiny
+    * groupBy over the same grid. No interval self-join, no per-order
+    * state — the sweep is what survives 100× order volume, because the
+    * day grid does not grow with data.
+    */
+  def orderConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val closeByOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("ok"))
+      .agg(max(to_date(col("l_shipdate"))).as("close"))
+    // the synthetic fixture does not guarantee ship >= order, so clamp:
+    // an order is open at least on the day it was placed
+    val intervals = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"), to_date(col("o_orderdate")).as("open"))
+      .join(closeByOrder, Seq("ok"))
+      .select(col("ok"), col("open"),
+        greatest(col("open"), col("close")).as("close"))
+    val deltas = intervals
+      .select(col("open").as("day"), lit(1L).as("d"))
+      .unionByName(intervals
+        .select(date_add(col("close"), 1).as("day"), lit(-1L).as("d")))
+      .groupBy("day").agg(sum("d").as("delta"))
+    val span = deltas.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = broadcast(span)
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val running = grid.join(deltas, Seq("day"), "left")
+      .select(col("day"), coalesce(col("delta"), lit(0L)).as("delta"))
+      .withColumn("open_orders",
+        sum("delta").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    running
+      // month as a rendered string: engine-portable (no DATE vs
+      // TIMESTAMP truncation-type drift between Spark and the oracle)
+      .groupBy(date_format(col("day"), "yyyy-MM").as("month"))
+      .agg(max("open_orders").as("peak_open"),
+        max_by(col("open_orders"), col("day")).as("eom_open"))
+      .orderBy("month")
+  }
 }

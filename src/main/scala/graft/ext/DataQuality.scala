@@ -198,4 +198,67 @@ object DataQuality {
           .as("null_rate"))
       .orderBy("tbl", "col")
   }
+
+  /** X126: referential-integrity audit over the whole star schema — one
+    * row per foreign-key edge with both failure directions counted:
+    * orphan children (FK value with no parent row — broken loads) and
+    * childless parents (dimension rows no fact references — not an
+    * error, but the dead weight a retention job wants to know about).
+    * This is the relation-shaped "dbt relationships test ×7" a landed
+    * warehouse runs after every load.
+    *
+    * Scale shape: per edge, the fact side collapses to (key, n) by a
+    * map-side-combinable aggregate FIRST (bounded by the key domain, not
+    * the fact row count), then one full-outer join against the distinct
+    * parent key set — dimension sides broadcast when small, and no
+    * per-row anti-join ever touches the raw fact table twice. NULL FK
+    * values are counted separately (`n_null_child`), not as orphans —
+    * SQL FK semantics, same carve-out as [[referentialViolations]].
+    */
+  def fkOrphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+      val childAgg = child
+        .groupBy(col(childKey).as("key"))
+        .agg(count(lit(1)).as("n"))
+      val parentKeys = parent.select(col(parentKey).as("key")).distinct()
+        .withColumn("p", lit(1))
+      childAgg.join(parentKeys, Seq("key"), "full_outer")
+        .agg(
+          coalesce(sum("n"), lit(0L)).as("n_child"),
+          coalesce(sum(when(col("key").isNull, col("n"))), lit(0L))
+            .as("n_null_child"),
+          coalesce(sum(when(col("p").isNull && col("key").isNotNull,
+            col("n"))), lit(0L)).as("n_orphan_child"),
+          sum(when(col("p").isNull && col("key").isNotNull && col("n").isNotNull,
+            1L).otherwise(0L)).as("n_orphan_keys"),
+          sum(when(col("p").isNotNull, 1L).otherwise(0L)).as("n_parent"),
+          sum(when(col("p").isNotNull && col("n").isNull, 1L).otherwise(0L))
+            .as("n_childless_parent"))
+        .select(lit(name).as("fk"), col("n_child"), col("n_null_child"),
+          col("n_orphan_child"), col("n_orphan_keys"), col("n_parent"),
+          col("n_childless_parent"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    Seq(
+      audit("customer.c_nationkey->nation", cust, "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+        ord, "o_orderkey"),
+      audit("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        supp, "s_suppkey"),
+      audit("nation.n_regionkey->region", Tables.nation(spark, dir),
+        "n_regionkey", Tables.region(spark, dir), "r_regionkey"),
+      audit("orders.o_custkey->customer", ord, "o_custkey",
+        cust, "c_custkey"),
+      audit("supplier.s_nationkey->nation", supp, "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .reduce(_.unionByName(_))
+      .orderBy("fk")
+  }
 }

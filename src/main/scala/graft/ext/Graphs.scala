@@ -559,4 +559,60 @@ object Graphs {
     }
     dist.orderBy("node")
   }
+
+  /** X125: k-core decomposition (the `k`-core of the co-order part
+    * graph) via iterative peeling (Matula–Beck 1983 in its
+    * data-parallel form): repeatedly delete every node whose degree
+    * among SURVIVORS is below `k` until nothing changes, then report
+    * each surviving node with its in-core degree. The k-core is the
+    * standard "dense backbone" extraction — spam/anomaly mining and
+    * graph-sampling pipelines run it before anything expensive.
+    *
+    * Scale shape: each round is two semi-joins of the memoized
+    * symmetric edge list against the alive-node set (co-partitioned on
+    * node id) plus one map-side-combinable degree count — never an
+    * adjacency materialization. The alive set only shrinks, and every
+    * round is an eager lineage cut ([[graft.Checkpoints.cut]]), so a
+    * 100 TB edge set pays |E ⋈ alive| per round with plain hash
+    * partitioning. Convergence is a one-row count probe per round.
+    * Peeling rounds are small in practice (each round removes a whole
+    * "shell layer"); the oracle unrolls [[kcoreOracleRounds]] rounds and
+    * [[kcoreRounds]] lets the spec assert the fixture converges within
+    * that bound — the same loud-not-silent contract as the cluster
+    * propagation oracles.
+    */
+  def kcore(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val sym = symEdges(spark, dir) // (u, v), both directions
+    def degrees(alive: DataFrame): DataFrame =
+      sym.join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+        .groupBy(col("u").as("id")).agg(count(lit(1)).as("deg"))
+    var alive = graft.Checkpoints.cut(
+      sym.select(col("u").as("id")).distinct())
+    var n = alive.count()
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = graft.Checkpoints.cut(
+        degrees(alive).filter(col("deg") >= k).select("id"))
+      val m = next.count()
+      changed = m < n
+      if (changed) { alive = next; n = m; rounds += 1 }
+    }
+    lastKcoreRounds.put((spark.sparkContext.applicationId, dir), rounds)
+    degrees(alive).select(col("id").as("part_id"), col("deg").as("core_deg"))
+      .orderBy("part_id")
+  }
+
+  /** Unroll depth of the `graph_kcore` DuckDB oracle; [[kcoreRounds]]
+    * must stay ≤ this on the gate fixture (spec-asserted at sf0.01).
+    */
+  val kcoreOracleRounds: Int = 12
+
+  private val lastKcoreRounds =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Int]
+
+  /** Peel rounds the last [[kcore]] call on (app, dir) needed. */
+  def kcoreRounds(spark: SparkSession, dir: String): Option[Int] =
+    lastKcoreRounds.get((spark.sparkContext.applicationId, dir))
 }

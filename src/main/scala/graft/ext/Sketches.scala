@@ -180,4 +180,54 @@ object Sketches {
       .select(col("scope").as("window_end_day"), col("hll_est"))
       .orderBy("window_end_day")
   }
+
+  /** X128: mergeable log₂-bucket quantile sketch — the quantile sibling
+    * of the HLL distinct sketch, with the SAME portability discipline:
+    * state is a tiny (bucket → count) histogram where bucket is the
+    * binary MSB position of the value in cents (`length(bin(cents))` —
+    * the engine-portable integer floor(log₂) the HLL rank already
+    * uses), so quantile queries never sort the data and the whole
+    * output is INTEGER-exact (no IEEE anywhere — the reported estimate
+    * is the bucket's lower bound 2^(b−1), a guaranteed ≤2× bracket of
+    * the true quantile, the DDSketch/HdrHistogram trade stated
+    * honestly). The mergeability law rides in the output like X106:
+    * `all_direct` buckets the ungrouped stream, `all_merged` sums the
+    * per-priority sketches — equal by sum-associativity, the property
+    * that lets 1000 executors histogram independently and a
+    * coordinator fold ~64-counter states.
+    *
+    * Scale shape: one map-side-combinable (scope, bucket) count over
+    * the fact table; everything downstream (cumulative ranks, quantile
+    * row lookup) runs on the sketch-sized relation (≤64 buckets ×
+    * scopes). Target ranks are exact integer ceil arithmetic
+    * (`(q·n + 99) div 100`), never a float threshold.
+    */
+  def log2Quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("scope"),
+        length(bin((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long"))).as("bucket"))
+    val perScope = rows.groupBy("scope", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val direct = rows.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .select(lit("all_direct").as("scope"), col("bucket"), col("cnt"))
+    val merged = perScope.groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .select(lit("all_merged").as("scope"), col("bucket"), col("cnt"))
+    val sketch = perScope.unionByName(direct).unionByName(merged)
+    val cum = sketch.withColumn("cum",
+      sum("cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy("scope").orderBy("bucket")))
+    val qs = sketch.groupBy("scope").agg(sum("cnt").as("n"))
+      .select(col("scope"), col("n"),
+        explode(array(lit(50), lit(90), lit(99))).as("qpct"))
+      .withColumn("target", expr("(qpct * n + 99) div 100"))
+    qs.join(cum.select("scope", "bucket", "cum"), Seq("scope"))
+      .filter(col("cum") >= col("target"))
+      .groupBy("scope", "qpct", "n", "target")
+      .agg(min("bucket").as("bucket"))
+      .select(col("scope"), col("qpct"), col("n"), col("target"),
+        col("bucket"),
+        expr("shiftleft(cast(1 as bigint), bucket - 1)").as("lo_bound"))
+      .orderBy("scope", "qpct")
+  }
 }

@@ -855,6 +855,75 @@ object TextDedup {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  /** X129: INCREMENTAL cluster maintenance — yesterday's corpus is
+    * already clustered; today's batch must merge in without re-running
+    * connected components over the whole pair graph. The classic
+    * union-find contraction, relationally: (1) cluster the base pairs
+    * (both endpoints below the split id) with star CC; (2) CONTRACT
+    * every delta edge through the base labels (an endpoint already
+    * labeled is replaced by its cluster id — `coalesce(label, id)`);
+    * (3) run star CC on the contracted graph only — its node set is
+    * {touched cluster ids} ∪ {new doc ids}, orders of magnitude smaller
+    * than the corpus; (4) compose: a base doc's final label is its base
+    * cluster's new label (or its old one when the delta never touched
+    * that cluster). Min-id labels make the composition exact: min over
+    * a merged component of {base-cluster minima ∪ new ids} IS the
+    * component's global min, so the output is row-identical to
+    * re-clustering from scratch — which is exactly what the oracle
+    * states (it shares `dedup_clusters`' full-corpus SQL verbatim).
+    *
+    * Scale shape: the base pass touches base pairs once (and at 100 TB
+    * you don't even run it — yesterday's labels are a table you read);
+    * everything per-batch is sized by the DELTA: the contraction is two
+    * hash joins of delta edges against the label table (co-partitioned
+    * on doc id), and the merge CC iterates over the contracted edge
+    * set only. Rounds stay O(log n) via the star machinery with
+    * per-round lineage cuts.
+    */
+  def incrementalClusterMerge(spark: SparkSession, dir: String,
+                              minSim: Double = 0.5): DataFrame = {
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pairs = cachedMinhashPairs(spark, dir)
+        .filter(col("est_sim") >= minSim).select("doc_a", "doc_b")
+      // deterministic, data-derived split: docs in the top quarter of
+      // the id range are "today's batch" (plan-side broadcast scalar)
+      val t = graft.tables.Tables.documents(spark, dir)
+        .agg(expr("max(doc_id) * 3 div 4").as("t"))
+      val pt = pairs.crossJoin(broadcast(t))
+      val basePairs = pt
+        .filter(col("doc_a") < col("t") && col("doc_b") < col("t"))
+        .select("doc_a", "doc_b")
+      val deltaPairs = pt
+        .filter(col("doc_a") >= col("t") || col("doc_b") >= col("t"))
+        .select("doc_a", "doc_b")
+      val base = Components.starComponents(basePairs).labels
+      val contracted = deltaPairs
+        .join(base.select(col("id").as("doc_a"), col("comp").as("ca")),
+          Seq("doc_a"), "left")
+        .join(base.select(col("id").as("doc_b"), col("comp").as("cb")),
+          Seq("doc_b"), "left")
+        .select(coalesce(col("ca"), col("doc_a")).as("u"),
+          coalesce(col("cb"), col("doc_b")).as("v"))
+      val merged = Components.starComponents(contracted).labels
+      val baseFinal = base
+        .join(merged.select(col("id").as("comp"), col("comp").as("mcomp")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("mcomp"), col("comp")).as("cluster_id"))
+      val deltaNew = merged
+        .join(base.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), col("comp").as("cluster_id"))
+      baseFinal.unionByName(deltaNew)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   // ------------------------------------------ duplication coverage / boilerplate
 
   /** Overlapping 5-word shingle OCCURRENCES per doc in long form

@@ -47,3 +47,19 @@ class KmvMinK(k: Int) extends Aggregator[String, Seq[String], String] {
   def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
   def outputEncoder: Encoder[String] = Encoders.STRING
 }
+
+/** The same KMV state, finished as the FULL sorted k-minimum sample set
+  * instead of just the k-th minimum — the form set-operation estimators
+  * need (intersection/overlap work on the samples themselves, not only
+  * the threshold; see Beyer et al., SIGMOD'07). Same constant-size
+  * associative state, same ObjectHashAggregate partial-merge shape.
+  */
+class KmvSampleSet(k: Int) extends Aggregator[String, Seq[String], Seq[String]] {
+  private val inner = new KmvMinK(k)
+  def zero: Seq[String] = inner.zero
+  def reduce(b: Seq[String], a: String): Seq[String] = inner.reduce(b, a)
+  def merge(x: Seq[String], y: Seq[String]): Seq[String] = inner.merge(x, y)
+  def finish(b: Seq[String]): Seq[String] = b
+  def bufferEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+  def outputEncoder: Encoder[Seq[String]] = ExpressionEncoder[Seq[String]]()
+}

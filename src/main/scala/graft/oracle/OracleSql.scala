@@ -3632,7 +3632,186 @@ shingles AS (
                   (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
              ROUND(score_raw, 6) AS score
       FROM s WHERE score_raw > 0
-      ORDER BY score_raw DESC, doc_id LIMIT 10""")
+      ORDER BY score_raw DESC, doc_id LIMIT 10""",
+    // X125 k-core: 12 unrolled peel rounds (Spark runs to the fixpoint;
+    // extra oracle rounds past it are no-ops, and GraphsSpec asserts the
+    // gate fixture converges within the unroll — the loud-not-silent
+    // bound contract of the cluster-propagation oracles). Each round
+    // keeps nodes with >= 64 surviving-neighbour edges (k=64 actually
+    // peels shell layers on the dense co-order fixture; k=3 kept
+    // everything and never iterated).
+    "graph_kcore" -> ("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+              UNION ALL SELECT b AS u, a AS v FROM und),
+      n0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
+""" + (1 to 12).map(k => s"""      n$k AS MATERIALIZED (
+        SELECT e.u AS id FROM sym e
+        JOIN n${k - 1} a ON e.u = a.id JOIN n${k - 1} b ON e.v = b.id
+        GROUP BY e.u HAVING COUNT(*) >= 64
+      )""").mkString(",\n") + """
+      SELECT e.u AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM sym e
+      JOIN n12 a ON e.u = a.id JOIN n12 b ON e.v = b.id
+      GROUP BY e.u ORDER BY part_id"""),
+    // X126 FK audit: one row per constraint, orphans counted by NOT
+    // EXISTS, NULL FKs carved out (SQL FK semantics) — generated per
+    // edge so the Spark edge list and this one cannot drift in shape.
+    "dq_fk_orphans" -> (Seq(
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .map { case (name, c, ck, p, pk) => s"""
+      SELECT '$name' AS fk,
+        (SELECT COUNT(*) FROM $c) AS n_child,
+        (SELECT COUNT(*) FROM $c WHERE $ck IS NULL) AS n_null_child,
+        (SELECT COUNT(*) FROM $c ch WHERE ch.$ck IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM $p pa WHERE pa.$pk = ch.$ck)) AS n_orphan_child,
+        (SELECT COUNT(DISTINCT ch.$ck) FROM $c ch WHERE ch.$ck IS NOT NULL AND NOT EXISTS
+          (SELECT 1 FROM $p pa WHERE pa.$pk = ch.$ck)) AS n_orphan_keys,
+        (SELECT COUNT(DISTINCT $pk) FROM $p) AS n_parent,
+        (SELECT COUNT(*) FROM (SELECT DISTINCT $pk AS k FROM $p) pa WHERE NOT EXISTS
+          (SELECT 1 FROM $c ch WHERE ch.$ck = pa.k)) AS n_childless_parent"""
+      }.mkString("", "\n      UNION ALL", "\n      ORDER BY fk")),
+    // X127 sweep-line concurrency: +1 at open, -1 the day after close,
+    // running sum over the dense day grid, month rollup.
+    "analytics_order_concurrency" -> """
+      WITH iv AS (
+        SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS open_d,
+               GREATEST(CAST(o.o_orderdate AS DATE),
+                        MAX(CAST(l.l_shipdate AS DATE))) AS close_d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2),
+      deltas AS (
+        SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+          SELECT open_d AS day, 1 AS d FROM iv
+          UNION ALL SELECT close_d + 1 AS day, -1 AS d FROM iv) t
+        GROUP BY day),
+      span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM deltas),
+      grid AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+               FROM span),
+      run AS (
+        SELECT g.day,
+               CAST(SUM(COALESCE(dl.delta, 0))
+                 OVER (ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS open_orders
+        FROM grid g LEFT JOIN deltas dl ON dl.day = g.day)
+      SELECT strftime(day, '%Y-%m') AS month,
+             MAX(open_orders) AS peak_open,
+             arg_max(open_orders, day) AS eom_open
+      FROM run GROUP BY 1 ORDER BY month""",
+    // X128 log2-bucket quantile sketch: integer MSB-position buckets,
+    // exact integer ceil target ranks, merge law (direct == merged) in
+    // the output rows.
+    "agg_log2_quantiles" -> """
+      WITH cents AS (
+        SELECT o_orderpriority AS scope,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM orders),
+      rws AS (SELECT scope, length(bin(cents)) AS bucket FROM cents),
+      per_scope AS (SELECT scope, bucket, COUNT(*) AS cnt FROM rws GROUP BY 1, 2),
+      direct AS (SELECT 'all_direct' AS scope, bucket, COUNT(*) AS cnt
+                 FROM rws GROUP BY 2),
+      merged AS (SELECT 'all_merged' AS scope, bucket,
+                   CAST(SUM(cnt) AS BIGINT) AS cnt
+                 FROM per_scope GROUP BY 2),
+      sk AS (SELECT * FROM per_scope UNION ALL SELECT * FROM direct
+             UNION ALL SELECT * FROM merged),
+      cum AS (SELECT scope, bucket,
+                CAST(SUM(cnt) OVER (PARTITION BY scope ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM sk),
+      tot AS (SELECT scope, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
+      qs AS (SELECT scope, n, q.qpct,
+               CAST((q.qpct * n + 99) // 100 AS BIGINT) AS target
+             FROM tot, (SELECT UNNEST([50, 90, 99]) AS qpct) q)
+      SELECT qs.scope, CAST(qs.qpct AS INT) AS qpct, qs.n, qs.target,
+             CAST(MIN(c.bucket) AS INT) AS bucket,
+             (CAST(1 AS BIGINT) << (MIN(c.bucket) - 1)) AS lo_bound
+      FROM qs JOIN cum c ON qs.scope = c.scope AND c.cum >= qs.target
+      GROUP BY qs.scope, qs.qpct, qs.n, qs.target
+      ORDER BY qs.scope, qs.qpct""",
+    // X130 KMV intersection: k=64 smallest distinct user-hash samples
+    // per type; θ = 64th smallest of the pair's sample union ('zz'
+    // sentinel = sketch saw everything, estimate degrades to the exact
+    // sample intersection). Deterministic function of the hash sets —
+    // exact-oracled like agg_kmv_distinct.
+    "agg_kmv_intersect" -> """
+      WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+      dh AS (SELECT t, md5(CAST(u AS VARCHAR)) AS h FROM du),
+      rk AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM dh),
+      sk AS (SELECT t, h FROM rk WHERE rn <= 64),
+      tp AS (SELECT a.t AS t1, b.t AS t2
+             FROM (SELECT DISTINCT t FROM du) a
+             JOIN (SELECT DISTINCT t FROM du) b ON a.t < b.t),
+      us AS (SELECT tp.t1, tp.t2, s.h FROM tp JOIN sk s ON s.t = tp.t1
+             UNION
+             SELECT tp.t1, tp.t2, s.h FROM tp JOIN sk s ON s.t = tp.t2),
+      ur AS (SELECT t1, t2, h,
+                    row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn,
+                    COUNT(*) OVER (PARTITION BY t1, t2) AS usz
+             FROM us),
+      th AS (SELECT t1, t2,
+               CASE WHEN MAX(usz) >= 64 THEN MAX(CASE WHEN rn = 64 THEN h END)
+                    ELSE 'zz' END AS theta_hex,
+               CASE WHEN MAX(usz) >= 64
+                    THEN ('0x' || substring(MAX(CASE WHEN rn = 64 THEN h END), 1, 8))::BIGINT
+                    ELSE 4294967296 END AS theta
+             FROM ur GROUP BY t1, t2),
+      cm AS (SELECT th.t1, th.t2, CAST(COUNT(*) AS BIGINT) AS c
+             FROM th JOIN sk s1 ON s1.t = th.t1
+                     JOIN sk s2 ON s2.t = th.t2 AND s2.h = s1.h
+             WHERE s1.h < th.theta_hex
+             GROUP BY th.t1, th.t2),
+      ex AS (SELECT x.t AS t1, y.t AS t2, CAST(COUNT(*) AS BIGINT) AS exact_common
+             FROM du x JOIN du y ON x.u = y.u AND x.t < y.t GROUP BY 1, 2)
+      SELECT th.t1, th.t2,
+             COALESCE(ex.exact_common, 0) AS exact_common,
+             COALESCE(cm.c, 0) AS common_below,
+             CAST(th.theta AS BIGINT) AS theta,
+             ROUND(COALESCE(cm.c, 0) * 4294967296.0 / th.theta, 6) AS kmv_est
+      FROM th LEFT JOIN cm ON th.t1 = cm.t1 AND th.t2 = cm.t2
+              LEFT JOIN ex ON th.t1 = ex.t1 AND th.t2 = ex.t2
+      ORDER BY th.t1, th.t2""",
+    // X131 RAKE: stopword-delimited phrase islands (running stopword
+    // count), integer deg-variant scoring (see Search.rakeKeywords for
+    // why deg/freq is deliberately not used).
+    "text_rake_keywords" -> """
+      WITH toks AS (
+        SELECT doc_id, w, p,
+               (w IN ('the', 'a')) AS is_stop,
+               SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING) AS grp
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS p
+              FROM documents) t),
+      members AS (SELECT doc_id, grp, p, w FROM toks WHERE NOT is_stop),
+      phrases AS (
+        SELECT doc_id, grp, string_agg(w, ' ' ORDER BY p) AS phrase,
+               COUNT(*) AS plen
+        FROM members GROUP BY doc_id, grp),
+      deg AS (
+        SELECT m.w, CAST(SUM(ph.plen) AS BIGINT) AS deg
+        FROM members m JOIN phrases ph
+          ON m.doc_id = ph.doc_id AND m.grp = ph.grp
+        GROUP BY m.w),
+      inst AS (
+        SELECT m.doc_id, m.grp, CAST(SUM(d.deg) AS BIGINT) AS score
+        FROM members m JOIN deg d ON m.w = d.w
+        GROUP BY m.doc_id, m.grp)
+      SELECT ph.phrase, CAST(COUNT(*) AS BIGINT) AS n_instances,
+             CAST(MAX(ph.plen) AS BIGINT) AS n_words, MAX(i.score) AS score
+      FROM phrases ph JOIN inst i
+        ON ph.doc_id = i.doc_id AND ph.grp = i.grp
+      GROUP BY ph.phrase
+      ORDER BY score DESC, n_instances DESC, phrase LIMIT 20""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT
@@ -3741,6 +3920,35 @@ shingles AS (
       SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
              COUNT(*) AS n_events
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_us""",
+    // X132 timer sessionization: emitted = every gap-split (non-final)
+    // session — per-key ordering closes those immediately — plus final
+    // sessions whose (last + gap) the final ms-precision watermark
+    // passed (timers fire against the ms watermark, hence the // 1000).
+    "stream_sessions_state" -> """
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+      ), wm AS (
+        SELECT epoch_us(date_trunc('millisecond', max(CAST(ts AS TIMESTAMP)))) // 1000
+               - 3600000 AS wm_ms
+        FROM events
+      ), flagged AS (
+        SELECT *, CASE WHEN us - LAG(us) OVER w > 1800000000 OR LAG(us) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_s
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ), sess AS (
+        SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+      ), agg AS (
+        SELECT user_id, sid, MIN(us) AS start_us,
+               MAX(us) + 1800000000 AS end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+      ), mx AS (SELECT user_id, MAX(sid) AS msid FROM agg GROUP BY user_id)
+      SELECT a.user_id, a.start_us, a.end_us, a.n_events
+      FROM agg a JOIN mx ON a.user_id = mx.user_id, wm
+      WHERE a.sid < mx.msid OR (a.end_us // 1000) <= wm.wm_ms
+      ORDER BY a.user_id, a.start_us""",
     "stream_dedup" -> """
       SELECT COUNT(*) AS n_distinct_pairs
       FROM (SELECT DISTINCT user_id, event_type FROM events) t""",
@@ -4446,7 +4654,8 @@ shingles AS (
   /** Keys deliberately added to `all` outside any family map (aliases that
     * reuse another entry's SQL verbatim). The guard spec accounts for these.
     */
-  private[graft] val aliasKeys: Set[String] = Set("dedup_clusters_star")
+  private[graft] val aliasKeys: Set[String] =
+    Set("dedup_clusters_star", "incr_cc_merge")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
@@ -4456,5 +4665,8 @@ shingles AS (
       stream_sink_queries ++ coverage_queries ++ warehouse_queries +
       // the star-rewiring CC twin computes the SAME clustering as the
       // propagation form, so it shares dedup_clusters' oracle verbatim
-      ("dedup_clusters_star" -> llm_queries("dedup_clusters"))
+      ("dedup_clusters_star" -> llm_queries("dedup_clusters")) +
+      // incremental contract-and-merge is row-identical to re-clustering
+      // from scratch (min-id label composition) — same full-corpus oracle
+      ("incr_cc_merge" -> llm_queries("dedup_clusters"))
 }

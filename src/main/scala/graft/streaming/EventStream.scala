@@ -378,6 +378,93 @@ object EventStream {
     }
   }
 
+  /** X132: TIMER-driven sessionization as a `transformWithState`
+    * StatefulProcessor — the fourth state shape on the modern API
+    * beside the counter, the gate and the sketch: state with a CLOCK.
+    * Per user the state is the one open session (start, last, n); a
+    * later event either extends it or — if the 30-min gap passed —
+    * closes it inline (emitted IMMEDIATELY: per-key ordering proves a
+    * gap-split session can never grow again, so keyed state beats the
+    * built-in `session_window`, which must hold every session until the
+    * GLOBAL watermark passes — the latency win this entry exists to
+    * demonstrate). The final open session per key is closed by an
+    * EVENT-TIME TIMER registered at (last + gap): each extension
+    * deletes the old timer and registers the new one, and
+    * `handleExpiredTimer` emits the session and clears the state once
+    * the watermark (1 h delay, ms precision) passes — the state-eviction
+    * contract an unbounded stream needs. The oracle states exactly this
+    * union: every gap-split session, plus final sessions whose
+    * (last + gap) the final watermark passed.
+    *
+    * Scale shape: one shuffle on user_id; state is O(live keys) triples
+    * plus one timer each, RocksDB-backed; nothing buffers raw events.
+    */
+  private class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    private def expiryMs(lastUs: Long): Long = (lastUs + gapUs) / 1000L
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      // shuffle order is arbitrary; the µs/event_id sort restores the
+      // per-key timeline inside the batch
+      val evs = rows.toSeq.sortBy(r => (r._2, r._3)).map(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var (start, last, n) =
+        if (sess.exists()) sess.get() else (-1L, -1L, 0L)
+      if (start >= 0) getHandle.deleteTimer(expiryMs(last))
+      for (us <- evs) {
+        if (start < 0) { start = us; last = us; n = 1L }
+        else if (us - last > gapUs) {
+          out += ((key, start, last + gapUs, n))
+          start = us; last = us; n = 1L
+        } else { last = us; n += 1L }
+      }
+      sess.update((start, last, n))
+      getHandle.registerTimer(expiryMs(last))
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      val (start, last, n) = sess.get()
+      sess.clear()
+      Iterator((key, start, last + gapUs, n))
+    }
+  }
+
+  def sessionState(spark: SparkSession, dir: String,
+                   gapUs: Long = 1800000000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sessions = readEvents(spark, dir)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new SessionProcessor(gapUs),
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "start_us", "end_us", "n_events")
+      runToMemory(sessions, "append").orderBy("user_id", "start_us")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** X95: the strict sequential rate limiter — the operator the batch
     * debounce (X71, `Events.throttleDedup`) explicitly declares
     * streaming-stateful and does NOT implement: admit an event iff at

@@ -58,7 +58,10 @@ class PlanHygieneSpec extends SparkSpec {
     "curation_quantile_norm", "graph_hits",
     // 1-row broadcast sides: the query vector / hit-count pair, the
     // reference-day aggregate, and the pivoted 1-row BPE merge table
-    "embed_matryoshka", "events_decayed_topk", "text_bpe_encode")
+    "embed_matryoshka", "events_decayed_topk", "text_bpe_encode",
+    // t1 < t2 theta self-join of the per-type SKETCH relation — one row
+    // per event type (5 at any sf), the corpus never enters the loop
+    "agg_kmv_intersect")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —
@@ -80,6 +83,7 @@ class PlanHygieneSpec extends SparkSpec {
     "agg_equidepth_hist" -> "cross-bucket prefix over per-bucket count subtotals (fixed bucket grid)",
     "analytics_bucket_assign" -> "cross-bucket prefix over per-bucket counts (fixed candidate-bucket grid)",
     "analytics_chisq" -> "global chi-square term sum over the (event_type x value-band) contingency cells",
+    "analytics_order_concurrency" -> "running sum over the dense calendar-day grid (bounded by the date span, ~2.5k rows)",
     "analytics_pareto80" -> "range-partition offset cumsum over 32 per-partition subtotal rows",
     "analytics_skyline" -> "cross-bucket prefix over per-price-bucket maxima",
     "curation_quantile_norm" -> "range-partition offset cumsum over 32 per-partition subtotal rows",
