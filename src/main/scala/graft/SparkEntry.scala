@@ -335,6 +335,26 @@ object SparkEntry {
     "agg_kmv_intersect" -> ((s, d) => graft.ext.Analytics.kmvIntersect(s, d)),
     // RAKE keyword extraction, integer-deg scoring, gaps-and-islands phrases
     "text_rake_keywords" -> ((s, d) => graft.ext.Search.rakeKeywords(s, d)),
+    // bitemporal (valid x transaction time) reconstruction over a 2x2 grid
+    "warehouse_bitemporal" -> ((s, d) => graft.ext.Warehouse.bitemporalQuery(s, d)),
+    // Benford first-digit audit with literal-constant reference probs
+    "dq_benford" -> ((s, d) => graft.ext.DataQuality.benfordAudit(s, d)),
+    // grid-density clustering (DBSCAN relative): dense cells + star CC
+    "spatial_grid_clusters" -> ((s, d) => graft.ext.Spatial.gridClusters(s, d)),
+    // perceptual-hash near-dup images over the real PNG decode path
+    "multimodal_phash" -> ((s, d) => graft.ext.Multimodal.phashPairs(s, d)),
+    // rule-threshold RFM segmentation (stable, auditable, no quantile drift)
+    "analytics_rfm" -> ((s, d) => graft.ext.Analytics.rfmSegments(s, d)),
+    // git-style three-way snapshot merge with surfaced conflicts
+    "warehouse_three_way_merge" -> ((s, d) => graft.ext.Warehouse.threeWayMerge(s, d)),
+    // PSI distribution drift between stream halves, fixed value bands
+    "dq_psi_drift" -> ((s, d) => graft.ext.DataQuality.psiDrift(s, d)),
+    // per-language tokenizer fertility/compression off the X121 encoder
+    "text_bpe_fertility" -> ((s, d) => graft.ext.LangModel.bpeFertility(s, d)),
+    // inter-arrival regularity (cv) bot screen, exact decimal moments
+    "events_bot_regularity" -> ((s, d) => graft.ext.Events.botRegularity(s, d)),
+    // dedup yield curve across similarity cutoffs, one pair-relation pass
+    "dedup_threshold_sweep" -> ((s, d) => graft.ext.Similarity.dedupThresholdSweep(s, d)),
     // 2-D Pareto frontier via two-phase distributed prefix max
     "analytics_skyline" -> ((s, d) => graft.ext.Analytics.skyline(s, d)),
     // exact per-segment MAD outliers via the value-histogram median
@@ -492,6 +512,8 @@ object SparkEntry {
     "stream_hll" -> (graft.streaming.EventStream.streamHll(_, _)),
     // timer-driven sessionization: transformWithState + event-time timers
     "stream_sessions_state" -> (graft.streaming.EventStream.sessionState(_, _)),
+    // streaming top-k leaderboard: bounded ListState (fifth state shape)
+    "stream_topk_state" -> (graft.streaming.EventStream.streamTopK(_, _)),
     // oracled: sketch values surface as bound predicates beside their
     // exact twins (the oracle asserts the booleans literally TRUE), so
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers

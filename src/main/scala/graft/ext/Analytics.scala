@@ -1326,6 +1326,52 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** X137: RFM customer segmentation — the classic recency/frequency/
+    * monetary marketing taxonomy, on FIXED business thresholds (the
+    * production-common rule form: quantile-based scoring drifts as the
+    * book grows and re-labels customers on every refresh; fixed rules
+    * are stable, auditable and exactly reproducible). Recency is days
+    * from last order to the corpus max date (derived plan-side, one
+    * broadcast row), frequency the order count, monetary the exact
+    * DECIMAL revenue. Scores 1-3 each; segment labels follow the
+    * standard champion/loyal/at-risk/hibernating map on (R, F&M) —
+    * all integer compares, one IEEE division in the per-segment average.
+    *
+    * Scale shape: one map-side-combinable per-customer aggregate over
+    * orders, one broadcast max-date row, one 27-key segment rollup.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        .as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(d2("o_totalprice")).as("monetary"))
+    val maxDay = perCust.agg(max("last_day").as("max_day"))
+    val scored = perCust.crossJoin(broadcast(maxDay))
+      .withColumn("rec_days", col("max_day") - col("last_day"))
+      .withColumn("r", when(col("rec_days") <= 365, 3)
+        .when(col("rec_days") <= 730, 2).otherwise(1))
+      .withColumn("f", when(col("freq") >= 12, 3)
+        .when(col("freq") >= 6, 2).otherwise(1))
+      .withColumn("m", when(col("monetary") >= 2000000, 3)
+        .when(col("monetary") >= 1000000, 2).otherwise(1))
+      .withColumn("segment",
+        when(col("r") === 3 && col("f") + col("m") >= 5, "champion")
+          .when(col("r") === 3, "recent")
+          .when(col("r") === 2 && col("f") + col("m") >= 5, "loyal")
+          .when(col("r") === 2, "warm")
+          .when(col("f") + col("m") >= 5, "at_risk")
+          .otherwise("hibernating"))
+    scored.groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("freq").as("n_orders"),
+        round(sum("monetary").cast("double") / count(lit(1)), 2)
+          .as("avg_monetary"),
+        min("rec_days").as("min_rec_days"), max("rec_days").as("max_rec_days"))
+      .orderBy("segment")
+  }
+
   /** X130: KMV set-INTERSECTION estimate (Beyer et al., SIGMOD'07 —
     * the theta-sketch idea on the KMV state): per event type, keep the
     * k=64 smallest distinct user-hash samples ([[graft.functions

@@ -199,6 +199,86 @@ object DataQuality {
       .orderBy("tbl", "col")
   }
 
+  /** X139: PSI distribution drift — the ML-monitoring standard
+    * (population stability index) between the first and second half of
+    * the event stream's date range: per event type, `value` is bucketed
+    * into fixed 50-unit bands (exact DECIMAL cents → integer band, 10
+    * bands — FIXED bands, not quantiles, so the report is stable across
+    * refreshes like the X137 rule thresholds), and each band contributes
+    * (p_a − p_b)·ln(p_a/p_b). Bands missing from either period emit a
+    * NULL term (the undefined-log guard, stated identically in the
+    * oracle) instead of being silently dropped — a feed that GREW a band
+    * is exactly what the monitor must surface.
+    *
+    * Scale shape: one map-side-combinable (type, period, band) count;
+    * the period split is a broadcast 1-row midpoint; everything after
+    * runs on the 10-band relation. Per-band terms are each a fixed
+    * expression (no float re-association); the total PSI is the
+    * reader's 10-term sum, deliberately not aggregated here.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"),
+        expr("least(cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000, " +
+          "cast(9 as bigint))").as("band"))
+    val mid = ev.agg(expr("(min(day_num) + max(day_num) + 1) div 2").as("mid"))
+    val counts = ev.crossJoin(broadcast(mid))
+      .withColumn("period", when(col("day_num") < col("mid"), "a")
+        .otherwise("b"))
+      .groupBy("event_type", "band")
+      .agg(sum(when(col("period") === "a", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("period") === "b", 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.groupBy("event_type")
+      .agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    counts.join(totals, Seq("event_type"))
+      .select(col("event_type"), col("band"), col("n_a"), col("n_b"),
+        round(col("n_a").cast("double") / col("tot_a"), 6).as("p_a"),
+        round(col("n_b").cast("double") / col("tot_b"), 6).as("p_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round((col("n_a").cast("double") / col("tot_a") -
+            col("n_b").cast("double") / col("tot_b")) *
+            log(col("n_a").cast("double") / col("tot_a") /
+              (col("n_b").cast("double") / col("tot_b"))), 6))
+          .as("psi_term"))
+      .orderBy("event_type", "band")
+  }
+
+  /** X134: Benford first-digit audit — the classic landed-financial-feed
+    * fraud/fabrication screen: the leading digit of organic magnitudes
+    * follows log10(1 + 1/d), and a feed that deviates hard was likely
+    * generated or truncated. Digits come from the exact DECIMAL cents
+    * rendering (never float formatting); the Benford reference
+    * probabilities are 6-dp literal constants stated identically in both
+    * engines — no engine computes a transcendental, so the only IEEE op
+    * is the one observed-share division and the output hash-oracles.
+    * One map-side-combinable 9-group aggregate; nothing else.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val benford = Seq(
+      1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.096910,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    val ref = benford.map { case (d, p) =>
+      struct(lit(d).as("digit"), lit(p).as("benford_pct"))
+    }
+    val digits = Tables.orders(spark, dir)
+      .select(substring(((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("total"))
+    digits.crossJoin(broadcast(total))
+      .join(spark.range(1).select(explode(array(ref: _*)).as("r"))
+        .select(col("r.digit").as("digit"), col("r.benford_pct")),
+        Seq("digit"))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("observed_pct"),
+        col("benford_pct"),
+        round(abs(col("n").cast("double") / col("total") -
+          col("benford_pct")), 6).as("abs_diff"))
+      .orderBy("digit")
+  }
+
   /** X126: referential-integrity audit over the whole star schema — one
     * row per foreign-key edge with both failure directions counted:
     * orphan children (FK value with no parent row — broken loads) and

@@ -787,6 +787,42 @@ object Events {
     }.reduce(_.unionByName(_)).orderBy("lag")
   }
 
+  /** X141: bot-regularity screen — the abuse-detection primitive: human
+    * traffic has bursty inter-arrival times, schedulers and scripts tick
+    * regularly, so the per-user coefficient of variation of event gaps
+    * separates them. Everything before the final sqrt is EXACT: gaps
+    * are integer µs (one lag window per user), and the population
+    * variance comes from (n·Σg² − (Σg)²) accumulated in DECIMAL(38,0) —
+    * order-free, never a float running mean (g² reaches 7e24, far past
+    * both long and double integer range). cv = √(n·Σg²−(Σg)²)/Σg with
+    * the decimal→double conversion and one sqrt/division as the only
+    * IEEE steps, stated identically in the oracle.
+    *
+    * Scale shape: one user_id shuffle for the lag window, one
+    * map-side-combinable moment aggregate; output is user-sized.
+    */
+  def botRegularity(spark: SparkSession, dir: String,
+                    cvThreshold: Double = 0.5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("g", col("us") - lag("us", 1).over(w))
+      .filter(col("g").isNotNull)
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("g").as("sg"),
+        sum(col("g").cast("decimal(38,0)") * col("g")).as("sg2"))
+      .select(col("user_id"), col("n_gaps"),
+        expr("sg div n_gaps").as("mean_gap_us"), // integer div: exact floor
+        round(
+          sqrt((col("n_gaps").cast("decimal(38,0)") * col("sg2") -
+            col("sg").cast("decimal(38,0)") * col("sg")).cast("double")) /
+            col("sg").cast("double"), 6).as("cv"))
+      .withColumn("bot_like", col("cv") < cvThreshold)
+      .orderBy("user_id")
+  }
+
   /** X89: last-touch revenue attribution — every purchase credits its
     * value to the most recent PRECEDING non-purchase event of the same
     * user (the classic marketing-attribution query; "none" when the

@@ -204,8 +204,12 @@ object LangModel {
     * per-doc reassembly aggregate keys on doc_id with the in-row sort
     * ([[graft.ext.TextDedup.decontaminateSpans]]'s rebuild shape).
     */
-  def bpeEncode(spark: SparkSession, dir: String,
-                nMerges: Int = 5): DataFrame = {
+  /** The per-word BPE-encoded relation (doc_id, pos, w, n_tok, enc) —
+    * the shared stage under X121's per-doc reassembly and X140's
+    * per-language fertility audit.
+    */
+  private def encodedWords(spark: SparkSession, dir: String,
+                           nMerges: Int): DataFrame = {
     val merges = bpeMerges(spark, dir, nMerges)
       .select(col("pair"),
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -226,7 +230,7 @@ object LangModel {
       .select(col("doc_id"), col("pos"), col("col").as("w"))
     val wrapped = words.crossJoin(broadcast(mergeRow))
       .withColumn("enc", regexp_replace(col("w"), "(.)", "<$1>"))
-    val encoded = (1 to nMerges)
+    (1 to nMerges)
       .foldLeft(wrapped) { (df, i) =>
         df.withColumn("enc", expr(s"replace(enc, s$i, r$i)"))
       }
@@ -234,6 +238,11 @@ object LangModel {
         (length(col("enc")) -
           length(regexp_replace(col("enc"), "<", ""))).as("n_tok"),
         col("enc"))
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String,
+                nMerges: Int = 5): DataFrame = {
+    val encoded = encodedWords(spark, dir, nMerges)
     encoded.groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("w")).cast("long")).as("n_base_tokens"),
@@ -246,5 +255,34 @@ object LangModel {
         (col("n_base_tokens") - col("n_bpe_tokens")).as("n_merged"),
         col("encoded"))
       .orderBy("doc_id")
+  }
+
+  /** X140: tokenizer FERTILITY audit — tokens-per-word and compression
+    * per language under the X121 BPE encoder: the go/no-go number a
+    * multilingual tokenizer ships with (fertility ≫ 1 for a language
+    * means its corpus pays that multiple in sequence length — the
+    * under-served-language signal). Counts are the X121 integer
+    * machinery aggregated by `lang` instead of doc; the two ratios are
+    * the only IEEE ops. At scale this audit rides the SAME encoded
+    * relation the production encode pass already materializes —
+    * [[encodedWords]] is the shared stage, nothing is re-tokenized.
+    */
+  def bpeFertility(spark: SparkSession, dir: String,
+                   nMerges: Int = 5): DataFrame = {
+    val perWord = encodedWords(spark, dir, nMerges)
+    val langs = Tables.documents(spark, dir).select("doc_id", "lang")
+    perWord.join(langs, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_words"),
+        sum(length(col("w")).cast("long")).as("n_base_tokens"),
+        sum(col("n_tok").cast("long")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_bpe_tokens").cast("double") / col("n_base_tokens"), 6)
+          .as("compression"))
+      .orderBy("lang")
   }
 }

@@ -205,6 +205,74 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** One 64-bit average-hash per decoded payload. */
+  final case class ImageHash(doc_id: Long, ahash: Long)
+
+  /** X136 stage 1 — perceptual hashing over the REAL decode path:
+    * each PNG is inflated by `javax.imageio`, nearest-neighbour-sampled
+    * to an 8×8 grid, and aHashed (bit i set ⟺ sample i above the grid
+    * mean, compared as the exact integer cross-product `64·v > Σv` —
+    * no float mean). Because the test-card raster is stated arithmetic
+    * (see [[pngPayloads]]) and PNG is lossless, the oracle recomputes
+    * the very same 64-bit hashes without any codec — a broken encode,
+    * decode, or sampler all fail the hash gate.
+    */
+  def pngAHashes(spark: SparkSession, dir: String): Dataset[ImageHash] = {
+    import spark.implicits._
+    pngPayloads(spark, dir).mapPartitions { it =>
+      it.map { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.content))
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = new Array[Int](64)
+        var s = 0L
+        var i = 0
+        while (i < 64) {
+          val v = img.getRGB((i % 8) * w / 8, (i / 8) * h / 8) & 0xff
+          px(i) = v
+          s += v
+          i += 1
+        }
+        var bits = 0L
+        i = 0
+        while (i < 64) {
+          if (px(i) * 64L > s) bits |= 1L << i
+          i += 1
+        }
+        ImageHash(p.doc_id, bits)
+      }
+    }
+  }
+
+  /** X136: perceptual near-duplicate image join — all payload pairs
+    * whose aHashes differ in ≤ `maxHam` bits. The pair space is pruned
+    * by the pigeonhole split: at Hamming ≤ 1 the two 32-bit halves
+    * cannot BOTH differ, so candidates are the union of two EQUI-joins
+    * (one per half) — lossless, and never an all-pairs scan (the same
+    * banding argument as the SimHash entry, at image-hash granularity).
+    * The oracle brute-forces the quadratic form at gate scale, which is
+    * exactly the losslessness proof.
+    */
+  def phashPairs(spark: SparkSession, dir: String,
+                 maxHam: Int = 1): DataFrame = {
+    val hs = pngAHashes(spark, dir).toDF()
+      .withColumn("lo", expr("ahash & 4294967295"))
+      .withColumn("hi", expr("shiftrightunsigned(ahash, 32)"))
+    def half(key: String): DataFrame =
+      hs.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+          col(key).as("k"))
+        .join(hs.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
+          col(key).as("k")), Seq("k"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+    half("lo").unionByName(half("hi")).distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHam)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Metadata-only scan — proves the binary column prunes away (check
     * `ReadSchema` in `.explain`: content is not read).
     */

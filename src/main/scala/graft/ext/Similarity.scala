@@ -253,6 +253,44 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** X142: dedup THRESHOLD-SWEEP — the tuning curve a dedup pipeline is
+    * parameterized from: for each candidate similarity cutoff, how many
+    * near-dup pairs and how many distinct member docs survive. One pass
+    * over the SAME bucketed pair relation X·dedup_embed_pairs computes
+    * (the relation is built once; thresholds are a 4-way explode over
+    * pairs, each a bounded fan) — at 100 TB you sweep the cutoff from
+    * the materialized pair table, never by re-running the similarity
+    * join per candidate τ. Comparisons run on the 6-dp ROUNDED cosine
+    * (both engines hold bit-identical rounded values, so ties at τ are
+    * exact), over pairs admitted by the relation's own 0.35 floor.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String,
+                          thresholds: Seq[Double] = Seq(0.35, 0.37, 0.39, 0.41, 0.43))
+      : DataFrame = {
+    val pairs = embedCosinePairs(spark, dir)
+    val grid = spark.range(1)
+      .select(explode(array(thresholds.map(lit): _*)).as("threshold"))
+    val tagged = pairs.select(
+        explode(array(thresholds.map(lit): _*)).as("threshold"),
+        col("vec_a"), col("vec_b"), col("cos_sim"))
+      .filter(col("cos_sim") >= col("threshold"))
+    val nPairs = tagged.groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = tagged
+      .select(col("threshold"),
+        explode(array(col("vec_a"), col("vec_b"))).as("vid"))
+      .distinct()
+      .groupBy("threshold").agg(count(lit(1)).as("n_docs_in_pairs"))
+    // a cutoff that drops everything is the sweep's most useful row —
+    // left-join the grid so empty thresholds report zeros, not absence
+    grid.join(nPairs, Seq("threshold"), "left")
+      .join(nDocs, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_in_pairs"), lit(0L)).as("n_docs_in_pairs"))
+      .orderBy("threshold")
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023 shape): a vector is
     * DROPPED iff a lower-id vector in the same sign-LSH bucket is
     * cosine-similar above the threshold — the min-id vector of every

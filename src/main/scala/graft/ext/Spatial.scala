@@ -104,4 +104,56 @@ object Spatial {
       .select(col("site_id"), col("fac_id").as("nearest_fac"), col("dist2"))
       .orderBy("site_id")
   }
+
+  /** X135: grid-density clustering — the scalable DBSCAN relative
+    * (CLIQUE/D-Stream family): bucket points into eps-sized grid cells,
+    * call a cell DENSE when it holds ≥ `minPts` points, and merge
+    * 8-adjacent dense cells into clusters by connected components.
+    * Points in dense cells inherit the cluster; sparse cells are noise.
+    * Exact-DBSCAN differs at borders, but the grid variant is what
+    * actually runs at scale: density is ONE map-side-combinable count
+    * (never a per-point neighborhood query), adjacency is an equi-join
+    * on replicated neighbor keys (the X37 3×3 trick — no theta join),
+    * and the component merge runs on the CELL graph, thousands of nodes
+    * out of any point volume. CC uses the O(log n) star machinery with
+    * lineage cuts; the fixture's key-derived cells form 39-cell chains,
+    * exactly the adversarial-diameter case star rewiring exists for
+    * (min-label propagation would need 39 rounds — the oracle instead
+    * states a recursive-CTE reachability closure, engine-side).
+    */
+  def gridClusters(spark: SparkSession, dir: String,
+                   minPts: Long = 4L): DataFrame = {
+    val dim = Span / Radius // 40 cells per axis
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dense = sites(spark, dir)
+        .select(expr(s"x div $Radius").as("cx"), expr(s"y div $Radius").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("n_points"))
+        .filter(col("n_points") >= minPts)
+        .withColumn("id", col("cx") * dim + col("cy"))
+      val nbr = dense.select(col("id").as("nid"),
+          explode(expr("sequence(-1, 1)")).as("dx"), col("cx"), col("cy"))
+        .select(col("nid"), col("dx"), explode(expr("sequence(-1, 1)")).as("dy"),
+          col("cx"), col("cy"))
+        // clamp to the grid BEFORE linearizing: a wrapped (cx-1, cy+1)
+        // would alias another row's linear id
+        .filter(col("cx") + col("dx") >= 0 && col("cx") + col("dx") < dim &&
+          col("cy") + col("dy") >= 0 && col("cy") + col("dy") < dim)
+        .select(col("nid"), ((col("cx") + col("dx")) * dim + col("cy") + col("dy"))
+          .as("id"))
+        .filter(col("nid") =!= col("id"))
+      val edges = dense.select("id")
+        .join(nbr, Seq("id")) // only neighbor keys that ARE dense survive
+        .select(col("id").as("a"), col("nid").as("b"))
+      val comp = Components.starComponents(edges).labels
+      dense.join(comp, Seq("id"), "left")
+        .select(col("cx"), col("cy"), col("n_points"),
+          coalesce(col("comp"), col("id")).as("cluster_id"))
+        .orderBy("cx", "cy")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }

@@ -178,6 +178,102 @@ object Warehouse {
       .orderBy("ver", "key")
   }
 
+  /** X133: BITEMPORAL query — the 2-D extension of X65's time travel:
+    * every changelog op records, at TRANSACTION time `seq`, a fact
+    * effective from VALID time `eff` (a business-effective day the op
+    * carries; derived `seq % 50` on the fixture). "As of transaction T,
+    * what did we believe held at valid time V?" is then, per key, the op
+    * maximizing (eff, seq) among {seq ≤ T, eff ≤ V} — retroactive
+    * corrections (later seq, earlier eff) resolve exactly the way a
+    * restated financial ledger requires, and a 'D' winner is a
+    * tombstone: the key did not exist at that coordinate. The entry
+    * answers a 2×2 (T, V) grid in one relation, cuts derived plan-side
+    * from the max seq (broadcast 1-row aggregate).
+    *
+    * Scale shape: the `seq ≤ T` cut lands before the key shuffle (on a
+    * seq-partitioned log layout it prunes partitions at the scan — the
+    * time-travel read path); the winner per (cell, key) is a
+    * map-side-combinable `max(struct(eff, seq, …))` argmax, never a
+    * rank window over the log.
+    */
+  def bitemporalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val log = docChangelog(spark, dir)
+      .withColumn("eff", col("seq") % 50)
+    val grid = log.agg(max(col("seq")).as("mx"))
+      .select(explode(array(lit(1L), lit(2L))).as("tver"), col("mx"))
+      .select(col("tver"), expr("(mx * tver) div 2").as("tcut"),
+        explode(array(lit(24L), lit(49L))).as("vcut"))
+    log.crossJoin(broadcast(grid))
+      .filter(col("seq") <= col("tcut") && col("eff") <= col("vcut"))
+      .groupBy("tver", "tcut", "vcut", "key")
+      .agg(max(struct(col("eff"), col("seq"), col("op"), col("val")))
+        .as("w"))
+      .filter(col("w.op") =!= "D")
+      .select(col("tver"), col("tcut"), col("vcut"), col("key"),
+        col("w.eff").as("eff"), col("w.seq").as("seq"),
+        col("w.op").as("op"), col("w.val").as("val"))
+      .orderBy("tver", "vcut", "key")
+  }
+
+  /** X138: THREE-WAY merge — the git-merge of table maintenance: two
+    * divergent snapshots ("mine"/"theirs", e.g. two regions' edits)
+    * reconciled against their common BASE. Per key, each side's change
+    * is classified against base (kept / updated / deleted); the merge
+    * takes the unchanged side's row when only one side touched the key,
+    * accepts identical edits, and flags genuine divergence —
+    * update-vs-update with different values, and delete-vs-update —
+    * as conflicts with both sides surfaced (never silently resolved:
+    * last-writer-wins is what X31's MERGE does; THIS operator's job is
+    * to refuse). Snapshot edits are deterministic key-arithmetic
+    * derivations so every branch of the matrix is exercised at any SF.
+    *
+    * Scale shape: one full-outer 3-relation key join (coalesced via two
+    * full-outers), all compares row-local; the only shuffles key on the
+    * merge key. The diff-classify-resolve matrix is exactly the CRDT /
+    * Delta-Lake-replication reconcile loop at warehouse scale.
+    */
+  def threeWayMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"),
+        col("c_acctbal").cast(D2).as("base_val"), col("c_mktsegment").as("base_seg"))
+    // mine: +100.00 on keys %3==0, delete keys %7==0
+    val mine = base.filter(col("key") % 7 =!= 0)
+      .select(col("key"),
+        when(col("key") % 3 === 0, col("base_val") + lit(100).cast(D2))
+          .otherwise(col("base_val")).as("mine_val"))
+    // theirs: +200.00 on keys %4==0, delete keys %5==0
+    val theirs = base.filter(col("key") % 5 =!= 0)
+      .select(col("key"),
+        when(col("key") % 4 === 0, col("base_val") + lit(200).cast(D2))
+          .otherwise(col("base_val")).as("theirs_val"))
+    val joined = base
+      .join(mine, Seq("key"), "full_outer")
+      .join(theirs, Seq("key"), "full_outer")
+    val mineChanged = col("mine_val").isNull ||
+      col("mine_val") =!= col("base_val")
+    val theirsChanged = col("theirs_val").isNull ||
+      col("theirs_val") =!= col("base_val")
+    joined.select(col("key"),
+        when(!mineChanged && !theirsChanged, "unchanged")
+          .when(mineChanged && !theirsChanged, "take_mine")
+          .when(!mineChanged && theirsChanged, "take_theirs")
+          .when(col("mine_val").isNull && col("theirs_val").isNull,
+            "both_deleted")
+          .when(col("mine_val") <=> col("theirs_val"), "both_same")
+          .when(col("mine_val").isNull || col("theirs_val").isNull,
+            "conflict_delete_update")
+          .otherwise("conflict_update_update").as("resolution"),
+        col("base_val").cast("double").as("base_val"),
+        col("mine_val").cast("double").as("mine_val"),
+        col("theirs_val").cast("double").as("theirs_val"),
+        when(!mineChanged && !theirsChanged, col("base_val"))
+          .when(mineChanged && !theirsChanged, col("mine_val"))
+          .when(!mineChanged && theirsChanged, col("theirs_val"))
+          .when(col("mine_val") <=> col("theirs_val"), col("mine_val"))
+          .cast("double").as("merged_val"))
+      .orderBy("key")
+  }
+
   /** X80: point-in-time (PIT) join against an SCD2 dimension ledger —
     * every order picks up the customer-dimension VERSION that was valid
     * on its order date (the correctness cornerstone of slowly-changing-

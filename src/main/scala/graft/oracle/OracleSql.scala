@@ -3779,6 +3779,306 @@ shingles AS (
       FROM th LEFT JOIN cm ON th.t1 = cm.t1 AND th.t2 = cm.t2
               LEFT JOIN ex ON th.t1 = ex.t1 AND th.t2 = ex.t2
       ORDER BY th.t1, th.t2""",
+    // X140 fertility: the X121 encode machinery aggregated per language.
+    "text_bpe_fertility" -> """
+      WITH raw AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        FROM documents),
+      wc AS (
+        SELECT w, COUNT(*) AS wc FROM raw WHERE length(w) >= 2 GROUP BY w),
+      pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+        FROM (SELECT w, wc, unnest(generate_series(1, length(w) - 1)) AS i
+              FROM wc) t),
+      topm AS (SELECT pair, SUM(wc) AS freq FROM pairs GROUP BY pair
+               ORDER BY freq DESC, pair LIMIT 5),
+      rk AS (SELECT pair,
+                    ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS rk
+             FROM topm),
+      mrow AS (SELECT
+        MAX(CASE WHEN rk = 1 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s1,
+        MAX(CASE WHEN rk = 1 THEN '<' || pair || '>' END) AS r1,
+        MAX(CASE WHEN rk = 2 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s2,
+        MAX(CASE WHEN rk = 2 THEN '<' || pair || '>' END) AS r2,
+        MAX(CASE WHEN rk = 3 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s3,
+        MAX(CASE WHEN rk = 3 THEN '<' || pair || '>' END) AS r3,
+        MAX(CASE WHEN rk = 4 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s4,
+        MAX(CASE WHEN rk = 4 THEN '<' || pair || '>' END) AS r4,
+        MAX(CASE WHEN rk = 5 THEN '<' || substr(pair,1,1) || '><' || substr(pair,2,1) || '>' END) AS s5,
+        MAX(CASE WHEN rk = 5 THEN '<' || pair || '>' END) AS r5
+       FROM rk),
+      words AS (
+        SELECT doc_id, w[i] AS word
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                       t -> t <> '') AS w
+                    FROM documents) d) t),
+      enc AS (
+        SELECT doc_id, word,
+               replace(replace(replace(replace(replace(
+                 regexp_replace(word, '(.)', '<\1>', 'g'),
+                 s1, r1), s2, r2), s3, r3), s4, r4), s5, r5) AS e
+        FROM words, mrow)
+      SELECT d.lang, CAST(COUNT(DISTINCT e.doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(e.e) - length(replace(e.e, '<', ''))) AS BIGINT)
+               AS n_bpe_tokens,
+             ROUND(CAST(SUM(length(e.e) - length(replace(e.e, '<', '')))
+                     AS DOUBLE) / COUNT(*), 6) AS fertility,
+             ROUND(CAST(SUM(length(e.e) - length(replace(e.e, '<', '')))
+                     AS DOUBLE) / CAST(SUM(length(e.word)) AS BIGINT), 6)
+               AS compression
+      FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+      GROUP BY d.lang ORDER BY d.lang""",
+    // X141 bot regularity: integer µs gaps, DECIMAL(38,0) moments,
+    // cv = sqrt(n*Σg²−(Σg)²)/Σg with IEEE only in the last two ops.
+    "events_bot_regularity" -> """
+      WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                        event_id FROM events),
+      g AS (SELECT user_id,
+                   us - LAG(us) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id) AS g
+            FROM e),
+      a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+              CAST(SUM(g) AS BIGINT) AS sg,
+              CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS sg2
+            FROM g WHERE g IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_us,
+             ROUND(sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * sg2 -
+                 CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)) /
+               CAST(sg AS DOUBLE), 6) AS cv,
+             (ROUND(sqrt(CAST(CAST(n_gaps AS DECIMAL(38,0)) * sg2 -
+                 CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)) /
+               CAST(sg AS DOUBLE), 6) < 0.5) AS bot_like
+      FROM a ORDER BY user_id""",
+    // X142 threshold sweep: counts over the SAME bucketed pair relation
+    // as dedup_embed_pairs, swept on the 6-dp rounded cosine.
+    "dedup_threshold_sweep" -> """
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      p AS (
+        SELECT a.vec_id AS va, b2.vec_id AS vb,
+               ROUND(list_dot_product(a.v, b2.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b2.v, b2.v))), 6) AS c
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE list_dot_product(a.v, b2.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b2.v, b2.v))) >= 0.35),
+      th AS (SELECT CAST(UNNEST([0.35, 0.37, 0.39, 0.41, 0.43]) AS DOUBLE)
+               AS threshold),
+      t AS (SELECT th.threshold, p.va, p.vb FROM th JOIN p ON p.c >= th.threshold),
+      np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM t GROUP BY 1),
+      nd AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_docs_in_pairs
+             FROM (SELECT DISTINCT threshold, v FROM
+                   (SELECT threshold, va AS v FROM t
+                    UNION ALL SELECT threshold, vb AS v FROM t) u) du
+             GROUP BY 1)
+      SELECT th.threshold, COALESCE(np.n_pairs, 0) AS n_pairs,
+             COALESCE(nd.n_docs_in_pairs, 0) AS n_docs_in_pairs
+      FROM th LEFT JOIN np ON th.threshold = np.threshold
+              LEFT JOIN nd ON th.threshold = nd.threshold
+      ORDER BY th.threshold""",
+    // X137 RFM: fixed business thresholds, integer compares, DECIMAL
+    // monetary, one division in the segment average.
+    "analytics_rfm" -> """
+      WITH pc AS (
+        SELECT o_custkey AS ck,
+               MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                 AS last_day,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders GROUP BY 1),
+      mx AS (SELECT MAX(last_day) AS max_day FROM pc),
+      sc AS (
+        SELECT ck, freq, monetary, max_day - last_day AS rec_days,
+          CASE WHEN max_day - last_day <= 365 THEN 3
+               WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END AS r,
+          CASE WHEN freq >= 12 THEN 3 WHEN freq >= 6 THEN 2 ELSE 1 END AS f,
+          CASE WHEN monetary >= 2000000 THEN 3
+               WHEN monetary >= 1000000 THEN 2 ELSE 1 END AS m
+        FROM pc, mx),
+      seg AS (SELECT *,
+          CASE WHEN r = 3 AND f + m >= 5 THEN 'champion'
+               WHEN r = 3 THEN 'recent'
+               WHEN r = 2 AND f + m >= 5 THEN 'loyal'
+               WHEN r = 2 THEN 'warm'
+               WHEN f + m >= 5 THEN 'at_risk'
+               ELSE 'hibernating' END AS segment
+        FROM sc)
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(freq) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(monetary) AS DOUBLE) / COUNT(*), 2) AS avg_monetary,
+             MIN(rec_days) AS min_rec_days, MAX(rec_days) AS max_rec_days
+      FROM seg GROUP BY segment ORDER BY segment""",
+    // X138 three-way merge: per-key change classification against base,
+    // identical edits accepted, divergence surfaced (never auto-resolved).
+    "warehouse_three_way_merge" -> """
+      WITH base AS (SELECT c_custkey AS key,
+                           CAST(c_acctbal AS DECIMAL(18,2)) AS base_val
+                    FROM customer),
+      mine AS (SELECT key, CASE WHEN key % 3 = 0 THEN base_val + 100
+                               ELSE base_val END AS mine_val
+               FROM base WHERE key % 7 <> 0),
+      theirs AS (SELECT key, CASE WHEN key % 4 = 0 THEN base_val + 200
+                                 ELSE base_val END AS theirs_val
+                 FROM base WHERE key % 5 <> 0),
+      j AS (SELECT b.key, b.base_val, m.mine_val, t.theirs_val,
+                   (m.mine_val IS NULL OR m.mine_val <> b.base_val) AS mc,
+                   (t.theirs_val IS NULL OR t.theirs_val <> b.base_val) AS tc
+            FROM base b LEFT JOIN mine m ON b.key = m.key
+                        LEFT JOIN theirs t ON b.key = t.key)
+      SELECT key,
+        CASE WHEN NOT mc AND NOT tc THEN 'unchanged'
+             WHEN mc AND NOT tc THEN 'take_mine'
+             WHEN NOT mc AND tc THEN 'take_theirs'
+             WHEN mine_val IS NULL AND theirs_val IS NULL THEN 'both_deleted'
+             WHEN mine_val IS NOT DISTINCT FROM theirs_val THEN 'both_same'
+             WHEN mine_val IS NULL OR theirs_val IS NULL
+               THEN 'conflict_delete_update'
+             ELSE 'conflict_update_update' END AS resolution,
+        CAST(base_val AS DOUBLE) AS base_val,
+        CAST(mine_val AS DOUBLE) AS mine_val,
+        CAST(theirs_val AS DOUBLE) AS theirs_val,
+        CAST(CASE WHEN NOT mc AND NOT tc THEN base_val
+                  WHEN mc AND NOT tc THEN mine_val
+                  WHEN NOT mc AND tc THEN theirs_val
+                  WHEN mine_val IS NOT DISTINCT FROM theirs_val THEN mine_val
+             END AS DOUBLE) AS merged_val
+      FROM j ORDER BY key""",
+    // X139 PSI drift: fixed 50-unit value bands, first vs second half of
+    // the date range, per-band (pa-pb)*ln(pa/pb) terms with the
+    // missing-band NULL guard.
+    "dq_psi_drift" -> """
+      WITH ev AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000,
+                     CAST(9 AS BIGINT)) AS band
+        FROM events),
+      mid AS (SELECT (MIN(day_num) + MAX(day_num) + 1) // 2 AS mid FROM ev),
+      c AS (SELECT event_type, band,
+              CAST(SUM(CASE WHEN day_num < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN day_num >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM ev, mid GROUP BY 1, 2),
+      t AS (SELECT event_type, CAST(SUM(n_a) AS BIGINT) AS tot_a,
+                   CAST(SUM(n_b) AS BIGINT) AS tot_b
+            FROM c GROUP BY 1)
+      SELECT c.event_type, c.band, c.n_a, c.n_b,
+             ROUND(CAST(c.n_a AS DOUBLE) / tot_a, 6) AS p_a,
+             ROUND(CAST(c.n_b AS DOUBLE) / tot_b, 6) AS p_b,
+             CASE WHEN c.n_a > 0 AND c.n_b > 0 THEN
+               ROUND((CAST(c.n_a AS DOUBLE) / tot_a -
+                      CAST(c.n_b AS DOUBLE) / tot_b)
+                     * ln(CAST(c.n_a AS DOUBLE) / tot_a /
+                          (CAST(c.n_b AS DOUBLE) / tot_b)), 6)
+             END AS psi_term
+      FROM c JOIN t ON c.event_type = t.event_type
+      ORDER BY c.event_type, c.band""",
+    // X135 grid clustering: dense-cell adjacency merged by a
+    // recursive-CTE reachability closure (the fixture's cell chains are
+    // 39 long — an unrolled propagation would be fixture-fragile; the
+    // closure is a true fixpoint, and the cell graph is tiny by
+    // construction so the reach relation stays bounded).
+    "spatial_grid_clusters" -> """
+      WITH RECURSIVE pts AS (
+        SELECT (c_custkey * 5761) % 10000 AS x,
+               ((c_custkey * 5761) // 10000) % 10000 AS y
+        FROM customer),
+      cells AS (SELECT x // 250 AS cx, y // 250 AS cy, COUNT(*) AS n
+                FROM pts GROUP BY 1, 2),
+      dense AS (SELECT cx, cy, n, cx * 40 + cy AS id FROM cells WHERE n >= 4),
+      edges AS (SELECT a.id AS s, b.id AS t FROM dense a JOIN dense b
+                ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+                   AND a.id <> b.id),
+      r(c, v) AS (
+        SELECT id, id FROM dense
+        UNION
+        SELECT e.s, r.v FROM edges e JOIN r ON r.c = e.t)
+      SELECT d.cx, d.cy, d.n AS n_points, MIN(r.v) AS cluster_id
+      FROM dense d JOIN r ON r.c = d.id
+      GROUP BY d.cx, d.cy, d.n
+      ORDER BY d.cx, d.cy""",
+    // X136 perceptual hash: the oracle recomputes the aHash bits
+    // ARITHMETICALLY from the stated test-card raster (no codec), then
+    // brute-forces the quadratic pair space — agreement proves both the
+    // real decode path and the pigeonhole half-blocking lossless.
+    "multimodal_phash" -> """
+      WITH g AS (SELECT UNNEST(generate_series(0, 7)) AS i),
+      px AS (
+        SELECT d.doc_id, y.i * 8 + x.i AS bit,
+               ((31 * d.doc_id + 7 * ((x.i * (8 + d.doc_id % 9)) // 8)
+                 + 13 * ((y.i * (8 + d.n_chars % 9)) // 8)) % 256) AS v
+        FROM documents d, g x, g y),
+      s AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS sm FROM px GROUP BY doc_id),
+      h AS (SELECT px.doc_id,
+              CAST(SUM(CASE WHEN px.v * 64 > s.sm AND px.bit < 32
+                   THEN (CAST(1 AS BIGINT) << CAST(px.bit AS INT)) ELSE 0 END)
+                AS BIGINT) AS lo,
+              CAST(SUM(CASE WHEN px.v * 64 > s.sm AND px.bit >= 32
+                   THEN (CAST(1 AS BIGINT) << CAST(px.bit - 32 AS INT)) ELSE 0 END)
+                AS BIGINT) AS hi
+            FROM px JOIN s ON px.doc_id = s.doc_id GROUP BY px.doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+               AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 1
+      ORDER BY doc_a, doc_b""",
+    // X133 bitemporal: per (T-cut, V-cut, key) the op maximizing
+    // (eff, seq) among {seq <= T, eff <= V}; 'D' winners are tombstones.
+    "warehouse_bitemporal" -> """
+      WITH lg AS (
+        SELECT doc_id AS seq, doc_id % 97 AS key,
+               CASE WHEN doc_id % 11 = 7 THEN 'D'
+                    WHEN doc_id % 3 = 0 THEN 'I' ELSE 'U' END AS op,
+               n_chars AS val, doc_id % 50 AS eff
+        FROM documents),
+      grid AS (
+        SELECT CAST(tver AS BIGINT) AS tver,
+               (mx * tver) // 2 AS tcut,
+               CAST(vcut AS BIGINT) AS vcut
+        FROM (SELECT MAX(seq) AS mx FROM lg),
+             (SELECT UNNEST([1, 2]) AS tver),
+             (SELECT UNNEST([24, 49]) AS vcut)),
+      cand AS (
+        SELECT g.tver, g.tcut, g.vcut, l.key, l.eff, l.seq, l.op, l.val,
+               row_number() OVER (PARTITION BY g.tver, g.vcut, l.key
+                                  ORDER BY l.eff DESC, l.seq DESC) AS rn
+        FROM lg l JOIN grid g ON l.seq <= g.tcut AND l.eff <= g.vcut)
+      SELECT tver, tcut, vcut, key, eff, seq, op, val
+      FROM cand WHERE rn = 1 AND op <> 'D'
+      ORDER BY tver, vcut, key""",
+    // X134 Benford: digits off the exact DECIMAL cents; reference
+    // probabilities are 6-dp literals (no engine transcendentals).
+    "dq_benford" -> """
+      WITH d AS (
+        SELECT CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders),
+      c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      b AS (SELECT * FROM (VALUES
+        (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
+        (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+        (9, 0.045757)) v(digit, benford_pct))
+      SELECT c.digit, c.n,
+             ROUND(CAST(c.n AS DOUBLE) / total, 6) AS observed_pct,
+             CAST(b.benford_pct AS DOUBLE) AS benford_pct,
+             ROUND(abs(CAST(c.n AS DOUBLE) / total -
+               CAST(b.benford_pct AS DOUBLE)), 6) AS abs_diff
+      FROM c JOIN b ON c.digit = b.digit, t ORDER BY c.digit""",
     // X131 RAKE: stopword-delimited phrase islands (running stopword
     // count), integer deg-variant scoring (see Search.rakeKeywords for
     // why deg/freq is deliberately not used).
@@ -3920,6 +4220,16 @@ shingles AS (
       SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
              COUNT(*) AS n_events
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_us""",
+    // X143 streaming top-k: ListState leaderboard == the batch rank
+    // window on the finite replay.
+    "stream_topk_state" -> """
+      WITH r AS (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rk
+        FROM events)
+      SELECT event_type, CAST(rk AS INT) AS rank, value, event_id
+      FROM r WHERE rk <= 3 ORDER BY event_type, rank""",
     // X132 timer sessionization: emitted = every gap-split (non-final)
     // session — per-key ordering closes those immediately — plus final
     // sessions whose (last + gap) the final ms-precision watermark

@@ -378,6 +378,71 @@ object EventStream {
     }
   }
 
+  /** X143: streaming top-k as a `transformWithState` ListState — the
+    * fifth state shape beside the counter, gate, sketch and clock: a
+    * BOUNDED LIST. Per event_type the state is the current top-3
+    * (value, event_id) leaders; each micro-batch merges its rows in and
+    * truncates back to k, so state is O(k) per key forever — the
+    * leaderboard an unbounded stream keeps without ever buffering
+    * history. Ties break on event_id, so shuffle order cannot pick the
+    * leader; on the finite AvailableNow replay the emitted leaders
+    * equal the batch rank window — the oracle-comparable form.
+    */
+  private class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double, Long), (String, Int, Double, Long)] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var top: ListState[(Double, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[(Double, Long)]("top",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Double, Long)],
+                                 timers: TimerValues): Iterator[(String, Int, Double, Long)] = {
+      val prev = if (top.exists()) top.get().toSeq else Seq.empty
+      val merged = (prev ++ rows.map(r => (r._2, r._3)))
+        .sortBy { case (v, id) => (-v, id) }.take(k)
+      top.put(merged.toArray)
+      merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+        (key, i + 1, v, id)
+      }
+    }
+  }
+
+  def streamTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val leaders = readEvents(spark, dir)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new TopKProcessor(k),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("event_type", "rank", "value", "event_id")
+      // update mode re-emits the refined leaderboard per micro-batch;
+      // per (type, rank) the final emission is the (max value, min id)
+      // one: values at a rank only improve as batches merge in, and on
+      // an equal-value tie the asc-id rule means the smaller id is the
+      // one that STAYS — the X120 convergence-read idiom, tie-exact
+      runToMemory(leaders, "update")
+        .groupBy("event_type", "rank")
+        .agg(min(struct((-col("value")).as("nv"), col("event_id"))).as("w"))
+        .select(col("event_type"), col("rank"),
+          (-col("w.nv")).as("value"), col("w.event_id").as("event_id"))
+        .orderBy("event_type", "rank")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** X132: TIMER-driven sessionization as a `transformWithState`
     * StatefulProcessor — the fourth state shape on the modern API
     * beside the counter, the gate and the sketch: state with a CLOCK.

@@ -59,9 +59,15 @@ class PlanHygieneSpec extends SparkSpec {
     // 1-row broadcast sides: the query vector / hit-count pair, the
     // reference-day aggregate, and the pivoted 1-row BPE merge table
     "embed_matryoshka", "events_decayed_topk", "text_bpe_encode",
+    "text_bpe_fertility", // same pivoted 1-row merge table as the encode entry
     // t1 < t2 theta self-join of the per-type SKETCH relation — one row
     // per event type (5 at any sf), the corpus never enters the loop
-    "agg_kmv_intersect")
+    "agg_kmv_intersect",
+    // broadcast 4-row (T,V) grid / 1-row total — the cdc_time_travel
+    // cut-replication shape
+    "warehouse_bitemporal", "dq_benford",
+    // broadcast 1-row corpus-max-day / date-midpoint aggregates
+    "analytics_rfm", "dq_psi_drift")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —
@@ -91,6 +97,7 @@ class PlanHygieneSpec extends SparkSpec {
     "curation_weighted_sample" -> "rank over the already-limited top-k (k=50) sample",
     "embed_ann_pq" -> "code rank over the already-limited 8-row seed pick (once per unpersisted consumer)",
     "text_bpe_encode" -> "merge rank over the already-limited 5-row top-pair table",
+    "text_bpe_fertility" -> "same 5-row merge-rank window (shared X121 encode stage)",
     "events_funnel" -> "running min over the 3-row per-stage bound relation",
     "graph_degree_dist" -> "cumulative share over the distinct-degree histogram")
 
