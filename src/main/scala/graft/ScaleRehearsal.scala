@@ -39,7 +39,10 @@ object ScaleRehearsal {
     "text_fuzzy_join", "dedup_minhash_pairs", "dedup_clusters_star",
     "cdc_time_travel", "agg_regression_exact", "events_sessions",
     "embed_knn_join", "curation_quantile_norm", "agg_hll_distinct",
-    "text_decontaminate_spans")
+    "text_decontaminate_spans",
+    // r7 wave: the new iterative / codec / blocking-join entries
+    "graph_kcore", "spatial_grid_clusters", "multimodal_phash",
+    "incr_cc_merge", "dedup_containment_pairs", "graph_edge_jaccard")
 
   private def replicate(spark: SparkSession, name: String): DataFrame = {
     val base = spark.read.parquet(s"$Sf01/$name.parquet")

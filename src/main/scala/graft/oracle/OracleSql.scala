@@ -3644,18 +3644,25 @@ shingles AS (
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
-      sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und
-              UNION ALL SELECT b AS u, a AS v FROM und),
-      n0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym),
-""" + (1 to 12).map(k => s"""      n$k AS MATERIALIZED (
-        SELECT e.u AS id FROM sym e
-        JOIN n${k - 1} a ON e.u = a.id JOIN n${k - 1} b ON e.v = b.id
-        GROUP BY e.u HAVING COUNT(*) >= 64
-      )""").mkString(",\n") + """
-      SELECT e.u AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg
-      FROM sym e
-      JOIN n12 a ON e.u = a.id JOIN n12 b ON e.v = b.id
-      GROUP BY e.u ORDER BY part_id"""),
+      e0 AS MATERIALIZED (SELECT a AS u, b AS v FROM und
+              UNION ALL SELECT b AS u, a AS v FROM und)""" +
+      // Each peel round is ONE windowed pass over the previous round's
+      // edge relation (an edge survives iff BOTH endpoint degrees are
+      // >= k) — a single self-reference per round, so the CTE chain
+      // stays linear under either engine's inlining (a two-join node
+      // formulation doubled references per round: 2^12 expansion).
+      // Edge peeling subsumes node peeling round-for-round, so the
+      // 12-round bound the spec asserts for node rounds covers it.
+      (1 to 12).map(k => s""",
+      e$k AS MATERIALIZED (
+        SELECT u, v FROM (
+          SELECT u, v, COUNT(*) OVER (PARTITION BY u) AS du,
+                 COUNT(*) OVER (PARTITION BY v) AS dv
+          FROM e${k - 1}) t
+        WHERE du >= 64 AND dv >= 64
+      )""").mkString + """
+      SELECT u AS part_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM e12 GROUP BY u ORDER BY part_id"""),
     // X126 FK audit: one row per constraint, orphans counted by NOT
     // EXISTS, NULL FKs carved out (SQL FK semantics) — generated per
     // edge so the Spark edge list and this one cannot drift in shape.
@@ -3694,8 +3701,9 @@ shingles AS (
           UNION ALL SELECT close_d + 1 AS day, -1 AS d FROM iv) t
         GROUP BY day),
       span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM deltas),
-      grid AS (SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
-               FROM span),
+      grid AS (SELECT CAST(gd AS DATE) AS day FROM
+                 (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS gd
+                  FROM span) gg),
       run AS (
         SELECT g.day,
                CAST(SUM(COALESCE(dl.delta, 0))
@@ -3730,7 +3738,7 @@ shingles AS (
       tot AS (SELECT scope, CAST(SUM(cnt) AS BIGINT) AS n FROM sk GROUP BY 1),
       qs AS (SELECT scope, n, q.qpct,
                CAST((q.qpct * n + 99) // 100 AS BIGINT) AS target
-             FROM tot, (SELECT UNNEST([50, 90, 99]) AS qpct) q)
+             FROM tot, (SELECT UNNEST(list_value(50, 90, 99)) AS qpct) q)
       SELECT qs.scope, CAST(qs.qpct AS INT) AS qpct, qs.n, qs.target,
              CAST(MIN(c.bucket) AS INT) AS bucket,
              (CAST(1 AS BIGINT) << (MIN(c.bucket) - 1)) AS lo_bound
@@ -3875,8 +3883,8 @@ shingles AS (
         WHERE list_dot_product(a.v, b2.v) /
                 (sqrt(list_dot_product(a.v, a.v)) *
                  sqrt(list_dot_product(b2.v, b2.v))) >= 0.35),
-      th AS (SELECT CAST(UNNEST([0.35, 0.37, 0.39, 0.41, 0.43]) AS DOUBLE)
-               AS threshold),
+      th AS (SELECT CAST(u AS DOUBLE) AS threshold FROM (SELECT
+               UNNEST(list_value(0.35, 0.37, 0.39, 0.41, 0.43)) AS u) uu),
       t AS (SELECT th.threshold, p.va, p.vb FROM th JOIN p ON p.c >= th.threshold),
       np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
              FROM t GROUP BY 1),
@@ -3986,30 +3994,34 @@ shingles AS (
              END AS psi_term
       FROM c JOIN t ON c.event_type = t.event_type
       ORDER BY c.event_type, c.band""",
-    // X135 grid clustering: dense-cell adjacency merged by a
-    // recursive-CTE reachability closure (the fixture's cell chains are
-    // 39 long — an unrolled propagation would be fixture-fragile; the
-    // closure is a true fixpoint, and the cell graph is tiny by
-    // construction so the reach relation stays bounded).
-    "spatial_grid_clusters" -> """
-      WITH RECURSIVE pts AS (
+    // X135 grid clustering: dense-cell adjacency merged by 64 unrolled
+    // min-label propagation rounds (the fixture's cell chains run 39
+    // deep — GridClusterSpec asserts the driver-side propagation round
+    // count stays within the unroll, the loud-not-silent bound
+    // contract). Each round is a SINGLE reference to the previous
+    // label relation (self-loops in `edges` fold "min of self and
+    // neighbours" into one join+MIN), so the 64-CTE chain inlines
+    // linearly in any engine — a two-reference round would expand 2^64.
+    "spatial_grid_clusters" -> ("""
+      WITH pts AS (
         SELECT (c_custkey * 5761) % 10000 AS x,
                ((c_custkey * 5761) // 10000) % 10000 AS y
         FROM customer),
       cells AS (SELECT x // 250 AS cx, y // 250 AS cy, COUNT(*) AS n
                 FROM pts GROUP BY 1, 2),
       dense AS (SELECT cx, cy, n, cx * 40 + cy AS id FROM cells WHERE n >= 4),
-      edges AS (SELECT a.id AS s, b.id AS t FROM dense a JOIN dense b
-                ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
-                   AND a.id <> b.id),
-      r(c, v) AS (
-        SELECT id, id FROM dense
-        UNION
-        SELECT e.s, r.v FROM edges e JOIN r ON r.c = e.t)
-      SELECT d.cx, d.cy, d.n AS n_points, MIN(r.v) AS cluster_id
-      FROM dense d JOIN r ON r.c = d.id
-      GROUP BY d.cx, d.cy, d.n
-      ORDER BY d.cx, d.cy""",
+      adj AS MATERIALIZED (
+        SELECT a.id AS u, b.id AS v FROM dense a JOIN dense b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+      l0 AS (SELECT id AS c, id AS v FROM dense)""" +
+      (1 to 64).map(k => s""",
+      l$k AS MATERIALIZED (
+        SELECT e.u AS c, MIN(l.v) AS v FROM adj e
+        JOIN l${k - 1} l ON l.c = e.v GROUP BY e.u
+      )""").mkString + """
+      SELECT d.cx, d.cy, d.n AS n_points, l64.v AS cluster_id
+      FROM dense d JOIN l64 ON l64.c = d.id
+      ORDER BY d.cx, d.cy"""),
     // X136 perceptual hash: the oracle recomputes the aHash bits
     // ARITHMETICALLY from the stated test-card raster (no codec), then
     // brute-forces the quadratic pair space — agreement proves both the
@@ -4050,8 +4062,8 @@ shingles AS (
                (mx * tver) // 2 AS tcut,
                CAST(vcut AS BIGINT) AS vcut
         FROM (SELECT MAX(seq) AS mx FROM lg),
-             (SELECT UNNEST([1, 2]) AS tver),
-             (SELECT UNNEST([24, 49]) AS vcut)),
+             (SELECT UNNEST(list_value(1, 2)) AS tver),
+             (SELECT UNNEST(list_value(24, 49)) AS vcut)),
       cand AS (
         SELECT g.tver, g.tcut, g.vcut, l.key, l.eff, l.seq, l.op, l.val,
                row_number() OVER (PARTITION BY g.tver, g.vcut, l.key
@@ -4072,7 +4084,7 @@ shingles AS (
       b AS (SELECT * FROM (VALUES
         (1, 0.301030), (2, 0.176091), (3, 0.124939), (4, 0.096910),
         (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
-        (9, 0.045757)) v(digit, benford_pct))
+        (9, 0.045757)) AS v(digit, benford_pct))
       SELECT c.digit, c.n,
              ROUND(CAST(c.n AS DOUBLE) / total, 6) AS observed_pct,
              CAST(b.benford_pct AS DOUBLE) AS benford_pct,
@@ -4089,9 +4101,10 @@ shingles AS (
                SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
                  OVER (PARTITION BY doc_id ORDER BY p
                        ROWS UNBOUNDED PRECEDING) AS grp
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-                     generate_subscripts(string_split(text, ' '), 1) AS p
-              FROM documents) t),
+        FROM (SELECT doc_id, ws[p] AS w, p
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents) d0) d1) t),
       members AS (SELECT doc_id, grp, p, w FROM toks WHERE NOT is_stop),
       phrases AS (
         SELECT doc_id, grp, string_agg(w, ' ' ORDER BY p) AS phrase,
@@ -4220,6 +4233,12 @@ shingles AS (
       SELECT user_id, MIN(us) AS start_us, MAX(us) + 1800000000 AS end_us,
              COUNT(*) AS n_events
       FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_us""",
+    // X144 MapState profile: per-(user, sub-key) running counts == the
+    // batch GROUP BY on the finite replay.
+    "stream_map_state" -> """
+      SELECT user_id, event_type, COUNT(*) AS n_events
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, event_type""",
     // X143 streaming top-k: ListState leaderboard == the batch rank
     // window on the finite replay.
     "stream_topk_state" -> """

@@ -378,6 +378,67 @@ object EventStream {
     }
   }
 
+  /** X144: per-user activity profile as a `transformWithState` MapState
+    * — the sixth state shape: a keyed SUB-MAP. Per user the state maps
+    * event_type → running count; each micro-batch folds its rows in and
+    * emits the touched sub-keys' new totals. This is the state layout
+    * for "wide" per-key profiles whose sub-key set is dynamic: a
+    * ValueState of the whole profile would rewrite the full map per
+    * update, while MapState reads/writes only the touched sub-keys —
+    * RocksDB prefix-scans the (key, sub-key) space, the same layout a
+    * feature store's online counters use. Counts only grow, so the
+    * convergence read (max per pair) equals the final state; on the
+    * finite replay that is the batch GROUP BY — the oracle form.
+    */
+  private class TypeProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var profile: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      profile = getHandle.getMapState[String, Long]("profile",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, String)],
+                                 timers: TimerValues): Iterator[(Long, String, Long)] = {
+      val batch = rows.foldLeft(Map.empty[String, Long]) { (m, r) =>
+        m.updated(r._2, m.getOrElse(r._2, 0L) + 1L)
+      }
+      batch.toSeq.sortBy(_._1).iterator.map { case (t, n) =>
+        val total = (if (profile.containsKey(t)) profile.getValue(t) else 0L) + n
+        profile.updateValue(t, total)
+        (key, t, total)
+      }
+    }
+  }
+
+  def streamMapState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val profile = readEvents(spark, dir)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new TypeProfileProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n_events")
+      // counts only grow: max per (user, type) = the final state
+      runToMemory(profile, "update")
+        .groupBy("user_id", "event_type")
+        .agg(max("n_events").as("n_events"))
+        .orderBy("user_id", "event_type")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** X143: streaming top-k as a `transformWithState` ListState — the
     * fifth state shape beside the counter, gate, sketch and clock: a
     * BOUNDED LIST. Per event_type the state is the current top-3

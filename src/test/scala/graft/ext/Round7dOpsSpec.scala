@@ -90,6 +90,24 @@ class Round7dOpsSpec extends SparkSpec {
     val expected = dense.map(c => c -> ((cells(c), labels(c)))).toMap
     assert(got == expected)
     assert(expected.nonEmpty)
+    // the oracle unrolls 64 min-label propagation rounds; assert the
+    // fixture actually converges inside that bound (loud, not silent)
+    var plabels = dense.map(c => c -> lin(c)).toMap
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val next = dense.map { case c0 @ (cx, cy) =>
+        val nb = for {
+          dx <- -1L to 1L; dy <- -1L to 1L
+          n = (cx + dx, cy + dy) if dense(n)
+        } yield plabels(n)
+        c0 -> nb.min
+      }.toMap
+      changed = next != plabels
+      if (changed) { plabels = next; rounds += 1 }
+    }
+    assert(rounds <= 64,
+      s"fixture propagation needs $rounds rounds > oracle unroll 64")
   }
 
   test("phash: real decode equals the arithmetic raster; pairing lossless") {

@@ -41,6 +41,7 @@ class ThreeWaySqlSpec extends SparkSpec {
     s = s.replace("string_split(", "split(")
     s = s.replace("array_to_string(", "array_join(")
     s = s.replace("unnest(", "explode(")
+    s = s.replace("UNNEST(", "explode(")
     s = s.replace("generate_series(", "sequence(")
     s = s.replace("len(", "size(")
     s = s.replace("list_filter(", "filter(")
@@ -84,6 +85,7 @@ class ThreeWaySqlSpec extends SparkSpec {
     // token sequence ", 'g')" appears only as that flag in the twins.
     s = s.replace(", 'g')", ")")
     s = s.replace("strpos(", "instr(")
+    s = s.replace("arg_max(", "max_by(")
     s = s.replace("list_value(", "array(")
     // DuckDB xor(a, b) == Spark's ^ operator
     s = raw"xor\(($arg),\s*($arg)\)".r.replaceAllIn(s,
