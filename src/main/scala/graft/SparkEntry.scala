@@ -355,6 +355,12 @@ object SparkEntry {
     "events_bot_regularity" -> ((s, d) => graft.ext.Events.botRegularity(s, d)),
     // dedup yield curve across similarity cutoffs, one pair-relation pass
     "dedup_threshold_sweep" -> ((s, d) => graft.ext.Similarity.dedupThresholdSweep(s, d)),
+    // censoring-aware Kaplan-Meier customer-lifetime curve
+    "analytics_survival_km" -> ((s, d) => graft.ext.Analytics.survivalKm(s, d)),
+    // Newman modularity terms for the label-prop partition (quality audit)
+    "graph_modularity" -> ((s, d) => graft.ext.Graphs.modularity(s, d)),
+    // recall@k curve of single-bucket sign-LSH vs the exact ranking
+    "embed_recall_curve" -> ((s, d) => graft.ext.Similarity.recallCurve(s, d)),
     // 2-D Pareto frontier via two-phase distributed prefix max
     "analytics_skyline" -> ((s, d) => graft.ext.Analytics.skyline(s, d)),
     // exact per-segment MAD outliers via the value-histogram median

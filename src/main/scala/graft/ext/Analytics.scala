@@ -1326,6 +1326,58 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** X145: Kaplan–Meier survival curve — the censoring-aware "how long
+    * do customers stay active" estimator (naive mean lifetime is biased
+    * low because still-active customers haven't finished their
+    * lifetimes; KM is the standard fix). Lifetime = days between a
+    * customer's first and last order; customers whose last order falls
+    * in the final 90 days of the corpus are CENSORED (still alive, they
+    * leave the risk set without counting as churn). S(t) =
+    * Π_{death days ≤ t} (1 − d_i/n_i) with n_i the at-risk count.
+    *
+    * Exactness discipline: the per-lifetime (deaths, censored)
+    * histogram and every risk count are integers; the product is
+    * computed as exp(Σ ln(1 − d/n)) over a ROWS-UNBOUNDED-PRECEDING
+    * window ordered by lifetime — a FIXED summation order, so both
+    * engines add the identical float sequence (the same rule that makes
+    * the TWAP/PSI entries portable); a day where everyone at risk dies
+    * drives ln → −∞ and S → 0 in both engines identically.
+    *
+    * Scale shape: one per-customer aggregate, then everything runs on
+    * the lifetime-day value histogram (bounded by the calendar span —
+    * PlanHygiene-allowlisted partitionless windows over ~hundreds of
+    * rows out of any customer count).
+    */
+  def survivalKm(spark: SparkSession, dir: String,
+                 censorDays: Int = 90): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(min(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+          .as("first_day"),
+        max(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+          .as("last_day"))
+    val maxDay = perCust.agg(max("last_day").as("max_day"))
+    val lifetimes = perCust.crossJoin(broadcast(maxDay))
+      .select((col("last_day") - col("first_day")).as("t"),
+        (col("last_day") > col("max_day") - censorDays).as("censored"))
+    val hist = lifetimes.groupBy("t")
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("c"))
+    val total = hist.agg(sum(col("d") + col("c")).as("n_total"))
+    val w = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = hist.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - (sum(col("d") + col("c")).over(w) - col("d") - col("c")))
+    atRisk.filter(col("d") > 0)
+      .withColumn("surv",
+        exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .over(w)))
+      .select(col("t").as("lifetime_days"), col("n_risk"), col("d").as("n_deaths"),
+        col("c").as("n_censored"), round(col("surv"), 6).as("survival"))
+      .orderBy("lifetime_days")
+  }
+
   /** X137: RFM customer segmentation — the classic recency/frequency/
     * monetary marketing taxonomy, on FIXED business thresholds (the
     * production-common rule form: quantile-based scoring drifts as the

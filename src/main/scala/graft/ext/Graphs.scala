@@ -332,6 +332,19 @@ object Graphs {
     // labels (which leave their argmax aggregate hash-partitioned on
     // id = the same key) against sym.v, so the per-round join reuses
     // both sides' partitioning instead of re-shuffling the edge list
+    val labels = labelPropLabels(spark, dir, rounds)
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, Seq("lab"))
+      .select(col("id").as("part_id"), col("lab").as("community"),
+        col("community_size"))
+      .orderBy("part_id")
+  }
+
+  /** The raw (id, lab) assignment under X88's fixed-round propagation —
+    * shared by the community listing and the X146 modularity audit.
+    */
+  private def labelPropLabels(spark: SparkSession, dir: String,
+                              rounds: Int): DataFrame = {
     val sym = symEdges(spark, dir)
     val nodes = memo(spark, dir, "nodes")(
       sym.select(col("u").as("id")).distinct())
@@ -345,11 +358,52 @@ object Graphs {
         .agg(min(struct((col("c") * -1).as("nc"), col("lab"))).as("m"))
         .select(col("id"), col("m.lab").as("lab"))
     }
-    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("community_size"))
-    labels.join(sizes, Seq("lab"))
-      .select(col("id").as("part_id"), col("lab").as("community"),
-        col("community_size"))
-      .orderBy("part_id")
+    labels
+  }
+
+  /** X146: community-quality audit — Newman modularity terms for the
+    * X88 label-prop partition: per community c, Q_c = L_c/m −
+    * (D_c/2m)², where L_c counts intra-community edges and D_c sums
+    * member degrees. Everything before the two divisions is INTEGER
+    * (edge counts, endpoint counts); the global Q is the reader's sum
+    * of the per-community terms (deliberately not aggregated — a float
+    * sum over an unordered relation would be partition-order-dependent,
+    * the PSI rule). This is the "was the clustering any good" number a
+    * community detector ships with: Q near 0 says the partition is no
+    * better than random wiring — which is exactly the expected verdict
+    * on the fixture's single dense co-order component, and the audit
+    * exists to SAY so rather than let a plausible-looking partition
+    * pass unexamined.
+    *
+    * Scale shape: two label joins on the memoized undirected edges
+    * (co-partitioned on node id), two map-combinable aggregates on the
+    * community key, one broadcast 1-row edge total.
+    */
+  def modularity(spark: SparkSession, dir: String,
+                 rounds: Int = 3): DataFrame = {
+    val labels = labelPropLabels(spark, dir, rounds)
+    val und = coOrderEdges(spark, dir)
+    val m = und.agg(count(lit(1)).as("m"))
+    val lab2 = und
+      .join(labels.select(col("id").as("a"), col("lab").as("la")), Seq("a"))
+      .join(labels.select(col("id").as("b"), col("lab").as("lb")), Seq("b"))
+    val intra = lab2.filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val degSum = lab2.select(col("la").as("community"))
+      .unionByName(lab2.select(col("lb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("degree_sum"))
+    val nNodes = labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nNodes.join(degSum, Seq("community"), "left")
+      .join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"),
+        round(coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m") -
+          power(coalesce(col("degree_sum"), lit(0L)).cast("double") /
+            (lit(2) * col("m")), lit(2)), 6).as("q_term"))
+      .orderBy("community")
   }
 
   /** X94: degree distribution with cumulative share — the first graph

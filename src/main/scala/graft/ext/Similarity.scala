@@ -253,6 +253,60 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** X147: ANN recall CURVE — recall@k of the single-bucket sign-LSH
+    * index against the exact ranking, for a panel of queries × k ∈
+    * {1,5,10,20}: the evaluation table an ANN index ships with (X·
+    * embed_ann_recall pins one (query, k) point as a bound; this is the
+    * full curve, and the fixture's verdict — recall decaying with k as
+    * the 2^8-bucket index runs out of same-bucket candidates — is the
+    * finding the curve exists to show). Rankings tie-break on vec_id,
+    * so recall is a deterministic exact rational (matches/k) and the
+    * whole curve hash-oracles.
+    *
+    * Scale shape: the query panel is a bounded broadcast (8 rows);
+    * scoring is one pass over the corpus per panel (a broadcast
+    * nested-loop bounded by |panel|, declared); both rankings come from
+    * qid-partitioned windows; the k-grid is a 4-way explode of
+    * panel-sized relations.
+    */
+  def recallCurve(spark: SparkSession, dir: String, nQueries: Int = 8,
+                  ks: Seq[Int] = Seq(1, 5, 10, 20)): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding")))
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), dbl(col("embedding")).as("qv"),
+        col("bucket").as("qb"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosine(dbl(col("embedding")), col("qv")).as("cos"),
+        (col("bucket") === col("qb")).as("in_bucket"))
+    val byCos = Window.partitionBy("qid").orderBy(desc("cos"), col("vec_id"))
+    val exact = scored.withColumn("r_exact", row_number().over(byCos))
+      .filter(col("r_exact") <= ks.max)
+      .select("qid", "vec_id", "r_exact")
+    val lsh = scored.filter(col("in_bucket"))
+      .withColumn("r_lsh", row_number().over(byCos))
+      .filter(col("r_lsh") <= ks.max)
+      .select("qid", "vec_id", "r_lsh")
+    val both = exact.join(lsh, Seq("qid", "vec_id"))
+    val grid = queries.select(col("qid"),
+      explode(array(ks.map(lit): _*)).as("k"))
+    val matches = both
+      .select(col("qid"), explode(array(ks.map(lit): _*)).as("k"),
+        col("r_exact"), col("r_lsh"))
+      .filter(col("r_exact") <= col("k") && col("r_lsh") <= col("k"))
+      .groupBy("qid", "k").agg(count(lit(1)).as("n_match"))
+    grid.join(matches, Seq("qid", "k"), "left")
+      .select(col("qid"), col("k"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        round(coalesce(col("n_match"), lit(0L)).cast("double") / col("k"), 6)
+          .as("recall_at_k"))
+      .orderBy("qid", "k")
+  }
+
   /** X142: dedup THRESHOLD-SWEEP — the tuning curve a dedup pipeline is
     * parameterized from: for each candidate similarity cutoff, how many
     * near-dup pairs and how many distinct member docs survive. One pass

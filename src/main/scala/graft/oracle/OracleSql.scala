@@ -2360,6 +2360,51 @@ shingles AS (
       SELECT l.id AS part_id, l.lab AS community, s.community_size
       FROM l3 l JOIN sizes s ON l.lab = s.lab
       ORDER BY part_id"""),
+    // X146 modularity: per-community Newman terms over the SAME 3
+    // unrolled propagation rounds as graph_label_prop; integers until
+    // the two divisions, global Q left to the reader (PSI float rule).
+    "graph_modularity" -> ("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL
+        SELECT b AS u, a AS v FROM e0),
+      l0 AS (SELECT DISTINCT u AS id, u AS lab FROM sym),
+""" + (1 to 3).map(k => s"""      v$k AS (
+        SELECT s.u AS id, l.lab, COUNT(*) AS c
+        FROM sym s JOIN l${k - 1} l ON l.id = s.v
+        GROUP BY s.u, l.lab
+      ),
+      l$k AS (
+        SELECT id, lab FROM (
+          SELECT id, lab,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rk
+          FROM v$k) t
+        WHERE rk = 1
+      )""").mkString(",\n") + """,
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+      lab2 AS (SELECT e0.a, e0.b, la.lab AS la, lb.lab AS lb
+               FROM e0 JOIN l3 la ON la.id = e0.a
+                       JOIN l3 lb ON lb.id = e0.b),
+      intra AS (SELECT la AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+                FROM lab2 WHERE la = lb GROUP BY la),
+      degsum AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS degree_sum
+                 FROM (SELECT la AS community FROM lab2
+                       UNION ALL SELECT lb AS community FROM lab2) t
+                 GROUP BY community),
+      nn AS (SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM l3 GROUP BY lab)
+      SELECT nn.community, nn.n_nodes,
+             COALESCE(intra.intra_edges, 0) AS intra_edges,
+             COALESCE(degsum.degree_sum, 0) AS degree_sum,
+             ROUND(CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / m.m -
+               power(CAST(COALESCE(degsum.degree_sum, 0) AS DOUBLE) / (2 * m.m),
+                 2), 6) AS q_term
+      FROM nn LEFT JOIN degsum ON nn.community = degsum.community
+              LEFT JOIN intra ON nn.community = intra.community, m
+      ORDER BY nn.community"""),
     // X94 degree distribution: per-degree node counts + running share
     // windowed over the distinct-degree histogram (value-histogram
     // trick — the window never touches node-sized relations).
@@ -3787,6 +3832,37 @@ shingles AS (
       FROM th LEFT JOIN cm ON th.t1 = cm.t1 AND th.t2 = cm.t2
               LEFT JOIN ex ON th.t1 = ex.t1 AND th.t2 = ex.t2
       ORDER BY th.t1, th.t2""",
+    // X145 Kaplan-Meier: censoring-aware survival over the lifetime-day
+    // histogram; the product runs as exp(ordered-cumsum of ln terms) —
+    // a fixed summation order, portable like the TWAP/PSI floats.
+    "analytics_survival_km" -> """
+      WITH pc AS (
+        SELECT o_custkey,
+               MIN(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                 AS first_day,
+               MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                 AS last_day
+        FROM orders GROUP BY 1),
+      mx AS (SELECT MAX(last_day) AS max_day FROM pc),
+      lt AS (SELECT last_day - first_day AS t,
+                    (last_day > max_day - 90) AS censored
+             FROM pc, mx),
+      hist AS (SELECT t,
+                 CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                 CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+               FROM lt GROUP BY t),
+      tot AS (SELECT CAST(SUM(d + c) AS BIGINT) AS n_total FROM hist),
+      rk AS (SELECT t, d, c,
+               n_total - (CAST(SUM(d + c) OVER (ORDER BY t
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) - d - c) AS n_risk
+             FROM hist, tot),
+      dd AS (SELECT t, d, c, n_risk,
+               exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS surv
+             FROM rk WHERE d > 0)
+      SELECT t AS lifetime_days, n_risk, d AS n_deaths, c AS n_censored,
+             ROUND(surv, 6) AS survival
+      FROM dd ORDER BY lifetime_days""",
     // X140 fertility: the X121 encode machinery aggregated per language.
     "text_bpe_fertility" -> """
       WITH raw AS (
@@ -3860,6 +3936,50 @@ shingles AS (
                  CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)) /
                CAST(sg AS DOUBLE), 6) < 0.5) AS bot_like
       FROM a ORDER BY user_id""",
+    // X147 recall curve: exact vs same-bucket LSH rankings per query,
+    // matches/k over the (query, k) grid; tie-break on vec_id makes the
+    // whole curve a deterministic exact rational.
+    "embed_recall_curve" -> """
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id < 8),
+      sc AS (SELECT q.qid, b.vec_id,
+               list_dot_product(b.v, q.qv) /
+                 (sqrt(list_dot_product(b.v, b.v)) *
+                  sqrt(list_dot_product(q.qv, q.qv))) AS c,
+               (b.bucket = q.qb) AS in_bucket
+             FROM b, q WHERE b.vec_id <> q.qid),
+      ex AS (SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
+                 AS r_exact
+             FROM sc),
+      ls AS (SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
+                 AS r_lsh
+             FROM sc WHERE in_bucket),
+      bt AS (SELECT e.qid, e.vec_id, e.r_exact, l.r_lsh
+             FROM ex e JOIN ls l ON e.qid = l.qid AND e.vec_id = l.vec_id
+             WHERE e.r_exact <= 20 AND l.r_lsh <= 20),
+      ks AS (SELECT UNNEST(list_value(1, 5, 10, 20)) AS k),
+      grid AS (SELECT q.qid, ks.k FROM q, ks),
+      mt AS (SELECT bt.qid, ks.k, CAST(COUNT(*) AS BIGINT) AS n_match
+             FROM bt, ks WHERE bt.r_exact <= ks.k AND bt.r_lsh <= ks.k
+             GROUP BY 1, 2)
+      SELECT g.qid, CAST(g.k AS INT) AS k,
+             COALESCE(mt.n_match, 0) AS n_match,
+             ROUND(CAST(COALESCE(mt.n_match, 0) AS DOUBLE) / g.k, 6)
+               AS recall_at_k
+      FROM grid g LEFT JOIN mt ON g.qid = mt.qid AND g.k = mt.k
+      ORDER BY g.qid, g.k""",
     // X142 threshold sweep: counts over the SAME bucketed pair relation
     // as dedup_embed_pairs, swept on the 6-dp rounded cosine.
     "dedup_threshold_sweep" -> """

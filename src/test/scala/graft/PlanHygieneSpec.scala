@@ -67,7 +67,10 @@ class PlanHygieneSpec extends SparkSpec {
     // cut-replication shape
     "warehouse_bitemporal", "dq_benford",
     // broadcast 1-row corpus-max-day / date-midpoint aggregates
-    "analytics_rfm", "dq_psi_drift")
+    "analytics_rfm", "dq_psi_drift", "analytics_survival_km",
+    "graph_modularity",
+    // bounded 8-row query-panel broadcast (the declared panel nested loop)
+    "embed_recall_curve")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —
@@ -91,6 +94,7 @@ class PlanHygieneSpec extends SparkSpec {
     "analytics_chisq" -> "global chi-square term sum over the (event_type x value-band) contingency cells",
     "analytics_order_concurrency" -> "running sum over the dense calendar-day grid (bounded by the date span, ~2.5k rows)",
     "analytics_pareto80" -> "range-partition offset cumsum over 32 per-partition subtotal rows",
+    "analytics_survival_km" -> "risk/survival cumsums over the lifetime-day histogram (calendar-bounded)",
     "analytics_skyline" -> "cross-bucket prefix over per-price-bucket maxima",
     "curation_quantile_norm" -> "range-partition offset cumsum over 32 per-partition subtotal rows",
     "curation_shard_pack" -> "cross-bucket prefix over doc_id-bucket token subtotals (corpus/100 rows)",
