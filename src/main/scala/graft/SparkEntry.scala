@@ -361,6 +361,14 @@ object SparkEntry {
     "graph_modularity" -> ((s, d) => graft.ext.Graphs.modularity(s, d)),
     // recall@k curve of single-bucket sign-LSH vs the exact ranking
     "embed_recall_curve" -> ((s, d) => graft.ext.Similarity.recallCurve(s, d)),
+    // integer CUSUM changepoint (cross-multiplied deviation, exact argmax)
+    "events_changepoint_cusum" -> ((s, d) => graft.ext.Events.changepointCusum(s, d)),
+    // power-user curve: active-days histogram + cumulative share
+    "events_power_curve" -> ((s, d) => graft.ext.Events.powerCurve(s, d)),
+    // degree assortativity (Newman r) from exact DECIMAL moments
+    "graph_assortativity" -> ((s, d) => graft.ext.Graphs.assortativity(s, d)),
+    // per-column Shannon entropy via the ordered count-of-counts sum
+    "dq_entropy_profile" -> ((s, d) => graft.ext.DataQuality.entropyProfile(s, d)),
     // 2-D Pareto frontier via two-phase distributed prefix max
     "analytics_skyline" -> ((s, d) => graft.ext.Analytics.skyline(s, d)),
     // exact per-segment MAD outliers via the value-histogram median

@@ -199,6 +199,61 @@ object DataQuality {
       .orderBy("tbl", "col")
   }
 
+  /** X151: per-column ENTROPY profile — the information-content
+    * companion to the X112 null/cardinality profile: Shannon entropy of
+    * each column's value distribution, plus the ln(n_distinct) ceiling
+    * and the normalized ratio (≈1 = near-uniform key-like column, ≈0 =
+    * one dominant value — the "is this column worth indexing /
+    * bucketing on" signal). The float discipline is the COUNT-OF-COUNTS
+    * trick: H = ln N − (1/N)·Σ_c m_c·c·ln c needs a float sum, which
+    * over an unordered value relation would be partition-order-
+    * dependent — so values collapse to (count c → #values m_c) first
+    * and the sum runs as an ORDERED running window over ascending c
+    * (bounded by distinct multiplicities, not values): a fixed
+    * summation order, the TWAP/KM rule.
+    *
+    * Scale shape: one (col, value) count, one (col, c) collapse, then
+    * everything is multiplicity-histogram-sized; windows partition per
+    * column.
+    */
+  def entropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def unpivot(table: String, df: DataFrame,
+                cols: Seq[(String, Column)]): DataFrame =
+      cols.map { case (n, c) =>
+        df.select(lit(table).as("tbl"), lit(n).as("col"),
+          c.cast("string").as("v"))
+      }.reduce(_.unionByName(_))
+    val cells =
+      unpivot("documents", Tables.documents(spark, dir), Seq(
+        "lang" -> col("lang"), "source" -> col("source"),
+        "n_chars" -> col("n_chars")))
+      .unionByName(unpivot("events", Tables.events(spark, dir), Seq(
+        "event_type" -> col("event_type"), "user_id" -> col("user_id"))))
+      .unionByName(unpivot("orders", Tables.orders(spark, dir), Seq(
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_orderstatus" -> col("o_orderstatus"))))
+    val vc = cells.filter(col("v").isNotNull)
+      .groupBy("tbl", "col", "v").agg(count(lit(1)).as("c"))
+    val coc = vc.groupBy("tbl", "col", "c").agg(count(lit(1)).as("m"))
+    val ordered = Window.partitionBy("tbl", "col").orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = coc
+      .withColumn("cum_clnc",
+        sum(col("m").cast("double") * col("c") * log(col("c"))).over(ordered))
+    withCum.groupBy("tbl", "col")
+      .agg(sum(col("c") * col("m")).as("n"),
+        sum("m").as("n_distinct"),
+        max_by(col("cum_clnc"), col("c")).as("sum_clnc"))
+      .select(col("tbl"), col("col"), col("n"), col("n_distinct"),
+        round(log(col("n")) - col("sum_clnc") / col("n"), 6).as("entropy"),
+        round(log(col("n_distinct")), 6).as("max_entropy"),
+        when(col("n_distinct") > 1,
+          round((log(col("n")) - col("sum_clnc") / col("n")) /
+            log(col("n_distinct")), 6)).as("norm_entropy"))
+      .orderBy("tbl", "col")
+  }
+
   /** X139: PSI distribution drift — the ML-monitoring standard
     * (population stability index) between the first and second half of
     * the event stream's date range: per event type, `value` is bucketed

@@ -787,6 +787,72 @@ object Events {
     }.reduce(_.unionByName(_)).orderBy("lag")
   }
 
+  /** X148: CUSUM changepoint detection on daily volumes — "when did
+    * this stream's level shift" (deploy regressions, data-source
+    * breakage, campaign starts). Per event type, S_i = Σ_{j≤i}
+    * (x_j·N − T) — the cumulative deviation-from-mean with the division
+    * CROSS-MULTIPLIED away (x·N − T instead of x − T/N), so every
+    * partial sum is an exact BIGINT and the argmax day is
+    * integer-deterministic; the classic max|S| statistic marks the most
+    * likely change day. The one IEEE op is the reported relative
+    * magnitude |S|/(N·T).
+    *
+    * Scale shape: the stream collapses to the (type, day) histogram
+    * first; the running sum windows per type over calendar-bounded
+    * rows; the argmax is a map-combinable struct-min.
+    */
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .groupBy("event_type", "day_num").agg(count(lit(1)).as("x"))
+    val perType = Window.partitionBy("event_type")
+    val ordered = Window.partitionBy("event_type").orderBy("day_num")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = daily
+      .withColumn("n_days", count(lit(1)).over(perType))
+      .withColumn("total", sum("x").over(perType))
+      .withColumn("s", sum("x").over(ordered) * col("n_days") -
+        row_number().over(Window.partitionBy("event_type").orderBy("day_num"))
+          .cast("long") * col("total"))
+    withS.groupBy("event_type")
+      .agg(max("n_days").as("n_days"), max("total").as("total"),
+        min(struct((-abs(col("s"))).as("na"), col("day_num").as("d"),
+          col("s").as("sv"))).as("w"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        col("w.d").as("cp_day"), col("w.sv").as("s_at_cp"),
+        round(abs(col("w.sv")).cast("double") /
+          (col("n_days") * col("total")), 6).as("rel_dev"))
+      .orderBy("event_type")
+  }
+
+  /** X149: power-user curve — the engagement distribution (how many
+    * users were active on exactly d distinct days, with the cumulative
+    * share): the standard "smile graph" read on user stickiness. All
+    * integers; the running share windows over the ≤31-row active-days
+    * histogram (value histogram, allowlisted).
+    */
+  def powerCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val activeDays = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("active_days"))
+    val hist = activeDays.groupBy("active_days")
+      .agg(count(lit(1)).as("n_users"))
+    val total = hist.agg(sum("n_users").as("n_total"))
+    hist.crossJoin(broadcast(total))
+      .withColumn("cum_users",
+        sum("n_users").over(Window.orderBy("active_days")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("active_days"), col("n_users"), col("cum_users"),
+        round(col("cum_users").cast("double") / col("n_total"), 6)
+          .as("cum_share"))
+      .orderBy("active_days")
+  }
+
   /** X141: bot-regularity screen — the abuse-detection primitive: human
     * traffic has bursty inter-arrival times, schedulers and scripts tick
     * regularly, so the per-user coefficient of variation of event gaps

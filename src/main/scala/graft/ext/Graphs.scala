@@ -406,6 +406,42 @@ object Graphs {
       .orderBy("community")
   }
 
+  /** X150: degree assortativity — the Pearson correlation of endpoint
+    * degrees over the edge list (Newman 2002): positive = hubs link to
+    * hubs (social-graph shape), negative = hub-and-spoke
+    * (infrastructure shape). The number that decides whether the X59
+    * degree-orientation and X21 salting machinery will actually be
+    * needed at scale. Moments accumulate in DECIMAL(38,0) over the
+    * SYMMETRIZED edge list (each undirected edge contributes both
+    * orientations, the standard convention) — order-free and exact; the
+    * single sqrt/division at the end is the only IEEE.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val und = coOrderEdges(spark, dir)
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val pairs = und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("da").as("x"), col("db").as("y"))
+    val sym = pairs.unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
+    val dec = "decimal(38,0)"
+    sym.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      .select(expr("n div 2").as("n_edges"),
+        round((col("n").cast(dec) * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (sqrt((col("n").cast(dec) * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n").cast(dec) * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 6).as("assortativity"),
+        round(col("sx").cast("double") / col("n"), 6).as("mean_deg"))
+  }
+
   /** X94: degree distribution with cumulative share — the first graph
     * profile anyone computes (is this co-occurrence graph heavy-tailed
     * enough to need the X59 orientation / X21 salting machinery?).

@@ -3936,6 +3936,108 @@ shingles AS (
                  CAST(sg AS DECIMAL(38,0)) * sg AS DOUBLE)) /
                CAST(sg AS DOUBLE), 6) < 0.5) AS bot_like
       FROM a ORDER BY user_id""",
+    // X148 CUSUM: S_i = cum(x)*N - i*T, exact BIGINT partial sums,
+    // argmax by (|S| desc, day asc).
+    "events_changepoint_cusum" -> """
+      WITH daily AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, day_num, x,
+               CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+               CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS total,
+               CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day_num
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cx,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY day_num) AS BIGINT) AS i
+        FROM daily),
+      s AS (SELECT event_type, day_num, n_days, total,
+                   cx * n_days - i * total AS sv
+            FROM st),
+      best AS (
+        SELECT event_type, day_num, n_days, total, sv,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY abs(sv) DESC, day_num) AS rk
+        FROM s)
+      SELECT event_type, n_days, total, day_num AS cp_day, sv AS s_at_cp,
+             ROUND(CAST(abs(sv) AS DOUBLE) / (n_days * total), 6) AS rel_dev
+      FROM best WHERE rk = 1 ORDER BY event_type""",
+    // X149 power curve: active-days histogram + running share.
+    "events_power_curve" -> """
+      WITH ad AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS active_days
+        FROM (SELECT DISTINCT user_id,
+                epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+              FROM events) t
+        GROUP BY user_id),
+      hist AS (SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+               FROM ad GROUP BY active_days),
+      tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM hist)
+      SELECT active_days, n_users,
+             CAST(SUM(n_users) OVER (ORDER BY active_days
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+             ROUND(CAST(SUM(n_users) OVER (ORDER BY active_days
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / n_total, 6) AS cum_share
+      FROM hist, tot ORDER BY active_days""",
+    // X150 assortativity: Pearson of endpoint degrees over the
+    // symmetrized edge list, DECIMAL(38,0) moments, one sqrt/division.
+    "graph_assortativity" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      nid AS (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und),
+      dg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d FROM nid GROUP BY id),
+      pr AS (SELECT da.d AS x, db.d AS y
+             FROM und JOIN dg da ON da.id = und.a JOIN dg db ON db.id = und.b),
+      sym AS (SELECT x, y FROM pr UNION ALL SELECT y AS x, x AS y FROM pr),
+      mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+             FROM sym)
+      SELECT n // 2 AS n_edges,
+             ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)) *
+                sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))), 6)
+               AS assortativity,
+             ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_deg
+      FROM mo""",
+    // X151 entropy: count-of-counts collapse + ORDERED running
+    // m*c*ln(c) sum (fixed summation order, the TWAP/KM float rule).
+    "dq_entropy_profile" -> """
+      WITH cells AS (
+        SELECT 'documents' AS tbl, 'lang' AS col, CAST(lang AS VARCHAR) AS v FROM documents
+        UNION ALL SELECT 'documents', 'source', CAST(source AS VARCHAR) FROM documents
+        UNION ALL SELECT 'documents', 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        UNION ALL SELECT 'events', 'event_type', CAST(event_type AS VARCHAR) FROM events
+        UNION ALL SELECT 'events', 'user_id', CAST(user_id AS VARCHAR) FROM events
+        UNION ALL SELECT 'orders', 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL SELECT 'orders', 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders),
+      vc AS (SELECT tbl, col, v, CAST(COUNT(*) AS BIGINT) AS c
+             FROM cells WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+      coc AS (SELECT tbl, col, c, CAST(COUNT(*) AS BIGINT) AS m
+              FROM vc GROUP BY 1, 2, 3),
+      cum AS (SELECT tbl, col, c, m,
+                SUM((CAST(m AS DOUBLE) * c) * ln(c))
+                  OVER (PARTITION BY tbl, col ORDER BY c
+                        ROWS UNBOUNDED PRECEDING) AS cum_clnc
+              FROM coc),
+      ag AS (SELECT tbl, col,
+               CAST(SUM(c * m) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS n_distinct,
+               max_by(cum_clnc, c) AS sum_clnc
+             FROM cum GROUP BY 1, 2)
+      SELECT tbl, col, n, n_distinct,
+             ROUND(ln(n) - sum_clnc / n, 6) AS entropy,
+             ROUND(ln(n_distinct), 6) AS max_entropy,
+             CASE WHEN n_distinct > 1 THEN
+               ROUND((ln(n) - sum_clnc / n) / ln(n_distinct), 6)
+             END AS norm_entropy
+      FROM ag ORDER BY tbl, col""",
     // X147 recall curve: exact vs same-bucket LSH rankings per query,
     // matches/k over the (query, k) grid; tie-break on vec_id makes the
     // whole curve a deterministic exact rational.

@@ -70,7 +70,9 @@ class PlanHygieneSpec extends SparkSpec {
     "analytics_rfm", "dq_psi_drift", "analytics_survival_km",
     "graph_modularity",
     // bounded 8-row query-panel broadcast (the declared panel nested loop)
-    "embed_recall_curve")
+    "embed_recall_curve",
+    // broadcast 1-row user-total aggregate
+    "events_power_curve")
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —
@@ -103,7 +105,8 @@ class PlanHygieneSpec extends SparkSpec {
     "text_bpe_encode" -> "merge rank over the already-limited 5-row top-pair table",
     "text_bpe_fertility" -> "same 5-row merge-rank window (shared X121 encode stage)",
     "events_funnel" -> "running min over the 3-row per-stage bound relation",
-    "graph_degree_dist" -> "cumulative share over the distinct-degree histogram")
+    "graph_degree_dist" -> "cumulative share over the distinct-degree histogram",
+    "events_power_curve" -> "running share over the <=31-row active-days histogram")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
