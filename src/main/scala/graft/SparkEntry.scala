@@ -530,6 +530,8 @@ object SparkEntry {
     "stream_topk_state" -> (graft.streaming.EventStream.streamTopK(_, _)),
     // per-user dynamic sub-key profile: MapState (sixth state shape)
     "stream_map_state" -> (graft.streaming.EventStream.streamMapState(_, _)),
+    // streaming CDC snapshot: update-if-newer ValueState, == batch cdc_apply
+    "stream_cdc_state" -> (graft.streaming.EventStream.streamCdcSnapshot(_, _)),
     // oracled: sketch values surface as bound predicates beside their
     // exact twins (the oracle asserts the booleans literally TRUE), so
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers

@@ -5206,7 +5206,7 @@ shingles AS (
     * reuse another entry's SQL verbatim). The guard spec accounts for these.
     */
   private[graft] val aliasKeys: Set[String] =
-    Set("dedup_clusters_star", "incr_cc_merge")
+    Set("dedup_clusters_star", "incr_cc_merge", "stream_cdc_state")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
@@ -5219,5 +5219,8 @@ shingles AS (
       ("dedup_clusters_star" -> llm_queries("dedup_clusters")) +
       // incremental contract-and-merge is row-identical to re-clustering
       // from scratch (min-id label composition) — same full-corpus oracle
-      ("incr_cc_merge" -> llm_queries("dedup_clusters"))
+      ("incr_cc_merge" -> llm_queries("dedup_clusters")) +
+      // the streaming update-if-newer snapshot converges to the batch
+      // compaction on the finite replay — cdc_apply's SQL verbatim
+      ("stream_cdc_state" -> warehouse_queries("cdc_apply"))
 }

@@ -378,6 +378,86 @@ object EventStream {
     }
   }
 
+  /** X152: streaming CDC snapshot maintenance — the keyed-state form of
+    * the batch changelog compaction (X32 `cdc_apply`): per key a
+    * ValueState holds the highest-seq op seen so far plus the op count,
+    * and each micro-batch folds its rows in by max-seq — UPDATE-IF-NEWER,
+    * which makes the operator robust to out-of-order arrival across
+    * batches (the batch form needs the whole log to rank; this one
+    * converges to the same snapshot from any interleaving, which is
+    * exactly what a CDC tailer needs). Tombstones ('D' winners) are
+    * suppressed at the read, state still counts their ops. On the
+    * finite replay the emitted snapshot equals the batch compaction —
+    * the oracle shares `cdc_apply`'s SQL verbatim.
+    */
+  private class CdcSnapshotProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String, Long, String),
+        (Long, Long, String, Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, String, Long, String, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, String, Long, String, Long)]("snap",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.STRING,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, String, Long, String)],
+                                 timers: TimerValues): Iterator[(Long, Long, String, Long, String, Long)] = {
+      val batch = rows.toSeq
+      val prev = if (st.exists()) Some(st.get()) else None
+      val batchBest = batch.maxBy(_._2)
+      val best = prev match {
+        case Some(p) if p._1 >= batchBest._2 => p
+        case _ => (batchBest._2, batchBest._3, batchBest._4, batchBest._5, 0L)
+      }
+      val nOps = prev.map(_._5).getOrElse(0L) + batch.size
+      val updated = (best._1, best._2, best._3, best._4, nOps)
+      st.update(updated)
+      Iterator((key, updated._1, updated._2, updated._3, updated._4, nOps))
+    }
+  }
+
+  def streamCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+      // the same deterministic changelog derivation as Warehouse.docChangelog
+      val log = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select((col("doc_id") % 97).as("key"), col("doc_id").as("seq"),
+          when(col("doc_id") % 11 === 7, "D")
+            .when(col("doc_id") % 3 === 0, "I").otherwise("U").as("op"),
+          col("n_chars").as("val"), col("lang"))
+        .as[(Long, Long, String, Long, String)]
+      val snap = log.groupByKey(_._1)
+        .transformWithState(new CdcSnapshotProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("key", "seq", "op", "val", "lang", "n_ops")
+      // final emission per key = the max-seq one (update mode re-emits
+      // as batches land; seq and n_ops only grow)
+      runToMemory(snap, "update")
+        .groupBy("key")
+        .agg(max(struct(col("n_ops"), col("seq"), col("op"), col("val"),
+          col("lang"))).as("w"))
+        .filter(col("w.op") =!= "D")
+        .select(col("key"), col("w.val").as("val"), col("w.lang").as("lang"),
+          col("w.op").as("last_op"), col("w.n_ops").as("n_ops"))
+        .orderBy("key")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** X144: per-user activity profile as a `transformWithState` MapState
     * — the sixth state shape: a keyed SUB-MAP. Per user the state maps
     * event_type → running count; each micro-batch folds its rows in and
