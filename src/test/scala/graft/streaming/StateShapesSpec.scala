@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Stream/batch agreement for the round-7 transformWithState entries —
+  * each streaming state shape is compared DIRECTLY against the batch
+  * computation it claims to equal on the finite replay (the same
+  * guarantee the DuckDB twins state, checked in-JVM without the SQL
+  * dialect in between), plus a structural inventory pinning that all
+  * six state shapes stay exercised.
+  */
+class StateShapesSpec extends SparkSpec {
+
+  test("stream CDC snapshot equals the batch changelog compaction") {
+    val stream = EventStream.streamCdcSnapshot(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).sorted
+    val batch = graft.ext.Warehouse.cdcApplyQuery(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4))).sorted
+    assert(stream.toSeq == batch.toSeq)
+    assert(stream.nonEmpty)
+  }
+
+  test("stream map-state profile equals the batch group-by") {
+    val stream = EventStream.streamMapState(spark, sf001).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = graft.tables.Tables.events(spark, sf001)
+      .groupBy("user_id", "event_type").count().collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(stream == batch)
+  }
+
+  test("all six transformWithState state shapes stay registered") {
+    val qs = graft.SparkEntry.queries.keySet
+    val shapes = Map(
+      "counter (ValueState)" -> "stream_transform_state",
+      "gate (ValueState decide-once)" -> "stream_dedup_state",
+      "mergeable sketch (binary ValueState)" -> "stream_hll",
+      "clock (event-time timers)" -> "stream_sessions_state",
+      "bounded list (ListState)" -> "stream_topk_state",
+      "dynamic sub-map (MapState)" -> "stream_map_state",
+      "update-if-newer snapshot (ValueState)" -> "stream_cdc_state")
+    val missing = shapes.filterNot { case (_, entry) => qs(entry) }
+    assert(missing.isEmpty,
+      s"state-shape entries dropped: ${missing.values.mkString(", ")}")
+  }
+}
