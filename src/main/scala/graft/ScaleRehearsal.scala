@@ -42,7 +42,22 @@ object ScaleRehearsal {
     "text_decontaminate_spans",
     // r7 wave: the new iterative / codec / blocking-join entries
     "graph_kcore", "spatial_grid_clusters", "multimodal_phash",
-    "incr_cc_merge", "dedup_containment_pairs", "graph_edge_jaccard")
+    "incr_cc_merge", "dedup_containment_pairs", "graph_edge_jaccard",
+    // r8 wave
+    "text_lm_perplexity3", "multimodal_jpeg", "dq_id_gaps",
+    "analytics_gini")
+
+  /** The keyed-state streaming entries: beside runtime, the rehearsal
+    * records rows/s and the FINAL state rows/bytes from
+    * `lastProgress.stateOperators` at both scales — the check that
+    * per-key state is keyed-set sized, not volume sized (stream_hll and
+    * stream_cdc_state key on small fixed domains and must hold state
+    * ~flat at 10× events; the per-user shapes may grow with the 10×
+    * user set but never faster).
+    */
+  private val StreamEntries = Seq(
+    "stream_hll", "stream_cdc_state", "stream_map_state",
+    "stream_topk_state", "stream_sessions_state")
 
   private def replicate(spark: SparkSession, name: String): DataFrame = {
     val base = spark.read.parquet(s"$Sf01/$name.parquet")
@@ -128,9 +143,42 @@ object ScaleRehearsal {
         println(f"[rehearse] $e%-28s sf0.1=$t01%7.2fs  sf1=$t1%8.2fs  exponent=$exp%5.2f")
         f"""  "$e": {"sf01_s": $t01%.2f, "sf1_s": $t1%.2f, "exponent": $exp%.3f}"""
       }
-      val json = rows.mkString(
-        s"""{"replicas": $Replicas, "note": "exponent = log10(t_sf1/t_sf0.1); linear work at 10x data with fixed cores lands near 1.0, sublinear means fixed overheads still dominate",\n "entries": {\n""",
-        ",\n", "\n}}")
+      // streaming tier: one untimed warmup pays the state-store /
+      // RocksDB session init (the Bench lesson), then each entry is
+      // measured at both scales with state size and throughput
+      graft.streaming.EventStream.transformStateUserCounts(spark, Sf01).count()
+      val streamRows = StreamEntries.map { e =>
+        def one(dir: String): (Double, graft.streaming.EventStream.RunStats) = {
+          val t = time(spark, e, dir)
+          (t, graft.streaming.EventStream.lastRunStats.getOrElse(
+            graft.streaming.EventStream.RunStats(0, 0, 0, 0, 0)))
+        }
+        val (t01, s01) = one(Sf01)
+        val (t1, s1) = one(Sf1)
+        val exp = math.log(t1 / t01) / math.log(Replicas.toDouble)
+        val stateRatio =
+          if (s01.stateRows > 0) s1.stateRows.toDouble / s01.stateRows else 0.0
+        val rps1 = if (t1 > 0) s1.inputRows / t1 else 0.0
+        println(f"[rehearse] $e%-28s sf0.1=$t01%7.2fs  sf1=$t1%8.2fs  " +
+          f"exponent=$exp%5.2f  state ${s01.stateRows}%d -> ${s1.stateRows}%d rows " +
+          f"(${s1.stateBytes}%d B)  ${rps1}%.0f rows/s")
+        f"""  "$e": {"sf01_s": $t01%.2f, "sf1_s": $t1%.2f, "exponent": $exp%.3f, """ +
+          s""""state_rows_sf01": ${s01.stateRows}, "state_rows_sf1": ${s1.stateRows}, """ +
+          f""""state_growth": $stateRatio%.2f, "state_bytes_sf1": ${s1.stateBytes}, """ +
+          f""""rows_per_s_sf1": $rps1%.0f, """ +
+          // processing vs wall: the harness share (query start/stop,
+          // sink collect, checkpoint plumbing) is wall − triggerExecution
+          f""""proc_s_sf01": ${s01.procMs / 1000.0}%.2f, "proc_s_sf1": ${s1.procMs / 1000.0}%.2f}"""
+      }
+      val json =
+        s"""{"replicas": $Replicas, "note": "exponent = log10(t_sf1/t_sf0.1); linear work at 10x data with fixed cores lands near 1.0, sublinear means fixed overheads still dominate",
+ "entries": {
+${rows.mkString(",\n")}
+},
+ "stream_note": "state_growth = final state rows at sf1 / sf0.1 under 10x events+users; keyed-set-sized state grows with its key domain (1.0 for the fixed-domain hll/cdc shapes, <= 10 for per-user shapes), never with row volume",
+ "stream_entries": {
+${streamRows.mkString(",\n")}
+}}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_sf1_partial.json"), json)
       println("[rehearse] wrote BENCH_sf1_partial.json")

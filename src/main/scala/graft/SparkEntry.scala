@@ -216,6 +216,7 @@ object SparkEntry {
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),
     "text_langid_ngram" -> ((s, d) => graft.ext.TextStats.langIdNgram(s, d)),
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),
+    "text_lexical_complexity" -> ((s, d) => graft.ext.TextStats.lexicalComplexity(s, d)),
     "text_tokens" -> (graft.ext.TextStats.tokenStats(_, _)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
@@ -234,6 +235,8 @@ object SparkEntry {
     // per-doc cross-entropy under the corpus-trained unigram LM
     // (CCNet-style quality signal; (doc,type)-combined scoring join)
     "text_lm_crossentropy" -> ((s, d) => graft.ext.LangModel.lmCrossEntropy(s, d)),
+    "text_lm_perplexity3" -> ((s, d) => graft.ext.LangModel.perplexity3(s, d)),
+    "text_zipf_fit" -> ((s, d) => graft.ext.LangModel.zipfFit(s, d)),
     // BPE tokenizer training's pair-selection step: top adjacent char
     // pairs over word TYPES weighted by count (vocabulary-collapsed)
     "text_bpe_merges" -> ((s, d) => graft.ext.LangModel.bpeMerges(s, d)),
@@ -242,6 +245,7 @@ object SparkEntry {
     // uniform-target language rebalancing: integer-threshold md5 sampler,
     // group stats broadcast, the sample itself a narrow scan filter
     "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
+    "curation_split_leakage" -> ((s, d) => graft.ext.TextStats.splitLeakage(s, d)),
     // DSIR hashed-ngram importance weights: target-vs-raw log-ratio scoring
     "curation_dsir_weights" -> ((s, d) => graft.ext.LangModel.dsirWeights(s, d)),
     // deterministic A-Res weighted sample (ln(u)/w priority, top-50)
@@ -316,6 +320,7 @@ object SparkEntry {
     "agg_hll_sliding" -> ((s, d) => graft.ext.Sketches.hllSlidingDays(s, d)),
     // per-edge Jaccard link prediction off the shared triangle kernel
     "graph_edge_jaccard" -> ((s, d) => graft.ext.Graphs.edgeJaccard(s, d)),
+    "graph_adamic_adar" -> ((s, d) => graft.ext.Graphs.adamicAdar(s, d)),
     // asymmetric set-containment join (quote/subsumption detector)
     "dedup_containment_pairs" -> ((s, d) => graft.ext.TextDedup.containmentPairs(s, d)),
     // cohort LTV triangle: exact-DECIMAL running revenue per cohort week
@@ -324,6 +329,7 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => graft.ext.Graphs.kcore(s, d)),
     // referential audit: orphan children + childless parents per FK edge
     "dq_fk_orphans" -> ((s, d) => graft.ext.DataQuality.fkOrphanAudit(s, d)),
+    "dq_id_gaps" -> ((s, d) => graft.ext.DataQuality.idGaps(s, d)),
     // sweep-line open-order concurrency (per-month peak / end-of-month)
     "analytics_order_concurrency" -> ((s, d) => graft.ext.Analytics.orderConcurrency(s, d)),
     // mergeable log2-bucket quantile sketch with the merge law in-output
@@ -345,6 +351,8 @@ object SparkEntry {
     "multimodal_phash" -> ((s, d) => graft.ext.Multimodal.phashPairs(s, d)),
     // rule-threshold RFM segmentation (stable, auditable, no quantile drift)
     "analytics_rfm" -> ((s, d) => graft.ext.Analytics.rfmSegments(s, d)),
+    "analytics_gini" -> ((s, d) => graft.ext.Analytics.giniRevenue(s, d)),
+    "analytics_skew_kurtosis" -> ((s, d) => graft.ext.Analytics.skewKurtosis(s, d)),
     // git-style three-way snapshot merge with surfaced conflicts
     "warehouse_three_way_merge" -> ((s, d) => graft.ext.Warehouse.threeWayMerge(s, d)),
     // PSI distribution drift between stream halves, fixed value bands
@@ -365,6 +373,8 @@ object SparkEntry {
     "events_changepoint_cusum" -> ((s, d) => graft.ext.Events.changepointCusum(s, d)),
     // power-user curve: active-days histogram + cumulative share
     "events_power_curve" -> ((s, d) => graft.ext.Events.powerCurve(s, d)),
+    "events_seasonality" -> ((s, d) => graft.ext.Events.seasonality(s, d)),
+    "events_stickiness" -> ((s, d) => graft.ext.Events.stickiness(s, d)),
     // degree assortativity (Newman r) from exact DECIMAL moments
     "graph_assortativity" -> ((s, d) => graft.ext.Graphs.assortativity(s, d)),
     // per-column Shannon entropy via the ordered count-of-counts sum
@@ -424,6 +434,8 @@ object SparkEntry {
     "text_strip_boilerplate" -> ((s, d) => graft.ext.TextDedup.stripBoilerplate(s, d)),
     "dq_report" -> (graft.ext.DataQuality.report(_, _)),
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
+    "multimodal_jpeg" -> (graft.ext.Multimodal.jpegQuery(_, _)),
+    "multimodal_pcm_features" -> (graft.ext.Multimodal.pcmQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),
     "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)),
@@ -613,6 +625,8 @@ object SparkEntry {
     // CDC changelog -> snapshot compaction (last op per key wins,
     // deletes drop the key; one window shuffle)
     "cdc_apply" -> ((s, d) => graft.ext.Warehouse.cdcApplyQuery(s, d)),
+    "warehouse_scd2_build" -> ((s, d) => graft.ext.Warehouse.scd2BuildQuery(s, d)),
+    "warehouse_scd2_merge" -> ((s, d) => graft.ext.Warehouse.scd2MergeQuery(s, d)),
     // version-to-version table diff on content fingerprints (full-outer
     // key join over two narrow (key, md5) projections)
     "warehouse_snapshot_diff" -> ((s, d) => graft.ext.Warehouse.snapshotDiffQuery(s, d)),

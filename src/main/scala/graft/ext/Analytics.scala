@@ -1340,8 +1340,14 @@ object Analytics {
     * computed as exp(Σ ln(1 − d/n)) over a ROWS-UNBOUNDED-PRECEDING
     * window ordered by lifetime — a FIXED summation order, so both
     * engines add the identical float sequence (the same rule that makes
-    * the TWAP/PSI entries portable); a day where everyone at risk dies
-    * drives ln → −∞ and S → 0 in both engines identically.
+    * the TWAP/PSI entries portable). The terminal day needs an explicit
+    * guard: when d == n_risk (everyone remaining at risk churns that
+    * day) the factor (1 − d/n) is 0 and the log term is −∞ — Spark's
+    * `log(0)` returns NULL (silently dropping the term from the window
+    * SUM, leaving S > 0) while DuckDB's `ln(0)` throws. So the log term
+    * is computed only while d < n_risk and survival is pinned to 0 from
+    * the first exhausting day onward, the same CASE guard stated in the
+    * oracle SQL — S = 0 is emitted explicitly, never via ln(0).
     *
     * Scale shape: one per-customer aggregate, then everything runs on
     * the lifetime-day value histogram (bounded by the calendar span —
@@ -1370,9 +1376,15 @@ object Analytics {
       .withColumn("n_risk",
         col("n_total") - (sum(col("d") + col("c")).over(w) - col("d") - col("c")))
     atRisk.filter(col("d") > 0)
+      .withColumn("logterm",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("exhausted",
+        max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(w))
       .withColumn("surv",
-        exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
-          .over(w)))
+        when(col("exhausted") === 1, lit(0.0))
+          .otherwise(exp(sum(col("logterm")).over(w))))
       .select(col("t").as("lifetime_days"), col("n_risk"), col("d").as("n_deaths"),
         col("c").as("n_censored"), round(col("surv"), 6).as("survival"))
       .orderBy("lifetime_days")
@@ -1536,5 +1548,103 @@ object Analytics {
       .agg(max("open_orders").as("peak_open"),
         max_by(col("open_orders"), col("day")).as("eom_open"))
       .orderBy("month")
+  }
+
+  /** X164: higher-moment distribution profile — skewness and excess
+    * kurtosis of event values per event type (the shape diagnostics
+    * behind every "is this metric heavy-tailed enough to need
+    * salting/winsorizing" decision; X66's MAD flags outliers, this
+    * characterizes the whole tail). The classic float pitfall is worse
+    * here than for variance: Σx³/Σx⁴ in IEEE drift with partition
+    * order. So values are scaled to integer CENTS once (a deterministic
+    * per-row round both engines share) and the four raw power sums
+    * accumulate in DECIMAL(38,0) — EXACT in any order; w⁴ at 1e6-cent
+    * values and 1e6 rows peaks ~1e30, inside the 38-digit cap. Central
+    * moments and the two shape ratios are then ONE fixed double
+    * expression (m2^1.5 spelled m2·√m2 — `pow` is not cross-engine
+    * ulp-stable, sqrt is).
+    *
+    * Scale shape: one map-side-combinable aggregate keyed by type;
+    * nothing else touches the corpus.
+    */
+  def skewKurtosis(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = expr("CAST(ROUND(value * 100) AS BIGINT)")
+    Tables.events(spark, dir)
+      .select(col("event_type"), w.as("w"))
+      // pre-square in BIGINT (cents² ≤ ~2.4e9 on the fixture, safe to
+      // $30M single values) so every decimal product is ONE
+      // decimal×bigint mult — the X150 pattern both engines accept
+      .withColumn("w2", col("w") * col("w"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("w").cast(dec)).as("s1"),
+        sum(col("w2").cast(dec)).as("s2"),
+        sum(col("w2").cast(dec) * col("w")).as("s3"),
+        sum(col("w2").cast(dec) * col("w2")).as("s4"))
+      .select(col("event_type"), col("n"),
+        round(col("s1").cast("double") / col("n") / 100, 6).as("mean_value"),
+        expr("""
+          CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        """).as("m2c"),
+        expr("""
+          CAST(s3 AS DOUBLE) / n
+            - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+            + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        """).as("m3c"),
+        expr("""
+          CAST(s4 AS DOUBLE) / n
+            - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+            + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+            - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+        """).as("m4c"))
+      .select(col("event_type"), col("n"), col("mean_value"),
+        round(sqrt(col("m2c")) / 100, 6).as("sd_value"),
+        round(col("m3c") / (col("m2c") * sqrt(col("m2c"))), 6).as("skewness"),
+        round(col("m4c") / (col("m2c") * col("m2c")) - 3, 6)
+          .as("excess_kurtosis"))
+      .orderBy("event_type")
+  }
+
+  /** X159: Gini coefficient of customer revenue — the single-number
+    * concentration/inequality summary (the "how skewed is the book"
+    * companion to the X83 Pareto curve): G = (2·Σᵢ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx) over revenues x sorted ascending with 1-based rank i.
+    *
+    * Exactness discipline: revenues are exact DECIMAL sums, ranks are
+    * integers, so Σ i·xᵢ and every other accumulation is EXACT decimal
+    * arithmetic in any partition order — the only IEEE op is the final
+    * division. The global rank does NOT use a global sort: ranks come
+    * from the X83 range-partition trick (within-partition row_number +
+    * a ≤32-row per-partition count prefix, PlanHygiene-allowlisted), so
+    * the plan scales with partition count, not a single-reducer sort.
+    */
+  def giniRevenue(spark: SparkSession, dir: String,
+                  parts: Int = 32): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val ranged = rev
+      .repartitionByRange(parts, col("rev").asc, col("ck").asc)
+      .withColumn("p", spark_partition_id().cast("long"))
+    val prefix = ranged.groupBy("p").agg(count(lit(1)).as("bn"))
+      .withColumn("prev_n", coalesce(
+        sum("bn").over(Window.orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("p", "prev_n")
+    val ranked = ranged.join(broadcast(prefix), Seq("p"))
+      .withColumn("i", col("prev_n") + row_number().over(
+        Window.partitionBy("p").orderBy(col("rev").asc, col("ck").asc)))
+    ranked.agg(count(lit(1)).as("n"), sum("rev").as("total"),
+        sum(col("i") * col("rev")).as("s_irev"))
+      .select(col("n").as("n_customers"),
+        col("total").cast("decimal(38,2)").as("total_revenue"),
+        // numerator/denominator go to DOUBLE before combining: a
+        // decimal-space 2·Σi·x would overflow DuckDB's precision-38 cap
+        round((lit(2) * col("s_irev").cast("double") -
+          (col("n") + 1).cast("double") * col("total").cast("double")) /
+          (col("n").cast("double") * col("total").cast("double")), 6)
+          .as("gini"))
   }
 }

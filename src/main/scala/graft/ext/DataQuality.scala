@@ -334,6 +334,53 @@ object DataQuality {
       .orderBy("digit")
   }
 
+  /** X157: sequence-gap audit (gaps-and-islands) — the missing ranges in
+    * an id domain that SHOULD be dense (the "did the loader drop a
+    * batch" check): one row per maximal run of id values absent from the
+    * fact table's l_orderkey domain. The fixture's orders table is dense
+    * 0..N, but ~1.7% of orders never ship a line, so the lineitem FK
+    * domain has real holes at every SF — exactly the shape a partial
+    * load leaves.
+    *
+    * Scale shape: the classic LAG-over-everything form forces a GLOBAL
+    * sort — a scale-killer on a 100 TB key domain. Here adjacency is
+    * computed in two bounded layers instead: keys are RANGE-partitioned
+    * (32 ways at fixture scale — the knob is partition count, not data),
+    * within-partition adjacency rides a window PARTITIONED by the range
+    * bucket (parallel, no global sort), and the only cross-partition
+    * work is a window over the 32-row per-bucket (min, max) summary —
+    * fixed by partition count, PlanHygiene-allowlisted. Output is
+    * identical to the global form regardless of where range boundaries
+    * fall: a gap interior to a bucket is found by the bucket's window, a
+    * gap spanning a boundary by the summary stitch.
+    */
+  def idGaps(spark: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k")).distinct()
+      .repartitionByRange(parts, col("k"))
+      // materialize the range-partition id as a column: RangePartitioner
+      // assigns ascending buckets, so bucket order == key-range order
+      .withColumn("pid", spark_partition_id())
+    val wIn = Window.partitionBy("pid").orderBy("k")
+    val inner = keys
+      .withColumn("nk", lead(col("k"), 1).over(wIn))
+      .filter(col("nk") - col("k") > 1)
+      .select((col("k") + 1).as("gap_start"), (col("nk") - 1).as("gap_end"))
+    val summary = keys.groupBy("pid")
+      .agg(min("k").as("min_k"), max("k").as("max_k"))
+    val wS = Window.orderBy("min_k") // <= `parts` rows, fixed, allowlisted
+    val boundary = summary
+      .withColumn("next_min", lead(col("min_k"), 1).over(wS))
+      .filter(col("next_min") - col("max_k") > 1)
+      .select((col("max_k") + 1).as("gap_start"),
+        (col("next_min") - 1).as("gap_end"))
+    inner.unionByName(boundary)
+      .select(col("gap_start"), col("gap_end"),
+        (col("gap_end") - col("gap_start") + 1).as("n_missing"))
+      .orderBy("gap_start")
+  }
+
   /** X126: referential-integrity audit over the whole star schema — one
     * row per foreign-key edge with both failure directions counted:
     * orphan children (FK value with no parent row — broken loads) and
@@ -356,7 +403,13 @@ object DataQuality {
       val childAgg = child
         .groupBy(col(childKey).as("key"))
         .agg(count(lit(1)).as("n"))
-      val parentKeys = parent.select(col(parentKey).as("key")).distinct()
+      // NULL parent keys are excluded on BOTH sides of the twin: the
+      // oracle's COUNT(DISTINCT pk) / NOT EXISTS formulations never see
+      // a NULL parent, so the distinct key set states the same carve-out
+      // here — a dimension row with a NULL key is a load defect for the
+      // null-profile entry, not a join endpoint
+      val parentKeys = parent.select(col(parentKey).as("key"))
+        .filter(col("key").isNotNull).distinct()
         .withColumn("p", lit(1))
       childAgg.join(parentKeys, Seq("key"), "full_outer")
         .agg(

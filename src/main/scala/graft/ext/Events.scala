@@ -1054,4 +1054,67 @@ object Events {
           .as("ltv_per_user"))
       .orderBy("cohort_week", "week_offset")
   }
+
+  /** X166: DAU/WAU/MAU stickiness — the product-engagement headline
+    * triple (and DAU/MAU, the classic "how often do actives return"
+    * ratio) per calendar day. COUNT(DISTINCT) does not compose across
+    * sliding frames, so all three horizons ride ONE day-range join of
+    * the (day, user) distinct relation to the day spine (the X22/X29
+    * rewrite) with conditional distinct counts — one pass, not three
+    * joins. Early days carry truncated windows by construction (stated,
+    * same on both engines).
+    *
+    * Scale shape: the corpus collapses to the (day, user) distinct
+    * relation first; the range join fans each row into ≤ 30 day-slices
+    * of a keyed-set-sized relation — bounded by the horizon, never
+    * corpus²; at 100 TB the X119 HLL-sliding entry is the sketch
+    * alternative when exactness can be traded.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_num"),
+        col("user_id"))
+      .distinct()
+    val days = du.select(col("day_num").as("d")).distinct()
+    days.join(du,
+        col("day_num") >= col("d") - 29 && col("day_num") <= col("d"))
+      .groupBy("d")
+      .agg(
+        countDistinct(when(col("day_num") === col("d"), col("user_id")))
+          .as("dau"),
+        countDistinct(when(col("day_num") >= col("d") - 6, col("user_id")))
+          .as("wau"),
+        countDistinct(col("user_id")).as("mau"))
+      .select(col("d").as("day_num"), col("dau"), col("wau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+      .orderBy("day_num")
+  }
+
+  /** X161: hour-of-week seasonality profile — the 7×24 activity matrix
+    * every capacity planner and anomaly detector baselines against
+    * (X28's volume z-score flags a bad DAY; this is the grid that says
+    * which HOURS are normally hot): per (ISO weekday, hour) event
+    * counts, each hour's share of its weekday, and the per-weekday peak
+    * hour flagged with a deterministic (count DESC, hour) tie-break.
+    *
+    * Scale shape: the corpus collapses to ≤168 cells in one map-side-
+    * combinable aggregate; both windows PARTITION by weekday (7 groups
+    * of 24 rows — never a global window); integer counts, one IEEE
+    * division.
+    */
+  def seasonality(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables.events(spark, dir)
+      .select(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"),
+        expr("CAST(hour(ts) AS BIGINT)").as("hr"))
+      .groupBy("dow", "hr").agg(count(lit(1)).as("n_events"))
+    cells
+      .withColumn("dow_total", sum("n_events").over(Window.partitionBy("dow")))
+      .withColumn("dow_share",
+        round(col("n_events").cast("double") / col("dow_total"), 6))
+      .withColumn("is_dow_peak", row_number().over(
+        Window.partitionBy("dow").orderBy(col("n_events").desc, col("hr"))) === 1)
+      .select("dow", "hr", "n_events", "dow_share", "is_dow_peak")
+      .orderBy("dow", "hr")
+  }
 }

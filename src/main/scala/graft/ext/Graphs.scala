@@ -342,33 +342,42 @@ object Graphs {
 
   /** The raw (id, lab) assignment under X88's fixed-round propagation —
     * shared by the community listing and the X146 modularity audit.
+    * MEMOIZED (persisted once per session/corpus/round-count, released
+    * by [[clearCaches]]) like the edge relations: label prop and
+    * modularity each consume it, and unmemoized BOTH paid the full
+    * `rounds`-pass join-aggregate iteration (21 s of the r7 bench was
+    * exactly this duplication; modularity additionally checkpointed its
+    * own private copy).
     */
   private def labelPropLabels(spark: SparkSession, dir: String,
-                              rounds: Int): DataFrame = {
-    val sym = symEdges(spark, dir)
-    val nodes = memo(spark, dir, "nodes")(
-      sym.select(col("u").as("id")).distinct())
-    var labels = nodes.select(col("id"), col("id").as("lab"))
-    for (_ <- 1 to rounds) {
-      labels = sym
-        .join(labels.select(col("id").as("v"), col("lab")), Seq("v"))
-        .groupBy(col("u").as("id"), col("lab"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy("id")
-        .agg(min(struct((col("c") * -1).as("nc"), col("lab"))).as("m"))
-        .select(col("id"), col("m.lab").as("lab"))
+                              rounds: Int): DataFrame =
+    memo(spark, dir, s"lplabels:$rounds") {
+      val sym = symEdges(spark, dir)
+      val nodes = memo(spark, dir, "nodes")(
+        sym.select(col("u").as("id")).distinct())
+      var labels = nodes.select(col("id"), col("id").as("lab"))
+      for (_ <- 1 to rounds) {
+        labels = sym
+          .join(labels.select(col("id").as("v"), col("lab")), Seq("v"))
+          .groupBy(col("u").as("id"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("id")
+          .agg(min(struct((col("c") * -1).as("nc"), col("lab"))).as("m"))
+          .select(col("id"), col("m.lab").as("lab"))
+      }
+      labels
     }
-    labels
-  }
 
   /** X146: community-quality audit — Newman modularity terms for the
     * X88 label-prop partition: per community c, Q_c = L_c/m −
     * (D_c/2m)², where L_c counts intra-community edges and D_c sums
     * member degrees. Everything before the two divisions is INTEGER
-    * (edge counts, endpoint counts); the global Q is the reader's sum
-    * of the per-community terms (deliberately not aggregated — a float
-    * sum over an unordered relation would be partition-order-dependent,
-    * the PSI rule). This is the "was the clustering any good" number a
+    * (edge counts, endpoint counts); the global Q ships as `q_global`
+    * (same value on every row): the 6dp-ROUNDED per-community terms are
+    * cast to exact DECIMAL(18,6) first, so their sum is associative and
+    * partition-order-independent — the float-sum-over-unordered-relation
+    * trap (the PSI rule) never applies to decimals, and no global window
+    * is needed. This is the "was the clustering any good" number a
     * community detector ships with: Q near 0 says the partition is no
     * better than random wiring — which is exactly the expected verdict
     * on the fixture's single dense co-order component, and the audit
@@ -381,10 +390,9 @@ object Graphs {
     */
   def modularity(spark: SparkSession, dir: String,
                  rounds: Int = 3): DataFrame = {
-    // cut the propagation ONCE: labels feed three consumers below, and
-    // an uncut lazy plan would re-run all `rounds` join-aggregate passes
-    // per consumer (measured 20s vs ~4s at sf0.1)
-    val labels = graft.Checkpoints.cut(labelPropLabels(spark, dir, rounds))
+    // the memoized propagation (persisted in relCache) serves all three
+    // consumers below AND graph_label_prop — no private checkpoint copy
+    val labels = labelPropLabels(spark, dir, rounds)
     val und = coOrderEdges(spark, dir)
     val m = und.agg(count(lit(1)).as("m"))
     val lab2 = graft.Checkpoints.cut(und
@@ -397,7 +405,7 @@ object Graphs {
       .groupBy("community").agg(count(lit(1)).as("degree_sum"))
     val nNodes = labels.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
-    nNodes.join(degSum, Seq("community"), "left")
+    val terms = nNodes.join(degSum, Seq("community"), "left")
       .join(intra, Seq("community"), "left")
       .crossJoin(broadcast(m))
       .select(col("community"), col("n_nodes"),
@@ -406,6 +414,14 @@ object Graphs {
         round(coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m") -
           power(coalesce(col("degree_sum"), lit(0L)).cast("double") /
             (lit(2) * col("m")), lit(2)), 6).as("q_term"))
+    // global Q: exact-decimal sum of the rounded terms (order-free),
+    // broadcast back as a 1-row relation — the headline number on every
+    // row, no partitionless window, no unordered float sum
+    val qg = terms.agg(
+      sum(col("q_term").cast("decimal(18,6)")).as("q_global_d"))
+    terms.crossJoin(broadcast(qg))
+      .withColumn("q_global", col("q_global_d").cast("double"))
+      .drop("q_global_d")
       .orderBy("community")
   }
 
@@ -588,6 +604,58 @@ object Graphs {
       .withColumn("jaccard", round(col("common").cast("double") /
         (col("deg_a") + col("deg_b") - col("common") - 2).cast("double"), 6))
       .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** X163: Adamic-Adar tie strength per edge — the classic link-
+    * prediction/link-weight score AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg z)
+    * (Adamic & Adar 2003): common neighbors weighted by how selective
+    * they are (a shared hub says little, a shared rare neighbor says a
+    * lot) — the weighted refinement of X122's per-edge Jaccard. Scored
+    * for EXISTING edges, so the enumeration is exactly triangle listing:
+    * every triangle {u,v,w} from the X59 degree-oriented kernel
+    * (memoized adjacency, Σ outdeg² bounded — never a raw wedge
+    * blow-up) contributes its third vertex to each of its three edges.
+    *
+    * Exactness: a common neighbor is adjacent to both endpoints, so
+    * deg(z) ≥ 2 and ln never sees 1; each 1/ln(deg z) term is
+    * 6dp-rounded into DECIMAL(18,6) (the X81 rule) so the per-edge sum
+    * is exact and partition-order-free; ln parity is platform-proven.
+    */
+  def adamicAdar(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val oriented = orientedEdges(spark, dir)
+    val adj = outAdjacency(spark, dir)
+    graft.functions.SortedIntersectLongs.register(spark)
+    val tris = oriented
+      .select(col("src").as("u"), col("dst").as("v"))
+      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), Seq("v"),
+        "left")
+      .select(col("u"), col("v"),
+        explode(graft.functions.SortedIntersectLongs.intersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
+    // triangle {u,v,w} → (edge, third vertex) for all three edges
+    val contrib = tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"), col("w").as("z")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b"), col("v").as("z")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b"), col("u").as("z")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.z").as("z"))
+    val und = coOrderEdges(spark, dir)
+    val deg = und.select(col("a").as("z"))
+      .unionByName(und.select(col("b").as("z")))
+      .groupBy("z").agg(count(lit(1)).as("deg_z"))
+    contrib.join(deg, Seq("z"))
+      .select(col("a"), col("b"),
+        round(lit(1.0) / log(col("deg_z").cast("double")), 6)
+          .cast("decimal(18,6)").as("term"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"), sum("term").as("aa_dec"))
+      .select(col("a"), col("b"), col("n_common"),
+        col("aa_dec").cast("double").as("aa_score"))
+      .orderBy(col("aa_score").desc, col("a"), col("b"))
       .limit(k)
   }
 

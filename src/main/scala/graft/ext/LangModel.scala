@@ -178,6 +178,146 @@ object LangModel {
       .orderBy("doc_id")
   }
 
+  /** X153: order-3 interpolated n-gram perplexity — the CCNet-class
+    * curation signal the unigram X51 score approximates: per-document
+    * bits/token and perplexity under a Jelinek-Mercer-interpolated
+    * trigram model trained on the corpus itself (held-in scoring, the
+    * standard "does this look like the corpus" form), with FIXED λ
+    * literals (0.5 trigram, 0.3 bigram, 0.2 unigram — no tuning loop,
+    * so the whole model is three count tables):
+    *
+    *   p(w | u,v) = 0.5·c₃(u,v,w)/c₃(u,v,·) + 0.3·c₂(v,w)/c₂(v,·)
+    *              + 0.2·(c₁(w)+1)/(N+V)
+    *
+    * The trigram/bigram components are maximum-likelihood (non-zero for
+    * every scored position because scoring is held-in); the add-one
+    * unigram floor keeps p > 0 under any split. Exactness discipline
+    * (the X81/X145 rule): every count is an exact integer; p is ONE
+    * fixed IEEE expression (identical literal order in both engines);
+    * the per-trigram log₂ p is 6dp-rounded into DECIMAL(18,6) so the
+    * per-doc sum is exact and partition-order-free; the two final
+    * IEEE ops are the per-doc division and the exp(b·ln 2) that turns
+    * bits back into perplexity (ln/exp parity is platform-proven).
+    *
+    * Scale shape: the three model relations are VOCABULARY-sized
+    * (distinct n-gram types, not corpus positions) — at 100 TB they
+    * are the familiar KB–GB-scale LM tables that either broadcast
+    * after a frequency cut or hash-join on the n-gram key; the scoring
+    * side collapses to per-doc trigram TYPES before any model join, so
+    * no join input is ever the raw position stream. Stopword-headed
+    * contexts are the skew — uniform md5 salting is unnecessary
+    * because AQE's skew split owns the (u,v) hot keys.
+    */
+  def perplexity3(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')").as("ws"))
+    // the size guards matter: Spark's sequence(0, -1) DESCENDS (the X81
+    // lesson), so short docs must produce empty arrays, not fabricated
+    // null grams
+    val tris = docs.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), " +
+          "i -> struct(ws[i] AS u, ws[i + 1] AS v, ws[i + 2] AS w)) " +
+          "ELSE CAST(array() AS ARRAY<STRUCT<u: STRING, v: STRING, w: STRING>>) END"))
+        .as("t"))
+      .select(col("doc_id"), col("t.u").as("u"), col("t.v").as("v"),
+        col("t.w").as("w"))
+    val bis = docs.select(explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS a, ws[i + 1] AS b)) " +
+          "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"))
+        .as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"))
+    val c3 = tris.groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
+    val c2ctx = c3.groupBy("u", "v").agg(sum("c3").as("n3ctx"))
+    val cb = bis.groupBy("a", "b").agg(count(lit(1)).as("cb"))
+    val c1ctx = cb.groupBy("a").agg(sum("cb").as("n2ctx"))
+    val c1 = tokens(spark, dir).groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum("c1").as("n"), count(lit(1)).as("v_sz"))
+    val docTri = tris.groupBy("doc_id", "u", "v", "w")
+      .agg(count(lit(1)).as("cnt"))
+    val scored = docTri
+      .join(c3, Seq("u", "v", "w"))
+      .join(c2ctx, Seq("u", "v"))
+      .join(cb.select(col("a").as("v"), col("b").as("w"), col("cb")),
+        Seq("v", "w"))
+      .join(c1ctx.select(col("a").as("v"), col("n2ctx")), Seq("v"))
+      .join(c1.select(col("tok").as("w"), col("c1")), Seq("w"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        lit(0.5) * (col("c3").cast("double") / col("n3ctx")) +
+          lit(0.3) * (col("cb").cast("double") / col("n2ctx")) +
+          lit(0.2) * ((col("c1") + 1).cast("double") / (col("n") + col("v_sz"))))
+      .withColumn("bits", round(log(col("p")) / log(lit(2.0)), 6).cast(D6))
+    scored.groupBy("doc_id")
+      .agg(sum("cnt").as("n_trigrams"),
+        round((sum(col("cnt") * col("bits")) * -1).cast("double") /
+          sum("cnt"), 6).as("bits_per_token"))
+      .withColumn("perplexity",
+        round(exp(col("bits_per_token") * log(lit(2.0))), 4))
+      .select("doc_id", "n_trigrams", "bits_per_token", "perplexity")
+      .orderBy("doc_id")
+  }
+
+  /** X165: Zipf fit — the "does this corpus look like natural language"
+    * distributional check (natural text fits ln(freq) ≈ α + s·ln(rank)
+    * with slope s ≈ −1; machine-generated or boilerplate-heavy corpora
+    * bend away from it): least-squares slope/intercept/R² over the
+    * top-`topK` vocabulary in log-log space.
+    *
+    * Exactness: the vocabulary cut and ranks are deterministic
+    * ((count DESC, token) total order, the X91 rule); ln(rank)/ln(count)
+    * are 6dp-rounded into DECIMAL(18,6) per term so all five regression
+    * sums are EXACT decimal arithmetic over the bounded k-row relation
+    * (the X68 regression discipline moved to log space); the closed-form
+    * slope/intercept/R² are the only IEEE ops, in one fixed expression.
+    *
+    * Scale shape: one token count (AQE-skew-safe), a TakeOrdered top-k,
+    * then everything runs on k ≤ 1000 rows; the rank window is bounded
+    * by k, not vocabulary.
+    */
+  def zipfFit(spark: SparkSession, dir: String, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val top = tokens(spark, dir).groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(topK)
+    val xy = top
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("tok"))))
+      .select(
+        round(log(col("rk").cast("double")), 6).cast(D6).as("x"),
+        round(log(col("c").cast("double")), 6).cast(D6).as("y"))
+    xy.agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_terms"),
+        round((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("zipf_slope"),
+        round((col("sy").cast("double") -
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double"))) *
+            col("sx").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept"),
+        round(
+          ((col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) *
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double"))) /
+            ((col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 6)
+          .as("r2"))
+  }
+
   /** X121: BPE tokenization APPLY — the encode half whose merge-table
     * half is [[bpeMerges]] (X52): the corpus's top-`nMerges` character
     * pairs are applied to every document in rank order, yielding the

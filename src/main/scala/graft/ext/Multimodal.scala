@@ -126,6 +126,158 @@ object Multimodal {
   def decodeQuery(spark: SparkSession, dir: String): DataFrame =
     decodePng(spark, dir).toDF().orderBy("doc_id")
 
+  /** One JPEG round-trip audit row per payload. */
+  final case class JpegAudit(doc_id: Long, width: Long, height: Long,
+                             n_px: Long, within_tol: Boolean)
+
+  /** Smooth (wrap-free) grayscale ramp for the LOSSY leg: max value
+    * (16 + 4·15 + 6·15 = 166) < 255, so the 8×8 DCT sees a clean linear
+    * gradient with no mod-256 discontinuity — the PNG test card's wrap
+    * edges would ring under quantization and make the loss bound
+    * meaningless.
+    */
+  private def smoothPixel(d: Long, x: Int, y: Int): Int =
+    (java.lang.Math.floorMod(d, 17L) + 4L * x + 6L * y).toInt
+
+  /** X154: the second codec leg — JPEG encode + decode through the same
+    * `javax.imageio` `mapPartitions` framework as the PNG path, proving
+    * the codec plumbing is not PNG-shaped. JPEG is LOSSY, so the
+    * byte-exact oracle style of [[decodePng]] cannot apply; instead the
+    * oracle states what survives quantization exactly — decoder-read
+    * dimensions (wrong dims = broken container parsing) — plus the loss
+    * BOUND: `within_tol` is true iff every decoded sample sits within
+    * `tol` counts of the stated arithmetic raster. A broken encoder,
+    * decoder, or sampler yields false (or a crash/wrong dims) and fails
+    * the hash gate; the tolerance itself is pinned tighter (≤ 8 counts
+    * measured) in `MultimodalSpec`.
+    *
+    * Codec state is per partition (one `ImageWriter` reused across the
+    * partition's rows — JPEG writer construction is the expensive part),
+    * the exact pattern a 100 TB media pipeline needs: no driver
+    * involvement, no shuffle, codec instances scale with partitions.
+    */
+  def jpegRoundTrip(spark: SparkSession, dir: String,
+                    tol: Int = 16): Dataset[JpegAudit] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("jpeg").next()
+        val param = writer.getDefaultWriteParam
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionQuality(0.95f)
+        it.map { case (id, nChars) =>
+          val w = (8 + java.lang.Math.floorMod(id, 9)).toInt
+          val h = (8 + java.lang.Math.floorMod(nChars, 9)).toInt
+          // single-component grayscale: no chroma subsampling in the loop
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, smoothPixel(id, x, y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+          ios.close()
+          val dec = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          val dr = dec.getRaster
+          var maxErr = 0
+          y = 0
+          while (y < dec.getHeight) {
+            var x = 0
+            while (x < dec.getWidth) {
+              val err = java.lang.Math.abs(
+                dr.getSample(x, y, 0) - smoothPixel(id, x, y))
+              if (err > maxErr) maxErr = err
+              x += 1
+            }
+            y += 1
+          }
+          JpegAudit(id, dec.getWidth.toLong, dec.getHeight.toLong,
+            dec.getWidth.toLong * dec.getHeight, maxErr <= tol)
+        }
+      }
+  }
+
+  /** Oracle-checked query form of the JPEG leg. */
+  def jpegQuery(spark: SparkSession, dir: String): DataFrame =
+    jpegRoundTrip(spark, dir).toDF().orderBy("doc_id")
+
+  /** One frame of decoded audio features. */
+  final case class PcmFrame(doc_id: Long, frame_idx: Long, n_samples: Long,
+                            energy: Long, zero_crossings: Long)
+
+  /** X156: the AUDIO leg of the multimodal family — 16-bit little-endian
+    * PCM payloads (the WAV data chunk, sans header) encoded to real
+    * bytes, parsed BACK from those bytes, framed at 160 samples (10 ms
+    * at 16 kHz — the standard speech hop), and reduced to the two
+    * classic VAD features per frame: absolute energy and zero-crossing
+    * count. Unlike JPEG this codec is exact, so every output is an
+    * INTEGER the oracle recomputes arithmetically — a byte-order bug,
+    * off-by-one frame boundary, or sign-extension mistake in the parser
+    * shifts energy/ZCR and fails the hash gate.
+    *
+    * Samples are the stated arithmetic s(d,i) = ((7d + 13i) mod 4096) −
+    * 2048 (a wrapping ramp that crosses zero regularly, so ZCR is
+    * non-trivial); payload length is 2–5 frames by doc so the framing
+    * loop sees varying counts.
+    *
+    * Scale shape: identical to the image legs — `mapPartitions` over a
+    * typed Dataset, one parser per partition, bounded ×frames fan-out,
+    * no shuffle, no driver involvement; in production the byte array
+    * column arrives from storage and ONLY the synth step disappears.
+    */
+  def pcmFeatures(spark: SparkSession, dir: String): Dataset[PcmFrame] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
+          val n = 160 * nFrames
+          // encode: int16 LE PCM bytes
+          val bytes = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = (java.lang.Math.floorMod(d * 7 + i.toLong * 13, 4096) - 2048).toInt
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          // decode: parse the byte buffer back (sign via Short cast)
+          val dec = new Array[Int](n)
+          i = 0
+          while (i < n) {
+            dec(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            i += 1
+          }
+          (0 until nFrames).map { f =>
+            var e = 0L
+            var zc = 0L
+            var j = 0
+            while (j < 160) {
+              val v = dec(f * 160 + j)
+              e += java.lang.Math.abs(v)
+              if (j > 0 && v.toLong * dec(f * 160 + j - 1) < 0) zc += 1
+              j += 1
+            }
+            PcmFrame(d, f.toLong, 160L, e, zc)
+          }
+        }
+      }
+  }
+
+  /** Oracle-checked query form of the PCM leg. */
+  def pcmQuery(spark: SparkSession, dir: String): DataFrame =
+    pcmFeatures(spark, dir).toDF().orderBy("doc_id", "frame_idx")
+
   /** Frame sampling — the video-ish member of the X5 family: k frames per
     * payload at deterministic evenly-spaced byte offsets, each frame a
     * bounded slice with its own content signature. Bounded ×k fan-out
@@ -247,26 +399,38 @@ object Multimodal {
 
   /** X136: perceptual near-duplicate image join — all payload pairs
     * whose aHashes differ in ≤ `maxHam` bits. The pair space is pruned
-    * by the pigeonhole split: at Hamming ≤ 1 the two 32-bit halves
-    * cannot BOTH differ, so candidates are the union of two EQUI-joins
-    * (one per half) — lossless, and never an all-pairs scan (the same
-    * banding argument as the SimHash entry, at image-hash granularity).
-    * The oracle brute-forces the quadratic form at gate scale, which is
-    * exactly the losslessness proof.
+    * by the pigeonhole split into `maxHam + 1` bit-slices: at most
+    * `maxHam` bits differ, so at least one slice is IDENTICAL, and
+    * candidates are the union of `maxHam + 1` EQUI-joins (one per
+    * slice) — lossless for EVERY maxHam by construction (at the default
+    * maxHam = 1 this degenerates to the classic two-32-bit-half split),
+    * and never an all-pairs scan (the same banding argument as the
+    * SimHash entry, at image-hash granularity). The oracle brute-forces
+    * the quadratic form at gate scale, which is exactly the
+    * losslessness proof.
     */
   def phashPairs(spark: SparkSession, dir: String,
                  maxHam: Int = 1): DataFrame = {
+    require(maxHam >= 0 && maxHam < 64,
+      s"maxHam must be in [0, 64) for 64-bit slicing, got $maxHam")
+    val nSlices = maxHam + 1
     val hs = pngAHashes(spark, dir).toDF()
-      .withColumn("lo", expr("ahash & 4294967295"))
-      .withColumn("hi", expr("shiftrightunsigned(ahash, 32)"))
-    def half(key: String): DataFrame =
-      hs.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
-          col(key).as("k"))
-        .join(hs.select(col("doc_id").as("doc_b"), col("ahash").as("hb"),
-          col(key).as("k")), Seq("k"))
+    def slice(i: Int): DataFrame = {
+      // slice i covers bits [i*64/n, (i+1)*64/n) — widths differ by at
+      // most one bit when 64 % n != 0, which the pigeonhole never needs
+      val loBit = i * 64 / nSlices
+      val width = (i + 1) * 64 / nSlices - loBit
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      val sliced = hs.withColumn("k",
+        expr(s"shiftrightunsigned(ahash, $loBit) & $mask"))
+      sliced.select(col("doc_id").as("doc_a"), col("ahash").as("ha"),
+          col("k"))
+        .join(sliced.select(col("doc_id").as("doc_b"),
+          col("ahash").as("hb"), col("k")), Seq("k"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "ha", "hb")
-    half("lo").unionByName(half("hi")).distinct()
+    }
+    (0 until nSlices).map(slice).reduce(_.unionByName(_)).distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHam)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))

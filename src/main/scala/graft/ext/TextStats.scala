@@ -558,6 +558,37 @@ object TextStats {
       .orderBy("cum_tokens", "doc_id")
   }
 
+  /** X158: syllable-level lexical complexity — the readability-family
+    * signal that survives a corpus with no sentence punctuation (the
+    * fixture has none, and plenty of scraped text doesn't either):
+    * per-doc syllable counts via the classic vowel-group proxy (each
+    * maximal [aeiou]+ run ≈ one syllable), average syllables per word,
+    * and the polysyllabic share (words with ≥ 3 vowel groups — the
+    * "complex word" count Gunning fog uses). All counts are integers
+    * from one regexp pass; the two ratios are the only IEEE ops.
+    *
+    * Scale shape: a narrow per-row map over the scan — no shuffle at
+    * all except the output sort; the cheapest possible curation signal.
+    */
+  def lexicalComplexity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        // vowel runs never span a word separator, so the whole-text
+        // count equals the per-word sum without a nested fold
+        size(expr("regexp_extract_all(array_join(ws, ' '), '[aeiou]+', 0)"))
+          .cast("long").as("n_syllables"),
+        size(expr("filter(ws, w -> size(regexp_extract_all(w, '[aeiou]+', 0)) >= 3)"))
+          .cast("long").as("n_polysyllabic"))
+      .filter(col("n_words") > 0)
+      .withColumn("syllables_per_word",
+        round(col("n_syllables").cast("double") / col("n_words"), 6))
+      .withColumn("poly_ratio",
+        round(col("n_polysyllabic").cast("double") / col("n_words"), 6))
+      .orderBy("doc_id")
+
   /** X91: vocabulary coverage — the share of each document's tokens
     * that fall inside the corpus top-`topK` vocabulary (the cheap
     * gibberish/OOV filter a pipeline runs before any tokenizer exists;
@@ -588,6 +619,34 @@ object TextStats {
       .withColumn("coverage",
         round(col("n_in_vocab").cast("double") / col("n_tokens"), 6))
       .orderBy("doc_id")
+  }
+
+  /** X160: train/test split leakage audit — the contamination number a
+    * split actually has to certify: after assigning every document to a
+    * deterministic fold (md5(doc_id) mod `k` — the X53 sampler's salt
+    * discipline, reproducible run-to-run), count the NEAR-DUPLICATE
+    * pairs (the X2 verified Jaccard ≥ 0.6 relation — the fixture has
+    * near-dups but no byte-identical ones) that straddle fold
+    * boundaries. A random split of a corpus with duplicates leaks test
+    * content into train no matter how the fold ratios look; this is the
+    * per-fold-pair evidence table.
+    *
+    * Scale shape: rides the ALREADY-MATERIALIZED dedup pair relation
+    * (the X142 threshold-sweep rule: at 100 TB you audit the pair
+    * TABLE, never re-run the similarity join); fold assignment is pure
+    * per-row arithmetic on the pair's ids (no doc join at all), and the
+    * rollup keys on k² ≤ 9 fold pairs.
+    */
+  def splitLeakage(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    def fold(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % k
+    graft.ext.TextDedup.jaccardPairs(spark, dir)
+      .select(least(fold(col("doc_a")), fold(col("doc_b"))).as("fold_lo"),
+        greatest(fold(col("doc_a")), fold(col("doc_b"))).as("fold_hi"))
+      .groupBy("fold_lo", "fold_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak", col("fold_lo") =!= col("fold_hi"))
+      .orderBy("fold_lo", "fold_hi")
   }
 
   /** X52: data-mixture rebalancing — downsample over-represented

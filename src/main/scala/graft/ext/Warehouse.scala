@@ -139,6 +139,79 @@ object Warehouse {
   def cdcApplyQuery(spark: SparkSession, dir: String): DataFrame =
     cdcApply(docChangelog(spark, dir)).orderBy("key")
 
+  /** X155: SCD Type-2 dimension build — the OTHER standard consumption
+    * of a CDC changelog beside the X32 snapshot: instead of keeping only
+    * each key's last image, keep EVERY image as a versioned row with
+    * validity bounds. Each non-delete op opens a version valid from its
+    * own `seq` until the key's next op (any type — an update supersedes,
+    * a delete closes); the key's final op, if not a delete, is the
+    * current row (`valid_to` NULL, `is_current` true). Deletes
+    * themselves emit no row — they only close the predecessor, which is
+    * exactly how a warehouse dimension records a retired entity.
+    *
+    * Scale shape: ONE window over (key ORDER BY seq) — a single shuffle
+    * on the dimension key, the same partitioning [[cdcApply]] uses (on a
+    * key-bucketed log layout neither op re-shuffles); output is
+    * log-sized, never key×version materialized twice. AQE skew-split
+    * owns hot keys.
+    */
+  def scd2Build(changelog: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy("seq")
+    changelog
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(col("key"), col("val"), col("lang"),
+        col("seq").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Oracled fixture instantiation of [[scd2Build]]. */
+  def scd2BuildQuery(spark: SparkSession, dir: String): DataFrame =
+    scd2Build(docChangelog(spark, dir)).orderBy("key", "valid_from")
+
+  /** X162: INCREMENTAL SCD2 merge — apply a changelog DELTA to an
+    * already-built SCD2 dimension without touching closed history
+    * (the production shape: the nightly merge reads yesterday's
+    * dimension + today's log tail, never the full log). Three legs:
+    * closed base versions pass through untouched; each key's OPEN base
+    * version is closed by the key's first delta op; the delta itself
+    * builds its own version chain via [[scd2Build]]. Row-identical to
+    * rebuilding from the full log — the same delta-equals-rebuild
+    * contract as X129's incremental clustering, stated by sharing the
+    * full-rebuild oracle verbatim AND asserted directly in the spec.
+    *
+    * Scale shape: one key-shuffle on the (small) delta for its chain +
+    * first-op aggregate, one key join against the dimension (bucketed
+    * by key in a real layout → zero exchange); history rows stream
+    * through with no window over them.
+    */
+  def scd2Merge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val firstDelta = delta.groupBy("key").agg(min("seq").as("first_seq"))
+    val rebased = base.join(firstDelta, Seq("key"), "left")
+      .select(col("key"), col("val"), col("lang"), col("valid_from"),
+        when(col("is_current") && col("first_seq").isNotNull,
+          col("first_seq")).otherwise(col("valid_to")).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+    rebased.unionByName(scd2Build(delta))
+  }
+
+  /** Oracled instantiation of [[scd2Merge]]: the log splits at half its
+    * seq domain (a broadcast 1-row cut, the cdc_time_travel shape) into
+    * the "existing dimension" prefix and the "new arrivals" delta.
+    * Shares `warehouse_scd2_build`'s oracle verbatim — equality with
+    * the from-scratch build IS the correctness statement.
+    */
+  def scd2MergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val log = docChangelog(spark, dir)
+    val cut = log.agg((max(col("seq")) / 2).cast("long").as("cut"))
+    val tagged = log.crossJoin(broadcast(cut))
+    scd2Merge(
+      scd2Build(tagged.filter(col("seq") <= col("cut")).drop("cut")),
+      tagged.filter(col("seq") > col("cut")).drop("cut"))
+      .orderBy("key", "valid_from")
+  }
+
   /** X65: time travel — reconstruct the table AS OF an arbitrary commit
     * `asOfSeq` from the same changelog, i.e. [[cdcApply]] parameterized
     * by version. The filter `seq <= asOfSeq` lands BEFORE the key

@@ -845,6 +845,33 @@ shingles AS (
   FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM words) t
 )"""
 
+  /** The verified prefix-filter Jaccard pair machinery (threshold 0.6),
+    * shared by the dedup_jaccard_pairs entry and the X160 split-leakage
+    * audit that consumes the same pair relation.
+    */
+  private val JACCARD_CTES = s"""
+${SHINGLES.trim},
+      sets AS (SELECT doc_id, list(sh) AS shs, COUNT(*) AS n
+               FROM shingles GROUP BY doc_id),
+      sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
+      ranked AS (
+        SELECT s.doc_id, s.sh, c.n,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
+        FROM shingles s JOIN sdf d ON d.sh = s.sh JOIN sets c ON c.doc_id = s.doc_id
+      ),
+      pfx AS (SELECT * FROM ranked WHERE rn <= n - CAST(ceil(0.6 * n) AS BIGINT) + 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        WHERE b.n >= 0.6 * a.n AND a.n >= 0.6 * b.n
+      ),
+      verified AS (
+        SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb,
+               len(list_intersect(sa.shs, sb.shs)) AS n_both
+        FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
+                    JOIN sets sb ON sb.doc_id = c.doc_b
+      )"""
+
   val llm_queries: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
@@ -1254,27 +1281,7 @@ shingles AS (
     // filter, then exact set-wise verification (len(list_intersect) ==
     // Spark size(array_intersect) on distinct shingle sets).
     "dedup_jaccard_pairs" -> s"""
-      WITH ${SHINGLES.trim},
-      sets AS (SELECT doc_id, list(sh) AS shs, COUNT(*) AS n
-               FROM shingles GROUP BY doc_id),
-      sdf AS (SELECT sh, COUNT(*) AS df FROM shingles GROUP BY sh),
-      ranked AS (
-        SELECT s.doc_id, s.sh, c.n,
-               ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.sh) AS rn
-        FROM shingles s JOIN sdf d ON d.sh = s.sh JOIN sets c ON c.doc_id = s.doc_id
-      ),
-      pfx AS (SELECT * FROM ranked WHERE rn <= n - CAST(ceil(0.6 * n) AS BIGINT) + 1),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        WHERE b.n >= 0.6 * a.n AND a.n >= 0.6 * b.n
-      ),
-      verified AS (
-        SELECT c.doc_a, c.doc_b, sa.n AS na, sb.n AS nb,
-               len(list_intersect(sa.shs, sb.shs)) AS n_both
-        FROM cand c JOIN sets sa ON sa.doc_id = c.doc_a
-                    JOIN sets sb ON sb.doc_id = c.doc_b
-      )
+      WITH ${JACCARD_CTES.trim}
       SELECT doc_a, doc_b,
              ROUND(CAST(n_both AS DOUBLE) / (na + nb - n_both), 6) AS jaccard
       FROM verified
@@ -1589,6 +1596,29 @@ shingles AS (
                    length(replace(text, ' ', '')) AS n_letters
             FROM documents) t
       ORDER BY doc_id""",
+    // X158 lexical complexity: vowel-group syllable proxy; runs never
+    // span a separator, so the rejoined-text count equals the per-word
+    // sum in both engines.
+    "text_lexical_complexity" -> """
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+      x AS (
+        SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(array_to_string(ws, ' '),
+                 '[aeiou]+')) AS BIGINT) AS n_syllables,
+               CAST(len(list_filter(ws,
+                 w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3))
+                 AS BIGINT) AS n_polysyllabic
+        FROM d)
+      SELECT doc_id, n_words, n_syllables, n_polysyllabic,
+             ROUND(CAST(n_syllables AS DOUBLE) / n_words, 6)
+               AS syllables_per_word,
+             ROUND(CAST(n_polysyllabic AS DOUBLE) / n_words, 6) AS poly_ratio
+      FROM x WHERE n_words > 0
+      ORDER BY doc_id""",
     "text_tokens" -> """
       SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
@@ -1786,6 +1816,41 @@ shingles AS (
              CAST(SUM((doc_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
                AS px_checksum
       FROM px GROUP BY doc_id, w, h ORDER BY doc_id""",
+    // X154 JPEG leg: lossy codec, so the oracle states what survives
+    // quantization exactly — decoder-read dimensions — plus the loss
+    // bound within_tol, which the Spark side computes from the REAL
+    // decoded raster (false on any sample off by > 16 counts).
+    "multimodal_jpeg" -> """
+      SELECT doc_id,
+             8 + doc_id % 9 AS width,
+             8 + n_chars % 9 AS height,
+             (8 + doc_id % 9) * (8 + n_chars % 9) AS n_px,
+             TRUE AS within_tol
+      FROM documents ORDER BY doc_id""",
+    // X156 PCM leg: the exact codec — every feature is an integer the
+    // SQL recomputes from the stated sample arithmetic; only the byte
+    // round-trip and framing live JVM-side, and any parser bug there
+    // shifts energy/ZCR off these numbers.
+    "multimodal_pcm_features" -> """
+      WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+      f AS (SELECT doc_id, unnest(generate_series(0, n_frames - 1))
+              AS frame_idx FROM d),
+      s AS (SELECT doc_id, frame_idx, unnest(generate_series(0, 159)) AS j
+            FROM f),
+      v AS (SELECT doc_id, frame_idx, j,
+              ((doc_id * 7 + (frame_idx * 160 + j) * 13) % 4096) - 2048 AS smp
+            FROM s),
+      x AS (SELECT doc_id, frame_idx, j, smp,
+              LAG(smp) OVER (PARTITION BY doc_id, frame_idx ORDER BY j)
+                AS prev
+            FROM v)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(160 AS BIGINT) AS n_samples,
+             CAST(SUM(ABS(smp)) AS BIGINT) AS energy,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND smp * prev < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM x GROUP BY doc_id, frame_idx
+      ORDER BY doc_id, frame_idx""",
     "multimodal_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              substr(md5(text), 1, 8) AS content_sig,
@@ -2362,7 +2427,9 @@ shingles AS (
       ORDER BY part_id"""),
     // X146 modularity: per-community Newman terms over the SAME 3
     // unrolled propagation rounds as graph_label_prop; integers until
-    // the two divisions, global Q left to the reader (PSI float rule).
+    // the two divisions. Global Q = the exact-DECIMAL sum of the
+    // 6dp-rounded terms (associative — the PSI unordered-float rule
+    // never applies to decimals), same value on every row.
     "graph_modularity" -> ("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
@@ -2395,16 +2462,49 @@ shingles AS (
                        UNION ALL SELECT lb AS community FROM lab2) t
                  GROUP BY community),
       nn AS (SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
-             FROM l3 GROUP BY lab)
-      SELECT nn.community, nn.n_nodes,
-             COALESCE(intra.intra_edges, 0) AS intra_edges,
-             COALESCE(degsum.degree_sum, 0) AS degree_sum,
-             ROUND(CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / m.m -
-               power(CAST(COALESCE(degsum.degree_sum, 0) AS DOUBLE) / (2 * m.m),
-                 2), 6) AS q_term
-      FROM nn LEFT JOIN degsum ON nn.community = degsum.community
-              LEFT JOIN intra ON nn.community = intra.community, m
-      ORDER BY nn.community"""),
+             FROM l3 GROUP BY lab),
+      terms AS (
+        SELECT nn.community, nn.n_nodes,
+               COALESCE(intra.intra_edges, 0) AS intra_edges,
+               COALESCE(degsum.degree_sum, 0) AS degree_sum,
+               ROUND(CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / m.m -
+                 power(CAST(COALESCE(degsum.degree_sum, 0) AS DOUBLE) / (2 * m.m),
+                   2), 6) AS q_term
+        FROM nn LEFT JOIN degsum ON nn.community = degsum.community
+                LEFT JOIN intra ON nn.community = intra.community, m),
+      qg AS (SELECT CAST(SUM(CAST(q_term AS DECIMAL(18,6))) AS DOUBLE)
+               AS q_global FROM terms)
+      SELECT terms.community, terms.n_nodes, terms.intra_edges,
+             terms.degree_sum, terms.q_term, qg.q_global
+      FROM terms, qg
+      ORDER BY terms.community"""),
+    // X163 Adamic-Adar: common neighbors per existing edge via the
+    // naive sym-edge wedge join (the engine rides the oriented triangle
+    // kernel); 1/ln(deg) terms 6dp-rounded to DECIMAL so the per-edge
+    // sum is exact; deg(z) >= 2 for any common neighbor, so ln never
+    // sees 1.
+    "graph_adamic_adar" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL
+        SELECT b AS u, a AS v FROM e0),
+      deg AS (SELECT u AS z, CAST(COUNT(*) AS BIGINT) AS deg_z
+              FROM sym GROUP BY u),
+      cn AS (SELECT e.a, e.b, s1.v AS z
+             FROM e0 e JOIN sym s1 ON s1.u = e.a
+                       JOIN sym s2 ON s2.u = e.b AND s2.v = s1.v),
+      t AS (SELECT cn.a, cn.b,
+              CAST(ROUND(1.0 / ln(CAST(d.deg_z AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) AS term
+            FROM cn JOIN deg d ON d.z = cn.z),
+      agg AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+                     CAST(SUM(term) AS DOUBLE) AS aa_score
+              FROM t GROUP BY a, b)
+      SELECT a, b, n_common, aa_score FROM agg
+      ORDER BY aa_score DESC, a, b LIMIT 20""",
     // X94 degree distribution: per-degree node counts + running share
     // windowed over the distinct-degree histogram (value-histogram
     // trick — the window never touches node-sized relations).
@@ -3580,6 +3680,106 @@ shingles AS (
              ROUND(-SUM(log2(p)) / COUNT(*), 6) AS bits_per_token
       FROM t JOIN model USING (tok)
       GROUP BY doc_id ORDER BY doc_id""",
+    // X153 order-3 interpolated perplexity: three count tables (exact
+    // integers), p is ONE fixed IEEE expression in identical literal
+    // order, per-trigram log2 6dp-rounded into DECIMAL so the per-doc
+    // sum is exact; final division + exp(b*ln 2) are the only
+    // order-free IEEE ops (platform ln/exp parity).
+    "text_lm_perplexity3" -> """
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+      tri AS (
+        -- plain single-identifier indices only: the Spark replay maps
+        -- ws[i] to 1-based element_at, but an arithmetic index would
+        -- fall through to Spark's 0-based bracket indexing
+        SELECT doc_id, ws[i] AS u, ws[i2] AS v, ws[i3] AS w
+        FROM (SELECT doc_id, ws, i, i + 1 AS i2, i + 2 AS i3
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 2)) AS i
+                    FROM d WHERE len(ws) >= 3) t0) t),
+      bi AS (
+        SELECT ws[i] AS a, ws[i2] AS b
+        FROM (SELECT doc_id, ws, i, i + 1 AS i2
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM d WHERE len(ws) >= 2) t0) t),
+      toks AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+      c3 AS (SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3
+             FROM tri GROUP BY u, v, w),
+      c2ctx AS (SELECT u, v, CAST(SUM(c3) AS BIGINT) AS n3ctx
+                FROM c3 GROUP BY u, v),
+      cb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM bi GROUP BY a, b),
+      c1ctx AS (SELECT a, CAST(SUM(cb) AS BIGINT) AS n2ctx
+                FROM cb GROUP BY a),
+      c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+             FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS v_sz FROM c1),
+      dt AS (SELECT doc_id, u, v, w, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tri GROUP BY doc_id, u, v, w),
+      sc AS (
+        SELECT dt.doc_id, dt.cnt,
+               CAST(ROUND(ln(
+                 0.5 * (CAST(c3.c3 AS DOUBLE) / c2ctx.n3ctx) +
+                 0.3 * (CAST(cb.cb AS DOUBLE) / c1ctx.n2ctx) +
+                 0.2 * (CAST(c1.c1 + 1 AS DOUBLE) / (tot.n + tot.v_sz))
+               ) / ln(2.0), 6) AS DECIMAL(18,6)) AS bits
+        FROM dt
+        JOIN c3 ON c3.u = dt.u AND c3.v = dt.v AND c3.w = dt.w
+        JOIN c2ctx ON c2ctx.u = dt.u AND c2ctx.v = dt.v
+        JOIN cb ON cb.a = dt.v AND cb.b = dt.w
+        JOIN c1ctx ON c1ctx.a = dt.v
+        JOIN c1 ON c1.tok = dt.w, tot),
+      agg AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+               ROUND(-CAST(SUM(cnt * bits) AS DOUBLE) / SUM(cnt), 6)
+                 AS bits_per_token
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_trigrams, bits_per_token,
+             ROUND(exp(bits_per_token * ln(2.0)), 4) AS perplexity
+      FROM agg ORDER BY doc_id""",
+    // X165 Zipf fit: deterministic top-k vocabulary cut, log-log terms
+    // 6dp-rounded into DECIMAL so all five regression sums are exact;
+    // slope/intercept/R2 are one fixed double expression.
+    "text_zipf_fit" -> """
+      WITH raw AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents),
+      t AS (SELECT tok FROM raw WHERE tok <> ''),
+      cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok
+              ORDER BY c DESC, tok LIMIT 1000),
+      xy AS (SELECT
+               CAST(ROUND(ln(CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok)
+                 AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+               CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+             FROM cnt),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM xy)
+      SELECT n AS n_terms,
+        ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+        ROUND((CAST(sy AS DOUBLE) -
+          ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+            CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+        ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) *
+          (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) /
+          ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+              CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+      FROM s""",
     // BPE pair selection: pair counts ride word-TYPE counts (the same
     // vocabulary collapse the Spark side does); deterministic tie-break
     // on the pair text before the LIMIT cut.
@@ -3600,6 +3800,28 @@ shingles AS (
     // ((65536*n_min) // n_g) on both engines — float division would
     // round-vs-truncate differently at the cast; only the reported
     // share/keep_prob columns are float, and both are 6dp-rounded.
+    // X160 split leakage: md5(doc_id)-mod-3 folds over the SAME verified
+    // Jaccard >= 0.6 near-dup pair relation as dedup_jaccard_pairs
+    // (shared CTE text), k^2 fold-pair rollup.
+    "curation_split_leakage" -> s"""
+      WITH ${JACCARD_CTES.trim},
+      pr AS (
+        SELECT doc_a, doc_b FROM verified
+        WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.6),
+      p AS (
+        SELECT LEAST(
+                 ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 4))::BIGINT % 3,
+                 ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 4))::BIGINT % 3)
+                 AS fold_lo,
+               GREATEST(
+                 ('0x' || substr(md5(CAST(doc_a AS VARCHAR)), 1, 4))::BIGINT % 3,
+                 ('0x' || substr(md5(CAST(doc_b AS VARCHAR)), 1, 4))::BIGINT % 3)
+                 AS fold_hi
+        FROM pr)
+      SELECT fold_lo, fold_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             (fold_lo <> fold_hi) AS is_leak
+      FROM p GROUP BY fold_lo, fold_hi
+      ORDER BY fold_lo, fold_hi""",
     "curation_mix_rebalance" -> """
       WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
       m AS (SELECT MIN(n_docs) AS n_min, SUM(n_docs) AS n_total FROM g),
@@ -3711,6 +3933,16 @@ shingles AS (
     // X126 FK audit: one row per constraint, orphans counted by NOT
     // EXISTS, NULL FKs carved out (SQL FK semantics) — generated per
     // edge so the Spark edge list and this one cannot drift in shape.
+    // X157 id gaps: the oracle states the NAIVE global-adjacency form
+    // (fine at gate scale); the Spark plan computes the identical
+    // relation via range-bucketed windows + a 32-row boundary stitch.
+    "dq_id_gaps" -> """
+      WITH k AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      x AS (SELECT k, LEAD(k) OVER (ORDER BY k) AS nk FROM k)
+      SELECT k + 1 AS gap_start, nk - 1 AS gap_end,
+             nk - k - 1 AS n_missing
+      FROM x WHERE nk - k > 1
+      ORDER BY gap_start""",
     "dq_fk_orphans" -> (Seq(
         ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -3728,7 +3960,8 @@ shingles AS (
         (SELECT COUNT(DISTINCT ch.$ck) FROM $c ch WHERE ch.$ck IS NOT NULL AND NOT EXISTS
           (SELECT 1 FROM $p pa WHERE pa.$pk = ch.$ck)) AS n_orphan_keys,
         (SELECT COUNT(DISTINCT $pk) FROM $p) AS n_parent,
-        (SELECT COUNT(*) FROM (SELECT DISTINCT $pk AS k FROM $p) pa WHERE NOT EXISTS
+        (SELECT COUNT(*) FROM (SELECT DISTINCT $pk AS k FROM $p
+          WHERE $pk IS NOT NULL) pa WHERE NOT EXISTS
           (SELECT 1 FROM $c ch WHERE ch.$ck = pa.k)) AS n_childless_parent"""
       }.mkString("", "\n      UNION ALL", "\n      ORDER BY fk")),
     // X127 sweep-line concurrency: +1 at open, -1 the day after close,
@@ -3857,8 +4090,17 @@ shingles AS (
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) - d - c) AS n_risk
              FROM hist, tot),
       dd AS (SELECT t, d, c, n_risk,
-               exp(SUM(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
-                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)) AS surv
+               -- terminal-day guard: d == n_risk exhausts the risk set;
+               -- ln(0) throws here and NULLs out on Spark, so S = 0 is
+               -- stated explicitly and the log term is gated to d < n
+               CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+                    THEN 0.0
+                    ELSE exp(SUM(CASE WHEN d < n_risk
+                        THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                        ELSE 0.0 END)
+                      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+               END AS surv
              FROM rk WHERE d > 0)
       SELECT t AS lifetime_days, n_risk, d AS n_deaths, c AS n_censored,
              ROUND(surv, 6) AS survival
@@ -3965,6 +4207,48 @@ shingles AS (
              ROUND(CAST(abs(sv) AS DOUBLE) / (n_days * total), 6) AS rel_dev
       FROM best WHERE rk = 1 ORDER BY event_type""",
     // X149 power curve: active-days histogram + running share.
+    // X166 stickiness: one day-range join over the (day, user) distinct
+    // relation, conditional distinct counts for the three horizons.
+    "events_stickiness" -> """
+      WITH du AS (
+        SELECT DISTINCT
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               user_id
+        FROM events),
+      days AS (SELECT DISTINCT day_num AS d FROM du)
+      SELECT d AS day_num,
+             CAST(COUNT(DISTINCT CASE WHEN du.day_num = d
+               THEN du.user_id END) AS BIGINT) AS dau,
+             CAST(COUNT(DISTINCT CASE WHEN du.day_num >= d - 6
+               THEN du.user_id END) AS BIGINT) AS wau,
+             CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS mau,
+             ROUND(CAST(COUNT(DISTINCT CASE WHEN du.day_num = d
+               THEN du.user_id END) AS DOUBLE) /
+               COUNT(DISTINCT du.user_id), 6) AS stickiness
+      FROM days JOIN du ON du.day_num >= d - 29 AND du.day_num <= d
+      GROUP BY d ORDER BY day_num""",
+    // X161 seasonality: ≤168-cell hour-of-week grid, weekday-partitioned
+    // windows only; isodow == Spark weekday + 1 (dialect-mapped).
+    "events_seasonality" -> """
+      WITH e AS (
+        SELECT isodow(CAST(ts AS TIMESTAMP)) AS dow,
+               hour(CAST(ts AS TIMESTAMP)) AS hr
+        FROM events),
+      c AS (
+        SELECT CAST(dow AS BIGINT) AS dow, CAST(hr AS BIGINT) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM e GROUP BY dow, hr),
+      x AS (
+        SELECT dow, hr, n_events,
+               CAST(SUM(n_events) OVER (PARTITION BY dow) AS BIGINT)
+                 AS dow_total,
+               ROW_NUMBER() OVER (PARTITION BY dow
+                 ORDER BY n_events DESC, hr) AS rk
+        FROM c)
+      SELECT dow, hr, n_events,
+             ROUND(CAST(n_events AS DOUBLE) / dow_total, 6) AS dow_share,
+             (rk = 1) AS is_dow_peak
+      FROM x ORDER BY dow, hr""",
     "events_power_curve" -> """
       WITH ad AS (
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS active_days
@@ -4122,6 +4406,63 @@ shingles AS (
       ORDER BY th.threshold""",
     // X137 RFM: fixed business thresholds, integer compares, DECIMAL
     // monetary, one division in the segment average.
+    // X164 skew/kurtosis: integer-cents power sums in DECIMAL(38,0)
+    // (order-free exact), shape ratios one fixed double expression;
+    // m2^1.5 spelled m2*sqrt(m2) (pow is not cross-engine ulp-stable).
+    "analytics_skew_kurtosis" -> """
+      WITH w AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS w,
+               CAST(ROUND(value * 100) AS BIGINT) *
+                 CAST(ROUND(value * 100) AS BIGINT) AS w2
+        FROM events),
+      s AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(w AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+               CAST(SUM(CAST(w2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(CAST(w2 AS DECIMAL(38,0)) * w) AS DECIMAL(38,0)) AS s3,
+               CAST(SUM(CAST(w2 AS DECIMAL(38,0)) * w2) AS DECIMAL(38,0)) AS s4
+        FROM w GROUP BY event_type),
+      m AS (
+        SELECT event_type, n,
+               ROUND(CAST(s1 AS DOUBLE) / n / 100, 6) AS mean_value,
+               CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m2c,
+               CAST(s3 AS DOUBLE) / n
+                 - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                 + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) AS m3c,
+               CAST(s4 AS DOUBLE) / n
+                 - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                 + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s2 AS DOUBLE) / n)
+                 - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                     * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4c
+        FROM s)
+      SELECT event_type, n, mean_value,
+             ROUND(sqrt(m2c) / 100, 6) AS sd_value,
+             ROUND(m3c / (m2c * sqrt(m2c)), 6) AS skewness,
+             ROUND(m4c / (m2c * m2c) - 3, 6) AS excess_kurtosis
+      FROM m ORDER BY event_type""",
+    // X159 Gini: exact decimal revenues + integer ranks; numerator and
+    // denominator cross into DOUBLE only at the end (a decimal 2*s_irev
+    // would pass DuckDB's precision-38 cap).
+    "analytics_gini" -> """
+      WITH rev AS (
+        SELECT o_custkey AS ck,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey),
+      rk AS (
+        SELECT rev, ck, ROW_NUMBER() OVER (ORDER BY rev, ck) AS i FROM rev),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(rev) AS total,
+               SUM(i * rev) AS s_irev
+        FROM rk)
+      SELECT n AS n_customers,
+             CAST(total AS DECIMAL(38,2)) AS total_revenue,
+             ROUND((2 * CAST(s_irev AS DOUBLE) -
+               CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
+      FROM agg""",
     "analytics_rfm" -> """
       WITH pc AS (
         SELECT o_custkey AS ck,
@@ -4926,6 +5267,26 @@ shingles AS (
       SELECT key, val, lang, op AS last_op, n_ops
       FROM ranked WHERE rn = 1 AND op <> 'D'
       ORDER BY key""",
+    // X155 SCD2: every non-delete op opens a version valid until the
+    // key's NEXT op of any type (update supersedes, delete closes);
+    // final non-delete op per key = current row.
+    "warehouse_scd2_build" -> """
+      WITH changelog AS (
+        SELECT doc_id AS seq, doc_id % 97 AS key,
+               CASE WHEN doc_id % 11 = 7 THEN 'D'
+                    WHEN doc_id % 3 = 0 THEN 'I'
+                    ELSE 'U' END AS op,
+               n_chars AS val, lang
+        FROM documents
+      ),
+      x AS (
+        SELECT *, LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        FROM changelog
+      )
+      SELECT key, val, lang, seq AS valid_from, valid_to,
+             (valid_to IS NULL) AS is_current
+      FROM x WHERE op <> 'D'
+      ORDER BY key, valid_from""",
     // Version-to-version diff on md5 content fingerprints; v2 is the
     // deterministic mutation (drop %31=7, edit %13=3, append +1e6 keys)
     // so all four statuses exist at every SF.
@@ -5206,7 +5567,8 @@ shingles AS (
     * reuse another entry's SQL verbatim). The guard spec accounts for these.
     */
   private[graft] val aliasKeys: Set[String] =
-    Set("dedup_clusters_star", "incr_cc_merge", "stream_cdc_state")
+    Set("dedup_clusters_star", "incr_cc_merge", "stream_cdc_state",
+      "warehouse_scd2_merge")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
@@ -5222,5 +5584,8 @@ shingles AS (
       ("incr_cc_merge" -> llm_queries("dedup_clusters")) +
       // the streaming update-if-newer snapshot converges to the batch
       // compaction on the finite replay — cdc_apply's SQL verbatim
-      ("stream_cdc_state" -> warehouse_queries("cdc_apply"))
+      ("stream_cdc_state" -> warehouse_queries("cdc_apply")) +
+      // the incremental SCD2 merge is row-identical to rebuilding the
+      // dimension from the full log — the build oracle verbatim
+      ("warehouse_scd2_merge" -> warehouse_queries("warehouse_scd2_build"))
 }

@@ -37,17 +37,30 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fixtureSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the file stream source takes a directory; select the events table
-    // out of the fixture dir by glob. No maxFilesPerTrigger: AvailableNow
-    // takes every matching file in one micro-batch, so the update-mode
-    // entries stay single-batch-correct even if the fixture is ever
-    // regenerated as several files.
-    graft.tables.Tables.normalizeTs(
-      spark.readStream
-        .schema(fixtureSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    // the file stream source takes a directory; the driver fixture ships
+    // events.parquet as a single FILE inside the sf dir (selected by
+    // glob), while generated corpora (the scale rehearsal's sf1) write
+    // it as a parquet DIRECTORY — read whichever shape is present. No
+    // maxFilesPerTrigger: AvailableNow takes every matching file in one
+    // micro-batch, so the update-mode entries stay single-batch-correct
+    // even with a many-file fixture.
+    val raw =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        spark.readStream.schema(fixtureSchema).parquet(s"$dir/events.parquet")
+      else
+        spark.readStream.schema(fixtureSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.tables.Tables.normalizeTs(raw)
   }
+
+  /** Driver-side diagnostics from the most recent harness run (scale
+    * rehearsal + harness-share accounting): input rows, final state
+    * rows/bytes, and processing vs wall time.
+    */
+  final case class RunStats(inputRows: Long, stateRows: Long,
+                            stateBytes: Long, procMs: Long, nBatches: Int)
+  @volatile private var lastStats: Option[RunStats] = None
+  def lastRunStats: Option[RunStats] = lastStats
 
   /** Run a finite streaming query (AvailableNow) into a memory sink and
     * return the sink contents.
@@ -88,11 +101,24 @@ object EventStream {
     // bounded wait: a wedged stream must not stall the whole harness run —
     // and a timeout must surface as a loud failure, never as silently
     // truncated sink contents masquerading as a result
-    if (!q.awaitTermination(180000L)) {
+    if (!q.awaitTermination(600000L)) {
       q.stop()
       throw new IllegalStateException(
-        s"streaming query $name did not finish within 180s; aborting " +
+        s"streaming query $name did not finish within 600s; aborting " +
           "instead of returning a partial memory sink")
+    }
+    // record run diagnostics (cheap: recentProgress is already buffered)
+    locally {
+      val ps = q.recentProgress
+      val lastState = ps.reverseIterator
+        .find(_.stateOperators.nonEmpty).map(_.stateOperators)
+      lastStats = Some(RunStats(
+        inputRows = ps.map(_.numInputRows).sum,
+        stateRows = lastState.map(_.map(_.numRowsTotal).sum).getOrElse(0L),
+        stateBytes = lastState.map(_.map(_.memoryUsedBytes).sum).getOrElse(0L),
+        procMs = ps.map(p => Option(p.durationMs.get("triggerExecution"))
+          .map(_.longValue).getOrElse(0L)).sum,
+        nBatches = ps.length))
     }
     // detach the result from the catalog so repeated harness runs don't
     // pin every sink's contents for the session lifetime (the memory

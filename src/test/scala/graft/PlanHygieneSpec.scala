@@ -6,79 +6,117 @@ package graft
   * gate in executable form — a regression that turns an equi-join into a
   * cross shape fails here even while values stay correct at fixture SF.
   */
-class PlanHygieneSpec extends SparkSpec {
+class PlanHygieneSpec extends SparkSpec
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
   /** Entries whose plans legitimately contain a broadcast nested-loop —
-    * every one broadcasts a SINGLE row or a fixed-k set, never a
-    * data-sized relation, so the "loop" is bounded by |broadcast| ≤ k:
-    *
-    *  - broadcast query vector / query set: embed_cosine_topk,
-    *    embed_knn_join, embed_ann_ivf, embed_ann_recall, multimodal_embed,
-    *    text_edit_distance, text_bm25_topk (one corpus-stats row)
-    *  - broadcast single global-aggregate row (moments, totals,
-    *    thresholds): dq_volume_anomaly, events_rolling_users,
-    *    text_heavy_hitters, text_collocations, text_langid_ngram,
-    *    sync_summary, events_funnel (per-stage bound row),
-    *    text_lm_crossentropy (one (N,V) smoothing row),
-    *    curation_mix_rebalance / curation_mix_upsample (one group-stats
-    *    row), graph_pagerank (one node-count row per iteration),
-    *    analytics_market_basket (one n_orders row),
-    *    text_tfidf_topterms (one corpus-count row),
-    *    cdc_time_travel (three version-cut rows),
-    *    agg_equidepth_hist (B−1 = 7 rank-target rows),
-    *    analytics_chisq (one N row), analytics_pareto80 (one
-    *    corpus-total row), curation_dsir_weights (one (nt,nr)
-    *    smoothing-totals row), analytics_bucket_assign (B−1 = 7
-    *    boundary rows), graph_degree_dist (one node-total row),
-    *    warehouse_cascade_delete (three 1-row audit-count crossJoins),
-    *    agg_cms_heavy_hitters (one token-total row),
-    *    curation_quantile_norm (one corpus-count row),
-    *    graph_hits (two 1-row max-score normalization crossJoins)
-    *  - TPC-H scalar/IN subqueries over dimension-sized sets:
-    *    tpch_q9_profit, tpch_q11_stock, tpch_q16_partsupp, tpch_q20_promo,
-    *    tpch_q22_dormant
-    *
-    * The pin is directional: entries may LEAVE this set (an improvement),
-    * but any entry gaining a nested-loop join fails the sweep.
+    * every one broadcasts a single global-aggregate row or a fixed-k set
+    * (query vectors/panels, bucket grids, version cuts) or a
+    * dimension-sized TPC-H scalar/IN subquery, never a fact-sized
+    * relation. The set is DERIVED from [[nestedLoopBroadcastBound]],
+    * where each entry's claim is a measured, asserted row bound rather
+    * than prose. The pin stays directional: entries may LEAVE the set
+    * (an improvement), but any entry gaining a nested-loop join fails
+    * the sweep, and any allowlisted entry whose broadcast side outgrows
+    * its declared bound fails the executable bound test below.
     */
-  private val allowedNestedLoop: Set[String] = Set(
-    "embed_cosine_topk", "embed_knn_join", "embed_ann_ivf",
-    "embed_ann_recall", "multimodal_embed", "text_edit_distance",
-    "text_bm25_topk",
-    "dq_volume_anomaly", "events_rolling_users", "text_heavy_hitters",
-    "text_collocations", "text_langid_ngram", "sync_summary",
-    "events_funnel", "text_lm_crossentropy", "curation_mix_rebalance",
-    "curation_mix_upsample", "graph_pagerank", "analytics_market_basket",
-    "text_tfidf_topterms", "cdc_time_travel", "agg_equidepth_hist",
-    "tpch_q9_profit", "tpch_q11_stock", "tpch_q16_partsupp",
-    "tpch_q20_promo", "tpch_q22_dormant",
-    "analytics_chisq", "analytics_pareto80", "curation_dsir_weights",
-    "analytics_bucket_assign", "graph_degree_dist",
-    "warehouse_cascade_delete", "agg_cms_heavy_hitters",
-    "curation_quantile_norm", "graph_hits",
-    // 1-row broadcast sides: the query vector / hit-count pair, the
-    // reference-day aggregate, and the pivoted 1-row BPE merge table
-    "embed_matryoshka", "events_decayed_topk", "text_bpe_encode",
-    "text_bpe_fertility", // same pivoted 1-row merge table as the encode entry
-    // t1 < t2 theta self-join of the per-type SKETCH relation — one row
-    // per event type (5 at any sf), the corpus never enters the loop
-    "agg_kmv_intersect",
-    // broadcast 4-row (T,V) grid / 1-row total — the cdc_time_travel
-    // cut-replication shape
-    "warehouse_bitemporal", "dq_benford",
-    // broadcast 1-row corpus-max-day / date-midpoint aggregates
-    "analytics_rfm", "dq_psi_drift", "analytics_survival_km",
-    "graph_modularity",
-    // bounded 8-row query-panel broadcast (the declared panel nested loop)
-    "embed_recall_curve",
-    // broadcast 1-row user-total aggregate
-    "events_power_curve")
+  private def allowedNestedLoop: Set[String] = nestedLoopBroadcastBound.keySet
 
   // stream_* entries execute their streaming query on construction (the
   // memory-sink harness), and the file-watch scan has its own spec —
   // plan shape for streams is pinned in the streaming suites instead.
   private def swept(name: String): Boolean =
     !name.startsWith("stream_") && name != "scan_inventory"
+
+  /** The EXECUTABLE form of the allowlist above: per entry, the maximum
+    * row count any BroadcastNestedLoopJoin broadcast side may reach at
+    * the gate SF — measured, then pinned to the smallest round number
+    * that states the entry's claim ("1-row aggregate", "fixed-k panel",
+    * "dimension-sized subquery"). A prose claim of "broadcasts ≤ k rows"
+    * that is actually data-sized fails HERE, not in a code review: the
+    * bound is checked against the exchange's real `numOutputRows` metric
+    * after executing the entry, so the allowlist can no longer admit a
+    * fact-table-sized nested loop by assertion. Bounds are small
+    * constants for fixed-k claims; the TPC-H scalar/IN-subquery entries
+    * get a dimension-scale bound (they grow with dimension tables, never
+    * with lineitem — 2000 at sf0.001 is 20× any dimension there and 3×
+    * BELOW the smallest fact table, so a fact-sized side still fails).
+    */
+  private val nestedLoopBroadcastBound: Map[String, Long] = Map(
+    "embed_cosine_topk" -> 8,
+    // the declared query PANEL (nQueries = 20), not a single vector
+    "embed_knn_join" -> 32,
+    "embed_ann_ivf" -> 64,
+    "embed_ann_recall" -> 8, "multimodal_embed" -> 8,
+    "text_edit_distance" -> 8, "text_bm25_topk" -> 8,
+    "dq_volume_anomaly" -> 8,
+    // the broadcast side is the DISTINCT-DAY list, not a 1-row aggregate
+    // (the first claim this gate falsified: measured 30 rows at sf0.001)
+    // — calendar-bounded, never data-sized
+    "events_rolling_users" -> 64,
+    // same day-spine shape as events_rolling_users (30-day horizon)
+    "events_stickiness" -> 64,
+    "text_heavy_hitters" -> 8, "text_collocations" -> 8,
+    "text_langid_ngram" -> 8, "sync_summary" -> 8, "events_funnel" -> 8,
+    "text_lm_crossentropy" -> 8, "curation_mix_rebalance" -> 8,
+    "curation_mix_upsample" -> 8, "graph_pagerank" -> 8,
+    "analytics_market_basket" -> 8, "text_tfidf_topterms" -> 8,
+    "cdc_time_travel" -> 8, "agg_equidepth_hist" -> 8,
+    "tpch_q9_profit" -> 2000, "tpch_q11_stock" -> 2000,
+    "tpch_q16_partsupp" -> 2000, "tpch_q20_promo" -> 2000,
+    "tpch_q22_dormant" -> 2000,
+    "analytics_chisq" -> 8, "analytics_pareto80" -> 8,
+    "curation_dsir_weights" -> 8, "analytics_bucket_assign" -> 8,
+    "graph_degree_dist" -> 8, "warehouse_cascade_delete" -> 8,
+    "agg_cms_heavy_hitters" -> 8, "curation_quantile_norm" -> 8,
+    "graph_hits" -> 8, "embed_matryoshka" -> 8, "events_decayed_topk" -> 8,
+    "text_bpe_encode" -> 8, "text_bpe_fertility" -> 8,
+    "agg_kmv_intersect" -> 8, "warehouse_bitemporal" -> 8,
+    "dq_benford" -> 16, "analytics_rfm" -> 8, "dq_psi_drift" -> 8,
+    "analytics_survival_km" -> 8, "graph_modularity" -> 8,
+    "embed_recall_curve" -> 8, "events_power_curve" -> 8,
+    // broadcast 1-row (N, V) unigram smoothing totals
+    "text_lm_perplexity3" -> 8,
+    // broadcast 1-row log-split cut (the cdc_time_travel shape)
+    "warehouse_scd2_merge" -> 8)
+
+  test("every BNLJ broadcast side stays within its declared row bound") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val offenders = nestedLoopBroadcastBound.toSeq.sortBy(_._1)
+      .filter { case (n, _) => SparkEntry.queries.contains(n) }
+      .flatMap { case (name, bound) =>
+        val df = SparkEntry.queries(name)(spark, sf001)
+        df.collect() // populate SQL metrics on THIS queryExecution's tree
+        val plan = df.queryExecution.executedPlan
+        val bnljBuilds: Seq[SparkPlan] =
+          collectWithSubqueries(plan) {
+            case j: BroadcastNestedLoopJoinExec => j.buildSide match {
+              case BuildLeft => j.left
+              case BuildRight => j.right
+            }
+          }
+        bnljBuilds.flatMap { build =>
+          val rows: Option[Long] = collectFirst(build) {
+            case e: BroadcastExchangeExec => e.metrics("numOutputRows").value
+            case r: ReusedExchangeExec => r.child match {
+              case e: BroadcastExchangeExec => e.metrics("numOutputRows").value
+              case _ => -1L
+            }
+          }
+          rows match {
+            case None => Some(s"$name: BNLJ build side has no broadcast " +
+              s"exchange to measure (plan: ${build.nodeName})")
+            case Some(n) if n > bound =>
+              Some(s"$name: BNLJ broadcast side has $n rows > declared bound $bound")
+            case _ => None
+          }
+        }
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 
   /** Entries whose plans legitimately contain a PARTITIONLESS window —
     * every one windows over a COLLAPSED relation (a value histogram,
@@ -106,7 +144,10 @@ class PlanHygieneSpec extends SparkSpec {
     "text_bpe_fertility" -> "same 5-row merge-rank window (shared X121 encode stage)",
     "events_funnel" -> "running min over the 3-row per-stage bound relation",
     "graph_degree_dist" -> "cumulative share over the distinct-degree histogram",
-    "events_power_curve" -> "running share over the <=31-row active-days histogram")
+    "events_power_curve" -> "running share over the <=31-row active-days histogram",
+    "analytics_gini" -> "rank-offset cumsum over 32 per-partition subtotal rows (the X83 pattern)",
+    "text_zipf_fit" -> "log-rank window over the already-limited top-1000 vocabulary cut",
+    "dq_id_gaps" -> "boundary stitch over the 32-row per-range-bucket (min,max) summary")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
