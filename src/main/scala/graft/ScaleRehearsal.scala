@@ -45,7 +45,8 @@ object ScaleRehearsal {
     "incr_cc_merge", "dedup_containment_pairs", "graph_edge_jaccard",
     // r8 wave
     "text_lm_perplexity3", "multimodal_jpeg", "dq_id_gaps",
-    "analytics_gini")
+    "analytics_gini", "graph_components", "graph_adamic_adar",
+    "analytics_abc_xyz")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from

@@ -329,6 +329,8 @@ object SparkEntry {
     "graph_kcore" -> ((s, d) => graft.ext.Graphs.kcore(s, d)),
     // referential audit: orphan children + childless parents per FK edge
     "dq_fk_orphans" -> ((s, d) => graft.ext.DataQuality.fkOrphanAudit(s, d)),
+    "dq_key_candidates" -> ((s, d) => graft.ext.DataQuality.keyCandidates(s, d)),
+    "dq_rule_violations" -> ((s, d) => graft.ext.DataQuality.ruleViolations(s, d)),
     "dq_id_gaps" -> ((s, d) => graft.ext.DataQuality.idGaps(s, d)),
     // sweep-line open-order concurrency (per-month peak / end-of-month)
     "analytics_order_concurrency" -> ((s, d) => graft.ext.Analytics.orderConcurrency(s, d)),
@@ -352,6 +354,7 @@ object SparkEntry {
     // rule-threshold RFM segmentation (stable, auditable, no quantile drift)
     "analytics_rfm" -> ((s, d) => graft.ext.Analytics.rfmSegments(s, d)),
     "analytics_gini" -> ((s, d) => graft.ext.Analytics.giniRevenue(s, d)),
+    "analytics_abc_xyz" -> ((s, d) => graft.ext.Analytics.abcXyz(s, d)),
     "analytics_skew_kurtosis" -> ((s, d) => graft.ext.Analytics.skewKurtosis(s, d)),
     // git-style three-way snapshot merge with surfaced conflicts
     "warehouse_three_way_merge" -> ((s, d) => graft.ext.Warehouse.threeWayMerge(s, d)),
@@ -375,6 +378,9 @@ object SparkEntry {
     "events_power_curve" -> ((s, d) => graft.ext.Events.powerCurve(s, d)),
     "events_seasonality" -> ((s, d) => graft.ext.Events.seasonality(s, d)),
     "events_stickiness" -> ((s, d) => graft.ext.Events.stickiness(s, d)),
+    "events_ewma" -> ((s, d) => graft.ext.Events.ewma(s, d)),
+    "events_markov_steady" -> ((s, d) => graft.ext.Events.markovSteady(s, d)),
+    "graph_components" -> ((s, d) => graft.ext.Graphs.components(s, d)),
     // degree assortativity (Newman r) from exact DECIMAL moments
     "graph_assortativity" -> ((s, d) => graft.ext.Graphs.assortativity(s, d)),
     // per-column Shannon entropy via the ordered count-of-counts sum
@@ -436,6 +442,7 @@ object SparkEntry {
     "multimodal_decode" -> (graft.ext.Multimodal.decodeQuery(_, _)),
     "multimodal_jpeg" -> (graft.ext.Multimodal.jpegQuery(_, _)),
     "multimodal_pcm_features" -> (graft.ext.Multimodal.pcmQuery(_, _)),
+    "multimodal_pcm_vad" -> (graft.ext.Multimodal.pcmVad(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),
     "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)),

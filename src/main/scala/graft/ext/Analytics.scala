@@ -1647,4 +1647,73 @@ object Analytics {
           (col("n").cast("double") * col("total").cast("double")), 6)
           .as("gini"))
   }
+
+  /** X173: ABC/XYZ inventory classification — the planner's standard
+    * two-axis part segmentation: ABC by cumulative revenue share
+    * (A ≈ the parts covering 80% of revenue, B to 95%, C the tail —
+    * X83's Pareto cut promoted to a class label) crossed with XYZ by
+    * weekly-demand variability (coefficient of variation of per-week
+    * shipped quantity: X ≤ 0.5, Y ≤ 1, else Z). Every comparison is an
+    * integer cross-multiplication: revenue is exact BIGINT cents, the
+    * share thresholds are `(cum − x)·5 < total·4` / `·20 < ·19`, and
+    * the CV thresholds compare `4·(n·Σx² − S²) ≤ S²` / `≤ 4·S²` — no
+    * float reaches a decision, so the grid is hash-stable. Revenue is
+    * emitted in cents (BIGINT) for the same reason.
+    *
+    * Scale shape: the global revenue rank/prefix uses the X159
+    * two-phase trick — range partition on (revenue DESC, pk), a ≤32-row
+    * per-partition sum prefix broadcast back, within-partition running
+    * windows only (never a global partitionless window over the part
+    * relation); the XYZ moments are one map-side-combinable aggregate
+    * over the (part, week) rollup; the final grid is ≤ 9 rows.
+    */
+  def abcXyz(spark: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // the tpch_q1 money rule: cast each FACTOR to decimal (raw column
+    // values never tie at the half-cent; the double PRODUCT does), so
+    // price·(1−disc) is an EXACT scale-4 decimal — held as integer
+    // 10⁻⁴-dollar units in BIGINT from the first row
+    val rev = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        * 10000).cast("bigint")).as("rev_c"))
+    val ranged = rev
+      .repartitionByRange(parts, col("rev_c").desc, col("pk").asc)
+      .withColumn("p", spark_partition_id().cast("long"))
+    val prefix = ranged.groupBy("p").agg(sum("rev_c").as("bsum"))
+      .withColumn("prev_sum", coalesce(
+        sum("bsum").over(Window.orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("p", "prev_sum")
+    val total = rev.agg(sum("rev_c").as("total_c"))
+    val abc = ranged.join(broadcast(prefix), Seq("p"))
+      .withColumn("cum", col("prev_sum") + sum("rev_c").over(
+        Window.partitionBy("p").orderBy(col("rev_c").desc, col("pk").asc)))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when((col("cum") - col("rev_c")) * 5 < col("total_c") * 4, "A")
+          .when((col("cum") - col("rev_c")) * 20 < col("total_c") * 19, "B")
+          .otherwise("C"))
+      .select("pk", "rev_c", "abc_class")
+    val weekly = li.select(col("l_partkey").as("pk"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 604800000000")
+          .as("week"),
+        col("l_quantity").cast("bigint").as("q"))
+      .groupBy("pk", "week").agg(sum("q").as("x"))
+    val xyz = weekly.groupBy("pk")
+      .agg(count(lit(1)).as("nw"), sum("x").as("s"),
+        sum(col("x") * col("x")).as("q2"))
+      .withColumn("disp", col("nw") * col("q2") - col("s") * col("s"))
+      .withColumn("xyz_class",
+        when(col("disp") * 4 <= col("s") * col("s"), "X")
+          .when(col("disp") <= col("s") * col("s"), "Y")
+          .otherwise("Z"))
+      .select("pk", "xyz_class")
+    abc.join(xyz, Seq("pk"))
+      .groupBy("abc_class", "xyz_class")
+      .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("rc4"))
+      .select(col("abc_class"), col("xyz_class"), col("n_parts"),
+        round(col("rc4").cast("double") / 10000, 2).as("revenue"))
+      .orderBy("abc_class", "xyz_class")
+  }
 }

@@ -449,4 +449,92 @@ object DataQuality {
       .reduce(_.unionByName(_))
       .orderBy("fk")
   }
+
+  /** X170: candidate-key discovery — per column of `orders`, the
+    * uniqueness profile (rows, nulls, distinct count, uniqueness ratio)
+    * and the `is_key` verdict (distinct == rows AND null-free): the
+    * audit that decides which columns can anchor a merge/dedup/SCD key,
+    * the companion to X112's null profile and X151's entropy profile.
+    * Values are compared as strings only to COUNT them — each engine
+    * casts with its own (injective) formatting, so the distinct counts
+    * agree without the rendered strings ever being compared.
+    *
+    * Scale shape: one unpivot (a union of narrow per-column projections
+    * Catalyst collapses into a single scan) fanned ×columns, then two
+    * map-side-combinable aggregates — the X112 shape; output is
+    * column-count-sized.
+    */
+  def keyCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val colExprs: Seq[(String, Column)] = Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> col("o_totalprice"),
+      "o_orderdate" -> expr("unix_micros(cast(o_orderdate as timestamp))"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val cells = colExprs.map { case (n, c) =>
+      o.select(lit(n).as("col_name"), c.cast("string").as("v"))
+    }.reduce(_.unionByName(_))
+    val base = cells.groupBy("col_name").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"))
+    val dc = cells.filter(col("v").isNotNull)
+      .groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+      .groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
+    base.join(dc, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(coalesce(col("n_distinct"), lit(0L)).cast("double") /
+          col("n_rows").cast("double"), 6).as("uniqueness"),
+        (coalesce(col("n_distinct"), lit(0L)) === col("n_rows") &&
+          col("n_nulls") === 0).as("is_key"))
+      .orderBy("col_name")
+  }
+
+  /** X171: declarative cross-field rule audit — a fixed rule catalog
+    * evaluated in ONE pass over the (lineitem ⋈ orders) fact relation,
+    * each rule a conditional counter: the "business invariant" tier of
+    * data quality above X112's structural profile (and on this fixture
+    * the cross-table rule R1 genuinely fires — ~49% of lines carry a
+    * ship date before their order date, a generator artifact a DQ
+    * audit exists to surface). Counts are exact integers; the rate is
+    * the one IEEE division.
+    *
+    * Scale shape: one key-shuffle join (the same orderkey equi-join
+    * every TPC-H entry shuffles on), one map-side-combinable aggregate
+    * to a SINGLE row of counters, unpivoted to rule-catalog-sized
+    * output on the driver-free stack path.
+    */
+  def ruleViolations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"))
+    val joined = li.join(o, Seq("l_orderkey"))
+    val agg = joined.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L))
+        .as("r1"),
+      sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("r2"),
+      sum(when(col("l_quantity") > 45.0, 1L).otherwise(0L)).as("r3"),
+      sum(when(col("l_tax") > 0.06, 1L).otherwise(0L)).as("r4"),
+      sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("r5"),
+      sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L)).as("r6"))
+    // stack over the ONE-row counter relation (a unionByName of
+    // per-rule selects would re-run the join+aggregate once per rule)
+    agg.select(col("n").as("n_checked"), expr(
+        "stack(6, " +
+          "'R1', 'ship_before_order', r1, " +
+          "'R2', 'discount_over_cap', r2, " +
+          "'R3', 'quantity_over_cap', r3, " +
+          "'R4', 'tax_over_cap', r4, " +
+          "'R5', 'returnflag_domain', r5, " +
+          "'R6', 'price_nonpositive', r6) AS (rule_id, rule_name, n_violations)"))
+      .select(col("rule_id"), col("rule_name"), col("n_checked"),
+        col("n_violations"),
+        round(col("n_violations").cast("double") /
+          col("n_checked").cast("double"), 6).as("violation_rate"))
+      .orderBy("rule_id")
+  }
 }

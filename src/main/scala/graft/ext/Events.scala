@@ -1117,4 +1117,98 @@ object Events {
       .select("dow", "hr", "n_events", "dow_share", "is_dow_peak")
       .orderBy("dow", "hr")
   }
+
+  /** X167: exponentially-weighted moving average of daily event volume
+    * per type — the smoothed baseline alerting compares raw counts
+    * against (X28 flags deviations from a LEVEL; EWMA is the level that
+    * adapts). The half-life is ONE DAY (α = 1/2), which makes every
+    * weight an exact power of two: over the 20-day lookback the
+    * numerator is Σ count_j · 2^(19−(d−j)) and the denominator
+    * Σ 2^(19−(d−j)) — both BIGINT-exact (counts ≤ 2^40, weights ≤ 2^19),
+    * so the only IEEE step is the final division, 6dp-rounded. The
+    * recursive EWMA definition is truncated at 20 lags by construction
+    * (a 2^-20 tail is below the 6dp output resolution anyway); absent
+    * days simply contribute no term, identically in both engines.
+    *
+    * Scale shape: the corpus collapses to the (type, day) count relation
+    * first (map-side combinable); the lookback is a type-keyed band
+    * self-join fanning each day into ≤ 20 slices of a calendar-sized
+    * relation — bounded by the horizon, never by row volume; one
+    * type+day-keyed aggregate after.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .groupBy("event_type", "day_num").agg(count(lit(1)).as("n_events"))
+    val spine = daily.select(col("event_type"), col("day_num").as("d"),
+      col("n_events").as("n_today"))
+    spine.join(daily.select(col("event_type"), col("day_num").as("j"),
+        col("n_events").as("nj")), Seq("event_type"))
+      .filter(col("j") >= col("d") - 19 && col("j") <= col("d"))
+      .groupBy("event_type", "d", "n_today")
+      .agg(
+        // the SQL-function form: the Scala shiftleft() binding takes a
+        // literal Int shift, and the shift here is per-row
+        sum(col("nj") * expr("shiftleft(1L, cast(19 - (d - j) as int))"))
+          .as("num"),
+        sum(expr("shiftleft(1L, cast(19 - (d - j) as int))")).as("den"))
+      .select(col("event_type"), col("d").as("day_num"), col("n_today"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("ewma"))
+      .orderBy("event_type", "day_num")
+  }
+
+  /** X168: Markov steady-state of the event-type chain — the long-run
+    * occupancy distribution that X67's one-step transition matrix only
+    * implies: π_{r+1}(j) = Σ_i π_r(i)·P(i,j), iterated from the uniform
+    * start, the classic power iteration toward the stationary
+    * distribution (the behavioral "where do users spend their time"
+    * number). Every probability is DECIMAL(18,6): P's entries are the
+    * 6dp-rounded transition shares (one IEEE division each, rounded
+    * identically in both engines), and each round's mix is an EXACT
+    * decimal sum-of-products rounded back to 6dp — so the whole
+    * trajectory is bit-stable regardless of partitioning, and the
+    * oracle unrolls the same four rounds referencing each previous
+    * round exactly once.
+    *
+    * Scale shape: the corpus collapses to the K×K transition-count
+    * matrix (K = distinct event types, 5 here — state-machine-sized,
+    * not data-sized) via one user-keyed lead window shared with X67;
+    * every iteration is a K-row broadcast join. The trajectory is
+    * emitted long-form so convergence is visible in the output.
+    */
+  def markovSteady(spark: SparkSession, dir: String,
+                   rounds: Int = 4): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val p = steps
+      .withColumn("tot",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"),
+        round(col("n").cast("double") / col("tot").cast("double"), 6)
+          .cast("decimal(18,6)").as("p"))
+    val types = p.select(col("from_type").as("event_type")).distinct()
+    var pi = types.select(col("event_type"),
+      lit(0.2).cast("decimal(18,6)").as("prob"))
+    var out = pi.select(lit(0L).as("round_idx"), col("event_type"), col("prob"))
+    for (r <- 1 to rounds) {
+      pi = pi.join(p, pi("event_type") === p("from_type"))
+        .groupBy(col("to_type").as("event_type"))
+        .agg(round(sum(col("prob") * col("p")), 6)
+          .cast("decimal(18,6)").as("prob"))
+      out = out.unionByName(
+        pi.select(lit(r.toLong).as("round_idx"), col("event_type"),
+          col("prob")))
+    }
+    out.select(col("round_idx"), col("event_type"),
+        col("prob").cast("double").as("prob"))
+      .orderBy("round_idx", "event_type")
+  }
 }

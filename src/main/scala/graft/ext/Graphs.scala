@@ -89,6 +89,25 @@ object Graphs {
     relCache.getOrElseUpdate(
       (spark.sparkContext.applicationId, dir, key), build.persist())
 
+  /** The min-support-2 co-order edge relation: a pair of parts is an
+    * edge only when AT LEAST TWO distinct orders contain both — the
+    * market-basket support cut that removes single-co-occurrence noise
+    * edges. Same pair-join shape as [[coOrderEdges]] with a count
+    * aggregate instead of a distinct; memoized for the same reason.
+    */
+  private def minSupportEdges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "edges_w2") {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("x").join(li.as("y"), col("x.ok") === col("y.ok") &&
+          col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("a", "b")
+    }
+
   private def coOrderEdges(spark: SparkSession, dir: String): DataFrame =
     memo(spark, dir, "edges") {
       val li = Tables.lineitem(spark, dir)
@@ -218,32 +237,44 @@ object Graphs {
         .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
     }
 
-  private def triangleCounts(spark: SparkSession, dir: String): DataFrame =
-    memo(spark, dir, "tri_counts") {
+  /** The LISTED triangle relation — one row (u, v, w) per triangle,
+    * where (u,v) is the closing degree-oriented edge and w a common
+    * out-neighbor. Memoized: [[triangleCounts]], [[edgeJaccard]] and
+    * [[adamicAdar]] all consume exactly this listing, so the Σ outdeg²
+    * intersection join (the family's dominant cost) runs ONCE per
+    * (app, dir) instead of once per consumer — the same shared-kernel
+    * rule that fixed label-prop/modularity. The persisted relation is
+    * O(#triangles) rows of three BIGINTs (spillable MEMORY_AND_DISK,
+    * released by `clearCaches` with the rest of the family), versus
+    * re-running the intersection join whose input is the same size.
+    *
+    * Triangles closed at edge (u,v) are the common out-neighbors of u
+    * and v — `graft_sorted_intersect_longs` (codegen two-pointer merge
+    * over primitive longs) instead of `array_intersect`, whose per-row
+    * boxed hash set dominated the profile over Σ outdeg² cells.
+    */
+  private def triangleList(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "tri_list") {
       val oriented = orientedEdges(spark, dir)
       val adj = outAdjacency(spark, dir)
-      // triangles closed at edge (u,v): common out-neighbors of u and v.
-      // graft_sorted_intersect_longs (codegen two-pointer merge over
-      // primitive longs) instead of array_intersect, whose per-row boxed
-      // hash set dominated the profile over Σ outdeg² cells.
       graft.functions.SortedIntersectLongs.register(spark)
-      val withTris = oriented
+      oriented
         .select(col("src").as("u"), col("dst").as("v"))
         .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), Seq("u"))
         .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), Seq("v"),
           "left")
         .select(col("u"), col("v"),
-          graft.functions.SortedIntersectLongs.intersect(col("nu"),
-            coalesce(col("nv"), array().cast("array<bigint>"))).as("ws"))
-        .filter(size(col("ws")) > 0)
-      // per-corner attribution: u and v once per common neighbor, each w once
-      val corners = withTris
-        .select(col("u").as("part_id"), size(col("ws")).cast("long").as("c"))
-        .unionByName(withTris
-          .select(col("v").as("part_id"), size(col("ws")).cast("long").as("c")))
-        .unionByName(withTris
-          .select(explode(col("ws")).as("part_id"), lit(1L).as("c")))
-      corners.groupBy("part_id").agg(sum(col("c")).as("n_tri"))
+          explode(graft.functions.SortedIntersectLongs.intersect(col("nu"),
+            coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
+    }
+
+  private def triangleCounts(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "tri_counts") {
+      // per-corner attribution: each listed triangle counts once at each
+      // of its three corners
+      triangleList(spark, dir)
+        .select(explode(array(col("u"), col("v"), col("w"))).as("part_id"))
+        .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
     }
 
   /** Degree-oriented edges: each undirected edge pointed from its
@@ -568,18 +599,7 @@ object Graphs {
     * ratio.
     */
   def edgeJaccard(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val oriented = orientedEdges(spark, dir)
-    val adj = outAdjacency(spark, dir)
-    graft.functions.SortedIntersectLongs.register(spark)
-    val withTris = oriented
-      .select(col("src").as("u"), col("dst").as("v"))
-      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), Seq("v"),
-        "left")
-      .select(col("u"), col("v"),
-        explode(graft.functions.SortedIntersectLongs.intersect(col("nu"),
-          coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
-    val common = withTris
+    val common = triangleList(spark, dir)
       .select(explode(array(
         struct(least(col("u"), col("v")).as("a"),
           greatest(col("u"), col("v")).as("b")),
@@ -623,17 +643,7 @@ object Graphs {
     * is exact and partition-order-free; ln parity is platform-proven.
     */
   def adamicAdar(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val oriented = orientedEdges(spark, dir)
-    val adj = outAdjacency(spark, dir)
-    graft.functions.SortedIntersectLongs.register(spark)
-    val tris = oriented
-      .select(col("src").as("u"), col("dst").as("v"))
-      .join(adj.select(col("src").as("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(adj.select(col("src").as("v"), col("nbrs").as("nv")), Seq("v"),
-        "left")
-      .select(col("u"), col("v"),
-        explode(graft.functions.SortedIntersectLongs.intersect(col("nu"),
-          coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
+    val tris = triangleList(spark, dir)
     // triangle {u,v,w} → (edge, third vertex) for all three edges
     val contrib = tris.select(explode(array(
         struct(least(col("u"), col("v")).as("a"),
@@ -657,6 +667,37 @@ object Graphs {
         col("aa_dec").cast("double").as("aa_score"))
       .orderBy(col("aa_score").desc, col("a"), col("b"))
       .limit(k)
+  }
+
+  /** X169: weakly-connected components of the co-order graph via the
+    * O(log n)-round star-contraction kernel ([[Components]]) — the same
+    * machinery that clusters near-duplicate documents, applied to the
+    * general graph surface (the "is this one market or many" question,
+    * and the precondition check for any per-component analytic). Label =
+    * min node id of the component, component sizes joined on.
+    *
+    * Scale shape: [[Components.starComponents]]'s contract — every round
+    * shuffles on node id only, lineage cut per round, convergence in
+    * O(log n) rounds even on adversarial-diameter chains (where the
+    * min-label propagation the ORACLE states would need diameter
+    * rounds; the two agree at the common fixpoint, which the oracle
+    * reaches on this graph within its 24 unrolled rounds — the law spec
+    * asserts agreement with an in-JVM union-find, diameter-free).
+    *
+    * The graph is the MIN-SUPPORT-2 co-order graph (edges backed by at
+    * least two distinct shared orders): the plain co-order graph is one
+    * giant ball at every SF (components trivially uniform), while the
+    * support threshold — the standard market-basket noise cut — leaves
+    * the real multi-component structure this operator exists to find.
+    */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val und = minSupportEdges(spark, dir)
+    val labels = Components.starComponents(und).labels
+    val sizes = labels.groupBy("comp").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, Seq("comp"))
+      .select(col("id").as("part_id"), col("comp").as("component"),
+        col("component_size"))
+      .orderBy("part_id")
   }
 
   /** X115: weighted single-source shortest paths, `rounds` Bellman-Ford

@@ -278,6 +278,50 @@ object Multimodal {
   def pcmQuery(spark: SparkSession, dir: String): DataFrame =
     pcmFeatures(spark, dir).toDF().orderBy("doc_id", "frame_idx")
 
+  /** X172: energy-threshold voice-activity detection over the X156 PCM
+    * frames — the canonical first stage of any speech pipeline (silence
+    * trimming, segment extraction): a frame is VOICED when its energy
+    * exceeds the clip's mean frame energy (the integer cross-product
+    * `energy · n_frames > total_energy`, no division), and voiced runs
+    * collapse to segments by the gaps-and-islands window. Every number
+    * is an integer off the real byte-decoded frames, so the whole
+    * decode→frame→threshold→segment chain sits under one hash gate.
+    *
+    * Scale shape: rides the X156 no-shuffle decode; adds one doc-keyed
+    * aggregate (clip stats), one doc-keyed window chain (islands — the
+    * X6 session shape, partitioned by doc, never global), and a
+    * doc-keyed rollup. Per-doc frame counts are bounded (clip-length /
+    * hop), so window state is O(frames-per-clip).
+    */
+  def pcmVad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = pcmFeatures(spark, dir).toDF()
+    val clip = frames.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum("energy").as("tot_energy"))
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    val flagged = frames.join(clip, Seq("doc_id"))
+      .withColumn("voiced",
+        col("energy") * col("n_frames") > col("tot_energy"))
+      .withColumn("seg_start",
+        when(col("voiced") &&
+          !coalesce(lag(col("voiced"), 1).over(w), lit(false)), 1L)
+          .otherwise(0L))
+      .withColumn("seg_id",
+        when(col("voiced"), sum(col("seg_start")).over(w)))
+    // every per-doc stat reads off the runs relation, so the flagged
+    // frame relation is consumed exactly once
+    val segs = flagged.filter(col("voiced"))
+      .groupBy("doc_id", "seg_id").agg(count(lit(1)).as("run_len"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_segments"),
+        sum("run_len").as("n_voiced"), max("run_len").as("max_run"))
+    clip.join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_voiced"), lit(0L)).as("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling — the video-ish member of the X5 family: k frames per
     * payload at deterministic evenly-spaced byte offsets, each frame a
     * bounded slice with its own content signature. Bounded ×k fan-out

@@ -1851,6 +1851,46 @@ ${SHINGLES.trim},
                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
       FROM x GROUP BY doc_id, frame_idx
       ORDER BY doc_id, frame_idx""",
+    // X172 VAD: voiced = frame energy above the clip mean by integer
+    // cross-product; voiced runs collapse via gaps-and-islands over the
+    // recomputed X156 frame energies — all integers under one gate.
+    "multimodal_pcm_vad" -> """
+      WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+      f AS (SELECT doc_id, unnest(generate_series(0, n_frames - 1))
+              AS frame_idx FROM d),
+      s AS (SELECT doc_id, frame_idx, unnest(generate_series(0, 159)) AS j
+            FROM f),
+      v AS (SELECT doc_id, frame_idx,
+              ((doc_id * 7 + (frame_idx * 160 + j) * 13) % 4096) - 2048 AS smp
+            FROM s),
+      fr AS (SELECT doc_id, frame_idx, CAST(SUM(ABS(smp)) AS BIGINT) AS energy
+             FROM v GROUP BY 1, 2),
+      clip AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(energy) AS BIGINT) AS tot FROM fr GROUP BY 1),
+      fl AS (SELECT fr.doc_id, fr.frame_idx,
+               fr.energy * c.n_frames > c.tot AS voiced
+             FROM fr JOIN clip c ON c.doc_id = fr.doc_id),
+      fs AS (SELECT doc_id, frame_idx, voiced,
+              CASE WHEN voiced AND NOT COALESCE(LAG(voiced)
+                     OVER (PARTITION BY doc_id ORDER BY frame_idx), FALSE)
+                   THEN 1 ELSE 0 END AS seg_start
+             FROM fl),
+      fz AS (SELECT doc_id, voiced,
+              SUM(seg_start) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+                AS seg_id
+             FROM fs),
+      runs AS (SELECT doc_id, seg_id, CAST(COUNT(*) AS BIGINT) AS run_len
+               FROM fz WHERE voiced GROUP BY 1, 2),
+      segs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                      CAST(SUM(run_len) AS BIGINT) AS n_voiced,
+                      MAX(run_len) AS max_run FROM runs GROUP BY 1)
+      SELECT c.doc_id, c.n_frames,
+             COALESCE(s2.n_voiced, 0) AS n_voiced,
+             COALESCE(s2.n_segments, 0) AS n_segments,
+             COALESCE(s2.max_run, 0) AS max_run
+      FROM clip c LEFT JOIN segs s2 ON s2.doc_id = c.doc_id
+      ORDER BY c.doc_id""",
     "multimodal_meta" -> """
       SELECT doc_id, octet_length(encode(text)) AS n_bytes,
              substr(md5(text), 1, 8) AS content_sig,
@@ -3943,6 +3983,50 @@ ${SHINGLES.trim},
              nk - k - 1 AS n_missing
       FROM x WHERE nk - k > 1
       ORDER BY gap_start""",
+    // X170 key candidates: values stringified only to be COUNTED — each
+    // engine's (injective) cast keeps the distinct counts equal without
+    // the rendered strings ever being compared.
+    "dq_key_candidates" -> """
+      WITH cells AS (
+        SELECT 'o_orderkey' AS col_name, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderdate', CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+      base AS (SELECT col_name, COUNT(*) AS n_rows,
+                      CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                      CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+               FROM cells GROUP BY col_name)
+      SELECT col_name, n_rows, n_nulls, n_distinct,
+             ROUND(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS uniqueness,
+             n_distinct = n_rows AND n_nulls = 0 AS is_key
+      FROM base ORDER BY col_name""",
+    // X171 rule audit: one joined pass to a single counter row, then a
+    // rule-catalog unpivot; R1 (ship before order) genuinely fires on
+    // this generator — the audit's reason to exist.
+    "dq_rule_violations" -> """
+      WITH j AS (SELECT l.l_shipdate, l.l_discount, l.l_quantity, l.l_tax,
+                        l.l_returnflag, l.l_extendedprice, o.o_orderdate
+                 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      agg AS (SELECT COUNT(*) AS n,
+        CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+        CAST(SUM(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+        CAST(SUM(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+        CAST(SUM(CASE WHEN l_tax > 0.06 THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+        CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS r5,
+        CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS r6
+        FROM j),
+      rules AS (
+        SELECT 'R1' AS rule_id, 'ship_before_order' AS rule_name, n AS n_checked, r1 AS n_violations FROM agg
+        UNION ALL SELECT 'R2', 'discount_over_cap', n, r2 FROM agg
+        UNION ALL SELECT 'R3', 'quantity_over_cap', n, r3 FROM agg
+        UNION ALL SELECT 'R4', 'tax_over_cap', n, r4 FROM agg
+        UNION ALL SELECT 'R5', 'returnflag_domain', n, r5 FROM agg
+        UNION ALL SELECT 'R6', 'price_nonpositive', n, r6 FROM agg)
+      SELECT rule_id, rule_name, n_checked, n_violations,
+             ROUND(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate
+      FROM rules ORDER BY rule_id""",
     "dq_fk_orphans" -> (Seq(
         ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
         ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -4227,6 +4311,52 @@ ${SHINGLES.trim},
                COUNT(DISTINCT du.user_id), 6) AS stickiness
       FROM days JOIN du ON du.day_num >= d - 29 AND du.day_num <= d
       GROUP BY d ORDER BY day_num""",
+    // X167 EWMA: half-life-one-day weights are exact powers of two, so
+    // numerator and denominator are BIGINT sums over the 20-day band
+    // self-join of the daily count relation; one final IEEE division.
+    "events_ewma" -> """
+      WITH daily AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2)
+      SELECT d.event_type, d.day_num, d.n_events AS n_today,
+             ROUND(CAST(SUM(j.n_events * (CAST(1 AS BIGINT) <<
+                 CAST(19 - (d.day_num - j.day_num) AS INT))) AS DOUBLE) /
+               SUM(CAST(1 AS BIGINT) <<
+                 CAST(19 - (d.day_num - j.day_num) AS INT)), 6) AS ewma
+      FROM daily d JOIN daily j ON j.event_type = d.event_type
+        AND j.day_num BETWEEN d.day_num - 19 AND d.day_num
+      GROUP BY d.event_type, d.day_num, d.n_events
+      ORDER BY d.event_type, d.day_num""",
+    // X168 Markov steady-state: 6dp-DECIMAL transition matrix, four
+    // unrolled power-iteration rounds, each an EXACT decimal
+    // sum-of-products rounded back to 6dp; one previous-round reference
+    // per round (the CTE-inlining rule).
+    "events_markov_steady" -> ("""
+      WITH st AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS to_type
+        FROM events),
+      cnt AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM st WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      p AS MATERIALIZED (SELECT from_type, to_type,
+             CAST(ROUND(CAST(n AS DOUBLE) /
+               SUM(n) OVER (PARTITION BY from_type), 6) AS DECIMAL(18,6)) AS p
+           FROM cnt),
+      pi0 AS (SELECT DISTINCT from_type AS event_type,
+                CAST(0.2 AS DECIMAL(18,6)) AS prob FROM p),
+""" + (1 to 4).map(k => s"""      pi$k AS MATERIALIZED (
+        SELECT p.to_type AS event_type,
+               CAST(ROUND(SUM(pi${k - 1}.prob * p.p), 6) AS DECIMAL(18,6)) AS prob
+        FROM pi${k - 1} JOIN p ON p.from_type = pi${k - 1}.event_type
+        GROUP BY p.to_type)""").mkString(",\n") + "\n" +
+      (0 to 4).map(k =>
+        s"""      SELECT CAST($k AS BIGINT) AS round_idx, event_type,
+               CAST(prob AS DOUBLE) AS prob FROM pi$k""")
+        .mkString("\n      UNION ALL\n") + """
+      ORDER BY round_idx, event_type"""),
     // X161 seasonality: ≤168-cell hour-of-week grid, weekday-partitioned
     // windows only; isodow == Spark weekday + 1 (dialect-mapped).
     "events_seasonality" -> """
@@ -4290,6 +4420,33 @@ ${SHINGLES.trim},
                AS assortativity,
              ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_deg
       FROM mo""",
+    // X169 components: 24 unrolled min-label propagation rounds over the
+    // min-support-2 co-order graph (fixpoint at 11 rounds on the sf0.01
+    // fixture — the star-contraction engine needs only O(log n)). Every
+    // round is MATERIALIZED: DuckDB's join-order planner is super-linear
+    // in the inlined chain depth (the un-hinted 24-round chain planned
+    // for ~100 s; materialized it runs in 0.2 s), and the Spark replay
+    // strips the hint. One previous-round reference per round.
+    "graph_components" -> ("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT a, b FROM (
+              SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+              GROUP BY x.pk, y.pk) t
+             WHERE w >= 2),
+      symx AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0
+        UNION ALL SELECT DISTINCT n, n
+          FROM (SELECT a AS n FROM e0 UNION SELECT b AS n FROM e0) t),
+      l0 AS (SELECT DISTINCT u AS id, u AS lab FROM symx),
+""" + (1 to 24).map(k => s"""      l$k AS MATERIALIZED (
+        SELECT s.u AS id, MIN(l.lab) AS lab
+        FROM symx s JOIN l${k - 1} l ON l.id = s.v GROUP BY s.u)""")
+      .mkString(",\n") + """
+      SELECT id AS part_id, lab AS component,
+             CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS component_size
+      FROM l24 ORDER BY part_id"""),
     // X151 entropy: count-of-counts collapse + ORDERED running
     // m*c*ln(c) sum (fixed summation order, the TWAP/KM float rule).
     "dq_entropy_profile" -> """
@@ -4463,6 +4620,43 @@ ${SHINGLES.trim},
                CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE)) /
                (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
       FROM agg""",
+    // X173 ABC/XYZ: revenue in integer 10⁻⁴-dollar units (each FACTOR
+    // cast to decimal — the tpch_q1 rule; the double product ties at
+    // half-cents), integer cross-multiplied share and CV thresholds —
+    // no float reaches a class decision.
+    "analytics_abc_xyz" -> """
+      WITH rev AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000
+                 AS BIGINT)) AS BIGINT) AS rev_c
+        FROM lineitem GROUP BY l_partkey),
+      tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS total_c FROM rev),
+      c AS (SELECT pk, rev_c,
+              CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, pk
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM rev),
+      abc AS (SELECT pk, rev_c,
+                CASE WHEN (cum - rev_c) * 5 < total_c * 4 THEN 'A'
+                     WHEN (cum - rev_c) * 20 < total_c * 19 THEN 'B'
+                     ELSE 'C' END AS abc_class
+              FROM c, tot),
+      wk AS (SELECT l_partkey AS pk,
+                    epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 604800000000
+                      AS week,
+                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x
+             FROM lineitem GROUP BY 1, 2),
+      mom AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS nw,
+                     CAST(SUM(x) AS BIGINT) AS s,
+                     CAST(SUM(x * x) AS BIGINT) AS q2 FROM wk GROUP BY pk),
+      xyz AS (SELECT pk,
+                CASE WHEN (nw * q2 - s * s) * 4 <= s * s THEN 'X'
+                     WHEN nw * q2 - s * s <= s * s THEN 'Y'
+                     ELSE 'Z' END AS xyz_class FROM mom)
+      SELECT a.abc_class, x.xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             ROUND(CAST(SUM(a.rev_c) AS DOUBLE) / 10000, 2) AS revenue
+      FROM abc a JOIN xyz x ON x.pk = a.pk
+      GROUP BY 1, 2 ORDER BY abc_class, xyz_class""",
     "analytics_rfm" -> """
       WITH pc AS (
         SELECT o_custkey AS ck,

@@ -77,6 +77,8 @@ class PlanHygieneSpec extends SparkSpec
     "embed_recall_curve" -> 8, "events_power_curve" -> 8,
     // broadcast 1-row (N, V) unigram smoothing totals
     "text_lm_perplexity3" -> 8,
+    // broadcast 1-row total-revenue aggregate (the share-threshold cut)
+    "analytics_abc_xyz" -> 8,
     // broadcast 1-row log-split cut (the cdc_time_travel shape)
     "warehouse_scd2_merge" -> 8)
 
@@ -146,6 +148,7 @@ class PlanHygieneSpec extends SparkSpec
     "graph_degree_dist" -> "cumulative share over the distinct-degree histogram",
     "events_power_curve" -> "running share over the <=31-row active-days histogram",
     "analytics_gini" -> "rank-offset cumsum over 32 per-partition subtotal rows (the X83 pattern)",
+    "analytics_abc_xyz" -> "same 32-row per-partition revenue-prefix cumsum as analytics_gini",
     "text_zipf_fit" -> "log-rank window over the already-limited top-1000 vocabulary cut",
     "dq_id_gaps" -> "boundary stitch over the 32-row per-range-bucket (min,max) summary")
 
