@@ -245,6 +245,8 @@ object SparkEntry {
     // uniform-target language rebalancing: integer-threshold md5 sampler,
     // group stats broadcast, the sample itself a narrow scan filter
     "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
+    "curation_length_sweep" -> ((s, d) => graft.ext.TextStats.lengthSweep(s, d)),
+    "text_lang_confusion" -> ((s, d) => graft.ext.TextStats.langConfusion(s, d)),
     "curation_split_leakage" -> ((s, d) => graft.ext.TextStats.splitLeakage(s, d)),
     // DSIR hashed-ngram importance weights: target-vs-raw log-ratio scoring
     "curation_dsir_weights" -> ((s, d) => graft.ext.LangModel.dsirWeights(s, d)),
@@ -331,6 +333,8 @@ object SparkEntry {
     "dq_fk_orphans" -> ((s, d) => graft.ext.DataQuality.fkOrphanAudit(s, d)),
     "dq_key_candidates" -> ((s, d) => graft.ext.DataQuality.keyCandidates(s, d)),
     "dq_rule_violations" -> ((s, d) => graft.ext.DataQuality.ruleViolations(s, d)),
+    "dq_fk_inference" -> ((s, d) => graft.ext.DataQuality.fkInference(s, d)),
+    "dq_freshness" -> ((s, d) => graft.ext.DataQuality.freshness(s, d)),
     "dq_id_gaps" -> ((s, d) => graft.ext.DataQuality.idGaps(s, d)),
     // sweep-line open-order concurrency (per-month peak / end-of-month)
     "analytics_order_concurrency" -> ((s, d) => graft.ext.Analytics.orderConcurrency(s, d)),
@@ -380,7 +384,9 @@ object SparkEntry {
     "events_stickiness" -> ((s, d) => graft.ext.Events.stickiness(s, d)),
     "events_ewma" -> ((s, d) => graft.ext.Events.ewma(s, d)),
     "events_markov_steady" -> ((s, d) => graft.ext.Events.markovSteady(s, d)),
+    "events_growth_accounting" -> ((s, d) => graft.ext.Events.growthAccounting(s, d)),
     "graph_components" -> ((s, d) => graft.ext.Graphs.components(s, d)),
+    "graph_two_hop" -> ((s, d) => graft.ext.Graphs.twoHop(s, d)),
     // degree assortativity (Newman r) from exact DECIMAL moments
     "graph_assortativity" -> ((s, d) => graft.ext.Graphs.assortativity(s, d)),
     // per-column Shannon entropy via the ordered count-of-counts sum

@@ -537,4 +537,78 @@ object DataQuality {
           col("n_checked").cast("double"), 6).as("violation_rate"))
       .orderBy("rule_id")
   }
+
+  /** X176: FK inference by containment — the DISCOVERY companion to
+    * X126's declared-FK audit: for a catalog of candidate (child →
+    * parent) column pairs, measure what fraction of the child's
+    * DISTINCT values the parent key set contains and whether the parent
+    * column is itself a key; verdict `is_fk` = full containment AND
+    * key parent. The catalog includes a negative control (custkey →
+    * suppkey) so the audit demonstrably rejects — profile-based FK
+    * discovery is exactly this containment test at warehouse scale
+    * (the "which column joins to which" question on undocumented data).
+    *
+    * Scale shape: per candidate, two distinct collapses and one
+    * key-keyed LEFT SEMI join over the distinct sets (key-domain-sized,
+    * never fact-sized); candidates are a fixed catalog, evaluated
+    * independently — trivially parallel.
+    */
+  def fkInference(spark: SparkSession, dir: String): DataFrame = {
+    def side(df: DataFrame, c: String): DataFrame =
+      df.select(col(c).as("key")).filter(col("key").isNotNull).distinct()
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val candidates: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("lineitem.l_partkey->part.p_partkey",
+        side(li, "l_partkey"), side(Tables.part(spark, dir), "p_partkey")),
+      ("lineitem.l_suppkey->supplier.s_suppkey",
+        side(li, "l_suppkey"), side(Tables.supplier(spark, dir), "s_suppkey")),
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        side(li, "l_orderkey"), side(o, "o_orderkey")),
+      ("orders.o_custkey->customer.c_custkey",
+        side(o, "o_custkey"), side(Tables.customer(spark, dir), "c_custkey")),
+      // negative control: same integer domain, no containment relation
+      ("orders.o_custkey->supplier.s_suppkey",
+        side(o, "o_custkey"), side(Tables.supplier(spark, dir), "s_suppkey")))
+    // fully relational per candidate (no driver-side counts): a left
+    // join against the distinct parent keys marks containment, one
+    // aggregate reduces to the audit row
+    candidates.map { case (name, child, parent) =>
+      child.join(parent.withColumn("hit", lit(1L)), Seq("key"), "left")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contained"))
+        .select(lit(name).as("candidate"),
+          col("n_child_distinct"), col("n_contained"),
+          round(col("n_contained").cast("double") /
+            col("n_child_distinct").cast("double"), 6).as("containment"),
+          (col("n_contained") === col("n_child_distinct")).as("is_fk"))
+    }.reduce(_.unionByName(_))
+      .orderBy("candidate")
+  }
+
+  /** X177: freshness audit — per event type, the last-seen timestamp,
+    * its lag behind the corpus watermark, trailing-24h volume, and a
+    * staleness verdict (lag ≥ 30 minutes): the "is this feed still
+    * flowing" check every ingestion dashboard leads with (X28 flags
+    * volume anomalies per day; this flags the feed that STOPPED). All
+    * integer µs/minute arithmetic against the one-row corpus-max
+    * watermark; on this fixture two of five types genuinely trip the
+    * threshold, so the verdict column carries signal.
+    *
+    * Scale shape: one map-combinable per-type aggregate; the watermark
+    * is a 1-row broadcast (the declared X137-class nested loop, bound
+    * pinned in PlanHygieneSpec).
+    */
+  def freshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+    val wm = ev.agg(max("us").as("wm_us"))
+    ev.groupBy("event_type")
+      .agg(max("us").as("last_us"), count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(wm))
+      .withColumn("lag_minutes", expr("(wm_us - last_us) div 60000000"))
+      .select(col("event_type"), col("last_us"), col("n_events"),
+        col("lag_minutes"), (col("lag_minutes") >= 30).as("is_stale"))
+      .orderBy("event_type")
+  }
 }

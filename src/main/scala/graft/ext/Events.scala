@@ -1211,4 +1211,53 @@ object Events {
         col("prob").cast("double").as("prob"))
       .orderBy("round_idx", "event_type")
   }
+
+  /** X174: growth accounting — the per-period new / retained /
+    * resurrected / churned user decomposition every growth report leads
+    * with (active-user composition by prior state; the canonical
+    * "growth accounting" framing). Period is the DAY (the fixture's
+    * events span ~1 month of ~50%-density user-days, so daily is the
+    * granularity where all four classes carry signal; at production
+    * scale the same query runs at any granularity). The corpus
+    * collapses to the distinct (user, day) relation; ONE user-keyed
+    * lag/lead window classifies every active day (first ever → new;
+    * previous day active → retained; gap behind → resurrected) and
+    * emits a churn event at day d+1 whenever the next active day is
+    * not d+1 (including after the final active day — the trailing day
+    * therefore carries churn-only counts, stated identically in both
+    * engines). Net growth = new + resurrected − churned, the identity
+    * the law spec asserts against the day-over-day active delta.
+    *
+    * Scale shape: distinct collapse (map-combinable), one user-keyed
+    * window over period-count-bounded per-user rows, one day-keyed
+    * pivot aggregate — no global window, no self-join.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val um = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("mi"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("mi")
+    val tagged = um
+      .withColumn("prev_mi", lag("mi", 1).over(w))
+      .withColumn("next_mi", lead("mi", 1).over(w))
+    val active = tagged.select(col("mi"),
+      when(col("prev_mi").isNull, "new")
+        .when(col("prev_mi") === col("mi") - 1, "retained")
+        .otherwise("resurrected").as("cls"))
+    val churn = tagged
+      .filter(col("next_mi").isNull || col("next_mi") > col("mi") + 1)
+      .select((col("mi") + 1).as("mi"), lit("churned").as("cls"))
+    active.unionByName(churn)
+      .groupBy(col("mi").as("day_idx"))
+      .agg(
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"),
+        sum(when(col("cls") === "churned", 1L).otherwise(0L)).as("n_churned"))
+      .withColumn("net_growth",
+        col("n_new") + col("n_resurrected") - col("n_churned"))
+      .orderBy("day_idx")
+  }
 }

@@ -690,6 +690,36 @@ object Graphs {
     * support threshold — the standard market-basket noise cut — leaves
     * the real multi-component structure this operator exists to find.
     */
+  /** X175: two-hop neighborhood size — |{u ≠ v reachable from v in ≤ 2
+    * hops}| per node, the local-influence / friend-of-friend reach
+    * number (and the audience estimate push notifications and
+    * propagation models start from). Enumeration is the wedge join
+    * sym ⋈ sym on the shared middle vertex, unioned with the direct
+    * edges, distinct-counted per source.
+    *
+    * Scale shape: the wedge volume is Σ deg² — which is why this runs
+    * on the min-support-2 graph (shared, memoized with X169), whose
+    * support cut bounds hub degrees; on the unthresholded 100 TB graph
+    * the stated path is the X105 register-exact HLL over the same wedge
+    * stream (two-hop DISTINCT cardinality is the textbook sketch use
+    * case), traded in when exactness isn't required. The distinct and
+    * the count are both node-keyed shuffles; no global structure.
+    */
+  def twoHop(spark: SparkSession, dir: String): DataFrame = {
+    val e = minSupportEdges(spark, dir)
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val wedge = sym.as("x")
+      .join(sym.as("y"), col("x.v") === col("y.u"))
+      .select(col("x.u").as("u"), col("y.v").as("w"))
+    wedge.unionByName(sym.select(col("u"), col("v").as("w")))
+      .filter(col("u") =!= col("w"))
+      .distinct()
+      .groupBy(col("u").as("part_id"))
+      .agg(count(lit(1)).as("n_two_hop"))
+      .orderBy("part_id")
+  }
+
   def components(spark: SparkSession, dir: String): DataFrame = {
     val und = minSupportEdges(spark, dir)
     val labels = Components.starComponents(und).labels

@@ -778,4 +778,70 @@ object TextStats {
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("col").as("token"))
       .orderBy("doc_id", "pos")
+
+  /** X178: length-filter sweep — for each candidate minimum-length
+    * cutoff, the docs and tokens a `n_words ≥ T` filter would keep:
+    * the yield-vs-threshold curve a curation pipeline consults BEFORE
+    * committing to a cutoff (X142's threshold-sweep discipline applied
+    * to the length filter, the first gate in every published pipeline).
+    * The corpus collapses to the per-length histogram first, so the
+    * sweep joins thresholds against length-count rows, never documents.
+    *
+    * Scale shape: one map-combinable histogram aggregate (distinct
+    * word-counts ≪ corpus), a ≤|T|-row broadcast band join over it
+    * (declared nested loop, bound pinned), integer sums, two final
+    * divisions.
+    */
+  def lengthSweep(spark: SparkSession, dir: String,
+                  cuts: Seq[Int] = Seq(0, 10, 25, 40, 55, 70)): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_words"))
+      .groupBy("n_words").agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_tokens", col("n_words") * col("n_docs"))
+    val totals = hist.agg(sum("n_docs").as("tot_docs"),
+      sum("n_tokens").as("tot_tokens"))
+    val th = spark.createDataFrame(
+      spark.sparkContext.parallelize(cuts.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("min_words",
+          org.apache.spark.sql.types.IntegerType))))
+      .select(col("min_words").cast("long").as("min_words"))
+    broadcast(th).join(hist, col("n_words") >= col("min_words"), "left")
+      .groupBy("min_words")
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("docs_kept"),
+        coalesce(sum("n_tokens"), lit(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("min_words"), col("docs_kept"), col("tokens_kept"),
+        round(col("docs_kept").cast("double") / col("tot_docs"), 6)
+          .as("doc_share"),
+        round(col("tokens_kept").cast("double") / col("tot_tokens"), 6)
+          .as("token_share"))
+      .orderBy("min_words")
+  }
+
+  /** X179: language-ID confusion matrix — declared × predicted counts
+    * with per-declared-language recall, the audit that says whether the
+    * X4 n-gram classifier can be trusted per language before its labels
+    * drive a mixture rebalance (a per-doc prediction list is unreadable
+    * at corpus scale; the K×K matrix is the actionable artifact).
+    * Rides [[langIdNgram]] unchanged, so classifier and audit can never
+    * drift apart.
+    *
+    * Scale shape: adds one (declared, predicted)-keyed aggregate and a
+    * declared-partitioned share window (K rows per partition) on top of
+    * the X4 plan — matrix-sized output.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    langIdNgram(spark, dir)
+      .groupBy("declared_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("declared_total",
+        sum("n_docs").over(Window.partitionBy("declared_lang")))
+      .select(col("declared_lang"), col("predicted_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("declared_total"), 6)
+          .as("declared_share"),
+        (col("declared_lang") === col("predicted_lang")).as("is_correct"))
+      .orderBy("declared_lang", "predicted_lang")
+  }
 }

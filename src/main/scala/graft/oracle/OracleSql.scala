@@ -872,6 +872,37 @@ ${SHINGLES.trim},
                     JOIN sets sb ON sb.doc_id = c.doc_b
       )"""
 
+  /** The X4 n-gram language-ID relation — declared before [[llm_queries]]
+    * (object-val init order) because both the classifier entry and the
+    * X179 confusion matrix embed it verbatim.
+    */
+  private val LANGID_NGRAM = """
+      WITH db AS (
+        SELECT doc_id, lang,
+               list_distinct([substr(text, i, 2)
+                 FOR i IN generate_series(1, length(text) - 1)]) AS bgs
+        FROM documents),
+      bi AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM db),
+      prof AS (
+        SELECT lang AS cand_lang, list(bg) AS pbgs FROM (
+          SELECT lang, bg,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY COUNT(*) DESC, bg) AS rk
+          FROM bi GROUP BY lang, bg) p
+        WHERE rk <= 20 GROUP BY lang),
+      scored AS (
+        SELECT d.doc_id, d.lang AS declared_lang, p.cand_lang,
+               CAST(len(list_intersect(d.bgs, p.pbgs)) AS BIGINT) AS overlap
+        FROM db d CROSS JOIN prof p)
+      SELECT doc_id, declared_lang,
+             CASE WHEN overlap = 0 THEN 'unknown' ELSE cand_lang END
+               AS predicted_lang,
+             overlap
+      FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+                          ORDER BY overlap DESC, cand_lang) AS rk
+            FROM scored s) b
+      WHERE rk = 1 ORDER BY doc_id"""
+
   val llm_queries: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
@@ -1557,33 +1588,22 @@ ${SHINGLES.trim},
       ORDER BY doc_id""",
     // Mirrors TextStats.langIdNgram: top-20 char-bigram profile per lang
     // by document frequency, distinct-overlap scoring, argmax with
-    // lexicographic tie-break.
-    "text_langid_ngram" -> """
-      WITH db AS (
-        SELECT doc_id, lang,
-               list_distinct([substr(text, i, 2)
-                 FOR i IN generate_series(1, length(text) - 1)]) AS bgs
-        FROM documents),
-      bi AS (SELECT doc_id, lang, unnest(bgs) AS bg FROM db),
-      prof AS (
-        SELECT lang AS cand_lang, list(bg) AS pbgs FROM (
-          SELECT lang, bg,
-                 ROW_NUMBER() OVER (PARTITION BY lang
-                                    ORDER BY COUNT(*) DESC, bg) AS rk
-          FROM bi GROUP BY lang, bg) p
-        WHERE rk <= 20 GROUP BY lang),
-      scored AS (
-        SELECT d.doc_id, d.lang AS declared_lang, p.cand_lang,
-               CAST(len(list_intersect(d.bgs, p.pbgs)) AS BIGINT) AS overlap
-        FROM db d CROSS JOIN prof p)
-      SELECT doc_id, declared_lang,
-             CASE WHEN overlap = 0 THEN 'unknown' ELSE cand_lang END
-               AS predicted_lang,
-             overlap
-      FROM (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_id
-                          ORDER BY overlap DESC, cand_lang) AS rk
-            FROM scored s) b
-      WHERE rk = 1 ORDER BY doc_id""",
+    // lexicographic tie-break. (Shared verbatim by the X179 confusion
+    // matrix so classifier and audit can never drift.)
+    "text_langid_ngram" -> LANGID_NGRAM,
+    // X179 confusion matrix: the X4 prediction relation rolled to
+    // declared × predicted counts with per-declared recall shares.
+    "text_lang_confusion" -> ("""
+      WITH base AS (""" + LANGID_NGRAM + """),
+      m AS (SELECT declared_lang, predicted_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM base GROUP BY 1, 2)
+      SELECT declared_lang, predicted_lang, n_docs,
+             ROUND(CAST(n_docs AS DOUBLE) /
+               SUM(n_docs) OVER (PARTITION BY declared_lang), 6)
+               AS declared_share,
+             declared_lang = predicted_lang AS is_correct
+      FROM m ORDER BY declared_lang, predicted_lang"""),
     "text_quality" -> """
       SELECT doc_id, n_chars, n_words, n_distinct_words, n_letters,
              ROUND(CAST(n_letters AS DOUBLE) / n_words, 6) AS avg_word_len,
@@ -3862,6 +3882,28 @@ ${SHINGLES.trim},
              (fold_lo <> fold_hi) AS is_leak
       FROM p GROUP BY fold_lo, fold_hi
       ORDER BY fold_lo, fold_hi""",
+    // X178 length sweep: thresholds band-join the per-length histogram
+    // (never documents); unnest kept out of CAST per the dialect rule.
+    "curation_length_sweep" -> """
+      WITH hist AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1),
+      h2 AS (SELECT n_words, n_docs, n_words * n_docs AS n_tokens FROM hist),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens FROM h2),
+      th AS (SELECT CAST(v AS BIGINT) AS min_words FROM
+               (SELECT unnest(list_value(0, 10, 25, 40, 55, 70)) AS v) u)
+      SELECT th.min_words,
+             CAST(COALESCE(SUM(h2.n_docs), 0) AS BIGINT) AS docs_kept,
+             CAST(COALESCE(SUM(h2.n_tokens), 0) AS BIGINT) AS tokens_kept,
+             ROUND(CAST(COALESCE(SUM(h2.n_docs), 0) AS DOUBLE) /
+               tot.tot_docs, 6) AS doc_share,
+             ROUND(CAST(COALESCE(SUM(h2.n_tokens), 0) AS DOUBLE) /
+               tot.tot_tokens, 6) AS token_share
+      FROM th LEFT JOIN h2 ON h2.n_words >= th.min_words, tot
+      GROUP BY th.min_words, tot.tot_docs, tot.tot_tokens
+      ORDER BY min_words""",
     "curation_mix_rebalance" -> """
       WITH g AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
       m AS (SELECT MIN(n_docs) AS n_min, SUM(n_docs) AS n_total FROM g),
@@ -4002,6 +4044,44 @@ ${SHINGLES.trim},
              ROUND(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS uniqueness,
              n_distinct = n_rows AND n_nulls = 0 AS is_key
       FROM base ORDER BY col_name""",
+    // X176 FK inference: containment of child distinct keys in parent
+    // distinct keys per catalog candidate (incl. the negative control).
+    "dq_fk_inference" -> (Seq(
+      ("lineitem.l_partkey->part.p_partkey", "l_partkey", "lineitem",
+        "p_partkey", "part"),
+      ("lineitem.l_suppkey->supplier.s_suppkey", "l_suppkey", "lineitem",
+        "s_suppkey", "supplier"),
+      ("lineitem.l_orderkey->orders.o_orderkey", "l_orderkey", "lineitem",
+        "o_orderkey", "orders"),
+      ("orders.o_custkey->customer.c_custkey", "o_custkey", "orders",
+        "c_custkey", "customer"),
+      ("orders.o_custkey->supplier.s_suppkey", "o_custkey", "orders",
+        "s_suppkey", "supplier")).map { case (name, ck, ct, pk, pt) =>
+      s"""SELECT '$name' AS candidate, n_child_distinct, n_contained,
+             ROUND(CAST(n_contained AS DOUBLE) / n_child_distinct, 6)
+               AS containment,
+             n_contained = n_child_distinct AS is_fk
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_child_distinct,
+                   CAST(SUM(CASE WHEN p.key IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_contained
+            FROM (SELECT DISTINCT $ck AS key FROM $ct
+                  WHERE $ck IS NOT NULL) c
+            LEFT JOIN (SELECT DISTINCT $pk AS key FROM $pt
+                       WHERE $pk IS NOT NULL) p ON p.key = c.key) t"""
+    }.mkString("\n      UNION ALL\n      ") +
+      "\n      ORDER BY candidate"),
+    // X177 freshness: per-type last-seen lag vs the one-row corpus
+    // watermark; integer µs/hour arithmetic throughout.
+    "dq_freshness" -> """
+      WITH ev AS (SELECT event_type,
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      wm AS (SELECT MAX(us) AS wm_us FROM ev),
+      g AS (SELECT event_type, MAX(us) AS last_us,
+                   CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY 1)
+      SELECT event_type, last_us, n_events,
+             (wm_us - last_us) // 60000000 AS lag_minutes,
+             (wm_us - last_us) // 60000000 >= 30 AS is_stale
+      FROM g, wm ORDER BY event_type""",
     // X171 rule audit: one joined pass to a single counter row, then a
     // rule-catalog unpivot; R1 (ship before order) genuinely fires on
     // this generator — the audit's reason to exist.
@@ -4357,6 +4437,35 @@ ${SHINGLES.trim},
                CAST(prob AS DOUBLE) AS prob FROM pi$k""")
         .mkString("\n      UNION ALL\n") + """
       ORDER BY round_idx, event_type"""),
+    // X174 growth accounting: one lag/lead window over the distinct
+    // (user, day) relation; churn emitted at d+1 (incl. after the
+    // final active day — the trailing day is churn-only).
+    "events_growth_accounting" -> """
+      WITH um AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS mi
+        FROM events),
+      t AS (SELECT user_id, mi,
+              LAG(mi) OVER (PARTITION BY user_id ORDER BY mi) AS prev_mi,
+              LEAD(mi) OVER (PARTITION BY user_id ORDER BY mi) AS next_mi
+            FROM um),
+      cls AS (
+        SELECT mi, CASE WHEN prev_mi IS NULL THEN 'new'
+                        WHEN prev_mi = mi - 1 THEN 'retained'
+                        ELSE 'resurrected' END AS cls FROM t
+        UNION ALL
+        SELECT mi + 1, 'churned' FROM t
+        WHERE next_mi IS NULL OR next_mi > mi + 1)
+      SELECT mi AS day_idx,
+        CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        CAST(SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+        CAST(SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        CAST(SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+        CAST(SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) +
+             SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) -
+             SUM(CASE WHEN cls = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+          AS net_growth
+      FROM cls GROUP BY mi ORDER BY day_idx""",
     // X161 seasonality: ≤168-cell hour-of-week grid, weekday-partitioned
     // windows only; isodow == Spark weekday + 1 (dialect-mapped).
     "events_seasonality" -> """
@@ -4447,6 +4556,26 @@ ${SHINGLES.trim},
       SELECT id AS part_id, lab AS component,
              CAST(COUNT(*) OVER (PARTITION BY lab) AS BIGINT) AS component_size
       FROM l24 ORDER BY part_id"""),
+    // X175 two-hop reach: wedge join on the shared middle vertex over
+    // the same min-support-2 graph as X169, distinct-counted per source.
+    "graph_two_hop" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT a, b FROM (
+              SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+              GROUP BY x.pk, y.pk) t
+             WHERE w >= 2),
+      sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0),
+      reach AS (
+        SELECT DISTINCT u, w FROM (
+          SELECT x.u AS u, y.v AS w
+          FROM sym x JOIN sym y ON x.v = y.u
+          UNION ALL SELECT u, v AS w FROM sym) t
+        WHERE u <> w)
+      SELECT u AS part_id, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+      FROM reach GROUP BY u ORDER BY part_id""",
     // X151 entropy: count-of-counts collapse + ORDERED running
     // m*c*ln(c) sum (fixed summation order, the TWAP/KM float rule).
     "dq_entropy_profile" -> """

@@ -457,8 +457,16 @@ object EventStream {
     try {
       val docSchema = spark.read.parquet(s"$dir/documents.parquet").schema
       // the same deterministic changelog derivation as Warehouse.docChangelog
-      val log = spark.readStream.schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // dual-path like the events reader: the driver fixture is a single
+      // documents.parquet FILE (glob-filtered from the dir), the scale
+      // rehearsal writes a documents.parquet DIRECTORY of part files
+      val raw =
+        if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+          spark.readStream.schema(docSchema).parquet(s"$dir/documents.parquet")
+        else
+          spark.readStream.schema(docSchema)
+            .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val log = raw
         .select((col("doc_id") % 97).as("key"), col("doc_id").as("seq"),
           when(col("doc_id") % 11 === 7, "D")
             .when(col("doc_id") % 3 === 0, "I").otherwise("U").as("op"),

@@ -79,6 +79,13 @@ class PlanHygieneSpec extends SparkSpec
     "text_lm_perplexity3" -> 8,
     // broadcast 1-row total-revenue aggregate (the share-threshold cut)
     "analytics_abc_xyz" -> 8,
+    // broadcast 1-row corpus watermark (the analytics_rfm shape)
+    "dq_freshness" -> 8,
+    // broadcast 6-row threshold panel + 1-row totals over the length
+    // histogram
+    "curation_length_sweep" -> 8,
+    // rides text_langid_ngram's langs×1 profile-array broadcast
+    "text_lang_confusion" -> 8,
     // broadcast 1-row log-split cut (the cdc_time_travel shape)
     "warehouse_scd2_merge" -> 8)
 
