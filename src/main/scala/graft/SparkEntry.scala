@@ -213,6 +213,8 @@ object SparkEntry {
     "embed_ann_multiprobe" -> ((s, d) => graft.ext.Similarity.annMultiProbeTopK(s, d)),
     // per-label centroids (DECIMAL-exact) + inter-centroid cosine matrix
     "embed_centroid_sim" -> ((s, d) => graft.ext.Similarity.centroidSim(s, d)),
+    "embed_outliers" -> ((s, d) => graft.ext.Similarity.embedOutliers(s, d)),
+    "embed_pca_power" -> ((s, d) => graft.ext.Similarity.embedPcaPower(s, d)),
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),
     "text_langid_ngram" -> ((s, d) => graft.ext.TextStats.langIdNgram(s, d)),
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),
@@ -246,6 +248,7 @@ object SparkEntry {
     // group stats broadcast, the sample itself a narrow scan filter
     "curation_mix_rebalance" -> ((s, d) => graft.ext.TextStats.mixRebalance(s, d)),
     "curation_length_sweep" -> ((s, d) => graft.ext.TextStats.lengthSweep(s, d)),
+    "curation_perplexity_sweep" -> ((s, d) => graft.ext.LangModel.perplexitySweep(s, d)),
     "text_lang_confusion" -> ((s, d) => graft.ext.TextStats.langConfusion(s, d)),
     "curation_split_leakage" -> ((s, d) => graft.ext.TextStats.splitLeakage(s, d)),
     // DSIR hashed-ngram importance weights: target-vs-raw log-ratio scoring
@@ -364,6 +367,8 @@ object SparkEntry {
     "warehouse_three_way_merge" -> ((s, d) => graft.ext.Warehouse.threeWayMerge(s, d)),
     // PSI distribution drift between stream halves, fixed value bands
     "dq_psi_drift" -> ((s, d) => graft.ext.DataQuality.psiDrift(s, d)),
+    "dq_ks_test" -> ((s, d) => graft.ext.DataQuality.ksTest(s, d)),
+    "events_forecast_baseline" -> ((s, d) => graft.ext.Events.forecastBaseline(s, d)),
     // per-language tokenizer fertility/compression off the X121 encoder
     "text_bpe_fertility" -> ((s, d) => graft.ext.LangModel.bpeFertility(s, d)),
     // inter-arrival regularity (cv) bot screen, exact decimal moments

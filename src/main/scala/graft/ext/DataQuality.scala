@@ -611,4 +611,61 @@ object DataQuality {
         col("lag_minutes"), (col("lag_minutes") >= 30).as("is_stale"))
       .orderBy("event_type")
   }
+
+  /** X184: two-sample Kolmogorov–Smirnov drift test — per event type,
+    * D = max |F̂_a − F̂_b| between the value distributions of the first
+    * and second half of the corpus (the X139 PSI split), the
+    * distribution-shape alarm that needs NO banding choice (PSI's
+    * bands are a tuning knob; KS is band-free). Entirely integer until
+    * the final division: values are exact cents, per-value cumulative
+    * counts ride type-partitioned ordered windows, and the max is over
+    * the integer cross-product |cumA·nB − cumB·nA| — the significance
+    * flag (D > 1.36·√((nA+nB)/(nA·nB)), α≈0.05) is decided by the
+    * squared integer comparison in DECIMAL(38,0), so no float ever
+    * reaches a verdict.
+    *
+    * Scale shape: the corpus collapses to the per-(type, cents) count
+    * relation (value-histogram-sized); windows are type-partitioned
+    * over that histogram; output is type-count rows. The 1-row corpus
+    * midpoint is the declared X139-class broadcast.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // NULL values carry no position in an ECDF — excluded on both sides
+    val ev = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val mid = ev.agg(expr("(min(day_num) + max(day_num) + 1) div 2").as("mid"))
+    val counts = ev.crossJoin(broadcast(mid))
+      .groupBy("event_type", "cents")
+      .agg(sum(when(col("day_num") < col("mid"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("day_num") >= col("mid"), 1L).otherwise(0L)).as("nb"))
+    val w = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tw = Window.partitionBy("event_type")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    counts
+      .withColumn("cum_a", sum("na").over(w))
+      .withColumn("cum_b", sum("nb").over(w))
+      .withColumn("tot_a", sum("na").over(tw))
+      .withColumn("tot_b", sum("nb").over(tw))
+      .groupBy("event_type")
+      .agg(max("tot_a").as("n_a"), max("tot_b").as("n_b"),
+        max(abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+          .as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("d_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("ks_stat"),
+        // D² > 1.8496·(nA+nB)/(nA·nB) ⇔ d_num²·10⁴ > 18496·(nA+nB)·nA·nB
+        // (decimal × BIGINT products — the X141/X150 proven pattern;
+        // decimal × decimal would outgrow DuckDB's precision-38 cap)
+        (col("d_num").cast(d38) * col("d_num") * 10000 >
+          (col("n_a") + col("n_b")).cast(d38) * 18496 *
+            col("n_a") * col("n_b"))
+          .as("is_significant"))
+      .orderBy("event_type")
+  }
 }

@@ -1260,4 +1260,39 @@ object Events {
         col("n_new") + col("n_resurrected") - col("n_churned"))
       .orderBy("day_idx")
   }
+
+  /** X183: seasonal-naive forecast backtest — the baseline every real
+    * forecaster must beat (and the cheapest drift alarm that respects
+    * weekly shape, unlike X167's level-only EWMA): predict each day's
+    * per-type volume as the SAME WEEKDAY last week's count, then score
+    * the prediction over every day that has a lag-7 observation. Counts
+    * are exact integers, so total/mean absolute error and bias are
+    * exact sums with one final division each; RMSE is one fixed
+    * sqrt-of-integer-sums expression (the X164 rule — never a float
+    * accumulation).
+    *
+    * Scale shape: the corpus collapses to the (type, day) count
+    * relation; the forecast is a calendar-sized equi self-join on
+    * (type, day−7); one per-type aggregate after.
+    */
+  def forecastBaseline(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .groupBy("event_type", "day_num").agg(count(lit(1)).as("c"))
+    val fc = daily.select(col("event_type"),
+      (col("day_num") + 7).as("day_num"), col("c").as("f"))
+    daily.join(fc, Seq("event_type", "day_num"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("c") - col("f"))).as("total_abs_err"),
+        sum(col("c") - col("f")).as("bias"),
+        sum((col("c") - col("f")) * (col("c") - col("f"))).as("sq"))
+      .select(col("event_type"), col("n_days"), col("total_abs_err"),
+        round(col("total_abs_err").cast("double") / col("n_days"), 6)
+          .as("mae"),
+        col("bias"),
+        round(sqrt(col("sq").cast("double") / col("n_days")), 6).as("rmse"))
+      .orderBy("event_type")
+  }
 }

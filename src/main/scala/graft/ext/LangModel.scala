@@ -425,4 +425,44 @@ object LangModel {
           .as("compression"))
       .orderBy("lang")
   }
+
+  /** X182: perplexity-filter sweep — the yield-vs-cutoff curve for the
+    * CCNet-style perplexity gate: for each candidate max-perplexity
+    * threshold, the docs and trigram-tokens a `ppl ≤ T` filter keeps.
+    * Rides [[perplexity3]]'s relation UNCHANGED (filter and scorer
+    * cannot drift — the X179 sharing rule), with X178's
+    * histogram-free variant: the per-doc relation is already
+    * corpus-collapsed (one row per doc), so thresholds band-join it
+    * directly. Thresholds bracket the fixture's observed 10–26 range
+    * so the curve carries signal at every cut.
+    *
+    * Scale shape: the X153 scoring plan plus one ≤|T|-row broadcast
+    * band join and a threshold-keyed aggregate; shares are two final
+    * divisions against the 1-row totals broadcast.
+    */
+  def perplexitySweep(spark: SparkSession, dir: String,
+                      cuts: Seq[Double] =
+                        Seq(16.0, 18.0, 20.0, 22.0, 25.0, 30.0)): DataFrame = {
+    val ppl = perplexity3(spark, dir)
+      .select(col("doc_id"), col("n_trigrams"), col("perplexity"))
+    val totals = ppl.agg(count(lit(1)).as("tot_docs"),
+      sum("n_trigrams").as("tot_tris"))
+    val th = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cuts.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("max_ppl",
+          org.apache.spark.sql.types.DoubleType))))
+    broadcast(th).join(ppl, col("perplexity") <= col("max_ppl"), "left")
+      .groupBy("max_ppl")
+      .agg(count(col("doc_id")).as("docs_kept"),
+        coalesce(sum("n_trigrams"), lit(0L)).as("tris_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("max_ppl"), col("docs_kept"), col("tris_kept"),
+        round(col("docs_kept").cast("double") / col("tot_docs"), 6)
+          .as("doc_share"),
+        round(col("tris_kept").cast("double") / col("tot_tris"), 6)
+          .as("tri_share"))
+      .orderBy("max_ppl")
+  }
 }

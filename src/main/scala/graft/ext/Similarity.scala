@@ -632,4 +632,98 @@ object Similarity {
           .as("recall_ok"))
       .orderBy("method")
   }
+
+  /** X180: embedding outliers — per label, the k vectors farthest from
+    * their label centroid by squared Euclidean distance: the embedding-
+    * space QC pass (mislabeled rows, encoder failures, garbage inputs
+    * all surface as centroid outliers before they poison an ANN index
+    * or a SemDeDup pass). Arithmetic is the X82 discipline end to end:
+    * inputs quantized to 6dp DECIMAL, centroid = one rounded division,
+    * squared-difference sums EXACT decimal — the ranking key is
+    * bit-stable under any partitioning, IEEE only in the output cast.
+    *
+    * Scale shape: one (label, dim)-keyed centroid aggregate
+    * (labels×dims rows, broadcastable), one equi-join back, one
+    * (label, vec)-keyed reduce and a label-partitioned top-k window —
+    * no pair space anywhere.
+    */
+  def embedOutliers(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("vec_id"), col("label"), (col("dim0") + 1).as("dim"),
+        round(col("v").cast("double"), 6).cast(D6).as("x"))
+    val cent = q.groupBy("label", "dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        round(col("s").cast("double") / col("n"), 6).cast(D6).as("c"))
+    q.join(cent, Seq("label", "dim"))
+      .withColumn("dd", (col("x") - col("c")) * (col("x") - col("c")))
+      .groupBy("label", "vec_id").agg(sum("dd").as("dist2_d"))
+      .withColumn("rk", row_number().over(Window.partitionBy("label")
+        .orderBy(col("dist2_d").desc, col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("label"), col("rk").cast("long").as("rk"), col("vec_id"),
+        round(col("dist2_d").cast("double"), 6).as("dist2"))
+      .orderBy("label", "rk")
+  }
+
+  /** X181: top principal component by power iteration — the first PCA
+    * axis of the (quantized) embedding cloud, the spectral summary that
+    * drives whitening, anisotropy diagnostics ("is the space collapsed
+    * along one direction") and Matryoshka-style dim ordering. The
+    * graph_hits discipline applied to a dense matrix: the centered
+    * covariance C (dims² entries, exact decimal sums over quantized 6dp
+    * inputs, 6dp-rounded — n cancels in the direction) is iterated
+    * v ← C·v with a per-round max-|component| renormalization (the
+    * 1-row broadcast crossJoin graph_hits uses): every magnitude stays
+    * ≤ 1 at ANY corpus size, so no decimal multiply can outgrow
+    * precision 38 (an unnormalized iterate grows |C|^r and overflows by
+    * round 3), and the per-round IEEE division is pinned by the 6dp
+    * round before it feeds the next exact-decimal round.
+    *
+    * Scale shape: the corpus collapses to dims² covariance cells in one
+    * map-combinable aggregate (the ONLY pass over the data); iteration
+    * is dims²-sized joins, corpus-independent; output is dims rows.
+    */
+  def embedPcaPower(spark: SparkSession, dir: String,
+                    rounds: Int = 3): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+        round(col("v").cast("double"), 6).cast(D6).as("x"))
+    val mean = q.groupBy("dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        round(col("s").cast("double") / col("n"), 6).cast(D6).as("mu"))
+    val centered = q.join(mean, Seq("dim"))
+      .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("xc"))
+    // C entries 6dp-rounded back to DECIMAL(18,6) (the exact decimal
+    // product sum is rounded AS a decimal — ties round away from zero
+    // identically in both engines); each round renormalizes by the
+    // max-|component| (the graph_hits 1-row crossJoin), so every
+    // magnitude stays ≤ 1 at ANY corpus size and no decimal multiply
+    // can outgrow precision 38 — an unnormalized iterate grows |C|^r
+    // and overflows by round 3
+    val cov = centered.as("a")
+      .join(centered.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(round(sum(col("a.xc") * col("b.xc")), 6).cast(D6).as("cij"))
+    var v = mean.select(col("dim").as("j"), lit(1L).cast(D6).as("vj"))
+    for (_ <- 1 to rounds) {
+      val w = cov.join(v, Seq("j"))
+        .groupBy(col("i").as("j"))
+        .agg(sum(col("cij") * col("vj")).as("wj"))
+      val mx = w.agg(max(abs(col("wj"))).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("j"),
+          round(col("wj").cast("double") / col("mx").cast("double"), 6)
+            .cast(D6).as("vj"))
+    }
+    v.select(col("j").cast("long").as("dim"),
+        col("vj").cast("double").as("loading"))
+      .orderBy("dim")
+  }
 }

@@ -903,6 +903,67 @@ ${SHINGLES.trim},
             FROM scored s) b
       WHERE rk = 1 ORDER BY doc_id"""
 
+  /** The X153 per-doc trigram-perplexity relation — shared verbatim by
+    * the scorer entry and the X182 threshold sweep.
+    */
+  private val PERPLEXITY3 = """
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+      tri AS (
+        -- plain single-identifier indices only: the Spark replay maps
+        -- ws[i] to 1-based element_at, but an arithmetic index would
+        -- fall through to Spark's 0-based bracket indexing
+        SELECT doc_id, ws[i] AS u, ws[i2] AS v, ws[i3] AS w
+        FROM (SELECT doc_id, ws, i, i + 1 AS i2, i + 2 AS i3
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 2)) AS i
+                    FROM d WHERE len(ws) >= 3) t0) t),
+      bi AS (
+        SELECT ws[i] AS a, ws[i2] AS b
+        FROM (SELECT doc_id, ws, i, i + 1 AS i2
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM d WHERE len(ws) >= 2) t0) t),
+      toks AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+      c3 AS (SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3
+             FROM tri GROUP BY u, v, w),
+      c2ctx AS (SELECT u, v, CAST(SUM(c3) AS BIGINT) AS n3ctx
+                FROM c3 GROUP BY u, v),
+      cb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM bi GROUP BY a, b),
+      c1ctx AS (SELECT a, CAST(SUM(cb) AS BIGINT) AS n2ctx
+                FROM cb GROUP BY a),
+      c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+             FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS v_sz FROM c1),
+      dt AS (SELECT doc_id, u, v, w, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tri GROUP BY doc_id, u, v, w),
+      sc AS (
+        SELECT dt.doc_id, dt.cnt,
+               CAST(ROUND(ln(
+                 0.5 * (CAST(c3.c3 AS DOUBLE) / c2ctx.n3ctx) +
+                 0.3 * (CAST(cb.cb AS DOUBLE) / c1ctx.n2ctx) +
+                 0.2 * (CAST(c1.c1 + 1 AS DOUBLE) / (tot.n + tot.v_sz))
+               ) / ln(2.0), 6) AS DECIMAL(18,6)) AS bits
+        FROM dt
+        JOIN c3 ON c3.u = dt.u AND c3.v = dt.v AND c3.w = dt.w
+        JOIN c2ctx ON c2ctx.u = dt.u AND c2ctx.v = dt.v
+        JOIN cb ON cb.a = dt.v AND cb.b = dt.w
+        JOIN c1ctx ON c1ctx.a = dt.v
+        JOIN c1 ON c1.tok = dt.w, tot),
+      agg AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
+               ROUND(-CAST(SUM(cnt * bits) AS DOUBLE) / SUM(cnt), 6)
+                 AS bits_per_token
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_trigrams, bits_per_token,
+             ROUND(exp(bits_per_token * ln(2.0)), 4) AS perplexity
+      FROM agg ORDER BY doc_id"""
+
   val llm_queries: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
@@ -1539,6 +1600,60 @@ ${SHINGLES.trim},
     // stage; one IEEE division + two correctly-rounded sqrts at the end.
     // DuckDB's 1-based dim vs Spark's 0-based posexplode is internal —
     // dim never leaves the query.
+    // X180 outliers: X82's quantize-to-decimal discipline; the ranking
+    // key (exact decimal squared-distance sum) is bit-stable.
+    "embed_outliers" -> """
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      q AS (SELECT vec_id, label, dim,
+              CAST(ROUND(CAST(embedding[dim] AS DOUBLE), 6)
+                AS DECIMAL(18,6)) AS x
+            FROM embeddings, dims),
+      cent AS (
+        SELECT label, dim,
+               CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+                 AS DECIMAL(18,6)) AS c
+        FROM q GROUP BY label, dim),
+      d2 AS (
+        SELECT q.label, q.vec_id,
+               SUM((q.x - cent.c) * (q.x - cent.c)) AS dist2_d
+        FROM q JOIN cent ON cent.label = q.label AND cent.dim = q.dim
+        GROUP BY q.label, q.vec_id),
+      rk AS (SELECT label, vec_id, dist2_d,
+               ROW_NUMBER() OVER (PARTITION BY label
+                 ORDER BY dist2_d DESC, vec_id) AS rk
+             FROM d2)
+      SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+             ROUND(CAST(dist2_d AS DOUBLE), 6) AS dist2
+      FROM rk WHERE rk <= 5 ORDER BY label, rk""",
+    // X181 PCA power iteration: 6dp-decimal covariance, three unrolled
+    // max-normalized rounds (each MATERIALIZED; one prev-round ref).
+    "embed_pca_power" -> ("""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      q AS (SELECT vec_id, dim,
+              CAST(ROUND(CAST(embedding[dim] AS DOUBLE), 6)
+                AS DECIMAL(18,6)) AS x
+            FROM embeddings, dims),
+      mean AS (
+        SELECT dim, CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+          AS DECIMAL(18,6)) AS mu
+        FROM q GROUP BY dim),
+      centered AS (SELECT q.vec_id, q.dim, q.x - mean.mu AS xc
+                   FROM q JOIN mean ON mean.dim = q.dim),
+      cov AS MATERIALIZED (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(ROUND(SUM(a.xc * b.xc), 6) AS DECIMAL(18,6)) AS cij
+        FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+        GROUP BY a.dim, b.dim),
+      v0 AS (SELECT dim AS j, CAST(1 AS DECIMAL(18,6)) AS vj FROM mean),
+""" + (1 to 3).map(k => s"""      w$k AS MATERIALIZED (
+        SELECT cov.i AS j, SUM(cov.cij * v${k - 1}.vj) AS wj
+        FROM cov JOIN v${k - 1} ON v${k - 1}.j = cov.j GROUP BY cov.i),
+      mx$k AS (SELECT MAX(ABS(wj)) AS mx FROM w$k),
+      v$k AS MATERIALIZED (
+        SELECT j, CAST(ROUND(CAST(wj AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+          AS DECIMAL(18,6)) AS vj FROM w$k, mx$k)""").mkString(",\n") + """
+      SELECT j AS dim, CAST(vj AS DOUBLE) AS loading
+      FROM v3 ORDER BY dim"""),
     "embed_centroid_sim" -> """
       WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
       e AS (SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS v
@@ -3745,63 +3860,26 @@ ${SHINGLES.trim},
     // order, per-trigram log2 6dp-rounded into DECIMAL so the per-doc
     // sum is exact; final division + exp(b*ln 2) are the only
     // order-free IEEE ops (platform ln/exp parity).
-    "text_lm_perplexity3" -> """
-      WITH d AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '[^a-z]+'),
-                           t -> t <> '') AS ws
-        FROM documents),
-      tri AS (
-        -- plain single-identifier indices only: the Spark replay maps
-        -- ws[i] to 1-based element_at, but an arithmetic index would
-        -- fall through to Spark's 0-based bracket indexing
-        SELECT doc_id, ws[i] AS u, ws[i2] AS v, ws[i3] AS w
-        FROM (SELECT doc_id, ws, i, i + 1 AS i2, i + 2 AS i3
-              FROM (SELECT doc_id, ws,
-                           unnest(generate_series(1, len(ws) - 2)) AS i
-                    FROM d WHERE len(ws) >= 3) t0) t),
-      bi AS (
-        SELECT ws[i] AS a, ws[i2] AS b
-        FROM (SELECT doc_id, ws, i, i + 1 AS i2
-              FROM (SELECT doc_id, ws,
-                           unnest(generate_series(1, len(ws) - 1)) AS i
-                    FROM d WHERE len(ws) >= 2) t0) t),
-      toks AS (SELECT doc_id, unnest(ws) AS tok FROM d),
-      c3 AS (SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3
-             FROM tri GROUP BY u, v, w),
-      c2ctx AS (SELECT u, v, CAST(SUM(c3) AS BIGINT) AS n3ctx
-                FROM c3 GROUP BY u, v),
-      cb AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cb
-             FROM bi GROUP BY a, b),
-      c1ctx AS (SELECT a, CAST(SUM(cb) AS BIGINT) AS n2ctx
-                FROM cb GROUP BY a),
-      c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
-             FROM toks GROUP BY tok),
-      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
-                     CAST(COUNT(*) AS BIGINT) AS v_sz FROM c1),
-      dt AS (SELECT doc_id, u, v, w, CAST(COUNT(*) AS BIGINT) AS cnt
-             FROM tri GROUP BY doc_id, u, v, w),
-      sc AS (
-        SELECT dt.doc_id, dt.cnt,
-               CAST(ROUND(ln(
-                 0.5 * (CAST(c3.c3 AS DOUBLE) / c2ctx.n3ctx) +
-                 0.3 * (CAST(cb.cb AS DOUBLE) / c1ctx.n2ctx) +
-                 0.2 * (CAST(c1.c1 + 1 AS DOUBLE) / (tot.n + tot.v_sz))
-               ) / ln(2.0), 6) AS DECIMAL(18,6)) AS bits
-        FROM dt
-        JOIN c3 ON c3.u = dt.u AND c3.v = dt.v AND c3.w = dt.w
-        JOIN c2ctx ON c2ctx.u = dt.u AND c2ctx.v = dt.v
-        JOIN cb ON cb.a = dt.v AND cb.b = dt.w
-        JOIN c1ctx ON c1ctx.a = dt.v
-        JOIN c1 ON c1.tok = dt.w, tot),
-      agg AS (
-        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trigrams,
-               ROUND(-CAST(SUM(cnt * bits) AS DOUBLE) / SUM(cnt), 6)
-                 AS bits_per_token
-        FROM sc GROUP BY doc_id)
-      SELECT doc_id, n_trigrams, bits_per_token,
-             ROUND(exp(bits_per_token * ln(2.0)), 4) AS perplexity
-      FROM agg ORDER BY doc_id""",
+    "text_lm_perplexity3" -> PERPLEXITY3,
+    // X182 perplexity sweep: thresholds band-join the per-doc
+    // perplexity relation SHARED VERBATIM with X153 (filter and
+    // scorer cannot drift); trigram counts as the token weight.
+    "curation_perplexity_sweep" -> ("""
+      WITH ppl AS (""" + PERPLEXITY3 + """),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot_docs,
+                     CAST(SUM(n_trigrams) AS BIGINT) AS tot_tris FROM ppl),
+      th AS (SELECT CAST(v AS DOUBLE) AS max_ppl FROM
+               (SELECT unnest(list_value(16.0, 18.0, 20.0, 22.0, 25.0, 30.0)) AS v) u)
+      SELECT th.max_ppl,
+             CAST(COALESCE(COUNT(ppl.doc_id), 0) AS BIGINT) AS docs_kept,
+             CAST(COALESCE(SUM(ppl.n_trigrams), 0) AS BIGINT) AS tris_kept,
+             ROUND(CAST(COALESCE(COUNT(ppl.doc_id), 0) AS DOUBLE) /
+               tot.tot_docs, 6) AS doc_share,
+             ROUND(CAST(COALESCE(SUM(ppl.n_trigrams), 0) AS DOUBLE) /
+               tot.tot_tris, 6) AS tri_share
+      FROM th LEFT JOIN ppl ON ppl.perplexity <= th.max_ppl, tot
+      GROUP BY th.max_ppl, tot.tot_docs, tot.tot_tris
+      ORDER BY max_ppl"""),
     // X165 Zipf fit: deterministic top-k vocabulary cut, log-log terms
     // 6dp-rounded into DECIMAL so all five regression sums are exact;
     // slope/intercept/R2 are one fixed double expression.
@@ -4391,6 +4469,24 @@ ${SHINGLES.trim},
                COUNT(DISTINCT du.user_id), 6) AS stickiness
       FROM days JOIN du ON du.day_num >= d - 29 AND du.day_num <= d
       GROUP BY d ORDER BY day_num""",
+    // X183 seasonal-naive backtest: lag-7 count as forecast, exact
+    // integer error sums, RMSE one fixed sqrt expression.
+    "events_forecast_baseline" -> """
+      WITH daily AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      j AS (SELECT d.event_type, d.c, f.c AS f
+            FROM daily d JOIN daily f ON f.event_type = d.event_type
+              AND f.day_num = d.day_num - 7)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(ABS(c - f)) AS BIGINT) AS total_abs_err,
+             ROUND(CAST(SUM(ABS(c - f)) AS DOUBLE) / COUNT(*), 6) AS mae,
+             CAST(SUM(c - f) AS BIGINT) AS bias,
+             ROUND(sqrt(CAST(SUM((c - f) * (c - f)) AS DOUBLE) / COUNT(*)), 6)
+               AS rmse
+      FROM j GROUP BY event_type ORDER BY event_type""",
     // X167 EWMA: half-life-one-day weights are exact powers of two, so
     // numerator and denominator are BIGINT sums over the 20-day band
     // self-join of the daily count relation; one final IEEE division.
@@ -4854,6 +4950,41 @@ ${SHINGLES.trim},
     // X139 PSI drift: fixed 50-unit value bands, first vs second half of
     // the date range, per-band (pa-pb)*ln(pa/pb) terms with the
     // missing-band NULL guard.
+    // X184 KS: band-free drift test over the same half-split as PSI;
+    // integer cross-product D numerator, DECIMAL(38,0)×BIGINT verdict.
+    "dq_ks_test" -> """
+      WITH ev AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE "value" IS NOT NULL),
+      mid AS (SELECT (MIN(day_num) + MAX(day_num) + 1) // 2 AS mid FROM ev),
+      counts AS (
+        SELECT event_type, cents,
+               CAST(SUM(CASE WHEN day_num < mid THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN day_num >= mid THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM ev, mid GROUP BY 1, 2),
+      cw AS (
+        SELECT event_type, na, nb,
+               SUM(na) OVER (PARTITION BY event_type ORDER BY cents
+                 ROWS UNBOUNDED PRECEDING) AS cum_a,
+               SUM(nb) OVER (PARTITION BY event_type ORDER BY cents
+                 ROWS UNBOUNDED PRECEDING) AS cum_b,
+               SUM(na) OVER (PARTITION BY event_type) AS tot_a,
+               SUM(nb) OVER (PARTITION BY event_type) AS tot_b
+        FROM counts),
+      agg AS (
+        SELECT event_type, CAST(MAX(tot_a) AS BIGINT) AS n_a,
+               CAST(MAX(tot_b) AS BIGINT) AS n_b,
+               CAST(MAX(ABS(cum_a * tot_b - cum_b * tot_a)) AS BIGINT) AS d_num
+        FROM cw GROUP BY event_type)
+      SELECT event_type, n_a, n_b,
+             ROUND(CAST(d_num AS DOUBLE) /
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_stat,
+             CAST(d_num AS DECIMAL(38,0)) * d_num * 10000 >
+               CAST(n_a + n_b AS DECIMAL(38,0)) * 18496 * n_a * n_b
+               AS is_significant
+      FROM agg ORDER BY event_type""",
     "dq_psi_drift" -> """
       WITH ev AS (
         SELECT event_type,

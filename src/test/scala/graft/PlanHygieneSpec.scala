@@ -86,6 +86,13 @@ class PlanHygieneSpec extends SparkSpec
     "curation_length_sweep" -> 8,
     // rides text_langid_ngram's langs×1 profile-array broadcast
     "text_lang_confusion" -> 8,
+    // three 1-row max-normalization crossJoins (the graph_hits shape)
+    "embed_pca_power" -> 8,
+    // broadcast 1-row corpus day-midpoint (the dq_psi_drift shape)
+    "dq_ks_test" -> 8,
+    // rides text_lm_perplexity3's 1-row smoothing-totals broadcast plus
+    // a 6-row threshold panel and a 1-row totals row
+    "curation_perplexity_sweep" -> 8,
     // broadcast 1-row log-split cut (the cdc_time_travel shape)
     "warehouse_scd2_merge" -> 8)
 
