@@ -150,6 +150,7 @@ object SparkEntry {
     // ordered conversion funnel (first-touch, strictly-increasing times);
     // one shuffle on user_id however many steps
     "events_funnel" -> ((s, d) => graft.ext.Events.funnel(s, d)),
+    "events_funnel_timing" -> ((s, d) => graft.ext.Events.funnelTiming(s, d)),
     // incremental aggregate maintenance: state ⊎ delta merged partials,
     // oracled against the full recompute (exact DECIMAL partials)
     "incr_agg_merge" -> ((s, d) => graft.ext.Materialize.incrAggMerge(s, d)),
@@ -213,6 +214,7 @@ object SparkEntry {
     "embed_ann_multiprobe" -> ((s, d) => graft.ext.Similarity.annMultiProbeTopK(s, d)),
     // per-label centroids (DECIMAL-exact) + inter-centroid cosine matrix
     "embed_centroid_sim" -> ((s, d) => graft.ext.Similarity.centroidSim(s, d)),
+    "embed_kmeans" -> ((s, d) => graft.ext.Similarity.embedKmeans(s, d)),
     "embed_outliers" -> ((s, d) => graft.ext.Similarity.embedOutliers(s, d)),
     "embed_pca_power" -> ((s, d) => graft.ext.Similarity.embedPcaPower(s, d)),
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),
@@ -238,6 +240,7 @@ object SparkEntry {
     // (CCNet-style quality signal; (doc,type)-combined scoring join)
     "text_lm_crossentropy" -> ((s, d) => graft.ext.LangModel.lmCrossEntropy(s, d)),
     "text_lm_perplexity3" -> ((s, d) => graft.ext.LangModel.perplexity3(s, d)),
+    "text_lm_kneser_ney" -> ((s, d) => graft.ext.LangModel.kneserNey(s, d)),
     "text_zipf_fit" -> ((s, d) => graft.ext.LangModel.zipfFit(s, d)),
     // BPE tokenizer training's pair-selection step: top adjacent char
     // pairs over word TYPES weighted by count (vocabulary-collapsed)
@@ -391,6 +394,7 @@ object SparkEntry {
     "events_markov_steady" -> ((s, d) => graft.ext.Events.markovSteady(s, d)),
     "events_growth_accounting" -> ((s, d) => graft.ext.Events.growthAccounting(s, d)),
     "graph_components" -> ((s, d) => graft.ext.Graphs.components(s, d)),
+    "graph_random_walks" -> ((s, d) => graft.ext.Graphs.randomWalks(s, d)),
     "graph_two_hop" -> ((s, d) => graft.ext.Graphs.twoHop(s, d)),
     // degree assortativity (Newman r) from exact DECIMAL moments
     "graph_assortativity" -> ((s, d) => graft.ext.Graphs.assortativity(s, d)),
@@ -454,6 +458,7 @@ object SparkEntry {
     "multimodal_jpeg" -> (graft.ext.Multimodal.jpegQuery(_, _)),
     "multimodal_pcm_features" -> (graft.ext.Multimodal.pcmQuery(_, _)),
     "multimodal_pcm_vad" -> (graft.ext.Multimodal.pcmVad(_, _)),
+    "multimodal_pcm_resample" -> (graft.ext.Multimodal.pcmResampleQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),
     "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)),

@@ -1295,4 +1295,98 @@ object Events {
         round(sqrt(col("sq").cast("double") / col("n_days")), 6).as("rmse"))
       .orderBy("event_type")
   }
+
+  /** X188: funnel step-transition timing — the latency companion to
+    * X15's conversion counts: for each funnel transition (first view →
+    * first qualifying click, first qualifying click → first qualifying
+    * purchase, same strictly-after first-touch semantics as
+    * [[funnel]]), the distribution of the per-user lag as exact
+    * discrete percentiles. "How MANY convert" (X15) and "how LONG they
+    * take" (this) are the two numbers every funnel dashboard pairs.
+    *
+    * Exactness: lags are integer microseconds end to end; p50/p90 are
+    * PERCENTILE_DISC selections (the X46 conditional-max-at-rank
+    * pattern — an actual observed value, no interpolation, no float
+    * until the final mean division, which rounds at 6dp).
+    *
+    * Scale shape: the stage cascade is X15's user-keyed shape
+    * unchanged; the lag relation is USER-cardinality (converted users
+    * only — far below event volume), and the rank window partitions by
+    * transition over that reduced relation, exactly the X46 precedent
+    * (per-key percentile state is sort-within-partition). At 100 TB
+    * the stated refinement is the X70 equi-depth two-phase rank if
+    * per-transition cardinality itself outgrows a partition.
+    */
+  def funnelTiming(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val lags = s2.join(s1, "user_id")
+      .select(lit("1_view_to_click").as("transition"),
+        col("user_id"), (col("t2") - col("t1")).as("lag_us"))
+      .unionByName(s3.join(s2, "user_id")
+        .select(lit("2_click_to_purchase").as("transition"),
+          col("user_id"), (col("t3") - col("t2")).as("lag_us")))
+    val w = Window.partitionBy("transition").orderBy("lag_us", "user_id")
+    val wn = Window.partitionBy("transition")
+    def at(p: Double) = max(when(
+      col("rn") === expr(s"CAST(ceil($p * n) AS BIGINT)"), col("lag_us")))
+    lags
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("transition")
+      .agg(max("n").as("n_users"),
+        min("lag_us").as("min_us"),
+        at(0.5).as("p50_us"), at(0.9).as("p90_us"),
+        max("lag_us").as("max_us"),
+        round(sum("lag_us").cast("double") / count(lit(1)), 6)
+          .as("mean_us"))
+      .orderBy("transition")
+  }
+
+  /** X192: local-peak detection over the per-type daily series — the
+    * alerting primitive between X28's global volume monitor and X148's
+    * CUSUM level shifts: a day is a PEAK when its count strictly
+    * exceeds every count in the ±3-observed-day neighbourhood AND sits
+    * strictly above the type's mean daily volume (stated as the
+    * integer cross-product `c · n_days > total` — the X172 no-division
+    * idiom, so no float ever reaches the decision). Neighbourhoods are
+    * over OBSERVED days (the series the monitor actually has), via two
+    * bounded ROWS frames; missing neighbours default to 0 so a series
+    * edge can still peak.
+    *
+    * Scale shape: the corpus collapses to the (type, day) count
+    * relation in one map-combinable aggregate; both frames and the
+    * type totals ride ONE type-keyed shuffle, with per-partition
+    * window state bounded by the 7-row frame. Calendar-bounded
+    * everywhere — nothing scales with row volume after the first
+    * aggregate.
+    */
+  def peakDetection(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day_num"))
+      .groupBy("event_type", "day_num").agg(count(lit(1)).as("c"))
+    val wDay = Window.partitionBy("event_type").orderBy("day_num")
+    val wAll = Window.partitionBy("event_type")
+    daily
+      .withColumn("prev3_max",
+        coalesce(max("c").over(wDay.rowsBetween(-3, -1)), lit(0L)))
+      .withColumn("next3_max",
+        coalesce(max("c").over(wDay.rowsBetween(1, 3)), lit(0L)))
+      .withColumn("n_days", count(lit(1)).over(wAll))
+      .withColumn("total", sum("c").over(wAll))
+      .filter(col("c") > col("prev3_max") && col("c") > col("next3_max") &&
+        col("c") * col("n_days") > col("total"))
+      .select(col("event_type"), col("day_num"), col("c").as("n_events"),
+        col("prev3_max"), col("next3_max"))
+      .orderBy("event_type", "day_num")
+  }
 }

@@ -847,4 +847,58 @@ object Graphs {
   /** Peel rounds the last [[kcore]] call on (app, dir) needed. */
   def kcoreRounds(spark: SparkSession, dir: String): Option[Int] =
     lastKcoreRounds.get((spark.sparkContext.applicationId, dir))
+
+  /** X186: deterministic random-walk corpus — the node2vec/DeepWalk
+    * input relation (one fixed-length walk per start node) that graph
+    * embedding trainers consume, generated hash-deterministically so
+    * the whole corpus is exactly oracle-able: at step t the walk at
+    * node u moves to the neighbour whose per-node rank equals
+    * `md5(start ∥ t ∥ u) mod deg(u)` — a uniform choice under the hash,
+    * reproducible on replay and across engines (the X160 md5-fold
+    * idiom). Walks run on the min-support-2 graph (shared, memoized
+    * with X169/X175) where every node has deg ≥ 1 by construction, so
+    * no walk ever strands.
+    *
+    * Scale shape: the ranked adjacency (rank + degree in one
+    * node-partitioned window pass over the memoized edge relation) is
+    * computed once; each step is ONE equi-join of the walk frontier
+    * (|nodes| rows, constant across steps) against adjacency on
+    * (node, rank) — never a candidate fan-out, because the rank
+    * equality pins exactly one edge row per walker. Frontier lineage is
+    * cut per step ([[graft.Checkpoints.cut]], the bfsHops pattern), so
+    * the plan stays O(1) per step at any walk length; all shuffles key
+    * on node id. At 100 TB: walks-per-node and length multiply the
+    * frontier linearly — the join stays (node, rank)-keyed and
+    * bucketing on node id co-locates every step.
+    */
+  def randomWalks(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = minSupportEdges(spark, dir)
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val wU = Window.partitionBy("u").orderBy("v")
+    val adj = sym
+      .withColumn("rk", row_number().over(wU) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("u")))
+    val starts = graft.Checkpoints.cut(
+      sym.select(col("u").as("start_id")).distinct()
+        .select(col("start_id"), lit(0L).as("step"),
+          col("start_id").as("node")))
+    var frontier = starts
+    var walks = starts
+    for (t <- 1 to steps) {
+      val pick = conv(substring(md5(concat(
+        col("start_id").cast("string"), lit("_"), lit(t.toString),
+        lit("_"), col("node").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % col("deg")
+      val next = graft.Checkpoints.cut(
+        frontier.join(adj, frontier("node") === adj("u"))
+          .filter(col("rk") === pick)
+          .select(col("start_id"), lit(t.toLong).as("step"),
+            col("v").as("node")))
+      walks = walks.unionByName(next)
+      frontier = next
+    }
+    walks.orderBy("start_id", "step")
+  }
 }

@@ -465,4 +465,76 @@ object LangModel {
           .as("tri_share"))
       .orderBy("max_ppl")
   }
+
+  /** X187: interpolated Kneser-Ney bigram perplexity — the smoothing
+    * family that actually ships in n-gram curation scorers (KenLM/CCNet
+    * are modified-KN): unlike X153's Jelinek-Mercer mixture, KN
+    * discounts each SEEN bigram by a fixed D and backs off to the
+    * CONTINUATION unigram — "how many distinct contexts does w
+    * complete" — rather than raw frequency, which is what stops
+    * high-count-but-single-context tokens (boilerplate markers) from
+    * looking probable:
+    *
+    *   p(w | v) = (c(v,w) − D)/c(v·) + D·N1+(v·)/c(v·) · N1+(·w)/B
+    *
+    * with D = 0.75 (the literature's standard single-discount literal),
+    * c(v·) the bigram-based context total, N1+(v·)/N1+(·w) the
+    * follower/preceder type counts, and B the number of distinct
+    * bigram types. Held-in scoring means c(v,w) ≥ 1 at every scored
+    * position, so the discounted term is positive and no max() guard
+    * is needed.
+    *
+    * Exactness (the X153 discipline verbatim): every model quantity is
+    * an exact integer count; p is ONE fixed IEEE expression with
+    * identical literal order in both engines; per-bigram log₂ p is
+    * 6dp-rounded into DECIMAL so the per-doc sum is exact and
+    * partition-order-free; the final division and exp(b·ln 2) are the
+    * only trailing IEEE ops.
+    *
+    * Scale shape: four model relations, all VOCABULARY-sized (bigram
+    * types, context types, continuation types, one totals row) — the
+    * broadcastable-LM-state story of X153; the scoring side collapses
+    * to per-doc bigram TYPES before any model join, so no join input
+    * is the raw position stream; stopword-headed contexts are AQE
+    * skew-split territory, same as X153.
+    */
+  def kneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')").as("ws"))
+    val bis = docs.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS a, ws[i + 1] AS b)) " +
+          "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"))
+        .as("t"))
+      .select(col("doc_id"), col("t.a").as("a"), col("t.b").as("b"))
+    val cb = bis.groupBy("a", "b").agg(count(lit(1)).as("cb"))
+    // context totals + follower-type counts in one pass over the
+    // bigram-type relation; continuation (preceder-type) counts from
+    // the same relation keyed on the second token
+    val ctx = cb.groupBy("a").agg(sum("cb").as("cctx"),
+      count(lit(1)).as("n1fwd"))
+    val cont = cb.groupBy("b").agg(count(lit(1)).as("n1prec"))
+    val btypes = cb.agg(count(lit(1)).as("btypes"))
+    val docBi = bis.groupBy("doc_id", "a", "b").agg(count(lit(1)).as("cnt"))
+    val scored = docBi
+      .join(cb, Seq("a", "b"))
+      .join(ctx, Seq("a"))
+      .join(cont, Seq("b"))
+      .crossJoin(broadcast(btypes))
+      .withColumn("p",
+        (col("cb").cast("double") - lit(0.75)) / col("cctx") +
+          lit(0.75) * col("n1fwd").cast("double") / col("cctx") *
+            (col("n1prec").cast("double") / col("btypes")))
+      .withColumn("bits", round(log(col("p")) / log(lit(2.0)), 6).cast(D6))
+    scored.groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        round((sum(col("cnt") * col("bits")) * -1).cast("double") /
+          sum("cnt"), 6).as("bits_per_token"))
+      .withColumn("perplexity",
+        round(exp(col("bits_per_token") * log(lit(2.0))), 4))
+      .select("doc_id", "n_bigrams", "bits_per_token", "perplexity")
+      .orderBy("doc_id")
+  }
 }

@@ -492,4 +492,199 @@ object Multimodal {
         when(substring(col("text"), 1, 1).between("a", "m"), "bucket_am")
           .otherwise("bucket_nz").as("shard"))
       .orderBy("doc_id")
+
+  /** X189: 2:1 PCM downsampling (16 kHz → 8 kHz) through a halfband
+    * FIR — the standard telephony-rate prep before a speech model or
+    * VAD tier, and the DSP leg that proves the audio framework isn't
+    * feature-extraction-shaped: y[j] = ⌊(x[2j−1] + 2·x[2j] +
+    * x[2j+1]) / 4⌋ (the [1,2,1]/4 anti-aliasing kernel, left edge
+    * sample-replicated), re-framed at 80 samples (the same 10 ms hop
+    * at the new rate — frame count is PRESERVED, which the spec pins).
+    *
+    * Exactness: rides the X156 real byte decode, and every filter tap,
+    * floor-division (spelled `(s + 8192) div 4 − 2048` so truncating
+    * integer division IS floor on the shifted non-negative domain —
+    * both engines agree without a float), energy and zero-crossing is
+    * integer arithmetic: codec + filter + framing sit under one hash
+    * gate where a tap-order, edge-clamp, or rounding-direction bug
+    * shifts the numbers.
+    *
+    * Scale shape: identical to X156 — `mapPartitions` over the typed
+    * payload Dataset, one filter kernel per partition, no shuffle, no
+    * driver involvement; downsampling HALVES the bytes a downstream
+    * stage shuffles, which is the whole point at 100 TB.
+    */
+  def pcmResample(spark: SparkSession, dir: String): Dataset[PcmFrame] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
+          val n = 160 * nFrames
+          // X156's synth + int16 LE round-trip: the filter must consume
+          // the PARSED bytes so byte-order bugs stay under this gate too
+          val bytes = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = (java.lang.Math.floorMod(d * 7 + i.toLong * 13, 4096) - 2048).toInt
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val dec = new Array[Int](n)
+          i = 0
+          while (i < n) {
+            dec(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            i += 1
+          }
+          // halfband decimation: y[j] over x[2j-1], x[2j], x[2j+1];
+          // j=0 replicates the left edge; 2j+1 <= n-1 for every j < n/2
+          val half = n / 2
+          val y = new Array[Int](half)
+          var j = 0
+          while (j < half) {
+            val xl = if (j == 0) dec(0) else dec(2 * j - 1)
+            val sum3 = xl + 2 * dec(2 * j) + dec(2 * j + 1)
+            y(j) = (sum3 + 8192) / 4 - 2048
+            j += 1
+          }
+          (0 until nFrames).map { f =>
+            var e = 0L
+            var zc = 0L
+            var k = 0
+            while (k < 80) {
+              val v = y(f * 80 + k)
+              e += java.lang.Math.abs(v)
+              if (k > 0 && v.toLong * y(f * 80 + k - 1) < 0) zc += 1
+              k += 1
+            }
+            PcmFrame(d, f.toLong, 80L, e, zc)
+          }
+        }
+      }
+  }
+
+  /** Oracle-checked query form of the resample leg. */
+  def pcmResampleQuery(spark: SparkSession, dir: String): DataFrame =
+    pcmResample(spark, dir).toDF().orderBy("doc_id", "frame_idx")
+
+  /** Per-image channel statistics off a real decode. */
+  final case class ChannelStats(doc_id: Long, n_px: Long, px_sum: Long,
+                                px_sum_sq: Long, px_min: Long, px_max: Long)
+
+  /** X190: per-image channel statistics — the normalization-constant
+    * pass every vision pipeline runs before training (mean/std per
+    * image feed the dataset-level running stats; min/max catch dead or
+    * saturated frames): n, Σv, Σv², min, max walked off the REAL
+    * `javax.imageio` PNG decode (X5's codec path), so a decoder, byte
+    * order, or channel-extraction bug lands in these numbers and fails
+    * the hash gate. Mean and the population std are derived OUTSIDE the
+    * codec as one fixed expression each from the exact integer moments
+    * (std spelled sqrt(n·Σv² − (Σv)²)/n — a single sqrt and division,
+    * the X164 discipline).
+    *
+    * Scale shape: identical to the decode leg — `mapPartitions`, one
+    * reader per partition, one row out per image, no shuffle; the
+    * integer moments are exactly the mergeable partials a corpus-level
+    * rollup would combine at 100 TB (sums add, min/max fold), so this
+    * same relation is the map side of the global-normalization pass.
+    */
+  def channelStats(spark: SparkSession, dir: String): Dataset[ChannelStats] = {
+    import spark.implicits._
+    pngPayloads(spark, dir).mapPartitions { it =>
+      it.map { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.content))
+        var (s, s2) = (0L, 0L)
+        var mn = 255L
+        var mx = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = (img.getRGB(x, y) & 0xff).toLong
+            s += v; s2 += v * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        ChannelStats(p.doc_id,
+          img.getWidth.toLong * img.getHeight, s, s2, mn, mx)
+      }
+    }
+  }
+
+  /** Oracle-checked query form of [[channelStats]] with the derived
+    * mean/std fixed expressions.
+    */
+  def channelStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    channelStats(spark, dir).toDF()
+      .select(col("doc_id"), col("n_px"), col("px_sum"), col("px_sum_sq"),
+        col("px_min"), col("px_max"),
+        round(col("px_sum").cast("double") / col("n_px"), 6).as("px_mean"),
+        round(sqrt((col("n_px") * col("px_sum_sq") -
+          col("px_sum") * col("px_sum")).cast("double")) /
+          col("n_px"), 6).as("px_std"))
+      .orderBy("doc_id")
+
+  /** X191: autocorrelation pitch tracking over the X156 PCM frames —
+    * the classic time-domain F0 estimator (speech pipelines run it for
+    * voicing/prosody features; 20–80 samples at 16 kHz spans 200–800
+    * Hz): per frame, R(τ) = Σ x[i]·x[i+τ] over the in-frame overlap,
+    * pitch lag = argmax R (ties to the SMALLER lag — the deterministic
+    * tie rule that makes the argmax oracle-stateable). Every product
+    * and sum is exact 64-bit integer arithmetic off the real byte
+    * decode, so codec + framing + correlation + argmax sit under one
+    * hash gate.
+    *
+    * Scale shape: rides the X156 no-shuffle decode — the τ-loop runs
+    * inside `mapPartitions` per frame (bounded 61×160 multiplies), one
+    * row out per frame; nothing leaves the partition. The relational
+    * spelling (sample × lag-spine join) is the oracle's job, not the
+    * engine's — a 61× row blow-up through a shuffle would be the wrong
+    * plan when the kernel is partition-local.
+    */
+  def pcmPitch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
+          val n = 160 * nFrames
+          val bytes = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = (java.lang.Math.floorMod(d * 7 + i.toLong * 13, 4096) - 2048).toInt
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val dec = new Array[Int](n)
+          i = 0
+          while (i < n) {
+            dec(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            i += 1
+          }
+          (0 until nFrames).map { f =>
+            var bestLag = 0L
+            var bestR = Long.MinValue
+            var lag = 20
+            while (lag <= 80) {
+              var r = 0L
+              var j = 0
+              while (j < 160 - lag) {
+                r += dec(f * 160 + j).toLong * dec(f * 160 + j + lag)
+                j += 1
+              }
+              if (r > bestR) { bestR = r; bestLag = lag.toLong }
+              lag += 1
+            }
+            (d, f.toLong, bestLag, bestR)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "pitch_lag", "r_peak")
+    rows.orderBy("doc_id", "frame_idx")
+  }
 }

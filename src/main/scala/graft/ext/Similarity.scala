@@ -726,4 +726,86 @@ object Similarity {
         col("vj").cast("double").as("loading"))
       .orderBy("dim")
   }
+
+  /** X185: k-means (Lloyd) clustering of the embedding cloud — the
+    * quantizer-training step behind every IVF/PQ index and the standard
+    * corpus-structure summary (cluster sizes + inertia) a curation
+    * pipeline inspects before SemDeDup or stratified sampling. `rounds`
+    * full Lloyd iterations from the md5-smallest-`k` seed vectors (the
+    * [[ivfTopK]] deterministic seeding, so the whole trajectory is
+    * reproducible), then a final assignment pass for membership counts
+    * and per-cluster inertia.
+    *
+    * Exactness discipline (the X181 rule): inputs quantize to 6dp
+    * DECIMAL once; every squared distance is an EXACT decimal
+    * sum-of-products, so the per-vector argmin (`min(struct(dist2,
+    * cell))` — ties to the smaller cell, the oracle's `ORDER BY dist2,
+    * cell` rank) is bit-deterministic; each centroid update's one IEEE
+    * division is pinned by the 6dp round back into DECIMAL before the
+    * next round consumes it — the bit-stable trajectory pattern shared
+    * with X168/X181.
+    *
+    * Scale shape: per round, ONE corpus pass — the k×dims centroid
+    * table broadcasts, the ×k distance stream collapses map-side
+    * (partial-aggregable sum keyed (vec, cell)), and the argmin is a
+    * second map-combinable struct-min keyed on vec_id; the centroid
+    * update shuffles k×dims partial sums. Nothing driver-side, no
+    * global sort; at 100 TB the quantized `q` relation would persist
+    * across rounds instead of re-deriving from the scan (the
+    * [[graft.ext.Graphs]] memo pattern — at fixture scale the rescan
+    * is cheaper than the cache churn).
+    */
+  def embedKmeans(spark: SparkSession, dir: String, k: Int = 4,
+                  rounds: Int = 3): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+        round(col("v").cast("double"), 6).cast(D6).as("x"))
+    // deterministic seeds: the k md5-smallest vec_ids, ranked over the
+    // k-row limit result (bounded partitionless window, the ivfIndex
+    // seeding — allowlisted)
+    val seeds = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy("hk", "vec_id").limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy("hk", "vec_id")) - 1).cast("long"))
+      .select("vec_id", "cell")
+    var cent = q.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("cell"), col("dim"), col("x").as("c"))
+    // nearest-centroid assignment: exact-decimal dist², argmin as a
+    // map-combinable struct-min (dist2 ASC, cell ASC — ties low)
+    // per-dim squared differences are 6dp-quantized BEFORE summing: the
+    // raw decimal product carries scale 12 in DuckDB but Spark's
+    // precision cap reduces it to scale 11, and the 12th-digit
+    // truncation can land a dist² sum exactly on a 6dp rounding
+    // boundary (observed at sf0.001) — per-term rounding makes every
+    // dist², argmin comparison, and the inertia sum bit-identical
+    def assign(c: DataFrame): DataFrame =
+      q.join(broadcast(c), Seq("dim"))
+        .withColumn("dd",
+          round((col("x") - col("c")) * (col("x") - col("c")), 6).cast(D6))
+        .groupBy("vec_id", "cell").agg(sum("dd").as("dist2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"),
+          col("m.dist2").as("dist2"))
+    for (_ <- 1 to rounds) {
+      val asg = assign(cent)
+      cent = q.join(asg.select("vec_id", "cell"), Seq("vec_id"))
+        .groupBy("cell", "dim")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          round(col("s").cast("double") / col("n"), 6).cast(D6).as("c"))
+    }
+    val fin = assign(cent)
+    val sizes = fin.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum("dist2").cast("double"), 6).as("inertia"))
+    cent.join(sizes, Seq("cell"))
+      .select(col("cell"), col("dim").cast("long").as("dim"),
+        col("c").cast("double").as("centroid"),
+        col("n_members"), col("inertia"))
+      .orderBy("cell", "dim")
+  }
 }

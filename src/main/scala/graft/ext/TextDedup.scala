@@ -1240,4 +1240,73 @@ object TextDedup {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
       .orderBy("doc_id")
   }
+
+  /** X193: LSH banding calibration — the (bands, rows) tuning table a
+    * MinHash deployment computes BEFORE fixing its signature layout:
+    * for each 64-hash split (b, r) with b·r = 64, the S-curve candidate
+    * probability P(s) = 1 − (1 − sʳ)ᵇ is evaluated against the
+    * OBSERVED verified-Jaccard similarity histogram (the X2 relation
+    * at a low 0.2 floor, so the sub-threshold mass that drives false
+    * candidates is actually present), yielding the expected true
+    * candidates (s ≥ 0.6) and expected false-candidate load (s < 0.6)
+    * per configuration — the recall-vs-cost trade the banding choice
+    * IS.
+    *
+    * Float discipline: sʳ and (1−sʳ)ᵇ are spelled as FIXED
+    * repeated-squaring chains (r, b are powers of two; `pow` is not
+    * cross-engine ulp-stable — the X164 rule), and each histogram
+    * term n(s)·P(s) is 6dp-rounded into DECIMAL before the sum (the
+    * X163 exact-sum rule), so no unordered float sum exists.
+    *
+    * Scale shape: the pair relation is the prefix-filtered bucketed
+    * join X2 already bounds (Σ bucket², never n²); it collapses to a
+    * ≤101-row similarity histogram before the 4-row config grid
+    * crosses it — everything after the histogram is constant-sized.
+    */
+  def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val hist = jaccardPairs(spark, dir, 0.2)
+      .select(round(col("jaccard"), 2).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n"))
+    val cfg = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq((4L, 16L), (8L, 8L), (16L, 4L),
+        (32L, 2L)).map { case (b, r) => org.apache.spark.sql.Row(b, r) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("r",
+          org.apache.spark.sql.types.LongType))))
+    hist.crossJoin(broadcast(cfg))
+      .withColumn("s2", col("s") * col("s"))
+      .withColumn("s4", col("s2") * col("s2"))
+      .withColumn("s8", col("s4") * col("s4"))
+      .withColumn("s16", col("s8") * col("s8"))
+      .withColumn("u", when(col("r") === 2, col("s2"))
+        .when(col("r") === 4, col("s4"))
+        .when(col("r") === 8, col("s8")).otherwise(col("s16")))
+      .withColumn("v", lit(1.0) - col("u"))
+      .withColumn("v2", col("v") * col("v"))
+      .withColumn("v4", col("v2") * col("v2"))
+      .withColumn("v8", col("v4") * col("v4"))
+      .withColumn("v16", col("v8") * col("v8"))
+      .withColumn("v32", col("v16") * col("v16"))
+      .withColumn("pc", lit(1.0) - (when(col("b") === 4, col("v4"))
+        .when(col("b") === 8, col("v8"))
+        .when(col("b") === 16, col("v16")).otherwise(col("v32"))))
+      .withColumn("term", round(col("n") * col("pc"), 6).cast(D6))
+      .withColumn("high", col("s") >= 0.6)
+      .groupBy("b", "r")
+      .agg(sum(when(col("high"), col("n")).otherwise(0L)).as("n_high"),
+        sum(when(!col("high"), col("n")).otherwise(0L)).as("n_low"),
+        sum(when(col("high"), col("term")).otherwise(lit(0).cast(D6)))
+          .as("exp_high_d"),
+        sum(when(!col("high"), col("term")).otherwise(lit(0).cast(D6)))
+          .as("exp_low_d"))
+      .select(col("b"), col("r"), col("n_high"), col("n_low"),
+        col("exp_high_d").cast("double").as("exp_true_candidates"),
+        col("exp_low_d").cast("double").as("exp_false_candidates"),
+        round(col("exp_high_d").cast("double") / col("n_high"), 6)
+          .as("recall_proxy"))
+      .orderBy("b")
+  }
 }

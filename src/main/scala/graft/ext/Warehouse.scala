@@ -522,4 +522,64 @@ object Warehouse {
         col("lang"), col("source"), col("n_chars"))
       .orderBy("cluster")
   }
+
+  /** The full-sync source snapshot for [[mergeFullSync]]: the DESIRED
+    * state — every key not divisible by 3 survives (÷3 keys get
+    * retired), keys ≡ 0 (mod 4) carry a changed payload (the MATCHED
+    * AND <changed> condition is genuinely selective), and +2e6-offset
+    * keys are net-new. Derived from the base so every clause fires at
+    * every fixture SF.
+    */
+  def desiredCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseCustomers(spark, dir)
+    base.filter(col("key") % 3 =!= 0)
+      .select(col("key"),
+        when(col("key") % 4 === 0, concat(col("name"), lit(" (v2)")))
+          .otherwise(col("name")).as("s_name"),
+        when(col("key") % 4 === 0, col("bal") + lit(50).cast(D2))
+          .otherwise(col("bal")).as("s_bal"))
+      .unionByName(base.filter(col("key") % 13 === 2)
+        .select((col("key") + 2000000L).as("key"),
+          concat(lit("Synced "), col("name")).as("s_name"),
+          lit(0).cast(D2).as("s_bal")))
+  }
+
+  /** X194: full-sync MERGE — the WHEN NOT MATCHED BY SOURCE form
+    * (SQL:2023; Spark 3.4+ MERGE INTO) that [[mergeUpsert]]'s
+    * changelog shape cannot express because a changelog never says
+    * "this key is GONE": the source is a complete desired snapshot,
+    * so target rows absent from it are retired (NOT MATCHED BY SOURCE
+    * THEN DELETE), matched rows update ONLY when the payload actually
+    * differs (MATCHED AND <changed> THEN UPDATE — exact DECIMAL
+    * comparison, no float equality), and source-only rows insert. The
+    * output is the merge AUDIT relation: every row with its action
+    * (updated / unchanged / inserted / deleted) and final payload
+    * (retired rows keep their last values under the 'deleted' flag) —
+    * what a warehouse writes to the merge log while applying the
+    * partition swap.
+    *
+    * Scale shape: ONE full-outer equi-join on the key (the mergeUpsert
+    * plan) — at 100 TB both sides bucket on the key and the join is
+    * zero-exchange; the change detection is a row-local comparison,
+    * never a second pass.
+    */
+  def mergeFullSync(spark: SparkSession, dir: String): DataFrame = {
+    val t = baseCustomers(spark, dir).withColumn("_t", lit(true))
+    val s = desiredCustomers(spark, dir).withColumn("_s", lit(true))
+    val matched = col("_t").isNotNull && col("_s").isNotNull
+    val changed = col("s_name") =!= col("name") || col("s_bal") =!= col("bal")
+    t.join(s, Seq("key"), "full_outer")
+      .withColumn("action",
+        when(matched && changed, "updated")
+          .when(matched, "unchanged")
+          .when(col("_t").isNull, "inserted")
+          .otherwise("deleted"))
+      .select(col("key"),
+        when(col("action").isin("updated", "inserted"), col("s_name"))
+          .otherwise(col("name")).as("name"),
+        when(col("action").isin("updated", "inserted"), col("s_bal"))
+          .otherwise(col("bal")).cast("double").as("bal"),
+        col("action"))
+      .orderBy("key")
+  }
 }

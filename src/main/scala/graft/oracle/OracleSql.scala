@@ -662,6 +662,42 @@ cat_remove AS (
                    COALESCE(LAG(n) OVER (ORDER BY step), n), 6) AS conv_from_prev
       FROM counts CROSS JOIN entered
       ORDER BY step""",
+    // X188 funnel step-transition timing: X15's stage cascade, lag
+    // distribution as PERCENTILE_DISC rank selections (the X46
+    // pattern); integer microseconds until the final 6dp mean.
+    "events_funnel_timing" -> """
+      WITH ev AS (SELECT user_id, event_type,
+                         epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY e.user_id),
+      lags AS (
+        SELECT '1_view_to_click' AS transition, s2.user_id,
+               s2.t2 - s1.t1 AS lag_us
+        FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+        UNION ALL
+        SELECT '2_click_to_purchase' AS transition, s3.user_id,
+               s3.t3 - s2.t2 AS lag_us
+        FROM s3 JOIN s2 ON s2.user_id = s3.user_id),
+      r AS (SELECT transition, lag_us,
+              ROW_NUMBER() OVER (PARTITION BY transition
+                                 ORDER BY lag_us, user_id) AS rn,
+              COUNT(*) OVER (PARTITION BY transition) AS n
+            FROM lags)
+      SELECT transition, MAX(n) AS n_users,
+             CAST(MIN(lag_us) AS BIGINT) AS min_us,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN lag_us END) AS p50_us,
+             MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                      THEN lag_us END) AS p90_us,
+             CAST(MAX(lag_us) AS BIGINT) AS max_us,
+             ROUND(CAST(SUM(lag_us) AS DOUBLE) / COUNT(*), 6) AS mean_us
+      FROM r GROUP BY transition ORDER BY transition""",
     // Incremental aggregate maintenance: the oracle states the FULL
     // recompute; Materialize.incrAggMerge answers from merged
     // state+delta partials — equal because every aggregate is algebraic
@@ -1654,6 +1690,88 @@ ${SHINGLES.trim},
           AS DECIMAL(18,6)) AS vj FROM w$k, mx$k)""").mkString(",\n") + """
       SELECT j AS dim, CAST(vj AS DOUBLE) AS loading
       FROM v3 ORDER BY dim"""),
+    // X185 k-means: md5-seeded Lloyd, exact-decimal dist2 argmin
+    // (ORDER BY dist2, cell — the struct-min tie rule), 6dp-pinned
+    // centroid updates; three unrolled rounds + a final assignment,
+    // each round referencing the previous exactly once, MATERIALIZED.
+    "embed_kmeans" -> ("""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      q AS MATERIALIZED (
+        SELECT vec_id, dim,
+               CAST(ROUND(CAST(embedding[dim] AS DOUBLE), 6)
+                 AS DECIMAL(18,6)) AS x
+        FROM embeddings, dims),
+      seeds AS (SELECT vec_id, CAST(rn - 1 AS BIGINT) AS cell FROM (
+          SELECT vec_id, ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+          FROM embeddings) t WHERE rn <= 4),
+      cent0 AS (SELECT s.cell, q.dim, q.x AS c
+                FROM q JOIN seeds s ON s.vec_id = q.vec_id),
+      d1 AS MATERIALIZED (
+        SELECT q.vec_id, c.cell,
+               SUM(CAST(ROUND((q.x - c.c) * (q.x - c.c), 6)
+                 AS DECIMAL(18,6))) AS dist2
+        FROM q JOIN cent0 c ON c.dim = q.dim
+        GROUP BY q.vec_id, c.cell),
+      a1 AS (SELECT vec_id, cell, dist2 FROM (
+          SELECT vec_id, cell, dist2, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+          FROM d1) t WHERE rn = 1),
+      cent1 AS MATERIALIZED (
+        SELECT a.cell, q.dim,
+               CAST(ROUND(CAST(SUM(q.x) AS DOUBLE) / COUNT(*), 6)
+                 AS DECIMAL(18,6)) AS c
+        FROM q JOIN a1 a ON a.vec_id = q.vec_id
+        GROUP BY a.cell, q.dim),
+      d2 AS MATERIALIZED (
+        SELECT q.vec_id, c.cell,
+               SUM(CAST(ROUND((q.x - c.c) * (q.x - c.c), 6)
+                 AS DECIMAL(18,6))) AS dist2
+        FROM q JOIN cent1 c ON c.dim = q.dim
+        GROUP BY q.vec_id, c.cell),
+      a2 AS (SELECT vec_id, cell, dist2 FROM (
+          SELECT vec_id, cell, dist2, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+          FROM d2) t WHERE rn = 1),
+      cent2 AS MATERIALIZED (
+        SELECT a.cell, q.dim,
+               CAST(ROUND(CAST(SUM(q.x) AS DOUBLE) / COUNT(*), 6)
+                 AS DECIMAL(18,6)) AS c
+        FROM q JOIN a2 a ON a.vec_id = q.vec_id
+        GROUP BY a.cell, q.dim),
+      d3 AS MATERIALIZED (
+        SELECT q.vec_id, c.cell,
+               SUM(CAST(ROUND((q.x - c.c) * (q.x - c.c), 6)
+                 AS DECIMAL(18,6))) AS dist2
+        FROM q JOIN cent2 c ON c.dim = q.dim
+        GROUP BY q.vec_id, c.cell),
+      a3 AS (SELECT vec_id, cell, dist2 FROM (
+          SELECT vec_id, cell, dist2, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+          FROM d3) t WHERE rn = 1),
+      cent3 AS MATERIALIZED (
+        SELECT a.cell, q.dim,
+               CAST(ROUND(CAST(SUM(q.x) AS DOUBLE) / COUNT(*), 6)
+                 AS DECIMAL(18,6)) AS c
+        FROM q JOIN a3 a ON a.vec_id = q.vec_id
+        GROUP BY a.cell, q.dim),
+      d4 AS MATERIALIZED (
+        SELECT q.vec_id, c.cell,
+               SUM(CAST(ROUND((q.x - c.c) * (q.x - c.c), 6)
+                 AS DECIMAL(18,6))) AS dist2
+        FROM q JOIN cent3 c ON c.dim = q.dim
+        GROUP BY q.vec_id, c.cell),
+      a4 AS (SELECT vec_id, cell, dist2 FROM (
+          SELECT vec_id, cell, dist2, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+          FROM d4) t WHERE rn = 1),
+      sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+                       ROUND(CAST(SUM(dist2) AS DOUBLE), 6) AS inertia
+                FROM a4 GROUP BY cell)
+      SELECT c.cell, c.dim, CAST(c.c AS DOUBLE) AS centroid,
+             s.n_members, s.inertia
+      FROM cent3 c JOIN sizes s ON s.cell = c.cell
+      ORDER BY c.cell, c.dim"""),
     "embed_centroid_sim" -> """
       WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
       e AS (SELECT label, dim, CAST(embedding[dim] AS DOUBLE) AS v
@@ -1985,6 +2103,34 @@ ${SHINGLES.trim},
              CAST(SUM(CASE WHEN prev IS NOT NULL AND smp * prev < 0
                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
       FROM x GROUP BY doc_id, frame_idx
+      ORDER BY doc_id, frame_idx""",
+    // X189 halfband 2:1 decimation: y = floor((x[2j-1]+2x[2j]+x[2j+1])/4)
+    // spelled (s+8192)//4-2048 so truncating integer division IS floor
+    // on the shifted non-negative domain; left edge sample-replicated.
+    "multimodal_pcm_resample" -> """
+      WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+      f AS (SELECT doc_id, unnest(generate_series(0, n_frames - 1))
+              AS frame_idx FROM d),
+      s AS (SELECT doc_id, frame_idx, unnest(generate_series(0, 79)) AS j
+            FROM f),
+      x AS (SELECT doc_id, frame_idx, j, frame_idx * 80 + j AS i FROM s),
+      v AS (SELECT doc_id, frame_idx, j,
+              ((doc_id * 7 + GREATEST(2 * i - 1, 0) * 13) % 4096) - 2048 AS xl,
+              ((doc_id * 7 + (2 * i) * 13) % 4096) - 2048 AS xc,
+              ((doc_id * 7 + (2 * i + 1) * 13) % 4096) - 2048 AS xr
+            FROM x),
+      y AS (SELECT doc_id, frame_idx, j,
+              (xl + 2 * xc + xr + 8192) // 4 - 2048 AS smp FROM v),
+      z AS (SELECT doc_id, frame_idx, j, smp,
+              LAG(smp) OVER (PARTITION BY doc_id, frame_idx ORDER BY j)
+                AS prev
+            FROM y)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(80 AS BIGINT) AS n_samples,
+             CAST(SUM(ABS(smp)) AS BIGINT) AS energy,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND smp * prev < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+      FROM z GROUP BY doc_id, frame_idx
       ORDER BY doc_id, frame_idx""",
     // X172 VAD: voiced = frame energy above the clip mean by integer
     // cross-product; voiced runs collapse via gaps-and-islands over the
@@ -3861,6 +4007,50 @@ ${SHINGLES.trim},
     // sum is exact; final division + exp(b*ln 2) are the only
     // order-free IEEE ops (platform ln/exp parity).
     "text_lm_perplexity3" -> PERPLEXITY3,
+    // X187 Kneser-Ney bigram: fixed D=0.75 discount, continuation
+    // (preceder-type) backoff; p one fixed IEEE expression, per-bigram
+    // log2 6dp-DECIMAL so the per-doc sum is exact (X153 discipline).
+    "text_lm_kneser_ney" -> """
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+      bi AS (
+        SELECT doc_id, ws[i] AS a, ws[i2] AS b
+        FROM (SELECT doc_id, ws, i, i + 1 AS i2
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM d WHERE len(ws) >= 2) t0) t),
+      cb AS MATERIALIZED (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cb FROM bi GROUP BY a, b),
+      ctx AS (SELECT a, CAST(SUM(cb) AS BIGINT) AS cctx,
+                     CAST(COUNT(*) AS BIGINT) AS n1fwd
+              FROM cb GROUP BY a),
+      cont AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n1prec
+               FROM cb GROUP BY b),
+      bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM cb),
+      db AS (SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM bi GROUP BY doc_id, a, b),
+      sc AS (
+        SELECT db.doc_id, db.cnt,
+               CAST(ROUND(ln(
+                 (CAST(cb.cb AS DOUBLE) - 0.75) / ctx.cctx +
+                 0.75 * CAST(ctx.n1fwd AS DOUBLE) / ctx.cctx *
+                   (CAST(cont.n1prec AS DOUBLE) / bt.btypes)
+               ) / ln(2.0), 6) AS DECIMAL(18,6)) AS bits
+        FROM db
+        JOIN cb ON cb.a = db.a AND cb.b = db.b
+        JOIN ctx ON ctx.a = db.a
+        JOIN cont ON cont.b = db.b, bt),
+      agg AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+               ROUND(-CAST(SUM(cnt * bits) AS DOUBLE) / SUM(cnt), 6)
+                 AS bits_per_token
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, bits_per_token,
+             ROUND(exp(bits_per_token * ln(2.0)), 4) AS perplexity
+      FROM agg ORDER BY doc_id""",
     // X182 perplexity sweep: thresholds band-join the per-doc
     // perplexity relation SHARED VERBATIM with X153 (filter and
     // scorer cannot drift); trigram counts as the token weight.
@@ -4672,6 +4862,48 @@ ${SHINGLES.trim},
         WHERE u <> w)
       SELECT u AS part_id, CAST(COUNT(*) AS BIGINT) AS n_two_hop
       FROM reach GROUP BY u ORDER BY part_id""",
+    // X186 deterministic random walks: per-node ranked adjacency over
+    // the min-support-2 graph; step t picks rank md5(start_t_node) mod
+    // deg (the X160 hash-fold idiom) — three unrolled steps, each
+    // referencing the previous once, MATERIALIZED.
+    "graph_random_walks" -> ("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT a, b FROM (
+              SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+              GROUP BY x.pk, y.pk) t
+             WHERE w >= 2),
+      sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0),
+      adj AS MATERIALIZED (
+        SELECT u, v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
+                 AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+        FROM sym),
+      w0 AS (SELECT u AS start_id, 0 AS step, u AS node
+             FROM (SELECT DISTINCT u FROM sym) t),
+      w1 AS MATERIALIZED (
+        SELECT w.start_id, 1 AS step, a.v AS node
+        FROM w0 w JOIN adj a ON a.u = w.node
+         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_1_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
+        WHERE w.step = 0),
+      w2 AS MATERIALIZED (
+        SELECT w.start_id, 2 AS step, a.v AS node
+        FROM w1 w JOIN adj a ON a.u = w.node
+         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_2_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
+        WHERE w.step = 1),
+      w3 AS MATERIALIZED (
+        SELECT w.start_id, 3 AS step, a.v AS node
+        FROM w2 w JOIN adj a ON a.u = w.node
+         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_3_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
+        WHERE w.step = 2),
+      allw AS (
+        SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+      SELECT start_id, CAST(step AS BIGINT) AS step, node
+      FROM allw ORDER BY start_id, step"""),
     // X151 entropy: count-of-counts collapse + ORDERED running
     // m*c*ln(c) sum (fixed summation order, the TWAP/KM float rule).
     "dq_entropy_profile" -> """

@@ -94,7 +94,9 @@ class PlanHygieneSpec extends SparkSpec
     // a 6-row threshold panel and a 1-row totals row
     "curation_perplexity_sweep" -> 8,
     // broadcast 1-row log-split cut (the cdc_time_travel shape)
-    "warehouse_scd2_merge" -> 8)
+    "warehouse_scd2_merge" -> 8,
+    // broadcast 1-row bigram-type total (the continuation denominator)
+    "text_lm_kneser_ney" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -164,7 +166,8 @@ class PlanHygieneSpec extends SparkSpec
     "analytics_gini" -> "rank-offset cumsum over 32 per-partition subtotal rows (the X83 pattern)",
     "analytics_abc_xyz" -> "same 32-row per-partition revenue-prefix cumsum as analytics_gini",
     "text_zipf_fit" -> "log-rank window over the already-limited top-1000 vocabulary cut",
-    "dq_id_gaps" -> "boundary stitch over the 32-row per-range-bucket (min,max) summary")
+    "dq_id_gaps" -> "boundary stitch over the 32-row per-range-bucket (min,max) summary",
+    "embed_kmeans" -> "seed rank over the already-limited 4-row md5 pick (the embed_ann_pq shape)")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
