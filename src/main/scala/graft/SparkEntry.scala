@@ -254,6 +254,8 @@ object SparkEntry {
     "curation_perplexity_sweep" -> ((s, d) => graft.ext.LangModel.perplexitySweep(s, d)),
     "text_lang_confusion" -> ((s, d) => graft.ext.TextStats.langConfusion(s, d)),
     "curation_split_leakage" -> ((s, d) => graft.ext.TextStats.splitLeakage(s, d)),
+    "curation_source_divergence" -> ((s, d) => graft.ext.TextStats.sourceDivergence(s, d)),
+    "curation_composite_gate" -> ((s, d) => graft.ext.TextStats.compositeGate(s, d)),
     // DSIR hashed-ngram importance weights: target-vs-raw log-ratio scoring
     "curation_dsir_weights" -> ((s, d) => graft.ext.LangModel.dsirWeights(s, d)),
     // deterministic A-Res weighted sample (ln(u)/w priority, top-50)
@@ -378,6 +380,7 @@ object SparkEntry {
     "events_bot_regularity" -> ((s, d) => graft.ext.Events.botRegularity(s, d)),
     // dedup yield curve across similarity cutoffs, one pair-relation pass
     "dedup_threshold_sweep" -> ((s, d) => graft.ext.Similarity.dedupThresholdSweep(s, d)),
+    "dedup_lsh_calibration" -> ((s, d) => graft.ext.TextDedup.lshCalibration(s, d)),
     // censoring-aware Kaplan-Meier customer-lifetime curve
     "analytics_survival_km" -> ((s, d) => graft.ext.Analytics.survivalKm(s, d)),
     // Newman modularity terms for the label-prop partition (quality audit)
@@ -386,6 +389,7 @@ object SparkEntry {
     "embed_recall_curve" -> ((s, d) => graft.ext.Similarity.recallCurve(s, d)),
     // integer CUSUM changepoint (cross-multiplied deviation, exact argmax)
     "events_changepoint_cusum" -> ((s, d) => graft.ext.Events.changepointCusum(s, d)),
+    "events_peak_detection" -> ((s, d) => graft.ext.Events.peakDetection(s, d)),
     // power-user curve: active-days histogram + cumulative share
     "events_power_curve" -> ((s, d) => graft.ext.Events.powerCurve(s, d)),
     "events_seasonality" -> ((s, d) => graft.ext.Events.seasonality(s, d)),
@@ -442,6 +446,7 @@ object SparkEntry {
     "curation_contamination" -> ((s, d) => graft.ext.TextDedup.contamination(s, d)),
     // per-doc duplication coverage (Lee et al. 2022 diagnostic)
     "text_dup_coverage" -> ((s, d) => graft.ext.TextDedup.dupCoverage(s, d)),
+    "curation_contamination_report" -> ((s, d) => graft.ext.TextDedup.contaminationReport(s, d)),
     // first-occurrence n-gram novelty per doc (crawl-admission signal)
     "text_novelty" -> ((s, d) => graft.ext.TextDedup.noveltyScore(s, d)),
     // corpus top-1k vocabulary coverage per doc (OOV/gibberish filter)
@@ -459,6 +464,8 @@ object SparkEntry {
     "multimodal_pcm_features" -> (graft.ext.Multimodal.pcmQuery(_, _)),
     "multimodal_pcm_vad" -> (graft.ext.Multimodal.pcmVad(_, _)),
     "multimodal_pcm_resample" -> (graft.ext.Multimodal.pcmResampleQuery(_, _)),
+    "multimodal_pcm_pitch" -> (graft.ext.Multimodal.pcmPitch(_, _)),
+    "multimodal_channel_stats" -> (graft.ext.Multimodal.channelStatsQuery(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),
     "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)),
@@ -580,6 +587,7 @@ object SparkEntry {
     // quantizer was trained KMeans); recall additionally asserted in
     // CosineSimSpec AND oracled as the embed_ann_recall bound below
     "embed_ann_ivf" -> ((s, d) => graft.ext.Similarity.ivfTopK(s, d)),
+    "embed_ivf_balance" -> ((s, d) => graft.ext.Similarity.ivfBalance(s, d)),
     // oracled recall bound for the IVF tier (sketchFamily pattern): the
     // oracle derives the exact top-k count and asserts recall_ok TRUE
     "embed_ann_recall" -> ((s, d) => graft.ext.Similarity.annRecallBound(s, d)),
@@ -645,6 +653,7 @@ object SparkEntry {
     // MERGE INTO (upsert): full-outer key join + branch projection —
     // update/delete/insert branches all populated by the derived change set
     "merge_upsert" -> ((s, d) => graft.ext.Warehouse.mergeUpsertQuery(s, d)),
+    "warehouse_merge_full" -> ((s, d) => graft.ext.Warehouse.mergeFullSync(s, d)),
     // CDC changelog -> snapshot compaction (last op per key wins,
     // deletes drop the key; one window shuffle)
     "cdc_apply" -> ((s, d) => graft.ext.Warehouse.cdcApplyQuery(s, d)),
@@ -680,6 +689,7 @@ object SparkEntry {
     // small-file compaction: 64-file fragmented landing copy rewritten to
     // 4 ts-clustered files; values unchanged (file-count delta in LayoutSpec)
     "layout_compaction" -> ((s, d) => graft.ext.Layout.compactionQuery(s, d)),
+    "layout_clustering_depth" -> ((s, d) => graft.ext.Layout.clusteringDepth(s, d)),
     // higher-order array lambdas (transform/filter/aggregate/sort/slice):
     // per-doc math as narrow codegen expressions, zero shuffle
     "array_hof_family" -> ((s, d) => graft.ext.TextStats.arrayHofFamily(s, d)),

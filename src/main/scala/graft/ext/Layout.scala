@@ -306,4 +306,50 @@ object Layout {
         col("n"), col("sum_value"), col("n_users"))
       .orderBy("day")
   }
+
+  /** X198: clustering-depth audit — the file-overlap metric a lakehouse
+    * OPTIMIZE/Z-ORDER decision is made from (Delta's `clusteringDepth`,
+    * Iceberg's overlap metrics): per file, the [min, max] range of the
+    * pruning key; a file's DEPTH is how many files' ranges intersect
+    * its own (itself included — a perfectly clustered layout has depth
+    * 1 everywhere, and a range-pruned query must open `depth` files
+    * per key). Two modelled layouts over the same rows make the metric
+    * discriminate: `sorted` files cut on key order (depth stays 1–2),
+    * `roundrobin` files stripe on a hash residue (every file spans the
+    * whole key domain — depth = n_files, the re-cluster trigger).
+    *
+    * Scale shape: rows collapse to one (file, min, max) summary per
+    * file in a single map-combinable aggregate; the overlap join runs
+    * on file-count-sized relations (≤ a few thousand summaries per
+    * partition at 100 TB — metadata scale, the same rows the manifest
+    * already stores), never on data rows. Intersection is the standard
+    * half-open interval test, all integer comparisons.
+    */
+  def clusteringDepth(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("k"))
+    val files = li.select(lit("sorted").as("layout"),
+        expr("k div 2000").as("file_id"), col("k"))
+      .unionByName(li.select(lit("roundrobin").as("layout"),
+        (col("k") % 7L).as("file_id"), col("k")))
+      .groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("n_rows"), min("k").as("lo"), max("k").as("hi"))
+    val a = files.select(col("layout"), col("file_id"),
+      col("lo"), col("hi"))
+    val b = files.select(col("layout"), col("file_id").as("file_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val depth = a.join(b, Seq("layout"))
+      .filter(col("lo") <= col("hi_b") && col("lo_b") <= col("hi"))
+      .groupBy("layout", "file_id").agg(count(lit(1)).as("depth"))
+    files.join(depth, Seq("layout", "file_id"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        max("depth").as("max_depth"),
+        round(sum("depth").cast("double") / count(lit(1)), 6)
+          .as("avg_depth"),
+        // well-clustered iff no file overlaps more than 2 others:
+        // max_depth <= 3 (integer decision, no ratio)
+        (max("depth") <= 3).as("well_clustered"))
+      .orderBy("layout")
+  }
 }

@@ -808,4 +808,33 @@ object Similarity {
         col("n_members"), col("inertia"))
       .orderBy("cell", "dim")
   }
+
+  /** X197: IVF index-health report — the inverted-list balance audit an
+    * ANN deployment runs before serving (a hot cell serializes probes
+    * and starves recall on its neighbours; Faiss prints exactly this
+    * table after training): per-cell vector counts off the SAME
+    * memoized quantizer assignment the X3 `embed_ann_ivf` probe serves
+    * (index and audit cannot drift), each cell's share, and a hot/cold
+    * verdict by integer cross-product against the uniform share
+    * (`n·cells > 2·total` / `4·n·cells < total` — no float reaches the
+    * decision, the X172 idiom).
+    *
+    * Scale shape: the assignment relation is already built (memoized,
+    * persisted); this adds one cell-keyed count (k rows) and a 1-row
+    * totals broadcast. At 100 TB the same k-row relation is the
+    * rebalance trigger input — nothing here rescans vectors.
+    */
+  def ivfBalance(spark: SparkSession, dir: String,
+                 nCells: Int = 8): DataFrame = {
+    val (assigned, _) = ivfIndex(spark, dir, nCells)
+    val counts = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val tot = counts.agg(sum("n_vecs").as("total"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("total"), 6).as("share"),
+        (col("n_vecs") * col("n_cells") > col("total") * 2).as("is_hot"),
+        (col("n_vecs") * col("n_cells") * 4 < col("total")).as("is_cold"))
+      .orderBy("cell")
+  }
 }

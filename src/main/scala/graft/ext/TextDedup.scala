@@ -1309,4 +1309,41 @@ object TextDedup {
           .as("recall_proxy"))
       .orderBy("b")
   }
+
+  /** X195: contamination report — the per-source rollup of the X107
+    * span-decontamination relation (SHARED VERBATIM — report and
+    * remediation cannot drift) that a training run's data card
+    * actually publishes: per source, how many candidate documents are
+    * benchmark-contaminated, the doc-level rate, and the token mass
+    * the span cut removes relative to the source's full token budget.
+    * A source with high token-loss share gets dropped wholesale; a low
+    * one just ships its cleaned docs — this table is that decision.
+    *
+    * All counts are exact integers off the shared relation; the two
+    * rates are final 6dp divisions. Scale shape: one narrow per-doc
+    * token count (no new corpus pass beyond X107's own), one
+    * source-keyed rollup — catalog-sized output.
+    */
+  def contaminationReport(spark: SparkSession, dir: String,
+                          evalMod: Int = 7): DataFrame = {
+    val spans = decontaminateSpans(spark, dir)
+      .select(col("doc_id"), col("n_removed"))
+    val candidates = Tables.documents(spark, dir)
+      .filter(col("doc_id") % evalMod =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    candidates.join(spans, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("n_removed")).as("n_contaminated"),
+        sum(coalesce(col("n_removed"), lit(0L))).as("tokens_removed"),
+        sum("n_tokens").as("tokens_total"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"),
+        col("tokens_removed"), col("tokens_total"),
+        round(col("n_contaminated").cast("double") / col("n_docs"), 6)
+          .as("doc_rate"),
+        round(col("tokens_removed").cast("double") / col("tokens_total"), 6)
+          .as("token_loss_share"))
+      .orderBy("source")
+  }
 }

@@ -844,4 +844,97 @@ object TextStats {
         (col("declared_lang") === col("predicted_lang")).as("is_correct"))
       .orderBy("declared_lang", "predicted_lang")
   }
+
+  /** X196: source language-mix divergence — Jensen-Shannon divergence
+    * of each source's language distribution from the corpus mix, the
+    * "which feed drifted" number a multi-source ingest monitors (JSD
+    * over KL because it is symmetric, bounded by ln 2, and defined
+    * when a source is missing a language entirely — exactly the drift
+    * case). Zero-count cells are materialized via the source×language
+    * grid so the q-side mass of an ABSENT language still contributes
+    * (p=0 ⇒ m=q/2 ⇒ the q·ln 2 term — dropping it understates drift).
+    *
+    * Float discipline: p, q, m are fixed IEEE expressions over exact
+    * integer counts; each of the ≤|langs| KL terms is 6dp-rounded into
+    * DECIMAL so the per-source sums are exact and order-free (X163
+    * rule); ln parity is platform-proven. Verdict by plain comparison
+    * on the rounded total.
+    *
+    * Scale shape: the corpus collapses to (source, lang) counts in one
+    * map-combinable pass; the grid is sources × languages (catalog
+    * scale), built against the broadcast language margin; everything
+    * after is constant-sized.
+    */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cells = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+    val srcTot = cells.groupBy("source").agg(sum("cnt").as("src_n"))
+    val langTot = cells.groupBy("lang").agg(sum("cnt").as("lang_n"))
+    val corpus = cells.agg(sum("cnt").as("corpus_n"))
+    val grid = srcTot.crossJoin(broadcast(langTot))
+      .join(cells, Seq("source", "lang"), "left")
+      .crossJoin(broadcast(corpus))
+      .withColumn("p", coalesce(col("cnt"), lit(0L)).cast("double") /
+        col("src_n"))
+      .withColumn("q", col("lang_n").cast("double") / col("corpus_n"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      // the 0.5 JSD factor is folded INTO each 6dp term: halving a
+      // double is exact, so the rounded terms stay cross-engine
+      // identical, and the divergence is then a pure decimal SUM — a
+      // trailing /2 once landed the total exactly on a .0000005
+      // boundary where the engines' double rounding disagrees
+      // (observed at sf0.01)
+      .withColumn("t1", when(col("p") > 0,
+        round(lit(0.5) * (col("p") * log(col("p") / col("m"))), 6).cast(D6))
+        .otherwise(lit(0).cast(D6)))
+      .withColumn("t2",
+        round(lit(0.5) * (col("q") * log(col("q") / col("m"))), 6).cast(D6))
+    grid.groupBy("source")
+      .agg(max("src_n").as("n_docs"),
+        sum(col("t1") + col("t2")).as("kl_sum"))
+      .select(col("source"), col("n_docs"),
+        col("kl_sum").cast("double").as("jsd_nats"),
+        (col("kl_sum").cast("double") > 0.05).as("drifted"))
+      .orderBy("source")
+  }
+
+  /** X199: composite curation gate — the single keep/drop score a
+    * pipeline actually ships after computing its individual signals:
+    * a fixed-weight blend of the X4 quality score (length × lexical
+    * diversity), the X14 bigram-repetition complement, and the X158
+    * polysyllabic share (capped — a proxy for "real prose"), each
+    * relation SHARED VERBATIM with its standalone entry (the
+    * X179/X182 rule: the gate and its diagnostics cannot drift), plus
+    * the X14 flag as a hard veto. Weights are fixed literals; the
+    * three weighted terms are 6dp-rounded into DECIMAL so the blend
+    * is an exact 3-term sum (X163), and the verdict compares the
+    * rounded composite.
+    *
+    * Scale shape: three doc-keyed narrow relations, joined on doc_id
+    * (one shuffle each at most — at 100 TB all three derive from the
+    * same scan and co-partition on doc_id); no new corpus pass.
+    */
+  def compositeGate(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q = quality(spark, dir).select("doc_id", "quality_score")
+    val r = repetition(spark, dir).select(col("doc_id"), col("rep2"),
+      col("flagged"))
+    val l = lexicalComplexity(spark, dir).select("doc_id", "poly_ratio")
+    q.join(r, Seq("doc_id"), "left")
+      .join(l, Seq("doc_id"), "left")
+      .withColumn("q_term", round(lit(0.5) * col("quality_score"), 6).cast(D6))
+      .withColumn("r_term", round(lit(0.3) *
+        (lit(1.0) - coalesce(col("rep2"), lit(0.0))), 6).cast(D6))
+      .withColumn("l_term", round(lit(0.2) *
+        least(coalesce(col("poly_ratio"), lit(0.0)) * 5.0, lit(1.0)), 6)
+        .cast(D6))
+      .withColumn("composite",
+        (col("q_term") + col("r_term") + col("l_term")).cast("double"))
+      .withColumn("keep",
+        col("composite") >= 0.5 && !coalesce(col("flagged"), lit(false)))
+      .select("doc_id", "quality_score", "rep2", "poly_ratio",
+        "composite", "keep")
+      .orderBy("doc_id")
+  }
 }

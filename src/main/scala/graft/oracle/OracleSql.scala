@@ -885,6 +885,40 @@ shingles AS (
     * shared by the dedup_jaccard_pairs entry and the X160 split-leakage
     * audit that consumes the same pair relation.
     */
+  /** The X107 span-decontamination relation — shared verbatim by the
+    * entry and the X195 per-source contamination report.
+    */
+  private val DECON_SPANS = """
+      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      grams AS (
+        SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS sh
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
+              FROM words WHERE len(w) >= 8) t),
+      eg AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 7 = 0),
+      covered AS (
+        SELECT DISTINCT doc_id, pos
+        FROM (SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS pos
+              FROM grams g JOIN eg ON g.sh = eg.sh
+              WHERE g.doc_id % 7 <> 0) c),
+      pos2 AS (
+        SELECT doc_id, pos, w[pos] AS word
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
+              FROM words WHERE doc_id % 7 <> 0) p),
+      cdocs AS (SELECT doc_id, COUNT(*) AS n_removed
+                FROM covered GROUP BY doc_id),
+      kept AS (
+        SELECT p.doc_id, COUNT(*) AS n_kept,
+               string_agg(p.word, ' ' ORDER BY p.pos) AS cleaned_text
+        FROM pos2 p
+        LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        WHERE c.pos IS NULL AND p.doc_id IN (SELECT doc_id FROM cdocs)
+        GROUP BY p.doc_id)
+      SELECT d.doc_id, d.n_removed,
+             COALESCE(k.n_kept, 0) AS n_kept,
+             COALESCE(k.cleaned_text, '') AS cleaned_text
+      FROM cdocs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+      ORDER BY d.doc_id"""
+
   private val JACCARD_CTES = s"""
 ${SHINGLES.trim},
       sets AS (SELECT doc_id, list(sh) AS shs, COUNT(*) AS n
@@ -1415,6 +1449,58 @@ ${SHINGLES.trim},
       FROM verified
       WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.6
       ORDER BY doc_a, doc_b""",
+    // X193 LSH banding calibration: brute-force all-pairs verified
+    // Jaccard (the oracle may be quadratic; the engine is bucketed),
+    // 0.01-banded histogram, S-curve P = 1-(1-s^r)^b spelled as fixed
+    // repeated-squaring chains (pow is not cross-engine ulp-stable);
+    // per-band terms 6dp-DECIMAL so the expectation sums are exact.
+    "dedup_lsh_calibration" -> s"""
+      WITH ${SHINGLES.trim},
+      sets AS (SELECT doc_id, list(sh) AS shs, COUNT(*) AS n
+               FROM shingles GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+               len(list_intersect(a.shs, b.shs)) AS n_both
+        FROM sets a JOIN sets b ON a.doc_id < b.doc_id),
+      sims AS (
+        SELECT ROUND(ROUND(CAST(n_both AS DOUBLE) / (na + nb - n_both), 6),
+                 2) AS s
+        FROM pairs
+        WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.2),
+      hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM sims GROUP BY s),
+      cfg AS (SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r
+              FROM (VALUES (4, 16), (8, 8), (16, 4), (32, 2)) AS t(b, r)),
+      x1 AS (SELECT h.s, h.n, c.b, c.r, h.s * h.s AS s2
+             FROM hist h CROSS JOIN cfg c),
+      x2 AS (SELECT *, s2 * s2 AS s4 FROM x1),
+      x3 AS (SELECT *, s4 * s4 AS s8 FROM x2),
+      x4 AS (SELECT *, s8 * s8 AS s16 FROM x3),
+      x5 AS (SELECT *, CASE WHEN r = 2 THEN s2 WHEN r = 4 THEN s4
+                            WHEN r = 8 THEN s8 ELSE s16 END AS u FROM x4),
+      x6 AS (SELECT *, 1.0 - u AS v FROM x5),
+      x7 AS (SELECT *, v * v AS v2 FROM x6),
+      x8 AS (SELECT *, v2 * v2 AS v4 FROM x7),
+      x9 AS (SELECT *, v4 * v4 AS v8 FROM x8),
+      x10 AS (SELECT *, v8 * v8 AS v16 FROM x9),
+      x11 AS (SELECT *, v16 * v16 AS v32 FROM x10),
+      x12 AS (SELECT *, 1.0 - CASE WHEN b = 4 THEN v4 WHEN b = 8 THEN v8
+                WHEN b = 16 THEN v16 ELSE v32 END AS pc FROM x11),
+      t AS (SELECT s, n, b, r,
+              CAST(ROUND(n * pc, 6) AS DECIMAL(18,6)) AS term,
+              s >= 0.6 AS high FROM x12)
+      SELECT b, r,
+        CAST(SUM(CASE WHEN high THEN n ELSE 0 END) AS BIGINT) AS n_high,
+        CAST(SUM(CASE WHEN NOT high THEN n ELSE 0 END) AS BIGINT) AS n_low,
+        CAST(SUM(CASE WHEN high THEN term
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+          AS exp_true_candidates,
+        CAST(SUM(CASE WHEN NOT high THEN term
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+          AS exp_false_candidates,
+        ROUND(CAST(SUM(CASE WHEN high THEN term
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
+              SUM(CASE WHEN high THEN n ELSE 0 END), 6) AS recall_proxy
+      FROM t GROUP BY b, r ORDER BY b""",
     "embed_cosine_topk" -> """
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
       s AS (
@@ -1487,6 +1573,37 @@ ${SHINGLES.trim},
       CROSS JOIN q
       WHERE e.vec_id <> 0
       ORDER BY cos_sim DESC, e.vec_id LIMIT 10""",
+    // X197 IVF balance: the SAME hash-seeded quantizer assignment as
+    // embed_ann_ivf, rolled up per cell with integer cross-product
+    // hot/cold verdicts.
+    "embed_ivf_balance" -> """
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (
+        SELECT cell, v AS centroid FROM (
+          SELECT v, ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell
+          FROM e) t
+        WHERE cell < 8),
+      sim AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.v, s.centroid) /
+                 (sqrt(list_dot_product(e.v, e.v)) *
+                  sqrt(list_dot_product(s.centroid, s.centroid))) AS c_sim
+        FROM e, seeds s),
+      assigned AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id ORDER BY c_sim DESC, cell) AS rn
+          FROM sim) t WHERE rn = 1),
+      counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+                 FROM assigned GROUP BY cell),
+      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n_cells FROM counts)
+      SELECT cell, n_vecs,
+             ROUND(CAST(n_vecs AS DOUBLE) / total, 6) AS share,
+             n_vecs * n_cells > total * 2 AS is_hot,
+             n_vecs * n_cells * 4 < total AS is_cold
+      FROM counts, tot ORDER BY cell""",
     "embed_ann_lsh" -> """
       WITH b AS (
         SELECT vec_id, embedding,
@@ -1872,6 +1989,88 @@ ${SHINGLES.trim},
              ROUND(CAST(n_polysyllabic AS DOUBLE) / n_words, 6) AS poly_ratio
       FROM x WHERE n_words > 0
       ORDER BY doc_id""",
+    // X196 source-mix divergence: JSD over the source x language grid
+    // (zero cells materialized so absent-language mass counts); KL
+    // terms 6dp-DECIMAL, exact per-source sums; ln parity proven.
+    "curation_source_divergence" -> """
+      WITH cells AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+                     FROM documents GROUP BY 1, 2),
+      st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS src_n
+             FROM cells GROUP BY source),
+      lt AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS lang_n
+             FROM cells GROUP BY lang),
+      co AS (SELECT CAST(SUM(cnt) AS BIGINT) AS corpus_n FROM cells),
+      grid AS (
+        SELECT st.source, st.src_n, lt.lang, lt.lang_n, co.corpus_n,
+               COALESCE(c.cnt, 0) AS cnt
+        FROM st CROSS JOIN lt
+        LEFT JOIN cells c ON c.source = st.source AND c.lang = lt.lang
+        CROSS JOIN co),
+      t1 AS (SELECT source, src_n,
+               CAST(COALESCE(cnt, 0) AS DOUBLE) / src_n AS p,
+               CAST(lang_n AS DOUBLE) / corpus_n AS q
+             FROM grid),
+      t2 AS (SELECT source, src_n, p, q, (p + q) / 2 AS m FROM t1),
+      t3 AS (SELECT source, src_n,
+               CASE WHEN p > 0
+                 THEN CAST(ROUND(0.5 * (p * ln(p / m)), 6) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END AS tt1,
+               CAST(ROUND(0.5 * (q * ln(q / m)), 6) AS DECIMAL(18,6)) AS tt2
+             FROM t2)
+      SELECT source, MAX(src_n) AS n_docs,
+             CAST(SUM(tt1 + tt2) AS DOUBLE) AS jsd_nats,
+             CAST(SUM(tt1 + tt2) AS DOUBLE) > 0.05 AS drifted
+      FROM t3 GROUP BY source ORDER BY source""",
+    // X199 composite gate: the X4/X14/X158 relations re-stated
+    // verbatim, blended with fixed weights; the three weighted terms
+    // are 6dp-DECIMAL so the blend is an exact 3-term sum.
+    "curation_composite_gate" -> """
+      WITH q AS (
+        SELECT doc_id,
+               ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100,
+                 1.0) * (CAST(len(list_distinct(string_split(text, ' ')))
+                 AS DOUBLE) / len(string_split(text, ' '))), 6)
+                 AS quality_score
+        FROM documents),
+      w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id,
+              [array_to_string(ws[i:i+1], ' ')
+               FOR i IN generate_series(1, len(ws) - 1)] AS g2,
+              [array_to_string(ws[i:i+2], ' ')
+               FOR i IN generate_series(1, len(ws) - 2)] AS g3
+            FROM w),
+      r AS (SELECT doc_id,
+              CASE WHEN len(g2) > 0 THEN ROUND(CAST(len(g2) -
+                len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS rep2,
+              CASE WHEN len(g3) > 0 THEN ROUND(CAST(len(g3) -
+                len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS rep3
+            FROM g),
+      lx AS (
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter(lws, w2 ->
+                 len(regexp_extract_all(w2, '[aeiou]+')) >= 3)) AS DOUBLE) /
+                 len(lws), 6) AS poly_ratio
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS lws
+              FROM documents) t0
+        WHERE len(lws) > 0),
+      c AS (SELECT q.doc_id, q.quality_score, r.rep2,
+              (r.rep2 > 0.20 OR r.rep3 > 0.18) AS flagged, lx.poly_ratio
+            FROM q LEFT JOIN r ON r.doc_id = q.doc_id
+                   LEFT JOIN lx ON lx.doc_id = q.doc_id),
+      t AS (SELECT doc_id, quality_score, rep2, poly_ratio, flagged,
+              CAST(ROUND(0.5 * quality_score, 6) AS DECIMAL(18,6)) AS qt,
+              CAST(ROUND(0.3 * (1.0 - COALESCE(rep2, 0.0)), 6)
+                AS DECIMAL(18,6)) AS rt,
+              CAST(ROUND(0.2 * LEAST(COALESCE(poly_ratio, 0.0) * 5.0, 1.0),
+                6) AS DECIMAL(18,6)) AS lt2
+            FROM c)
+      SELECT doc_id, quality_score, rep2, poly_ratio,
+             CAST(qt + rt + lt2 AS DOUBLE) AS composite,
+             (CAST(qt + rt + lt2 AS DOUBLE) >= 0.5 AND
+              NOT COALESCE(flagged, FALSE)) AS keep
+      FROM t ORDER BY doc_id""",
     "text_tokens" -> """
       SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
@@ -2132,6 +2331,56 @@ ${SHINGLES.trim},
                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
       FROM z GROUP BY doc_id, frame_idx
       ORDER BY doc_id, frame_idx""",
+    // X190 channel stats: exact integer moments off the recomputed
+    // test-card raster; mean/std one fixed expression each (std =
+    // sqrt(n*S2 - S*S)/n, the X164 no-pow rule).
+    "multimodal_channel_stats" -> """
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h
+        FROM documents),
+      xs AS (
+        SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+      px AS (
+        SELECT doc_id, x, unnest(generate_series(0, h - 1)) AS y
+        FROM xs),
+      v AS (SELECT doc_id, (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+            FROM px),
+      agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+               CAST(SUM(v) AS BIGINT) AS px_sum,
+               CAST(SUM(v * v) AS BIGINT) AS px_sum_sq,
+               CAST(MIN(v) AS BIGINT) AS px_min,
+               CAST(MAX(v) AS BIGINT) AS px_max
+        FROM v GROUP BY doc_id)
+      SELECT doc_id, n_px, px_sum, px_sum_sq, px_min, px_max,
+             ROUND(CAST(px_sum AS DOUBLE) / n_px, 6) AS px_mean,
+             ROUND(sqrt(CAST(n_px * px_sum_sq - px_sum * px_sum AS DOUBLE)) /
+               n_px, 6) AS px_std
+      FROM agg ORDER BY doc_id""",
+    // X191 autocorrelation pitch: R(lag) exact integer products within
+    // the frame; argmax ties to the smaller lag (the engine scans lags
+    // ascending with strict >).
+    "multimodal_pcm_pitch" -> """
+      WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+      f AS (SELECT doc_id, unnest(generate_series(0, n_frames - 1))
+              AS frame_idx FROM d),
+      lg AS (SELECT doc_id, frame_idx, unnest(generate_series(20, 80))
+               AS lag FROM f),
+      s AS (SELECT doc_id, frame_idx, lag,
+              unnest(generate_series(0, 159 - lag)) AS i
+            FROM lg),
+      r AS (SELECT doc_id, frame_idx, lag,
+              SUM((((doc_id * 7 + (frame_idx * 160 + i) * 13) % 4096) - 2048) *
+                  (((doc_id * 7 + (frame_idx * 160 + i + lag) * 13) % 4096) - 2048))
+                AS rr
+            FROM s GROUP BY doc_id, frame_idx, lag),
+      rk AS (SELECT doc_id, frame_idx, lag, rr,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, frame_idx
+                                  ORDER BY rr DESC, lag) AS rn
+             FROM r)
+      SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+             CAST(lag AS BIGINT) AS pitch_lag, CAST(rr AS BIGINT) AS r_peak
+      FROM rk WHERE rn = 1 ORDER BY doc_id, frame_idx""",
     // X172 VAD: voiced = frame energy above the clip mean by integer
     // cross-product; voiced runs collapse via gaps-and-islands over the
     // recomputed X156 frame energies — all integers under one gate.
@@ -3088,36 +3337,26 @@ ${SHINGLES.trim},
       FROM agg ORDER BY scope""",
     // X107: span decontamination — contaminated 8-gram windows cut by
     // position-set union, survivors rejoined in order.
-    "text_decontaminate_spans" -> """
-      WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      grams AS (
-        SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS sh
-        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i
-              FROM words WHERE len(w) >= 8) t),
-      eg AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 7 = 0),
-      covered AS (
-        SELECT DISTINCT doc_id, pos
-        FROM (SELECT g.doc_id, unnest(generate_series(g.i, g.i + 7)) AS pos
-              FROM grams g JOIN eg ON g.sh = eg.sh
-              WHERE g.doc_id % 7 <> 0) c),
-      pos2 AS (
-        SELECT doc_id, pos, w[pos] AS word
-        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS pos
-              FROM words WHERE doc_id % 7 <> 0) p),
-      cdocs AS (SELECT doc_id, COUNT(*) AS n_removed
-                FROM covered GROUP BY doc_id),
-      kept AS (
-        SELECT p.doc_id, COUNT(*) AS n_kept,
-               string_agg(p.word, ' ' ORDER BY p.pos) AS cleaned_text
-        FROM pos2 p
-        LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
-        WHERE c.pos IS NULL AND p.doc_id IN (SELECT doc_id FROM cdocs)
-        GROUP BY p.doc_id)
-      SELECT d.doc_id, d.n_removed,
-             COALESCE(k.n_kept, 0) AS n_kept,
-             COALESCE(k.cleaned_text, '') AS cleaned_text
-      FROM cdocs d LEFT JOIN kept k ON d.doc_id = k.doc_id
-      ORDER BY d.doc_id""",
+    "text_decontaminate_spans" -> DECON_SPANS,
+    // X195 contamination report: the X107 relation embedded verbatim,
+    // rolled up per source with exact counts and two final divisions.
+    "curation_contamination_report" -> ("""
+      WITH spans AS (""" + DECON_SPANS + """),
+      cand AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id % 7 <> 0),
+      j AS (SELECT c.source, c.n_tokens, sp.n_removed
+            FROM cand c LEFT JOIN spans sp ON sp.doc_id = c.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(n_removed) AS BIGINT) AS n_contaminated,
+             CAST(SUM(COALESCE(n_removed, 0)) AS BIGINT) AS tokens_removed,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+             ROUND(CAST(COUNT(n_removed) AS DOUBLE) / COUNT(*), 6)
+               AS doc_rate,
+             ROUND(CAST(SUM(COALESCE(n_removed, 0)) AS DOUBLE) /
+               SUM(n_tokens), 6) AS token_loss_share
+      FROM j GROUP BY source ORDER BY source"""),
     // X108: SQ8 — the float->code map is one fixed IEEE expression
     // (identical operand order on both engines); scoring is BIGINT.
     "embed_scalar_quant" -> """
@@ -4677,6 +4916,27 @@ ${SHINGLES.trim},
              ROUND(sqrt(CAST(SUM((c - f) * (c - f)) AS DOUBLE) / COUNT(*)), 6)
                AS rmse
       FROM j GROUP BY event_type ORDER BY event_type""",
+    // X192 peak detection: +/-3-observed-day strict local maximum AND
+    // strictly above the type mean via the integer cross-product
+    // c * n_days > total (no float reaches the decision).
+    "events_peak_detection" -> """
+      WITH daily AS (
+        SELECT event_type,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, day_num, c,
+              COALESCE(MAX(c) OVER (PARTITION BY event_type ORDER BY day_num
+                ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0) AS prev3_max,
+              COALESCE(MAX(c) OVER (PARTITION BY event_type ORDER BY day_num
+                ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING), 0) AS next3_max,
+              COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+              SUM(c) OVER (PARTITION BY event_type) AS total
+            FROM daily)
+      SELECT event_type, day_num, c AS n_events, prev3_max, next3_max
+      FROM w
+      WHERE c > prev3_max AND c > next3_max AND c * n_days > total
+      ORDER BY event_type, day_num""",
     // X167 EWMA: half-life-one-day weights are exact powers of two, so
     // numerator and denominator are BIGINT sums over the 20-day band
     // self-join of the daily count relation; one final IEEE division.
@@ -5934,6 +6194,48 @@ ${SHINGLES.trim},
       FROM base b FULL JOIN changes c ON b.key = c.key
       WHERE COALESCE(c.op, 'keep') <> 'D'
       ORDER BY key""",
+    // X194 full-sync MERGE (NOT MATCHED BY SOURCE): source is a desired
+    // snapshot, conditional matched update on an exact DECIMAL/name
+    // comparison, target-only rows retired with their last payload.
+    "warehouse_merge_full" -> s"""
+      WITH base AS (
+        SELECT c_custkey AS key, c_name AS name,
+               CAST(c_acctbal AS $D2) AS bal FROM customer
+      ),
+      src AS (
+        SELECT key,
+               CASE WHEN key % 4 = 0 THEN name || ' (v2)' ELSE name END
+                 AS s_name,
+               CASE WHEN key % 4 = 0 THEN bal + CAST(50 AS $D2) ELSE bal END
+                 AS s_bal
+        FROM base WHERE key % 3 <> 0
+        UNION ALL
+        SELECT key + 2000000 AS key, 'Synced ' || name AS s_name,
+               CAST(0 AS $D2) AS s_bal
+        FROM base WHERE key % 13 = 2
+      ),
+      m AS (
+        SELECT COALESCE(b.key, s.key) AS key, b.name, b.bal,
+               s.s_name, s.s_bal,
+               b.key IS NOT NULL AS in_t, s.key IS NOT NULL AS in_s
+        FROM base b FULL JOIN src s ON s.key = b.key
+      ),
+      a AS (
+        SELECT *, CASE
+          WHEN in_t AND in_s AND (s_name <> name OR s_bal <> bal)
+            THEN 'updated'
+          WHEN in_t AND in_s THEN 'unchanged'
+          WHEN NOT in_t THEN 'inserted'
+          ELSE 'deleted' END AS action
+        FROM m
+      )
+      SELECT key,
+             CASE WHEN action IN ('updated', 'inserted') THEN s_name
+                  ELSE name END AS name,
+             CAST(CASE WHEN action IN ('updated', 'inserted') THEN s_bal
+                  ELSE bal END AS DOUBLE) AS bal,
+             action
+      FROM a ORDER BY key""",
     // CDC log -> snapshot: per key, the payload of the last op in commit
     // order; absent when that op is a delete.
     "cdc_apply" -> """
@@ -6042,7 +6344,29 @@ ${SHINGLES.trim},
       GROUP BY 1, 2 ORDER BY 1, 2""",
     // compaction is pure layout: the aggregate over the compacted copy
     // must equal SQL over the original table
-    "layout_compaction" -> s"""
+        // X198 clustering depth: per-file [min,max] ranges under two
+    // modelled layouts; depth = intersecting files (half-open interval
+    // test, all integer); metadata-scale relations only.
+    "layout_clustering_depth" -> """
+      WITH li AS (SELECT l_orderkey AS k FROM lineitem),
+      files AS (
+        SELECT layout, file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(k) AS lo, MAX(k) AS hi
+        FROM (SELECT 'sorted' AS layout, k // 2000 AS file_id, k FROM li
+              UNION ALL SELECT 'roundrobin' AS layout, k % 7 AS file_id, k
+              FROM li) t
+        GROUP BY layout, file_id),
+      d AS (SELECT a.layout, a.file_id, CAST(COUNT(*) AS BIGINT) AS depth
+            FROM files a JOIN files b ON a.layout = b.layout
+              AND a.lo <= b.hi AND b.lo <= a.hi
+            GROUP BY a.layout, a.file_id)
+      SELECT f.layout, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(MAX(d.depth) AS BIGINT) AS max_depth,
+             ROUND(CAST(SUM(d.depth) AS DOUBLE) / COUNT(*), 6) AS avg_depth,
+             MAX(d.depth) <= 3 AS well_clustered
+      FROM files f JOIN d ON d.layout = f.layout AND d.file_id = f.file_id
+      GROUP BY f.layout ORDER BY f.layout""",
+"layout_compaction" -> s"""
       SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
              CAST(SUM(CAST(value AS $D2)) AS DOUBLE) AS sum_value,
              strftime(MIN(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS first_ts,

@@ -96,7 +96,13 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row log-split cut (the cdc_time_travel shape)
     "warehouse_scd2_merge" -> 8,
     // broadcast 1-row bigram-type total (the continuation denominator)
-    "text_lm_kneser_ney" -> 8)
+    "text_lm_kneser_ney" -> 8,
+    // broadcast 4-row (bands, rows) configuration grid
+    "dedup_lsh_calibration" -> 8,
+    // broadcast 1-row (total, n_cells) index totals
+    "embed_ivf_balance" -> 8,
+    // broadcast language margin (catalog-sized) + 1-row corpus total
+    "curation_source_divergence" -> 16)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan
