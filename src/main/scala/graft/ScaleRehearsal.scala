@@ -47,9 +47,9 @@ object ScaleRehearsal {
     "text_lm_perplexity3", "multimodal_jpeg", "dq_id_gaps",
     "analytics_gini", "graph_components", "graph_adamic_adar",
     "analytics_abc_xyz",
-    // r8 waves 6-7: the new iterative / pair-heavy / kernel entries
+    // r8 waves 6-9: the new iterative / pair-heavy / kernel entries
     "embed_kmeans", "graph_random_walks", "text_lm_kneser_ney",
-    "dedup_lsh_calibration", "multimodal_pcm_pitch")
+    "dedup_lsh_calibration", "multimodal_pcm_pitch", "graph_ktruss")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from

@@ -286,6 +286,7 @@ object SparkEntry {
     "events_transition_matrix" -> ((s, d) => graft.ext.Events.transitionMatrix(s, d)),
     // last-touch revenue attribution via the as-of running window
     "events_attribution" -> ((s, d) => graft.ext.Events.attribution(s, d)),
+    "events_markov_attribution" -> ((s, d) => graft.ext.Events.markovAttribution(s, d)),
     // exact decile-trimmed mean per event type (integer-rank cuts)
     "agg_trimmed_mean" -> ((s, d) => graft.ext.Analytics.trimmedMean(s, d)),
     // top session-opening event-type paths (first 3 per session)
@@ -308,6 +309,7 @@ object SparkEntry {
     "text_decontaminate_spans" -> ((s, d) => graft.ext.TextDedup.decontaminateSpans(s, d)),
     // int8 scalar quantization + integer-dot quantized top-k (SQ8)
     "embed_scalar_quant" -> ((s, d) => graft.ext.Similarity.scalarQuantTopK(s, d)),
+    "embed_binary_quant" -> ((s, d) => graft.ext.Similarity.binaryQuantTopK(s, d)),
     // HITS hubs/authorities: 2 exact-integer rounds on the cust->part graph
     "graph_hits" -> ((s, d) => graft.ext.Graphs.hits(s, d)),
     // CEP with negation: view->purchase<=1h with no error between
@@ -337,6 +339,7 @@ object SparkEntry {
     "events_cohort_ltv" -> ((s, d) => graft.ext.Events.cohortLtv(s, d)),
     // k-core dense backbone via iterative peeling to the fixpoint
     "graph_kcore" -> ((s, d) => graft.ext.Graphs.kcore(s, d)),
+    "graph_ktruss" -> ((s, d) => graft.ext.Graphs.ktruss(s, d)),
     // referential audit: orphan children + childless parents per FK edge
     "dq_fk_orphans" -> ((s, d) => graft.ext.DataQuality.fkOrphanAudit(s, d)),
     "dq_key_candidates" -> ((s, d) => graft.ext.DataQuality.keyCandidates(s, d)),
@@ -390,6 +393,7 @@ object SparkEntry {
     // integer CUSUM changepoint (cross-multiplied deviation, exact argmax)
     "events_changepoint_cusum" -> ((s, d) => graft.ext.Events.changepointCusum(s, d)),
     "events_peak_detection" -> ((s, d) => graft.ext.Events.peakDetection(s, d)),
+    "events_slo_burn" -> ((s, d) => graft.ext.Events.sloBurn(s, d)),
     // power-user curve: active-days histogram + cumulative share
     "events_power_curve" -> ((s, d) => graft.ext.Events.powerCurve(s, d)),
     "events_seasonality" -> ((s, d) => graft.ext.Events.seasonality(s, d)),
@@ -399,6 +403,8 @@ object SparkEntry {
     "events_growth_accounting" -> ((s, d) => graft.ext.Events.growthAccounting(s, d)),
     "graph_components" -> ((s, d) => graft.ext.Graphs.components(s, d)),
     "graph_random_walks" -> ((s, d) => graft.ext.Graphs.randomWalks(s, d)),
+    "graph_walk_cooccurrence" -> ((s, d) => graft.ext.Graphs.walkCooccurrence(s, d)),
+    "graph_rich_club" -> ((s, d) => graft.ext.Graphs.richClub(s, d)),
     "graph_two_hop" -> ((s, d) => graft.ext.Graphs.twoHop(s, d)),
     // degree assortativity (Newman r) from exact DECIMAL moments
     "graph_assortativity" -> ((s, d) => graft.ext.Graphs.assortativity(s, d)),
@@ -426,6 +432,7 @@ object SparkEntry {
     "dq_merkle_ranges" -> ((s, d) => graft.ext.DataQuality.merkleRanges(s, d)),
     // canonical-representative keep per blocking key (WindowGroupLimit)
     "dedup_priority_keep" -> ((s, d) => graft.ext.TextDedup.priorityKeep(s, d)),
+    "curation_soft_dedup_weights" -> ((s, d) => graft.ext.TextDedup.softDedupWeights(s, d)),
     // local clustering coefficient (triangles / neighbor pairs)
     "graph_clustering_coeff" -> ((s, d) => graft.ext.Graphs.clusteringCoeff(s, d)),
     // time-weighted average per user (DECIMAL-exact weighted sums)
@@ -443,6 +450,7 @@ object SparkEntry {
     "curation_stratified_sample" -> ((s, d) => graft.ext.TextStats.stratifiedSample(s, d)),
     // token-budget shard packing via a two-phase distributed prefix sum
     "curation_shard_pack" -> ((s, d) => graft.ext.TextStats.shardPack(s, d)),
+    "curation_pack_efficiency" -> ((s, d) => graft.ext.TextStats.packEfficiency(s, d)),
     "curation_contamination" -> ((s, d) => graft.ext.TextDedup.contamination(s, d)),
     // per-doc duplication coverage (Lee et al. 2022 diagnostic)
     "text_dup_coverage" -> ((s, d) => graft.ext.TextDedup.dupCoverage(s, d)),
@@ -466,6 +474,7 @@ object SparkEntry {
     "multimodal_pcm_resample" -> (graft.ext.Multimodal.pcmResampleQuery(_, _)),
     "multimodal_pcm_pitch" -> (graft.ext.Multimodal.pcmPitch(_, _)),
     "multimodal_channel_stats" -> (graft.ext.Multimodal.channelStatsQuery(_, _)),
+    "multimodal_tile_stats" -> (graft.ext.Multimodal.tileStats(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),
     "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)),
@@ -654,6 +663,7 @@ object SparkEntry {
     // update/delete/insert branches all populated by the derived change set
     "merge_upsert" -> ((s, d) => graft.ext.Warehouse.mergeUpsertQuery(s, d)),
     "warehouse_merge_full" -> ((s, d) => graft.ext.Warehouse.mergeFullSync(s, d)),
+    "warehouse_ttl_audit" -> ((s, d) => graft.ext.Warehouse.ttlAudit(s, d)),
     // CDC changelog -> snapshot compaction (last op per key wins,
     // deletes drop the key; one window shuffle)
     "cdc_apply" -> ((s, d) => graft.ext.Warehouse.cdcApplyQuery(s, d)),
@@ -716,6 +726,8 @@ object SparkEntry {
     // exact PERCENTILE_DISC at rank ceil(p*n) — the exact twin of the
     // sketch-gated approx_percentile in agg_sketch_family
     "agg_percentile_disc" -> ((s, d) => graft.ext.Analytics.percentileDisc(s, d)),
+    "agg_mode_family" -> ((s, d) => graft.ext.Analytics.modeFamily(s, d)),
+    "join_lateral_topn" -> ((s, d) => graft.ext.Analytics.lateralTopN(s, d)),
     // radius-bounded nearest-facility (spatial argmin on the grid join)
     "spatial_nearest" -> ((s, d) => graft.ext.Spatial.nearestFacility(s, d)),
     // BIT_AND/OR/XOR aggregates (mask fold; map-side combinable)

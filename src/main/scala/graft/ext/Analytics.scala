@@ -1716,4 +1716,83 @@ object Analytics {
         round(col("rc4").cast("double") / 10000, 2).as("revenue"))
       .orderBy("abc_class", "xyz_class")
   }
+
+  /** X204: LATERAL correlated-subquery join — the SQL:1999 surface a
+    * migrating warehouse workload actually writes for per-row top-n
+    * ("for each nation, its two richest customers and their open-order
+    * exposure") that Spark executes by DECORRELATING into joins +
+    * per-group limits (`DecorrelateInnerQuery` — same physical family
+    * as the X11 WindowGroupLimit, reached from the subquery spelling
+    * instead of a window). The entry exists to pin that the lateral
+    * path stays planned — a regression to a per-row re-execution would
+    * show as a nested CartesianProduct and fail the hygiene sweep.
+    *
+    * Scale shape: after decorrelation this is one nation⋈customer
+    * broadcast join + a per-nation bounded top-2 + one customer-keyed
+    * aggregate join — no row-at-a-time execution anywhere.
+    */
+  def lateralTopN(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("lat_nation")
+    Tables.customer(spark, dir).createOrReplaceTempView("lat_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("lat_orders")
+    spark.sql("""
+      SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal,
+             COALESCE(o.n_orders, 0) AS n_orders
+      FROM lat_nation n, LATERAL (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        FROM lat_customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+        LIMIT 2) t
+      LEFT JOIN (SELECT o_custkey, COUNT(*) AS n_orders
+                 FROM lat_orders GROUP BY o_custkey) o
+        ON o.o_custkey = t.c_custkey
+      ORDER BY nation, c_acctbal DESC, c_custkey""")
+      .select(col("nation"), col("c_custkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"), col("n_orders"))
+  }
+
+  /** X205: exact mode + interpolated median family — the two
+    * descriptive statistics X46's PERCENTILE_DISC deliberately avoids:
+    * the per-group MODE with a deterministic tie rule (highest count,
+    * then SMALLEST value — without the tie rule the statistic is not a
+    * function), and the PERCENTILE_CONT-style interpolated median
+    * spelled from exact integer ranks ((lo + hi) / 2.0 over the
+    * (n+1)/2 floor/ceil positions — engine `percentile` built-ins
+    * interpolate with engine-specific float paths, so the arithmetic
+    * is stated manually and identically).
+    *
+    * Scale shape: mode rides the (type, cents) value histogram
+    * (map-combinable count + a struct-max — never a sort); the median
+    * rank selection is the X46 one-shuffle window over the same typed
+    * slice.
+    */
+  def modeFamily(spark: SparkSession, dir: String): DataFrame = {
+    val cents = expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), cents.as("c"), col("event_id"))
+    val mode = ev.groupBy("event_type", "c")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("event_type")
+      .agg(max(struct(col("cnt"), (col("c") * -1).as("negc"))).as("m"))
+      .select(col("event_type"), (col("m.negc") * -1).as("mode_cents"),
+        col("m.cnt").as("mode_count"))
+    val w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    val wn = Window.partitionBy("event_type")
+    val med = ev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .groupBy("event_type")
+      .agg(max("n").as("n_rows"),
+        max(when(col("rn") === expr("CAST(floor((n + 1) / 2) AS BIGINT)"),
+          col("c"))).as("lo"),
+        max(when(col("rn") === expr("CAST(ceil((n + 1) / 2) AS BIGINT)"),
+          col("c"))).as("hi"))
+      .select(col("event_type"), col("n_rows"),
+        ((col("lo") + col("hi")) / 2.0).as("median_cents"))
+    mode.join(med, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("mode_cents"),
+        col("mode_count"), col("median_cents"))
+      .orderBy("event_type")
+  }
 }

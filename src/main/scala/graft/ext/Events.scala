@@ -1351,6 +1351,43 @@ object Events {
       .orderBy("transition")
   }
 
+  /** X209: SLO error-budget burn — the SRE table beside X28's volume
+    * monitor: per day, the error rate (type = 'error' over all events),
+    * the trailing-7-observed-day rate, and burn-rate multipliers
+    * against a 5% error-rate objective, with the standard fast-burn
+    * (daily > 14.4× budget) and slow-burn (weekly > 6× budget) alert
+    * verdicts (Google SRE workbook multi-window policy). Every
+    * decision is an integer cross-product (`errors · 1000 > 72 ·
+    * total` for 14.4 × 5%, `errors7 · 100 > 30 · total7`) — no float
+    * reaches an alert; the displayed rates are final 6dp divisions.
+    *
+    * Scale shape: the corpus collapses to the per-day (errors, total)
+    * relation in one map-combinable pass; the trailing window is a
+    * bounded 7-row ROWS frame over observed days — calendar-bounded
+    * state, one shuffle.
+    */
+  def sloBurn(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day_num"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .groupBy("day_num")
+      .agg(sum("err").as("errors"), count(lit(1)).as("total"))
+    val w7 = Window.orderBy("day_num").rowsBetween(-6, 0)
+    daily
+      .withColumn("errors7", sum("errors").over(w7))
+      .withColumn("total7", sum("total").over(w7))
+      .select(col("day_num"), col("errors"), col("total"),
+        round(col("errors").cast("double") / col("total"), 6)
+          .as("error_rate"),
+        round(col("errors7").cast("double") / col("total7"), 6)
+          .as("error_rate_7d"),
+        // 14.4x of the 5% budget = 72% daily error share
+        (col("errors") * 1000 > col("total") * 720).as("fast_burn"),
+        // 6x of the 5% budget = 30% weekly error share
+        (col("errors7") * 100 > col("total7") * 30).as("slow_burn"))
+      .orderBy("day_num")
+  }
+
   /** X192: local-peak detection over the per-type daily series — the
     * alerting primitive between X28's global volume monitor and X148's
     * CUSUM level shifts: a day is a PEAK when its count strictly
@@ -1369,6 +1406,103 @@ object Events {
     * everywhere — nothing scales with row volume after the first
     * aggregate.
     */
+  /** X203: Markov removal-effect attribution — the data-driven
+    * multi-touch model (Anderl et al. 2014) that replaced heuristic
+    * last-touch rules: user journeys become a first-order chain over
+    * event types with absorbing `conv` (first purchase) and `null`
+    * (journey end) states; a channel's credit is its REMOVAL EFFECT —
+    * how much the chain's conversion probability drops when every path
+    * through that channel is cut — normalized across channels. Where
+    * X89's position rules ASSERT importance, this measures it.
+    *
+    * Exactness: transition probabilities are 6dp-DECIMAL (X168's
+    * matrix rule); absorption runs `rounds` truncated value-iteration
+    * steps in which each product is 6dp-rounded BEFORE the sum (the
+    * X185 lesson — Spark's decimal-precision cap keeps scale 11 where
+    * DuckDB keeps 12, so raw product sums can land on rounding
+    * boundaries), making every p-vector bit-identical across engines
+    * with NO trailing float round; the only IEEE op is the final
+    * attribution share division. All five chains (base + 4 removals)
+    * advance in ONE relation keyed (removed, state).
+    *
+    * Scale shape: journeys collapse to the K² transition matrix in one
+    * user-keyed window pass; everything after is state-machine-sized
+    * (≤ 5 states × 5 chains) broadcast work, corpus-independent —
+    * X168's scale story with an absorption semantics on top.
+    */
+  def markovAttribution(spark: SparkSession, dir: String,
+                        rounds: Int = 4): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val d6zero = lit(0).cast(D6)
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    val wSeq = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val seq0 = ev.withColumn("rn", row_number().over(wSeq))
+    val firstP = seq0.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("rn").as("prn"))
+    val kept = seq0.join(firstP, Seq("user_id"), "left")
+      .filter(col("prn").isNull || col("rn") <= col("prn"))
+      .withColumn("state", when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")))
+    val wRn = Window.partitionBy("user_id").orderBy("rn")
+    val tr = kept
+      .withColumn("src", coalesce(lag("state", 1).over(wRn), lit("start")))
+      .select(col("src"), col("state").as("dst"))
+      .unionByName(kept
+        .withColumn("nxt", lead("state", 1).over(wRn))
+        .filter(col("nxt").isNull && col("state") =!= "conv")
+        .select(col("state").as("src"), lit("null").as("dst")))
+    val tc = tr.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val tt = tc.groupBy("src").agg(sum("c").as("n"))
+    val tm = graft.Checkpoints.cut(tc.join(tt, Seq("src"))
+      .select(col("src"), col("dst"),
+        round(col("c").cast("double") / col("n"), 6).cast(D6).as("p")))
+    val states = tm.select(col("src").as("state")).distinct()
+    val chains = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq("none", "click", "error", "signup", "view")
+          .map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("removed",
+          org.apache.spark.sql.types.StringType))))
+    val grid = broadcast(chains).crossJoin(states)
+    val direct = tm.filter(col("dst") === "conv")
+      .select(col("src").as("state"), col("p").as("pdir"))
+    var pv = grid.withColumn("pconv", d6zero)
+    for (_ <- 1 to rounds) {
+      // join on dst ∈ states drops conv/null transitions by construction
+      val contrib = tm
+        .join(pv.select(col("removed"), col("state").as("dst"),
+          col("pconv")), "dst")
+        .groupBy(col("removed"), col("src").as("state"))
+        .agg(sum(round(col("p") * col("pconv"), 6).cast(D6)).as("sumc"))
+      pv = grid
+        .join(direct, Seq("state"), "left")
+        .join(contrib, Seq("removed", "state"), "left")
+        .select(col("removed"), col("state"),
+          when(col("state") === col("removed"), d6zero)
+            .otherwise((coalesce(col("pdir"), d6zero) +
+              coalesce(col("sumc"), d6zero)).cast(D6)).as("pconv"))
+    }
+    val fin = pv.filter(col("state") === "start")
+    val base = fin.filter(col("removed") === "none")
+      .select(col("pconv").as("p_base"))
+    val eff = fin.filter(col("removed") =!= "none")
+      .select(col("removed").as("channel"), col("pconv").as("p_removed"))
+      .crossJoin(broadcast(base))
+      .withColumn("removal_effect",
+        (col("p_base") - col("p_removed")).cast(D6))
+    val tot = eff.agg(sum("removal_effect").as("tot_eff"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("channel"),
+        col("p_base").cast("double").as("p_base"),
+        col("p_removed").cast("double").as("p_removed"),
+        col("removal_effect").cast("double").as("removal_effect"),
+        round(col("removal_effect").cast("double") /
+          col("tot_eff").cast("double"), 6).as("attribution"))
+      .orderBy("channel")
+  }
+
   def peakDetection(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .select(col("event_type"),

@@ -871,6 +871,132 @@ object Graphs {
     * frontier linearly — the join stays (node, rank)-keyed and
     * bucketing on node id co-locates every step.
     */
+  /** X208: rich-club coefficient curve — "do the hubs wire to each
+    * other": for each degree threshold k in a fixed panel, φ(k) =
+    * 2·E_k / (N_k·(N_k−1)) over the subgraph induced by nodes of
+    * degree > k (Colizza et al. 2006). Read beside X150's global
+    * assortativity, the CURVE localizes where hub-hub wiring starts —
+    * the congestion/skew early-warning for a co-occurrence graph (a
+    * rising tail says the heaviest keys concentrate on each other, the
+    * exact shape that motivates X21's salting). The X142 sweep
+    * discipline applied to graph structure: thresholds band-join the
+    * degree-annotated EDGE relation, never re-derive the graph.
+    *
+    * Exactness: N_k and E_k are exact integers from one degree
+    * relation + one edge semi-annotation; φ is the single final 6dp
+    * division per panel row.
+    *
+    * Scale shape: degrees are one node-keyed count over the memoized
+    * min-support edge relation; the panel (≤8 rows) broadcasts against
+    * edges once (conditional sums per threshold — one pass, no
+    * per-threshold subgraphs); nothing quadratic anywhere.
+    */
+  def richClub(spark: SparkSession, dir: String,
+               panel: Seq[Int] = Seq(1, 2, 3, 4, 6, 8)): DataFrame = {
+    val e = minSupportEdges(spark, dir)
+    val deg = e.select(col("a").as("id")).unionByName(
+        e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val ed = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), Seq("b"))
+    val ks = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        panel.map(k => org.apache.spark.sql.Row(k.toLong)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))))
+    val nk = deg.crossJoin(broadcast(ks))
+      .filter(col("deg") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+    val ek = ed.crossJoin(broadcast(ks))
+      .filter(col("da") > col("k") && col("db") > col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_edges"))
+    broadcast(ks).join(nk, Seq("k"), "left").join(ek, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(coalesce(col("n_nodes"), lit(0L)) >= 2,
+          round(lit(2.0) * coalesce(col("n_edges"), lit(0L)) /
+            (col("n_nodes") * (col("n_nodes") - 1)), 6)).as("phi"))
+      .orderBy("k")
+  }
+
+  /** X206: skip-gram co-occurrence over the walk corpus — the actual
+    * node2vec/DeepWalk TRAINING INPUT one step downstream of X186's
+    * walks (shared verbatim — corpus and co-occurrence cannot drift):
+    * two nodes co-occur when they appear within ±`window` steps on the
+    * same walk, canonicalized (small, large) and counted — the
+    * (center, context, weight) table a skip-gram trainer consumes.
+    *
+    * Scale shape: one self-join of the walk relation keyed on the walk
+    * id with a bounded step-band predicate (≤ 2·window rows pair per
+    * position), then a pair-keyed count — walk length and window are
+    * constants, so the pair stream is a constant factor of the walk
+    * corpus, never quadratic in anything.
+    */
+  def walkCooccurrence(spark: SparkSession, dir: String,
+                       window: Int = 2): DataFrame = {
+    val w = randomWalks(spark, dir)
+    val a = w.select(col("start_id"), col("step").as("sa"),
+      col("node").as("na"))
+    val b = w.select(col("start_id"), col("step").as("sb"),
+      col("node").as("nb"))
+    a.join(b, Seq("start_id"))
+      .filter(col("sb") > col("sa") && col("sb") - col("sa") <= window &&
+        col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= 2)
+      .orderBy("a", "b")
+  }
+
+  /** X200: k-truss decomposition (fixed k = 3, two peel rounds) — the
+    * cohesion kernel between triangle counting and clique mining: a
+    * 3-truss keeps only edges supported by ≥ 1 triangle among
+    * SURVIVING edges, so peeling removes bridge/appendage edges that
+    * degree-based k-core cannot see (an edge between two hubs with no
+    * common neighbour has high endpoint degrees but zero support);
+    * k = 3 because the sf0.01 support-cut graph tops out at support 2
+    * (a 4-truss is empty there — measured), while 3-truss peeling is
+    * non-degenerate at every fixture SF.
+    * Each round lists triangles on the current edge set (the a<b<c
+    * join, Σ deg² bounded by the min-support-2 cut), attributes each
+    * triangle to its three edges, and drops edges below support 2;
+    * fixed rounds keep the oracle stateable (the X125 k-core posture —
+    * the fixture converges within two peels, which the spec pins).
+    *
+    * Scale shape: per round ONE triangle enumeration (two self-joins
+    * of the edge relation, each keyed on an endpoint — the same plan
+    * family as the memoized X59 kernel) + an edge-keyed count +
+    * semi-join; lineage cut per round. At 100 TB the edge relation
+    * buckets on `a` and the enumeration reuses that partitioning in
+    * both joins.
+    */
+  def ktruss(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+    var edges = graft.Checkpoints.cut(
+      minSupportEdges(spark, dir).select(col("a"), col("b")))
+    var support: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val tri = edges.as("x")
+        .join(edges.as("y"), col("y.a") === col("x.a") &&
+          col("y.b") > col("x.b"))
+        .join(edges.as("z"), col("z.a") === col("x.b") &&
+          col("z.b") === col("y.b"))
+        .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+      val sup = tri.select(explode(array(
+          struct(col("ta").as("a"), col("tb").as("b")),
+          struct(col("ta").as("a"), col("tc").as("b")),
+          struct(col("tb").as("a"), col("tc").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      support = graft.Checkpoints.cut(sup.filter(col("support") >= 1))
+      edges = support.select("a", "b")
+    }
+    support.orderBy("a", "b")
+  }
+
   def randomWalks(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = minSupportEdges(spark, dir)

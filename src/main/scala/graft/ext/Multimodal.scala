@@ -629,6 +629,52 @@ object Multimodal {
           col("n_px"), 6).as("px_std"))
       .orderBy("doc_id")
 
+  /** X211: patch-grid tile statistics — the ViT-style patch
+    * decomposition (mean per grid cell) every vision-transformer
+    * ingest runs before embedding: the REAL decoded raster is cut into
+    * a 4×4 tile grid (tile edges by integer `div` so ragged dimensions
+    * distribute remainder pixels deterministically), and each tile
+    * reports its exact pixel count/sum and floor-mean — per-tile
+    * integers a downstream normalizer consumes, and 16× more location
+    * sensitivity than X190's whole-image moments (a spatially-banded
+    * corruption moves tile means while the global mean holds).
+    *
+    * Scale shape: same `mapPartitions` no-shuffle codec path as every
+    * image leg; 16 rows out per image.
+    */
+  final case class TileStat(doc_id: Long, tile_x: Long, tile_y: Long,
+                            n_px: Long, px_sum: Long, px_mean_floor: Long)
+
+  def tileStats(spark: SparkSession, dir: String,
+                grid: Int = 4): DataFrame = {
+    import spark.implicits._
+    pngPayloads(spark, dir).mapPartitions { it =>
+      it.flatMap { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.content))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = Array.ofDim[Long](grid, grid)
+        val cnts = Array.ofDim[Long](grid, grid)
+        var y = 0
+        while (y < h) {
+          val ty = y * grid / h
+          var x = 0
+          while (x < w) {
+            val tx = x * grid / w
+            sums(tx)(ty) += img.getRGB(x, y) & 0xff
+            cnts(tx)(ty) += 1
+            x += 1
+          }
+          y += 1
+        }
+        for (tx <- 0 until grid; ty <- 0 until grid)
+          yield TileStat(p.doc_id, tx.toLong, ty.toLong,
+            cnts(tx)(ty), sums(tx)(ty),
+            if (cnts(tx)(ty) > 0) sums(tx)(ty) / cnts(tx)(ty) else 0L)
+      }
+    }.toDF().orderBy("doc_id", "tile_x", "tile_y")
+  }
+
   /** X191: autocorrelation pitch tracking over the X156 PCM frames —
     * the classic time-domain F0 estimator (speech pipelines run it for
     * voicing/prosody features; 20–80 samples at 16 kHz spans 200–800

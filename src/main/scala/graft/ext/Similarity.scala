@@ -824,6 +824,48 @@ object Similarity {
     * totals broadcast. At 100 TB the same k-row relation is the
     * rebalance trigger input — nothing here rescans vectors.
     */
+  /** X201: 1-bit binary quantization + Hamming search — the third
+    * standard embedding codec beside SQ8 (X108) and PQ (X117), and the
+    * one modern vector stores ship first (32× compression, XOR+popcount
+    * distance): each vector collapses to its 64 sign bits, packed into
+    * TWO 32-bit halves (`1 << 63` is an error in DuckDB, and two
+    * BIGINT halves keep every shift literal ≤ 2³¹ — the X105 rule);
+    * candidate distance is `bit_count(xor(lo), ) + bit_count(xor(hi))`,
+    * exact integers end to end, and the top-k by (hamming, vec_id) is
+    * reranked with the exact cosine so the output carries both the
+    * codec's ranking and the true similarity (the recall story the
+    * spec audits against the exact top-k).
+    *
+    * Scale shape: packing is one narrow map (the sign bits are the
+    * bucketing key family sign-LSH already uses); the query side
+    * broadcasts two integers; scan + popcount is the cheapest possible
+    * candidate pass at 100 TB and the rerank touches only k rows.
+    */
+  def binaryQuantTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                      k: Int = 10): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    def pack(lo: Int): Column =
+      (0 until 32).map { i =>
+        when(element_at(col("embedding"), lo + i + 1) >= 0f,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val packed = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        pack(0).as("wlo"), pack(32).as("whi"))
+    val q = packed.filter(col("vec_id") === queryId)
+      .select(col("wlo").as("qlo"), col("whi").as("qhi"),
+        col("embedding").as("qv"))
+    packed.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (bit_count(col("wlo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("whi").bitwiseXOR(col("qhi")))).cast("long")
+          .as("hamming"),
+        round(cosine(dbl(col("embedding")), dbl(col("qv"))), 6).as("cos_sim"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(k)
+  }
+
   def ivfBalance(spark: SparkSession, dir: String,
                  nCells: Int = 8): DataFrame = {
     val (assigned, _) = ivfIndex(spark, dir, nCells)

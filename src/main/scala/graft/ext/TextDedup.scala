@@ -1324,6 +1324,32 @@ object TextDedup {
     * token count (no new corpus pass beyond X107's own), one
     * source-keyed rollup — catalog-sized output.
     */
+  /** X202: soft-dedup training weights — the down-weighting alternative
+    * to dropping near-duplicates (each cluster contributes ONE
+    * document's worth of gradient mass spread over its members:
+    * w = 1/|cluster|), the form used when duplicates carry distinct
+    * metadata worth keeping. Rides the X2 cluster relation SHARED
+    * VERBATIM (weights and clustering cannot drift); singleton docs
+    * fold in as their own cluster with weight 1, so Σw = the dedup'd
+    * corpus size — the effective-epoch arithmetic a trainer does.
+    *
+    * Scale shape: the cluster relation is the already-bounded X50
+    * output; one left join on doc_id + one cluster-keyed size count.
+    */
+  def softDedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val labels = nearDupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val all = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = all.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   def contaminationReport(spark: SparkSession, dir: String,
                           evalMod: Int = 7): DataFrame = {
     val spans = decontaminateSpans(spark, dir)

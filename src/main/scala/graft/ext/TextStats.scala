@@ -512,6 +512,35 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** X207: sequence-packing efficiency audit — the padding-waste /
+    * split-document table a pretraining pipeline watches over its
+    * packed shards: rides the X12 packing relation SHARED VERBATIM
+    * (audit and packer cannot drift) and reports, per shard, the doc
+    * count, token fill, utilization vs the budget, overflow carried by
+    * boundary-spanning docs, and how many docs CROSS a shard boundary
+    * (the docs a strict trainer would split or drop). All counts are
+    * exact integers off the shared cumulative sums; utilization is the
+    * one final 6dp division.
+    *
+    * Scale shape: one shard-keyed aggregate over the X12 output — the
+    * packing relation's own two-phase prefix discipline already did
+    * the global work; nothing here re-sorts.
+    */
+  def packEfficiency(spark: SparkSession, dir: String,
+                     budget: Int = 2000): DataFrame =
+    shardPack(spark, dir, budget)
+      .withColumn("crosses", expr(
+        s"(cum_tokens - 1) div $budget != (cum_tokens - n_tokens) div $budget"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        sum(when(col("crosses"), 1L).otherwise(0L)).as("boundary_docs"))
+      .select(col("shard_id"), col("n_docs"), col("tokens"),
+        col("boundary_docs"),
+        round(col("tokens").cast("double") / budget, 6).as("utilization"),
+        greatest(col("tokens") - budget, lit(0L)).as("overflow_tokens"))
+      .orderBy("shard_id")
+
   /** X83: Pareto token-coverage — "which documents carry 80% of the
     * corpus tokens": every doc's cumulative token count and share in
     * (n_tokens DESC, doc_id) order, flagged while it STARTS before the

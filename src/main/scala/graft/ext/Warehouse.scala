@@ -523,6 +523,46 @@ object Warehouse {
       .orderBy("cluster")
   }
 
+  /** X210: retention-policy (TTL) audit — the table a lakehouse
+    * compaction/GC job consults before a DELETE sweep: per event type,
+    * a declared retention window (error telemetry 7 days, behavioural
+    * events 14, money/identity events 365 — the typical compliance
+    * tiering), the row count past its TTL relative to the corpus
+    * watermark (NOT wall clock — the X177 rule, so the audit is
+    * deterministic and replayable), the reclaim share, and the oldest
+    * surviving timestamp after the sweep.
+    *
+    * All decisions are exact integer microsecond arithmetic; shares
+    * are final 6dp divisions. Scale shape: one map-combinable
+    * conditional aggregate per type against the broadcast 1-row
+    * watermark — a metadata-sized audit over one corpus pass, exactly
+    * what the real DELETE planner prunes partitions with.
+    */
+  def ttlAudit(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), us.as("us"))
+    val wm = ev.agg(max("us").as("wm"))
+    val retDays = when(col("event_type") === "error", 7L)
+      .when(col("event_type").isin("view", "click"), 14L)
+      .otherwise(365L)
+    ev.crossJoin(broadcast(wm))
+      .withColumn("ret_days", retDays)
+      .withColumn("expired", col("us") < col("wm") - col("ret_days") * dayUs)
+      .groupBy("event_type")
+      .agg(max("ret_days").as("retention_days"),
+        count(lit(1)).as("n_rows"),
+        sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"),
+        min(when(!col("expired"), col("us"))).as("oldest_kept_us"))
+      .select(col("event_type"), col("retention_days"), col("n_rows"),
+        col("n_expired"),
+        round(col("n_expired").cast("double") / col("n_rows"), 6)
+          .as("reclaim_share"),
+        col("oldest_kept_us"))
+      .orderBy("event_type")
+  }
+
   /** The full-sync source snapshot for [[mergeFullSync]]: the DESIRED
     * state — every key not divisible by 3 survives (÷3 keys get
     * retired), keys ≡ 0 (mod 4) carry a changed payload (the MATCHED

@@ -919,6 +919,65 @@ shingles AS (
       FROM cdocs d LEFT JOIN kept k ON d.doc_id = k.doc_id
       ORDER BY d.doc_id"""
 
+  /** The X12 token-budget packing relation — shared verbatim by the
+    * entry and the X207 efficiency audit.
+    */
+  private val SHARD_PACK_SQL = """
+      WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens)
+                 OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS cum_tokens
+        FROM d)
+      SELECT doc_id, n_tokens, cum_tokens,
+             CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
+      FROM c ORDER BY doc_id"""
+
+  /** The X186 deterministic walk corpus — shared verbatim by the entry
+    * and the X206 skip-gram co-occurrence table.
+    */
+  private val WALKS_SQL = """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT a, b FROM (
+              SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+              GROUP BY x.pk, y.pk) t
+             WHERE w >= 2),
+      sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL SELECT b, a FROM e0),
+      adj AS MATERIALIZED (
+        SELECT u, v,
+               CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
+                 AS BIGINT) AS rk,
+               CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg
+        FROM sym),
+      w0 AS (SELECT u AS start_id, 0 AS step, u AS node
+             FROM (SELECT DISTINCT u FROM sym) t),
+      w1 AS MATERIALIZED (
+        SELECT w.start_id, 1 AS step, a.v AS node
+        FROM w0 w JOIN adj a ON a.u = w.node
+         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_1_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
+        WHERE w.step = 0),
+      w2 AS MATERIALIZED (
+        SELECT w.start_id, 2 AS step, a.v AS node
+        FROM w1 w JOIN adj a ON a.u = w.node
+         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_2_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
+        WHERE w.step = 1),
+      w3 AS MATERIALIZED (
+        SELECT w.start_id, 3 AS step, a.v AS node
+        FROM w2 w JOIN adj a ON a.u = w.node
+         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_3_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
+        WHERE w.step = 2),
+      allw AS (
+        SELECT * FROM w0 UNION ALL SELECT * FROM w1
+        UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
+      SELECT start_id, CAST(step AS BIGINT) AS step, node
+      FROM allw ORDER BY start_id, step"""
+
   private val JACCARD_CTES = s"""
 ${SHINGLES.trim},
       sets AS (SELECT doc_id, list(sh) AS shs, COUNT(*) AS n
@@ -1034,6 +1093,53 @@ ${SHINGLES.trim},
              ROUND(exp(bits_per_token * ln(2.0)), 4) AS perplexity
       FROM agg ORDER BY doc_id"""
 
+  /** The X2 near-dup cluster relation — shared verbatim by the entry,
+    * its star/incremental aliases, and the X202 soft-dedup weights.
+    */
+  private val CLUSTERS_SQL = s"""
+      WITH ${SHINGLES.trim},
+      sigs AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j
+      ),
+      bands AS (
+        SELECT doc_id, j // 2 AS b,
+               md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' ||
+                   MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM sigs GROUP BY doc_id, j // 2
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
+                                 AND a.doc_id < b.doc_id
+      ),
+      scored AS MATERIALIZED (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
+        FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+                    JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+        GROUP BY c.doc_a, c.doc_b
+      ),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM scored WHERE est_sim >= 0.5
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM scored WHERE est_sim >= 0.5
+      ),
+      edges2 AS MATERIALIZED (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT DISTINCT src, src FROM edges
+      ),
+      l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges2),
+""" + (1 to 16).map(k => s"""      l$k AS (
+        SELECT e.dst AS id, MIN(l.lab) AS lab
+        FROM l${k - 1} l JOIN edges2 e ON e.src = l.id
+        GROUP BY e.dst
+      )""").mkString(",\n") + """
+      SELECT id AS doc_id, lab AS cluster_id, id = lab AS is_canonical
+      FROM l16 ORDER BY doc_id"""
+
   val llm_queries: Map[String, String] = Map(
     "dedup_exact" -> """
       SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_doc_id,
@@ -1078,49 +1184,20 @@ ${SHINGLES.trim},
     // minhash pipeline by l8. The multiply-referenced edge set is
     // MATERIALIZED (DuckDB CTE hint; the Spark SQL replay strips it —
     // Spark reuses multi-referenced CTEs on its own).
-    "dedup_clusters" -> (s"""
-      WITH ${SHINGLES.trim},
-      sigs AS (
-        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
-        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
-        GROUP BY doc_id, j
-      ),
-      bands AS (
-        SELECT doc_id, j // 2 AS b,
-               md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' ||
-                   MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
-        FROM sigs GROUP BY doc_id, j // 2
-      ),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.b = b.b AND a.band_hash = b.band_hash
-                                 AND a.doc_id < b.doc_id
-      ),
-      scored AS MATERIALIZED (
-        SELECT c.doc_a, c.doc_b,
-               CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8 AS est_sim
-        FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
-                    JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
-        GROUP BY c.doc_a, c.doc_b
-      ),
-      edges AS (
-        SELECT doc_a AS src, doc_b AS dst FROM scored WHERE est_sim >= 0.5
-        UNION ALL
-        SELECT doc_b AS src, doc_a AS dst FROM scored WHERE est_sim >= 0.5
-      ),
-      edges2 AS MATERIALIZED (
-        SELECT src, dst FROM edges
-        UNION ALL
-        SELECT DISTINCT src, src FROM edges
-      ),
-      l0 AS (SELECT DISTINCT src AS id, src AS lab FROM edges2),
-""" + (1 to 16).map(k => s"""      l$k AS (
-        SELECT e.dst AS id, MIN(l.lab) AS lab
-        FROM l${k - 1} l JOIN edges2 e ON e.src = l.id
-        GROUP BY e.dst
-      )""").mkString(",\n") + """
-      SELECT id AS doc_id, lab AS cluster_id, id = lab AS is_canonical
-      FROM l16 ORDER BY doc_id"""),
+    "dedup_clusters" -> CLUSTERS_SQL,
+    // X202 soft-dedup weights: the cluster relation embedded verbatim,
+    // singletons folded in as their own cluster, weight = 1/size.
+    "curation_soft_dedup_weights" -> ("""
+      WITH cl AS (""" + CLUSTERS_SQL + """),
+      alld AS (
+        SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+             FROM alld GROUP BY cluster_id)
+      SELECT a.doc_id, a.cluster_id, sz.cluster_size,
+             ROUND(CAST(1 AS DOUBLE) / sz.cluster_size, 6) AS weight
+      FROM alld a JOIN sz ON sz.cluster_id = a.cluster_id
+      ORDER BY a.doc_id"""),
     "text_simhash" -> """
       WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       toks AS (SELECT doc_id, unnest(w) AS tok FROM words),
@@ -2357,6 +2434,27 @@ ${SHINGLES.trim},
              ROUND(sqrt(CAST(n_px * px_sum_sq - px_sum * px_sum AS DOUBLE)) /
                n_px, 6) AS px_std
       FROM agg ORDER BY doc_id""",
+    // X211 tile grid: patch assignment by integer x*4//w, exact sums
+    // and floor means per tile off the recomputed raster.
+    "multimodal_tile_stats" -> """
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h
+        FROM documents),
+      xs AS (
+        SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+      px AS (
+        SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+        FROM xs),
+      v AS (SELECT doc_id, x * 4 // w AS tile_x, y * 4 // h AS tile_y,
+              (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+            FROM px)
+      SELECT doc_id, CAST(tile_x AS BIGINT) AS tile_x,
+             CAST(tile_y AS BIGINT) AS tile_y,
+             CAST(COUNT(*) AS BIGINT) AS n_px,
+             CAST(SUM(v) AS BIGINT) AS px_sum,
+             CAST(SUM(v) // COUNT(*) AS BIGINT) AS px_mean_floor
+      FROM v GROUP BY doc_id, tile_x, tile_y
+      ORDER BY doc_id, tile_x, tile_y""",
     // X191 autocorrelation pitch: R(lag) exact integer products within
     // the frame; argmax ties to the smaller lag (the engine scans lags
     // ascending with strict >).
@@ -2764,19 +2862,23 @@ ${SHINGLES.trim},
       FROM c, t ORDER BY cum_tokens, doc_id""",
     // Shard packing twin: the naive single-window prefix sum — the Spark
     // side computes the same values with a two-phase distributed cumsum.
-    "curation_shard_pack" -> """
-      WITH d AS (
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
-        FROM documents),
-      c AS (
-        SELECT doc_id, n_tokens,
-               CAST(SUM(n_tokens)
-                 OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                 AS cum_tokens
-        FROM d)
-      SELECT doc_id, n_tokens, cum_tokens,
-             CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard_id
-      FROM c ORDER BY doc_id""",
+    "curation_shard_pack" -> SHARD_PACK_SQL,
+    // X207 packing-efficiency audit: the X12 relation embedded
+    // verbatim, rolled up per shard with integer boundary-cross flags.
+    "curation_pack_efficiency" -> ("""
+      WITH sp AS (""" + SHARD_PACK_SQL + """),
+      f AS (SELECT shard_id, n_tokens,
+              (cum_tokens - 1) // 2000 <> (cum_tokens - n_tokens) // 2000
+                AS crosses
+            FROM sp)
+      SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+             CAST(SUM(CASE WHEN crosses THEN 1 ELSE 0 END) AS BIGINT)
+               AS boundary_docs,
+             ROUND(CAST(SUM(n_tokens) AS DOUBLE) / 2000, 6) AS utilization,
+             GREATEST(CAST(SUM(n_tokens) AS BIGINT) - 2000, 0)
+               AS overflow_tokens
+      FROM f GROUP BY shard_id ORDER BY shard_id"""),
     // PII scrub: synthetic deterministic PII appended (the corpus has
     // none), then count + redact email/IPv4/phone. Regexes are the
     // backslash-free RE2 ∩ java.util.regex subset ([0-9]/[.] classes);
@@ -3150,6 +3252,117 @@ ${SHINGLES.trim},
     // interleaved (us, kind, event_id) order — touches sort before a
     // same-instant purchase; purchases with no prior touch fall to
     // 'none'. DECIMAL-exact revenue sums.
+    // X203 Markov removal-effect attribution: journeys truncate at the
+    // first purchase; 6dp-DECIMAL transition matrix; four truncated
+    // value-iteration rounds with per-product 6dp rounds (exact sums,
+    // no trailing float round); five chains advance together.
+    "events_markov_attribution" -> ("""
+      WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                         event_id, event_type FROM events),
+      s0 AS (SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS rn
+             FROM ev),
+      fp AS (SELECT user_id, MIN(rn) AS prn FROM s0
+             WHERE event_type = 'purchase' GROUP BY user_id),
+      kept AS (SELECT s0.user_id, s0.rn,
+                 CASE WHEN s0.event_type = 'purchase' THEN 'conv'
+                      ELSE s0.event_type END AS state
+               FROM s0 LEFT JOIN fp ON fp.user_id = s0.user_id
+               WHERE fp.prn IS NULL OR s0.rn <= fp.prn),
+      tr AS (SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id
+                      ORDER BY rn), 'start') AS src, state AS dst
+             FROM kept
+             UNION ALL
+             SELECT state AS src, 'null' AS dst FROM (
+               SELECT state, LEAD(state) OVER (PARTITION BY user_id
+                        ORDER BY rn) AS nxt FROM kept) x
+             WHERE nxt IS NULL AND state <> 'conv'),
+      tc AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tr GROUP BY src, dst),
+      tt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY src),
+      tm AS MATERIALIZED (
+        SELECT tc.src, tc.dst,
+               CAST(ROUND(CAST(tc.c AS DOUBLE) / tt.n, 6)
+                 AS DECIMAL(18,6)) AS p
+        FROM tc JOIN tt ON tt.src = tc.src),
+      states AS (SELECT DISTINCT src AS state FROM tm),
+      chains AS (SELECT unnest(list_value('none', 'click', 'error',
+                   'signup', 'view')) AS removed),
+      p0 AS (SELECT c.removed, st.state, CAST(0 AS DECIMAL(18,6)) AS pconv
+             FROM chains c CROSS JOIN states st),
+      p1 AS MATERIALIZED (
+        SELECT g.removed, g.state,
+               CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
+                    ELSE CAST(COALESCE(d.pdir, CAST(0 AS DECIMAL(18,6))) +
+                      COALESCE(sc.sumc, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) END AS pconv
+        FROM (SELECT c.removed, st.state FROM chains c CROSS JOIN states st) g
+        LEFT JOIN (SELECT src AS state, p AS pdir FROM tm
+                   WHERE dst = 'conv') d ON d.state = g.state
+        LEFT JOIN (SELECT l.removed, t.src AS state,
+                     SUM(CAST(ROUND(t.p * l.pconv, 6) AS DECIMAL(18,6)))
+                       AS sumc
+                   FROM tm t JOIN p0 l ON l.state = t.dst
+                   GROUP BY l.removed, t.src) sc
+          ON sc.removed = g.removed AND sc.state = g.state),
+      p2 AS MATERIALIZED (
+        SELECT g.removed, g.state,
+               CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
+                    ELSE CAST(COALESCE(d.pdir, CAST(0 AS DECIMAL(18,6))) +
+                      COALESCE(sc.sumc, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) END AS pconv
+        FROM (SELECT c.removed, st.state FROM chains c CROSS JOIN states st) g
+        LEFT JOIN (SELECT src AS state, p AS pdir FROM tm
+                   WHERE dst = 'conv') d ON d.state = g.state
+        LEFT JOIN (SELECT l.removed, t.src AS state,
+                     SUM(CAST(ROUND(t.p * l.pconv, 6) AS DECIMAL(18,6)))
+                       AS sumc
+                   FROM tm t JOIN p1 l ON l.state = t.dst
+                   GROUP BY l.removed, t.src) sc
+          ON sc.removed = g.removed AND sc.state = g.state),
+      p3 AS MATERIALIZED (
+        SELECT g.removed, g.state,
+               CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
+                    ELSE CAST(COALESCE(d.pdir, CAST(0 AS DECIMAL(18,6))) +
+                      COALESCE(sc.sumc, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) END AS pconv
+        FROM (SELECT c.removed, st.state FROM chains c CROSS JOIN states st) g
+        LEFT JOIN (SELECT src AS state, p AS pdir FROM tm
+                   WHERE dst = 'conv') d ON d.state = g.state
+        LEFT JOIN (SELECT l.removed, t.src AS state,
+                     SUM(CAST(ROUND(t.p * l.pconv, 6) AS DECIMAL(18,6)))
+                       AS sumc
+                   FROM tm t JOIN p2 l ON l.state = t.dst
+                   GROUP BY l.removed, t.src) sc
+          ON sc.removed = g.removed AND sc.state = g.state),
+      p4 AS MATERIALIZED (
+        SELECT g.removed, g.state,
+               CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
+                    ELSE CAST(COALESCE(d.pdir, CAST(0 AS DECIMAL(18,6))) +
+                      COALESCE(sc.sumc, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) END AS pconv
+        FROM (SELECT c.removed, st.state FROM chains c CROSS JOIN states st) g
+        LEFT JOIN (SELECT src AS state, p AS pdir FROM tm
+                   WHERE dst = 'conv') d ON d.state = g.state
+        LEFT JOIN (SELECT l.removed, t.src AS state,
+                     SUM(CAST(ROUND(t.p * l.pconv, 6) AS DECIMAL(18,6)))
+                       AS sumc
+                   FROM tm t JOIN p3 l ON l.state = t.dst
+                   GROUP BY l.removed, t.src) sc
+          ON sc.removed = g.removed AND sc.state = g.state),
+      fin AS (SELECT removed, pconv FROM p4 WHERE state = 'start'),
+      base AS (SELECT pconv AS p_base FROM fin WHERE removed = 'none'),
+      eff AS (SELECT f.removed AS channel, b.p_base, f.pconv AS p_removed,
+                CAST(b.p_base - f.pconv AS DECIMAL(18,6)) AS removal_effect
+              FROM fin f CROSS JOIN base b WHERE f.removed <> 'none'),
+      tot AS (SELECT SUM(removal_effect) AS tot_eff FROM eff)
+      SELECT channel, CAST(p_base AS DOUBLE) AS p_base,
+             CAST(p_removed AS DOUBLE) AS p_removed,
+             CAST(removal_effect AS DOUBLE) AS removal_effect,
+             ROUND(CAST(removal_effect AS DOUBLE) /
+               CAST(tot_eff AS DOUBLE), 6) AS attribution
+      FROM eff CROSS JOIN tot ORDER BY channel"""),
     "events_attribution" -> s"""
       WITH e AS (
         SELECT event_id, user_id, event_type, value,
@@ -3359,6 +3572,25 @@ ${SHINGLES.trim},
       FROM j GROUP BY source ORDER BY source"""),
     // X108: SQ8 — the float->code map is one fixed IEEE expression
     // (identical operand order on both engines); scoring is BIGINT.
+    // X201 binary quantization: 64 sign bits packed as two 32-bit
+    // halves (1<<63 is a DuckDB error; halves keep shifts <= 2^31),
+    // XOR+popcount Hamming, exact-cosine rerank column.
+    "embed_binary_quant" -> """
+      WITH b AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END + CASE WHEN embedding[9] >= 0 THEN 256 ELSE 0 END + CASE WHEN embedding[10] >= 0 THEN 512 ELSE 0 END + CASE WHEN embedding[11] >= 0 THEN 1024 ELSE 0 END + CASE WHEN embedding[12] >= 0 THEN 2048 ELSE 0 END + CASE WHEN embedding[13] >= 0 THEN 4096 ELSE 0 END + CASE WHEN embedding[14] >= 0 THEN 8192 ELSE 0 END + CASE WHEN embedding[15] >= 0 THEN 16384 ELSE 0 END + CASE WHEN embedding[16] >= 0 THEN 32768 ELSE 0 END + CASE WHEN embedding[17] >= 0 THEN 65536 ELSE 0 END + CASE WHEN embedding[18] >= 0 THEN 131072 ELSE 0 END + CASE WHEN embedding[19] >= 0 THEN 262144 ELSE 0 END + CASE WHEN embedding[20] >= 0 THEN 524288 ELSE 0 END + CASE WHEN embedding[21] >= 0 THEN 1048576 ELSE 0 END + CASE WHEN embedding[22] >= 0 THEN 2097152 ELSE 0 END + CASE WHEN embedding[23] >= 0 THEN 4194304 ELSE 0 END + CASE WHEN embedding[24] >= 0 THEN 8388608 ELSE 0 END + CASE WHEN embedding[25] >= 0 THEN 16777216 ELSE 0 END + CASE WHEN embedding[26] >= 0 THEN 33554432 ELSE 0 END + CASE WHEN embedding[27] >= 0 THEN 67108864 ELSE 0 END + CASE WHEN embedding[28] >= 0 THEN 134217728 ELSE 0 END + CASE WHEN embedding[29] >= 0 THEN 268435456 ELSE 0 END + CASE WHEN embedding[30] >= 0 THEN 536870912 ELSE 0 END + CASE WHEN embedding[31] >= 0 THEN 1073741824 ELSE 0 END + CASE WHEN embedding[32] >= 0 THEN 2147483648 ELSE 0 END) AS wlo,
+               (CASE WHEN embedding[33] >= 0 THEN 1 ELSE 0 END + CASE WHEN embedding[34] >= 0 THEN 2 ELSE 0 END + CASE WHEN embedding[35] >= 0 THEN 4 ELSE 0 END + CASE WHEN embedding[36] >= 0 THEN 8 ELSE 0 END + CASE WHEN embedding[37] >= 0 THEN 16 ELSE 0 END + CASE WHEN embedding[38] >= 0 THEN 32 ELSE 0 END + CASE WHEN embedding[39] >= 0 THEN 64 ELSE 0 END + CASE WHEN embedding[40] >= 0 THEN 128 ELSE 0 END + CASE WHEN embedding[41] >= 0 THEN 256 ELSE 0 END + CASE WHEN embedding[42] >= 0 THEN 512 ELSE 0 END + CASE WHEN embedding[43] >= 0 THEN 1024 ELSE 0 END + CASE WHEN embedding[44] >= 0 THEN 2048 ELSE 0 END + CASE WHEN embedding[45] >= 0 THEN 4096 ELSE 0 END + CASE WHEN embedding[46] >= 0 THEN 8192 ELSE 0 END + CASE WHEN embedding[47] >= 0 THEN 16384 ELSE 0 END + CASE WHEN embedding[48] >= 0 THEN 32768 ELSE 0 END + CASE WHEN embedding[49] >= 0 THEN 65536 ELSE 0 END + CASE WHEN embedding[50] >= 0 THEN 131072 ELSE 0 END + CASE WHEN embedding[51] >= 0 THEN 262144 ELSE 0 END + CASE WHEN embedding[52] >= 0 THEN 524288 ELSE 0 END + CASE WHEN embedding[53] >= 0 THEN 1048576 ELSE 0 END + CASE WHEN embedding[54] >= 0 THEN 2097152 ELSE 0 END + CASE WHEN embedding[55] >= 0 THEN 4194304 ELSE 0 END + CASE WHEN embedding[56] >= 0 THEN 8388608 ELSE 0 END + CASE WHEN embedding[57] >= 0 THEN 16777216 ELSE 0 END + CASE WHEN embedding[58] >= 0 THEN 33554432 ELSE 0 END + CASE WHEN embedding[59] >= 0 THEN 67108864 ELSE 0 END + CASE WHEN embedding[60] >= 0 THEN 134217728 ELSE 0 END + CASE WHEN embedding[61] >= 0 THEN 268435456 ELSE 0 END + CASE WHEN embedding[62] >= 0 THEN 536870912 ELSE 0 END + CASE WHEN embedding[63] >= 0 THEN 1073741824 ELSE 0 END + CASE WHEN embedding[64] >= 0 THEN 2147483648 ELSE 0 END) AS whi
+        FROM embeddings),
+      q AS (SELECT wlo AS qlo, whi AS qhi, embedding::DOUBLE[] AS qv
+            FROM b WHERE vec_id = 0)
+      SELECT vec_id,
+             CAST(bit_count(xor(wlo, qlo)) + bit_count(xor(whi, qhi))
+               AS BIGINT) AS hamming,
+             ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      FROM b, q WHERE vec_id <> 0
+      ORDER BY hamming, vec_id LIMIT 10""",
     "embed_scalar_quant" -> """
       WITH cells AS (
         SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
@@ -4496,6 +4728,34 @@ ${SHINGLES.trim},
     // keeps nodes with >= 64 surviving-neighbour edges (k=64 actually
     // peels shell layers on the dense co-order fixture; k=3 kept
     // everything and never iterated).
+    // X200 k-truss (k=3, two peel rounds): a<b<c triangle listing per
+    // round (three refs of the MATERIALIZED edge set), per-edge support
+    // via the three-role union, peel edges outside every triangle.
+    "graph_ktruss" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS MATERIALIZED (SELECT a, b FROM (
+              SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+              GROUP BY x.pk, y.pk) t
+             WHERE w >= 2),
+      t1 AS MATERIALIZED (
+        SELECT x.a AS ta, x.b AS tb, y.b AS tc
+        FROM e0 x JOIN e0 y ON y.a = x.a AND y.b > x.b
+                  JOIN e0 z ON z.a = x.b AND z.b = y.b),
+      s1 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+              SELECT ta AS a, tb AS b FROM t1
+              UNION ALL SELECT ta AS a, tc AS b FROM t1
+              UNION ALL SELECT tb AS a, tc AS b FROM t1) u GROUP BY a, b),
+      e1 AS MATERIALIZED (SELECT a, b FROM s1 WHERE support >= 1),
+      t2 AS MATERIALIZED (
+        SELECT x.a AS ta, x.b AS tb, y.b AS tc
+        FROM e1 x JOIN e1 y ON y.a = x.a AND y.b > x.b
+                  JOIN e1 z ON z.a = x.b AND z.b = y.b),
+      s2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+              SELECT ta AS a, tb AS b FROM t2
+              UNION ALL SELECT ta AS a, tc AS b FROM t2
+              UNION ALL SELECT tb AS a, tc AS b FROM t2) u GROUP BY a, b)
+      SELECT a, b, support FROM s2 WHERE support >= 1 ORDER BY a, b""",
     "graph_kcore" -> ("""
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
@@ -4937,6 +5197,29 @@ ${SHINGLES.trim},
       FROM w
       WHERE c > prev3_max AND c > next3_max AND c * n_days > total
       ORDER BY event_type, day_num""",
+    // X209 SLO burn: integer cross-product alert decisions
+    // (14.4x / 6x of a 5% objective); 7-observed-day trailing frame.
+    "events_slo_burn" -> """
+      WITH daily AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS errors,
+               CAST(COUNT(*) AS BIGINT) AS total
+        FROM events GROUP BY 1),
+      w AS (SELECT day_num, errors, total,
+              CAST(SUM(errors) OVER (ORDER BY day_num
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS errors7,
+              CAST(SUM(total) OVER (ORDER BY day_num
+                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS total7
+            FROM daily)
+      SELECT day_num, errors, total,
+             ROUND(CAST(errors AS DOUBLE) / total, 6) AS error_rate,
+             ROUND(CAST(errors7 AS DOUBLE) / total7, 6) AS error_rate_7d,
+             errors * 1000 > total * 720 AS fast_burn,
+             errors7 * 100 > total7 * 30 AS slow_burn
+      FROM w ORDER BY day_num""",
     // X167 EWMA: half-life-one-day weights are exact powers of two, so
     // numerator and denominator are BIGINT sums over the 20-day band
     // self-join of the daily count relation; one final IEEE division.
@@ -5126,44 +5409,47 @@ ${SHINGLES.trim},
     // the min-support-2 graph; step t picks rank md5(start_t_node) mod
     // deg (the X160 hash-fold idiom) — three unrolled steps, each
     // referencing the previous once, MATERIALIZED.
-    "graph_random_walks" -> ("""
+    "graph_random_walks" -> WALKS_SQL,
+    // X206 skip-gram co-occurrence: the walk corpus embedded verbatim,
+    // +/-2-step in-walk pairs canonicalized and counted.
+    "graph_walk_cooccurrence" -> ("""
+      WITH w AS (""" + WALKS_SQL + """),
+      pr AS (SELECT a.start_id, a.node AS na, b.node AS nb
+             FROM w a JOIN w b ON b.start_id = a.start_id
+              AND b.step > a.step AND b.step - a.step <= 2
+              AND a.node <> b.node)
+      SELECT LEAST(na, nb) AS a, GREATEST(na, nb) AS b,
+             CAST(COUNT(*) AS BIGINT) AS cooc
+      FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2 ORDER BY a, b"""),
+    // X208 rich-club curve: threshold panel band-joins the
+    // degree-annotated edge relation; phi one final 6dp division.
+    "graph_rich_club" -> """
       WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-      e0 AS (SELECT a, b FROM (
+      e0 AS MATERIALIZED (SELECT a, b FROM (
               SELECT x.pk AS a, y.pk AS b, COUNT(*) AS w
               FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
               GROUP BY x.pk, y.pk) t
              WHERE w >= 2),
-      sym AS MATERIALIZED (
-        SELECT a AS u, b AS v FROM e0
-        UNION ALL SELECT b, a FROM e0),
-      adj AS MATERIALIZED (
-        SELECT u, v,
-               CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1
-                 AS BIGINT) AS rk,
-               CAST(COUNT(*) OVER (PARTITION BY u) AS BIGINT) AS deg
-        FROM sym),
-      w0 AS (SELECT u AS start_id, 0 AS step, u AS node
-             FROM (SELECT DISTINCT u FROM sym) t),
-      w1 AS MATERIALIZED (
-        SELECT w.start_id, 1 AS step, a.v AS node
-        FROM w0 w JOIN adj a ON a.u = w.node
-         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_1_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
-        WHERE w.step = 0),
-      w2 AS MATERIALIZED (
-        SELECT w.start_id, 2 AS step, a.v AS node
-        FROM w1 w JOIN adj a ON a.u = w.node
-         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_2_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
-        WHERE w.step = 1),
-      w3 AS MATERIALIZED (
-        SELECT w.start_id, 3 AS step, a.v AS node
-        FROM w2 w JOIN adj a ON a.u = w.node
-         AND a.rk = ('0x' || substr(md5(CAST(w.start_id AS VARCHAR) || '_3_' || CAST(w.node AS VARCHAR)), 1, 8))::BIGINT % a.deg
-        WHERE w.step = 2),
-      allw AS (
-        SELECT * FROM w0 UNION ALL SELECT * FROM w1
-        UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3)
-      SELECT start_id, CAST(step AS BIGINT) AS step, node
-      FROM allw ORDER BY start_id, step"""),
+      deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+               SELECT a AS id FROM e0 UNION ALL SELECT b AS id FROM e0) u
+              GROUP BY id),
+      ed AS (SELECT e0.a, e0.b, da.deg AS dega, db.deg AS degb
+             FROM e0 JOIN deg da ON da.id = e0.a
+                     JOIN deg db ON db.id = e0.b),
+      ks AS (SELECT CAST(kv AS BIGINT) AS k FROM
+              (SELECT unnest(list_value(1, 2, 3, 4, 6, 8)) AS kv) t),
+      nk AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM deg CROSS JOIN ks WHERE deg.deg > ks.k GROUP BY ks.k),
+      ek AS (SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_edges
+             FROM ed CROSS JOIN ks
+             WHERE ed.dega > ks.k AND ed.degb > ks.k GROUP BY ks.k)
+      SELECT ks.k, COALESCE(nk.n_nodes, 0) AS n_nodes,
+             COALESCE(ek.n_edges, 0) AS n_edges,
+             CASE WHEN COALESCE(nk.n_nodes, 0) >= 2 THEN
+               ROUND(CAST(2 AS DOUBLE) * COALESCE(ek.n_edges, 0) /
+                 (nk.n_nodes * (nk.n_nodes - 1)), 6) END AS phi
+      FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
+      ORDER BY ks.k""",
     // X151 entropy: count-of-counts collapse + ORDERED running
     // m*c*ln(c) sum (fixed summation order, the TWAP/KM float rule).
     "dq_entropy_profile" -> """
@@ -6236,6 +6522,29 @@ ${SHINGLES.trim},
                   ELSE bal END AS DOUBLE) AS bal,
              action
       FROM a ORDER BY key""",
+    // X210 TTL audit: retention decisions against the corpus watermark
+    // (deterministic, never wall clock); exact integer microseconds.
+    "warehouse_ttl_audit" -> """
+      WITH ev AS (SELECT event_type,
+                    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      wm AS (SELECT MAX(us) AS wm FROM ev),
+      x AS (SELECT event_type, us,
+              CASE WHEN event_type = 'error' THEN 7
+                   WHEN event_type IN ('view', 'click') THEN 14
+                   ELSE 365 END AS ret_days
+            FROM ev),
+      y AS (SELECT x.event_type, x.us, x.ret_days,
+              x.us < wm.wm - x.ret_days * 86400000000 AS expired
+            FROM x, wm)
+      SELECT event_type, CAST(MAX(ret_days) AS BIGINT) AS retention_days,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_expired,
+             ROUND(CAST(SUM(CASE WHEN expired THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 6) AS reclaim_share,
+             CAST(MIN(CASE WHEN NOT expired THEN us END) AS BIGINT)
+               AS oldest_kept_us
+      FROM y GROUP BY event_type ORDER BY event_type""",
     // CDC log -> snapshot: per key, the payload of the last op in commit
     // order; absent when that op is a delete.
     "cdc_apply" -> """
@@ -6454,6 +6763,52 @@ ${SHINGLES.trim},
       FROM events GROUP BY event_type ORDER BY event_type""",
     // exact discrete percentiles: the selected rank's VALUE, never an
     // interpolated float — hash-identical across engines by construction
+    // X205 mode + interpolated median: deterministic mode tie rule
+    // (count DESC, value ASC); median from exact floor/ceil ranks with
+    // the interpolation stated manually (engine percentile built-ins
+    // interpolate with engine-specific float paths).
+    "agg_mode_family" -> """
+      WITH ev AS (SELECT event_type,
+                    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+                    event_id
+                  FROM events WHERE value IS NOT NULL),
+      hist AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM ev GROUP BY 1, 2),
+      md AS (SELECT event_type, c AS mode_cents, cnt AS mode_count FROM (
+          SELECT event_type, c, cnt, ROW_NUMBER() OVER (
+            PARTITION BY event_type ORDER BY cnt DESC, c) AS rn
+          FROM hist) t WHERE rn = 1),
+      r AS (SELECT event_type, c,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY c, event_id) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM ev),
+      med AS (SELECT event_type, MAX(n) AS n_rows,
+                MAX(CASE WHEN rn = CAST(floor((n + 1) / 2) AS BIGINT)
+                    THEN c END) AS lo,
+                MAX(CASE WHEN rn = CAST(ceil((n + 1) / 2) AS BIGINT)
+                    THEN c END) AS hi
+              FROM r GROUP BY event_type)
+      SELECT m.event_type, d.n_rows, m.mode_cents, m.mode_count,
+             (d.lo + d.hi) / 2.0 AS median_cents
+      FROM md m JOIN med d ON d.event_type = m.event_type
+      ORDER BY m.event_type""",
+    // X204 LATERAL top-n: the correlated-subquery spelling both
+    // engines decorrelate; exact DECIMAL ordering key.
+    "join_lateral_topn" -> """
+      SELECT n.n_name AS nation, t.c_custkey,
+             CAST(t.c_acctbal AS DOUBLE) AS c_acctbal,
+             COALESCE(o.n_orders, 0) AS n_orders
+      FROM nation n, LATERAL (
+        SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY CAST(c_acctbal AS DECIMAL(18,2)) DESC, c_custkey
+        LIMIT 2) t
+      LEFT JOIN (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+                 FROM orders GROUP BY o_custkey) o
+        ON o.o_custkey = t.c_custkey
+      ORDER BY nation, c_acctbal DESC, c_custkey""",
     "agg_percentile_disc" -> """
       WITH ranked AS (
         SELECT event_type, value, event_id,

@@ -102,7 +102,15 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row (total, n_cells) index totals
     "embed_ivf_balance" -> 8,
     // broadcast language margin (catalog-sized) + 1-row corpus total
-    "curation_source_divergence" -> 16)
+    "curation_source_divergence" -> 16,
+    // broadcast 2-word query signature + exact-rerank query vector
+    "embed_binary_quant" -> 8,
+    // broadcast 5-row chain grid + 1-row base/total effect rows
+    "events_markov_attribution" -> 8,
+    // broadcast 6-row degree-threshold panel
+    "graph_rich_club" -> 8,
+    // broadcast 1-row corpus watermark (the dq_freshness shape)
+    "warehouse_ttl_audit" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -173,7 +181,9 @@ class PlanHygieneSpec extends SparkSpec
     "analytics_abc_xyz" -> "same 32-row per-partition revenue-prefix cumsum as analytics_gini",
     "text_zipf_fit" -> "log-rank window over the already-limited top-1000 vocabulary cut",
     "dq_id_gaps" -> "boundary stitch over the 32-row per-range-bucket (min,max) summary",
-    "embed_kmeans" -> "seed rank over the already-limited 4-row md5 pick (the embed_ann_pq shape)")
+    "embed_kmeans" -> "seed rank over the already-limited 4-row md5 pick (the embed_ann_pq shape)",
+    "events_slo_burn" -> "trailing 7-row frame over the observed-day histogram (calendar-bounded)",
+    "curation_pack_efficiency" -> "rides curation_shard_pack's 5-row doc_id-bucket prefix window (shared relation)")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
