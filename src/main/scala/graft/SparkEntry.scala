@@ -282,6 +282,7 @@ object SparkEntry {
     "graph_bfs_hops" -> ((s, d) => graft.ext.Graphs.bfsHops(s, d)),
     // AS-OF join as union+running-window (no O(n*m) pair space)
     "events_asof_join" -> ((s, d) => graft.ext.Events.asofJoin(s, d)),
+    "events_asof_forward" -> ((s, d) => graft.ext.Events.asofForward(s, d)),
     // first-order Markov transition matrix of per-user event sequences
     "events_transition_matrix" -> ((s, d) => graft.ext.Events.transitionMatrix(s, d)),
     // last-touch revenue attribution via the as-of running window
@@ -416,6 +417,7 @@ object SparkEntry {
     "dq_outlier_mad" -> ((s, d) => graft.ext.Analytics.outlierMad(s, d)),
     // exact-moment least squares (slope/intercept/r2 per return flag)
     "agg_regression_exact" -> ((s, d) => graft.ext.Analytics.regressionExact(s, d)),
+    "analytics_corr_matrix" -> ((s, d) => graft.ext.Analytics.corrMatrix(s, d)),
     // changelog time travel: snapshots reconstructed at three cuts
     "cdc_time_travel" -> ((s, d) => graft.ext.Warehouse.cdcTimeTravelQuery(s, d)),
     // per-doc TF-IDF top-3 keyword extraction (WindowGroupLimit)

@@ -1717,6 +1717,63 @@ object Analytics {
       .orderBy("abc_class", "xyz_class")
   }
 
+  /** X213: Pearson correlation matrix — the EDA pass every feature
+    * audit starts with, over the four lineitem measures (quantity,
+    * extended price, discount, tax) in ONE scan: all fifteen power
+    * sums (4 firsts, 4 squares, 6 cross-products, n) accumulate as
+    * conditional aggregates in a single map-combinable pass — never a
+    * per-pair self-join — then unpivot to the 6 pair rows and close
+    * each r with the X68 fixed closed-form expression.
+    *
+    * Exactness: measures quantize to integer units (quantity,
+    * price-cents, discount/tax basis points) and every sum runs in
+    * DECIMAL(38,0) with the operands pre-cast (the X141/X164 overflow
+    * rule: a BIGINT Σxy would overflow at ~10 B rows of price-cents
+    * products; decimal never does); r is one final double expression
+    * per pair.
+    *
+    * Scale shape: one scan, fifteen partial aggregates, a 1-row →
+    * 6-row stack unpivot — corpus-independent after the single pass.
+    */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").cast(d38).as("q"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").cast(d38).as("p"),
+      (col("l_discount").cast(DecimalType(18, 4)) * 10000)
+        .cast("long").cast(d38).as("d"),
+      (col("l_tax").cast(DecimalType(18, 4)) * 10000)
+        .cast("long").cast(d38).as("t"))
+    val ms = Seq("q", "p", "d", "t")
+    val sums = li.agg(
+      count(lit(1)).as("n"),
+      ms.map(m => sum(col(m)).as(s"s_$m")) ++
+        ms.map(m => sum(col(m) * col(m)).as(s"s_$m$m")) ++
+        (for (i <- ms.indices; j <- i + 1 until ms.length)
+          yield sum(col(ms(i)) * col(ms(j))).as(s"s_${ms(i)}${ms(j)}")): _*)
+    val pairs = (for (i <- ms.indices; j <- i + 1 until ms.length)
+      yield (ms(i), ms(j)))
+    val stacked = sums.select(col("n") +: pairs.map { case (x, y) =>
+      struct(lit(s"${x}_$y").as("pair"),
+        col(s"s_$x").as("sx"), col(s"s_$y").as("sy"),
+        col(s"s_$x$x").as("sxx"), col(s"s_$y$y").as("syy"),
+        col(s"s_$x$y").as("sxy")).as(s"p_${x}_$y")
+    }: _*)
+      .select(col("n"), explode(array(pairs.map { case (x, y) =>
+        col(s"p_${x}_$y") }: _*)).as("s"))
+      .select(col("s.pair").as("pair"), col("n"),
+        col("s.sx"), col("s.sy"), col("s.sxx"), col("s.syy"), col("s.sxy"))
+    stacked.select(col("pair"), col("n"),
+      round((col("n").cast(d38) * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (sqrt((col("n").cast(d38) * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) *
+          sqrt((col("n").cast(d38) * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 6).as("r"))
+      .orderBy("pair")
+  }
+
   /** X204: LATERAL correlated-subquery join — the SQL:1999 surface a
     * migrating warehouse workload actually writes for per-row top-n
     * ("for each nation, its two richest customers and their open-order

@@ -557,6 +557,50 @@ object Events {
       .orderBy("purchase_id")
   }
 
+  /** X212: FORWARD as-of join — the other direction of X58 (pandas
+    * merge_asof `direction='forward'`): each purchase attaches the
+    * FIRST click STRICTLY AFTER it — the "next action after
+    * conversion" relation (re-engagement latency, post-purchase
+    * journeys) that the backward form cannot express. Same
+    * union + one-window shape as X58 with the frame mirrored
+    * (currentRow→unboundedFollowing, `first` ignoreNulls): because
+    * clicks sort BEFORE purchases at an equal (user, ts) — the same
+    * kind ordering X58 uses to make equal-ts clicks visible backward —
+    * a same-timestamp click lands OUTSIDE the following frame, giving
+    * the strictly-after semantics for free from the shared sort key.
+    *
+    * Scale shape: identical to X58 — one user-keyed shuffle, one
+    * window pass, no join fan-out; the events interleave in a single
+    * sorted stream.
+    */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("event_id").as("click_id"),
+        lit(null).cast("long").as("purchase_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("kind"),
+        coalesce(col("click_id"), col("purchase_id")))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_click_id",
+        first(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("next_click_ts",
+        first(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("next_click_id").as("click_id"),
+        (unix_micros(col("next_click_ts")) - unix_micros(col("ts")))
+          .as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** X71: debounce-leading dedup — keep an event iff it starts a burst:
     * no same-(user, type) event in the preceding hour. The relational
     * throttle (a session-START detector at 1h gap granularity; the

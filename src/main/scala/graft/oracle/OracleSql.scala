@@ -3424,6 +3424,23 @@ ${SHINGLES.trim},
       SELECT purchase_id, user_id, click_id,
              epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
       FROM r WHERE rn = 1 ORDER BY purchase_id""",
+    // X212 forward as-of: first click STRICTLY AFTER each purchase
+    // (ties at equal ts excluded; winner = smallest (ts, id)).
+    "events_asof_forward" -> """
+      WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT p.event_id AS purchase_id, p.user_id, p.ts AS p_ts,
+                   c.event_id AS click_id, c.ts AS c_ts
+            FROM p LEFT JOIN c
+              ON p.user_id = c.user_id AND c.ts > p.ts),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY purchase_id
+              ORDER BY c_ts ASC NULLS LAST, click_id ASC NULLS LAST) AS rn
+            FROM j)
+      SELECT purchase_id, user_id, click_id,
+             epoch_us(c_ts) - epoch_us(p_ts) AS gap_us
+      FROM r WHERE rn = 1 ORDER BY purchase_id""",
     // Markov transition matrix: LEAD over the same (ts, event_id)
     // per-user total order the lag/gap entry pins; probabilities divide
     // exactly-represented BIGINTs as doubles.
@@ -4105,6 +4122,40 @@ ${SHINGLES.trim},
     // Exact-moment regression: DECIMAL(18,6) power sums (exact,
     // partition-order-independent), then the identical stepwise double
     // closed forms (num*num, no POW).
+    // X213 correlation matrix: fifteen DECIMAL(38,0) power sums in one
+    // pass (pre-cast operands — the X141 overflow rule), stack-unpivot
+    // to pair rows, r closed per pair with the X68 fixed expression.
+    "analytics_corr_matrix" -> """
+      WITH li AS (SELECT
+          CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)) AS q,
+          CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS DECIMAL(38,0)) AS p,
+          CAST(CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+            AS DECIMAL(38,0)) AS d,
+          CAST(CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)
+            AS DECIMAL(38,0)) AS t
+        FROM lineitem),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(q) AS s_q, SUM(p) AS s_p, SUM(d) AS s_d, SUM(t) AS s_t,
+              SUM(q*q) AS s_qq, SUM(p*p) AS s_pp, SUM(d*d) AS s_dd,
+              SUM(t*t) AS s_tt,
+              SUM(q*p) AS s_qp, SUM(q*d) AS s_qd, SUM(q*t) AS s_qt,
+              SUM(p*d) AS s_pd, SUM(p*t) AS s_pt, SUM(d*t) AS s_dt
+            FROM li),
+      u AS (
+        SELECT 'q_p' AS pair, n, s_q AS sx, s_p AS sy, s_qq AS sxx, s_pp AS syy, s_qp AS sxy FROM s
+        UNION ALL SELECT 'q_d' AS pair, n, s_q AS sx, s_d AS sy, s_qq AS sxx, s_dd AS syy, s_qd AS sxy FROM s
+        UNION ALL SELECT 'q_t' AS pair, n, s_q AS sx, s_t AS sy, s_qq AS sxx, s_tt AS syy, s_qt AS sxy FROM s
+        UNION ALL SELECT 'p_d' AS pair, n, s_p AS sx, s_d AS sy, s_pp AS sxx, s_dd AS syy, s_pd AS sxy FROM s
+        UNION ALL SELECT 'p_t' AS pair, n, s_p AS sx, s_t AS sy, s_pp AS sxx, s_tt AS syy, s_pt AS sxy FROM s
+        UNION ALL SELECT 'd_t' AS pair, n, s_d AS sx, s_t AS sy, s_dd AS sxx, s_tt AS syy, s_dt AS sxy FROM s)
+      SELECT pair, n,
+             ROUND(CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+               (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                  AS DOUBLE)) *
+                sqrt(CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy
+                  AS DOUBLE))), 6) AS r
+      FROM u ORDER BY pair""",
     "agg_regression_exact" -> """
       WITH li AS (SELECT l_returnflag,
                          -- width 19 forces DuckDB's INT128 decimal path:

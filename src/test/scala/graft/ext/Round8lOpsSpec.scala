@@ -1,0 +1,63 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Driver-side brute-force laws for the round-8 wave-12 operators
+  * (X212–X213).
+  */
+class Round8lOpsSpec extends SparkSpec {
+
+  test("forward as-of equals a brute-force next-click scan") {
+    val ev = graft.tables.Tables.events(spark, sf001)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
+    val expect = ev.filter(_._4 == "purchase").map { p =>
+      val next = clicksByUser.getOrElse(p._1, Array.empty)
+        .filter(_._2 > p._2)
+      if (next.isEmpty) (p._3, p._1, None, None)
+      else {
+        val c = next.minBy(c => (c._2, c._3))
+        (p._3, p._1, Some(c._3), Some(c._2 - p._2))
+      }
+    }.toSet
+    val got = Events.asofForward(spark, sf001).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long]))
+    }.toSet
+    assert(got == expect, s"got=${got.size} expect=${expect.size}")
+    // the forward direction is strictly-after: every gap is positive
+    got.foreach(t => t._4.foreach(g => assert(g > 0)))
+  }
+
+  test("correlation matrix equals an in-JVM exact-moment recomputation") {
+    val rows = graft.tables.Tables.lineitem(spark, sf001).select(
+      col("l_quantity").cast("long"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+      expr("CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)"),
+      expr("CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT)"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)).map(BigInt(_)))
+    val n = BigInt(rows.length)
+    val ms = Seq("q", "p", "d", "t")
+    val got = Analytics.corrMatrix(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.size == 6)
+    for (i <- 0 until 4; j <- i + 1 until 4) {
+      val (sx, sy) = (rows.map(_(i)).sum, rows.map(_(j)).sum)
+      val sxx = rows.map(v => v(i) * v(i)).sum
+      val syy = rows.map(v => v(j) * v(j)).sum
+      val sxy = rows.map(v => v(i) * v(j)).sum
+      val r = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      val (gn, gr) = got(s"${ms(i)}_${ms(j)}")
+      assert(gn == rows.length.toLong)
+      assert(gr == math.rint(r * 1e6) / 1e6, s"${ms(i)}_${ms(j)}")
+      assert(gr >= -1.0 && gr <= 1.0)
+    }
+  }
+}
