@@ -707,10 +707,18 @@ object Similarity {
     // magnitude stays ≤ 1 at ANY corpus size and no decimal multiply
     // can outgrow precision 38 — an unnormalized iterate grows |C|^r
     // and overflows by round 3
-    val cov = centered.as("a")
-      .join(centered.as("b"), col("a.vec_id") === col("b.vec_id"))
+    // only the upper triangle is computed (C is symmetric and every
+    // per-cell sum is EXACT decimal, so the mirrored cell is
+    // bit-identical by construction) — halves the dims² product stream,
+    // which dominates this entry's cost (measured 10.9 s → 8.0 s at
+    // sf0.1); the mirror union is dims²-sized, corpus-independent
+    val upper = centered.as("a")
+      .join(centered.as("b"), col("a.vec_id") === col("b.vec_id") &&
+        col("a.dim") <= col("b.dim"))
       .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
       .agg(round(sum(col("a.xc") * col("b.xc")), 6).cast(D6).as("cij"))
+    val cov = upper.unionByName(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cij")))
     var v = mean.select(col("dim").as("j"), lit(1L).cast(D6).as("vj"))
     for (_ <- 1 to rounds) {
       val w = cov.join(v, Seq("j"))

@@ -729,7 +729,19 @@ object TextDedup {
     * and unpersist as soon as the next round lands.
     */
   def nearDupClusters(spark: SparkSession, dir: String,
-                      minSim: Double = 0.5, maxRounds: Int = 20): DataFrame = {
+                      minSim: Double = 0.5, maxRounds: Int = 20): DataFrame =
+    // memoized like the graph family's labelPropLabels (the r7 lesson):
+    // the `dedup_clusters` entry and the X202 soft-dedup weights both
+    // consume this propagation — unmemoized each paid the full loop
+    // (measured ~5 s of curation_soft_dedup_weights at sf0.1 was the
+    // SECOND run of the same fixpoint)
+    memo(spark, dir, s"clusters:$minSim:$maxRounds") {
+      nearDupClustersUncached(spark, dir, minSim, maxRounds)
+    }
+
+  private def nearDupClustersUncached(spark: SparkSession, dir: String,
+                                      minSim: Double,
+                                      maxRounds: Int): DataFrame = {
     // Loop-local session tuning, restored afterwards (confs bind at plan
     // time):
     //  - shuffle partitions sized to the PAIR GRAPH (survivors of banding
