@@ -997,7 +997,16 @@ object Graphs {
     support.orderBy("a", "b")
   }
 
-  def randomWalks(spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+  def randomWalks(spark: SparkSession, dir: String, steps: Int = 3): DataFrame =
+    // memoized: the walk ENTRY and the X206 co-occurrence table both
+    // consume this corpus (the nearDupClusters lesson — unmemoized the
+    // second consumer re-ran every frontier join)
+    memo(spark, dir, s"walks:$steps") {
+      randomWalksUncached(spark, dir, steps)
+    }
+
+  private def randomWalksUncached(spark: SparkSession, dir: String,
+                                  steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = minSupportEdges(spark, dir)
     val sym = e.select(col("a").as("u"), col("b").as("v"))
