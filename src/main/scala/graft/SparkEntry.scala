@@ -385,6 +385,7 @@ object SparkEntry {
     // dedup yield curve across similarity cutoffs, one pair-relation pass
     "dedup_threshold_sweep" -> ((s, d) => graft.ext.Similarity.dedupThresholdSweep(s, d)),
     "dedup_lsh_calibration" -> ((s, d) => graft.ext.TextDedup.lshCalibration(s, d)),
+    "dedup_minhash_pr_audit" -> ((s, d) => graft.ext.TextDedup.minhashPrAudit(s, d)),
     // censoring-aware Kaplan-Meier customer-lifetime curve
     "analytics_survival_km" -> ((s, d) => graft.ext.Analytics.survivalKm(s, d)),
     // Newman modularity terms for the label-prop partition (quality audit)

@@ -1322,6 +1322,39 @@ object TextDedup {
       .orderBy("b")
   }
 
+  /** X214: MinHash candidate precision/recall audit — the MEASURED
+    * companion to X193's model-based S-curve: where the calibration
+    * table predicts expected candidate mass per (b, r) config, this
+    * audits the config actually deployed (4 bands × 2 rows over the
+    * 8-sig signature) against exact ground truth — the verified
+    * Jaccard ≥ 0.6 relation (X2, SHARED VERBATIM on both sides: the
+    * banded candidate set and the truth set are the very relations the
+    * production pipeline runs, so the audit cannot drift from it).
+    * Precision says how much verification work banding wastes; recall
+    * says what the dedup pass silently MISSES — the number that
+    * decides a re-band. F1 is derived as 2·tp/(c+t), one exact
+    * integer division — never composed from the two rounded ratios.
+    *
+    * Scale shape: both inputs are the memoized bucketed relations
+    * (Σ bucket², never n²); the intersection is a pair-keyed semi-join
+    * and the output is ONE row of counters.
+    */
+  def minhashPrAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cand = cachedMinhashPairs(spark, dir).select("doc_a", "doc_b")
+    val truth = jaccardPairs(spark, dir).select("doc_a", "doc_b")
+    val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("true_positives"))))
+      .select(col("n_candidates"), col("n_truth"), col("true_positives"),
+        round(col("true_positives").cast("double") / col("n_candidates"), 6)
+          .as("cand_precision"),
+        round(col("true_positives").cast("double") / col("n_truth"), 6)
+          .as("cand_recall"),
+        round((col("true_positives") * 2).cast("double") /
+          (col("n_candidates") + col("n_truth")), 6).as("f1"))
+  }
+
   /** X195: contamination report — the per-source rollup of the X107
     * span-decontamination relation (SHARED VERBATIM — report and
     * remediation cannot drift) that a training run's data card

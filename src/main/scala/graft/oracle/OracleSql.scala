@@ -1578,6 +1578,38 @@ ${SHINGLES.trim},
                  ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) /
               SUM(CASE WHEN high THEN n ELSE 0 END), 6) AS recall_proxy
       FROM t GROUP BY b, r ORDER BY b""",
+    // X214 MinHash P/R audit: the deployed banding's candidates vs the
+    // verified-Jaccard truth relation; F1 = 2tp/(c+t), one division.
+    "dedup_minhash_pr_audit" -> (s"""
+      WITH ${JACCARD_CTES.trim},
+      msig AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j),
+      mband AS (
+        SELECT doc_id, j // 2 AS b,
+               md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' ||
+                   MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM msig GROUP BY doc_id, j // 2),
+      mcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mband a JOIN mband b ON a.b = b.b
+          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      truth AS (SELECT doc_a, doc_b FROM verified
+                WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.6),
+      tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_positives
+             FROM mcand m JOIN truth t
+               ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b),
+      c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM mcand),
+      tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+      SELECT c.n_candidates, tr.n_truth, tp.true_positives,
+             ROUND(CAST(tp.true_positives AS DOUBLE) / c.n_candidates, 6)
+               AS cand_precision,
+             ROUND(CAST(tp.true_positives AS DOUBLE) / tr.n_truth, 6)
+               AS cand_recall,
+             ROUND(CAST(tp.true_positives * 2 AS DOUBLE) /
+               (c.n_candidates + tr.n_truth), 6) AS f1
+      FROM c, tr, tp"""),
     "embed_cosine_topk" -> """
       WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
       s AS (

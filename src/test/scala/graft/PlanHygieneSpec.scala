@@ -110,7 +110,9 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 6-row degree-threshold panel
     "graph_rich_club" -> 8,
     // broadcast 1-row corpus watermark (the dq_freshness shape)
-    "warehouse_ttl_audit" -> 8)
+    "warehouse_ttl_audit" -> 8,
+    // two broadcast 1-row counter aggregates (truth / true-positive)
+    "dedup_minhash_pr_audit" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -33,6 +33,25 @@ class Round8lOpsSpec extends SparkSpec {
     got.foreach(t => t._4.foreach(g => assert(g > 0)))
   }
 
+  test("minhash pr audit reconciles with its two shared relations") {
+    val cand = TextDedup.minhashPairs(spark, sf001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = TextDedup.jaccardPairs(spark, sf001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tp = cand.intersect(truth).size.toLong
+    val r = TextDedup.minhashPrAudit(spark, sf001).collect()(0)
+    assert(r.getAs[Long]("n_candidates") == cand.size.toLong)
+    assert(r.getAs[Long]("n_truth") == truth.size.toLong)
+    assert(r.getAs[Long]("true_positives") == tp)
+    assert(r.getAs[Double]("f1") == math.rint(
+      2.0 * tp / (cand.size + truth.size) * 1e6) / 1e6)
+    // the banded candidates must actually recover most of the truth on
+    // the fixture (the config's predicted high-s recall is near 1)
+    assert(r.getAs[Double]("cand_recall") >= 0.8)
+  }
+
   test("correlation matrix equals an in-JVM exact-moment recomputation") {
     val rows = graft.tables.Tables.lineitem(spark, sf001).select(
       col("l_quantity").cast("long"),
