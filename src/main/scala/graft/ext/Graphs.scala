@@ -975,6 +975,7 @@ object Graphs {
     * both joins.
     */
   def ktruss(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "k-truss needs at least one peel round")
     var edges = graft.Checkpoints.cut(
       minSupportEdges(spark, dir).select(col("a"), col("b")))
     var support: DataFrame = null
