@@ -386,6 +386,7 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, d) => graft.ext.Similarity.dedupThresholdSweep(s, d)),
     "dedup_lsh_calibration" -> ((s, d) => graft.ext.TextDedup.lshCalibration(s, d)),
     "dedup_minhash_pr_audit" -> ((s, d) => graft.ext.TextDedup.minhashPrAudit(s, d)),
+    "dedup_lsh_pr_matrix" -> ((s, d) => graft.ext.TextDedup.lshPrMatrix(s, d)),
     // censoring-aware Kaplan-Meier customer-lifetime curve
     "analytics_survival_km" -> ((s, d) => graft.ext.Analytics.survivalKm(s, d)),
     // Newman modularity terms for the label-prop partition (quality audit)

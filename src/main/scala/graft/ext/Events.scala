@@ -1510,29 +1510,39 @@ object Events {
         org.apache.spark.sql.types.StructField("removed",
           org.apache.spark.sql.types.StringType))))
     val grid = broadcast(chains).crossJoin(states)
-    val direct = tm.filter(col("dst") === "conv")
+    val directC = tm.filter(col("dst") === "conv")
       .select(col("src").as("state"), col("p").as("pdir"))
-    var pv = grid.withColumn("pconv", d6zero)
+    val directN = tm.filter(col("dst") === "null")
+      .select(col("src").as("state"), col("p").as("ndir"))
+    var pv = grid.withColumn("pconv", d6zero).withColumn("pnull", d6zero)
     for (_ <- 1 to rounds) {
-      // join on dst ∈ states drops conv/null transitions by construction
+      // join on dst ∈ states drops conv/null transitions by construction;
+      // BOTH absorption vectors advance in the same pass so the
+      // truncation residual 1 − p_conv − p_null is reportable
       val contrib = tm
         .join(pv.select(col("removed"), col("state").as("dst"),
-          col("pconv")), "dst")
+          col("pconv"), col("pnull")), "dst")
         .groupBy(col("removed"), col("src").as("state"))
-        .agg(sum(round(col("p") * col("pconv"), 6).cast(D6)).as("sumc"))
+        .agg(sum(round(col("p") * col("pconv"), 6).cast(D6)).as("sumc"),
+          sum(round(col("p") * col("pnull"), 6).cast(D6)).as("sumn"))
       pv = grid
-        .join(direct, Seq("state"), "left")
+        .join(directC, Seq("state"), "left")
+        .join(directN, Seq("state"), "left")
         .join(contrib, Seq("removed", "state"), "left")
         .select(col("removed"), col("state"),
           when(col("state") === col("removed"), d6zero)
             .otherwise((coalesce(col("pdir"), d6zero) +
-              coalesce(col("sumc"), d6zero)).cast(D6)).as("pconv"))
+              coalesce(col("sumc"), d6zero)).cast(D6)).as("pconv"),
+          when(col("state") === col("removed"), d6zero)
+            .otherwise((coalesce(col("ndir"), d6zero) +
+              coalesce(col("sumn"), d6zero)).cast(D6)).as("pnull"))
     }
     val fin = pv.filter(col("state") === "start")
     val base = fin.filter(col("removed") === "none")
-      .select(col("pconv").as("p_base"))
+      .select(col("pconv").as("p_base"), col("pnull").as("pn_base"))
     val eff = fin.filter(col("removed") =!= "none")
-      .select(col("removed").as("channel"), col("pconv").as("p_removed"))
+      .select(col("removed").as("channel"), col("pconv").as("p_removed"),
+        col("pnull").as("pn_removed"))
       .crossJoin(broadcast(base))
       .withColumn("removal_effect",
         (col("p_base") - col("p_removed")).cast(D6))
@@ -1543,7 +1553,13 @@ object Events {
         col("p_removed").cast("double").as("p_removed"),
         col("removal_effect").cast("double").as("removal_effect"),
         round(col("removal_effect").cast("double") /
-          col("tot_eff").cast("double"), 6).as("attribution"))
+          col("tot_eff").cast("double"), 6).as("attribution"),
+        // how much probability mass the 4-round truncation leaves
+        // unabsorbed — the visible form of the truncation error
+        (lit(1).cast(D6) - col("p_base") - col("pn_base"))
+          .cast("double").as("unresolved_base"),
+        (lit(1).cast(D6) - col("p_removed") - col("pn_removed"))
+          .cast("double").as("unresolved_removed"))
       .orderBy("channel")
   }
 

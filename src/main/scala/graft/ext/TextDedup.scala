@@ -1355,6 +1355,58 @@ object TextDedup {
           (col("n_candidates") + col("n_truth")), 6).as("f1"))
   }
 
+  /** X215: LSH layout P/R matrix — the MEASURED form of the X193
+    * prediction for every way the deployed 8-hash signature can be
+    * banded (8×1, 4×2, 2×4, 1×8): per layout, the actual candidate
+    * volume, true positives against the verified-Jaccard truth (X2,
+    * shared verbatim), and the resulting precision/recall — the table
+    * that closes the predicted-vs-measured loop X193+X214 opened and
+    * the one a re-banding decision actually reads (more bands ⇒ recall
+    * up, precision down; the matrix shows where the knee is on THIS
+    * corpus).
+    *
+    * Scale shape: each layout is one stack of row-wise band hashes
+    * over the memoized wide-signature relation + a bucket self-join
+    * (Σ bucket², never n²) + two 1-row counters; four layouts run as
+    * independent branches unioned at 4 rows.
+    */
+  def lshPrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val wide = cachedSigWide(spark, dir)
+    val truth = jaccardPairs(spark, dir).select("doc_a", "doc_b")
+    val perConfig = Seq((8, 1), (4, 2), (2, 4), (1, 8)).map { case (b, r) =>
+      val bandCols = (0 until b).map { i =>
+        md5(concat_ws("|", (0 until r).map(j => col(s"s${i * r + j}")): _*))
+          .as(s"bh$i")
+      }
+      val stackArgs = (0 until b).map(i => s"$i, bh$i").mkString(", ")
+      val bands = wide.select(col("doc_id") +: bandCols: _*)
+        .select(col("doc_id"),
+          expr(s"stack($b, $stackArgs) AS (bb, band_hash)"))
+      val aa = bands.select(col("doc_id").as("doc_a"), col("bb"),
+        col("band_hash"))
+      val bb2 = bands.select(col("doc_id").as("doc_b"), col("bb"),
+        col("band_hash"))
+      val cand = aa.join(bb2, Seq("bb", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+      val tp = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(tp.agg(count(lit(1)).as("true_positives"))))
+        .select(lit(b.toLong).as("bands"),
+          lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("true_positives"))
+    }.reduce(_.unionByName(_))
+    perConfig
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+      .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+        col("n_truth"), col("true_positives"),
+        round(col("true_positives").cast("double") / col("n_candidates"), 6)
+          .as("cand_precision"),
+        round(col("true_positives").cast("double") / col("n_truth"), 6)
+          .as("cand_recall"))
+      .orderBy("bands")
+  }
+
   /** X195: contamination report — the per-source rollup of the X107
     * span-decontamination relation (SHARED VERBATIM — report and
     * remediation cannot drift) that a training run's data card

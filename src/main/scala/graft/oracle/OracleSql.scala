@@ -1580,6 +1580,81 @@ ${SHINGLES.trim},
       FROM t GROUP BY b, r ORDER BY b""",
     // X214 MinHash P/R audit: the deployed banding's candidates vs the
     // verified-Jaccard truth relation; F1 = 2tp/(c+t), one division.
+    // X215 LSH layout P/R matrix: every banding of the 8-hash
+    // signature measured against the same verified-Jaccard truth.
+    "dedup_lsh_pr_matrix" -> (s"""
+      WITH ${JACCARD_CTES.trim},
+      msig AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j),
+      truth AS (SELECT doc_a, doc_b FROM verified
+                WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.6),
+      mb0 AS (
+        SELECT doc_id, j // 1 AS bb, md5(MAX(sig)) AS band_hash
+        FROM msig GROUP BY doc_id, j // 1),
+      mc0 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mb0 a JOIN mb0 b ON a.bb = b.bb
+          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      ct0 AS (SELECT CAST(8 AS BIGINT) AS bands,
+                   CAST(1 AS BIGINT) AS rows_per_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates FROM mc0),
+      tp0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_positives
+                  FROM mc0 m JOIN truth t
+                    ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b),
+      mb1 AS (
+        SELECT doc_id, j // 2 AS bb, md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' || MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM msig GROUP BY doc_id, j // 2),
+      mc1 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mb1 a JOIN mb1 b ON a.bb = b.bb
+          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      ct1 AS (SELECT CAST(4 AS BIGINT) AS bands,
+                   CAST(2 AS BIGINT) AS rows_per_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates FROM mc1),
+      tp1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_positives
+                  FROM mc1 m JOIN truth t
+                    ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b),
+      mb2 AS (
+        SELECT doc_id, j // 4 AS bb, md5(MAX(CASE WHEN j % 4 = 0 THEN sig END) || '|' || MAX(CASE WHEN j % 4 = 1 THEN sig END) || '|' || MAX(CASE WHEN j % 4 = 2 THEN sig END) || '|' || MAX(CASE WHEN j % 4 = 3 THEN sig END)) AS band_hash
+        FROM msig GROUP BY doc_id, j // 4),
+      mc2 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mb2 a JOIN mb2 b ON a.bb = b.bb
+          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      ct2 AS (SELECT CAST(2 AS BIGINT) AS bands,
+                   CAST(4 AS BIGINT) AS rows_per_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates FROM mc2),
+      tp2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_positives
+                  FROM mc2 m JOIN truth t
+                    ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b),
+      mb3 AS (
+        SELECT doc_id, j // 8 AS bb, md5(MAX(CASE WHEN j % 8 = 0 THEN sig END) || '|' || MAX(CASE WHEN j % 8 = 1 THEN sig END) || '|' || MAX(CASE WHEN j % 8 = 2 THEN sig END) || '|' || MAX(CASE WHEN j % 8 = 3 THEN sig END) || '|' || MAX(CASE WHEN j % 8 = 4 THEN sig END) || '|' || MAX(CASE WHEN j % 8 = 5 THEN sig END) || '|' || MAX(CASE WHEN j % 8 = 6 THEN sig END) || '|' || MAX(CASE WHEN j % 8 = 7 THEN sig END)) AS band_hash
+        FROM msig GROUP BY doc_id, j // 8),
+      mc3 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mb3 a JOIN mb3 b ON a.bb = b.bb
+          AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      ct3 AS (SELECT CAST(1 AS BIGINT) AS bands,
+                   CAST(8 AS BIGINT) AS rows_per_band,
+                   CAST(COUNT(*) AS BIGINT) AS n_candidates FROM mc3),
+      tp3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_positives
+                  FROM mc3 m JOIN truth t
+                    ON t.doc_a = m.doc_a AND t.doc_b = m.doc_b),
+      tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      u AS (
+        SELECT ct0.bands, ct0.rows_per_band, ct0.n_candidates, tp0.true_positives FROM ct0, tp0
+        UNION ALL SELECT ct1.bands, ct1.rows_per_band, ct1.n_candidates, tp1.true_positives FROM ct1, tp1
+        UNION ALL SELECT ct2.bands, ct2.rows_per_band, ct2.n_candidates, tp2.true_positives FROM ct2, tp2
+        UNION ALL SELECT ct3.bands, ct3.rows_per_band, ct3.n_candidates, tp3.true_positives FROM ct3, tp3)
+      SELECT u.bands, u.rows_per_band, u.n_candidates, tr.n_truth,
+             u.true_positives,
+             ROUND(CAST(u.true_positives AS DOUBLE) / u.n_candidates, 6)
+               AS cand_precision,
+             ROUND(CAST(u.true_positives AS DOUBLE) / tr.n_truth, 6)
+               AS cand_recall
+      FROM u, tr ORDER BY u.bands"""),
     "dedup_minhash_pr_audit" -> (s"""
       WITH ${JACCARD_CTES.trim},
       msig AS (
@@ -3321,20 +3396,29 @@ ${SHINGLES.trim},
       states AS (SELECT DISTINCT src AS state FROM tm),
       chains AS (SELECT unnest(list_value('none', 'click', 'error',
                    'signup', 'view')) AS removed),
-      p0 AS (SELECT c.removed, st.state, CAST(0 AS DECIMAL(18,6)) AS pconv
+      p0 AS (SELECT c.removed, st.state, CAST(0 AS DECIMAL(18,6)) AS pconv,
+               CAST(0 AS DECIMAL(18,6)) AS pnull
              FROM chains c CROSS JOIN states st),
       p1 AS MATERIALIZED (
         SELECT g.removed, g.state,
                CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
                     ELSE CAST(COALESCE(d.pdir, CAST(0 AS DECIMAL(18,6))) +
                       COALESCE(sc.sumc, CAST(0 AS DECIMAL(18,6)))
-                      AS DECIMAL(18,6)) END AS pconv
+                      AS DECIMAL(18,6)) END AS pconv,
+               CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
+                    ELSE CAST(COALESCE(nd.ndir, CAST(0 AS DECIMAL(18,6))) +
+                      COALESCE(sc.sumn, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) END AS pnull
         FROM (SELECT c.removed, st.state FROM chains c CROSS JOIN states st) g
         LEFT JOIN (SELECT src AS state, p AS pdir FROM tm
                    WHERE dst = 'conv') d ON d.state = g.state
+        LEFT JOIN (SELECT src AS state, p AS ndir FROM tm
+                   WHERE dst = 'null') nd ON nd.state = g.state
         LEFT JOIN (SELECT l.removed, t.src AS state,
                      SUM(CAST(ROUND(t.p * l.pconv, 6) AS DECIMAL(18,6)))
-                       AS sumc
+                       AS sumc,
+                     SUM(CAST(ROUND(t.p * l.pnull, 6) AS DECIMAL(18,6)))
+                       AS sumn
                    FROM tm t JOIN p0 l ON l.state = t.dst
                    GROUP BY l.removed, t.src) sc
           ON sc.removed = g.removed AND sc.state = g.state),
@@ -3343,13 +3427,21 @@ ${SHINGLES.trim},
                CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
                     ELSE CAST(COALESCE(d.pdir, CAST(0 AS DECIMAL(18,6))) +
                       COALESCE(sc.sumc, CAST(0 AS DECIMAL(18,6)))
-                      AS DECIMAL(18,6)) END AS pconv
+                      AS DECIMAL(18,6)) END AS pconv,
+               CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
+                    ELSE CAST(COALESCE(nd.ndir, CAST(0 AS DECIMAL(18,6))) +
+                      COALESCE(sc.sumn, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) END AS pnull
         FROM (SELECT c.removed, st.state FROM chains c CROSS JOIN states st) g
         LEFT JOIN (SELECT src AS state, p AS pdir FROM tm
                    WHERE dst = 'conv') d ON d.state = g.state
+        LEFT JOIN (SELECT src AS state, p AS ndir FROM tm
+                   WHERE dst = 'null') nd ON nd.state = g.state
         LEFT JOIN (SELECT l.removed, t.src AS state,
                      SUM(CAST(ROUND(t.p * l.pconv, 6) AS DECIMAL(18,6)))
-                       AS sumc
+                       AS sumc,
+                     SUM(CAST(ROUND(t.p * l.pnull, 6) AS DECIMAL(18,6)))
+                       AS sumn
                    FROM tm t JOIN p1 l ON l.state = t.dst
                    GROUP BY l.removed, t.src) sc
           ON sc.removed = g.removed AND sc.state = g.state),
@@ -3358,13 +3450,21 @@ ${SHINGLES.trim},
                CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
                     ELSE CAST(COALESCE(d.pdir, CAST(0 AS DECIMAL(18,6))) +
                       COALESCE(sc.sumc, CAST(0 AS DECIMAL(18,6)))
-                      AS DECIMAL(18,6)) END AS pconv
+                      AS DECIMAL(18,6)) END AS pconv,
+               CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
+                    ELSE CAST(COALESCE(nd.ndir, CAST(0 AS DECIMAL(18,6))) +
+                      COALESCE(sc.sumn, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) END AS pnull
         FROM (SELECT c.removed, st.state FROM chains c CROSS JOIN states st) g
         LEFT JOIN (SELECT src AS state, p AS pdir FROM tm
                    WHERE dst = 'conv') d ON d.state = g.state
+        LEFT JOIN (SELECT src AS state, p AS ndir FROM tm
+                   WHERE dst = 'null') nd ON nd.state = g.state
         LEFT JOIN (SELECT l.removed, t.src AS state,
                      SUM(CAST(ROUND(t.p * l.pconv, 6) AS DECIMAL(18,6)))
-                       AS sumc
+                       AS sumc,
+                     SUM(CAST(ROUND(t.p * l.pnull, 6) AS DECIMAL(18,6)))
+                       AS sumn
                    FROM tm t JOIN p2 l ON l.state = t.dst
                    GROUP BY l.removed, t.src) sc
           ON sc.removed = g.removed AND sc.state = g.state),
@@ -3373,19 +3473,29 @@ ${SHINGLES.trim},
                CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
                     ELSE CAST(COALESCE(d.pdir, CAST(0 AS DECIMAL(18,6))) +
                       COALESCE(sc.sumc, CAST(0 AS DECIMAL(18,6)))
-                      AS DECIMAL(18,6)) END AS pconv
+                      AS DECIMAL(18,6)) END AS pconv,
+               CASE WHEN g.state = g.removed THEN CAST(0 AS DECIMAL(18,6))
+                    ELSE CAST(COALESCE(nd.ndir, CAST(0 AS DECIMAL(18,6))) +
+                      COALESCE(sc.sumn, CAST(0 AS DECIMAL(18,6)))
+                      AS DECIMAL(18,6)) END AS pnull
         FROM (SELECT c.removed, st.state FROM chains c CROSS JOIN states st) g
         LEFT JOIN (SELECT src AS state, p AS pdir FROM tm
                    WHERE dst = 'conv') d ON d.state = g.state
+        LEFT JOIN (SELECT src AS state, p AS ndir FROM tm
+                   WHERE dst = 'null') nd ON nd.state = g.state
         LEFT JOIN (SELECT l.removed, t.src AS state,
                      SUM(CAST(ROUND(t.p * l.pconv, 6) AS DECIMAL(18,6)))
-                       AS sumc
+                       AS sumc,
+                     SUM(CAST(ROUND(t.p * l.pnull, 6) AS DECIMAL(18,6)))
+                       AS sumn
                    FROM tm t JOIN p3 l ON l.state = t.dst
                    GROUP BY l.removed, t.src) sc
           ON sc.removed = g.removed AND sc.state = g.state),
-      fin AS (SELECT removed, pconv FROM p4 WHERE state = 'start'),
-      base AS (SELECT pconv AS p_base FROM fin WHERE removed = 'none'),
-      eff AS (SELECT f.removed AS channel, b.p_base, f.pconv AS p_removed,
+      fin AS (SELECT removed, pconv, pnull FROM p4 WHERE state = 'start'),
+      base AS (SELECT pconv AS p_base, pnull AS pn_base
+               FROM fin WHERE removed = 'none'),
+      eff AS (SELECT f.removed AS channel, b.p_base, b.pn_base,
+                f.pconv AS p_removed, f.pnull AS pn_removed,
                 CAST(b.p_base - f.pconv AS DECIMAL(18,6)) AS removal_effect
               FROM fin f CROSS JOIN base b WHERE f.removed <> 'none'),
       tot AS (SELECT SUM(removal_effect) AS tot_eff FROM eff)
@@ -3393,7 +3503,11 @@ ${SHINGLES.trim},
              CAST(p_removed AS DOUBLE) AS p_removed,
              CAST(removal_effect AS DOUBLE) AS removal_effect,
              ROUND(CAST(removal_effect AS DOUBLE) /
-               CAST(tot_eff AS DOUBLE), 6) AS attribution
+               CAST(tot_eff AS DOUBLE), 6) AS attribution,
+             CAST(CAST(1 AS DECIMAL(18,6)) - p_base - pn_base AS DOUBLE)
+               AS unresolved_base,
+             CAST(CAST(1 AS DECIMAL(18,6)) - p_removed - pn_removed
+               AS DOUBLE) AS unresolved_removed
       FROM eff CROSS JOIN tot ORDER BY channel"""),
     "events_attribution" -> s"""
       WITH e AS (

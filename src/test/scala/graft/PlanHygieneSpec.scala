@@ -112,7 +112,9 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row corpus watermark (the dq_freshness shape)
     "warehouse_ttl_audit" -> 8,
     // two broadcast 1-row counter aggregates (truth / true-positive)
-    "dedup_minhash_pr_audit" -> 8)
+    "dedup_minhash_pr_audit" -> 8,
+    // per-layout 1-row counter aggregates + the 1-row truth count
+    "dedup_lsh_pr_matrix" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -105,30 +105,46 @@ class Round8iOpsSpec extends SparkSpec {
     val tm = trans.map { case ((s, t), c) =>
       (s, t) -> q6(c.toDouble / totals(s)) }.toMap
     val states = totals.keys.toSeq
-    def run(removed: String): BigDecimal = {
+    def run(removed: String): (BigDecimal, BigDecimal) = {
       var p = states.map(_ -> BigDecimal(0)).toMap
+      var pn = states.map(_ -> BigDecimal(0)).toMap
       for (_ <- 1 to 4) {
-        p = states.map { s =>
+        val p2 = states.map { s =>
           s -> (if (s == removed) BigDecimal(0)
           else tm.getOrElse((s, "conv"), BigDecimal(0)) +
             states.map(t => q6((tm.getOrElse((s, t), BigDecimal(0)) *
               p(t)).toDouble)).sum)
         }.toMap
+        val pn2 = states.map { s =>
+          s -> (if (s == removed) BigDecimal(0)
+          else tm.getOrElse((s, "null"), BigDecimal(0)) +
+            states.map(t => q6((tm.getOrElse((s, t), BigDecimal(0)) *
+              pn(t)).toDouble)).sum)
+        }.toMap
+        p = p2; pn = pn2
       }
-      p("start")
+      (p("start"), pn("start"))
     }
-    val base = run("none")
+    val (base, baseNull) = run("none")
     val got = Events.markovAttribution(spark, sf001).collect()
     assert(got.length == 4)
     val effSum = got.map(r => BigDecimal(r.getAs[Double]("removal_effect"))).sum
     got.foreach { r =>
       val ch = r.getString(0)
+      val (pRem, pnRem) = run(ch)
       assert(r.getAs[Double]("p_base") == base.toDouble, ch)
-      assert(r.getAs[Double]("p_removed") == run(ch).toDouble, ch)
+      assert(r.getAs[Double]("p_removed") == pRem.toDouble, ch)
       val eff = r.getAs[Double]("removal_effect")
       assert(eff >= 0, s"$ch removal cannot raise conversion")
       assert(r.getAs[Double]("attribution") ==
         q6(eff / effSum.toDouble).toDouble, ch)
+      // the truncation residual is the EXACT unabsorbed mass and must
+      // stay a (small) probability: 0 <= unresolved < 1
+      val ub = r.getAs[Double]("unresolved_base")
+      val ur = r.getAs[Double]("unresolved_removed")
+      assert(ub == (BigDecimal(1) - base - baseNull).toDouble, ch)
+      assert(ur == (BigDecimal(1) - pRem - pnRem).toDouble, ch)
+      assert(ub >= 0 && ub < 1 && ur >= 0 && ur <= 1, ch)
     }
   }
 }

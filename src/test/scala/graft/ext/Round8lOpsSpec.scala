@@ -52,6 +52,27 @@ class Round8lOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("cand_recall") >= 0.8)
   }
 
+  test("lsh layout matrix is monotone and agrees with the deployed layout") {
+    val rows = TextDedup.lshPrMatrix(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4),
+        r.getDouble(6))).toMap // bands -> (candidates, tp, recall)
+    assert(rows.keySet == Set(1L, 2L, 4L, 8L))
+    // fewer bands = stricter collision requirement: candidates, true
+    // positives and recall are all non-increasing as bands drop
+    Seq(8L, 4L, 2L, 1L).sliding(2).foreach { case Seq(hi, lo) =>
+      assert(rows(hi)._1 >= rows(lo)._1, s"candidates $hi vs $lo")
+      assert(rows(hi)._2 >= rows(lo)._2, s"tp $hi vs $lo")
+      assert(rows(hi)._3 >= rows(lo)._3, s"recall $hi vs $lo")
+    }
+    // the (4, 2) row IS the deployed production layout — its candidate
+    // set must equal the X2 entry's relation exactly
+    val deployed = TextDedup.minhashPairs(spark, sf001).count()
+    assert(rows(4L)._1 == deployed)
+    // and its true positives must match the X214 audit
+    val audit = TextDedup.minhashPrAudit(spark, sf001).collect()(0)
+    assert(rows(4L)._2 == audit.getAs[Long]("true_positives"))
+  }
+
   test("correlation matrix equals an in-JVM exact-moment recomputation") {
     val rows = graft.tables.Tables.lineitem(spark, sf001).select(
       col("l_quantity").cast("long"),
