@@ -1006,6 +1006,55 @@ object Graphs {
       randomWalksUncached(spark, dir, steps)
     }
 
+  /** The multi-walk generalization of [[randomWalks]] — `nWalks`
+    * hash-independent walks per start node, distinguished by a `walk`
+    * replica id that feeds the step hash (so replicas diverge
+    * immediately) — the production node2vec corpus shape where walk
+    * count is a coverage parameter. Walk replica 0 hashes with the
+    * bare node id and therefore reproduces the X186 corpus EXACTLY
+    * (spec-pinned), which is what makes the generalization parameter
+    * growth rather than a new operator: the entry stays the nWalks=1
+    * projection. Frontier size scales ×nWalks linearly; everything
+    * else is the X186 plan unchanged.
+    */
+  def randomWalksMulti(spark: SparkSession, dir: String, steps: Int = 3,
+                       nWalks: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = minSupportEdges(spark, dir)
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val wU = Window.partitionBy("u").orderBy("v")
+    val adj = sym
+      .withColumn("rk", row_number().over(wU) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("u")))
+    val reps = spark.range(nWalks).select(col("id").as("walk"))
+    val starts = graft.Checkpoints.cut(
+      sym.select(col("u").as("start_id")).distinct()
+        .crossJoin(broadcast(reps))
+        .select(col("start_id"), col("walk"), lit(0L).as("step"),
+          col("start_id").as("node")))
+    var frontier = starts
+    var walks = starts
+    for (t <- 1 to steps) {
+      // replica 0 hashes with the bare start id (== the X186 corpus);
+      // replicas r > 0 salt the hash with "~r"
+      val hashKey = concat(col("start_id").cast("string"),
+        when(col("walk") === 0, lit("")).otherwise(
+          concat(lit("~"), col("walk").cast("string"))),
+        lit("_"), lit(t.toString), lit("_"), col("node").cast("string"))
+      val pick = conv(substring(md5(hashKey), 1, 8), 16, 10)
+        .cast("long") % col("deg")
+      val next = graft.Checkpoints.cut(
+        frontier.join(adj, frontier("node") === adj("u"))
+          .filter(col("rk") === pick)
+          .select(col("start_id"), col("walk"), lit(t.toLong).as("step"),
+            col("v").as("node")))
+      walks = walks.unionByName(next)
+      frontier = next
+    }
+    walks.orderBy("start_id", "walk", "step")
+  }
+
   private def randomWalksUncached(spark: SparkSession, dir: String,
                                   steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -73,6 +73,37 @@ class Round8lOpsSpec extends SparkSpec {
     assert(rows(4L)._2 == audit.getAs[Long]("true_positives"))
   }
 
+  test("multi-walk replica 0 reproduces the walk corpus; replicas stay on edges") {
+    val multi = Graphs.randomWalksMulti(spark, sf001, nWalks = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val single = Graphs.randomWalks(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // replica 0 IS the X186 corpus — the generalization is pure
+    // parameter growth, not a new trajectory definition
+    assert(multi.filter(_._2 == 0L).map(t => (t._1, t._3, t._4)).toSet ==
+      single)
+    // replica 1 diverges somewhere (the salt reaches the hash) and
+    // every consecutive pair is a real edge of the graph
+    val r1 = multi.filter(_._2 == 1L).map(t => (t._1, t._3, t._4)).toSet
+    assert(r1 != single && r1.size == single.size)
+    val li = graft.tables.Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (e, g) => e -> g.size }
+      .filter(_._2 >= 2).keySet
+    multi.groupBy(t => (t._1, t._2)).values.foreach { w =>
+      w.toSeq.sortBy(_._3).map(_._4).sliding(2).foreach { p =>
+        if (p.length == 2) {
+          val (a, b) = (math.min(p(0), p(1)), math.max(p(0), p(1)))
+          assert(edges.contains((a, b)), s"non-edge step $a-$b")
+        }
+      }
+    }
+  }
+
   test("correlation matrix equals an in-JVM exact-moment recomputation") {
     val rows = graft.tables.Tables.lineitem(spark, sf001).select(
       col("l_quantity").cast("long"),
