@@ -61,7 +61,10 @@ object ScaleRehearsal {
     */
   private val StreamEntries = Seq(
     "stream_hll", "stream_cdc_state", "stream_map_state",
-    "stream_topk_state", "stream_sessions_state")
+    "stream_topk_state", "stream_sessions_state",
+    // r9: the band-owner admission gate — state must grow with the
+    // admitted-document band set (≈ 4 rows per corpus doc), not volume
+    "stream_neardup_gate")
 
   private def replicate(spark: SparkSession, name: String): DataFrame = {
     val base = spark.read.parquet(s"$Sf01/$name.parquet")
@@ -105,6 +108,56 @@ object ScaleRehearsal {
       println(s"[rehearse] wrote $Sf1/$t.parquet")
     }
 
+  /** The ADVERSARIAL corpus the benign 10× replication cannot produce:
+    * the sf1 documents with a deterministic 1% (doc_id % 100 == 7)
+    * collapsed onto ONE shared text — a single hot shingle set / md5 /
+    * band bucket covering ~500 documents. This is the worst skew a
+    * crawl dedup actually meets (boilerplate pages, mirrored dumps):
+    * the hot band bucket yields c²/2 ≈ 125k candidate pairs from one
+    * key, the case AQE's skew split and the banded join's Σ bucket²
+    * bound have to absorb. The rehearsal measures that candidate
+    * volume and clustering stay bounded (candidates = hot-cluster c²/2
+    * + the benign corpus's own pairs; one giant cluster of exactly the
+    * hot docs) — super-linear blowup or a stuck propagation would
+    * surface here, not at 100 TB.
+    */
+  private val SfSkew = "target/sf1skew"
+  private val HotText = ("the shared boilerplate page every mirror of the " +
+    "dump repeats verbatim across hosts with identical navigation header " +
+    "and footer text blocks").trim
+
+  private def genSkew(spark: SparkSession): Unit = {
+    val docs = spark.read.parquet(s"$Sf1/documents.parquet")
+    docs.withColumn("text",
+        when(col("doc_id") % 100 === 7, lit(HotText)).otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$SfSkew/documents.parquet")
+    println(s"[rehearse] wrote $SfSkew/documents.parquet")
+  }
+
+  private def runSkew(spark: SparkSession): String = {
+    val nHot = spark.read.parquet(s"$SfSkew/documents.parquet")
+      .filter(col("doc_id") % 100 === 7).count()
+    val tPairs0 = System.nanoTime()
+    val nCand = graft.ext.TextDedup.minhashPairs(spark, SfSkew).count()
+    val tPairs = (System.nanoTime() - tPairs0) / 1e9
+    val tClust0 = System.nanoTime()
+    val clusters = graft.ext.TextDedup.nearDupClustersStar(spark, SfSkew)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"), max("sz").as("max_sz"))
+      .collect()(0)
+    val tClust = (System.nanoTime() - tClust0) / 1e9
+    clearAll(spark)
+    println(f"[rehearse] skew: hot=$nHot%d cand=$nCand%d pairs=$tPairs%.2fs " +
+      f"clusters=${clusters.getLong(0)}%d max=${clusters.getLong(1)}%d " +
+      f"star=$tClust%.2fs")
+    f""" "skew_note": "sf1 corpus with 1%% of docs collapsed onto ONE text (a single hot md5/shingle/band bucket, ~c^2/2 candidate pairs from one key); bounded candidate volume and a converged star-CC with one max-size cluster prove the banded join + contraction absorb adversarial skew",
+ "skew_entries": {
+  "hot_docs": $nHot%d,
+  "dedup_minhash_pairs": {"wall_s": $tPairs%.2f, "n_candidates": $nCand%d},
+  "dedup_clusters_star": {"wall_s": $tClust%.2f, "n_clusters": ${clusters.getLong(0)}%d, "max_cluster": ${clusters.getLong(1)}%d}
+},"""
+  }
+
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir)
@@ -137,7 +190,13 @@ object ScaleRehearsal {
     // through the raw replicate+write; Tables.normalizeTs folds both on read
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (mode == "gen" || mode == "all") gen(spark)
+    if (mode == "genskew" || mode == "all") genSkew(spark)
     if (mode == "run" || mode == "all") {
+      val skewJson =
+        if (mode == "all" ||
+          java.nio.file.Files.exists(java.nio.file.Paths.get(SfSkew)))
+          runSkew(spark) + "\n"
+        else ""
       val rows = Entries.map { e =>
         val t01 = time(spark, e, Sf01)
         clearAll(spark)
@@ -176,7 +235,7 @@ object ScaleRehearsal {
       }
       val json =
         s"""{"replicas": $Replicas, "note": "exponent = log10(t_sf1/t_sf0.1); linear work at 10x data with fixed cores lands near 1.0, sublinear means fixed overheads still dominate",
- "entries": {
+$skewJson "entries": {
 ${rows.mkString(",\n")}
 },
  "stream_note": "state_growth = final state rows at sf1 / sf0.1 under 10x events+users; keyed-set-sized state grows with its key domain (1.0 for the fixed-domain hll/cdc shapes, <= 10 for per-user shapes), never with row volume",

@@ -232,6 +232,9 @@ object SparkEntry {
     // BM25 keyword relevance top-k (fixed small query → narrow per-doc
     // tf arrays + one broadcast stats row + TakeOrderedAndProject)
     "text_bm25_topk" -> ((s, d) => graft.ext.Search.bm25TopK(s, d)),
+    // posting-list BM25: dynamic query semi-joined to the (doc,term,tf)
+    // posting relation, fixed-order pivot sum (== the fixed-term form)
+    "text_bm25_posting" -> ((s, d) => graft.ext.Search.bm25Posting(s, d)),
     // conjunctive boolean retrieval over the posting stream (EXISTS-oracle)
     "text_search_and" -> ((s, d) => graft.ext.Search.searchAnd(s, d)),
     // deterministic A/B arms by salted hash + per-arm lift readout
@@ -587,6 +590,9 @@ object SparkEntry {
     "stream_map_state" -> (graft.streaming.EventStream.streamMapState(_, _)),
     // streaming CDC snapshot: update-if-newer ValueState, == batch cdc_apply
     "stream_cdc_state" -> (graft.streaming.EventStream.streamCdcSnapshot(_, _)),
+    // streaming near-dup admission: per-band first-toucher ValueState gate
+    // over the X2 banding (the crawl-tailer ingest filter)
+    "stream_neardup_gate" -> (graft.streaming.EventStream.streamNearDupGate(_, _)),
     // oracled: sketch values surface as bound predicates beside their
     // exact twins (the oracle asserts the booleans literally TRUE), so
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers

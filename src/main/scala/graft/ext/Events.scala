@@ -1238,9 +1238,15 @@ object Events {
       .select(col("from_type"), col("to_type"),
         round(col("n").cast("double") / col("tot").cast("double"), 6)
           .cast("decimal(18,6)").as("p"))
-    val types = p.select(col("from_type").as("event_type")).distinct()
-    var pi = types.select(col("event_type"),
-      lit(0.2).cast("decimal(18,6)").as("prob"))
+    val types = p.select(col("from_type")).distinct()
+      .select(col("from_type").as("event_type"))
+    // the uniform start is DERIVED from the type relation (1/K, 6dp) —
+    // a pinned literal would silently stop being a distribution if the
+    // fixture ever carried a different number of event types
+    val nTypes = types.agg(count(lit(1)).as("k"))
+    var pi = types.crossJoin(broadcast(nTypes))
+      .select(col("event_type"),
+        round(lit(1.0) / col("k"), 6).cast("decimal(18,6)").as("prob"))
     var out = pi.select(lit(0L).as("round_idx"), col("event_type"), col("prob"))
     for (r <- 1 to rounds) {
       pi = pi.join(p, pi("event_type") === p("from_type"))

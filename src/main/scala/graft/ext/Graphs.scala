@@ -149,7 +149,12 @@ object Graphs {
     coOrderEdges(spark, dir).count()
     if (names.exists(Set("graph_bfs_hops", "graph_label_prop")))
       symEdges(spark, dir).count()
-    if (names.exists(Set("graph_triangles", "graph_clustering_coeff")))
+    // tri_counts materializes the memoized tri_list too — the listing
+    // the whole triangle family (counts, edge-Jaccard, Adamic-Adar)
+    // shares; without adamic_adar/edge_jaccard in the trigger set the
+    // alphabetically-first consumer absorbed an ~11 s shared build
+    if (names.exists(Set("graph_triangles", "graph_clustering_coeff",
+      "graph_adamic_adar", "graph_edge_jaccard")))
       triangleCounts(spark, dir).count()
     ()
   }
@@ -927,7 +932,11 @@ object Graphs {
     * walks (shared verbatim — corpus and co-occurrence cannot drift):
     * two nodes co-occur when they appear within ±`window` steps on the
     * same walk, canonicalized (small, large) and counted — the
-    * (center, context, weight) table a skip-gram trainer consumes.
+    * (center, context, weight) table a skip-gram trainer consumes,
+    * AFTER a min-support cut (`minSupport`, default 2): pairs seen
+    * once are dropped, the standard min-count vocabulary/pair floor a
+    * word2vec-family trainer applies before building its tables. Pass
+    * `minSupport = 1` for the uncut pair stream.
     *
     * Scale shape: one self-join of the walk relation keyed on the walk
     * id with a bounded step-band predicate (≤ 2·window rows pair per
@@ -936,7 +945,7 @@ object Graphs {
     * corpus, never quadratic in anything.
     */
   def walkCooccurrence(spark: SparkSession, dir: String,
-                       window: Int = 2): DataFrame = {
+                       window: Int = 2, minSupport: Int = 2): DataFrame = {
     val w = randomWalks(spark, dir)
     val a = w.select(col("start_id"), col("step").as("sa"),
       col("node").as("na"))
@@ -948,7 +957,7 @@ object Graphs {
       .select(least(col("na"), col("nb")).as("a"),
         greatest(col("na"), col("nb")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cooc"))
-      .filter(col("cooc") >= 2)
+      .filter(col("cooc") >= minSupport)
       .orderBy("a", "b")
   }
 
@@ -962,10 +971,13 @@ object Graphs {
     * (a 4-truss is empty there — measured), while 3-truss peeling is
     * non-degenerate at every fixture SF.
     * Each round lists triangles on the current edge set (the a<b<c
-    * join, Σ deg² bounded by the min-support-2 cut), attributes each
-    * triangle to its three edges, and drops edges below support 2;
-    * fixed rounds keep the oracle stateable (the X125 k-core posture —
-    * the fixture converges within two peels, which the spec pins).
+    * join, Σ deg² bounded by the min-support-2 cut) and keeps edges
+    * with support ≥ k−2 = 1 (the k-truss rule; edges in NO surviving
+    * triangle never appear in the grouped support relation, so they
+    * drop out of the peel implicitly — the explicit filter spells the
+    * k−2 bound for the parameterized form); fixed rounds keep the
+    * oracle stateable (the X125 k-core posture — the fixture converges
+    * within two peels, which the spec pins).
     *
     * Scale shape: per round ONE triangle enumeration (two self-joins
     * of the edge relation, each keyed on an endpoint — the same plan
@@ -974,8 +986,10 @@ object Graphs {
     * buckets on `a` and the enumeration reuses that partitioning in
     * both joins.
     */
-  def ktruss(spark: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+  def ktruss(spark: SparkSession, dir: String, rounds: Int = 2,
+             k: Int = 3): DataFrame = {
     require(rounds >= 1, "k-truss needs at least one peel round")
+    require(k >= 3, "a k-truss is defined for k >= 3")
     var edges = graft.Checkpoints.cut(
       minSupportEdges(spark, dir).select(col("a"), col("b")))
     var support: DataFrame = null
@@ -992,7 +1006,7 @@ object Graphs {
           struct(col("tb").as("a"), col("tc").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("support"))
-      support = graft.Checkpoints.cut(sup.filter(col("support") >= 1))
+      support = graft.Checkpoints.cut(sup.filter(col("support") >= k - 2))
       edges = support.select("a", "b")
     }
     support.orderBy("a", "b")

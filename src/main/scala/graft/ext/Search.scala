@@ -64,6 +64,70 @@ object Search {
         round(col("score_raw"), 6).as("score"))
   }
 
+  /** X216: posting-list BM25 — the dynamic-vocabulary form the
+    * [[bm25TopK]] scaladoc reserves: instead of per-doc narrow tf
+    * arrays (right for a handful of literal terms, wrong for a query
+    * that arrives at runtime), the scoring rides the (doc, term, tf)
+    * POSTING relation — the query-term semi-join prunes it to |query|
+    * postings' worth of rows BEFORE any scoring work, so at 100 TB
+    * this is a posting-list read plus a doc-keyed accumulation, never
+    * a corpus scan per query. df falls out of the pruned postings
+    * (df(t) = posting length), corpus stats (N, avgdl) are one
+    * broadcast row shared with the fixed form.
+    *
+    * Float discipline: the per-(doc, term) contribution is the SAME
+    * fixed IEEE expression string as [[bm25TopK]]; the per-doc total
+    * is NOT an unordered float sum — matched terms pivot back to one
+    * fixed column per query term (max-of-one-row per (doc, term)) and
+    * sum left-to-right in query order, so the score is bit-identical
+    * to the fixed-term form on the same query (the agreement
+    * Round9OpsSpec pins) and hash-stable under any partitioning.
+    *
+    * Scale shape: one corpus-wide (doc, term) count builds the posting
+    * relation (at 100 TB it is the materialized X57 index, written
+    * once, term-partitioned); per query: an `isin` prune at the scan,
+    * a broadcast df/stats attach, one doc-keyed pivot aggregate, and a
+    * TakeOrderedAndProject top-k.
+    */
+  def bm25Posting(spark: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("spark", "join", "window"),
+                  k1: Double = 1.2, b: Double = 0.75,
+                  topK: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    // the posting relation, pruned to the query terms at the scan
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    // the bm25TopK contribution expression verbatim (generic columns)
+    val contrib =
+      s"ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * " +
+        s"(tf * ${k1 + 1.0}) / (tf + $k1 * (1 - $b + $b * dl / avgdl))"
+    val pivotCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("contrib"))).as(s"c$i")
+    }
+    val scoreExpr = terms.indices
+      .map(i => s"coalesce(c$i, cast(0.0 as double))").mkString(" + ")
+    tf.join(broadcast(df), Seq("term"))
+      .join(docs, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(contrib))
+      .groupBy("doc_id", "dl")
+      .agg(pivotCols.head, (pivotCols.tail :+
+        count(lit(1)).as("n_matched")): _*)
+      .withColumn("score_raw", expr(scoreExpr))
+      .filter(col("score_raw") > 0)
+      .orderBy(col("score_raw").desc, col("doc_id"))
+      .limit(topK)
+      .select(col("doc_id"), col("dl").cast("long").as("dl"),
+        col("n_matched"), round(col("score_raw"), 6).as("score"))
+  }
+
   /** Collocation mining: the top co-occurring token pairs by document
     * co-frequency, scored with PMI. The pair space is generated by a
     * per-document self-join of the DISTINCT token relation — shuffled

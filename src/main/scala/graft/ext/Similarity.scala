@@ -683,9 +683,22 @@ object Similarity {
     * round 3), and the per-round IEEE division is pinned by the 6dp
     * round before it feeds the next exact-decimal round.
     *
-    * Scale shape: the corpus collapses to dims² covariance cells in one
-    * map-combinable aggregate (the ONLY pass over the data); iteration
-    * is dims²-sized joins, corpus-independent; output is dims rows.
+    * Scale shape — the Gram-matrix kernel: the corpus collapses to
+    * dims² covariance cells in ONE `mapPartitions` pass that holds a
+    * single upper-triangle dims×dims accumulator per partition (scaled
+    * int64 hot loop with an overflow-budgeted flush into exact
+    * BigDecimal — aggregation STATE, not a Catalyst-expression job, the
+    * codec-leg rule) and emits dims(dims+1)/2 partial rows per
+    * partition; the shuffle then carries partitions·dims²/2 rows
+    * instead of the n·dims²/2 product stream the former
+    * explode+self-join shape pushed through it (measured 14.4 s → see
+    * ROUND9_NOTES at sf0.1; join volume 10.4 M rows → ~67 k partials).
+    * Every partial is the EXACT scale-12 decimal sum of its
+    * partition's 6dp-quantized centered products, merged by decimal
+    * add — associative and partitioning-independent, so the merged sum
+    * is bit-identical to the relational form and the ORACLE IS
+    * UNCHANGED. Iteration is dims²-sized joins, corpus-independent;
+    * output is dims rows.
     */
   def embedPcaPower(spark: SparkSession, dir: String,
                     rounds: Int = 3): DataFrame = {
@@ -698,8 +711,16 @@ object Similarity {
       .agg(sum("x").as("s"), count(lit(1)).as("n"))
       .select(col("dim"),
         round(col("s").cast("double") / col("n"), 6).cast(D6).as("mu"))
-    val centered = q.join(mean, Seq("dim"))
-      .select(col("vec_id"), col("dim"), (col("x") - col("mu")).as("xc"))
+    // dims-sized, corpus-independent driver materialization of µ (the
+    // bounded-collect class the 1-row stream bounds are in): the Gram
+    // pass needs every µ_d in one closure, and dims is a schema
+    // constant — this is NOT a data-sized collect
+    val muRows = mean.collect()
+    val dims = muRows.length
+    val mu = new Array[java.math.BigDecimal](dims)
+    muRows.foreach { r =>
+      mu(r.getInt(0) - 1) = r.getDecimal(1)
+    }
     // C entries 6dp-rounded back to DECIMAL(18,6) (the exact decimal
     // product sum is rounded AS a decimal — ties round away from zero
     // identically in both engines); each round renormalizes by the
@@ -707,16 +728,116 @@ object Similarity {
     // magnitude stays ≤ 1 at ANY corpus size and no decimal multiply
     // can outgrow precision 38 — an unnormalized iterate grows |C|^r
     // and overflows by round 3
-    // only the upper triangle is computed (C is symmetric and every
+    // only the upper triangle is accumulated (C is symmetric and every
     // per-cell sum is EXACT decimal, so the mirrored cell is
-    // bit-identical by construction) — halves the dims² product stream,
-    // which dominates this entry's cost (measured 10.9 s → 8.0 s at
-    // sf0.1); the mirror union is dims²-sized, corpus-independent
-    val upper = centered.as("a")
-      .join(centered.as("b"), col("a.vec_id") === col("b.vec_id") &&
-        col("a.dim") <= col("b.dim"))
-      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-      .agg(round(sum(col("a.xc") * col("b.xc")), 6).cast(D6).as("cij"))
+    // bit-identical by construction); the mirror union is dims²-sized,
+    // corpus-independent
+    import org.apache.spark.sql.Encoders
+    import spark.implicits._
+    val cellEnc =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.DECIMAL)
+    val partials = Tables.embeddings(spark, dir)
+      .select(col("embedding")).as[Seq[Float]]
+      .mapPartitions { it =>
+        val nCells = dims * (dims + 1) / 2
+        // hot path: scale-12 int64 cell accumulators; `budget` tracks a
+        // per-row worst-case bound (maxAbs², scale-12) and flushes into
+        // the exact BigDecimal tier BEFORE any cell could overflow —
+        // exactness is never probabilistic
+        val accL = new Array[Long](nCells)
+        val accB = Array.fill(nCells)(java.math.BigDecimal.ZERO)
+        var budget = 0L
+        val FlushAt = 4000000000000000000L // 4e18 < Long.MaxValue headroom
+        def flush(): Unit = {
+          var c = 0
+          while (c < nCells) {
+            if (accL(c) != 0L) {
+              accB(c) = accB(c).add(java.math.BigDecimal.valueOf(accL(c), 12))
+              accL(c) = 0L
+            }
+            c += 1
+          }
+          budget = 0L
+        }
+        val xc = new Array[Long](dims)      // centered row, scale-6 units
+        val xcB = new Array[java.math.BigDecimal](dims)
+        var sawRow = false
+        while (it.hasNext) {
+          val v = it.next()
+          sawRow = true
+          var i = 0
+          var maxAbs = 0L
+          while (i < dims) {
+            // exactly Spark's round(double, 6).cast(DECIMAL(18,6)):
+            // shortest-repr BigDecimal of the widened float, HALF_UP
+            val x6 = new java.math.BigDecimal(
+              java.lang.Double.toString(v(i).toDouble))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            val c6 = x6.subtract(mu(i))
+            xcB(i) = c6
+            val u = c6.unscaledValue()
+            if (u.bitLength() < 62) {
+              val l = u.longValue()
+              xc(i) = l
+              val a = math.abs(l)
+              if (a > maxAbs) maxAbs = a
+            } else {
+              xc(i) = Long.MinValue // poison: route this row to BigDecimal
+              maxAbs = Long.MaxValue
+            }
+            i += 1
+          }
+          if (maxAbs < 2000000000L) {
+            val rowBound = maxAbs * maxAbs
+            if (budget > FlushAt - rowBound) flush()
+            budget += rowBound
+            var c = 0
+            i = 0
+            while (i < dims) {
+              val xi = xc(i)
+              var j = i
+              while (j < dims) {
+                accL(c) += xi * xc(j)
+                c += 1
+                j += 1
+              }
+              i += 1
+            }
+          } else {
+            // pathological magnitude (|x−µ| ≥ ~2000): exact slow path
+            var c = 0
+            i = 0
+            while (i < dims) {
+              var j = i
+              while (j < dims) {
+                accB(c) = accB(c).add(xcB(i).multiply(xcB(j)))
+                c += 1
+                j += 1
+              }
+              i += 1
+            }
+          }
+        }
+        if (sawRow) {
+          flush()
+          val out = new Array[(Int, Int, java.math.BigDecimal)](nCells)
+          var c = 0
+          var i = 0
+          while (i < dims) {
+            var j = i
+            while (j < dims) {
+              out(c) = (i + 1, j + 1, accB(c).setScale(12))
+              c += 1
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        } else Iterator.empty
+      }(cellEnc)
+    val upper = partials.toDF("i", "j", "p")
+      .groupBy("i", "j")
+      .agg(round(sum("p"), 6).cast(D6).as("cij"))
     val cov = upper.unionByName(upper.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("cij")))
     var v = mean.select(col("dim").as("j"), lit(1L).cast(D6).as("vj"))

@@ -61,6 +61,10 @@ object TextDedup {
     cachedJaccardPrefix(spark, dir, DefaultJaccardThreshold).count()
     memo(spark, dir, "occ5")(occ5(Tables.documents(spark, dir))).count()
     memo(spark, dir, "chunks5")(chunksOf(Tables.documents(spark, dir))).count()
+    // the LSH-calibration sample relations (the 0.2-threshold prefix
+    // twin the r8 warmup missed — dedup_lsh_calibration then times only
+    // its own candidate+verify work)
+    calSamplePrefix(spark, dir, 2).count()
   }
 
   /** Single source of the Jaccard threshold so [[warmSharedRelations]]
@@ -133,6 +137,27 @@ object TextDedup {
     memo(spark, dir, "sig_wide")(
       cachedDocSets(spark, dir)
         .select(col("doc_id") +: sigExprs(col("shs"), 8): _*))
+
+  /** The X2 banding as a standalone per-row relation: (doc_id, b,
+    * band_hash) for the deployed 4-band × 2-row layout over the 8-hash
+    * signature — every transform is a NARROW expression (shingle set,
+    * signature mins, band md5s, stack), so the same column graph runs
+    * unchanged over a STREAMING documents relation; the streaming
+    * near-dup gate ([[graft.streaming.EventStream.streamNearDupGate]])
+    * consumes it verbatim, which is what pins its batch-replay oracle
+    * to the X2 candidate relation.
+    */
+  def bandHashesOf(docs: DataFrame): DataFrame = {
+    val wide = docSetsOf(docs)
+      .select(col("doc_id") +: sigExprs(col("shs"), 8): _*)
+    val bandCols = (0 until 4).map(b =>
+      md5(concat(col(s"s${2 * b}"), lit("|"), col(s"s${2 * b + 1}")))
+        .as(s"bh$b"))
+    val stackArgs = (0 until 4).map(b => s"$b, bh$b").mkString(", ")
+    wide.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        expr(s"stack(4, $stackArgs) AS (b, band_hash)"))
+  }
 
   /** Shared banded-LSH candidate pairs with their signature-agreement
     * estimate (doc_a, doc_b, est_sim) — unordered; consumers sort.
@@ -1264,6 +1289,19 @@ object TextDedup {
     * per configuration — the recall-vs-cost trade the banding choice
     * IS.
     *
+    * Calibration is a MEASUREMENT, not a production join — so the
+    * histogram is estimated from a deterministic md5-bucket DOCUMENT
+    * sample (keep doc_id iff its salted md5 bucket ≡ 0 mod
+    * `sampleMod`; a pair survives iff both ends do, rate 1/mod², so
+    * each observed count scales by the EXACT integer mod² — the X101
+    * deterministic-sampling idiom, reproducible forever and in any
+    * engine). At τ = 0.2 the prefix-filter bound is weak and the full
+    * verify volume approaches the dense near-dup pair space; the
+    * sample bounds BOTH the candidate join and the verify to 1/mod²
+    * of that. `sampleMod = 1` is the exact full-histogram form — the
+    * fixture-scale twin the sample-vs-full agreement law in
+    * Round9OpsSpec is pinned against.
+    *
     * Float discipline: sʳ and (1−sʳ)ᵇ are spelled as FIXED
     * repeated-squaring chains (r, b are powers of two; `pow` is not
     * cross-engine ulp-stable — the X164 rule), and each histogram
@@ -1271,15 +1309,41 @@ object TextDedup {
     * X163 exact-sum rule), so no unordered float sum exists.
     *
     * Scale shape: the pair relation is the prefix-filtered bucketed
-    * join X2 already bounds (Σ bucket², never n²); it collapses to a
-    * ≤101-row similarity histogram before the 4-row config grid
-    * crosses it — everything after the histogram is constant-sized.
+    * join X2 already bounds (Σ bucket², never n²) over the 1/mod
+    * document sample; it collapses to a ≤101-row similarity histogram
+    * before the 4-row config grid crosses it — everything after the
+    * histogram is constant-sized. At 100 TB `sampleMod` rises with the
+    * corpus (the estimator's variance is governed by sampled-pair
+    * count, not corpus share).
     */
-  def lshCalibration(spark: SparkSession, dir: String): DataFrame = {
+  /** The calibration sample's memoized relations (doc-set sample +
+    * its 0.2-threshold prefix index) — named so the Bench warmup can
+    * build and BILL them explicitly as shared builds instead of
+    * charging whichever consumer runs first.
+    */
+  private[graft] def calSampleSets(spark: SparkSession, dir: String,
+                                   sampleMod: Int): DataFrame =
+    if (sampleMod <= 1) cachedDocSets(spark, dir)
+    else memo(spark, dir, s"doc_sets_cal_$sampleMod")(
+      cachedDocSets(spark, dir).filter(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit("|lshcal"))), 1, 8), 16, 10).cast("long")
+          % sampleMod === 0))
+
+  private[graft] def calSamplePrefix(spark: SparkSession, dir: String,
+                                     sampleMod: Int): DataFrame =
+    memo(spark, dir, s"jaccard_prefix_cal_0.2_$sampleMod")(
+      prefixOf(calSampleSets(spark, dir, sampleMod), 0.2))
+
+  def lshCalibration(spark: SparkSession, dir: String,
+                     sampleMod: Int = 2): DataFrame = {
     val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val hist = jaccardPairs(spark, dir, 0.2)
+    val sets = calSampleSets(spark, dir, sampleMod)
+    val prefix = calSamplePrefix(spark, dir, sampleMod)
+    val scale = sampleMod.toLong * sampleMod.toLong
+    val hist = jaccardPairsOf(sets, 0.2, Some(prefix))
       .select(round(col("jaccard"), 2).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("n"))
+      .groupBy("s").agg((count(lit(1)) * scale).as("n"))
     val cfg = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq((4L, 16L), (8L, 8L), (16L, 4L),
         (32L, 2L)).map { case (b, r) => org.apache.spark.sql.Row(b, r) }, 1),

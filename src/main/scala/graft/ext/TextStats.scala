@@ -267,30 +267,36 @@ object TextStats {
     * undercounts — deterministic, unlike the probabilistic upper bound)
     * are all value-identical cross-engine and hash-comparable.
     *
-    * Scale shape: the counter build is a map-side-combinable aggregate
-    * to 1024 cells; the probe side is the (tiny) heavy-hitter set with
-    * its d lookups as a broadcast join against the cell relation.
+    * Scale shape: the token stream collapses to exact (tok, count)
+    * FIRST (one map-combinable aggregate — the md5 bucket hash then
+    * runs over distinct token TYPES × d, a vocabulary-sized stream,
+    * not the corpus-sized occurrence stream it used to double-hash),
+    * and that hashed `cells` relation is SHARED between the counter
+    * build (sum of type counts per cell == occurrence count per cell)
+    * and the heavy-hitter probe — the md5 work runs exactly once. The
+    * counter build is a map-side-combinable aggregate to 1024 cells;
+    * the probe side is the (tiny) heavy-hitter set with its d lookups
+    * as a broadcast join against the cell relation.
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String,
                       depth: Int = 4, width: Int = 256,
                       support: Double = 0.005): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val tokCounts = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
-    val rows = toks.select(col("tok"),
+      .groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+    // hashed ONCE per (token type, row j) — both the counter build and
+    // the heavy probe ride this relation
+    val cells = tokCounts.select(col("tok"), col("true_cnt"),
         explode(sequence(lit(0), lit(depth - 1))).as("j"))
       .withColumn("b", conv(substring(md5(concat(col("j").cast("string"),
         lit("|"), col("tok"))), 1, 4), 16, 10).cast("long") % width)
-    val counters = rows.groupBy("j", "b").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    val heavy = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+    val counters = cells.groupBy("j", "b").agg(sum("true_cnt").as("c"))
+    val total = tokCounts.agg(sum("true_cnt").as("n_total"))
+    val heavy = tokCounts
       .crossJoin(broadcast(total))
       .filter(col("true_cnt") > col("n_total") * support)
-      .select("tok", "true_cnt")
-    heavy
-      .select(col("tok"), col("true_cnt"),
-        explode(sequence(lit(0), lit(depth - 1))).as("j"))
-      .withColumn("b", conv(substring(md5(concat(col("j").cast("string"),
-        lit("|"), col("tok"))), 1, 4), 16, 10).cast("long") % width)
+      .select("tok")
+    cells.join(broadcast(heavy), Seq("tok"), "left_semi")
       .join(broadcast(counters), Seq("j", "b"))
       .groupBy("tok", "true_cnt")
       .agg(min(col("c")).as("est_cnt"))

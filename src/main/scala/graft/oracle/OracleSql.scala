@@ -1527,14 +1527,19 @@ ${SHINGLES.trim},
       WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.6
       ORDER BY doc_a, doc_b""",
     // X193 LSH banding calibration: brute-force all-pairs verified
-    // Jaccard (the oracle may be quadratic; the engine is bucketed),
+    // Jaccard over the SAME deterministic md5-bucket document sample
+    // the engine draws (keep iff bucket ≡ 0 mod 2; a pair survives at
+    // rate 1/4, so counts scale by the exact integer 4 — the oracle
+    // may be quadratic over the sample; the engine is bucketed),
     // 0.01-banded histogram, S-curve P = 1-(1-s^r)^b spelled as fixed
     // repeated-squaring chains (pow is not cross-engine ulp-stable);
     // per-band terms 6dp-DECIMAL so the expectation sums are exact.
     "dedup_lsh_calibration" -> s"""
       WITH ${SHINGLES.trim},
       sets AS (SELECT doc_id, list(sh) AS shs, COUNT(*) AS n
-               FROM shingles GROUP BY doc_id),
+               FROM shingles
+               WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|lshcal'), 1, 8))::BIGINT % 2 = 0
+               GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
                len(list_intersect(a.shs, b.shs)) AS n_both
@@ -1544,7 +1549,7 @@ ${SHINGLES.trim},
                  2) AS s
         FROM pairs
         WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.2),
-      hist AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM sims GROUP BY s),
+      hist AS (SELECT s, CAST(COUNT(*) * 4 AS BIGINT) AS n FROM sims GROUP BY s),
       cfg AS (SELECT CAST(b AS BIGINT) AS b, CAST(r AS BIGINT) AS r
               FROM (VALUES (4, 16), (8, 8), (16, 4), (32, 2)) AS t(b, r)),
       x1 AS (SELECT h.s, h.n, c.b, c.r, h.s * h.s AS s2
@@ -4918,6 +4923,40 @@ ${SHINGLES.trim},
              ROUND(score_raw, 6) AS score
       FROM s WHERE score_raw > 0
       ORDER BY score_raw DESC, doc_id LIMIT 10""",
+    // X216 posting-list BM25: the dynamic-vocabulary twin — postings
+    // pruned to the query terms, df = posting length, per-term
+    // contribution the SAME fixed IEEE expression as text_bm25_topk,
+    // per-doc total pivoted back to fixed columns summed in query
+    // order (bit-identical to the fixed-term form on this query).
+    "text_bm25_posting" -> """
+      WITH docs AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+            FROM documents),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+            FROM docs),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+             WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+      df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      c AS (SELECT t.doc_id, t.term,
+              ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dd.dl / s.avgdl)) AS contrib
+            FROM tf t JOIN df d ON d.term = t.term
+                      JOIN docs dd ON dd.doc_id = t.doc_id
+            CROSS JOIN stats s),
+      p AS (SELECT doc_id,
+              MAX(CASE WHEN term = 'spark' THEN contrib END) AS c0,
+              MAX(CASE WHEN term = 'join' THEN contrib END) AS c1,
+              MAX(CASE WHEN term = 'window' THEN contrib END) AS c2,
+              CAST(COUNT(*) AS BIGINT) AS n_matched
+            FROM c GROUP BY doc_id),
+      sc AS (SELECT p.doc_id, dd.dl, p.n_matched,
+               COALESCE(c0, CAST(0.0 AS DOUBLE)) + COALESCE(c1, CAST(0.0 AS DOUBLE)) + COALESCE(c2, CAST(0.0 AS DOUBLE)) AS score_raw
+             FROM p JOIN docs dd ON dd.doc_id = p.doc_id)
+      SELECT doc_id, CAST(dl AS BIGINT) AS dl, n_matched,
+             ROUND(score_raw, 6) AS score
+      FROM sc WHERE score_raw > 0
+      ORDER BY score_raw DESC, doc_id LIMIT 10""",
     // X125 k-core: 12 unrolled peel rounds (Spark runs to the fixpoint;
     // extra oracle rounds past it are no-ops, and GraphsSpec asserts the
     // gate fixture converges within the unroll — the loud-not-silent
@@ -5451,8 +5490,10 @@ ${SHINGLES.trim},
              CAST(ROUND(CAST(n AS DOUBLE) /
                SUM(n) OVER (PARTITION BY from_type), 6) AS DECIMAL(18,6)) AS p
            FROM cnt),
-      pi0 AS (SELECT DISTINCT from_type AS event_type,
-                CAST(0.2 AS DECIMAL(18,6)) AS prob FROM p),
+      types AS (SELECT DISTINCT from_type AS event_type FROM p),
+      pi0 AS (SELECT event_type,
+                CAST(ROUND(CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM types),
+                  6) AS DECIMAL(18,6)) AS prob FROM types),
 """ + (1 to 4).map(k => s"""      pi$k AS MATERIALIZED (
         SELECT p.to_type AS event_type,
                CAST(ROUND(SUM(pi${k - 1}.prob * p.p), 6) AS DECIMAL(18,6)) AS prob
@@ -6295,6 +6336,28 @@ ${SHINGLES.trim},
         FROM e)
       SELECT event_id, user_id, event_type, us
       FROM r WHERE rn = 1 ORDER BY event_id""",
+    // X217 streaming near-dup gate twin: the X2 banding (8 md5-min sigs,
+    // 4 bands of 2) with a min-owner window per (band, hash) — a doc is
+    // blocked on a band iff a smaller doc_id shares the band hash
+    // (arrival order = doc_id order on the finite replay).
+    "stream_neardup_gate" -> s"""
+      WITH ${SHINGLES.trim},
+      msig AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j),
+      bands AS (
+        SELECT doc_id, j // 2 AS bb, md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' || MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM msig GROUP BY doc_id, j // 2),
+      own AS (
+        SELECT doc_id, bb,
+               MIN(doc_id) OVER (PARTITION BY bb, band_hash) AS owner
+        FROM bands)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bands,
+             CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked_bands,
+             SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) = 0 AS admitted
+      FROM own GROUP BY doc_id ORDER BY doc_id""",
     // X120 streaming HLL twin: the batch register build (X105's SQL,
     // estimate only) — the stream's 256-byte state max-folds to exactly
     // these registers at any micro-batch split

@@ -34,6 +34,21 @@ object EventStream {
     * a file stream needs an explicit schema, so probe it from the batch
     * footer once), normalized to a microsecond event-time column.
     */
+  /** Directory probe through the Hadoop FileSystem API — `java.io.File`
+    * only answers for the LOCAL filesystem, so on an HDFS/S3 URI a
+    * directory-shaped fixture would silently fall through to the
+    * leaf-glob branch and the stream would read zero files. Resolving
+    * the path against its own FileSystem makes the shape probe correct
+    * on every supported scheme (missing path = not a directory; the
+    * glob branch then reads whatever leaf files match).
+    */
+  private def isFsDirectory(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fixtureSchema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -45,7 +60,7 @@ object EventStream {
     // micro-batch, so the update-mode entries stay single-batch-correct
     // even with a many-file fixture.
     val raw =
-      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+      if (isFsDirectory(spark, s"$dir/events.parquet"))
         spark.readStream.schema(fixtureSchema).parquet(s"$dir/events.parquet")
       else
         spark.readStream.schema(fixtureSchema)
@@ -455,18 +470,8 @@ object EventStream {
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val docSchema = spark.read.parquet(s"$dir/documents.parquet").schema
       // the same deterministic changelog derivation as Warehouse.docChangelog
-      // dual-path like the events reader: the driver fixture is a single
-      // documents.parquet FILE (glob-filtered from the dir), the scale
-      // rehearsal writes a documents.parquet DIRECTORY of part files
-      val raw =
-        if (new java.io.File(s"$dir/documents.parquet").isDirectory)
-          spark.readStream.schema(docSchema).parquet(s"$dir/documents.parquet")
-        else
-          spark.readStream.schema(docSchema)
-            .option("pathGlobFilter", "documents.parquet").parquet(dir)
-      val log = raw
+      val log = readDocuments(spark, dir)
         .select((col("doc_id") % 97).as("key"), col("doc_id").as("seq"),
           when(col("doc_id") % 11 === 7, "D")
             .when(col("doc_id") % 3 === 0, "I").otherwise("U").as("op"),
@@ -486,6 +491,103 @@ object EventStream {
         .select(col("key"), col("w.val").as("val"), col("w.lang").as("lang"),
           col("w.op").as("last_op"), col("w.n_ops").as("n_ops"))
         .orderBy("key")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The documents stream, dual-path like the events reader: the driver
+    * fixture is a single documents.parquet FILE (glob-filtered from the
+    * dir), the scale rehearsal writes a documents.parquet DIRECTORY of
+    * part files — read whichever shape is present (via the Hadoop-FS
+    * probe, so the shape test works on any filesystem scheme).
+    */
+  private def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val docSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    if (isFsDirectory(spark, s"$dir/documents.parquet"))
+      spark.readStream.schema(docSchema).parquet(s"$dir/documents.parquet")
+    else
+      spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** X217: streaming near-duplicate admission gate — the crawl-tailer
+    * operator the batch dedup tier could not cover: per incoming
+    * document, compute the X2 MinHash band hashes (the DEPLOYED 4×2
+    * banding, shared VERBATIM via
+    * [[graft.ext.TextDedup.bandHashesOf]]), and admit the document iff
+    * none of its bands is already owned by an earlier document. State
+    * is one ValueState[Long] per touched band key — the first-toucher
+    * (min doc_id) owner — so a near-duplicate of anything already seen
+    * collides on ≥ 1 band and is rejected at ingest, BEFORE it costs
+    * downstream processing; the keyed-state shape is X111's keep-first
+    * gate lifted from exact keys to LSH band keys (a TTL on the handle
+    * bounds state for an unbounded crawl, the X111 approximate
+    * variant).
+    *
+    * Batch-replay oracle: with arrival order = doc_id order, a doc is
+    * blocked on a band iff a smaller doc_id shares that band hash —
+    * i.e. admitted(d) ⇔ d is never the LATER member of an X2 banded
+    * candidate pair (the relation `dedup_minhash_pairs` deploys);
+    * Round9OpsSpec pins exactly that set identity, and the DuckDB twin
+    * states it as a min-owner window over the banded relation.
+    *
+    * Scale shape: the band computation is NARROW per-row expression
+    * work (no pre-shuffle); the only exchange keys on (b, band_hash) —
+    * the same well-distributed key the batch bucket join shuffles on —
+    * and state is O(distinct bands touched), ~4 rows per ADMITTED
+    * corpus document (rejected docs add no new owners), independent of
+    * stream volume. The per-doc admit fold is a driver-free second
+    * aggregate keyed on doc_id.
+    */
+  private class BandOwnerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, String), (Int, String, Long), (Long, Int, Boolean)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var owner: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (Int, String),
+                                 rows: Iterator[(Int, String, Long)],
+                                 timers: TimerValues): Iterator[(Long, Int, Boolean)] = {
+      var own = if (owner.exists()) owner.get() else Long.MaxValue
+      // doc_id order within the batch = arrival order (the fixture's
+      // append order); the fold is the same min-owner recurrence the
+      // batch window states
+      val out = rows.toArray.sortBy(_._3).map { r =>
+        val blocked = own < r._3
+        if (r._3 < own) own = r._3
+        (r._3, r._1, blocked)
+      }
+      owner.update(own)
+      out.iterator
+    }
+  }
+
+  def streamNearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bands = graft.ext.TextDedup.bandHashesOf(readDocuments(spark, dir))
+        .select(col("b").cast("int").as("bb"), col("band_hash"),
+          col("doc_id"))
+        .as[(Int, String, Long)]
+      val gated = bands.groupByKey(r => (r._1, r._2))
+        .transformWithState(new BandOwnerProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("doc_id", "bb", "blocked")
+      runToMemory(gated, "append")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_bands"))
+        .withColumn("admitted", col("n_blocked_bands") === 0)
+        .orderBy("doc_id")
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None => spark.conf.unset(key)

@@ -114,7 +114,12 @@ class PlanHygieneSpec extends SparkSpec
     // two broadcast 1-row counter aggregates (truth / true-positive)
     "dedup_minhash_pr_audit" -> 8,
     // per-layout 1-row counter aggregates + the 1-row truth count
-    "dedup_lsh_pr_matrix" -> 8)
+    "dedup_lsh_pr_matrix" -> 8,
+    // broadcast 1-row (n_docs, avgdl) corpus stats (the bm25_topk shape)
+    "text_bm25_posting" -> 8,
+    // broadcast 1-row type count deriving the uniform start (r9: the
+    // pinned 0.2 literal became 1/K)
+    "events_markov_steady" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Driver-side laws for the round-9 kernel rewrites: the Gram-matrix
+  * PCA pass, the sampled LSH-calibration histogram, and the
+  * fixture-pin assertions the round-8 advice asked for.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  test("gram-matrix pca equals an independent driver brute force") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    def d6(x: Double): JBD =
+      new JBD(java.lang.Double.toString(x)).setScale(6, RoundingMode.HALF_UP)
+    val vecs = graft.tables.Tables.embeddings(spark, sf001)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dims = vecs.head.length
+    val n = vecs.length
+    val q = vecs.map(_.map(f => d6(f.toDouble)))
+    val mu = (0 until dims).map { d =>
+      val s = q.map(_(d)).reduce(_.add(_))
+      d6(s.doubleValue() / n)
+    }.toArray
+    val xc = q.map(v => (0 until dims).map(d => v(d).subtract(mu(d))).toArray)
+    val cov = Array.tabulate(dims, dims) { (i, j) =>
+      xc.map(r => r(i).multiply(r(j))).reduce(_.add(_))
+        .setScale(6, RoundingMode.HALF_UP)
+    }
+    var v = Array.fill(dims)(new JBD(1).setScale(6))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j).multiply(v(j))).reduce(_.add(_)))
+      val mx = w.map(_.abs).max
+      v = w.map(wj => d6(wj.doubleValue() / mx.doubleValue()))
+    }
+    val got = Similarity.embedPcaPower(spark, sf001).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    assert(got.size == dims)
+    (0 until dims).foreach { d =>
+      assert(got(d + 1) == v(d).doubleValue(),
+        s"dim ${d + 1}: got ${got(d + 1)} expect ${v(d)}")
+    }
+  }
+
+  test("sampled lsh calibration agrees with the full-histogram twin") {
+    val full = TextDedup.lshCalibration(spark, sf001, sampleMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_high"), r.getAs[Long]("n_low"),
+          r.getAs[Double]("recall_proxy"))).toMap
+    val sampled = TextDedup.lshCalibration(spark, sf001, sampleMod = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_high"), r.getAs[Long]("n_low"),
+          r.getAs[Double]("recall_proxy"))).toMap
+    assert(full.keySet == sampled.keySet && full.size == 4)
+    full.foreach { case (cfg, (nhF, nlF, rpF)) =>
+      val (nhS, nlS, rpS) = sampled(cfg)
+      // the estimated pair mass must bracket the truth within the
+      // sampling noise a quarter-rate pair sample carries at this SF
+      assert(nhS >= nhF / 3 && nhS <= nhF * 3,
+        s"$cfg: n_high est $nhS vs full $nhF")
+      assert(nlS <= (nlF + 1) * 4 && (nlS + 1) * 4 >= nlF,
+        s"$cfg: n_low est $nlS vs full $nlF")
+      // the S-curve recall prediction — the number the banding choice
+      // actually reads — must be stable under sampling
+      assert(math.abs(rpS - rpF) <= 0.05,
+        s"$cfg: recall_proxy $rpS vs $rpF")
+    }
+  }
+
+  test("posting-list bm25 equals the fixed-term form on the same query") {
+    // same query, same k1/b: the posting form's pivoted fixed-order sum
+    // must reproduce the fixed-term scores BIT-identically (both rank on
+    // the raw double), so the two top-10s are the same rows
+    val fixed = Search.bm25TopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val posting = Search.bm25Posting(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(posting.toSeq == fixed.toSeq)
+  }
+
+  test("markov channel literals match the fixture event-type domain") {
+    // markovAttribution pins Seq("none","click","error","signup","view")
+    // and treats "purchase" as the absorbing conversion; if the fixture
+    // generator ever changes its event-type domain these literals must
+    // fail loudly here rather than silently skew the attribution
+    val types = graft.tables.Tables.events(spark, sf001)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types == Set("click", "error", "signup", "view", "purchase"),
+      s"fixture event types drifted: $types")
+  }
+
+  test("markov steady start is the uniform distribution over the types") {
+    val r0 = Events.markovSteady(spark, sf001).filter(col("round_idx") === 0)
+      .collect().map(_.getDouble(2))
+    assert(r0.nonEmpty)
+    val k = r0.length
+    r0.foreach(p => assert(p == math.rint(1e6 / k) / 1e6))
+  }
+}

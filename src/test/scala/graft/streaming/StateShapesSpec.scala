@@ -31,6 +31,25 @@ class StateShapesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream near-dup gate admits exactly the non-later X2 candidates") {
+    // the gate's batch-replay contract: admitted(d) ⇔ d is never the
+    // LATER member of a banded candidate pair from the DEPLOYED X2
+    // relation (shared verbatim — dedup_minhash_pairs' own output)
+    val laterMembers = graft.ext.TextDedup.minhashPairs(spark, sf001)
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    val gate = EventStream.streamNearDupGate(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(gate.nonEmpty)
+    gate.foreach { case (docId, nBands, nBlocked, admitted) =>
+      assert(nBands == 4L, s"doc $docId bands $nBands")
+      assert(admitted == (nBlocked == 0L))
+      assert(admitted == !laterMembers(docId),
+        s"doc $docId: admitted=$admitted but laterCandidate=${laterMembers(docId)}")
+    }
+    // the gate must actually reject something on the near-dup fixture
+    assert(gate.exists(!_._4) && gate.exists(_._4))
+  }
+
   test("all six transformWithState state shapes stay registered") {
     val qs = graft.SparkEntry.queries.keySet
     val shapes = Map(
@@ -40,7 +59,9 @@ class StateShapesSpec extends SparkSpec {
       "clock (event-time timers)" -> "stream_sessions_state",
       "bounded list (ListState)" -> "stream_topk_state",
       "dynamic sub-map (MapState)" -> "stream_map_state",
-      "update-if-newer snapshot (ValueState)" -> "stream_cdc_state")
+      "update-if-newer snapshot (ValueState)" -> "stream_cdc_state",
+      "band-owner admission gate (ValueState over LSH keys)" ->
+        "stream_neardup_gate")
     val missing = shapes.filterNot { case (_, entry) => qs(entry) }
     assert(missing.isEmpty,
       s"state-shape entries dropped: ${missing.values.mkString(", ")}")
