@@ -245,6 +245,17 @@ object SparkEntry {
     "text_lm_perplexity3" -> ((s, d) => graft.ext.LangModel.perplexity3(s, d)),
     "text_lm_kneser_ney" -> ((s, d) => graft.ext.LangModel.kneserNey(s, d)),
     "text_zipf_fit" -> ((s, d) => graft.ext.LangModel.zipfFit(s, d)),
+    // Heaps'-law vocabulary-growth fit over cumulative doc_id-decile
+    // prefixes (the vocab-at-100TB planning curve)
+    "text_heaps_fit" -> ((s, d) => graft.ext.LangModel.heapsFit(s, d)),
+    // FORCAST readability grade (sentence-free formula; vowel-group
+    // syllable proxy) — narrow per-row expressions, zero shuffle
+    "text_readability" -> ((s, d) => graft.ext.TextStats.readability(s, d)),
+    // temperature-scaled (alpha=0.7) multilingual sampling weights +
+    // effective epochs per language
+    "curation_temperature_mix" -> ((s, d) => graft.ext.TextStats.temperatureMix(s, d)),
+    // within-table functional-dependency audit over a declared panel
+    "dq_fd_discovery" -> ((s, d) => graft.ext.DataQuality.fdDiscovery(s, d)),
     // BPE tokenizer training's pair-selection step: top adjacent char
     // pairs over word TYPES weighted by count (vocabulary-collapsed)
     "text_bpe_merges" -> ((s, d) => graft.ext.LangModel.bpeMerges(s, d)),

@@ -668,4 +668,44 @@ object DataQuality {
           .as("is_significant"))
       .orderBy("event_type")
   }
+
+  /** X220: functional-dependency discovery — the within-table
+    * complement of X176's cross-table FK inference: over a fixed
+    * candidate panel A→B, count the determinant values whose B-image
+    * is not a single value. A holding FD (zero violating keys) is a
+    * normalization/compression lever (B belongs in a dimension keyed
+    * by A) and an ingest invariant worth a [[ruleViolations]]-class
+    * monitor; the panel deliberately mixes known-holding and
+    * known-failing candidates so both verdicts carry signal.
+    *
+    * Scale shape: each candidate is one (A)-keyed count-distinct
+    * aggregate collapsed to a single audit row — map-combinable,
+    * catalog-sized output; candidates are independent branches
+    * unioned at panel size. (Full FD *search* is exponential in
+    * columns; a production profiler sweeps exactly this kind of
+    * declared panel per snapshot.)
+    */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    def fd(tbl: String, df: DataFrame, a: String, b: String): DataFrame =
+      df.select(col(a).as("k"), col(b).as("v"))
+        .filter(col("k").isNotNull)
+        .groupBy("k").agg(countDistinct("v").as("nv"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max("nv").as("max_rhs_per_key"))
+        .select(lit(s"$tbl.$a->$b").as("fd"), col("n_keys"),
+          col("n_violating_keys"), col("max_rhs_per_key"),
+          (col("n_violating_keys") === 0).as("holds"))
+    Seq(
+      fd("nation", Tables.nation(spark, dir), "n_nationkey", "n_regionkey"),
+      fd("nation", Tables.nation(spark, dir), "n_regionkey", "n_name"),
+      fd("orders", Tables.orders(spark, dir), "o_orderkey", "o_orderpriority"),
+      fd("orders", Tables.orders(spark, dir), "o_custkey", "o_orderstatus"),
+      fd("customer", Tables.customer(spark, dir), "c_custkey", "c_mktsegment"),
+      fd("customer", Tables.customer(spark, dir), "c_nationkey", "c_mktsegment"),
+      fd("documents", Tables.documents(spark, dir), "doc_id", "lang"),
+      fd("documents", Tables.documents(spark, dir), "lang", "source"))
+      .reduce(_.unionByName(_))
+      .orderBy("fd")
+  }
 }

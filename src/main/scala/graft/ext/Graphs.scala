@@ -618,9 +618,14 @@ object Graphs {
     val deg = und.select(col("a").as("id"))
       .unionByName(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+    // deg is node-sized (dimension vs the edge fact stream): broadcast
+    // both attaches so the only exchange is the edge-keyed common-count
+    // join (the adamicAdar lesson — see ROUND9_NOTES)
     und.join(common, Seq("a", "b"), "left")
-      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .join(broadcast(deg.select(col("id").as("a"), col("deg").as("deg_a"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("id").as("b"), col("deg").as("deg_b"))),
+        Seq("b"))
       .select(col("a"), col("b"), col("deg_a"), col("deg_b"),
         coalesce(col("common"), lit(0L)).as("common"))
       // endpoint-excluded union; guard the degenerate isolated-edge
@@ -662,7 +667,13 @@ object Graphs {
     val deg = und.select(col("a").as("z"))
       .unionByName(und.select(col("b").as("z")))
       .groupBy("z").agg(count(lit(1)).as("deg_z"))
-    contrib.join(deg, Seq("z"))
+    // deg is NODE-sized (a dimension against the 3·|triangles| fact
+    // stream): broadcasting it turns the z-attach into a map-side hash
+    // join, so the only exchange left is the edge-keyed aggregate with
+    // its map-side combine (measured 10.8 s → see ROUND9_NOTES; the
+    // z-shuffle of the contribution stream was the entry's real cost,
+    // not the memoized listing build)
+    contrib.join(broadcast(deg), Seq("z"))
       .select(col("a"), col("b"),
         round(lit(1.0) / log(col("deg_z").cast("double")), 6)
           .cast("decimal(18,6)").as("term"))

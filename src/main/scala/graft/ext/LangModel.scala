@@ -537,4 +537,60 @@ object LangModel {
       .select("doc_id", "n_bigrams", "bits_per_token", "perplexity")
       .orderBy("doc_id")
   }
+
+  /** X219: Heaps'-law vocabulary-growth fit — the companion to X165's
+    * Zipf fit: V(n) ≈ K·n^β over cumulative corpus prefixes, the curve
+    * that predicts how a tokenizer's vocabulary (and every
+    * dedup/sketch structure keyed on types) grows when the corpus
+    * scales 100× — the planning number behind "how big does the
+    * vocab/DF table get at 100 TB". Prefixes are `cuts` value-based
+    * doc_id slices (decile d = doc_id·cuts div (max+1) — deterministic
+    * and order-free, no global row_number over the corpus); a term's
+    * first occurrence is min(d) over its postings, so cumulative
+    * vocabulary is one ordered prefix sum over the ≤`cuts`-row
+    * first-occurrence histogram. The ln-ln least squares reuses X165's
+    * exact idiom: x/y quantized to 6dp DECIMAL so every regression
+    * moment is an exact decimal sum, IEEE only in the final
+    * slope/intercept/r² expressions.
+    *
+    * Scale shape: one token pass for per-decile counts, one (term-
+    * keyed) min aggregate for first occurrences; everything after is
+    * ≤`cuts` rows — the ordered prefix window and the 1-row fit
+    * broadcast are both declared in the plan-hygiene allowlists.
+    */
+  def heapsFit(spark: SparkSession, dir: String, cuts: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val toks = tokens(spark, dir)
+    val maxDoc = Tables.documents(spark, dir).agg(max("doc_id").as("mx"))
+    val dOf = toks.crossJoin(broadcast(maxDoc))
+      .withColumn("d", expr(s"(doc_id * $cuts) div (mx + 1)"))
+    val tokPerD = dOf.groupBy("d").agg(count(lit(1)).as("nt"))
+    val vocPerD = dOf.groupBy("tok").agg(min("d").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("nv"))
+    val ordered = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val points = tokPerD.join(vocPerD, Seq("d"), "left")
+      .withColumn("cum_tokens", sum("nt").over(ordered))
+      .withColumn("cum_vocab", sum(coalesce(col("nv"), lit(0L))).over(ordered))
+      .select(col("d").as("decile"), col("cum_tokens"), col("cum_vocab"),
+        round(log(col("cum_tokens").cast("double")), 6).cast(D6).as("x"),
+        round(log(col("cum_vocab").cast("double")), 6).cast(D6).as("y"))
+    val beta = (col("np").cast("double") * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")) /
+      (col("np").cast("double") * col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double"))
+    val fit = points.agg(count(lit(1)).as("np"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(round(beta, 6).as("heaps_beta"),
+        round((col("sy").cast("double") - beta *
+          col("sx").cast("double")) / col("np").cast("double"), 6)
+          .as("ln_k"))
+    points.crossJoin(broadcast(fit))
+      .select(col("decile"), col("cum_tokens"), col("cum_vocab"),
+        col("heaps_beta"), col("ln_k"))
+      .orderBy("decile")
+  }
 }

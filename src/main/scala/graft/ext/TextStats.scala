@@ -972,4 +972,72 @@ object TextStats {
         "composite", "keep")
       .orderBy("doc_id")
   }
+
+  /** X218: FORCAST readability grade — the readability formula built
+    * for NON-PROSE text (Caylor & Sticht 1973: technical forms and
+    * manuals), which is exactly what sentence-free corpus fragments
+    * are: grade = 20 − (monosyllabic words per 150 words)/10, no
+    * sentence count required (Flesch-family formulas divide by
+    * sentences, which a crawl fragment may not have). Syllables are
+    * the standard vowel-group proxy: a word is monosyllabic iff it
+    * contains exactly ONE maximal [aeiou]+ run (split on the run
+    * yields exactly 2 fields, incl. boundary empties — stated
+    * identically in both engines).
+    *
+    * Scale shape: pure narrow per-row array expressions off one scan —
+    * no shuffle at all; the grade lands beside the X4 quality signals
+    * in a curation gate.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("size(filter(ws, w -> size(split(w, '[aeiou]+')) = 2))")
+          .cast("long").as("n_mono"))
+      .withColumn("forcast_grade",
+        round(lit(20.0) - (col("n_mono").cast("double") * 150.0 /
+          col("n_words")) / 10.0, 6))
+      .orderBy("doc_id")
+
+  /** X221: temperature-scaled language mixture — the multilingual
+    * sampling weights every LLM data recipe publishes (p_i^α
+    * re-normalized, α = 0.7 the mT5/XLM-R convention): raises
+    * low-resource language shares, damps the head. w_raw = exp(α·ln p)
+    * (the established ln/exp parity surface — `pow` is not cross-engine
+    * ulp-stable); the normalizer is an ORDERED running sum over the
+    * lang-keyed rows (the TWAP/entropy float rule — never an unordered
+    * float aggregate), read back via max_by. Effective epochs per
+    * language = w_i · T / tokens_i — the number that says how many
+    * times a low-resource corpus repeats under the temperature mix.
+    *
+    * Scale shape: the corpus collapses to one per-lang token count
+    * (map-combinable); everything after is catalog-sized (5 rows) —
+    * the 1-row total broadcast and the 5-row ordered window are both
+    * declared in the plan-hygiene allowlists.
+    */
+  def temperatureMix(spark: SparkSession, dir: String,
+                     alpha: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perLang = Tables.documents(spark, dir)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("tokens"), count(lit(1)).as("n_docs"))
+    val total = perLang.agg(sum("tokens").as("total_tokens"))
+    val ordered = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perLang.crossJoin(broadcast(total))
+      .withColumn("p", col("tokens").cast("double") / col("total_tokens"))
+      .withColumn("w_raw", exp(lit(alpha) * log(col("p"))))
+      .withColumn("cum_w", sum("w_raw").over(ordered))
+    // the normalizer = the FINAL ordered cumulative (max-lang row) —
+    // an order-free max_by aggregate, never an unordered float sum
+    val norm = cum.agg(max_by(col("cum_w"), col("lang")).as("norm"))
+    cum.crossJoin(broadcast(norm))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("p"), 6).as("p_raw"),
+        round(col("w_raw") / col("norm"), 6).as("p_temp"),
+        round((col("w_raw") / col("norm")) * col("total_tokens") /
+          col("tokens"), 6).as("effective_epochs"))
+      .orderBy("lang")
+  }
 }

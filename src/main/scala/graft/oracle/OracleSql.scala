@@ -4781,6 +4781,86 @@ ${SHINGLES.trim},
             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
               CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
       FROM s""",
+    // X219 Heaps'-law fit: value-based doc_id deciles, first-occurrence
+    // vocabulary histogram, ordered prefix sums, then X165's exact
+    // 6dp-decimal ln-ln least-squares idiom; the 1-row fit crosses the
+    // <=8 point rows.
+    "text_heaps_fit" -> """
+      WITH raw AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents),
+      tk AS (SELECT doc_id, tok FROM raw WHERE tok <> ''),
+      mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+      dd AS (SELECT (doc_id * 8) // (mx + 1) AS d, tok FROM tk, mx),
+      tokperd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nt FROM dd GROUP BY d),
+      vocperd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nv
+                  FROM (SELECT tok, MIN(d) AS d FROM dd GROUP BY tok) t
+                  GROUP BY d),
+      pts AS (
+        SELECT t.d AS decile,
+               SUM(t.nt) OVER (ORDER BY t.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+               SUM(COALESCE(v.nv, 0)) OVER (ORDER BY t.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+        FROM tokperd t LEFT JOIN vocperd v ON v.d = t.d),
+      xy AS (SELECT decile, cum_tokens, cum_vocab,
+               CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS x,
+               CAST(ROUND(ln(CAST(cum_vocab AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS y
+             FROM pts),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, SUM(x) AS sx,
+                   SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM xy),
+      fit AS (SELECT
+        ROUND((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) -
+          CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS heaps_beta,
+        ROUND((CAST(sy AS DOUBLE) -
+          ((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) -
+            CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+            CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE), 6) AS ln_k
+        FROM s)
+      SELECT decile, cum_tokens, cum_vocab, heaps_beta, ln_k
+      FROM xy CROSS JOIN fit ORDER BY decile""",
+    // X218 FORCAST readability: monosyllabic = exactly one [aeiou]+ run
+    // (split on the run yields exactly 2 fields incl. boundary empties
+    // in BOTH engines).
+    "text_readability" -> """
+      WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+                 FROM documents),
+      t AS (SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(len(list_filter(ws,
+                x -> len(string_split_regex(x, '[aeiou]+')) = 2))
+                AS BIGINT) AS n_mono
+            FROM w)
+      SELECT doc_id, lang, n_words, n_mono,
+             ROUND(20.0 - (CAST(n_mono AS DOUBLE) * 150.0 / n_words) / 10.0,
+               6) AS forcast_grade
+      FROM t ORDER BY doc_id""",
+    // X221 temperature mix: p^0.7 via exp(0.7 ln p) (the ln/exp parity
+    // surface), normalizer = the FINAL ordered cumulative read back by
+    // MAX_BY (never an unordered float sum).
+    "curation_temperature_mix" -> """
+      WITH pl AS (
+        SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                 AS tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang),
+      tot AS (SELECT SUM(tokens) AS total_tokens FROM pl),
+      cum AS (
+        SELECT lang, n_docs, tokens, total_tokens,
+               CAST(tokens AS DOUBLE) / total_tokens AS p,
+               SUM(exp(0.7 * ln(CAST(tokens AS DOUBLE) / total_tokens)))
+                 OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w
+        FROM pl CROSS JOIN tot),
+      nrm AS (SELECT MAX_BY(cum_w, lang) AS norm FROM cum)
+      SELECT lang, n_docs, tokens, ROUND(p, 6) AS p_raw,
+             ROUND(exp(0.7 * ln(p)) / norm, 6) AS p_temp,
+             ROUND((exp(0.7 * ln(p)) / norm) * total_tokens / tokens, 6)
+               AS effective_epochs
+      FROM cum CROSS JOIN nrm ORDER BY lang""",
     // BPE pair selection: pair counts ride word-TYPE counts (the same
     // vocabulary collapse the Spark side does); deterministic tie-break
     // on the pair text before the LIMIT cut.
@@ -5073,6 +5153,27 @@ ${SHINGLES.trim},
                        WHERE $pk IS NOT NULL) p ON p.key = c.key) t"""
     }.mkString("\n      UNION ALL\n      ") +
       "\n      ORDER BY candidate"),
+    // X220 FD discovery: per declared candidate A->B, determinants
+    // whose B-image is not a single value (same generated-branch shape
+    // as dq_fk_inference).
+    "dq_fd_discovery" -> (Seq(
+      ("nation", "n_nationkey", "n_regionkey"),
+      ("nation", "n_regionkey", "n_name"),
+      ("orders", "o_orderkey", "o_orderpriority"),
+      ("orders", "o_custkey", "o_orderstatus"),
+      ("customer", "c_custkey", "c_mktsegment"),
+      ("customer", "c_nationkey", "c_mktsegment"),
+      ("documents", "doc_id", "lang"),
+      ("documents", "lang", "source")).map { case (t, a, b) =>
+      s"""SELECT '$t.$a->$b' AS fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+             CAST(MAX(nv) AS BIGINT) AS max_rhs_per_key,
+             SUM(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+      FROM (SELECT $a AS k, COUNT(DISTINCT $b) AS nv FROM $t
+            WHERE $a IS NOT NULL GROUP BY $a) q"""
+    }.mkString("\n      UNION ALL\n      ") +
+      "\n      ORDER BY fd"),
     // X177 freshness: per-type last-seen lag vs the one-row corpus
     // watermark; integer µs/hour arithmetic throughout.
     "dq_freshness" -> """

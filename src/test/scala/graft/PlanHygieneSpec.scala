@@ -119,7 +119,11 @@ class PlanHygieneSpec extends SparkSpec
     "text_bm25_posting" -> 8,
     // broadcast 1-row type count deriving the uniform start (r9: the
     // pinned 0.2 literal became 1/K)
-    "events_markov_steady" -> 8)
+    "events_markov_steady" -> 8,
+    // broadcast 1-row max-doc_id cut + 1-row ln-ln fit row
+    "text_heaps_fit" -> 8,
+    // broadcast 1-row token total + 1-row ordered-cum normalizer
+    "curation_temperature_mix" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -192,7 +196,9 @@ class PlanHygieneSpec extends SparkSpec
     "dq_id_gaps" -> "boundary stitch over the 32-row per-range-bucket (min,max) summary",
     "embed_kmeans" -> "seed rank over the already-limited 4-row md5 pick (the embed_ann_pq shape)",
     "events_slo_burn" -> "trailing 7-row frame over the observed-day histogram (calendar-bounded)",
-    "curation_pack_efficiency" -> "rides curation_shard_pack's 5-row doc_id-bucket prefix window (shared relation)")
+    "curation_pack_efficiency" -> "rides curation_shard_pack's 5-row doc_id-bucket prefix window (shared relation)",
+    "text_heaps_fit" -> "ordered prefix sums over the <=8-row doc_id-decile histogram",
+    "curation_temperature_mix" -> "ordered normalizer cumsum over the 5-row per-language table")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -80,6 +80,81 @@ class Round9OpsSpec extends SparkSpec {
     assert(posting.toSeq == fixed.toSeq)
   }
 
+  test("forcast readability equals a driver brute force") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextStats.readability(spark, sf001).collect()
+    assert(got.length == docs.size)
+    got.take(50).foreach { r =>
+      val ws = docs(r.getLong(0)).split(" ", -1)
+      val mono = ws.count(w => w.split("[aeiou]+", -1).length == 2)
+      assert(r.getLong(2) == ws.length.toLong)
+      assert(r.getLong(3) == mono.toLong, s"doc ${r.getLong(0)}")
+      val expect = math.rint(
+        (20.0 - (mono.toDouble * 150.0 / ws.length) / 10.0) * 1e6) / 1e6
+      assert(r.getDouble(4) == expect)
+    }
+  }
+
+  test("heaps fit points are consistent and the curve is concave-ish") {
+    val rows = LangModel.heapsFit(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty && rows.length <= 8)
+    // cumulative monotone, vocab never exceeds tokens
+    rows.sliding(2).foreach {
+      case Array((_, t1, v1, _, _), (_, t2, v2, _, _)) =>
+        assert(t2 > t1 && v2 >= v1)
+      case _ =>
+    }
+    rows.foreach { case (_, t, v, beta, _) =>
+      assert(v <= t)
+      // sub-linear vocabulary growth: beta < 1 always; the synthetic
+      // fixture vocabulary is CLOSED (~40 types saturate in the first
+      // decile), so beta legitimately lands at 0.0 here — the law is
+      // sub-linearity, not a natural-corpus exponent
+      assert(beta >= 0.0 && beta < 1.0, s"beta $beta")
+    }
+    // the final point covers the whole corpus token stream
+    val totalToks = graft.tables.Tables.documents(spark, sf001)
+      .selectExpr("size(filter(split(lower(text), '[^a-z]+'), t -> t <> ''))")
+      .collect().map(_.getInt(0).toLong).sum
+    assert(rows.last._2 == totalToks)
+  }
+
+  test("temperature mix flattens the language distribution") {
+    val rows = TextStats.temperatureMix(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(rows.length >= 2)
+    // both columns are distributions (up to 6dp rounding per row)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    // temperature contracts the spread: max/min ratio strictly shrinks
+    val rawRatio = rows.map(_._2).max / rows.map(_._2).min
+    val tempRatio = rows.map(_._3).max / rows.map(_._3).min
+    assert(tempRatio < rawRatio)
+    // the lowest-resource language gets the largest effective epochs
+    assert(rows.minBy(_._2)._1 == rows.maxBy(_._4)._1)
+  }
+
+  test("fd discovery agrees with a driver brute force on the panel") {
+    val nation = graft.tables.Tables.nation(spark, sf001)
+      .select("n_nationkey", "n_regionkey", "n_name").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getString(2)))
+    val holdExpect = nation.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1)
+    val failCount = nation.groupBy(_._2)
+      .count { case (_, vs) => vs.map(_._3).distinct.size > 1 }
+    val got = DataQuality.fdDiscovery(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got("nation.n_nationkey->n_regionkey")._2 == holdExpect)
+    assert(got("nation.n_regionkey->n_name")._1 == failCount.toLong)
+    // the panel must carry signal in both directions
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+  }
+
   test("markov channel literals match the fixture event-type domain") {
     // markovAttribution pins Seq("none","click","error","signup","view")
     // and treats "purchase" as the absorbing conversion; if the fixture
