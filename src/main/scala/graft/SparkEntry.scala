@@ -405,6 +405,10 @@ object SparkEntry {
     "analytics_survival_km" -> ((s, d) => graft.ext.Analytics.survivalKm(s, d)),
     // Newman modularity terms for the label-prop partition (quality audit)
     "graph_modularity" -> ((s, d) => graft.ext.Graphs.modularity(s, d)),
+    // cut-quality conductance for the SAME label-prop partition
+    "graph_conductance" -> ((s, d) => graft.ext.Graphs.conductance(s, d)),
+    // random walk with restart into a 5-seed customer set (PPR)
+    "graph_ppr" -> ((s, d) => graft.ext.Graphs.personalizedPagerank(s, d)),
     // recall@k curve of single-bucket sign-LSH vs the exact ranking
     "embed_recall_curve" -> ((s, d) => graft.ext.Similarity.recallCurve(s, d)),
     // integer CUSUM changepoint (cross-multiplied deviation, exact argmax)

@@ -28,8 +28,10 @@ object Graphs {
     * reported ×N (mean 1.0) so the 6dp round is meaningful at any graph
     * size.
     */
-  def pagerank(spark: SparkSession, dir: String,
-               iters: Int = 3, d: Double = 0.85): DataFrame = {
+  /** The symmetrized customer↔supplier trade edge list — shared by
+    * global pagerank (X56) and the personalized variant (X223).
+    */
+  private def prEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
     val ord = Tables.orders(spark, dir)
@@ -37,12 +39,16 @@ object Graphs {
     val cs = li.join(ord, Seq("ok"))
       .select(col("ck").as("cust"), (col("sk") + lit(10000000L)).as("supp"))
       .distinct()
+    cs.select(col("cust").as("src"), col("supp").as("dst"))
+      .unionByName(cs.select(col("supp").as("src"), col("cust").as("dst")))
+  }
+
+  def pagerank(spark: SparkSession, dir: String,
+               iters: Int = 3, d: Double = 0.85): DataFrame = {
     // memoized (not per-call persisted) so repeated calls share one copy
     // and clearCaches releases them — same discipline as the co-order
     // edge family below
-    val edges = memo(spark, dir, "pr_edges")(
-      cs.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionByName(cs.select(col("supp").as("src"), col("cust").as("dst"))))
+    val edges = memo(spark, dir, "pr_edges")(prEdges(spark, dir))
     val outdeg = memo(spark, dir, "pr_outdeg")(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val nodes = memo(spark, dir, "pr_nodes")(
@@ -459,6 +465,99 @@ object Graphs {
       .withColumn("q_global", col("q_global_d").cast("double"))
       .drop("q_global_d")
       .orderBy("community")
+  }
+
+  /** X222: community conductance — φ(C) = boundary(C) / min(vol(C),
+    * 2m − vol(C)), the cut-quality score that complements X146's
+    * modularity: modularity rewards dense insides, conductance
+    * punishes leaky boundaries (a community can score well on one and
+    * badly on the other — reading both is how a partition audit
+    * actually decides). Computed for the SAME memoized label-prop
+    * partition modularity reads (shared verbatim — the two audits
+    * cannot drift apart), over the same co-order edge relation.
+    *
+    * Scale shape: one edge pass labels both endpoints (two node-keyed
+    * joins against the memoized label relation), boundary and volume
+    * are edge-keyed aggregates, output is community-sized; the 1-row
+    * |E| broadcast is the declared nested loop.
+    */
+  def conductance(spark: SparkSession, dir: String,
+                  rounds: Int = 3): DataFrame = {
+    val labels = labelPropLabels(spark, dir, rounds)
+    val und = coOrderEdges(spark, dir)
+    val m = und.agg(count(lit(1)).as("m"))
+    val lab2 = graft.Checkpoints.cut(und
+      .join(labels.select(col("id").as("a"), col("lab").as("la")), Seq("a"))
+      .join(labels.select(col("id").as("b"), col("lab").as("lb")), Seq("b")))
+    // a cut edge contributes one boundary count to EACH endpoint's
+    // community; volume counts every endpoint incidence
+    val bound = lab2.filter(col("la") =!= col("lb"))
+      .select(explode(array(col("la"), col("lb"))).as("community"))
+      .groupBy("community").agg(count(lit(1)).as("boundary_edges"))
+    val vol = lab2.select(col("la").as("community"))
+      .unionByName(lab2.select(col("lb").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("volume"))
+    val nNodes = labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nNodes.join(vol, Seq("community"), "left")
+      .join(bound, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("volume"), lit(0L)).as("volume"),
+        coalesce(col("boundary_edges"), lit(0L)).as("boundary_edges"),
+        when(least(coalesce(col("volume"), lit(0L)),
+          lit(2) * col("m") - coalesce(col("volume"), lit(0L))) > 0,
+          round(coalesce(col("boundary_edges"), lit(0L)).cast("double") /
+            least(coalesce(col("volume"), lit(0L)),
+              lit(2) * col("m") - coalesce(col("volume"), lit(0L)))
+              .cast("double"), 6)).as("conductance"))
+      .orderBy("community")
+  }
+
+  /** X223: personalized PageRank — random walk with restart INTO a
+    * seed set (the 5 smallest customer nodes of the trade graph): the
+    * "related to THESE" ranking behind recommendation candidates,
+    * fraud neighborhoods and seed-expansion labeling, where global
+    * PageRank (X56) answers only "globally central". Same memoized
+    * bipartite edge/outdeg/node relations as X56; teleport mass goes
+    * to the seed distribution instead of 1/n. `restart` and `damping`
+    * are independent literals (they must sum to 1) so both engines
+    * parse the identical double constants.
+    *
+    * Scale shape: per round one edge-keyed contribution join + a
+    * dst-keyed sum; the seed table is a bounded broadcast (TakeOrdered
+    * pick, never a window); nodes never reached in `iters` hops carry
+    * exactly 0 mass and are filtered from the output.
+    */
+  def personalizedPagerank(spark: SparkSession, dir: String,
+                           iters: Int = 3, damping: Double = 0.85,
+                           restart: Double = 0.15,
+                           nSeeds: Int = 5): DataFrame = {
+    val edges = memo(spark, dir, "pr_edges")(prEdges(spark, dir))
+    val outdeg = memo(spark, dir, "pr_outdeg")(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val nodes = memo(spark, dir, "pr_nodes")(
+      edges.select(col("src").as("id")).distinct())
+    val seeds = nodes.filter(col("id") < 10000000L)
+      .orderBy("id").limit(nSeeds)
+      .select(col("id"), lit(1.0 / nSeeds).as("s"))
+    var pr = nodes.join(broadcast(seeds), Seq("id"), "left")
+      .select(col("id"), coalesce(col("s"), lit(0.0)).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(outdeg, Seq("src"))
+        .join(pr.select(col("id").as("src"), col("pr")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("pr") / col("deg")).as("c"))
+      pr = nodes.join(broadcast(seeds), Seq("id"), "left")
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(restart) * coalesce(col("s"), lit(0.0)) +
+            lit(damping) * coalesce(col("c"), lit(0.0))).as("pr"))
+    }
+    pr.select(col("id"), round(col("pr"), 6).as("ppr"))
+      .filter(col("ppr") > 0)
+      .orderBy("id")
   }
 
   /** X150: degree assortativity — the Pearson correlation of endpoint

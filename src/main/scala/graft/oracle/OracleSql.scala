@@ -3262,6 +3262,84 @@ ${SHINGLES.trim},
              terms.degree_sum, terms.q_term, qg.q_global
       FROM terms, qg
       ORDER BY terms.community"""),
+    // X222 conductance: boundary/min(vol, 2m-vol) per community over
+    // the SAME 3 unrolled propagation rounds as graph_label_prop.
+    "graph_conductance" -> ("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      sym AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e0
+        UNION ALL
+        SELECT b AS u, a AS v FROM e0),
+      l0 AS (SELECT DISTINCT u AS id, u AS lab FROM sym),
+""" + (1 to 3).map(k => s"""      v$k AS (
+        SELECT s.u AS id, l.lab, COUNT(*) AS c
+        FROM sym s JOIN l${k - 1} l ON l.id = s.v
+        GROUP BY s.u, l.lab
+      ),
+      l$k AS (
+        SELECT id, lab FROM (
+          SELECT id, lab,
+                 ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lab) AS rk
+          FROM v$k) t
+        WHERE rk = 1
+      )""").mkString(",\n") + """,
+      m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e0),
+      lab2 AS (SELECT e0.a, e0.b, la.lab AS la, lb.lab AS lb
+               FROM e0 JOIN l3 la ON la.id = e0.a
+                       JOIN l3 lb ON lb.id = e0.b),
+      bound AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS boundary_edges
+                FROM (SELECT la AS community FROM lab2 WHERE la <> lb
+                      UNION ALL SELECT lb FROM lab2 WHERE la <> lb) t
+                GROUP BY community),
+      vol AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS volume
+              FROM (SELECT la AS community FROM lab2
+                    UNION ALL SELECT lb FROM lab2) t
+              GROUP BY community),
+      nn AS (SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+             FROM l3 GROUP BY lab)
+      SELECT nn.community, nn.n_nodes,
+             COALESCE(vol.volume, 0) AS volume,
+             COALESCE(bound.boundary_edges, 0) AS boundary_edges,
+             CASE WHEN LEAST(COALESCE(vol.volume, 0),
+                             2 * m.m - COALESCE(vol.volume, 0)) > 0
+                  THEN ROUND(CAST(COALESCE(bound.boundary_edges, 0) AS DOUBLE) /
+                    LEAST(COALESCE(vol.volume, 0),
+                          2 * m.m - COALESCE(vol.volume, 0)), 6)
+             END AS conductance
+      FROM nn LEFT JOIN vol ON nn.community = vol.community
+              LEFT JOIN bound ON nn.community = bound.community, m
+      ORDER BY nn.community"""),
+    // X223 personalized PageRank: 3 unrolled restart-into-seeds rounds
+    // (the graph_pagerank shape with the teleport mass on the 5 smallest
+    // customer nodes); zero-mass nodes filtered after the 6dp round.
+    "graph_ppr" -> ("""
+      WITH cs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 10000000 AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT cust AS src, supp AS dst FROM cs
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM cs),
+      outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      seeds AS (SELECT id, CAST(1 AS DOUBLE) / 5 AS s
+                FROM (SELECT id FROM nodes WHERE id < 10000000
+                      ORDER BY id LIMIT 5) t),
+      pr0 AS (SELECT nd.id, COALESCE(sd.s, 0) AS pr
+              FROM nodes nd LEFT JOIN seeds sd ON sd.id = nd.id),
+""" + (1 to 3).map(k => s"""      pr$k AS (
+        SELECT nd.id, 0.15 * COALESCE(sd.s, 0) + 0.85 * COALESCE(c.c, 0) AS pr
+        FROM nodes nd
+        LEFT JOIN seeds sd ON sd.id = nd.id
+        LEFT JOIN (SELECT e.dst AS id, SUM(p.pr / od.deg) AS c
+                   FROM edges e
+                   JOIN outdeg od ON od.src = e.src
+                   JOIN pr${k - 1} p ON p.id = e.src
+                   GROUP BY e.dst) c ON c.id = nd.id)""").mkString(",\n") + """
+      SELECT id, ROUND(pr, 6) AS ppr
+      FROM pr3 WHERE ROUND(pr, 6) > 0 ORDER BY id"""),
     // X163 Adamic-Adar: common neighbors per existing edge via the
     // naive sym-edge wedge join (the engine rides the oriented triangle
     // kernel); 1/ln(deg) terms 6dp-rounded to DECIMAL so the per-edge

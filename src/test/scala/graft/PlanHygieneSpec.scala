@@ -123,7 +123,9 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row max-doc_id cut + 1-row ln-ln fit row
     "text_heaps_fit" -> 8,
     // broadcast 1-row token total + 1-row ordered-cum normalizer
-    "curation_temperature_mix" -> 8)
+    "curation_temperature_mix" -> 8,
+    // broadcast 1-row |E| (the graph_modularity shape)
+    "graph_conductance" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan

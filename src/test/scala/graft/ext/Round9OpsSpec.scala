@@ -155,6 +155,49 @@ class Round9OpsSpec extends SparkSpec {
     assert(got.values.exists(_._2) && got.values.exists(!_._2))
   }
 
+  test("conductance reconciles with modularity's partition accounting") {
+    val cond = Graphs.conductance(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    val mod = Graphs.modularity(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(cond.nonEmpty && cond.length == mod.size)
+    val totalVol = cond.map(_._3).sum
+    cond.foreach { case (c, _, vol, boundary, phi) =>
+      val (intra, degSum) = mod(c)
+      // volume = degree sum; boundary = volume − 2·intra (each internal
+      // edge covers two incidences)
+      assert(vol == degSum, s"community $c")
+      assert(boundary == vol - 2 * intra, s"community $c")
+      phi.foreach(p => assert(p >= 0.0 && p <= 1.0))
+      // φ recomputed from the reconciled integers
+      val denom = math.min(vol, totalVol - vol)
+      if (denom > 0)
+        assert(phi.contains(math.rint(boundary.toDouble / denom * 1e6) / 1e6))
+    }
+  }
+
+  test("personalized pagerank conserves mass and concentrates on seeds") {
+    val rows = Graphs.personalizedPagerank(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, p) => assert(p > 0.0 && p <= 1.0) }
+    // no dangling nodes in the symmetrized graph: each round preserves
+    // total mass 1 exactly up to the per-node 6dp output rounding
+    val total = rows.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-3, s"total $total")
+    // every seed keeps at least its guaranteed teleport floor
+    // (restart · 1/5 = 0.03; walk-return mass only adds to it) — on a
+    // bipartite graph the single top node can legitimately be a hub
+    // SUPPLIER adjacent to several seeds, so the law pins the floor,
+    // not the argmax
+    val byId = rows.toMap
+    val seedIds = rows.map(_._1).filter(_ < 10000000L).sorted.take(5)
+    seedIds.foreach { s =>
+      assert(byId(s) >= 0.03 - 1e-6, s"seed $s mass ${byId(s)}")
+    }
+  }
+
   test("markov channel literals match the fixture event-type domain") {
     // markovAttribution pins Seq("none","click","error","signup","view")
     // and treats "purchase" as the absorbing conversion; if the fixture
