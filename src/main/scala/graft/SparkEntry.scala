@@ -217,6 +217,15 @@ object SparkEntry {
     "embed_kmeans" -> ((s, d) => graft.ext.Similarity.embedKmeans(s, d)),
     "embed_outliers" -> ((s, d) => graft.ext.Similarity.embedOutliers(s, d)),
     "embed_pca_power" -> ((s, d) => graft.ext.Similarity.embedPcaPower(s, d)),
+    // two-component PCA by Hotelling deflation off the shared Gram-kernel
+    // covariance: second axis + explained-variance shares + orthogonality
+    "embed_pca_top2" -> ((s, d) => graft.ext.Similarity.embedPcaTop2(s, d)),
+    // split-half per-dim centroid drift monitor (encoder/distribution shift)
+    "embed_drift" -> ((s, d) => graft.ext.Similarity.embedDrift(s, d)),
+    // Wang-Isola alignment/uniformity over md5-bucketed pair samples
+    "embed_uniformity" -> ((s, d) => graft.ext.Similarity.embedUniformity(s, d)),
+    // SQ8 reconstruction-error QC per label (is 4x compression safe here)
+    "embed_quant_error" -> ((s, d) => graft.ext.Similarity.quantizationError(s, d)),
     "text_langid" -> (graft.ext.TextStats.langId(_, _)),
     "text_langid_ngram" -> ((s, d) => graft.ext.TextStats.langIdNgram(s, d)),
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),

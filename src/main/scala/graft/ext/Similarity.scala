@@ -141,6 +141,9 @@ object Similarity {
         a.unpersist(); c.unpersist()
       }
     }
+    covCache.keys.filter(_._1 == appId).foreach { k =>
+      covCache.remove(k).foreach(_.unpersist())
+    }
   }
 
   private def ivfIndex(spark: SparkSession, dir: String,
@@ -700,8 +703,19 @@ object Similarity {
     * UNCHANGED. Iteration is dims²-sized joins, corpus-independent;
     * output is dims rows.
     */
-  def embedPcaPower(spark: SparkSession, dir: String,
-                    rounds: Int = 3): DataFrame = {
+  /** The memoized 6dp-decimal covariance relation (i, j, cij) built by
+    * the Gram kernel below — shared by the top-component entry (X181)
+    * and the two-component deflation entry (X224); the build is one
+    * corpus pass, everything downstream is dims²-sized.
+    */
+  private val covCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), DataFrame]
+
+  private[graft] def covMatrix(spark: SparkSession, dir: String): DataFrame =
+    covCache.getOrElseUpdate((spark.sparkContext.applicationId, dir),
+      buildCovMatrix(spark, dir).persist())
+
+  private def buildCovMatrix(spark: SparkSession, dir: String): DataFrame = {
     val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val q = Tables.embeddings(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
@@ -838,9 +852,18 @@ object Similarity {
     val upper = partials.toDF("i", "j", "p")
       .groupBy("i", "j")
       .agg(round(sum("p"), 6).cast(D6).as("cij"))
-    val cov = upper.unionByName(upper.filter(col("i") =!= col("j"))
+    upper.unionByName(upper.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("cij")))
-    var v = mean.select(col("dim").as("j"), lit(1L).cast(D6).as("vj"))
+  }
+
+  /** `rounds` max-normalized power-iteration rounds of `cov` from the
+    * all-ones start: returns (j, vj DECIMAL(18,6)) — shared by X181
+    * and X224 (which runs it again on the deflated matrix).
+    */
+  private def powerIterate(cov: DataFrame, rounds: Int): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    var v = cov.select(col("i")).distinct()
+      .select(col("i").as("j"), lit(1L).cast(D6).as("vj"))
     for (_ <- 1 to rounds) {
       val w = cov.join(v, Seq("j"))
         .groupBy(col("i").as("j"))
@@ -851,8 +874,100 @@ object Similarity {
           round(col("wj").cast("double") / col("mx").cast("double"), 6)
             .cast(D6).as("vj"))
     }
-    v.select(col("j").cast("long").as("dim"),
+    v
+  }
+
+  def embedPcaPower(spark: SparkSession, dir: String,
+                    rounds: Int = 3): DataFrame =
+    powerIterate(covMatrix(spark, dir), rounds)
+      .select(col("j").cast("long").as("dim"),
         col("vj").cast("double").as("loading"))
+      .orderBy("dim")
+
+  /** X224: two-component PCA by Hotelling deflation — the second
+    * principal axis and the per-axis explained-variance shares the
+    * anisotropy diagnostics actually need (one axis says "is the space
+    * collapsed"; two say "plane or line", and the λ/trace shares say
+    * how much). λ is the Rayleigh quotient of the converged X181
+    * iterate (vᵀCv / vᵀv — both EXACT decimal sums of 6dp-rounded
+    * products, one IEEE division pinned back to 6dp); the deflated
+    * matrix C₂ = C − λ·v vᵀ is a dims²-sized cell-wise update (vᵀv
+    * products 6dp-rounded before the λ multiply, so every cell stays
+    * within DECIMAL precision), and the second axis is the SAME
+    * power-iteration kernel run on C₂. Orthogonality v₁·v₂ ships in
+    * the output as the deflation-quality audit.
+    *
+    * Scale shape: the corpus is touched ONCE (the memoized Gram-kernel
+    * covariance shared verbatim with X181); everything here is
+    * dims²-sized joins and 1-row broadcasts, corpus-independent.
+    */
+  def embedPcaTop2(spark: SparkSession, dir: String,
+                   rounds: Int = 3): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cov = covMatrix(spark, dir)
+    // every derived dims-sized relation gets a lineage cut: unchecked,
+    // the u-rounds' tree repeats the (cov2 ⊃ lam1 ⊃ v1-rounds) subtree
+    // per round and Catalyst optimization time explodes — the plan
+    // blow-up class the cluster-propagation operators already cut
+    // (measured: cutting only cov2 leaves a 38 s entry; all three cuts
+    // land it at ~6 s, all scheduling overhead on dims²-sized data)
+    val v1 = graft.Checkpoints.cut(powerIterate(cov, rounds))
+    def rayleigh(c: DataFrame, v: DataFrame): DataFrame = {
+      val num = c
+        .join(v.select(col("j").as("i"), col("vj").as("vi")), Seq("i"))
+        .join(v.select(col("j"), col("vj")), Seq("j"))
+        .agg(sum(round(col("cij") * col("vi"), 6).cast(D6) * col("vj"))
+          .as("vcv"))
+      val den = v.agg(sum(col("vj") * col("vj")).as("vv"))
+      num.crossJoin(broadcast(den))
+        .select(round(col("vcv").cast("double") / col("vv").cast("double"),
+          6).cast(D6).as("lambda"))
+    }
+    val lam1 = rayleigh(cov, v1)
+    val trace = cov.filter(col("i") === col("j"))
+      .agg(sum("cij").as("trace_d"))
+    // C2 = C − λ · (v vᵀ)/(vᵀv), cell-wise — the vᵀv division is what
+    // makes the Hotelling projector valid for the MAX-normalized
+    // iterate (without it the subtraction overshoots by vᵀv and the
+    // second axis converges to a large NEGATIVE eigenvalue — the bug
+    // the λ₂ > 0 law in Round9OpsSpec caught); each projector cell is
+    // 6dp-rounded before the λ multiply so every cell stays inside
+    // DECIMAL(18,6)
+    val vv1 = v1.agg(sum(col("vj") * col("vj")).as("vv"))
+    val outer = v1.select(col("j").as("i"), col("vj").as("vi"))
+      .crossJoin(broadcast(v1.select(col("j"), col("vj"))))
+      .crossJoin(broadcast(vv1))
+      .select(col("i"), col("j"),
+        round((col("vi") * col("vj")).cast("double") /
+          col("vv").cast("double"), 6).cast(D6).as("pij"))
+    val cov2 = graft.Checkpoints.cut(cov.join(outer, Seq("i", "j"))
+      .crossJoin(broadcast(lam1))
+      .select(col("i"), col("j"),
+        round(col("cij") - col("lambda") * col("pij"), 6).cast(D6)
+          .as("cij")))
+    val v2 = graft.Checkpoints.cut(powerIterate(cov2, rounds))
+    val lam2 = rayleigh(cov2, v2)
+    val dot12 = v1.select(col("j"), col("vj").as("v1j"))
+      .join(v2.select(col("j"), col("vj").as("v2j")), Seq("j"))
+      .agg(sum(col("v1j") * col("v2j")).as("dot_d"))
+    val fit = lam1.select(col("lambda").as("l1"))
+      .crossJoin(broadcast(lam2.select(col("lambda").as("l2"))))
+      .crossJoin(broadcast(trace))
+      .crossJoin(broadcast(dot12))
+      .select(col("l1").cast("double").as("lambda1"),
+        col("l2").cast("double").as("lambda2"),
+        round(col("l1").cast("double") / col("trace_d").cast("double"), 6)
+          .as("explained1"),
+        round(col("l2").cast("double") / col("trace_d").cast("double"), 6)
+          .as("explained2"),
+        round(col("dot_d").cast("double"), 6).as("v1_dot_v2"))
+    v1.select(col("j"), col("vj").cast("double").as("loading1"))
+      .join(v2.select(col("j"), col("vj").cast("double").as("loading2")),
+        Seq("j"))
+      .crossJoin(broadcast(fit))
+      .select(col("j").cast("long").as("dim"), col("loading1"),
+        col("loading2"), col("lambda1"), col("lambda2"),
+        col("explained1"), col("explained2"), col("v1_dot_v2"))
       .orderBy("dim")
   }
 
@@ -1007,5 +1122,156 @@ object Similarity {
         (col("n_vecs") * col("n_cells") > col("total") * 2).as("is_hot"),
         (col("n_vecs") * col("n_cells") * 4 < col("total")).as("is_cold"))
       .orderBy("cell")
+  }
+
+  /** X225: embedding drift monitor — per-dimension centroid delta
+    * between two corpus halves (vec_id parity stands in for the
+    * old/new snapshot split a production monitor feeds): the cheapest
+    * early alarm for encoder drift / upstream distribution shift
+    * BEFORE it degrades an ANN index or a SemDeDup pass. Per-dim
+    * centroids follow the X180 6dp-decimal discipline (one rounded
+    * division each), so the per-dim delta is exact and the L2/cosine
+    * summaries are exact decimal sums with IEEE only in the final
+    * sqrt/division.
+    *
+    * Scale shape: one (half, dim)-keyed aggregate over the exploded
+    * corpus (map-combinable), then everything is dims-sized; the 1-row
+    * summary broadcast is the declared nested loop.
+    */
+  def embedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), (col("vec_id") % 2 === 0).as("in_a"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("in_a"), (col("dim0") + 1).as("dim"),
+        round(col("v").cast("double"), 6).cast(D6).as("x"))
+    val cent = q.groupBy("in_a", "dim")
+      .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      .select(col("in_a"), col("dim"),
+        round(col("s").cast("double") / col("n"), 6).cast(D6).as("mu"))
+    val wide = cent.filter(col("in_a"))
+      .select(col("dim"), col("mu").as("mu_a"))
+      .join(cent.filter(!col("in_a"))
+        .select(col("dim"), col("mu").as("mu_b")), Seq("dim"))
+      // the difference widens to (19,6) and its square would cross the
+      // 38-precision cap (where Spark drops to scale 11, DuckDB keeps
+      // 12 — the embed_kmeans landmine); the explicit (18,6) cast is
+      // lossless here and keeps every product exact at scale 12
+      .withColumn("delta", (col("mu_a") - col("mu_b")).cast(D6))
+    val summary = wide.agg(
+        sum(col("delta") * col("delta")).as("l2d"),
+        sum(col("mu_a") * col("mu_b")).as("ab"),
+        sum(col("mu_a") * col("mu_a")).as("aa"),
+        sum(col("mu_b") * col("mu_b")).as("bb"))
+      .select(round(sqrt(col("l2d").cast("double")), 6).as("centroid_l2"),
+        round(col("ab").cast("double") /
+          (sqrt(col("aa").cast("double")) * sqrt(col("bb").cast("double"))),
+          6).as("centroid_cos"))
+    wide.crossJoin(broadcast(summary))
+      .select(col("dim").cast("long").as("dim"),
+        col("mu_a").cast("double").as("mu_a"),
+        col("mu_b").cast("double").as("mu_b"),
+        col("delta").cast("double").as("delta"),
+        col("centroid_l2"), col("centroid_cos"))
+      .orderBy("dim")
+  }
+
+  /** X226: representation alignment & uniformity (Wang & Isola 2020) —
+    * the two numbers that say whether an embedding space is HEALTHY:
+    * alignment = mean squared distance between same-label pairs (lower
+    * = semantically close things embed close), uniformity =
+    * ln E[exp(−2‖x−y‖²)] over arbitrary pairs (lower = mass spread over
+    * the sphere instead of collapsed). Both pair spaces are
+    * DETERMINISTIC md5-bucket samples (the X101 idiom lifted to pairs:
+    * vectors join only within their hash bucket, so the candidate
+    * volume is n²/B, never n² — B scales with the corpus at 100 TB).
+    *
+    * Float discipline: ‖x−y‖² = aa + bb − 2ab from three per-row
+    * ascending array folds (the list_dot_product parity surface the
+    * embed tier already pins); each pair's d² / exp(−2d²) is
+    * 6dp-rounded into DECIMAL before the cross-row sum (the X163 rule),
+    * so no unordered float sum exists; one IEEE division + ln at the
+    * end.
+    */
+  def embedUniformity(spark: SparkSession, dir: String,
+                      unifBuckets: Int = 256,
+                      alignBuckets: Int = 16): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"))
+      .withColumn("hb",
+        conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+    def d2(a: Column, b: Column): Column =
+      expr("aggregate(va, 0D, (acc, x) -> acc + x * x)") +
+        expr("aggregate(vb, 0D, (acc, x) -> acc + x * x)") -
+        lit(2.0) * expr(
+          "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    def pairs(keyCols: Seq[String], buckets: Int): DataFrame = {
+      val a = emb.select(Seq(col("vec_id").as("ia"), col("v").as("va"),
+        col("label"), (col("hb") % buckets).as("bk")): _*)
+      val b = emb.select(Seq(col("vec_id").as("ib"), col("v").as("vb"),
+        col("label"), (col("hb") % buckets).as("bk")): _*)
+      a.join(b, keyCols).filter(col("ia") < col("ib"))
+        .withColumn("d2", d2(col("va"), col("vb")))
+    }
+    val unif = pairs(Seq("bk"), unifBuckets)
+      .select(round(exp(lit(-2.0) * col("d2")), 6).cast(D6).as("t"))
+      .agg(count(lit(1)).as("n_unif_pairs"), sum("t").as("st"))
+      .select(col("n_unif_pairs"),
+        round(log(col("st").cast("double") / col("n_unif_pairs")), 6)
+          .as("uniformity"))
+    val align = pairs(Seq("label", "bk"), alignBuckets)
+      .select(round(col("d2"), 6).cast(D6).as("t"))
+      .agg(count(lit(1)).as("n_align_pairs"), sum("t").as("sd"))
+      .select(col("n_align_pairs"),
+        round(col("sd").cast("double") / col("n_align_pairs"), 6)
+          .as("alignment"))
+    align.crossJoin(broadcast(unif))
+      .select(col("n_align_pairs"), col("alignment"),
+        col("n_unif_pairs"), col("uniformity"))
+  }
+
+  /** X227: scalar-quantization reconstruction-error audit — the QC
+    * table that decides whether the X82 SQ8 index's 4× compression is
+    * safe for THIS corpus: per label, the micro-scaled mean squared
+    * reconstruction error and the worst per-cell absolute error of the
+    * affine uint8 codec (v̂ = mn + code·(mx−mn)/255, the exact X82
+    * quantizer shared shape). Per-cell squared errors are scaled ×10⁶
+    * and 6dp-rounded into DECIMAL before the cross-row sum (12 exact
+    * decimal places of the raw error — the proven round-6 parity
+    * surface, never an unordered float sum); max is order-free.
+    *
+    * Scale shape: one (dim)-keyed min/max aggregate (dims-sized,
+    * broadcast back), one narrow encode/decode pass, one label-keyed
+    * reduce — no pair space, no window.
+    */
+  def quantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cells = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("dim"),
+        col("col").cast("double").as("v"))
+    val stats = cells.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    cells.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")) * lit(255.0) /
+            (col("mx") - col("mn"))), lit(255.0)))
+          .otherwise(lit(0.0)))
+      .withColumn("vhat",
+        col("mn") + col("code") * (col("mx") - col("mn")) / lit(255.0))
+      .withColumn("err", col("v") - col("vhat"))
+      .select(col("label"), col("err"),
+        round(col("err") * col("err") * lit(1000000.0), 6).cast(D6)
+          .as("e2s"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_cells"),
+        round(max(abs(col("err"))), 6).as("max_abs_err"),
+        sum("e2s").as("se"))
+      .select(col("label").cast("long").as("label"), col("n_cells"),
+        round(col("se").cast("double") / col("n_cells"), 6).as("mse_e6"),
+        col("max_abs_err"))
+      .orderBy("label")
   }
 }

@@ -1996,6 +1996,159 @@ ${SHINGLES.trim},
           AS DECIMAL(18,6)) AS vj FROM w$k, mx$k)""").mkString(",\n") + """
       SELECT j AS dim, CAST(vj AS DOUBLE) AS loading
       FROM v3 ORDER BY dim"""),
+    // X224 two-component PCA: the X181 cov + rounds, then Rayleigh
+    // lambda (6dp-rounded cij*vi products, exact sums, one division),
+    // Hotelling deflation C2 = C - lambda*v*vT (outer products
+    // 6dp-rounded before the lambda multiply), second power iteration,
+    // explained-variance shares off the exact trace.
+    "embed_pca_top2" -> ("""
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      q AS (SELECT vec_id, dim,
+              CAST(ROUND(CAST(embedding[dim] AS DOUBLE), 6)
+                AS DECIMAL(18,6)) AS x
+            FROM embeddings, dims),
+      mean AS (
+        SELECT dim, CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+          AS DECIMAL(18,6)) AS mu
+        FROM q GROUP BY dim),
+      centered AS (SELECT q.vec_id, q.dim, q.x - mean.mu AS xc
+                   FROM q JOIN mean ON mean.dim = q.dim),
+      cov AS MATERIALIZED (
+        SELECT a.dim AS i, b.dim AS j,
+               CAST(ROUND(SUM(a.xc * b.xc), 6) AS DECIMAL(18,6)) AS cij
+        FROM centered a JOIN centered b ON a.vec_id = b.vec_id
+        GROUP BY a.dim, b.dim),
+      v0 AS (SELECT dim AS j, CAST(1 AS DECIMAL(18,6)) AS vj FROM mean),
+""" + (1 to 3).map(k => s"""      w$k AS MATERIALIZED (
+        SELECT cov.i AS j, SUM(cov.cij * v${k - 1}.vj) AS wj
+        FROM cov JOIN v${k - 1} ON v${k - 1}.j = cov.j GROUP BY cov.i),
+      mx$k AS (SELECT MAX(ABS(wj)) AS mx FROM w$k),
+      v$k AS MATERIALIZED (
+        SELECT j, CAST(ROUND(CAST(wj AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+          AS DECIMAL(18,6)) AS vj FROM w$k, mx$k)""").mkString(",\n") + """,
+      lam1 AS (SELECT CAST(ROUND(CAST(num.vcv AS DOUBLE) /
+                 CAST(den.vv AS DOUBLE), 6) AS DECIMAL(18,6)) AS lambda
+               FROM (SELECT SUM(CAST(ROUND(cov.cij * vi.vj, 6)
+                       AS DECIMAL(18,6)) * vj2.vj) AS vcv
+                     FROM cov JOIN v3 vi ON vi.j = cov.i
+                              JOIN v3 vj2 ON vj2.j = cov.j) num,
+                    (SELECT SUM(vj * vj) AS vv FROM v3) den),
+      tr AS (SELECT SUM(cij) AS trace_d FROM cov WHERE i = j),
+      vv1 AS (SELECT SUM(vj * vj) AS vv FROM v3),
+      op AS (SELECT a.j AS i, b.j AS j,
+               CAST(ROUND(CAST(a.vj * b.vj AS DOUBLE) / CAST(vv AS DOUBLE),
+                 6) AS DECIMAL(18,6)) AS pij
+             FROM v3 a CROSS JOIN v3 b, vv1),
+      cov2 AS MATERIALIZED (
+        SELECT cov.i, cov.j,
+               CAST(ROUND(cov.cij - lam1.lambda * op.pij, 6)
+                 AS DECIMAL(18,6)) AS cij
+        FROM cov JOIN op ON op.i = cov.i AND op.j = cov.j, lam1),
+      u0 AS (SELECT dim AS j, CAST(1 AS DECIMAL(18,6)) AS vj FROM mean),
+""" + (1 to 3).map(k => s"""      x$k AS MATERIALIZED (
+        SELECT cov2.i AS j, SUM(cov2.cij * u${k - 1}.vj) AS wj
+        FROM cov2 JOIN u${k - 1} ON u${k - 1}.j = cov2.j GROUP BY cov2.i),
+      nx$k AS (SELECT MAX(ABS(wj)) AS mx FROM x$k),
+      u$k AS MATERIALIZED (
+        SELECT j, CAST(ROUND(CAST(wj AS DOUBLE) / CAST(mx AS DOUBLE), 6)
+          AS DECIMAL(18,6)) AS vj FROM x$k, nx$k)""").mkString(",\n") + """,
+      lam2 AS (SELECT CAST(ROUND(CAST(num.vcv AS DOUBLE) /
+                 CAST(den.vv AS DOUBLE), 6) AS DECIMAL(18,6)) AS lambda
+               FROM (SELECT SUM(CAST(ROUND(cov2.cij * vi.vj, 6)
+                       AS DECIMAL(18,6)) * vj2.vj) AS vcv
+                     FROM cov2 JOIN u3 vi ON vi.j = cov2.i
+                              JOIN u3 vj2 ON vj2.j = cov2.j) num,
+                    (SELECT SUM(vj * vj) AS vv FROM u3) den),
+      d12 AS (SELECT SUM(a.vj * b.vj) AS dot_d
+              FROM v3 a JOIN u3 b ON b.j = a.j)
+      SELECT CAST(a.j AS BIGINT) AS dim, CAST(a.vj AS DOUBLE) AS loading1,
+             CAST(b.vj AS DOUBLE) AS loading2,
+             CAST(lam1.lambda AS DOUBLE) AS lambda1,
+             CAST(lam2.lambda AS DOUBLE) AS lambda2,
+             ROUND(CAST(lam1.lambda AS DOUBLE) / CAST(tr.trace_d AS DOUBLE),
+               6) AS explained1,
+             ROUND(CAST(lam2.lambda AS DOUBLE) / CAST(tr.trace_d AS DOUBLE),
+               6) AS explained2,
+             ROUND(CAST(d12.dot_d AS DOUBLE), 6) AS v1_dot_v2
+      FROM v3 a JOIN u3 b ON b.j = a.j, lam1, lam2, tr, d12
+      ORDER BY dim"""),
+    // X225 drift monitor: split-half 6dp centroids, (18,6)-cast delta
+    // so the squared products stay exact at scale 12 in BOTH engines.
+    "embed_drift" -> """
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      q AS (SELECT vec_id % 2 = 0 AS in_a, dim,
+              CAST(ROUND(CAST(embedding[dim] AS DOUBLE), 6)
+                AS DECIMAL(18,6)) AS x
+            FROM embeddings, dims),
+      cent AS (SELECT in_a, dim,
+                 CAST(ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6)
+                   AS DECIMAL(18,6)) AS mu
+               FROM q GROUP BY in_a, dim),
+      wide AS (SELECT a.dim, a.mu AS mu_a, b.mu AS mu_b,
+                 CAST(a.mu - b.mu AS DECIMAL(18,6)) AS delta
+               FROM cent a JOIN cent b ON b.dim = a.dim
+               WHERE a.in_a AND NOT b.in_a),
+      summ AS (SELECT
+                 ROUND(sqrt(CAST(SUM(delta * delta) AS DOUBLE)), 6)
+                   AS centroid_l2,
+                 ROUND(CAST(SUM(mu_a * mu_b) AS DOUBLE) /
+                   (sqrt(CAST(SUM(mu_a * mu_a) AS DOUBLE)) *
+                    sqrt(CAST(SUM(mu_b * mu_b) AS DOUBLE))), 6)
+                   AS centroid_cos
+               FROM wide)
+      SELECT CAST(dim AS BIGINT) AS dim, CAST(mu_a AS DOUBLE) AS mu_a,
+             CAST(mu_b AS DOUBLE) AS mu_b, CAST(delta AS DOUBLE) AS delta,
+             centroid_l2, centroid_cos
+      FROM wide CROSS JOIN summ ORDER BY dim""",
+    // X226 alignment/uniformity: md5-bucketed pair samples, d2 from
+    // three list_dot_product folds (the pinned parity surface), per-pair
+    // terms 6dp-DECIMAL before the sums.
+    "embed_uniformity" -> """
+      WITH emb AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hb
+        FROM embeddings),
+      up AS (SELECT list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+                    - 2.0 * list_dot_product(a.v, b.v) AS d2
+             FROM emb a JOIN emb b ON a.hb % 256 = b.hb % 256
+                                  AND a.vec_id < b.vec_id),
+      unif AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unif_pairs,
+                 SUM(CAST(ROUND(exp(-2.0 * d2), 6) AS DECIMAL(18,6))) AS st
+               FROM up),
+      ap AS (SELECT list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v)
+                    - 2.0 * list_dot_product(a.v, b.v) AS d2
+             FROM emb a JOIN emb b ON a.label = b.label
+                                  AND a.hb % 16 = b.hb % 16
+                                  AND a.vec_id < b.vec_id),
+      al AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_align_pairs,
+               SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,6))) AS sd
+             FROM ap)
+      SELECT n_align_pairs,
+             ROUND(CAST(sd AS DOUBLE) / n_align_pairs, 6) AS alignment,
+             n_unif_pairs,
+             ROUND(ln(CAST(st AS DOUBLE) / n_unif_pairs), 6) AS uniformity
+      FROM al CROSS JOIN unif""",
+    // X227 SQ8 reconstruction error: the X82 affine uint8 codec, squared
+    // errors scaled x1e6 and 6dp-rounded to DECIMAL before the sum.
+    "embed_quant_error" -> """
+      WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dim),
+      cells AS (SELECT vec_id, label, dim,
+                  CAST(embedding[dim] AS DOUBLE) AS v
+                FROM embeddings, dims),
+      st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM cells GROUP BY dim),
+      enc AS (SELECT label, v, mn, mx,
+                CASE WHEN mx > mn
+                     THEN LEAST(floor((v - mn) * 255.0 / (mx - mn)), 255.0)
+                     ELSE 0.0 END AS code
+              FROM cells JOIN st USING (dim)),
+      err AS (SELECT label, v - (mn + code * (mx - mn) / 255.0) AS err
+              FROM enc)
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             ROUND(CAST(SUM(CAST(ROUND(err * err * 1000000.0, 6)
+               AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mse_e6,
+             ROUND(MAX(abs(err)), 6) AS max_abs_err
+      FROM err GROUP BY label ORDER BY label""",
     // X185 k-means: md5-seeded Lloyd, exact-decimal dist2 argmin
     // (ORDER BY dist2, cell — the struct-min tie rule), 6dp-pinned
     // centroid updates; three unrolled rounds + a final assignment,

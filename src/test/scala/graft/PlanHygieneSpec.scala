@@ -125,7 +125,14 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row token total + 1-row ordered-cum normalizer
     "curation_temperature_mix" -> 8,
     // broadcast 1-row |E| (the graph_modularity shape)
-    "graph_conductance" -> 8)
+    "graph_conductance" -> 8,
+    // three 1-row max-normalization crossJoins ×2 axes + the 1-row
+    // Rayleigh/trace/fit rows + the 64-row v1 outer-product broadcast
+    "embed_pca_top2" -> 128,
+    // broadcast 1-row L2/cos summary
+    "embed_drift" -> 8,
+    // broadcast 1-row uniformity row onto the 1-row alignment row
+    "embed_uniformity" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -198,6 +198,102 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("pca top2 extends the top component consistently") {
+    val p1 = Similarity.embedPcaPower(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = Similarity.embedPcaTop2(spark, sf001).collect()
+    assert(rows.length == p1.size)
+    val l1 = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val l2 = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // loading1 IS the X181 axis (shared covariance + identical rounds)
+    assert(l1 == p1)
+    val h = rows.head
+    val (la1, la2, e1, e2) = (h.getDouble(3), h.getDouble(4),
+      h.getDouble(5), h.getDouble(6))
+    assert(la1 >= la2 && la2 > 0.0, s"lambda order $la1 $la2")
+    assert(e1 >= e2 && e2 > 0.0 && e1 + e2 <= 1.0 + 1e-9)
+    // deflation quality: the two axes are near-orthogonal
+    val dims = l1.keys.toSeq.sorted
+    def dot(a: Map[Long, Double], b: Map[Long, Double]) =
+      dims.map(d => a(d) * b(d)).sum
+    val cos = dot(l1, l2) / math.sqrt(dot(l1, l1) * dot(l2, l2))
+    assert(math.abs(cos) < 0.3, s"axes not orthogonal: cos=$cos")
+  }
+
+  test("drift summary reconciles with its per-dim rows") {
+    val rows = Similarity.embedDrift(spark, sf001).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 64)
+    val l2 = math.sqrt(rows.map(r => r._3 * r._3).sum)
+    assert(math.abs(rows.head._4 - l2) < 1e-4)
+    val cos = rows.map(r => r._1 * r._2).sum /
+      (math.sqrt(rows.map(r => r._1 * r._1).sum) *
+        math.sqrt(rows.map(r => r._2 * r._2).sum))
+    assert(math.abs(rows.head._5 - cos) < 1e-4)
+    rows.foreach(r => assert(math.abs(r._3 - (r._1 - r._2)) < 1e-9))
+  }
+
+  test("uniformity/alignment match a driver brute force") {
+    def hb(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vecs = graft.tables.Tables.embeddings(spark, sf001)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var aa = 0.0; var bb = 0.0; var ab = 0.0; var i = 0
+      while (i < a.length) { aa += a(i) * a(i); bb += b(i) * b(i)
+        ab += a(i) * b(i); i += 1 }
+      aa + bb - 2.0 * ab
+    }
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val unifPairs = for {
+      a <- vecs; b <- vecs
+      if a._1 < b._1 && hb(a._1) % 256 == hb(b._1) % 256
+    } yield d2(a._3, b._3)
+    val alignPairs = for {
+      a <- vecs; b <- vecs
+      if a._1 < b._1 && a._2 == b._2 && hb(a._1) % 16 == hb(b._1) % 16
+    } yield d2(a._3, b._3)
+    val expUnif = math.rint(math.log(
+      (unifPairs.map(d => r6(math.exp(-2.0 * d))).sum / unifPairs.length)
+        .toDouble) * 1e6) / 1e6
+    val expAlign = math.rint(
+      (alignPairs.map(r6).sum / alignPairs.length).toDouble * 1e6) / 1e6
+    val r = Similarity.embedUniformity(spark, sf001).collect()(0)
+    assert(r.getLong(0) == alignPairs.length.toLong)
+    assert(r.getLong(2) == unifPairs.length.toLong)
+    assert(math.abs(r.getDouble(1) - expAlign) < 2e-6,
+      s"alignment ${r.getDouble(1)} vs $expAlign")
+    assert(math.abs(r.getDouble(3) - expUnif) < 2e-6,
+      s"uniformity ${r.getDouble(3)} vs $expUnif")
+  }
+
+  test("quantization error audit is non-negative and bounded by the grid") {
+    val st = graft.tables.Tables.embeddings(spark, sf001)
+      .selectExpr("posexplode(embedding) as (d, v)")
+      .groupBy("d").agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // the affine uint8 grid bounds every per-cell error by one step
+    val maxStep = st.map { case (mn, mx) => (mx - mn) / 255.0 }.max
+    val rows = Similarity.quantizationError(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= maxStep + 1e-9,
+        s"label ${r.getLong(0)}: max err ${r.getDouble(3)} > step $maxStep")
+      // micro-scaled MSE consistent with the max bound
+      assert(r.getDouble(2) <= maxStep * maxStep * 1e6 + 1e-6)
+    }
+  }
+
   test("markov channel literals match the fixture event-type domain") {
     // markovAttribution pins Seq("none","click","error","signup","view")
     // and treats "purchase" as the absorbing conversion; if the fixture
