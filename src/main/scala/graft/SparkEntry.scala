@@ -253,6 +253,9 @@ object SparkEntry {
     "text_lm_crossentropy" -> ((s, d) => graft.ext.LangModel.lmCrossEntropy(s, d)),
     "text_lm_perplexity3" -> ((s, d) => graft.ext.LangModel.perplexity3(s, d)),
     "text_lm_kneser_ney" -> ((s, d) => graft.ext.LangModel.kneserNey(s, d)),
+    // HELD-OUT stupid-backoff trigram scoring over the X92 train/test
+    // split — every backoff tier genuinely fires, tier mix in-output
+    "text_lm_stupid_backoff" -> ((s, d) => graft.ext.LangModel.stupidBackoff(s, d)),
     "text_zipf_fit" -> ((s, d) => graft.ext.LangModel.zipfFit(s, d)),
     // Heaps'-law vocabulary-growth fit over cumulative doc_id-decile
     // prefixes (the vocab-at-100TB planning curve)
@@ -464,6 +467,10 @@ object SparkEntry {
     // canonical-representative keep per blocking key (WindowGroupLimit)
     "dedup_priority_keep" -> ((s, d) => graft.ext.TextDedup.priorityKeep(s, d)),
     "curation_soft_dedup_weights" -> ((s, d) => graft.ext.TextDedup.softDedupWeights(s, d)),
+    // per-cluster verified-pair support audit (over-merge diagnostic)
+    "dedup_cluster_quality" -> ((s, d) => graft.ext.TextDedup.clusterQuality(s, d)),
+    // event-type market-basket lift over user-day baskets
+    "events_type_lift" -> ((s, d) => graft.ext.Events.typeLift(s, d)),
     // local clustering coefficient (triangles / neighbor pairs)
     "graph_clustering_coeff" -> ((s, d) => graft.ext.Graphs.clusteringCoeff(s, d)),
     // time-weighted average per user (DECIMAL-exact weighted sums)
@@ -698,6 +705,8 @@ object SparkEntry {
     "merge_upsert" -> ((s, d) => graft.ext.Warehouse.mergeUpsertQuery(s, d)),
     "warehouse_merge_full" -> ((s, d) => graft.ext.Warehouse.mergeFullSync(s, d)),
     "warehouse_ttl_audit" -> ((s, d) => graft.ext.Warehouse.ttlAudit(s, d)),
+    // Data Vault hub/link/satellite load audit (md5 keys + hashdiff)
+    "warehouse_data_vault" -> ((s, d) => graft.ext.Warehouse.dataVaultAudit(s, d)),
     // CDC changelog -> snapshot compaction (last op per key wins,
     // deletes drop the key; one window shuffle)
     "cdc_apply" -> ((s, d) => graft.ext.Warehouse.cdcApplyQuery(s, d)),

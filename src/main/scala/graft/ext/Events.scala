@@ -1589,4 +1589,46 @@ object Events {
         col("prev3_max"), col("next3_max"))
       .orderBy("event_type", "day_num")
   }
+
+  /** X230: event-type lift matrix — market-basket association over
+    * behavioral "baskets" (the distinct event types a user emits within
+    * one day): support, pair count and lift = P(ab)/(P(a)·P(b)) per
+    * unordered type pair, the cross-feature signal a personalization /
+    * anomaly model starts from (X74 does this for co-ordered parts;
+    * the basket here is the user-day, so the numbers read as "do these
+    * behaviors co-occur in a session-scale window").
+    *
+    * Scale shape: the corpus collapses to distinct (user, day, type)
+    * first (map-combinable); the pair join is keyed on (user, day) and
+    * bounded by the TYPE DOMAIN squared per basket (≤ K² = 25 rows),
+    * never by event volume; singles/totals broadcast. Exact integers
+    * until the two final divisions.
+    */
+  def typeLift(spark: SparkSession, dir: String,
+               minSupport: Int = 20): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("mi"), col("event_type"))
+      .distinct()
+    val n = ud.select("user_id", "mi").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val single = ud.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val a = ud.select(col("user_id"), col("mi"), col("event_type").as("ta"))
+    val b = ud.select(col("user_id"), col("mi"), col("event_type").as("tb"))
+    a.join(b, Seq("user_id", "mi"))
+      .filter(col("ta") < col("tb"))
+      .groupBy("ta", "tb").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minSupport)
+      .join(broadcast(single.select(col("event_type").as("ta"),
+        col("c").as("c_a"))), Seq("ta"))
+      .join(broadcast(single.select(col("event_type").as("tb"),
+        col("c").as("c_b"))), Seq("tb"))
+      .crossJoin(broadcast(n))
+      .select(col("ta"), col("tb"), col("c_ab"), col("c_a"), col("c_b"),
+        round(col("c_ab").cast("double") / col("n_baskets"), 6)
+          .as("support"),
+        round(col("c_ab").cast("double") * col("n_baskets") /
+          (col("c_a") * col("c_b")), 6).as("lift"))
+      .orderBy("ta", "tb")
+  }
 }

@@ -593,4 +593,95 @@ object LangModel {
         col("heaps_beta"), col("ln_k"))
       .orderBy("decile")
   }
+
+  /** X231: HELD-OUT stupid-backoff trigram scoring (Brants et al. 2007,
+    * the web-scale LM that skips normalization for a fixed backoff
+    * penalty) — the deliberate complement to X153/X187's held-IN
+    * scorers: the model trains on the md5-bucket TRAIN split (the X92
+    * 80/10/10 assignment shared verbatim) and scores the TEST split, so
+    * unseen trigrams genuinely occur and every backoff tier fires
+    * (held-in, c₃ > 0 always and "backoff" would be dead code):
+    *
+    *   S(w|u,v) = c₃(uvw)/c₂(uv)                if c₃ > 0
+    *            = α · c₂(vw)/c₁(v)              elif c₂(vw) > 0
+    *            = α² · (c₁(w)+1)/(N+V)          otherwise (add-one floor)
+    *
+    * with α = 0.4, the paper's constant. Per-position ln S is
+    * 6dp-rounded into DECIMAL (exact per-doc sums, the X153 rule); the
+    * per-tier hit counts ship in the output so the backoff mix itself
+    * is oracled, not just the score.
+    *
+    * Scale shape: the model relations are train-vocabulary-sized
+    * n-gram tables (hash-joined on the n-gram key, AQE owns hot
+    * contexts); scoring collapses the test split to per-doc trigram
+    * TYPES before any model join — the X153 shape with left joins for
+    * the backoff tiers.
+    */
+  def stupidBackoff(spark: SparkSession, dir: String, alpha: Double = 0.4,
+                    salt: String = "graft_v1"): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')").as("ws"),
+        bucket.as("bk"))
+    val train = docs.filter(col("bk") < 52429L)
+    val test = docs.filter(col("bk") >= 58982L)
+    def trisOf(d: DataFrame) = d.select(col("doc_id"), explode(expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), " +
+          "i -> struct(ws[i] AS u, ws[i + 1] AS v, ws[i + 2] AS w)) " +
+          "ELSE CAST(array() AS ARRAY<STRUCT<u: STRING, v: STRING, w: STRING>>) END"))
+        .as("t"))
+      .select(col("doc_id"), col("t.u").as("u"), col("t.v").as("v"),
+        col("t.w").as("w"))
+    val c3 = trisOf(train).groupBy("u", "v", "w").agg(count(lit(1)).as("c3"))
+    val c2 = train.select(explode(expr(
+        "CASE WHEN size(ws) >= 2 THEN transform(sequence(0, size(ws) - 2), " +
+          "i -> struct(ws[i] AS a, ws[i + 1] AS b)) " +
+          "ELSE CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>) END"))
+        .as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c2"))
+    val c1 = train.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tot = c1.agg(sum("c1").as("n"), count(lit(1)).as("v_sz"))
+    val docTri = trisOf(test).groupBy("doc_id", "u", "v", "w")
+      .agg(count(lit(1)).as("cnt"))
+    val scored = docTri
+      .join(c3, Seq("u", "v", "w"), "left")
+      .join(c2.select(col("a").as("u"), col("b").as("v"),
+        col("c2").as("c2uv")), Seq("u", "v"), "left")
+      .join(c2.select(col("a").as("v"), col("b").as("w"),
+        col("c2").as("c2vw")), Seq("v", "w"), "left")
+      .join(c1.select(col("tok").as("v"), col("c1").as("c1v")),
+        Seq("v"), "left")
+      .join(c1.select(col("tok").as("w"), col("c1").as("c1w")),
+        Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("tier",
+        when(col("c3").isNotNull, lit("tri"))
+          .when(col("c2vw").isNotNull, lit("bi"))
+          .otherwise(lit("uni")))
+      .withColumn("s",
+        when(col("tier") === "tri",
+          col("c3").cast("double") / col("c2uv"))
+          .when(col("tier") === "bi",
+            lit(alpha) * col("c2vw").cast("double") / col("c1v"))
+          .otherwise(lit(alpha) * lit(alpha) *
+            (coalesce(col("c1w"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v_sz"))))
+      .withColumn("lns", round(log(col("s")), 6).cast(D6))
+    scored.groupBy("doc_id")
+      .agg(sum("cnt").as("n_positions"),
+        sum(when(col("tier") === "tri", col("cnt")).otherwise(0L)).as("n_tri"),
+        sum(when(col("tier") === "bi", col("cnt")).otherwise(0L)).as("n_bi"),
+        sum(when(col("tier") === "uni", col("cnt")).otherwise(0L)).as("n_uni"),
+        sum(col("lns") * col("cnt")).as("ln_dec"))
+      .select(col("doc_id"), col("n_positions"), col("n_tri"), col("n_bi"),
+        col("n_uni"),
+        round(col("ln_dec").cast("double") / col("n_positions"), 6)
+          .as("avg_logscore"))
+      .orderBy("doc_id")
+  }
 }

@@ -622,4 +622,51 @@ object Warehouse {
         col("action"))
       .orderBy("key")
   }
+
+  /** X228: Data Vault load audit — the hub/link/satellite derivation
+    * (Linstedt's raw vault) for the customer↔order subject area, as the
+    * per-artifact audit row a vault load job publishes: hubs carry
+    * md5 business-key hashes, the link carries the md5 of its parents'
+    * hub keys, and the customer satellite carries an md5 HASHDIFF over
+    * its descriptive attributes (the change-detection key an
+    * incremental satellite load compares). Row counts, distinct hash
+    * counts (hash-collision audit: must equal the key counts) and a
+    * min/max hash fingerprint make the load itself hash-comparable.
+    *
+    * Scale shape: every artifact is one distinct/aggregate over a
+    * narrow projection — hash computation is per-row narrow work, the
+    * vault pattern's whole point (loads parallelize per artifact with
+    * no cross-artifact dependency); output is 4 audit rows.
+    */
+  def dataVaultAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, keyed: DataFrame): DataFrame =
+      keyed.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("hk")).as("n_distinct_hashes"),
+        min("hk").as("min_hash"), max("hk").as("max_hash"))
+        .select(lit(name).as("artifact"), col("n_rows"),
+          col("n_distinct_hashes"), col("min_hash"), col("max_hash"))
+    val hubCust = Tables.customer(spark, dir)
+      .select(col("c_custkey")).distinct()
+      .select(md5(concat(lit("cust|"), col("c_custkey").cast("string")))
+        .as("hk"))
+    val hubOrder = Tables.orders(spark, dir)
+      .select(col("o_orderkey")).distinct()
+      .select(md5(concat(lit("order|"), col("o_orderkey").cast("string")))
+        .as("hk"))
+    val link = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey")).distinct()
+      .select(md5(concat(
+        md5(concat(lit("order|"), col("o_orderkey").cast("string"))),
+        lit("|"),
+        md5(concat(lit("cust|"), col("o_custkey").cast("string")))))
+        .as("hk"))
+    val satCust = Tables.customer(spark, dir)
+      .select(md5(concat_ws("|", col("c_mktsegment"),
+        col("c_nationkey").cast("string"))).as("hk"))
+    audit("hub_customer", hubCust)
+      .unionByName(audit("hub_order", hubOrder))
+      .unionByName(audit("link_order_customer", link))
+      .unionByName(audit("sat_customer_hashdiff", satCust))
+      .orderBy("artifact")
+  }
 }

@@ -1185,6 +1185,37 @@ ${SHINGLES.trim},
     // MATERIALIZED (DuckDB CTE hint; the Spark SQL replay strips it —
     // Spark reuses multi-referenced CTEs on its own).
     "dedup_clusters" -> CLUSTERS_SQL,
+    // X229 cluster quality: the cluster relation and the verified
+    // prefix-filter Jaccard machinery embedded verbatim; per cluster,
+    // verified intra pairs, exact-decimal mean jaccard, completeness.
+    "dedup_cluster_quality" -> ("""
+      WITH cl AS (""" + CLUSTERS_SQL + s"""),
+      ${JACCARD_CTES.trim},
+      truth AS (
+        SELECT doc_a, doc_b,
+               ROUND(CAST(n_both AS DOUBLE) / (na + nb - n_both), 6) AS jac
+        FROM verified
+        WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.6),
+      intra AS (
+        SELECT ca.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_verified_pairs,
+               SUM(CAST(jac AS DECIMAL(18,6))) AS sj
+        FROM truth t JOIN cl ca ON ca.doc_id = t.doc_a
+                     JOIN cl cb ON cb.doc_id = t.doc_b
+        WHERE ca.cluster_id = cb.cluster_id
+        GROUP BY ca.cluster_id),
+      sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+             FROM cl GROUP BY cluster_id)
+      SELECT sz.cluster_id, sz.size,
+             COALESCE(i.n_verified_pairs, 0) AS n_verified_pairs,
+             CASE WHEN i.n_verified_pairs > 0
+                  THEN ROUND(CAST(i.sj AS DOUBLE) / i.n_verified_pairs, 6)
+             END AS mean_jaccard,
+             CASE WHEN sz.size > 1
+                  THEN ROUND(CAST(COALESCE(i.n_verified_pairs, 0) AS DOUBLE)
+                    * 2.0 / (sz.size * (sz.size - 1)), 6)
+             END AS completeness
+      FROM sz LEFT JOIN intra i ON i.cluster_id = sz.cluster_id
+      ORDER BY sz.cluster_id"""),
     // X202 soft-dedup weights: the cluster relation embedded verbatim,
     // singletons folded in as their own cluster, weight = 1/size.
     "curation_soft_dedup_weights" -> ("""
@@ -4914,6 +4945,72 @@ ${SHINGLES.trim},
     // X187 Kneser-Ney bigram: fixed D=0.75 discount, continuation
     // (preceder-type) backoff; p one fixed IEEE expression, per-bigram
     // log2 6dp-DECIMAL so the per-doc sum is exact (X153 discipline).
+    // X231 held-out stupid backoff: train counts from the md5-bucket
+    // train split, test-split trigram types scored through the three
+    // backoff tiers; per-position ln S 6dp-DECIMAL before the doc sum.
+    "text_lm_stupid_backoff" -> """
+      WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ws,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|graft_v1'), 1, 4))::BIGINT AS bk
+        FROM documents),
+      tr AS (SELECT doc_id, ws FROM d WHERE bk < 52429),
+      te AS (SELECT doc_id, ws FROM d WHERE bk >= 58982),
+      tri_tr AS (
+        SELECT ws[i] AS u, ws[i2] AS v, ws[i3] AS w
+        FROM (SELECT ws, i, i + 1 AS i2, i + 2 AS i3
+              FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                    FROM tr WHERE len(ws) >= 3) t0) t),
+      bi_tr AS (
+        SELECT ws[i] AS a, ws[i2] AS b
+        FROM (SELECT ws, i, i + 1 AS i2
+              FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM tr WHERE len(ws) >= 2) t0) t),
+      c3 AS (SELECT u, v, w, CAST(COUNT(*) AS BIGINT) AS c3
+             FROM tri_tr GROUP BY u, v, w),
+      c2 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c2
+             FROM bi_tr GROUP BY a, b),
+      c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+             FROM (SELECT unnest(ws) AS tok FROM tr) t GROUP BY tok),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n,
+                     CAST(COUNT(*) AS BIGINT) AS v_sz FROM c1),
+      tri_te AS (
+        SELECT doc_id, ws[i] AS u, ws[i2] AS v, ws[i3] AS w
+        FROM (SELECT doc_id, ws, i, i + 1 AS i2, i + 2 AS i3
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 2)) AS i
+                    FROM te WHERE len(ws) >= 3) t0) t),
+      dt AS (SELECT doc_id, u, v, w, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tri_te GROUP BY doc_id, u, v, w),
+      sc AS (
+        SELECT dt.doc_id, dt.cnt,
+               CASE WHEN c3.c3 IS NOT NULL THEN 'tri'
+                    WHEN cvw.c2 IS NOT NULL THEN 'bi'
+                    ELSE 'uni' END AS tier,
+               CAST(ROUND(ln(
+                 CASE WHEN c3.c3 IS NOT NULL
+                      THEN CAST(c3.c3 AS DOUBLE) / cuv.c2
+                      WHEN cvw.c2 IS NOT NULL
+                      THEN 0.4 * CAST(cvw.c2 AS DOUBLE) / c1v.c1
+                      ELSE 0.4 * 0.4 * CAST(COALESCE(c1w.c1, 0) + 1 AS DOUBLE) / (tot.n + tot.v_sz)
+                 END), 6) AS DECIMAL(18,6)) AS lns
+        FROM dt
+        LEFT JOIN c3 ON c3.u = dt.u AND c3.v = dt.v AND c3.w = dt.w
+        LEFT JOIN c2 cuv ON cuv.a = dt.u AND cuv.b = dt.v
+        LEFT JOIN c2 cvw ON cvw.a = dt.v AND cvw.b = dt.w
+        LEFT JOIN c1 c1v ON c1v.tok = dt.v
+        LEFT JOIN c1 c1w ON c1w.tok = dt.w, tot)
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_positions,
+             CAST(SUM(CASE WHEN tier = 'tri' THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_tri,
+             CAST(SUM(CASE WHEN tier = 'bi' THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_bi,
+             CAST(SUM(CASE WHEN tier = 'uni' THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_uni,
+             ROUND(CAST(SUM(cnt * lns) AS DOUBLE) / SUM(cnt), 6)
+               AS avg_logscore
+      FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "text_lm_kneser_ney" -> """
       WITH d AS (
         SELECT doc_id,
@@ -5405,6 +5502,31 @@ ${SHINGLES.trim},
             WHERE $a IS NOT NULL GROUP BY $a) q"""
     }.mkString("\n      UNION ALL\n      ") +
       "\n      ORDER BY fd"),
+    // X230 event-type lift: market-basket association over user-day
+    // baskets; exact integers until the two final divisions.
+    "events_type_lift" -> """
+      WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS mi,
+               event_type
+        FROM events),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_baskets
+            FROM (SELECT DISTINCT user_id, mi FROM ud) t),
+      s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ud GROUP BY event_type),
+      p AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                   CAST(COUNT(*) AS BIGINT) AS c_ab
+            FROM ud a JOIN ud b ON a.user_id = b.user_id AND a.mi = b.mi
+                               AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+            HAVING COUNT(*) >= 20)
+      SELECT p.ta, p.tb, p.c_ab, sa.c AS c_a, sb.c AS c_b,
+             ROUND(CAST(p.c_ab AS DOUBLE) / n.n_baskets, 6) AS support,
+             ROUND(CAST(p.c_ab AS DOUBLE) * n.n_baskets / (sa.c * sb.c), 6)
+               AS lift
+      FROM p JOIN s sa ON sa.event_type = p.ta
+             JOIN s sb ON sb.event_type = p.tb, n
+      ORDER BY p.ta, p.tb""",
     // X177 freshness: per-type last-seen lag vs the one-row corpus
     // watermark; integer µs/hour arithmetic throughout.
     "dq_freshness" -> """
@@ -7116,6 +7238,29 @@ ${SHINGLES.trim},
       FROM a ORDER BY key""",
     // X210 TTL audit: retention decisions against the corpus watermark
     // (deterministic, never wall clock); exact integer microseconds.
+    // X228 Data Vault audit: md5 hub keys, link-of-hub-keys, satellite
+    // hashdiff; counts + distinct-hash collision audit + min/max hash
+    // fingerprints per artifact.
+    "warehouse_data_vault" -> ("""
+      WITH hc AS (SELECT md5('cust|' || CAST(c_custkey AS VARCHAR)) AS hk
+                  FROM (SELECT DISTINCT c_custkey FROM customer) t),
+      ho AS (SELECT md5('order|' || CAST(o_orderkey AS VARCHAR)) AS hk
+             FROM (SELECT DISTINCT o_orderkey FROM orders) t),
+      lk AS (SELECT md5(md5('order|' || CAST(o_orderkey AS VARCHAR)) || '|' ||
+                        md5('cust|' || CAST(o_custkey AS VARCHAR))) AS hk
+             FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders) t),
+      scd AS (SELECT md5(concat_ws('|', c_mktsegment,
+                       CAST(c_nationkey AS VARCHAR))) AS hk
+              FROM customer)
+      SELECT * FROM (""" +
+      Seq(("hub_customer", "hc"), ("hub_order", "ho"),
+        ("link_order_customer", "lk"), ("sat_customer_hashdiff", "scd"))
+        .map { case (name, cte) =>
+          s"""SELECT '$name' AS artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT hk) AS BIGINT) AS n_distinct_hashes,
+             MIN(hk) AS min_hash, MAX(hk) AS max_hash FROM $cte"""
+        }.mkString("\n      UNION ALL\n      ") + """
+      ) t ORDER BY artifact"""),
     "warehouse_ttl_audit" -> """
       WITH ev AS (SELECT event_type,
                     epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

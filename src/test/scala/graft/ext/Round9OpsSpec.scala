@@ -294,6 +294,78 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("stupid backoff exercises every tier and stays a log-probability") {
+    val rows = LangModel.stupidBackoff(spark, sf001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, t, b, u, avg) =>
+      assert(n == t + b + u)
+      // tri s <= 1, bi s <= 0.4, uni s < 1 -> every ln is negative
+      assert(avg < 0.0, s"avg $avg")
+    }
+    // held-OUT scoring: the backoff tiers must actually fire
+    assert(rows.map(_._2).sum > 0, "no trigram hits at all")
+    assert(rows.map(_._3).sum > 0, "bi tier never fired")
+    assert(rows.map(_._4).sum > 0, "uni tier never fired")
+  }
+
+  test("cluster quality audit is internally consistent") {
+    val rows = TextDedup.clusterQuality(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val size = r.getLong(1)
+      val np = r.getLong(2)
+      assert(size >= 2, s"cluster ${r.getLong(0)} size $size")
+      assert(np <= size * (size - 1) / 2)
+      if (np > 0) {
+        // verified pairs carry jaccard >= the 0.6 threshold
+        assert(r.getDouble(3) >= 0.6 - 1e-9)
+        assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+      }
+    }
+  }
+
+  test("event-type lift matches a driver brute force") {
+    val ud = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 as mi",
+        "event_type")
+      .distinct().collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+    val baskets = ud.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size
+    val singles = ud.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairCnt = baskets.values.toSeq
+      .flatMap(ts => ts.toSeq.sorted.combinations(2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val got = Events.typeLift(spark, sf001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val cab = pairCnt(Seq(ta, tb))
+      assert(r.getLong(2) == cab.toLong)
+      assert(r.getLong(3) == singles(ta).toLong)
+      assert(r.getLong(4) == singles(tb).toLong)
+      assert(r.getDouble(6) == math.rint(
+        cab.toDouble * n / (singles(ta).toLong * singles(tb)) * 1e6) / 1e6)
+    }
+  }
+
+  test("data vault hashes are collision-free on their business keys") {
+    val rows = graft.ext.Warehouse.dataVaultAudit(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 4)
+    // hub/link hashes must be 1:1 with their business keys
+    Seq("hub_customer", "hub_order", "link_order_customer").foreach { a =>
+      assert(rows(a)._1 == rows(a)._2, s"$a hash collision")
+    }
+    // satellite hashdiffs collapse identical attribute tuples
+    val (satRows, satDistinct) = rows("sat_customer_hashdiff")
+    assert(satDistinct <= satRows)
+    val nCust = graft.tables.Tables.customer(spark, sf001).count()
+    assert(rows("hub_customer")._1 == nCust)
+  }
+
   test("markov channel literals match the fixture event-type domain") {
     // markovAttribution pins Seq("none","click","error","signup","view")
     // and treats "purchase" as the absorbing conversion; if the fixture
