@@ -132,7 +132,11 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row L2/cos summary
     "embed_drift" -> 8,
     // broadcast 1-row uniformity row onto the 1-row alignment row
-    "embed_uniformity" -> 8)
+    "embed_uniformity" -> 8,
+    // broadcast 1-row basket count
+    "events_type_lift" -> 8,
+    // broadcast 1-row (N, V) train-split smoothing totals
+    "text_lm_stupid_backoff" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan
