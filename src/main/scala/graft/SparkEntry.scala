@@ -268,6 +268,12 @@ object SparkEntry {
     "curation_temperature_mix" -> ((s, d) => graft.ext.TextStats.temperatureMix(s, d)),
     // within-table functional-dependency audit over a declared panel
     "dq_fd_discovery" -> ((s, d) => graft.ext.DataQuality.fdDiscovery(s, d)),
+    // header-vs-lineitem exact-decimal money reconciliation per status
+    "dq_reconciliation" -> ((s, d) => graft.ext.DataQuality.moneyReconciliation(s, d)),
+    // per-source exact/near dup membership rates (the data-card table)
+    "curation_dup_rate_by_source" -> ((s, d) => graft.ext.TextDedup.dedupRateBySource(s, d)),
+    // top-k trigram-type coverage of all trigram positions
+    "text_ngram_coverage" -> ((s, d) => graft.ext.LangModel.ngramCoverage(s, d)),
     // BPE tokenizer training's pair-selection step: top adjacent char
     // pairs over word TYPES weighted by count (vocabulary-collapsed)
     "text_bpe_merges" -> ((s, d) => graft.ext.LangModel.bpeMerges(s, d)),
@@ -509,6 +515,7 @@ object SparkEntry {
     "multimodal_jpeg" -> (graft.ext.Multimodal.jpegQuery(_, _)),
     "multimodal_pcm_features" -> (graft.ext.Multimodal.pcmQuery(_, _)),
     "multimodal_pcm_vad" -> (graft.ext.Multimodal.pcmVad(_, _)),
+    "multimodal_pcm_clipping" -> (graft.ext.Multimodal.pcmClippingQuery(_, _)),
     "multimodal_pcm_resample" -> (graft.ext.Multimodal.pcmResampleQuery(_, _)),
     "multimodal_pcm_pitch" -> (graft.ext.Multimodal.pcmPitch(_, _)),
     "multimodal_channel_stats" -> (graft.ext.Multimodal.channelStatsQuery(_, _)),

@@ -685,6 +685,53 @@ object DataQuality {
     * columns; a production profiler sweeps exactly this kind of
     * declared panel per snapshot.)
     */
+  /** X233: cross-table money reconciliation — per order, recompute the
+    * total as Σ extendedprice·(1−discount)·(1+tax) over its line items
+    * (the exact-decimal TPC-H charge discipline: every factor cast to
+    * DECIMAL(18,2), the pair product pinned to (18,4) before the third
+    * factor) and compare against the header's `o_totalprice`; per
+    * order status: order count, exactly-reconciled count, the worst
+    * absolute delta and the signed net delta. This is the ledger
+    * consistency audit every warehouse runs between a fact table and
+    * its rollup header — on this synthetic fixture the headers do NOT
+    * reconcile (independent generators), which is exactly what the
+    * audit is for: the deltas are the oracled signal.
+    *
+    * Scale shape: one order-keyed aggregate over lineitem, one
+    * broadcast-free equi-join to the header, one status-keyed rollup —
+    * all exact DECIMAL until the output casts.
+    */
+  def moneyReconciliation(spark: SparkSession, dir: String): DataFrame = {
+    val D2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val D4 = org.apache.spark.sql.types.DecimalType(18, 4)
+    def d2c(c: String) = col(c).cast(D2)
+    val charge = (d2c("l_extendedprice") * (lit(1) - d2c("l_discount")))
+      .cast(D4) * (lit(1) + d2c("l_tax"))
+    val recomputed = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(charge).as("recomputed"), count(lit(1)).as("n_lines"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(D2).as("header"))
+      .join(recomputed, Seq("o_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        (coalesce(col("recomputed"),
+          lit(0).cast(D4)) - col("header")).as("delta"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("n_lines") === 0, 1L).otherwise(0L))
+          .as("n_headerless"),
+        sum(when(col("delta") === 0, 1L).otherwise(0L)).as("n_reconciled"),
+        max(abs(col("delta"))).as("max_abs_delta_d"),
+        sum(col("delta")).as("net_delta_d"))
+      .select(col("o_orderstatus"), col("n_orders"), col("n_headerless"),
+        col("n_reconciled"),
+        col("max_abs_delta_d").cast("double").as("max_abs_delta"),
+        col("net_delta_d").cast("double").as("net_delta"))
+      .orderBy("o_orderstatus")
+  }
+
   def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
     def fd(tbl: String, df: DataFrame, a: String, b: String): DataFrame =
       df.select(col(a).as("k"), col(b).as("v"))

@@ -617,6 +617,44 @@ object LangModel {
     * TYPES before any model join — the X153 shape with left joins for
     * the backoff tiers.
     */
+  /** X235: n-gram coverage curve — what share of all trigram POSITIONS
+    * the top-k trigram TYPES cover, at k ∈ {10, 100, 1000}: the
+    * cache-planning / boilerplate-density number (a corpus where 1000
+    * types cover half the positions is template-heavy; an LM serving
+    * cache sized to the top-k types serves exactly this share of
+    * lookups). Deterministic (count DESC, trigram) total order — the
+    * X91 rule; counts stay integral so the cumulative is exact, one
+    * rounded division per output row.
+    *
+    * Scale shape: one trigram-type count (map-combinable), a
+    * TakeOrdered top-1000 cut, then rank/cumsum windows bounded by the
+    * 1000-row cut (the zipf allowlist class) and a 1-row total
+    * broadcast.
+    */
+  def ngramCoverage(spark: SparkSession, dir: String,
+                    ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')")
+        .as("ws"))
+    val tris = docs.select(explode(expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("g"))
+    val c3 = tris.groupBy("g").agg(count(lit(1)).as("c"))
+    val tot = c3.agg(sum("c").as("t"))
+    val top = c3.orderBy(col("c").desc, col("g")).limit(ks.max)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("c").desc, col("g"))).cast("long"))
+      .withColumn("covered", sum("c").over(Window.orderBy("rk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    top.filter(col("rk").isin(ks.map(_.toLong): _*))
+      .crossJoin(broadcast(tot))
+      .select(col("rk").as("top_k"), col("covered"), col("t").as("total_positions"),
+        round(col("covered").cast("double") / col("t"), 6).as("coverage"))
+      .orderBy("top_k")
+  }
+
   def stupidBackoff(spark: SparkSession, dir: String, alpha: Double = 0.4,
                     salt: String = "graft_v1"): DataFrame = {
     val D6 = org.apache.spark.sql.types.DecimalType(18, 6)

@@ -278,6 +278,78 @@ object Multimodal {
   def pcmQuery(spark: SparkSession, dir: String): DataFrame =
     pcmFeatures(spark, dir).toDF().orderBy("doc_id", "frame_idx")
 
+  /** One clip-level clipping/dynamics audit row. */
+  final case class PcmClip(doc_id: Long, n_samples: Long, peak: Long,
+                           n_clipped: Long, total_abs: Long)
+
+  /** X232: PCM clipping / dynamics audit — the first QC gate an audio
+    * ingest runs: per clip, the peak |sample|, the count of samples in
+    * the clipping band (|s| ≥ `clipAt`, i.e. within 8 LSBs of the
+    * synthetic ±2048 full scale), and the total absolute amplitude
+    * (crest factor = peak·n/total_abs is derived relationally so the
+    * only float is one final rounded division). A clip with a high
+    * clipped fraction is distorted at the source and poisons
+    * downstream feature extraction — this is the drop/keep signal.
+    *
+    * Same decode discipline as X156: the int16-LE byte payload is
+    * actually encoded and re-parsed in `mapPartitions` (codecs are not
+    * Catalyst expressions), every audit number is an integer off the
+    * decoded samples, and the oracle recomputes them arithmetically —
+    * a sign-extension or byte-order bug shifts peak/clip counts and
+    * fails the hash gate.
+    *
+    * Scale shape: no-shuffle per-row decode, one derived projection —
+    * the X156 shape with a clip-level (not frame-level) reduce done
+    * inside the parser loop.
+    */
+  def pcmClipping(spark: SparkSession, dir: String,
+                  clipAt: Int = 2040): Dataset[PcmClip] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
+          val n = 160 * nFrames
+          val bytes = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = (java.lang.Math.floorMod(d * 7 + i.toLong * 13, 4096) - 2048).toInt
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          var peak = 0L
+          var clipped = 0L
+          var total = 0L
+          i = 0
+          while (i < n) {
+            val v = (((bytes(2 * i + 1) & 0xff) << 8) |
+              (bytes(2 * i) & 0xff)).toShort.toInt
+            val a = java.lang.Math.abs(v).toLong
+            if (a > peak) peak = a
+            if (a >= clipAt) clipped += 1
+            total += a
+            i += 1
+          }
+          PcmClip(d, n.toLong, peak, clipped, total)
+        }
+      }
+  }
+
+  /** Oracle-checked query form of the clipping audit: integer audit
+    * columns plus the derived clipped share and crest factor (the two
+    * rounded divisions are the only floats).
+    */
+  def pcmClippingQuery(spark: SparkSession, dir: String): DataFrame =
+    pcmClipping(spark, dir).toDF()
+      .select(col("doc_id"), col("n_samples"), col("peak"),
+        col("n_clipped"), col("total_abs"),
+        round(col("n_clipped").cast("double") / col("n_samples"), 6)
+          .as("clipped_share"),
+        round(col("peak").cast("double") * col("n_samples") /
+          col("total_abs"), 6).as("crest_factor"))
+      .orderBy("doc_id")
+
   /** X172: energy-threshold voice-activity detection over the X156 PCM
     * frames — the canonical first stage of any speech pipeline (silence
     * trimming, segment extraction): a frame is VOICED when its energy

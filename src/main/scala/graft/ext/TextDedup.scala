@@ -1563,6 +1563,41 @@ object TextDedup {
       .orderBy("cluster_id")
   }
 
+  /** X234: dedup rate by source — the data-card table a corpus release
+    * publishes: per source, how many documents are exact-duplicate
+    * members (md5 group size > 1) and how many sit in a near-dup
+    * cluster (the memoized X50 labels, shared verbatim), with the two
+    * rates. A source with a high dup share is a mirror/scrape and gets
+    * down-weighted or dropped wholesale — this table is that decision,
+    * sliced the way the decision is actually made (by source).
+    *
+    * Scale shape: one md5-keyed count for exact groups, one doc-keyed
+    * semi-join against the cluster labels, one source-keyed rollup —
+    * all map-combinable; no new corpus pass beyond the md5 the exact
+    * tier already computes.
+    */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val grp = h.groupBy("h").agg(count(lit(1)).as("nc"))
+    val nearMembers = nearDupClusters(spark, dir)
+      .select(col("doc_id"), lit(true).as("is_near"))
+    h.join(grp, Seq("h"))
+      .join(nearMembers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nc") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(coalesce(col("is_near"), lit(false)), 1L).otherwise(0L))
+          .as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_exact_dup"),
+        col("n_near_dup"),
+        round(col("n_exact_dup").cast("double") / col("n_docs"), 6)
+          .as("exact_rate"),
+        round(col("n_near_dup").cast("double") / col("n_docs"), 6)
+          .as("near_rate"))
+      .orderBy("source")
+  }
+
   def contaminationReport(spark: SparkSession, dir: String,
                           evalMod: Int = 7): DataFrame = {
     val spans = decontaminateSpans(spark, dir)

@@ -1185,6 +1185,27 @@ ${SHINGLES.trim},
     // MATERIALIZED (DuckDB CTE hint; the Spark SQL replay strips it —
     // Spark reuses multi-referenced CTEs on its own).
     "dedup_clusters" -> CLUSTERS_SQL,
+    // X234 dup rate by source: exact md5 group membership + near-dup
+    // cluster membership (the cluster relation embedded verbatim),
+    // rolled up per source.
+    "curation_dup_rate_by_source" -> ("""
+      WITH cl AS (""" + CLUSTERS_SQL + """),
+      h AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+      grp AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nc FROM h GROUP BY h),
+      m AS (SELECT h.doc_id, h.source, grp.nc,
+              cl.doc_id IS NOT NULL AS is_near
+            FROM h JOIN grp ON grp.h = h.h
+                   LEFT JOIN cl ON cl.doc_id = h.doc_id)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup,
+             CAST(SUM(CASE WHEN is_near THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_dup,
+             ROUND(CAST(SUM(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+               COUNT(*), 6) AS exact_rate,
+             ROUND(CAST(SUM(CASE WHEN is_near THEN 1 ELSE 0 END) AS DOUBLE) /
+               COUNT(*), 6) AS near_rate
+      FROM m GROUP BY source ORDER BY source"""),
     // X229 cluster quality: the cluster relation and the verified
     // prefix-filter Jaccard machinery embedded verbatim; per cluster,
     // verified intra pairs, exact-decimal mean jaccard, completeness.
@@ -2676,6 +2697,25 @@ ${SHINGLES.trim},
                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
       FROM x GROUP BY doc_id, frame_idx
       ORDER BY doc_id, frame_idx""",
+    // X232 clipping/dynamics audit: clip-level integer peak/clip/total
+    // over the stated sample formula; two final rounded divisions.
+    "multimodal_pcm_clipping" -> """
+      WITH d AS (SELECT doc_id, 160 * (2 + doc_id % 4) AS n FROM documents),
+      s AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d),
+      v AS (SELECT doc_id, n,
+              ABS(((doc_id * 7 + i * 13) % 4096) - 2048) AS a FROM s),
+      agg AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_samples,
+                CAST(MAX(a) AS BIGINT) AS peak,
+                CAST(SUM(CASE WHEN a >= 2040 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_clipped,
+                CAST(SUM(a) AS BIGINT) AS total_abs
+              FROM v GROUP BY doc_id)
+      SELECT doc_id, n_samples, peak, n_clipped, total_abs,
+             ROUND(CAST(n_clipped AS DOUBLE) / n_samples, 6)
+               AS clipped_share,
+             ROUND(CAST(peak AS DOUBLE) * n_samples / total_abs, 6)
+               AS crest_factor
+      FROM agg ORDER BY doc_id""",
     // X189 halfband 2:1 decimation: y = floor((x[2j-1]+2x[2j]+x[2j+1])/4)
     // spelled (s+8192)//4-2048 so truncating integer division IS floor
     // on the shifted non-negative domain; left edge sample-replicated.
@@ -4945,6 +4985,29 @@ ${SHINGLES.trim},
     // X187 Kneser-Ney bigram: fixed D=0.75 discount, continuation
     // (preceder-type) backoff; p one fixed IEEE expression, per-bigram
     // log2 6dp-DECIMAL so the per-doc sum is exact (X153 discipline).
+    // X235 n-gram coverage curve: top-1000 trigram types, ordered rank +
+    // cumulative over the bounded cut, coverage at the three k rows.
+    "text_ngram_coverage" -> """
+      WITH d AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+      tri AS (
+        SELECT ws[i] || ' ' || ws[i2] || ' ' || ws[i3] AS g
+        FROM (SELECT ws, i, i + 1 AS i2, i + 2 AS i3
+              FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                    FROM d WHERE len(ws) >= 3) t0) t),
+      c3 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM tri GROUP BY g),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c3),
+      top AS (SELECT g, c FROM c3 ORDER BY c DESC, g LIMIT 1000),
+      rk AS (SELECT g, c,
+               CAST(ROW_NUMBER() OVER (ORDER BY c DESC, g) AS BIGINT) AS rk
+             FROM top),
+      cum AS (SELECT rk, SUM(c) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covered
+              FROM rk)
+      SELECT rk AS top_k, covered, tot.t AS total_positions,
+             ROUND(CAST(covered AS DOUBLE) / tot.t, 6) AS coverage
+      FROM cum, tot WHERE rk IN (10, 100, 1000) ORDER BY top_k""",
     // X231 held-out stupid backoff: train counts from the md5-bucket
     // train split, test-split trigram types scored through the three
     // backoff tiers; per-position ln S 6dp-DECIMAL before the doc sum.
@@ -5502,6 +5565,27 @@ ${SHINGLES.trim},
             WHERE $a IS NOT NULL GROUP BY $a) q"""
     }.mkString("\n      UNION ALL\n      ") +
       "\n      ORDER BY fd"),
+    // X233 money reconciliation: the exact-decimal q1 charge recomputed
+    // per order vs the header total; deltas stay DECIMAL to the output.
+    "dq_reconciliation" -> s"""
+      WITH lc AS (
+        SELECT l_orderkey AS o_orderkey,
+               SUM(CAST(CAST(l_extendedprice AS $D2) * (1 - CAST(l_discount AS $D2)) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS $D2))) AS recomputed,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY l_orderkey),
+      j AS (
+        SELECT o.o_orderstatus, COALESCE(lc.n_lines, 0) AS n_lines,
+               COALESCE(lc.recomputed, CAST(0 AS DECIMAL(18,4))) -
+                 CAST(o.o_totalprice AS $D2) AS delta
+        FROM orders o LEFT JOIN lc ON lc.o_orderkey = o.o_orderkey)
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN n_lines = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_headerless,
+             CAST(SUM(CASE WHEN delta = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_reconciled,
+             CAST(MAX(ABS(delta)) AS DOUBLE) AS max_abs_delta,
+             CAST(SUM(delta) AS DOUBLE) AS net_delta
+      FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // X230 event-type lift: market-basket association over user-day
     // baskets; exact integers until the two final divisions.
     "events_type_lift" -> """

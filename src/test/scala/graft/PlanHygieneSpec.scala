@@ -136,7 +136,9 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row basket count
     "events_type_lift" -> 8,
     // broadcast 1-row (N, V) train-split smoothing totals
-    "text_lm_stupid_backoff" -> 8)
+    "text_lm_stupid_backoff" -> 8,
+    // broadcast 1-row total-positions count
+    "text_ngram_coverage" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -211,6 +213,7 @@ class PlanHygieneSpec extends SparkSpec
     "events_slo_burn" -> "trailing 7-row frame over the observed-day histogram (calendar-bounded)",
     "curation_pack_efficiency" -> "rides curation_shard_pack's 5-row doc_id-bucket prefix window (shared relation)",
     "text_heaps_fit" -> "ordered prefix sums over the <=8-row doc_id-decile histogram",
+    "text_ngram_coverage" -> "rank + cumulative over the already-limited top-1000 trigram cut (the zipf class)",
     "curation_temperature_mix" -> "ordered normalizer cumsum over the 5-row per-language table")
 
   test("partitionless windows only on the value-histogram allowlist") {

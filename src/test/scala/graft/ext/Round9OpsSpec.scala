@@ -366,6 +366,68 @@ class Round9OpsSpec extends SparkSpec {
     assert(rows("hub_customer")._1 == nCust)
   }
 
+  test("pcm clipping audit matches the stated sample arithmetic") {
+    val rows = Multimodal.pcmClippingQuery(spark, sf001).collect()
+    assert(rows.length == 500)
+    rows.take(40).foreach { r =>
+      val d = r.getLong(0)
+      val n = 160 * (2 + java.lang.Math.floorMod(d, 4)).toInt
+      val samples = (0 until n).map(i =>
+        math.abs(java.lang.Math.floorMod(d * 7 + i.toLong * 13, 4096) - 2048))
+      assert(r.getLong(1) == n.toLong)
+      assert(r.getLong(2) == samples.max.toLong)
+      assert(r.getLong(3) == samples.count(_ >= 2040).toLong)
+      assert(r.getLong(4) == samples.map(_.toLong).sum)
+    }
+  }
+
+  test("money reconciliation covers every order exactly once") {
+    val rows = DataQuality.moneyReconciliation(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val totalOrders = graft.tables.Tables.orders(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum == totalOrders)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1)) // reconciled <= orders
+      assert(r.getDouble(4) >= 0.0)        // max |delta|
+    }
+  }
+
+  test("dup rate by source reconciles with the exact-dup relation") {
+    val expectedExact = TextDedup.exact(spark, sf001)
+      .filter(col("n_copies") > 1)
+      .agg(coalesce(sum("n_copies"), lit(0L))).collect()(0).getLong(0)
+    val rows = TextDedup.dedupRateBySource(spark, sf001).collect()
+    assert(rows.map(_.getLong(2)).sum == expectedExact)
+    val nearMembers = TextDedup.nearDupClusters(spark, sf001).count()
+    assert(rows.map(_.getLong(3)).sum == nearMembers)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+    }
+  }
+
+  test("ngram coverage is monotone and matches a brute-force count") {
+    val tris = graft.tables.Tables.documents(spark, sf001)
+      .select("text").collect()
+      .flatMap { r =>
+        val ws = r.getString(0).toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+        if (ws.length >= 3) ws.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq.empty
+      }
+    val counts = tris.groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (g, c) => (-c, g) }
+    val total = tris.length.toLong
+    val rows = LangModel.ngramCoverage(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, covered, t, cov) =>
+      assert(t == total)
+      assert(covered == counts.take(k.toInt).map(_._2.toLong).sum)
+      assert(cov == math.rint(covered.toDouble / total * 1e6) / 1e6)
+    }
+    assert(rows.sortBy(_._1).map(_._4).toSeq ==
+      rows.map(_._4).sorted.toSeq) // monotone in k
+  }
+
   test("markov channel literals match the fixture event-type domain") {
     // markovAttribution pins Seq("none","click","error","signup","view")
     // and treats "purchase" as the absorbing conversion; if the fixture
