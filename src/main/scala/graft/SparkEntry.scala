@@ -212,6 +212,8 @@ object SparkEntry {
     "dedup_semantic_clusters" -> ((s, d) => graft.ext.Similarity.semanticClusters(s, d)),
     // multi-probe LSH: query bucket + 8 one-flip neighbours (recall repair)
     "embed_ann_multiprobe" -> ((s, d) => graft.ext.Similarity.annMultiProbeTopK(s, d)),
+    // probe-budget sweep: recall@k + candidate volume at 1/5/9 probes
+    "embed_multiprobe_sweep" -> ((s, d) => graft.ext.Similarity.multiprobeSweep(s, d)),
     // per-label centroids (DECIMAL-exact) + inter-centroid cosine matrix
     "embed_centroid_sim" -> ((s, d) => graft.ext.Similarity.centroidSim(s, d)),
     "embed_kmeans" -> ((s, d) => graft.ext.Similarity.embedKmeans(s, d)),
@@ -401,6 +403,8 @@ object SparkEntry {
     "multimodal_phash" -> ((s, d) => graft.ext.Multimodal.phashPairs(s, d)),
     // rule-threshold RFM segmentation (stable, auditable, no quantile drift)
     "analytics_rfm" -> ((s, d) => graft.ext.Analytics.rfmSegments(s, d)),
+    // monthly new-vs-repeat order/revenue decomposition (first-order date)
+    "analytics_repeat_revenue" -> ((s, d) => graft.ext.Analytics.repeatRevenue(s, d)),
     "analytics_gini" -> ((s, d) => graft.ext.Analytics.giniRevenue(s, d)),
     "analytics_abc_xyz" -> ((s, d) => graft.ext.Analytics.abcXyz(s, d)),
     "analytics_skew_kurtosis" -> ((s, d) => graft.ext.Analytics.skewKurtosis(s, d)),
@@ -520,6 +524,8 @@ object SparkEntry {
     "multimodal_pcm_pitch" -> (graft.ext.Multimodal.pcmPitch(_, _)),
     "multimodal_channel_stats" -> (graft.ext.Multimodal.channelStatsQuery(_, _)),
     "multimodal_tile_stats" -> (graft.ext.Multimodal.tileStats(_, _)),
+    // luminance-histogram entropy off the real decode (flat-image QC)
+    "multimodal_image_entropy" -> (graft.ext.Multimodal.imageEntropy(_, _)),
     "multimodal_meta" -> (graft.ext.Multimodal.metaQuery(_, _)),
     "multimodal_frames" -> ((s, d) => graft.ext.Multimodal.frameSample(s, d)),
     "multimodal_resize" -> (graft.ext.Multimodal.resize(_, _)),
@@ -628,6 +634,9 @@ object SparkEntry {
     "stream_map_state" -> (graft.streaming.EventStream.streamMapState(_, _)),
     // streaming CDC snapshot: update-if-newer ValueState, == batch cdc_apply
     "stream_cdc_state" -> (graft.streaming.EventStream.streamCdcSnapshot(_, _)),
+    // streaming log2-bucket quantile sketch: 512-byte mergeable counter
+    // state per key, p50/p90/p99 picks == the X130 batch rule
+    "stream_quantile_state" -> (graft.streaming.EventStream.streamQuantileState(_, _)),
     // streaming near-dup admission: per-band first-toucher ValueState gate
     // over the X2 banding (the crawl-tailer ingest filter)
     "stream_neardup_gate" -> (graft.streaming.EventStream.streamNearDupGate(_, _)),

@@ -23,6 +23,42 @@ object Analytics {
   private val D4 = DecimalType(18, 4)
   private def d2(c: String) = col(c).cast(D2)
 
+  /** X237: new-vs-repeat revenue decomposition — the first slide of
+    * every commerce review: per order month, how many orders (and how
+    * much header revenue) came from first-ever customers vs returning
+    * ones. "New" = the order shares the customer's first-ever order
+    * DATE (ties on that day all count as new — the deterministic
+    * convention, stated identically in the oracle); revenue is the
+    * exact-DECIMAL header total.
+    *
+    * Scale shape: one customer-keyed min aggregate (broadcastable
+    * against the fact at dimension scale), one month-keyed rollup —
+    * exact integers/decimals until the one share division.
+    */
+  def repeatRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        d2("o_totalprice").as("price"))
+    val firstDt = o.groupBy("o_custkey").agg(min("o_orderdate").as("first_dt"))
+    o.join(firstDt, Seq("o_custkey"))
+      .withColumn("is_new", col("o_orderdate") === col("first_dt"))
+      .groupBy("month")
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_orders"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_repeat_orders"),
+        sum(when(col("is_new"), col("price")).otherwise(lit(0).cast(D2)))
+          .as("new_rev_d"),
+        sum(when(!col("is_new"), col("price")).otherwise(lit(0).cast(D2)))
+          .as("rep_rev_d"))
+      .select(col("month"), col("n_new_orders"), col("n_repeat_orders"),
+        col("new_rev_d").cast("double").as("new_revenue"),
+        col("rep_rev_d").cast("double").as("repeat_revenue"),
+        round(col("rep_rev_d").cast("double") /
+          (col("new_rev_d") + col("rep_rev_d")).cast("double"), 6)
+          .as("repeat_share"))
+      .orderBy("month")
+  }
+
   /** TPC-H Q1-style pricing summary (A1/A2 aggregate family). */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)

@@ -278,6 +278,61 @@ object Multimodal {
   def pcmQuery(spark: SparkSession, dir: String): DataFrame =
     pcmFeatures(spark, dir).toDF().orderBy("doc_id", "frame_idx")
 
+  /** One (image, luminance-bin) histogram row. */
+  final case class LumaBin(doc_id: Long, n_px: Long, bin: Long, cnt: Long)
+
+  /** X236: image luminance-histogram entropy — the flat/degenerate
+    * image detector every vision-data QC runs (a uniform test card,
+    * a solid color, a two-tone logo all score low; natural images
+    * score near the bin limit): the REAL decoded raster is binned into
+    * 16 luminance bins (v div 16) inside the codec pass, and entropy
+    * comes out relationally as ln(n) − Σ c·ln(c)/n with each c·ln(c)
+    * term 6dp-rounded into DECIMAL before the per-image sum (the X151
+    * entropy discipline — order-free, no unordered float sum).
+    *
+    * Scale shape: the no-shuffle `mapPartitions` codec path emits ≤16
+    * bounded rows per image; one doc-keyed aggregate closes it.
+    */
+  def lumaHistogram(spark: SparkSession, dir: String): Dataset[LumaBin] = {
+    import spark.implicits._
+    pngPayloads(spark, dir).mapPartitions { it =>
+      it.flatMap { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.content))
+        val bins = new Array[Long](16)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            bins((img.getRGB(x, y) & 0xff) / 16) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toLong * img.getHeight
+        (0 until 16).filter(bins(_) > 0)
+          .map(b => LumaBin(p.doc_id, n, b.toLong, bins(b)))
+      }
+    }
+  }
+
+  def imageEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    lumaHistogram(spark, dir).toDF()
+      .withColumn("t", round(col("cnt") * log(col("cnt").cast("double")), 6)
+        .cast(D6))
+      .groupBy("doc_id", "n_px")
+      .agg(count(lit(1)).as("n_bins_used"),
+        max("cnt").as("max_bin"),
+        sum("t").as("st"))
+      .select(col("doc_id"), col("n_px"), col("n_bins_used"),
+        round(log(col("n_px").cast("double")) -
+          col("st").cast("double") / col("n_px"), 6).as("entropy"),
+        round(col("max_bin").cast("double") / col("n_px"), 6)
+          .as("max_bin_share"))
+      .orderBy("doc_id")
+  }
+
   /** One clip-level clipping/dynamics audit row. */
   final case class PcmClip(doc_id: Long, n_samples: Long, peak: Long,
                            n_clipped: Long, total_abs: Long)

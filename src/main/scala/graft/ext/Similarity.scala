@@ -114,6 +114,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** X238: multi-probe budget sweep — recall@k and candidate volume as
+    * a function of the probe BUDGET (home bucket only; home + the
+    * first 4 one-flip probes; home + all 8): the cost/recall frontier
+    * an ANN deployment reads to set its probe count, where X103 ships
+    * one fixed budget and X113's recall curve varies k. Flip order is
+    * the deterministic bit index (probe i flips sign bit i), so every
+    * budget's probe set is a strict prefix — recall is monotone in the
+    * budget BY CONSTRUCTION, and the law spec asserts exactly that.
+    *
+    * Scale shape: per budget one broadcast probe-set semi-join on the
+    * bucket key + a TakeOrdered top-k + two 1-row counters; the three
+    * budgets are independent branches unioned at 3 rows.
+    */
+  def multiprobeSweep(spark: SparkSession, dir: String, queryId: Long = 0L,
+                      k: Int = 10, bits: Int = 8,
+                      budgets: Seq[Int] = Seq(1, 5, 9)): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val b = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+    val exactK = cosineTopK(spark, dir, queryId, k).select("vec_id")
+    val flips = (1 to bits).map(i =>
+      concat(substring(col("qb"), 1, i - 1),
+        when(substring(col("qb"), i, 1) === "1", "0").otherwise("1"),
+        substring(col("qb"), i + 1, bits - i)))
+    budgets.map { nProbes =>
+      val probes = b.filter(col("vec_id") === queryId)
+        .select(dbl(col("embedding")).as("qv"), col("bucket").as("qb"))
+        .select(col("qv"),
+          explode(array((col("qb") +: flips.take(nProbes - 1)): _*))
+            .as("probe"))
+      val cand = b.join(broadcast(probes), col("bucket") === col("probe"))
+        .filter(col("vec_id") =!= queryId)
+        .select(col("vec_id"),
+          round(cosine(dbl(col("embedding")), col("qv")), 6).as("cs"))
+      val topK = cand.orderBy(col("cs").desc, col("vec_id")).limit(k)
+        .select("vec_id")
+      topK.join(exactK, Seq("vec_id"))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .select(lit(nProbes.toLong).as("n_probes"), col("n_candidates"),
+          col("hits"),
+          round(col("hits").cast("double") / k, 6).as("recall_at_k"))
+    }.reduce(_.unionByName(_)).orderBy("n_probes")
+  }
+
   /** The IVF index, memoized per (application, dir, nCells): a
     * DETERMINISTIC hash-seeded coarse quantizer -> (cell-assigned
     * vectors, centroid table). Centroids are the `nCells` corpus vectors

@@ -1894,6 +1894,55 @@ ${SHINGLES.trim},
       FROM b JOIN probes ON b.bucket = probes.probe
       WHERE vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // X238 probe-budget sweep: per budget, the prefix probe set, the
+    // candidate pool, top-10 and its hits against the exact top-10.
+    "embed_multiprobe_sweep" -> ("""
+      WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+      exact AS (SELECT vec_id FROM (
+          SELECT b.vec_id, ROUND(list_dot_product(b.v, q.qv) /
+            (sqrt(list_dot_product(b.v, b.v)) *
+             sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+          FROM b, q WHERE b.vec_id <> 0
+          ORDER BY cs DESC, b.vec_id LIMIT 10) t),
+""" + Seq(1, 5, 9).map { p =>
+      val flipPart =
+        if (p > 1)
+          s"""
+        UNION ALL
+        SELECT qv, substr(qb, 1, i - 1) ||
+          (CASE WHEN substr(qb, i, 1) = '1' THEN '0' ELSE '1' END) ||
+          substr(qb, i + 1, 8 - i) AS probe
+        FROM q, (SELECT unnest(generate_series(1, ${p - 1})) AS i) g"""
+        else ""
+      s"""      pr$p AS (
+        SELECT qv, qb AS probe FROM q$flipPart),
+      cand$p AS (
+        SELECT b.vec_id, ROUND(list_dot_product(b.v, pr$p.qv) /
+          (sqrt(list_dot_product(b.v, b.v)) *
+           sqrt(list_dot_product(pr$p.qv, pr$p.qv))), 6) AS cs
+        FROM b JOIN pr$p ON b.bucket = pr$p.probe WHERE b.vec_id <> 0),
+      top$p AS (SELECT vec_id FROM cand$p ORDER BY cs DESC, vec_id LIMIT 10),
+      row$p AS (SELECT CAST($p AS BIGINT) AS n_probes,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$p) AS n_candidates,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM top$p t
+         JOIN exact e ON e.vec_id = t.vec_id) AS hits)"""
+    }.mkString(",\n") + """
+      SELECT n_probes, n_candidates, hits,
+             ROUND(CAST(hits AS DOUBLE) / 10, 6) AS recall_at_k
+      FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row5
+            UNION ALL SELECT * FROM row9) t
+      ORDER BY n_probes"""),
     // Mirrors Similarity.embedCosinePairs: sign-LSH bucket self-join +
     // exact left-fold cosine (list_dot_product == the fused Spark kernel,
     // bit-identical) at the fixture-tuned 0.35 threshold.
@@ -2770,6 +2819,33 @@ ${SHINGLES.trim},
              ROUND(sqrt(CAST(n_px * px_sum_sq - px_sum * px_sum AS DOUBLE)) /
                n_px, 6) AS px_std
       FROM agg ORDER BY doc_id""",
+    // X236 luminance entropy: 16-bin histogram off the recomputed
+    // raster, c*ln(c) terms 6dp-DECIMAL before the per-image sum.
+    "multimodal_image_entropy" -> """
+      WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h
+        FROM documents),
+      xs AS (
+        SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM d),
+      px AS (
+        SELECT doc_id, x, unnest(generate_series(0, h - 1)) AS y
+        FROM xs),
+      v AS (SELECT doc_id,
+              ((doc_id * 31 + x * 7 + y * 13) % 256) // 16 AS bin
+            FROM px),
+      g AS (SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM v GROUP BY doc_id, bin),
+      n AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_px
+            FROM g GROUP BY doc_id),
+      t AS (SELECT g.doc_id, n.n_px, g.cnt,
+              CAST(ROUND(g.cnt * ln(CAST(g.cnt AS DOUBLE)), 6)
+                AS DECIMAL(18,6)) AS t
+            FROM g JOIN n ON n.doc_id = g.doc_id)
+      SELECT doc_id, n_px, CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+             ROUND(ln(CAST(n_px AS DOUBLE)) - CAST(SUM(t) AS DOUBLE) / n_px,
+               6) AS entropy,
+             ROUND(CAST(MAX(cnt) AS DOUBLE) / n_px, 6) AS max_bin_share
+      FROM t GROUP BY doc_id, n_px ORDER BY doc_id""",
     // X211 tile grid: patch assignment by integer x*4//w, exact sums
     // and floor means per tile off the recomputed raster.
     "multimodal_tile_stats" -> """
@@ -5565,6 +5641,35 @@ ${SHINGLES.trim},
             WHERE $a IS NOT NULL GROUP BY $a) q"""
     }.mkString("\n      UNION ALL\n      ") +
       "\n      ORDER BY fd"),
+    // X237 new-vs-repeat revenue: first-order-date classification
+    // (same-day ties count as new), exact DECIMAL header sums.
+    "analytics_repeat_revenue" -> s"""
+      WITH o AS (
+        SELECT o_custkey, o_orderdate,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(o_totalprice AS $D2) AS price
+        FROM orders),
+      f AS (SELECT o_custkey, MIN(o_orderdate) AS first_dt
+            FROM o GROUP BY o_custkey),
+      c AS (SELECT o.month, o.price,
+              o.o_orderdate = f.first_dt AS is_new
+            FROM o JOIN f ON f.o_custkey = o.o_custkey)
+      SELECT month,
+             CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new_orders,
+             CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_orders,
+             CAST(SUM(CASE WHEN is_new THEN price
+                      ELSE CAST(0 AS $D2) END) AS DOUBLE) AS new_revenue,
+             CAST(SUM(CASE WHEN NOT is_new THEN price
+                      ELSE CAST(0 AS $D2) END) AS DOUBLE) AS repeat_revenue,
+             ROUND(CAST(SUM(CASE WHEN NOT is_new THEN price
+                      ELSE CAST(0 AS $D2) END) AS DOUBLE) /
+               CAST(SUM(CASE WHEN is_new THEN price ELSE CAST(0 AS $D2) END)
+                 + SUM(CASE WHEN NOT is_new THEN price
+                       ELSE CAST(0 AS $D2) END) AS DOUBLE), 6)
+               AS repeat_share
+      FROM c GROUP BY month ORDER BY month""",
     // X233 money reconciliation: the exact-decimal q1 charge recomputed
     // per order vs the header total; deltas stay DECIMAL to the output.
     "dq_reconciliation" -> s"""
@@ -6896,6 +7001,35 @@ ${SHINGLES.trim},
                AS n_blocked_bands,
              SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) = 0 AS admitted
       FROM own GROUP BY doc_id ORDER BY doc_id""",
+    // X239 streaming quantile-sketch twin: the batch log2-bucket sketch
+    // (the X130 rule verbatim) — counter addition is order-free, so the
+    // stream's converged state equals this at any micro-batch split.
+    "stream_quantile_state" -> """
+      WITH r AS (
+        SELECT event_type,
+               length(bin(CAST(CAST(value AS DECIMAL(18,2)) * 100
+                 AS BIGINT))) AS bucket
+        FROM events),
+      g AS (SELECT event_type, bucket, CAST(COUNT(*) AS BIGINT) AS c
+            FROM r GROUP BY event_type, bucket),
+      cum AS (SELECT event_type, bucket,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+              FROM g),
+      n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM r GROUP BY event_type),
+      t AS (SELECT n.event_type, n.n, q.qpct,
+              (q.qpct * n.n + 99) // 100 AS target
+            FROM n, (SELECT unnest(list_value(50, 90, 99)) AS qpct) q),
+      picked AS (SELECT t.event_type, t.n, t.qpct,
+                   CAST(MIN(cum.bucket) AS BIGINT) AS b
+                 FROM t JOIN cum ON cum.event_type = t.event_type
+                               AND cum.cum >= t.target
+                 GROUP BY t.event_type, t.n, t.qpct)
+      SELECT event_type, n,
+             MAX(CASE WHEN qpct = 50 THEN b END) AS b50,
+             MAX(CASE WHEN qpct = 90 THEN b END) AS b90,
+             MAX(CASE WHEN qpct = 99 THEN b END) AS b99
+      FROM picked GROUP BY event_type, n ORDER BY event_type""",
     // X120 streaming HLL twin: the batch register build (X105's SQL,
     // estimate only) — the stream's 256-byte state max-folds to exactly
     // these registers at any micro-batch split

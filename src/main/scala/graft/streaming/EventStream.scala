@@ -594,6 +594,92 @@ object EventStream {
     }
   }
 
+  /** X239: streaming log₂-bucket quantile sketch — the ninth keyed
+    * state shape: a MERGEABLE HISTOGRAM (the [[HllRegisterProcessor]]
+    * pattern with counters instead of max-registers). Per event type
+    * the state is 64 int64 bucket counters over `value` cents
+    * (bucket = bit length, the X130 batch sketch exactly); every
+    * micro-batch folds its rows in by ADDITION — order-free, so batch
+    * boundaries cannot change the converged state — and emits the
+    * current p50/p90/p99 bucket picks (target rank ⌈q·n/100⌉, the
+    * batch rule verbatim). On the finite replay the last emission per
+    * key equals the batch sketch — the oracle states the relational
+    * form.
+    *
+    * Scale shape: 512 bytes of state per key regardless of volume
+    * (the sketch-state point); one shuffle on the key, RocksDB-backed.
+    */
+  private class QuantileSketchProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Int), (String, Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var regs: ValueState[Array[Byte]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getValueState[Array[Byte]]("buckets",
+        org.apache.spark.sql.Encoders.BINARY, TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Int)],
+                                 timers: TimerValues): Iterator[(String, Long, Long, Long, Long)] = {
+      val bytes = if (regs.exists()) regs.get() else new Array[Byte](512)
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val counts = new Array[Long](64)
+      var i = 0
+      while (i < 64) { counts(i) = bb.getLong(i * 8); i += 1 }
+      rows.foreach { case (_, b) =>
+        if (b >= 1 && b <= 64) counts(b - 1) += 1
+      }
+      i = 0
+      while (i < 64) { bb.putLong(i * 8, counts(i)); i += 1 }
+      regs.update(bytes)
+      val n = counts.sum
+      def pick(q: Int): Long = {
+        val target = (q * n + 99) / 100
+        var cum = 0L
+        var b = 0
+        while (b < 64) {
+          cum += counts(b)
+          if (cum >= target) return (b + 1).toLong
+          b += 1
+        }
+        64L
+      }
+      Iterator((key, n, pick(50), pick(90), pick(99)))
+    }
+  }
+
+  def streamQuantileState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = readEvents(spark, dir)
+        .select(col("event_type"),
+          length(bin((col("value").cast("decimal(18,2)") * 100)
+            .cast("long"))).cast("int").as("bucket"))
+        .as[(String, Int)]
+      val out = rows.groupByKey(_._1)
+        .transformWithState(new QuantileSketchProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF("event_type", "n", "b50", "b90", "b99")
+      // update mode re-emits per batch; n only grows, so the max-n row
+      // per key is the converged sketch
+      runToMemory(out, "update")
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("b50"), col("b90"), col("b99")))
+          .as("w"))
+        .select(col("event_type"), col("w.n").as("n"),
+          col("w.b50").as("b50"), col("w.b90").as("b90"),
+          col("w.b99").as("b99"))
+        .orderBy("event_type")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** X144: per-user activity profile as a `transformWithState` MapState
     * — the sixth state shape: a keyed SUB-MAP. Per user the state maps
     * event_type → running count; each micro-batch folds its rows in and

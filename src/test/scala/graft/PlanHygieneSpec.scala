@@ -138,7 +138,10 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row (N, V) train-split smoothing totals
     "text_lm_stupid_backoff" -> 8,
     // broadcast 1-row total-positions count
-    "text_ngram_coverage" -> 8)
+    "text_ngram_coverage" -> 8,
+    // per-budget 1-row candidate counters + the broadcast query row
+    // (the embed_cosine_topk shape, three branches)
+    "embed_multiprobe_sweep" -> 16)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan

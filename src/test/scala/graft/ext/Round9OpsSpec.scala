@@ -428,6 +428,63 @@ class Round9OpsSpec extends SparkSpec {
       rows.map(_._4).sorted.toSeq) // monotone in k
   }
 
+  test("multiprobe sweep is monotone in the probe budget") {
+    val rows = Similarity.multiprobeSweep(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 5L, 9L))
+    rows.sliding(2).foreach {
+      case Array((_, c1, h1, r1), (_, c2, h2, r2)) =>
+        // prefix probe sets: candidates, hits and recall never shrink
+        assert(c2 >= c1 && h2 >= h1 && r2 >= r1)
+      case _ =>
+    }
+    rows.foreach { case (_, c, h, r) =>
+      assert(h <= 10 && r <= 1.0 && c >= h)
+    }
+  }
+
+  test("image entropy matches the pixel-formula brute force") {
+    val nChars = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Multimodal.imageEntropy(spark, sf001).collect()
+    assert(rows.length == nChars.size)
+    rows.take(30).foreach { r =>
+      val d = r.getLong(0)
+      val w = (8 + java.lang.Math.floorMod(d, 9)).toInt
+      val h = (8 + java.lang.Math.floorMod(nChars(d), 9)).toInt
+      val bins = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w)
+        bins(java.lang.Math.floorMod(d * 31 + x * 7 + y * 13, 256).toInt / 16) += 1
+      val n = w.toLong * h
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == bins.count(_ > 0).toLong)
+      val st = bins.filter(_ > 0).map(c =>
+        BigDecimal(c * math.log(c.toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val expect = math.rint(
+        (math.log(n.toDouble) - st.toDouble / n) * 1e6) / 1e6
+      assert(r.getDouble(3) == expect, s"doc $d")
+    }
+  }
+
+  test("repeat revenue reconciles with the order headers") {
+    val rows = Analytics.repeatRevenue(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val totalOrders = graft.tables.Tables.orders(spark, sf001).count()
+    assert(rows.map(t => t._2 + t._3).sum == totalOrders)
+    val totalRev = graft.tables.Tables.orders(spark, sf001)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")))
+      .collect()(0).getDecimal(0).doubleValue
+    val got = rows.map(t => t._4 + t._5).sum
+    assert(math.abs(got - totalRev) < 1e-4, s"$got vs $totalRev")
+    // the first month can only contain first-ever orders
+    assert(rows.minBy(_._1)._3 == 0L)
+  }
+
   test("markov channel literals match the fixture event-type domain") {
     // markovAttribution pins Seq("none","click","error","signup","view")
     // and treats "purchase" as the absorbing conversion; if the fixture

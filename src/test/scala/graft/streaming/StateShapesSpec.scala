@@ -50,6 +50,26 @@ class StateShapesSpec extends SparkSpec {
     assert(gate.exists(!_._4) && gate.exists(_._4))
   }
 
+  test("stream quantile sketch equals the batch log2 sketch") {
+    val stream = EventStream.streamQuantileState(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sorted
+    val batch = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("event_type",
+        "length(bin(cast(cast(value as decimal(18,2)) * 100 as bigint))) as b")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).map { case (t, rows) =>
+        val bs = rows.map(_._2).sorted
+        val n = bs.length.toLong
+        def pick(q: Int): Long = {
+          val target = ((q * n + 99) / 100).toInt
+          bs(target - 1).toLong
+        }
+        (t, n, pick(50), pick(90), pick(99))
+      }.toSeq.sorted
+    assert(stream.toSeq == batch)
+  }
+
   test("all six transformWithState state shapes stay registered") {
     val qs = graft.SparkEntry.queries.keySet
     val shapes = Map(
@@ -61,7 +81,9 @@ class StateShapesSpec extends SparkSpec {
       "dynamic sub-map (MapState)" -> "stream_map_state",
       "update-if-newer snapshot (ValueState)" -> "stream_cdc_state",
       "band-owner admission gate (ValueState over LSH keys)" ->
-        "stream_neardup_gate")
+        "stream_neardup_gate",
+      "mergeable counter histogram (binary ValueState quantile sketch)" ->
+        "stream_quantile_state")
     val missing = shapes.filterNot { case (_, entry) => qs(entry) }
     assert(missing.isEmpty,
       s"state-shape entries dropped: ${missing.values.mkString(", ")}")
