@@ -75,7 +75,13 @@ object Bench {
       // and must not pay eight corpus-wide warmup shuffles for nothing.
       val sharedRelConsumers = Set("curation_contamination",
         "curation_pipeline", "text_dup_coverage", "text_strip_boilerplate",
-        "text_novelty", "analytics_source_overlap")
+        "text_novelty", "analytics_source_overlap",
+        // consumers of the memoized nearDupClusters fixpoint that are
+        // not dedup_-prefixed (r9 advice: an ONLY-filtered run of one
+        // of these must not absorb the cluster-propagation build)
+        "curation_dup_rate_by_source", "curation_soft_dedup_weights",
+        // rides the verified jaccard pair table (r10)
+        "dq_blocking_quality")
       if (selected.exists { case (n, _) =>
         n.startsWith("dedup_") || sharedRelConsumers(n) })
         warmed("dedup_shared_relations") {

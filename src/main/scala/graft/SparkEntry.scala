@@ -532,7 +532,41 @@ object SparkEntry {
     // multimodal → ANN bridge: deterministic md5-derived 8-dim feature
     // embedding per payload, broadcast-query cosine top-k (the encoder
     // body is the only stub; the payload→vector→match plumbing is real)
-    "multimodal_embed" -> ((s, d) => graft.ext.Multimodal.embedTopK(s, d)))
+    "multimodal_embed" -> ((s, d) => graft.ext.Multimodal.embedTopK(s, d)),
+    // Good-Turing freq-of-freq smoothing + unseen mass (r10)
+    "text_good_turing" -> ((s, d) => graft.ext.LangModel.goodTuring(s, d)),
+    // Chao1 / Good's coverage / Simpson richness per source + corpus
+    "text_vocab_richness" -> ((s, d) => graft.ext.LangModel.vocabRichness(s, d)),
+    // k-fold assignment stratification-balance audit (X160's twin)
+    "curation_kfold_balance" -> ((s, d) => graft.ext.TextStats.kfoldBalance(s, d)),
+    // reliability diagram + ECE of the cheap quality score vs the LM signal
+    "curation_quality_calibration" -> ((s, d) => graft.ext.TextStats.qualityCalibration(s, d)),
+    // ER blocking reduction-ratio / pairs-completeness audit
+    "dq_blocking_quality" -> ((s, d) => graft.ext.DataQuality.blockingQuality(s, d)),
+    // Theil-T inequality with between/within-nation decomposition
+    "analytics_theil" -> ((s, d) => graft.ext.Analytics.theilRevenue(s, d)),
+    // HyperBall register-exact neighbourhood function + harmonic centrality
+    "graph_hyperball" -> ((s, d) => graft.ext.Graphs.hyperBall(s, d)),
+    // cross-image duplicate-tile (watermark) detection off the real decode
+    "multimodal_tile_dups" -> ((s, d) => graft.ext.Multimodal.tileDups(s, d)),
+    // Lindley queue-wait audit via the running-min prefix rewrite
+    "events_queue_wait" -> ((s, d) => graft.ext.Events.queueWait(s, d)),
+    // outage interval-union availability per day (no double-counted overlap)
+    "events_interval_union" -> ((s, d) => graft.ext.Events.intervalUnion(s, d)),
+    // triplet-margin violation audit over md5-sampled triplets
+    "embed_triplet_audit" -> ((s, d) => graft.ext.Similarity.tripletAudit(s, d)),
+    // reciprocal-rank fusion of the exact + SQ8 retrievers (X253)
+    "embed_rank_fusion" -> ((s, d) => graft.ext.Similarity.rankFusion(s, d)),
+    // RFM segment transition matrix across the 1996 split (X257)
+    "analytics_rfm_migration" -> ((s, d) => graft.ext.Analytics.rfmMigration(s, d)),
+    // capped weighted supplier co-purchase projection (X258)
+    "graph_bipartite_project" -> ((s, d) => graft.ext.Graphs.bipartiteProject(s, d)),
+    // theta-sketch a-not-b estimate beside the exact anti count (X259)
+    "agg_theta_diff" -> ((s, d) => graft.ext.Analytics.thetaDiff(s, d)),
+    // global SSIM of the 2x block-mean reconstruction, exact moments (X255)
+    "multimodal_image_ssim" -> ((s, d) => graft.ext.Multimodal.imageSsim(s, d)),
+    // register-count sweep: the sketch-sizing error table (X254)
+    "agg_hll_m_sweep" -> ((s, d) => graft.ext.Sketches.hllMSweep(s, d)))
 
   /** ST1/ST2 streaming + S1-S5 source + K5 sink surfaces. */
   private val streamSourceSinkQueries: Map[String, Q] = Map(
@@ -640,6 +674,11 @@ object SparkEntry {
     // streaming near-dup admission: per-band first-toucher ValueState gate
     // over the X2 banding (the crawl-tailer ingest filter)
     "stream_neardup_gate" -> (graft.streaming.EventStream.streamNearDupGate(_, _)),
+    // bounded-state Bloom admission gate, bit-sharded (X247)
+    "stream_bloom_gate" -> ((s, d) => graft.streaming.EventStream.streamBloomGate(s, d)),
+    // Lindley recurrence fold in keyed ValueState (X252) — the batch
+    // twin's audit aggregate, row-identical on the ordered replay
+    "stream_queue_wait" -> ((s, d) => graft.streaming.EventStream.streamQueueWait(s, d)),
     // oracled: sketch values surface as bound predicates beside their
     // exact twins (the oracle asserts the booleans literally TRUE), so
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers

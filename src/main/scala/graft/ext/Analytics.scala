@@ -1472,6 +1472,116 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** X257: RFM segment MIGRATION matrix — the lifecycle question the
+    * static X84 segmentation can't answer: which segments feed which
+    * (churn = champions→hibernating flow, winback = the reverse). The
+    * order book splits at the stated 1996-01-01 boundary; each half is
+    * scored with X84's exact rules AGAINST ITS OWN recency watermark
+    * (so both halves use the segmentation as it would have run live),
+    * customers absent from a half land in the explicit 'absent' state,
+    * and the output is the (from, to, n) transition matrix with row
+    * shares. All integer counts; one rounded division per row.
+    *
+    * Scale shape: two per-customer aggregates (map-combinable, the
+    * scan split is a pushed date predicate), one full-outer join on
+    * custkey, one tiny matrix aggregate. No windows.
+    */
+  def rfmMigration(spark: SparkSession, dir: String,
+                   splitDate: String = "1996-01-01"): DataFrame = {
+    def half(pred: org.apache.spark.sql.Column): DataFrame = {
+      val perCust = Tables.orders(spark, dir).filter(pred)
+        .groupBy(col("o_custkey").as("ck"))
+        .agg(max(expr(
+          "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+          .as("last_day"),
+          count(lit(1)).as("freq"),
+          sum(d2("o_totalprice")).as("monetary"))
+      val maxDay = perCust.agg(max("last_day").as("max_day"))
+      perCust.crossJoin(broadcast(maxDay))
+        .withColumn("rec_days", col("max_day") - col("last_day"))
+        .withColumn("r", when(col("rec_days") <= 365, 3)
+          .when(col("rec_days") <= 730, 2).otherwise(1))
+        .withColumn("f", when(col("freq") >= 12, 3)
+          .when(col("freq") >= 6, 2).otherwise(1))
+        .withColumn("m", when(col("monetary") >= 2000000, 3)
+          .when(col("monetary") >= 1000000, 2).otherwise(1))
+        .withColumn("segment",
+          when(col("r") === 3 && col("f") + col("m") >= 5, "champion")
+            .when(col("r") === 3, "recent")
+            .when(col("r") === 2 && col("f") + col("m") >= 5, "loyal")
+            .when(col("r") === 2, "warm")
+            .when(col("f") + col("m") >= 5, "at_risk")
+            .otherwise("hibernating"))
+        .select(col("ck"), col("segment"))
+    }
+    val h1 = half(col("o_orderdate") < lit(splitDate))
+      .withColumnRenamed("segment", "seg_from")
+    val h2 = half(col("o_orderdate") >= lit(splitDate))
+      .withColumnRenamed("segment", "seg_to")
+    val m = h1.join(h2, Seq("ck"), "full_outer")
+      .select(coalesce(col("seg_from"), lit("absent")).as("seg_from"),
+        coalesce(col("seg_to"), lit("absent")).as("seg_to"))
+      .groupBy("seg_from", "seg_to").agg(count(lit(1)).as("n_customers"))
+    val rowTot = m.groupBy("seg_from").agg(sum("n_customers").as("n_from"))
+    m.join(rowTot, Seq("seg_from"))
+      .select(col("seg_from"), col("seg_to"), col("n_customers"),
+        round(col("n_customers").cast("double") / col("n_from"), 6)
+          .as("row_share"))
+      .orderBy("seg_from", "seg_to")
+  }
+
+  /** X259: KMV/theta set-DIFFERENCE estimate — the third set-algebra
+    * leg beside X13's distinct and X130's intersection, same 64-sample
+    * sketches: |A\B| ≈ |{a ∈ samples(A) : a < θ, a ∉ samples(B)}| ·
+    * 2³² / θ with θ = k-th smallest of the sample union (the theta-
+    * sketch a-not-b operation — "users who did X but never Y" from two
+    * 64-entry states instead of a corpus anti-join). Deterministic
+    * md5 sample sets ⇒ the estimate hash-oracles exactly; the exact
+    * anti-join count rides along as the yardstick, and the law
+    * |A\B| + |A∩B| ≈ |A| is checkable across the X130 family outputs.
+    *
+    * Scale shape: identical to X130 — one ObjectHashAggregate sketch
+    * pass, a #types² pair stage on 64-entry arrays; the exact
+    * yardstick is the only corpus-sized piece.
+    */
+  def thetaDiff(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSampleSet(k))
+    val sk = Tables.events(spark, dir)
+      .select(col("event_type").as("t"),
+        md5(col("user_id").cast("string")).as("h"))
+      .groupBy("t").agg(kmv(col("h")).as("s"))
+    val pairs = sk.as("a").join(sk.as("b"), col("a.t") =!= col("b.t"))
+      .select(col("a.t").as("t1"), col("b.t").as("t2"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+    val withTheta = pairs
+      .withColumn("u", slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .withColumn("theta_hex",
+        when(size(col("u")) >= k, element_at(col("u"), k)).otherwise(lit("zz")))
+      .withColumn("theta",
+        when(size(col("u")) >= k,
+          conv(substring(element_at(col("u"), k), 1, 8), 16, 10).cast("long"))
+          .otherwise(lit(4294967296L)))
+      .withColumn("anotb_below",
+        size(filter(array_except(col("sa"), col("sb")),
+          h => h < col("theta_hex"))).cast("long"))
+    val du = Tables.events(spark, dir)
+      .select(col("event_type").as("t"), col("user_id").as("u")).distinct()
+    val exact = du.as("x").join(du.as("y"),
+        col("x.u") === col("y.u") && col("x.t") =!= col("y.t"))
+      .groupBy(col("x.t").as("t1"), col("y.t").as("t2"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = du.groupBy(col("t").as("t1")).agg(count(lit(1)).as("n_t1"))
+    withTheta
+      .join(exact, Seq("t1", "t2"), "left")
+      .join(sizes, Seq("t1"))
+      .select(col("t1"), col("t2"),
+        (col("n_t1") - coalesce(col("n_common"), lit(0L))).as("exact_anotb"),
+        col("anotb_below"), col("theta"),
+        round(col("anotb_below") * lit(4294967296.0) / col("theta"), 6)
+          .as("theta_est"))
+      .orderBy("t1", "t2")
+  }
+
   /** X130: KMV set-INTERSECTION estimate (Beyer et al., SIGMOD'07 —
     * the theta-sketch idea on the KMV state): per event type, keep the
     * k=64 smallest distinct user-hash samples ([[graft.functions
@@ -1887,5 +1997,77 @@ object Analytics {
       .select(col("event_type"), col("n_rows"), col("mode_cents"),
         col("mode_count"), col("median_cents"))
       .orderBy("event_type")
+  }
+
+  /** X245: Theil-T inequality decomposition of customer revenue by
+    * nation (Theil 1967) — the companion to X159's Gini that Gini
+    * cannot give: Theil decomposes ADDITIVELY into between-group +
+    * within-group parts (T = T_between + Σ s_g·T_g), answering "is
+    * revenue concentration a nation story or a within-nation story".
+    * Per nation: n, revenue, share s_g, the nation's internal T_g and
+    * its weighted contribution s_g·T_g; the TOTAL row carries the
+    * corpus T and the between-nations term, so the additive law
+    * T ≈ T_between + Σ contrib is checkable IN the output (up to the
+    * stated 6dp term rounding).
+    *
+    * Exactness discipline: revenues are exact DECIMAL(18,2) sums;
+    * every Theil term (x/X)·ln(n·x/X) is a single fixed IEEE
+    * expression over exact aggregates, 6dp-rounded into DECIMAL before
+    * summation — so all accumulations are order-free exact decimal
+    * adds (the float-sum rule), one final double render per cell.
+    *
+    * Scale shape: one groupBy(custkey) pass, a broadcast nation dim,
+    * one groupBy(nation) pass and a 1-row broadcast of the corpus
+    * totals; per-customer terms never shuffle twice. No windows.
+    */
+  def theilRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val nations = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("ck"), col("c_nationkey")), Seq("ck"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("ck"), col("x"))
+    val byNation = rev.groupBy("nation")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("x_g"))
+    val tot = byNation.agg(sum("n_g").as("n"),
+      sum(col("x_g").cast("decimal(38,2)")).as("s"))
+    // within terms: per customer, against the OWN nation's aggregate
+    val withinTerms = rev.join(broadcast(byNation), Seq("nation"))
+      .select(col("nation"),
+        round((col("x").cast("double") / col("x_g")) *
+          log(col("n_g") * col("x").cast("double") / col("x_g")), 6)
+          .cast(D6).as("term"))
+      .groupBy("nation").agg(sum("term").as("t_g_dec"))
+    // total terms: per customer against the corpus aggregate
+    val totalTheil = rev.crossJoin(broadcast(tot))
+      .select(round((col("x").cast("double") / col("s")) *
+          log(col("n") * col("x").cast("double") / col("s")), 6)
+          .cast(D6).as("term"))
+      .agg(sum("term").as("t_dec"))
+    val groups = byNation
+      .join(withinTerms, Seq("nation"))
+      .crossJoin(broadcast(tot))
+      .select(col("nation"), col("n_g").as("n_customers"),
+        col("x_g").cast("decimal(38,2)").as("revenue"),
+        round(col("x_g").cast("double") / col("s"), 6).as("share"),
+        round(col("t_g_dec").cast("double"), 6).as("theil"),
+        round((col("x_g").cast("double") / col("s")) *
+          col("t_g_dec").cast("double"), 6).as("decomp"))
+    val between = byNation.crossJoin(broadcast(tot))
+      .select(round((col("x_g").cast("double") / col("s")) *
+          log((col("x_g").cast("double") / col("s")) *
+            (col("n").cast("double") / col("n_g"))), 6)
+        .cast(D6).as("term"))
+      .agg(sum("term").as("b_dec"))
+    val totalRow = tot.crossJoin(totalTheil).crossJoin(between)
+      .select(lit("TOTAL").as("nation"), col("n").as("n_customers"),
+        col("s").as("revenue"), lit(1.0).as("share"),
+        round(col("t_dec").cast("double"), 6).as("theil"),
+        round(col("b_dec").cast("double"), 6).as("decomp"))
+    groups.unionByName(totalRow).orderBy("nation")
   }
 }

@@ -755,4 +755,51 @@ object DataQuality {
       .reduce(_.unionByName(_))
       .orderBy("fd")
   }
+
+  /** X244: entity-resolution blocking-quality audit (Christen 2012's
+    * two standard metrics) for the X113 5-word-prefix blocking key:
+    *  - reduction ratio = 1 − Σ_b C(n_b,2) / C(n,2) — how much of the
+    *    quadratic pair space the blocking prunes (the number that says
+    *    whether the ER join is feasible at all at 100 TB);
+    *  - pairs completeness = share of VERIFIED near-dup pairs (the
+    *    X101 exact-Jaccard relation, ridden as a table — never
+    *    re-joined) whose two members land in the same block — the
+    *    recall the blocking costs.
+    * Both pair counts are pure per-block ARITHMETIC (Σ n_b(n_b−1)/2),
+    * never materialized pairs; exact BIGINT until the two rounded
+    * divisions.
+    *
+    * Scale shape: one groupBy(block) count, one doc-keyed equi-join to
+    * tag the verified pair table with block ids, three 1-row
+    * aggregates. The blocking key itself is narrow per-row string
+    * arithmetic at the scan.
+    */
+  def blockingQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(expr("concat_ws(' ', slice(split(text, ' '), 1, 5))"))
+          .as("blk"))
+    val blockStats = docs.groupBy("blk").agg(count(lit(1)).as("n_b"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(expr("(n_b * (n_b - 1)) div 2")).as("cand_pairs"))
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = graft.ext.TextDedup.jaccardPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val tagged = pairs
+      .join(docs.select(col("doc_id").as("doc_a"), col("blk").as("blk_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("blk").as("blk_b")),
+        Seq("doc_b"))
+      .agg(count(lit(1)).as("verified_pairs"),
+        sum(when(col("blk_a") === col("blk_b"), 1L).otherwise(0L))
+          .as("pairs_in_block"))
+    tot.crossJoin(blockStats).crossJoin(tagged)
+      .select(col("n_docs"), col("n_blocks"), col("cand_pairs"),
+        expr("(n_docs * (n_docs - 1)) div 2").as("total_pairs"),
+        round(lit(1.0) - col("cand_pairs").cast("double") /
+          expr("(n_docs * (n_docs - 1)) div 2"), 6).as("reduction_ratio"),
+        col("verified_pairs"), col("pairs_in_block"),
+        round(col("pairs_in_block").cast("double") / col("verified_pairs"), 6)
+          .as("pairs_completeness"))
+  }
 }

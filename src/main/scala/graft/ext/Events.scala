@@ -1631,4 +1631,100 @@ object Events {
           (col("c_a") * col("c_b")), 6).as("lift"))
       .orderBy("ta", "tb")
   }
+
+  /** X249: single-server FIFO queue simulation per event type — the
+    * Lindley (1952) waiting-time recurrence W₁ = 0,
+    * Wₙ₊₁ = max(0, Wₙ + sₙ − gapₙ₊₁), solved RELATIONALLY via its
+    * prefix closed form: with Bₖ = Σᵢ<ₖ sᵢ − tₖ (arrival-ordered),
+    * Wₙ = Bₙ − min(B₁..Bₙ) — the running-min rewrite that turns a
+    * sequential recurrence into one ordered window pass (the same
+    * gaps-and-islands trick sessionization uses for its running sum).
+    * Service time is the stated deterministic
+    * 400000 + (event_id mod 1000000) ms — mean ≈ 0.9e6 ms ≈ 0.7× the
+    * fixture's per-type inter-arrival gap, so the queue genuinely
+    * oscillates between idle and backlog (utilization ≈ 0.7) instead
+    * of degenerating to all-zero waits; the whole computation is
+    * EXACT BIGINT milliseconds and the
+    * output is the per-type audit row (how backed up does a consumer
+    * with that service rate get on this arrival process): max/mean
+    * wait, share of arrivals that queued, and utilization busy-time/
+    * span.
+    *
+    * Scale shape: one shuffle on event_type, two ordered windows
+    * (running sum + running min) inside that partition — the
+    * per-key-ordered class every engine's streaming backfill runs; the
+    * final aggregate is map-combinable. No float until the three
+    * rounded divisions in the audit row.
+    */
+  def queueWait(spark: SparkSession, dir: String): DataFrame = {
+    val byArrival = Window.partitionBy("event_type")
+      .orderBy("ms", "event_id")
+    val run = Window.partitionBy("event_type")
+      .orderBy("ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ms"),
+        (lit(400000L) + pmod(col("event_id"), lit(1000000L))).as("svc_ms"))
+    val w = ev
+      // B_k = (service accumulated BEFORE this arrival) - t_k
+      .withColumn("b", sum("svc_ms").over(run) - col("svc_ms") - col("ms"))
+      .withColumn("wait_ms", col("b") - min("b").over(run))
+    w.groupBy("event_type")
+      .agg(count(lit(1)).as("n_arrivals"),
+        sum(when(col("wait_ms") > 0, 1L).otherwise(0L)).as("n_queued"),
+        max("wait_ms").as("max_wait_ms"),
+        sum("wait_ms").as("tot_wait_ms"),
+        sum("svc_ms").as("busy_ms"),
+        (max("ms") - min("ms")).as("span_ms"))
+      .select(col("event_type"), col("n_arrivals"), col("n_queued"),
+        col("max_wait_ms"),
+        round(col("tot_wait_ms").cast("double") / col("n_arrivals"), 6)
+          .as("avg_wait_ms"),
+        round(col("n_queued").cast("double") / col("n_arrivals"), 6)
+          .as("queued_share"),
+        round(col("busy_ms").cast("double") / (col("span_ms") + 1), 6)
+          .as("utilization"))
+      .orderBy("event_type")
+  }
+
+  /** X251: interval-union availability — error events open fixed
+    * `holdMs` (1-hour) outage windows; overlapping windows must be UNIONED, not
+    * summed (double-counting overlap is the classic SLA-report bug).
+    * Per UTC day: the exact union length via the ordered-merge
+    * identity covered = Σ min(holdMs, next_start − start) (+ holdMs
+    * for each day's last interval), all BIGINT ms, and the derived
+    * availability share. Windows that would cross midnight are clipped
+    * to their day so days partition exactly (stated convention —
+    * deterministic, and it keeps the window partitioned by day rather
+    * than global).
+    *
+    * Scale shape: errors filter at the scan (pushed predicate), one
+    * shuffle on the day key, one lead() inside the day partition, one
+    * map-combinable aggregate. The day key is bounded and dense — no
+    * skew risk beyond what AQE already handles.
+    */
+  def intervalUnion(spark: SparkSession, dir: String,
+                    holdMs: Long = 3600000L): DataFrame = {
+    val byDay = Window.partitionBy("day").orderBy("ms", "event_id")
+    val errs = Tables.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(to_date(col("ts")).as("day"), col("event_id"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+    val dayEndMs = expr("unix_micros(CAST(day AS TIMESTAMP)) div 1000") +
+      lit(86400000L)
+    errs
+      .withColumn("next_ms", lead("ms", 1).over(byDay))
+      .withColumn("covered_ms",
+        least(lit(holdMs),
+          coalesce(col("next_ms"), lit(Long.MaxValue)) - col("ms"),
+          dayEndMs - col("ms")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_errors"),
+        sum("covered_ms").as("outage_ms"))
+      .select(col("day"), col("n_errors"), col("outage_ms"),
+        round(lit(1.0) - col("outage_ms").cast("double") / 86400000d, 6)
+          .as("availability"))
+      .orderBy("day")
+  }
 }

@@ -532,15 +532,30 @@ object Graphs {
   def personalizedPagerank(spark: SparkSession, dir: String,
                            iters: Int = 3, damping: Double = 0.85,
                            restart: Double = 0.15,
-                           nSeeds: Int = 5): DataFrame = {
+                           nSeeds: Int = 5,
+                           seedIds: Option[Seq[Long]] = None): DataFrame = {
     val edges = memo(spark, dir, "pr_edges")(prEdges(spark, dir))
     val outdeg = memo(spark, dir, "pr_outdeg")(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val nodes = memo(spark, dir, "pr_nodes")(
       edges.select(col("src").as("id")).distinct())
-    val seeds = nodes.filter(col("id") < 10000000L)
-      .orderBy("id").limit(nSeeds)
-      .select(col("id"), lit(1.0 / nSeeds).as("s"))
+    // seed set as a LIBRARY parameter (r9 self-assessment #3): callers
+    // personalize on any node set; the oracle-pinned entry keeps the
+    // deterministic min-id default so the fixture twin stays stateable.
+    // Seeds are intersected with the node set so mass is only assigned
+    // to nodes that exist (restart weight splits over the GIVEN set —
+    // stated: absent seeds waste their share rather than silently
+    // renormalizing, so two runs with the same seed list are comparable
+    // even across graphs that drop a seed).
+    val seeds = seedIds match {
+      case Some(ids) =>
+        nodes.filter(col("id").isin(ids: _*))
+          .select(col("id"), lit(1.0 / ids.length).as("s"))
+      case None =>
+        nodes.filter(col("id") < 10000000L)
+          .orderBy("id").limit(nSeeds)
+          .select(col("id"), lit(1.0 / nSeeds).as("s"))
+    }
     var pr = nodes.join(broadcast(seeds), Seq("id"), "left")
       .select(col("id"), coalesce(col("s"), lit(0.0)).as("pr"))
     for (_ <- 1 to iters) {
@@ -1209,5 +1224,181 @@ object Graphs {
       frontier = next
     }
     walks.orderBy("start_id", "step")
+  }
+
+  /** X246: HyperBall (Boldi & Vigna 2013) — the neighbourhood function
+    * and harmonic-centrality ESTIMATE for EVERY node at once, the
+    * algorithm that made billion-node centrality feasible: node v's
+    * state is a 256-register HLL of its t-ball; each round the sketch
+    * absorbs the neighbours' sketches by register MAX (union of the
+    * underlying sets), so |B_t(v)| − |B_{t−1}(v)| estimates the count
+    * of nodes at distance exactly t and
+    * harmonic(v) ≈ Σ_t (1/t)·Δ_t. An exact all-pairs BFS is n·|E| —
+    * dead at scale; HyperBall is rounds × one edge-keyed max-aggregate
+    * over (node, register) rows, the map-combinable shape that runs
+    * anywhere.
+    *
+    * Register-exact determinism: registers use the X105 convention
+    * verbatim (h = first 8 md5 hex chars, 256 buckets, ρ = 25 −
+    * bit_length(w)) and the max-merge is integer — so the sketches,
+    * the estimates (the X105 linear-counting branch included; the
+    * harmonic sum Σ2^−ρ is EXACT in ieee754 — ≤256 binary fractions
+    * ≥ 2^−25 need 33 bits) and the output hash are bit-stable in any
+    * engine and partition order. The oracle unrolls the same `hops`
+    * max-union rounds, one previous-round reference each (self-loops
+    * make the union part of the join — the propagation idiom).
+    *
+    * Scale shape: state is nodes × ≤256 rows (vs nodes × nodes for
+    * exact); each round shuffles on the node key only; per-round
+    * lineage cuts keep Catalyst from re-optimizing the growing
+    * iterate. Δ estimates can dip below 0 only by sketch noise — kept
+    * as-is (stated; clamping would hide the estimator's own error).
+    */
+  /** X258: weighted bipartite projection — the customer–supplier
+    * bipartite graph projected onto suppliers: two suppliers connect
+    * with weight = cosine(common customers / √(deg₁·deg₂)), the
+    * "suppliers bought together" co-engagement graph (the same
+    * construction gives item-item graphs from user-item data — the
+    * classic collaborative-filtering neighbourhood). The projection's
+    * scale hazard is the hub customer (one customer touching k
+    * suppliers emits k²/2 pairs), so each customer's supplier list is
+    * CAPPED at `cap` by smallest md5(cust|supp) — the deterministic
+    * frequency-cap every production co-occurrence projection applies
+    * (and the stated semantics: degrees and weights are of the CAPPED
+    * graph, reproducible by salt). Min-support 2 cuts singleton noise.
+    *
+    * Scale shape: one distinct pass, a per-customer WindowGroupLimit
+    * (partitioned rank ≤ cap, never a global sort), a capped self-join
+    * keyed on the customer (Σ min(deg, cap)² bounded), one count
+    * aggregate + two broadcast-joined degree lookups.
+    */
+  def bipartiteProject(spark: SparkSession, dir: String,
+                       cap: Int = 32, minSupport: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")),
+        Seq("ok"))
+      .select(col("ck"), col("sk")).distinct()
+    val capped = cs
+      .withColumn("rn", row_number().over(Window.partitionBy("ck")
+        .orderBy(md5(concat_ws("|", col("ck"), col("sk"))), col("sk"))))
+      .filter(col("rn") <= cap)
+      .select(col("ck"), col("sk"))
+    val deg = capped.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.ck") === col("b.ck") &&
+        col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("s1"), col("b.sk").as("s2"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minSupport)
+    pairs
+      .join(deg.select(col("sk").as("s1"), col("deg").as("deg1")), Seq("s1"))
+      .join(deg.select(col("sk").as("s2"), col("deg").as("deg2")), Seq("s2"))
+      .select(col("s1"), col("s2"), col("common"), col("deg1"), col("deg2"),
+        round(col("common").cast("double") /
+          sqrt(col("deg1").cast("double") * col("deg2")), 6).as("weight"))
+      .orderBy("s1", "s2")
+  }
+
+  /** One node's 256-register sketch — the byte array IS the HyperBall
+    * state (256 B/node, the paper's point: the whole frontier state of
+    * a billion-node graph fits a few hundred GB across the fleet).
+    */
+  final case class BallRegs(id: Long, regs: Array[Byte])
+
+  def hyperBall(spark: SparkSession, dir: String, hops: Int = 2): DataFrame = {
+    import spark.implicits._
+    val edges = symEdges(spark, dir)
+      .select(col("u").as("src"), col("v").as("dst"))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    val h = conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    // one (b, ρ) cell per node → its singleton 256-byte sketch. The
+    // register convention is X105's verbatim (b = h mod 256,
+    // ρ = 25 − bit_length(h div 256), 25 at zero).
+    val r0: org.apache.spark.sql.Dataset[BallRegs] = nodes
+      .withColumn("h", h)
+      .select(col("id"), pmod(col("h"), lit(256)).cast("int").as("b"),
+        (col("h") / lit(256)).cast("long").as("w"))
+      .select(col("id"), col("b"),
+        when(col("w") === 0, lit(25))
+          .otherwise(lit(25) - length(bin(col("w")))).cast("int").as("rho"))
+      .as[(Long, Int, Int)]
+      .map { case (id, b, rho) =>
+        val a = new Array[Byte](256); a(b) = rho.toByte; BallRegs(id, a)
+      }
+    // self-loops fold the node's own sketch into the same join the
+    // neighbours ride — ONE previous-round reference per round. The
+    // merge is a typed reduceGroups (map-side partial combine): rows
+    // through the shuffle stay |E|, each 256 B — NOT |E|×registers,
+    // which is what the naive (id, b, ρ) relational spelling costs.
+    val eLoop = edges.unionByName(
+      nodes.select(col("id").as("src"), col("id").as("dst")))
+    def unionMax(a: BallRegs, b: BallRegs): BallRegs = {
+      val out = new Array[Byte](256)
+      var i = 0
+      while (i < 256) {
+        out(i) = if (a.regs(i) >= b.regs(i)) a.regs(i) else b.regs(i)
+        i += 1
+      }
+      BallRegs(a.id, out)
+    }
+    var rounds = List((0, r0))
+    for (t <- 1 to hops) {
+      val prev = rounds.head._2
+      val next = graft.Checkpoints.cut(
+        eLoop.join(prev.toDF(), col("dst") === col("id"))
+          .select(col("src").as("id"), col("regs"))
+          .as[BallRegs]
+          .groupByKey(_.id)
+          .reduceGroups(unionMax _)
+          .map(_._2).toDF()).as[BallRegs]
+      rounds = (t, next) :: rounds
+    }
+    // estimate from the full register vector (ρ = 0 ⇔ empty bucket):
+    // the X105 formula verbatim, linear-counting branch included; the
+    // harmonic sum Σ2^−ρ is ≤256 binary fractions ≥ 2^−25 — exact.
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val tagged = rounds.map { case (t, r) =>
+      r.map { br =>
+        // Σ2^−ρ: ≤256 binary fractions ≥ 2^−25 — exact in ieee754 in
+        // any order, so the fixed 0..255 fold is bit-stable
+        var s = 0.0
+        var v = 0L
+        var i = 0
+        while (i < 256) {
+          s += java.lang.Math.pow(2.0, -br.regs(i).toDouble)
+          if (br.regs(i) == 0) v += 1
+          i += 1
+        }
+        (t, br.id, s, v)
+      }.toDF("t", "id", "s", "v")
+    }.reduce(_.unionByName(_))
+    val est = tagged
+      .select(col("t"), col("id"),
+        round(
+          when((alpha * lit(65536.0) / col("s")) <= lit(640.0) &&
+               col("v") > 0,
+            lit(256.0) * log(lit(256.0) / col("v")))
+            .otherwise(alpha * lit(65536.0) / col("s")), 6).as("est"))
+    def cell(t: Int) = max(when(col("t") === t, col("est"))) // 1 non-null
+    val cells = (0 to hops).map(t => cell(t).as(s"est$t"))
+    // harmonic in EXACT integer micro-units of the already-6dp-rounded
+    // estimates (re-rounding a float sum of rounded values sits on 6dp
+    // ties — the observed 1-ulp cross-engine hazard), scaled by
+    // L = lcm-ish ∏t so every 1/t term is integral; ONE final division
+    val scaleL = (1 to hops).product
+    def e6(t: Int) = round(col(s"est$t") * 1e6).cast("long")
+    val harmonicScaled = (1 to hops).map(t =>
+      (e6(t) - e6(t - 1)) * lit((scaleL / t).toLong)).reduce(_ + _)
+    est.groupBy("id")
+      .agg(cells.head, cells.tail: _*)
+      .select(col("id").as("part_id") +:
+        (0 to hops).map(t => col(s"est$t")) :+
+        (harmonicScaled.cast("double") / lit(scaleL * 1e6))
+          .as("harmonic_est"): _*)
+      .orderBy("part_id")
   }
 }

@@ -624,12 +624,19 @@ object LangModel {
     * cache sized to the top-k types serves exactly this share of
     * lookups). Deterministic (count DESC, trigram) total order — the
     * X91 rule; counts stay integral so the cumulative is exact, one
-    * rounded division per output row.
+    * rounded division per output row. A budget larger than the trigram
+    * TYPE count (template-heavy tiny corpus) is NOT silently dropped
+    * (the r9 advice): every requested budget emits a row at the last
+    * available rank (`eff_k`, coverage = 1.0 there) with
+    * `truncated = true` flagging the cut — so the curve always has
+    * |ks| rows and a budget-sweep consumer can't misread a missing
+    * row as "coverage unknown".
     *
     * Scale shape: one trigram-type count (map-combinable), a
     * TakeOrdered top-1000 cut, then rank/cumsum windows bounded by the
-    * 1000-row cut (the zipf allowlist class) and a 1-row total
-    * broadcast.
+    * 1000-row cut (the zipf allowlist class); budget assignment is a
+    * narrow explode over the ≤1000-row cut (no inequality join), and
+    * the 1-row total broadcast crosses the |ks|-row result.
     */
   def ngramCoverage(spark: SparkSession, dir: String,
                     ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
@@ -648,10 +655,18 @@ object LangModel {
         Window.orderBy(col("c").desc, col("g"))).cast("long"))
       .withColumn("covered", sum("c").over(Window.orderBy("rk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    top.filter(col("rk").isin(ks.map(_.toLong): _*))
+    // each rank row fans out to every budget it can serve; max(rk) per
+    // budget is then the last AVAILABLE rank (= the budget itself
+    // unless the type count falls short)
+    val budgetArr = ks.sorted.map(k => s"${k}L").mkString("array(", ", ", ")")
+    top.withColumn("top_k", explode(expr(s"filter($budgetArr, b -> b >= rk)")))
+      .groupBy("top_k")
+      .agg(max("rk").as("eff_k"), max("covered").as("covered"))
       .crossJoin(broadcast(tot))
-      .select(col("rk").as("top_k"), col("covered"), col("t").as("total_positions"),
-        round(col("covered").cast("double") / col("t"), 6).as("coverage"))
+      .select(col("top_k"), col("eff_k"), col("covered"),
+        col("t").as("total_positions"),
+        round(col("covered").cast("double") / col("t"), 6).as("coverage"),
+        (col("eff_k") < col("top_k")).as("truncated"))
       .orderBy("top_k")
   }
 
@@ -721,5 +736,105 @@ object LangModel {
         round(col("ln_dec").cast("double") / col("n_positions"), 6)
           .as("avg_logscore"))
       .orderBy("doc_id")
+  }
+
+  /** X240: Good–Turing frequency smoothing (Good 1953) over TRIGRAM
+    * types — the frequency-of-frequency table N_r and the smoothed
+    * count r* = (r+1)·N_{r+1}/N_r every held-out LM estimate starts
+    * from, plus the r = 0 row carrying the UNSEEN probability mass
+    * N_1/N (what share of the next shard's trigram positions will be
+    * novel — the OOV-planning figure for an LM cache or DF table at
+    * 100 TB). Trigrams, not unigrams, deliberately: GT lives on the
+    * LOW-count classes, and the fixture's (and any template-heavy
+    * corpus's) unigram vocabulary has no tail — the trigram stream is
+    * where singletons/doubletons actually exist. One row per raw
+    * count r ∈ 0..`maxR`: N_r, N_{r+1}, the smoothed r*, the raw mass
+    * r·N_r/N, and the GT-reassigned mass (r+1)·N_{r+1}/N (whose r = 0
+    * cell IS the unseen mass).
+    *
+    * Scale shape: one trigram-type count (map-combinable,
+    * AQE-skew-safe on the template head), then a ≤type-count-sized
+    * second count — the freq-of-freq relation is a few hundred rows
+    * at any corpus size (N_r is ~Zipf-thin in r); the r-grid fan-out
+    * and the 1-row total broadcast are catalog-sized. Everything is
+    * exact integer until the two rounded divisions per output row.
+    */
+  def goodTuring(spark: SparkSession, dir: String, maxR: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(expr("filter(split(lower(text), '[^a-z]+'), t -> t <> '')")
+        .as("ws"))
+    val tris = docs.select(explode(expr(
+        "CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3), " +
+          "i -> concat_ws(' ', ws[i], ws[i + 1], ws[i + 2])) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("g"))
+    val counts = tris.groupBy("g").agg(count(lit(1)).as("c"))
+    val ff = counts.groupBy(col("c").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val tot = counts.agg(sum("c").as("n_tokens"))
+    val grid = spark.range(0, maxR + 1).select(col("id").as("r"))
+    grid
+      .join(ff, Seq("r"), "left")
+      .join(ff.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+        Seq("r"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"),
+        coalesce(col("n_r"), lit(0L)).as("n_r"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        col("n_tokens"))
+      .select(col("r"), col("n_r"), col("n_next"),
+        when(col("n_r") > 0,
+          round((col("r") + 1).cast("double") * col("n_next") /
+            col("n_r"), 6)).as("gt_count"),
+        round(col("r").cast("double") * col("n_r") / col("n_tokens"), 6)
+          .as("raw_mass"),
+        round((col("r") + 1).cast("double") * col("n_next") /
+          col("n_tokens"), 6).as("gt_mass"))
+      .orderBy("r")
+  }
+
+  /** X241: vocabulary-richness estimators — the capture–recapture view
+    * of a corpus: per source AND for the whole corpus, the observed
+    * type count V, the singleton/doubleton counts f₁/f₂, bias-corrected
+    * Chao1 richness V + f₁(f₁−1)/(2(f₂+1)) (Chao 1984 — how many types
+    * a 100× crawl of the same source would surface), Good's sample
+    * coverage 1 − f₁/N (what share of the next token stream is already
+    * in vocabulary), type–token ratio, and the exact Simpson diversity
+    * 1 − Σc(c−1)/(N(N−1)) (repeat-heaviness of the token distribution).
+    * Every numerator is exact integer arithmetic; each output cell is
+    * one rounded division — no float aggregates anywhere.
+    *
+    * Scale shape: two map-combinable count passes ((source, tok) then
+    * (tok)); the f₁/f₂/Σc(c−1) reductions ride the same aggregates.
+    * The ALL row genuinely regroups globally (types merge ACROSS
+    * sources — a rollup over per-source counts would double-count
+    * types, so the union of two branches is the correct plan, not a
+    * missed GROUPING SETS).
+    */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("tok"))
+      .filter(col("tok") =!= "")
+    def stats(counts: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      counts.groupBy(key.as("source"))
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"),
+          sum(col("c") * (col("c") - 1)).as("rep2"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("f1"),
+          col("f2"),
+          round(col("n_types") + col("f1").cast("double") * (col("f1") - 1) /
+            (lit(2.0) * (col("f2") + 1)), 6).as("chao1"),
+          round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
+            .as("goods_coverage"),
+          round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+          round(lit(1.0) - col("rep2").cast("double") /
+            (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6)
+            .as("simpson_diversity"))
+    val perSource = stats(
+      toks.groupBy("source", "tok").agg(count(lit(1)).as("c")), col("source"))
+    val overall = stats(
+      toks.groupBy("tok").agg(count(lit(1)).as("c")), lit("ALL"))
+    perSource.unionByName(overall).orderBy("source")
   }
 }

@@ -802,6 +802,141 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "tile_x", "tile_y")
   }
 
+  /** X248: cross-image duplicate-tile detection — the watermark/logo/
+    * template finder: every decoded image is cut into the X211 4×4
+    * grid, each tile is fingerprinted by the md5 of its exact pixel
+    * SEQUENCE (row-major "v,v,…" decimal serialization — a stated
+    * canonical form, so equal fingerprints ⇔ equal rasters, no
+    * perceptual slack), and fingerprints that recur across ≥ 2
+    * DISTINCT images are reported with their spread. On real crawl
+    * data this is how repeated watermarks / UI chrome / stock
+    * boilerplate surface; on the test-card corpus the recurrences are
+    * the arithmetically-predictable 31·Δd + 7·Δx + 13·Δy ≡ 0 (mod 256)
+    * coincidences — which is what makes the whole codec→tile→hash→
+    * group pipeline exactly oracle-able.
+    *
+    * Scale shape: the codec+hash stage is the standard no-shuffle
+    * `mapPartitions` leg emitting 16 narrow rows per image; the only
+    * exchange keys on the fingerprint (uniform by construction), and
+    * the report is one map-combinable aggregate + a cardinality
+    * filter. Identical to exact text dedup's shape (X1) with the
+    * fingerprint computed from decoded pixels instead of raw bytes.
+    */
+  final case class TileSig(doc_id: Long, tile_x: Long, tile_y: Long,
+                           n_px: Long, sig: String)
+
+  def tileDups(spark: SparkSession, dir: String, grid: Int = 4): DataFrame = {
+    import spark.implicits._
+    val sigs = pngPayloads(spark, dir).mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.content))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val bufs = Array.fill(grid, grid)(new StringBuilder)
+        val cnts = Array.ofDim[Long](grid, grid)
+        var y = 0
+        while (y < h) {
+          val ty = y * grid / h
+          var x = 0
+          while (x < w) {
+            val tx = x * grid / w
+            val sb = bufs(tx)(ty)
+            if (sb.nonEmpty) sb.append(',')
+            sb.append(img.getRGB(x, y) & 0xff)
+            cnts(tx)(ty) += 1
+            x += 1
+          }
+          y += 1
+        }
+        for (tx <- 0 until grid; ty <- 0 until grid) yield {
+          md.reset()
+          val hex = md.digest(bufs(tx)(ty).toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+          TileSig(p.doc_id, tx.toLong, ty.toLong, cnts(tx)(ty), hex)
+        }
+      }
+    }.toDF()
+    sigs.groupBy("sig")
+      .agg(max("n_px").as("n_px"), count(lit(1)).as("n_tiles"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("sig")
+  }
+
+  /** X255: global SSIM of the 2× block-mean downsample reconstruction —
+    * the perceptual-quality audit a media pipeline runs on every
+    * resize/transcode decision (Wang et al. 2004, the global single-
+    * window form): x = the REAL decoded raster, y = its 2×2 floor-mean
+    * downsample re-expanded nearest-neighbour, SSIM from the standard
+    * constants C₁ = (0.01·255)², C₂ = (0.03·255)². All five moment sums
+    * (Σx, Σy, Σx², Σy², Σxy) are EXACT int64 off the decode, emitted in
+    * the output; SSIM itself is one fixed IEEE expression of them —
+    * both facts are what make a perceptual score hash-oracle-able at
+    * all. Flat images (zero variance) get SSIM's defined limit via the
+    * same formula (C-terms dominate), no special case.
+    *
+    * Scale shape: the standard no-shuffle `mapPartitions` codec leg,
+    * one narrow row out per image.
+    */
+  final case class SsimRow(doc_id: Long, n_px: Long, sum_x: Long,
+                           sum_y: Long, sum_xx: Long, sum_yy: Long,
+                           sum_xy: Long)
+
+  def imageSsim(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sums = pngPayloads(spark, dir).mapPartitions { it =>
+      it.map { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.content))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = Array.tabulate(w, h)((x, y) => img.getRGB(x, y) & 0xff)
+        val wd = (w + 1) / 2
+        val hd = (h + 1) / 2
+        val down = Array.tabulate(wd, hd) { (bx, by) =>
+          var s = 0L; var c = 0L
+          var x = 2 * bx
+          while (x < math.min(2 * bx + 2, w)) {
+            var y = 2 * by
+            while (y < math.min(2 * by + 2, h)) { s += px(x)(y); c += 1; y += 1 }
+            x += 1
+          }
+          s / c
+        }
+        var (sx, sy, sxx, syy, sxy) = (0L, 0L, 0L, 0L, 0L)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            val xv = px(x)(y).toLong
+            val yv = down(x / 2)(y / 2)
+            sx += xv; sy += yv; sxx += xv * xv; syy += yv * yv; sxy += xv * yv
+            y += 1
+          }
+          x += 1
+        }
+        SsimRow(p.doc_id, w.toLong * h, sx, sy, sxx, syy, sxy)
+      }
+    }.toDF()
+    sums
+      .withColumn("mx", col("sum_x").cast("double") / col("n_px"))
+      .withColumn("my", col("sum_y").cast("double") / col("n_px"))
+      .select(col("doc_id"), col("n_px"), col("sum_x"), col("sum_y"),
+        col("sum_xx"), col("sum_yy"), col("sum_xy"),
+        round(
+          ((lit(2.0) * col("mx") * col("my") + lit(6.5025)) *
+            (lit(2.0) * (col("sum_xy").cast("double") / col("n_px") -
+              col("mx") * col("my")) + lit(58.5225))) /
+          ((col("mx") * col("mx") + col("my") * col("my") + lit(6.5025)) *
+            ((col("sum_xx").cast("double") / col("n_px") -
+              col("mx") * col("mx")) +
+             (col("sum_yy").cast("double") / col("n_px") -
+              col("my") * col("my")) + lit(58.5225))), 6).as("ssim"))
+      .orderBy("doc_id")
+  }
+
   /** X191: autocorrelation pitch tracking over the X156 PCM frames —
     * the classic time-domain F0 estimator (speech pipelines run it for
     * voicing/prosody features; 20–80 samples at 16 kHz spans 200–800

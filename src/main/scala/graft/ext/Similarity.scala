@@ -1319,4 +1319,107 @@ object Similarity {
         col("max_abs_err"))
       .orderBy("label")
   }
+
+  /** X250: triplet-margin audit — the metric-learning health check for
+    * a labelled embedding table: over md5-bucket-sampled triplets
+    * (anchor, positive same-label, negative other-label), the share
+    * where cos(a,p) < cos(a,n) + margin — i.e. the label structure the
+    * embeddings are supposed to encode FAILS the ranking test. The
+    * X226 sampling discipline: positives are same-(label, bucket)
+    * pairs (n²/B keyed join, B grows with the corpus); the negative
+    * per anchor is the deterministic min-id other-label vector in the
+    * anchor's OWN bucket (a bucket-local argmin — no global pick, no
+    * RNG), so every triplet is reproducible and the oracle states the
+    * same three joins. Anchors whose bucket holds no other-label
+    * vector drop out (stated).
+    *
+    * Per-label output: triplet count, violation count/rate at the
+    * stated margin, and the mean ranking gap cos(a,p) − cos(a,n)
+    * (per-triplet 6dp DECIMAL, exact sum, one division).
+    *
+    * Scale shape: two bucket-keyed self-joins and one map-combinable
+    * aggregate; bucket count scales the pair volume as n²/B like X226.
+    * Cosines ride the fused codegen kernel.
+    */
+  /** X253: reciprocal-rank fusion (Cormack et al. 2009, the hybrid-
+    * retrieval default) of two retrievers over the same query: the
+    * exact cosine top-`k` (X3) and the SQ8 quantized-dot top-`k` (X82)
+    * — RRF(v) = Σᵢ 1/(60 + rankᵢ(v)), ranks 1-based within each list,
+    * absent = no term. The fused top-`out` is what a real lexical+
+    * dense (or full+compressed) serving stack returns; the entry
+    * reports each candidate's per-retriever rank so rank disagreement
+    * (the reason fusion helps) is visible in the output. The RRF
+    * constant 60 is the paper's. Per-candidate scores are single fixed
+    * IEEE expressions of small-integer ranks — deterministic in both
+    * engines by construction.
+    *
+    * Scale shape: both retrievers end in TakeOrdered k-row cuts; the
+    * rank windows and the fusion join run on ≤ k rows (the zipf
+    * allowlist class); nothing data-sized happens after the two scans
+    * the underlying retrievers already make.
+    */
+  def rankFusion(spark: SparkSession, dir: String, queryId: Long = 0L,
+                 k: Int = 20, out: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exactList = cosineTopK(spark, dir, queryId, k)
+      .withColumn("rank_exact", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id"), col("rank_exact"))
+    val sqList = scalarQuantTopK(spark, dir, queryId, k)
+      .withColumn("rank_sq", row_number().over(
+        Window.orderBy(col("qdot").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id"), col("rank_sq"))
+    exactList.join(sqList, Seq("vec_id"), "full_outer")
+      .select(col("vec_id"), col("rank_exact"), col("rank_sq"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_exact")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_sq")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("vec_id"))
+      .limit(out)
+      .select(col("vec_id"), col("rank_exact"), col("rank_sq"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
+  def tripletAudit(spark: SparkSession, dir: String, buckets: Int = 16,
+                   margin: Double = 0.1): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), dbl(col("embedding")).as("v"),
+        (conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("bk"))
+    val pos = emb.select(col("vec_id").as("ia"), col("label"),
+        col("v").as("va"), col("bk"))
+      .join(emb.select(col("vec_id").as("ip"), col("label"),
+        col("v").as("vp"), col("bk")), Seq("label", "bk"))
+      .filter(col("ia") < col("ip"))
+    val negPick = emb.select(col("vec_id").as("ia"), col("label"),
+        col("bk"))
+      .join(emb.select(col("vec_id").as("inn"), col("label").as("nlabel"),
+        col("bk")), Seq("bk"))
+      .filter(col("label") =!= col("nlabel"))
+      .groupBy("ia").agg(min("inn").as("neg_id"))
+    val trip = pos
+      .join(negPick, Seq("ia"))
+      .join(emb.select(col("vec_id").as("neg_id"), col("v").as("vn")),
+        Seq("neg_id"))
+      .select(col("label"),
+        cosine(col("va"), col("vp")).as("cos_ap"),
+        cosine(col("va"), col("vn")).as("cos_an"))
+    trip
+      .select(col("label"),
+        when(col("cos_ap") < col("cos_an") + lit(margin), 1L).otherwise(0L)
+          .as("viol"),
+        round(col("cos_ap") - col("cos_an"), 6).cast(D6).as("gap"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_triplets"), sum("viol").as("n_violations"),
+        sum("gap").as("gap_sum"))
+      .select(col("label").cast("long").as("label"), col("n_triplets"),
+        col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_triplets"), 6)
+          .as("violation_rate"),
+        round(col("gap_sum").cast("double") / col("n_triplets"), 6)
+          .as("avg_gap"))
+      .orderBy("label")
+  }
 }

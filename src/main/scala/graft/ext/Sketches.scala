@@ -230,4 +230,65 @@ object Sketches {
         expr("shiftleft(cast(1 as bigint), bucket - 1)").as("lo_bound"))
       .orderBy("scope", "qpct")
   }
+
+  /** X254: HLL register-count sweep — the sketch-sizing table: the SAME
+    * distinct-user question answered at m ∈ {16, 64, 256} registers
+    * beside the exact count, with per-m relative error. This is the
+    * planning number behind "how many bytes per key does the 100 TB
+    * rollup actually need" (theory says 1.04/√m; the sweep shows what
+    * THIS key distribution pays). Register-exact like the X105 family:
+    * each m's (bucket, ρ) convention is the X105 rule at that width
+    * (b = h mod m, ρ = (33 − log₂m) − bit_length(h div m)), estimates
+    * use the paper's α constants (0.673 / 0.709 / 0.7213-corrected)
+    * with the same linear-counting branch — every cell hash-oracles.
+    *
+    * Scale shape: one raw pass per m over the hashed stream (three
+    * map-combinable max-aggregates that could share one scan at 100 TB
+    * via a single explode — stated; at any m the state is m rows/key).
+    */
+  def hllMSweep(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.events(spark, dir)
+      .select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    def estAt(mm: Int, alpha: Double, out: String): DataFrame = {
+      val rhoMax = 33 - (math.log(mm.toDouble) / math.log(2.0)).round.toInt
+      val regs = hashed
+        .select(col("event_type"), pmod(col("h"), lit(mm)).as("b"),
+          (col("h") / lit(mm)).cast("long").as("w"))
+        .select(col("event_type"), col("b"),
+          when(col("w") === 0, lit(rhoMax))
+            .otherwise(lit(rhoMax) - length(bin(col("w")))).as("rho"))
+        .groupBy("event_type", "b").agg(max("rho").as("rho"))
+      regs.groupBy("event_type")
+        .agg(sum(pow(lit(2.0), -col("rho"))).as("sp"),
+          count(lit(1)).as("np"),
+          sum(when(col("rho") === 0, 1).otherwise(0)).as("vp"))
+        .select(col("event_type"),
+          (col("sp") + (lit(mm) - col("np"))).as("s"),
+          (col("vp") + (lit(mm) - col("np"))).as("v"))
+        .select(col("event_type"),
+          round(
+            when((lit(alpha) * lit(mm.toDouble * mm) / col("s")) <=
+                 lit(2.5 * mm) && col("v") > 0,
+              lit(mm.toDouble) * log(lit(mm.toDouble) / col("v")))
+              .otherwise(lit(alpha) * lit(mm.toDouble * mm) / col("s")), 6)
+            .as(out))
+    }
+    val exact = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_users"))
+    def err(est: org.apache.spark.sql.Column) =
+      round(abs(est / col("exact_users") - lit(1.0)) * 100, 4)
+    exact
+      .join(estAt(16, 0.673, "est_m16"), Seq("event_type"))
+      .join(estAt(64, 0.709, "est_m64"), Seq("event_type"))
+      .join(estAt(256, 0.7213 / (1.0 + 1.079 / 256.0), "est_m256"),
+        Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        col("est_m16"), err(col("est_m16")).as("err16_pct"),
+        col("est_m64"), err(col("est_m64")).as("err64_pct"),
+        col("est_m256"), err(col("est_m256")).as("err256_pct"))
+      .orderBy("event_type")
+  }
 }

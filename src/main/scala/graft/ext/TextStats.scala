@@ -1040,4 +1040,113 @@ object TextStats {
           col("tokens"), 6).as("effective_epochs"))
       .orderBy("lang")
   }
+
+  /** X242: k-fold assignment balance audit — the eval-infrastructure
+    * twin of X160's leakage audit: folds come from the SAME md5 bucket
+    * rule (so the two audits describe one split), and this one checks
+    * what leakage can't see — whether each fold is a faithful
+    * miniature of the corpus. Per fold: doc/char counts, the expected
+    * 1/k shares, and the fold's max absolute source-share deviation
+    * from the corpus source mix (the stratification-failure number: a
+    * fold whose source mix drifts makes per-fold eval scores
+    * incomparable). Deviations are per-(fold, source) single divisions
+    * 6dp-rounded into DECIMAL, so the per-fold max is exact and
+    * order-free.
+    *
+    * Scale shape: fold assignment is pure per-row md5 arithmetic (no
+    * join, no shuffle before the aggregate); everything after the one
+    * (fold, source) count pass is k·|sources|-sized. The corpus mix is
+    * a broadcast |sources|-row relation.
+    */
+  def kfoldBalance(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % k).as("fold"))
+    val cell = docs.groupBy("fold", "source")
+      .agg(count(lit(1)).as("n_fs"), sum("n_chars").as("chars_fs"))
+    val perFold = cell.groupBy("fold")
+      .agg(sum("n_fs").as("n_docs"), sum("chars_fs").as("n_chars"))
+    val perSource = cell.groupBy("source").agg(sum("n_fs").as("n_s"))
+    val tot = perFold.agg(sum("n_docs").as("n"))
+    val dev = cell
+      .join(perFold.select(col("fold"), col("n_docs")), Seq("fold"))
+      .join(broadcast(perSource), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"),
+        abs(round(col("n_fs").cast("double") / col("n_docs"), 6).cast(D6) -
+          round(col("n_s").cast("double") / col("n"), 6).cast(D6))
+          .as("adev"))
+      .groupBy("fold").agg(max("adev").as("max_source_dev"))
+    perFold.join(dev, Seq("fold"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("n_chars"),
+        round(col("n_docs").cast("double") / col("n"), 6).as("doc_share"),
+        col("max_source_dev").cast("double").as("max_source_dev"))
+      .orderBy("fold")
+  }
+
+  /** X243: reliability diagram + expected calibration error of the
+    * cheap quality heuristic against the LM signal — does X4's
+    * closed-form `quality_score` actually predict what the expensive
+    * X153 perplexity model measures? Docs are binned by score decile;
+    * each bin reports its mean score ("confidence") and the share of
+    * docs whose trigram bits/token is at or below the corpus median
+    * ("goodness" under the LM lens); ECE = Σ (n_b/N)·|gap| is the
+    * single scalar a filtering pipeline tracks before trusting the
+    * cheap score as a proxy. Docs with < 3 alphabetic tokens carry no
+    * perplexity and are excluded by the inner join (stated).
+    *
+    * Exactness: scores and per-bin gaps are 6dp DECIMAL (exact sums);
+    * the median is the X130-style VALUE-HISTOGRAM discrete median
+    * (smallest bits value whose cumulative count reaches ⌈n/2⌉ —
+    * never a row-level global sort), so every cell is deterministic.
+    *
+    * Scale shape: two corpus passes that already exist elsewhere
+    * (quality = narrow per-row, perplexity = the X153 join tree), one
+    * doc-keyed equi-join, a 10-row bin aggregate, and 1-row
+    * broadcasts; the median window iterates distinct 6dp bits VALUES
+    * (domain-bounded), not rows.
+    */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val score = quality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val bpt = LangModel.perplexity3(spark, dir)
+      .select(col("doc_id"), col("bits_per_token"))
+    val vc = bpt.groupBy("bits_per_token").agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy("bits_per_token")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = vc
+      .withColumn("cum", sum("cnt").over(cum))
+      .crossJoin(broadcast(bpt.agg(count(lit(1)).as("n"))))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min("bits_per_token").as("med_bpt"))
+    val joined = score.join(bpt, Seq("doc_id"))
+      .crossJoin(broadcast(med))
+      .select(
+        least(floor(col("quality_score") * 10), lit(9L)).as("bin"),
+        col("quality_score").cast(D6).as("conf"),
+        when(col("bits_per_token") <= col("med_bpt"), 1L).otherwise(0L)
+          .as("good"))
+    val bins = joined.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("conf").as("conf_sum"),
+        sum("good").as("n_good"))
+      .select(col("bin"), col("n_docs"),
+        round(col("conf_sum").cast("double") / col("n_docs"), 6)
+          .as("avg_score"),
+        round(col("n_good").cast("double") / col("n_docs"), 6)
+          .as("good_rate"))
+      .withColumn("gap",
+        abs(col("avg_score").cast(D6) - col("good_rate").cast(D6)))
+    val ece = bins
+      .select((col("gap") * col("n_docs")).as("w"), col("n_docs"))
+      .agg(sum("w").as("wsum"), sum("n_docs").as("n"))
+      .select(round(col("wsum").cast("double") / col("n"), 6).as("ece"))
+    bins.crossJoin(broadcast(ece))
+      .select(col("bin"), col("n_docs"), col("avg_score"), col("good_rate"),
+        col("gap").cast("double").as("gap"), col("ece"))
+      .orderBy("bin")
+  }
 }

@@ -5062,7 +5062,11 @@ ${SHINGLES.trim},
     // (preceder-type) backoff; p one fixed IEEE expression, per-bigram
     // log2 6dp-DECIMAL so the per-doc sum is exact (X153 discipline).
     // X235 n-gram coverage curve: top-1000 trigram types, ordered rank +
-    // cumulative over the bounded cut, coverage at the three k rows.
+    // cumulative over the bounded cut; every requested budget emits a
+    // row at the last AVAILABLE rank (eff_k) with a truncated flag, so
+    // a type count below a budget cannot silently drop the row (r9
+    // advice). Budget fan-out is an unnest over the bounded cut, the
+    // same narrow shape the DataFrame uses.
     "text_ngram_coverage" -> """
       WITH d AS (
         SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
@@ -5079,11 +5083,18 @@ ${SHINGLES.trim},
       rk AS (SELECT g, c,
                CAST(ROW_NUMBER() OVER (ORDER BY c DESC, g) AS BIGINT) AS rk
              FROM top),
-      cum AS (SELECT rk, SUM(c) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS covered
-              FROM rk)
-      SELECT rk AS top_k, covered, tot.t AS total_positions,
-             ROUND(CAST(covered AS DOUBLE) / tot.t, 6) AS coverage
-      FROM cum, tot WHERE rk IN (10, 100, 1000) ORDER BY top_k""",
+      cum AS (SELECT rk, CAST(SUM(c) OVER (ORDER BY rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered
+              FROM rk),
+      fan AS (SELECT b AS top_k, rk, covered
+              FROM (SELECT rk, covered,
+                           unnest(list_filter(list_value(CAST(10 AS BIGINT), CAST(100 AS BIGINT), CAST(1000 AS BIGINT)), b -> b >= rk)) AS b
+                    FROM cum) t0),
+      sel AS (SELECT top_k, MAX(rk) AS eff_k, MAX(covered) AS covered
+              FROM fan GROUP BY top_k)
+      SELECT top_k, eff_k, covered, tot.t AS total_positions,
+             ROUND(CAST(covered AS DOUBLE) / tot.t, 6) AS coverage,
+             (eff_k < top_k) AS truncated
+      FROM sel, tot ORDER BY top_k""",
     // X231 held-out stupid backoff: train counts from the md5-bucket
     // train split, test-split trigram types scored through the three
     // backoff tiers; per-position ln S 6dp-DECIMAL before the doc sum.
@@ -5265,8 +5276,8 @@ ${SHINGLES.trim},
                   GROUP BY d),
       pts AS (
         SELECT t.d AS decile,
-               SUM(t.nt) OVER (ORDER BY t.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-               SUM(COALESCE(v.nv, 0)) OVER (ORDER BY t.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+               CAST(SUM(t.nt) OVER (ORDER BY t.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(v.nv, 0)) OVER (ORDER BY t.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
         FROM tokperd t LEFT JOIN vocperd v ON v.d = t.d),
       xy AS (SELECT decile, cum_tokens, cum_vocab,
                CAST(ROUND(ln(CAST(cum_tokens AS DOUBLE)), 6)
@@ -6800,7 +6811,656 @@ ${SHINGLES.trim},
       FROM phrases ph JOIN inst i
         ON ph.doc_id = i.doc_id AND ph.grp = i.grp
       GROUP BY ph.phrase
-      ORDER BY score DESC, n_instances DESC, phrase LIMIT 20""")
+      ORDER BY score DESC, n_instances DESC, phrase LIMIT 20""",
+    // X240 Good-Turing over trigram types: freq-of-freq table, smoothed
+    // r* = (r+1)N_{r+1}/N_r, raw and GT-reassigned probability mass per
+    // count class (r = 0 row carries the unseen mass N_1/N).
+    // All-integer until the rounded divisions.
+    "text_good_turing" -> """
+      WITH d AS (
+        SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           t -> t <> '') AS ws
+        FROM documents),
+      tri AS (
+        SELECT ws[i] || ' ' || ws[i2] || ' ' || ws[i3] AS g
+        FROM (SELECT ws, i, i + 1 AS i2, i + 2 AS i3
+              FROM (SELECT ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                    FROM d WHERE len(ws) >= 3) t0) t),
+      counts AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM tri GROUP BY g),
+      ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+             FROM counts GROUP BY c),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM counts),
+      grid AS (SELECT CAST(g AS BIGINT) AS r
+               FROM (SELECT unnest(generate_series(0, 10)) AS g) t0)
+      SELECT grid.r,
+             COALESCE(f1.n_r, 0) AS n_r,
+             COALESCE(f2.n_r, 0) AS n_next,
+             CASE WHEN COALESCE(f1.n_r, 0) > 0
+                  THEN ROUND(CAST(grid.r + 1 AS DOUBLE) * COALESCE(f2.n_r, 0) / f1.n_r, 6)
+             END AS gt_count,
+             ROUND(CAST(grid.r AS DOUBLE) * COALESCE(f1.n_r, 0) / tot.n_tokens, 6) AS raw_mass,
+             ROUND(CAST(grid.r + 1 AS DOUBLE) * COALESCE(f2.n_r, 0) / tot.n_tokens, 6) AS gt_mass
+      FROM grid LEFT JOIN ff f1 ON f1.r = grid.r
+                LEFT JOIN ff f2 ON f2.r = grid.r + 1
+                CROSS JOIN tot
+      ORDER BY grid.r""",
+    // X241 vocabulary richness: Chao1 / Good's coverage / TTR / exact
+    // Simpson per source + the globally-regrouped ALL row (types merge
+    // across sources — a rollup over per-source counts would be wrong).
+    "text_vocab_richness" -> """
+      WITH raw AS (
+        SELECT source,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents),
+      tk AS (SELECT source, tok FROM raw WHERE tok <> ''),
+      cs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY source, tok),
+      cg AS (SELECT 'ALL' AS source, tok, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY tok),
+      u AS (SELECT * FROM cs UNION ALL SELECT * FROM cg),
+      st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                    CAST(COUNT(*) AS BIGINT) AS n_types,
+                    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                    CAST(SUM(c * (c - 1)) AS BIGINT) AS rep2
+             FROM u GROUP BY source)
+      SELECT source, n_tokens, n_types, f1, f2,
+             ROUND(n_types + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1,
+             ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS goods_coverage,
+             ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+             ROUND(1.0 - CAST(rep2 AS DOUBLE) /
+               (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) AS simpson_diversity
+      FROM st ORDER BY source""",
+    // X242 k-fold balance: same md5 fold rule as X160; per-fold max
+    // |source share - corpus share| over 6dp-DECIMAL-rounded shares.
+    "curation_kfold_balance" -> """
+      WITH d AS (
+        SELECT doc_id, source, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 5 AS fold
+        FROM documents),
+      cell AS (SELECT fold, source, CAST(COUNT(*) AS BIGINT) AS n_fs,
+                      CAST(SUM(n_chars) AS BIGINT) AS chars_fs
+               FROM d GROUP BY fold, source),
+      pf AS (SELECT fold, CAST(SUM(n_fs) AS BIGINT) AS n_docs,
+                    CAST(SUM(chars_fs) AS BIGINT) AS n_chars
+             FROM cell GROUP BY fold),
+      psrc AS (SELECT source, CAST(SUM(n_fs) AS BIGINT) AS n_s
+               FROM cell GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM pf),
+      dev AS (
+        SELECT cell.fold,
+               MAX(abs(CAST(ROUND(CAST(cell.n_fs AS DOUBLE) / pf.n_docs, 6) AS DECIMAL(18,6)) -
+                       CAST(ROUND(CAST(psrc.n_s AS DOUBLE) / tot.n, 6) AS DECIMAL(18,6))))
+                 AS max_source_dev
+        FROM cell JOIN pf ON pf.fold = cell.fold
+                  JOIN psrc ON psrc.source = cell.source
+                  CROSS JOIN tot
+        GROUP BY cell.fold)
+      SELECT pf.fold, pf.n_docs, pf.n_chars,
+             ROUND(CAST(pf.n_docs AS DOUBLE) / tot.n, 6) AS doc_share,
+             CAST(dev.max_source_dev AS DOUBLE) AS max_source_dev
+      FROM pf JOIN dev ON dev.fold = pf.fold CROSS JOIN tot
+      ORDER BY pf.fold""",
+    // X243 reliability/ECE: X4's quality score binned by decile vs the
+    // X153 LM signal (good = bits/token at or below the histogram-median);
+    // per-bin gaps 6dp-DECIMAL, ECE one final division.
+    "curation_quality_calibration" -> ("""
+      WITH ppl AS (""" + PERPLEXITY3 + """),
+      sc AS (
+        SELECT doc_id,
+               ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100, 1.0) *
+                     (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+                      len(string_split(text, ' '))), 6) AS score
+        FROM documents),
+      bptv AS (SELECT bits_per_token, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM ppl GROUP BY bits_per_token),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ppl),
+      cumv AS (SELECT bits_per_token,
+                 SUM(cnt) OVER (ORDER BY bits_per_token ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM bptv),
+      med AS (SELECT MIN(bits_per_token) AS med_bpt
+              FROM cumv CROSS JOIN nn WHERE cum >= (n + 1) // 2),
+      j AS (
+        SELECT LEAST(CAST(floor(sc.score * 10) AS BIGINT), 9) AS bin,
+               CAST(sc.score AS DECIMAL(18,6)) AS conf,
+               CASE WHEN ppl.bits_per_token <= med.med_bpt THEN 1 ELSE 0 END AS good
+        FROM sc JOIN ppl ON ppl.doc_id = sc.doc_id CROSS JOIN med),
+      bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      ROUND(CAST(SUM(conf) AS DOUBLE) / COUNT(*), 6) AS avg_score,
+                      ROUND(CAST(SUM(good) AS DOUBLE) / COUNT(*), 6) AS good_rate
+               FROM j GROUP BY bin),
+      g AS (SELECT bin, n_docs, avg_score, good_rate,
+                   abs(CAST(avg_score AS DECIMAL(18,6)) -
+                       CAST(good_rate AS DECIMAL(18,6))) AS gapd
+            FROM bins),
+      ece AS (SELECT ROUND(CAST(SUM(gapd * n_docs) AS DOUBLE) / SUM(n_docs), 6) AS ece
+              FROM g)
+      SELECT bin, n_docs, avg_score, good_rate,
+             CAST(gapd AS DOUBLE) AS gap, ece.ece
+      FROM g CROSS JOIN ece ORDER BY bin"""),
+    // X244 blocking quality: reduction ratio from per-block pair
+    // arithmetic; pairs completeness against the verified (tau=0.6)
+    // Jaccard pair table; blocking key = X113's md5 5-word prefix.
+    "dq_blocking_quality" -> s"""
+      WITH ${JACCARD_CTES.trim},
+      jp AS (
+        SELECT doc_a, doc_b FROM verified
+        WHERE CAST(n_both AS DOUBLE) / (na + nb - n_both) >= 0.6),
+      bk AS (SELECT doc_id,
+                    md5(array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ')) AS blk
+             FROM documents),
+      bs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                    CAST(SUM((n_b * (n_b - 1)) // 2) AS BIGINT) AS cand_pairs
+             FROM (SELECT blk, CAST(COUNT(*) AS BIGINT) AS n_b
+                   FROM bk GROUP BY blk) t0),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+      tg AS (SELECT CAST(COUNT(*) AS BIGINT) AS verified_pairs,
+                    CAST(SUM(CASE WHEN ba.blk = bb.blk THEN 1 ELSE 0 END) AS BIGINT)
+                      AS pairs_in_block
+             FROM jp JOIN bk ba ON ba.doc_id = jp.doc_a
+                     JOIN bk bb ON bb.doc_id = jp.doc_b)
+      SELECT n_docs, n_blocks, cand_pairs,
+             (n_docs * (n_docs - 1)) // 2 AS total_pairs,
+             ROUND(1.0 - CAST(cand_pairs AS DOUBLE) /
+               ((n_docs * (n_docs - 1)) // 2), 6) AS reduction_ratio,
+             verified_pairs, pairs_in_block,
+             ROUND(CAST(pairs_in_block AS DOUBLE) / verified_pairs, 6)
+               AS pairs_completeness
+      FROM tot CROSS JOIN bs CROSS JOIN tg""",
+    // X245 Theil-T decomposition: per-customer terms 6dp-DECIMAL before
+    // exact summation; TOTAL row carries corpus T and the between term.
+    "analytics_theil" -> """
+      WITH rev AS (
+        SELECT n.n_name AS nation, o.o_custkey AS ck,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, o.o_custkey),
+      bynat AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
+                       CAST(SUM(x) AS DECIMAL(38,2)) AS x_g
+                FROM rev GROUP BY nation),
+      tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                     CAST(SUM(x_g) AS DECIMAL(38,2)) AS s FROM bynat),
+      wt AS (SELECT r.nation,
+                    CAST(ROUND((CAST(r.x AS DOUBLE) / CAST(b.x_g AS DOUBLE)) *
+                      ln(b.n_g * CAST(r.x AS DOUBLE) / CAST(b.x_g AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS term
+             FROM rev r JOIN bynat b ON b.nation = r.nation),
+      wg AS (SELECT nation, SUM(term) AS t_g_dec FROM wt GROUP BY nation),
+      tterm AS (SELECT CAST(ROUND((CAST(r.x AS DOUBLE) / CAST(t.s AS DOUBLE)) *
+                    ln(t.n * CAST(r.x AS DOUBLE) / CAST(t.s AS DOUBLE)), 6)
+                    AS DECIMAL(18,6)) AS term
+                FROM rev r CROSS JOIN tot t),
+      ttot AS (SELECT SUM(term) AS t_dec FROM tterm),
+      btw AS (SELECT SUM(CAST(ROUND((CAST(x_g AS DOUBLE) / CAST(s AS DOUBLE)) *
+                  ln((CAST(x_g AS DOUBLE) / CAST(s AS DOUBLE)) *
+                     (CAST(n AS DOUBLE) / n_g)), 6) AS DECIMAL(18,6))) AS b_dec
+             FROM bynat CROSS JOIN tot),
+      grp AS (SELECT b.nation, b.n_g AS n_customers, b.x_g AS revenue,
+                     ROUND(CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE), 6) AS share,
+                     ROUND(CAST(w.t_g_dec AS DOUBLE), 6) AS theil,
+                     ROUND((CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE)) *
+                       CAST(w.t_g_dec AS DOUBLE), 6) AS decomp
+              FROM bynat b JOIN wg w ON w.nation = b.nation CROSS JOIN tot t),
+      trow AS (SELECT 'TOTAL' AS nation, t.n AS n_customers, t.s AS revenue,
+                      CAST(1.0 AS DOUBLE) AS share,
+                      ROUND(CAST(tt2.t_dec AS DOUBLE), 6) AS theil,
+                      ROUND(CAST(bw.b_dec AS DOUBLE), 6) AS decomp
+               FROM tot t CROSS JOIN ttot tt2 CROSS JOIN btw bw)
+      SELECT * FROM (SELECT * FROM grp UNION ALL SELECT * FROM trow) u
+      ORDER BY nation""",
+    // X246 HyperBall: the oracle unrolls the register max-union rounds
+    // relationally ((id, b, rho) rows, self-loops carry the own-sketch
+    // union, ONE previous-round reference per round) and applies the
+    // X105 estimate formula — register-exact, so it equals the engine's
+    // byte-array form bit-for-bit.
+    "graph_hyperball" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+              FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      nodes AS (SELECT DISTINCT a AS id
+                FROM (SELECT a FROM und UNION ALL SELECT b AS a FROM und) t0),
+      eloop AS (SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b AS src, a AS dst FROM und
+                UNION ALL SELECT id AS src, id AS dst FROM nodes),
+      r0 AS (SELECT id, h % 256 AS b,
+                    CASE WHEN h // 256 = 0 THEN 25
+                         ELSE 25 - length(bin(h // 256)) END AS rho
+             FROM (SELECT id,
+                     ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT AS h
+                   FROM nodes) t1),
+      r1 AS (SELECT e.src AS id, r.b, MAX(r.rho) AS rho
+             FROM eloop e JOIN r0 r ON r.id = e.dst GROUP BY e.src, r.b),
+      r2 AS (SELECT e.src AS id, r.b, MAX(r.rho) AS rho
+             FROM eloop e JOIN r1 r ON r.id = e.dst GROUP BY e.src, r.b),
+      allr AS (SELECT 0 AS t, id, b, rho FROM r0
+               UNION ALL SELECT 1 AS t, id, b, rho FROM r1
+               UNION ALL SELECT 2 AS t, id, b, rho FROM r2),
+      agg AS (SELECT t, id,
+                     SUM(power(2.0, -rho)) + (256 - COUNT(*)) AS s,
+                     CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                       + (256 - COUNT(*)) AS BIGINT) AS v
+              FROM allr GROUP BY t, id),
+      est AS (SELECT t, id,
+                ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s <= 640.0
+                           AND v > 0
+                      THEN 256.0 * ln(256.0 / v)
+                      ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s END, 6)
+                  AS est
+              FROM agg),
+      p AS (SELECT id,
+              MAX(CASE WHEN t = 0 THEN est END) AS est0,
+              MAX(CASE WHEN t = 1 THEN est END) AS est1,
+              MAX(CASE WHEN t = 2 THEN est END) AS est2
+            FROM est GROUP BY id)
+      SELECT id AS part_id, est0, est1, est2,
+             CAST((CAST(ROUND(est1 * 1000000.0, 0) AS BIGINT) -
+                   CAST(ROUND(est0 * 1000000.0, 0) AS BIGINT)) * 2 +
+                  (CAST(ROUND(est2 * 1000000.0, 0) AS BIGINT) -
+                   CAST(ROUND(est1 * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+               / 2000000.0 AS harmonic_est
+      FROM p ORDER BY part_id""",
+    // X248 duplicate tiles: the oracle recomputes every tile's pixel
+    // sequence from the stated test-card formula ((31d + 7x + 13y) mod
+    // 256, X211's integer-div 4x4 grid), serializes it in the same
+    // row-major "v,v,..." form, md5s it, and groups — so codec, tiling,
+    // serialization and hashing all sit under the hash gate.
+    "multimodal_tile_dups" -> """
+      WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h
+        FROM documents),
+      px AS (
+        SELECT doc_id, w, h, x, y,
+               (x * 4) // w AS tx, (y * 4) // h AS ty,
+               (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+        FROM (SELECT doc_id, w, h, gx.x, gy.y
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 16)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 16)) AS y) gy
+              WHERE gx.x < w AND gy.y < h) t0),
+      tiles AS (
+        SELECT doc_id, tx, ty, CAST(COUNT(*) AS BIGINT) AS n_px,
+               md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY y, x)) AS sig
+        FROM px GROUP BY doc_id, tx, ty)
+      SELECT sig, CAST(MAX(n_px) AS BIGINT) AS n_px,
+             CAST(COUNT(*) AS BIGINT) AS n_tiles,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+      FROM tiles GROUP BY sig HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY sig""",
+    // X249 Lindley queue wait: B_k = (service before arrival k) - t_k;
+    // W_k = B_k - running_min(B) — exact BIGINT ms end to end.
+    "events_queue_wait" -> """
+      WITH ev AS (
+        SELECT event_type, event_id, epoch_us(ts) // 1000 AS ms,
+               400000 + event_id % 1000000 AS svc_ms
+        FROM events),
+      b AS (SELECT event_type, event_id, ms, svc_ms,
+              SUM(svc_ms) OVER (PARTITION BY event_type ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - svc_ms - ms AS bb
+            FROM ev),
+      w AS (SELECT event_type, ms, svc_ms,
+              bb - MIN(bb) OVER (PARTITION BY event_type ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wait_ms
+            FROM b)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+             CAST(SUM(CASE WHEN wait_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_queued,
+             CAST(MAX(wait_ms) AS BIGINT) AS max_wait_ms,
+             ROUND(CAST(SUM(wait_ms) AS DOUBLE) / COUNT(*), 6) AS avg_wait_ms,
+             ROUND(CAST(SUM(CASE WHEN wait_ms > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+               COUNT(*), 6) AS queued_share,
+             ROUND(CAST(SUM(svc_ms) AS DOUBLE) / (MAX(ms) - MIN(ms) + 1), 6)
+               AS utilization
+      FROM w GROUP BY event_type ORDER BY event_type""",
+    // X251 interval union: fixed 1-hour outage windows merged by the
+    // ordered lead() identity, clipped at midnight; exact BIGINT ms.
+    "events_interval_union" -> """
+      WITH e AS (
+        SELECT CAST(ts AS DATE) AS day, event_id,
+               epoch_us(ts) // 1000 AS ms
+        FROM events WHERE event_type = 'error'),
+      l AS (SELECT day, ms,
+              lead(ms, 1) OVER (PARTITION BY day ORDER BY ms, event_id) AS next_ms,
+              epoch_us(CAST(day AS TIMESTAMP)) // 1000 + 86400000 AS day_end
+            FROM e),
+      c AS (SELECT day,
+              LEAST(3600000, COALESCE(next_ms, 9223372036854775807) - ms,
+                    day_end - ms) AS covered_ms
+            FROM l)
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_errors,
+             CAST(SUM(covered_ms) AS BIGINT) AS outage_ms,
+             ROUND(1.0 - CAST(SUM(covered_ms) AS DOUBLE) / 86400000.0, 6)
+               AS availability
+      FROM c GROUP BY day ORDER BY day""",
+    // X250 triplet audit: same-(label, md5-bucket) positives, min-id
+    // other-label negative from the anchor's bucket, cosine via the
+    // established list_dot_product parity surface.
+    "embed_triplet_audit" -> """
+      WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS bk
+        FROM embeddings),
+      pos AS (
+        SELECT a.vec_id AS ia, a.label, a.v AS va, a.bk, p.vec_id AS ip, p.v AS vp
+        FROM e a JOIN e p ON p.label = a.label AND p.bk = a.bk
+        WHERE a.vec_id < p.vec_id),
+      npick AS (
+        SELECT a.vec_id AS ia, MIN(nn.vec_id) AS neg_id
+        FROM e a JOIN e nn ON nn.bk = a.bk AND nn.label <> a.label
+        GROUP BY a.vec_id),
+      trip AS (
+        SELECT pos.label,
+               list_dot_product(va, vp) /
+                 (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vp, vp))) AS cos_ap,
+               list_dot_product(va, ng.v) /
+                 (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(ng.v, ng.v))) AS cos_an
+        FROM pos JOIN npick ON npick.ia = pos.ia
+                 JOIN e ng ON ng.vec_id = npick.neg_id),
+      t2 AS (
+        SELECT label,
+               CASE WHEN cos_ap < cos_an + 0.1 THEN 1 ELSE 0 END AS viol,
+               CAST(ROUND(cos_ap - cos_an, 6) AS DECIMAL(18,6)) AS gap
+        FROM trip)
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_triplets,
+             CAST(SUM(viol) AS BIGINT) AS n_violations,
+             ROUND(CAST(SUM(viol) AS DOUBLE) / COUNT(*), 6) AS violation_rate,
+             ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS avg_gap
+      FROM t2 GROUP BY label ORDER BY label""",
+    // X253 RRF fusion: both retrievers restated (X3's exact cosine cut,
+    // X82's SQ8 quantized-dot cut, both at k = 20), 1-based ranks over
+    // the bounded cuts, RRF = sum 1/(60 + rank), fused top-10.
+    "embed_rank_fusion" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+      s AS (
+        SELECT vec_id,
+               list_dot_product(embedding::DOUBLE[], qv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv, qv))) AS cos
+        FROM embeddings, q WHERE vec_id <> 0),
+      ex AS (SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM s
+             ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 20),
+      exr AS (SELECT vec_id,
+                CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT)
+                  AS rank_exact
+              FROM ex),
+      cells AS (
+        SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+               embedding
+        FROM embeddings),
+      c2 AS (SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS v FROM cells),
+      stats AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM c2 GROUP BY dim),
+      codes AS (
+        SELECT vec_id, c2.dim,
+               CAST(CASE WHEN mx > mn
+                    THEN least(floor((v - mn) * 255.0 / (mx - mn)), 255.0)
+                    ELSE 0.0 END AS BIGINT) AS code
+        FROM c2 JOIN stats ON c2.dim = stats.dim),
+      qq AS (SELECT dim, code AS qcode FROM codes WHERE vec_id = 0),
+      sq AS (SELECT c.vec_id, CAST(SUM(c.code * qq.qcode) AS BIGINT) AS qdot
+             FROM codes c JOIN qq ON c.dim = qq.dim
+             WHERE c.vec_id <> 0
+             GROUP BY c.vec_id
+             ORDER BY qdot DESC, vec_id LIMIT 20),
+      sqr AS (SELECT vec_id,
+                CAST(ROW_NUMBER() OVER (ORDER BY qdot DESC, vec_id) AS BIGINT)
+                  AS rank_sq
+              FROM sq),
+      f AS (SELECT COALESCE(exr.vec_id, sqr.vec_id) AS vec_id,
+                   rank_exact, rank_sq,
+                   COALESCE(1.0 / (60 + rank_exact), 0.0) +
+                     COALESCE(1.0 / (60 + rank_sq), 0.0) AS rrf
+            FROM exr FULL OUTER JOIN sqr ON sqr.vec_id = exr.vec_id)
+      SELECT vec_id, rank_exact, rank_sq, ROUND(rrf, 6) AS rrf_score
+      FROM f ORDER BY rrf DESC, vec_id LIMIT 10""",
+    // X257 RFM migration: X84's exact scoring applied per half against
+    // each half's own recency watermark; explicit 'absent' state.
+    "analytics_rfm_migration" -> """
+      WITH pc1 AS (
+        SELECT o_custkey AS ck,
+               MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                 AS last_day,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1),
+      mx1 AS (SELECT MAX(last_day) AS max_day FROM pc1),
+      s1 AS (
+        SELECT ck,
+          CASE WHEN (CASE WHEN max_day - last_day <= 365 THEN 3
+                          WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END) = 3
+                 AND (CASE WHEN freq >= 12 THEN 3 WHEN freq >= 6 THEN 2 ELSE 1 END) +
+                     (CASE WHEN monetary >= 2000000 THEN 3
+                           WHEN monetary >= 1000000 THEN 2 ELSE 1 END) >= 5
+               THEN 'champion'
+               WHEN (CASE WHEN max_day - last_day <= 365 THEN 3
+                          WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END) = 3
+               THEN 'recent'
+               WHEN (CASE WHEN max_day - last_day <= 365 THEN 3
+                          WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END) = 2
+                 AND (CASE WHEN freq >= 12 THEN 3 WHEN freq >= 6 THEN 2 ELSE 1 END) +
+                     (CASE WHEN monetary >= 2000000 THEN 3
+                           WHEN monetary >= 1000000 THEN 2 ELSE 1 END) >= 5
+               THEN 'loyal'
+               WHEN (CASE WHEN max_day - last_day <= 365 THEN 3
+                          WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END) = 2
+               THEN 'warm'
+               WHEN (CASE WHEN freq >= 12 THEN 3 WHEN freq >= 6 THEN 2 ELSE 1 END) +
+                    (CASE WHEN monetary >= 2000000 THEN 3
+                          WHEN monetary >= 1000000 THEN 2 ELSE 1 END) >= 5
+               THEN 'at_risk'
+               ELSE 'hibernating' END AS seg_from
+        FROM pc1, mx1),
+      pc2 AS (
+        SELECT o_custkey AS ck,
+               MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                 AS last_day,
+               COUNT(*) AS freq,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1),
+      mx2 AS (SELECT MAX(last_day) AS max_day FROM pc2),
+      s2 AS (
+        SELECT ck,
+          CASE WHEN (CASE WHEN max_day - last_day <= 365 THEN 3
+                          WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END) = 3
+                 AND (CASE WHEN freq >= 12 THEN 3 WHEN freq >= 6 THEN 2 ELSE 1 END) +
+                     (CASE WHEN monetary >= 2000000 THEN 3
+                           WHEN monetary >= 1000000 THEN 2 ELSE 1 END) >= 5
+               THEN 'champion'
+               WHEN (CASE WHEN max_day - last_day <= 365 THEN 3
+                          WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END) = 3
+               THEN 'recent'
+               WHEN (CASE WHEN max_day - last_day <= 365 THEN 3
+                          WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END) = 2
+                 AND (CASE WHEN freq >= 12 THEN 3 WHEN freq >= 6 THEN 2 ELSE 1 END) +
+                     (CASE WHEN monetary >= 2000000 THEN 3
+                           WHEN monetary >= 1000000 THEN 2 ELSE 1 END) >= 5
+               THEN 'loyal'
+               WHEN (CASE WHEN max_day - last_day <= 365 THEN 3
+                          WHEN max_day - last_day <= 730 THEN 2 ELSE 1 END) = 2
+               THEN 'warm'
+               WHEN (CASE WHEN freq >= 12 THEN 3 WHEN freq >= 6 THEN 2 ELSE 1 END) +
+                    (CASE WHEN monetary >= 2000000 THEN 3
+                          WHEN monetary >= 1000000 THEN 2 ELSE 1 END) >= 5
+               THEN 'at_risk'
+               ELSE 'hibernating' END AS seg_to
+        FROM pc2, mx2),
+      m AS (SELECT COALESCE(s1.seg_from, 'absent') AS seg_from,
+                   COALESCE(s2.seg_to, 'absent') AS seg_to,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM s1 FULL OUTER JOIN s2 ON s2.ck = s1.ck
+            GROUP BY 1, 2),
+      rt AS (SELECT seg_from, CAST(SUM(n_customers) AS BIGINT) AS n_from
+             FROM m GROUP BY seg_from)
+      SELECT m.seg_from, m.seg_to, m.n_customers,
+             ROUND(CAST(m.n_customers AS DOUBLE) / rt.n_from, 6) AS row_share
+      FROM m JOIN rt ON rt.seg_from = m.seg_from
+      ORDER BY m.seg_from, m.seg_to""",
+    // X258 bipartite projection: per-customer md5 frequency cap, capped
+    // self-join on the customer key, cosine-normalized common counts.
+    "graph_bipartite_project" -> """
+      WITH cs AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+                  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      rk AS (SELECT ck, sk,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                 ORDER BY md5(CAST(ck AS VARCHAR) || '|' || CAST(sk AS VARCHAR)), sk)
+                 AS rn
+             FROM cs),
+      cap AS (SELECT ck, sk FROM rk WHERE rn <= 32),
+      deg AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS deg FROM cap GROUP BY sk),
+      pr AS (SELECT a.sk AS s1, b.sk AS s2, CAST(COUNT(*) AS BIGINT) AS common
+             FROM cap a JOIN cap b ON a.ck = b.ck AND a.sk < b.sk
+             GROUP BY a.sk, b.sk HAVING COUNT(*) >= 2)
+      SELECT s1, s2, common, d1.deg AS deg1, d2.deg AS deg2,
+             ROUND(CAST(common AS DOUBLE) /
+               sqrt(CAST(d1.deg AS DOUBLE) * d2.deg), 6) AS weight
+      FROM pr JOIN deg d1 ON d1.sk = pr.s1 JOIN deg d2 ON d2.sk = pr.s2
+      ORDER BY s1, s2""",
+    // X259 theta a-not-b: X130's sketches, ordered pairs, samples of A
+    // below theta and absent from B, exact anti count as yardstick.
+    "agg_theta_diff" -> """
+      WITH du AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+      dh AS (SELECT t, md5(CAST(u AS VARCHAR)) AS h FROM du),
+      rk AS (SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM dh),
+      sk AS (SELECT t, h FROM rk WHERE rn <= 64),
+      tp AS (SELECT a.t AS t1, b.t AS t2
+             FROM (SELECT DISTINCT t FROM du) a
+             JOIN (SELECT DISTINCT t FROM du) b ON a.t <> b.t),
+      us AS (SELECT tp.t1, tp.t2, s.h FROM tp JOIN sk s ON s.t = tp.t1
+             UNION
+             SELECT tp.t1, tp.t2, s.h FROM tp JOIN sk s ON s.t = tp.t2),
+      ur AS (SELECT t1, t2, h,
+                    row_number() OVER (PARTITION BY t1, t2 ORDER BY h) AS rn,
+                    COUNT(*) OVER (PARTITION BY t1, t2) AS usz
+             FROM us),
+      th AS (SELECT t1, t2,
+               CASE WHEN MAX(usz) >= 64 THEN MAX(CASE WHEN rn = 64 THEN h END)
+                    ELSE 'zz' END AS theta_hex,
+               CASE WHEN MAX(usz) >= 64
+                    THEN ('0x' || substring(MAX(CASE WHEN rn = 64 THEN h END), 1, 8))::BIGINT
+                    ELSE 4294967296 END AS theta
+             FROM ur GROUP BY t1, t2),
+      ab AS (SELECT th.t1, th.t2, CAST(COUNT(*) AS BIGINT) AS c
+             FROM th JOIN sk s1 ON s1.t = th.t1
+             WHERE s1.h < th.theta_hex
+               AND NOT EXISTS (SELECT 1 FROM sk s2
+                               WHERE s2.t = th.t2 AND s2.h = s1.h)
+             GROUP BY th.t1, th.t2),
+      cm AS (SELECT x.t AS t1, y.t AS t2, CAST(COUNT(*) AS BIGINT) AS n_common
+             FROM du x JOIN du y ON x.u = y.u AND x.t <> y.t GROUP BY 1, 2),
+      sz AS (SELECT t AS t1, CAST(COUNT(*) AS BIGINT) AS n_t1 FROM du GROUP BY t)
+      SELECT th.t1, th.t2,
+             sz.n_t1 - COALESCE(cm.n_common, 0) AS exact_anotb,
+             COALESCE(ab.c, 0) AS anotb_below,
+             CAST(th.theta AS BIGINT) AS theta,
+             ROUND(COALESCE(ab.c, 0) * 4294967296.0 / th.theta, 6) AS theta_est
+      FROM th LEFT JOIN ab ON th.t1 = ab.t1 AND th.t2 = ab.t2
+              LEFT JOIN cm ON th.t1 = cm.t1 AND th.t2 = cm.t2
+              JOIN sz ON sz.t1 = th.t1
+      ORDER BY th.t1, th.t2""",
+    // X255 global SSIM: test-card pixels, 2x2 floor-mean blocks,
+    // nearest-neighbour reconstruction, exact int64 moment sums, one
+    // fixed IEEE SSIM expression mirrored operator-for-operator.
+    "multimodal_image_ssim" -> """
+      WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + n_chars % 9 AS h
+        FROM documents),
+      px AS (
+        SELECT doc_id, x, y,
+               (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+        FROM (SELECT doc_id, w, h, gx.x, gy.y
+              FROM dims,
+                   (SELECT unnest(generate_series(0, 16)) AS x) gx,
+                   (SELECT unnest(generate_series(0, 16)) AS y) gy
+              WHERE gx.x < w AND gy.y < h) t0),
+      blk AS (
+        SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+               CAST(SUM(v) AS BIGINT) // COUNT(*) AS dv
+        FROM px GROUP BY doc_id, x // 2, y // 2),
+      j AS (SELECT px.doc_id, px.v, blk.dv
+            FROM px JOIN blk ON blk.doc_id = px.doc_id
+                            AND blk.bx = px.x // 2 AND blk.by = px.y // 2),
+      s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS sum_x,
+                   CAST(SUM(dv) AS BIGINT) AS sum_y,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_xx,
+                   CAST(SUM(dv * dv) AS BIGINT) AS sum_yy,
+                   CAST(SUM(v * dv) AS BIGINT) AS sum_xy
+            FROM j GROUP BY doc_id),
+      mm AS (SELECT *, CAST(sum_x AS DOUBLE) / n_px AS mx,
+                    CAST(sum_y AS DOUBLE) / n_px AS my
+             FROM s)
+      SELECT doc_id, n_px, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+             ROUND(
+               ((2.0 * mx * my + 6.5025) *
+                (2.0 * (CAST(sum_xy AS DOUBLE) / n_px - mx * my) + 58.5225)) /
+               ((mx * mx + my * my + 6.5025) *
+                ((CAST(sum_xx AS DOUBLE) / n_px - mx * mx) +
+                 (CAST(sum_yy AS DOUBLE) / n_px - my * my) + 58.5225)), 6)
+               AS ssim
+      FROM mm ORDER BY doc_id""",
+    // X254 HLL m-sweep: the X105 register rule at three widths, the
+    // paper's alpha constants, same linear-counting branch per m.
+    "agg_hll_m_sweep" -> """
+      WITH hh AS (
+        SELECT event_type,
+               ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events),
+      r16 AS (SELECT event_type, h % 16 AS b,
+                MAX(CASE WHEN h // 16 = 0 THEN 29
+                         ELSE 29 - length(bin(h // 16)) END) AS rho
+              FROM hh GROUP BY event_type, h % 16),
+      e16 AS (SELECT event_type,
+                SUM(power(2.0, -rho)) + (16 - COUNT(*)) AS s,
+                CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                  + (16 - COUNT(*)) AS BIGINT) AS v
+              FROM r16 GROUP BY event_type),
+      est16 AS (SELECT event_type,
+                  ROUND(CASE WHEN 0.673 * 256.0 / s <= 40.0 AND v > 0
+                        THEN 16.0 * ln(16.0 / v)
+                        ELSE 0.673 * 256.0 / s END, 6) AS est_m16
+                FROM e16),
+      r64 AS (SELECT event_type, h % 64 AS b,
+                MAX(CASE WHEN h // 64 = 0 THEN 27
+                         ELSE 27 - length(bin(h // 64)) END) AS rho
+              FROM hh GROUP BY event_type, h % 64),
+      e64 AS (SELECT event_type,
+                SUM(power(2.0, -rho)) + (64 - COUNT(*)) AS s,
+                CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                  + (64 - COUNT(*)) AS BIGINT) AS v
+              FROM r64 GROUP BY event_type),
+      est64 AS (SELECT event_type,
+                  ROUND(CASE WHEN 0.709 * 4096.0 / s <= 160.0 AND v > 0
+                        THEN 64.0 * ln(64.0 / v)
+                        ELSE 0.709 * 4096.0 / s END, 6) AS est_m64
+                FROM e64),
+      r256 AS (SELECT event_type, h % 256 AS b,
+                 MAX(CASE WHEN h // 256 = 0 THEN 25
+                          ELSE 25 - length(bin(h // 256)) END) AS rho
+               FROM hh GROUP BY event_type, h % 256),
+      e256 AS (SELECT event_type,
+                 SUM(power(2.0, -rho)) + (256 - COUNT(*)) AS s,
+                 CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END)
+                   + (256 - COUNT(*)) AS BIGINT) AS v
+               FROM r256 GROUP BY event_type),
+      est256 AS (SELECT event_type,
+                   ROUND(CASE WHEN 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s <= 640.0
+                              AND v > 0
+                         THEN 256.0 * ln(256.0 / v)
+                         ELSE 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / s END, 6)
+                     AS est_m256
+                 FROM e256),
+      ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_users
+             FROM events GROUP BY event_type)
+      SELECT ex.event_type, ex.exact_users,
+             est_m16, ROUND(abs(est_m16 / exact_users - 1.0) * 100, 4) AS err16_pct,
+             est_m64, ROUND(abs(est_m64 / exact_users - 1.0) * 100, 4) AS err64_pct,
+             est_m256, ROUND(abs(est_m256 / exact_users - 1.0) * 100, 4) AS err256_pct
+      FROM ex JOIN est16 ON est16.event_type = ex.event_type
+              JOIN est64 ON est64.event_type = ex.event_type
+              JOIN est256 ON est256.event_type = ex.event_type
+      ORDER BY ex.event_type""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT
@@ -7000,6 +7660,25 @@ ${SHINGLES.trim},
              CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
                AS n_blocked_bands,
              SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) = 0 AS admitted
+      FROM own GROUP BY doc_id ORDER BY doc_id""",
+    // X247 Bloom gate twin: same min-owner window as the band gate with
+    // the quantifier flipped — admitted iff ANY of the doc's k=3
+    // md5-derived bits (mod 1024, per-doc distinct) was previously
+    // untouched.
+    "stream_bloom_gate" -> """
+      WITH bits AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(text || '|bloom' || CAST(i AS VARCHAR)), 1, 4))::BIGINT % 1024 AS bit
+        FROM documents,
+             (SELECT unnest(generate_series(0, 2)) AS i) g),
+      own AS (
+        SELECT doc_id, bit,
+               MIN(doc_id) OVER (PARTITION BY bit) AS owner
+        FROM bits)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bits,
+             CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_set_bits,
+             SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) < COUNT(*) AS admitted
       FROM own GROUP BY doc_id ORDER BY doc_id""",
     // X239 streaming quantile-sketch twin: the batch log2-bucket sketch
     // (the X130 rule verbatim) — counter addition is order-free, so the
@@ -7888,7 +8567,7 @@ ${SHINGLES.trim},
     */
   private[graft] val aliasKeys: Set[String] =
     Set("dedup_clusters_star", "incr_cc_merge", "stream_cdc_state",
-      "warehouse_scd2_merge")
+      "warehouse_scd2_merge", "stream_queue_wait")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
@@ -7907,5 +8586,8 @@ ${SHINGLES.trim},
       ("stream_cdc_state" -> warehouse_queries("cdc_apply")) +
       // the incremental SCD2 merge is row-identical to rebuilding the
       // dimension from the full log — the build oracle verbatim
-      ("warehouse_scd2_merge" -> warehouse_queries("warehouse_scd2_build"))
+      ("warehouse_scd2_merge" -> warehouse_queries("warehouse_scd2_build")) +
+      // the streaming Lindley fold equals the batch running-min solution
+      // on the ordered finite replay — X249's audit SQL verbatim
+      ("stream_queue_wait" -> llm_queries("events_queue_wait"))
 }

@@ -536,10 +536,24 @@ object EventStream {
     * Scale shape: the band computation is NARROW per-row expression
     * work (no pre-shuffle); the only exchange keys on (b, band_hash) —
     * the same well-distributed key the batch bucket join shuffles on —
-    * and state is O(distinct bands touched), ~4 rows per ADMITTED
-    * corpus document (rejected docs add no new owners), independent of
-    * stream volume. The per-doc admit fold is a driver-free second
-    * aggregate keyed on doc_id.
+    * and state is O(distinct band keys touched by the FULL doc stream)
+    * (~4 rows per distinct document text, admitted or not: a blocked
+    * doc still owns the bands it touched first, which is what makes
+    * transitive near-dup chains block — the min-owner oracle requires
+    * it), independent of stream VOLUME (replays/exact dups add no
+    * rows). The per-doc admit fold is a driver-free second aggregate
+    * keyed on doc_id.
+    *
+    * Arrival-order precondition (ENFORCED): the append-mode gate
+    * cannot retract an admission, so its output equals the min-owner
+    * batch oracle only when arrival order follows doc_id order across
+    * micro-batches (within a batch the processor sorts). If a doc_id
+    * SMALLER than a band's persisted owner arrives in a later
+    * micro-batch — the one shape where an already-emitted admission
+    * would be wrong under the oracle — the processor fails loudly
+    * rather than silently diverging; production first-toucher
+    * semantics that tolerate arbitrary arrival order would drop the
+    * check and keep the fold as-is.
     */
   private class BandOwnerProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[
@@ -552,11 +566,17 @@ object EventStream {
     override def handleInputRows(key: (Int, String),
                                  rows: Iterator[(Int, String, Long)],
                                  timers: TimerValues): Iterator[(Long, Int, Boolean)] = {
-      var own = if (owner.exists()) owner.get() else Long.MaxValue
-      // doc_id order within the batch = arrival order (the fixture's
-      // append order); the fold is the same min-owner recurrence the
-      // batch window states
-      val out = rows.toArray.sortBy(_._3).map { r =>
+      val persisted = owner.exists()
+      var own = if (persisted) owner.get() else Long.MaxValue
+      val sorted = rows.toArray.sortBy(_._3)
+      if (persisted && sorted.nonEmpty && sorted.head._3 < own)
+        throw new IllegalStateException(
+          s"stream_neardup_gate: doc ${sorted.head._3} arrived after band " +
+            s"owner $own was persisted in an earlier micro-batch; the " +
+            "append-mode gate cannot retract that admission, so the " +
+            "min-owner oracle no longer holds — feed the gate in doc_id " +
+            "order (or run the replay as one micro-batch)")
+      val out = sorted.map { r =>
         val blocked = own < r._3
         if (r._3 < own) own = r._3
         (r._3, r._1, blocked)
@@ -587,6 +607,206 @@ object EventStream {
         .agg(count(lit(1)).as("n_bands"),
           sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_bands"))
         .withColumn("admitted", col("n_blocked_bands") === 0)
+        .orderBy("doc_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** X252: streaming Lindley queue monitor — the eleventh keyed state
+    * shape: a SEQUENTIAL-RECURRENCE FOLD. The per-type ValueState
+    * carries exactly the recurrence's closure — (current wait, last
+    * arrival, last service) — and every micro-batch advances
+    * Wₙ₊₁ = max(0, Wₙ + sₙ − gapₙ₊₁) over its arrivals in (ts,
+    * event_id) order. This is the shape none of the window/sketch
+    * states cover: state that is a FOLD over an ordered stream, where
+    * batch boundaries are transparent because the closure is complete
+    * (the X249 batch twin solves the same recurrence with a
+    * running-min window; on the finite ordered replay the two are
+    * equal row-for-row, which is the oracle). The same arrival-order
+    * guard as the band gate applies: an arrival older than the
+    * persisted clock cannot be folded retroactively, so it fails
+    * loudly instead of silently corrupting the wait.
+    *
+    * Scale shape: one exchange on event_type, 24 bytes of state per
+    * key forever, per-batch work linear in the batch.
+    */
+  private class LindleyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), (String, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("lindley",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, Long)],
+                                 timers: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+      var has = st.exists()
+      var (w, pT, pS) = if (has) st.get() else (0L, 0L, 0L)
+      if (has && sorted.nonEmpty && sorted.head._3 < pT)
+        throw new IllegalStateException(
+          s"stream_queue_wait: arrival at ${sorted.head._3} precedes the " +
+            s"persisted clock $pT for type $key; the recurrence fold " +
+            "cannot rewind — feed the stream in event-time order")
+      val out = sorted.map { case (t, id, ms) =>
+        val svc = 400000L + java.lang.Math.floorMod(id, 1000000L)
+        if (has) w = math.max(0L, w + pS - (ms - pT))
+        has = true; pT = ms; pS = svc
+        (t, ms, svc, w)
+      }
+      st.update((w, pT, pS))
+      out.iterator
+    }
+  }
+
+  def streamQueueWait(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val arrivals = readEvents(spark, dir)
+        .selectExpr("event_type", "event_id", "unix_micros(ts) div 1000 as ms")
+        .as[(String, Long, Long)]
+      val folded = arrivals.groupByKey(_._1)
+        .transformWithState(new LindleyProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("event_type", "ms", "svc_ms", "wait_ms")
+      // the same audit aggregate as the batch twin — row-identical on
+      // the ordered finite replay (the oracle shares X249's SQL)
+      runToMemory(folded, "append")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum(when(col("wait_ms") > 0, 1L).otherwise(0L)).as("n_queued"),
+          max("wait_ms").as("max_wait_ms"),
+          sum("wait_ms").as("tot_wait_ms"),
+          sum("svc_ms").as("busy_ms"),
+          (max("ms") - min("ms")).as("span_ms"))
+        .select(col("event_type"), col("n_arrivals"), col("n_queued"),
+          col("max_wait_ms"),
+          round(col("tot_wait_ms").cast("double") / col("n_arrivals"), 6)
+            .as("avg_wait_ms"),
+          round(col("n_queued").cast("double") / col("n_arrivals"), 6)
+            .as("queued_share"),
+          round(col("busy_ms").cast("double") / (col("span_ms") + 1), 6)
+            .as("utilization"))
+        .orderBy("event_type")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** The PRE-SIGNED leg of [[streamNearDupGate]] (r9 self-assessment
+    * #2): a production crawl tailer computes MinHash signatures ONCE
+    * upstream (at fetch/parse time) and ships (doc_id, band, hash)
+    * rows — the gate itself is then pure keyed-state work. This pair
+    * of methods lets the scale rehearsal bill the two stages
+    * separately: [[writeBands]] materializes the X2 band relation
+    * (the upstream signature stage, batch), ORDERED by doc_id into a
+    * single file so the AvailableNow replay honours the gate's
+    * arrival-order precondition; [[streamNearDupGatePreSigned]] runs
+    * ONLY the admission fold over it. Same processor, same output
+    * shape, same oracle semantics as the from-text gate.
+    */
+  def writeBands(spark: SparkSession, dir: String, out: String): Unit =
+    graft.ext.TextDedup.bandHashesOf(
+        graft.tables.Tables.documents(spark, dir))
+      .select(col("b").cast("int").as("bb"), col("band_hash"), col("doc_id"))
+      .orderBy("doc_id", "bb")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(out)
+
+  def streamNearDupGatePreSigned(spark: SparkSession,
+                                 bandsPath: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(bandsPath).schema
+      val bands = spark.readStream.schema(schema).parquet(bandsPath)
+        .select(col("bb"), col("band_hash"), col("doc_id"))
+        .as[(Int, String, Long)]
+      val gated = bands.groupByKey(r => (r._1, r._2))
+        .transformWithState(new BandOwnerProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("doc_id", "bb", "blocked")
+      runToMemory(gated, "append")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_bands"))
+        .withColumn("admitted", col("n_blocked_bands") === 0)
+        .orderBy("doc_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** X247: streaming Bloom-filter admission gate — the BOUNDED-state
+    * exact-dup suppressor: where X111 keeps one ValueState per distinct
+    * key (state grows with the key domain forever), the Bloom gate's
+    * state is capped at `m` bit keys no matter how many documents the
+    * crawl tailer ever sees — the classic space/precision trade, and
+    * the filter is BIT-SHARDED across the cluster (each bit position is
+    * a transformWithState key owning one first-toucher ValueState), the
+    * way a filter too big for one node's memory actually deploys. A doc
+    * is admitted iff ≥ 1 of its k=3 md5-derived bits was previously
+    * untouched (definitely-new); a false positive — all bits touched by
+    * OTHER docs — drops a genuinely new doc, the documented Bloom
+    * failure mode, deterministic here because the bit functions are
+    * md5 arithmetic (no RNG).
+    *
+    * Semantics note vs X217: the band gate blocks on ANY owned band
+    * (near-dup OR); the Bloom gate blocks only when ALL bits are owned
+    * (membership AND) — same processor, same min-owner state, opposite
+    * quantifier in the per-doc fold. The same arrival-order guard
+    * applies (the processor throws on a cross-batch doc_id inversion),
+    * and the batch-replay oracle is the same min-owner window with the
+    * quantifier flipped.
+    *
+    * Scale shape: narrow per-row bit arithmetic, one exchange on the
+    * bit key (uniform by md5), state ≤ m rows × 16 bytes — fixed-size
+    * regardless of volume (the sketch-state point, like X239).
+    */
+  def streamBloomGate(spark: SparkSession, dir: String,
+                      m: Int = 1024, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bitCols = (0 until k).map(i =>
+        pmod(conv(substring(md5(concat(col("text"), lit(s"|bloom$i"))), 1, 4),
+          16, 10).cast("long"), lit(m.toLong)))
+      val bits = readDocuments(spark, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(array(bitCols: _*))).as("bit"))
+        .select(lit(0).as("bb"), col("bit").cast("string").as("bit_key"),
+          col("doc_id"))
+        .as[(Int, String, Long)]
+      val gated = bits.groupByKey(r => (r._1, r._2))
+        .transformWithState(new BandOwnerProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("doc_id", "bb", "set_before")
+      runToMemory(gated, "append")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bits"),
+          sum(when(col("set_before"), 1L).otherwise(0L)).as("n_set_bits"))
+        .withColumn("admitted", col("n_set_bits") < col("n_bits"))
         .orderBy("doc_id")
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)

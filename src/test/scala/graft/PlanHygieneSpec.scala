@@ -141,7 +141,24 @@ class PlanHygieneSpec extends SparkSpec
     "text_ngram_coverage" -> 8,
     // per-budget 1-row candidate counters + the broadcast query row
     // (the embed_cosine_topk shape, three branches)
-    "embed_multiprobe_sweep" -> 16)
+    "embed_multiprobe_sweep" -> 16,
+    // broadcast 1-row token total onto the 11-row count grid
+    "text_good_turing" -> 8,
+    // broadcast 1-row corpus doc count (fold/source cells are equi-joins)
+    "curation_kfold_balance" -> 8,
+    // 1-row median / doc-count / ECE rows (the dq_ks_test shape)
+    "curation_quality_calibration" -> 8,
+    // three 1-row audit aggregates crossed into the single output row
+    "dq_blocking_quality" -> 8,
+    // broadcast 1-row (n, S) corpus totals (the analytics_gini class)
+    "analytics_theil" -> 8,
+    // the embed_cosine_topk query-row broadcast inside the exact leg
+    "embed_rank_fusion" -> 8,
+    // two 1-row per-half recency watermarks (the analytics_rfm shape)
+    "analytics_rfm_migration" -> 8,
+    // the X130 sketch-pair stage: #types-row sketch relation broadcast
+    // into the non-equi (t1 <> t2) pair join
+    "agg_theta_diff" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -217,7 +234,9 @@ class PlanHygieneSpec extends SparkSpec
     "curation_pack_efficiency" -> "rides curation_shard_pack's 5-row doc_id-bucket prefix window (shared relation)",
     "text_heaps_fit" -> "ordered prefix sums over the <=8-row doc_id-decile histogram",
     "text_ngram_coverage" -> "rank + cumulative over the already-limited top-1000 trigram cut (the zipf class)",
-    "curation_temperature_mix" -> "ordered normalizer cumsum over the 5-row per-language table")
+    "curation_temperature_mix" -> "ordered normalizer cumsum over the 5-row per-language table",
+    "curation_quality_calibration" -> "median-crossing cumsum over the distinct 6dp bits/token value histogram (domain-bounded, the outlier_mad class)",
+    "embed_rank_fusion" -> "1-based ranks over the two already-limited top-20 retriever cuts (the zipf class, twice)")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -417,15 +417,30 @@ class Round9OpsSpec extends SparkSpec {
       .sortBy { case (g, c) => (-c, g) }
     val total = tris.length.toLong
     val rows = LangModel.ngramCoverage(spark, sf001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
     assert(rows.nonEmpty)
-    rows.foreach { case (k, covered, t, cov) =>
+    rows.foreach { case (k, effK, covered, t, cov, trunc) =>
       assert(t == total)
-      assert(covered == counts.take(k.toInt).map(_._2.toLong).sum)
+      assert(effK == math.min(k, counts.length.toLong))
+      assert(trunc == (effK < k))
+      assert(covered == counts.take(effK.toInt).map(_._2.toLong).sum)
       assert(cov == math.rint(covered.toDouble / total * 1e6) / 1e6)
     }
-    assert(rows.sortBy(_._1).map(_._4).toSeq ==
-      rows.map(_._4).sorted.toSeq) // monotone in k
+    assert(rows.sortBy(_._1).map(_._5).toSeq ==
+      rows.map(_._5).sorted.toSeq) // monotone in k
+    // truncation law (r9 advice): a budget past the type count still
+    // emits its row, pinned to the last available rank with the flag set
+    val big = LangModel.ngramCoverage(spark, sf001,
+        ks = Seq(10, counts.length * 10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(big.length == 2)
+    val over = big.maxBy(_._1)
+    assert(over._1 == counts.length.toLong * 10)
+    assert(over._2 == counts.length.toLong, "eff_k pins to the type count")
+    assert(over._6, "the over-budget row is flagged truncated")
+    assert(over._5 == 1.0, "coverage at the full type set is 1.0")
   }
 
   test("multiprobe sweep is monotone in the probe budget") {
@@ -501,6 +516,10 @@ class Round9OpsSpec extends SparkSpec {
       .collect().map(_.getDouble(2))
     assert(r0.nonEmpty)
     val k = r0.length
-    r0.foreach(p => assert(p == math.rint(1e6 / k) / 1e6))
+    // HALF_UP to match the engine's round(1.0/K, 6) — math.rint is
+    // half-even and would diverge spuriously on a 6dp tie (r9 advice)
+    val expect = new java.math.BigDecimal(java.lang.Double.toString(1.0 / k))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    r0.foreach(p => assert(p == expect))
   }
 }

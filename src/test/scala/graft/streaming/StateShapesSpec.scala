@@ -50,6 +50,50 @@ class StateShapesSpec extends SparkSpec {
     assert(gate.exists(!_._4) && gate.exists(_._4))
   }
 
+  test("stream bloom gate matches the in-JVM bit-replay") {
+    // recompute the k=3 md5 bit sets per doc and replay first-toucher
+    // semantics in doc_id order — admitted ⇔ ≥1 bit untouched by ANY
+    // earlier doc (the AND-quantifier twin of the band gate's law)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long, Boolean)]
+    val touched = scala.collection.mutable.Set.empty[Long]
+    docs.foreach { case (id, text) =>
+      val bits = (0 until 3)
+        .map(i => java.lang.Long.parseLong(
+          md5hex(text + s"|bloom$i").take(4), 16) % 1024L)
+        .distinct
+      val nSet = bits.count(touched)
+      expected(id) = (bits.size.toLong, nSet.toLong, nSet < bits.size)
+      bits.foreach(touched += _)
+    }
+    val gate = EventStream.streamBloomGate(spark, sf001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3))))
+    assert(gate.nonEmpty)
+    gate.foreach { case (id, got) =>
+      assert(got == expected(id), s"doc $id: $got vs ${expected(id)}")
+    }
+    // bounded state: the whole replay touches at most m = 1024 bit keys
+    assert(touched.size <= 1024)
+    // the gate must both admit and (on this fixture) reject something
+    assert(gate.exists(_._2._3) && gate.exists(!_._2._3))
+  }
+
+  test("stream lindley fold equals the batch running-min solution") {
+    val stream = EventStream.streamQueueWait(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).sorted
+    val batch = graft.ext.Events.queueWait(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).sorted
+    assert(stream.nonEmpty)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("stream quantile sketch equals the batch log2 sketch") {
     val stream = EventStream.streamQuantileState(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -82,6 +126,10 @@ class StateShapesSpec extends SparkSpec {
       "update-if-newer snapshot (ValueState)" -> "stream_cdc_state",
       "band-owner admission gate (ValueState over LSH keys)" ->
         "stream_neardup_gate",
+      "bit-sharded Bloom membership gate (ValueState over bit keys)" ->
+        "stream_bloom_gate",
+      "sequential-recurrence fold (Lindley closure in ValueState)" ->
+        "stream_queue_wait",
       "mergeable counter histogram (binary ValueState quantile sketch)" ->
         "stream_quantile_state")
     val missing = shapes.filterNot { case (_, entry) => qs(entry) }

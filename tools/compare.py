@@ -36,6 +36,13 @@ for name, sql in sorted(oracle.items()):
         n_fail += 1; continue
     if len(sp) != len(du):
         print(f"FAIL {name}: rows {len(sp)} vs {len(du)}"); n_fail += 1; continue
+    # The driver's hash is dtype/repr-sensitive: an oracle HUGEINT window
+    # SUM lands as float64/object in pandas while Spark's BIGINT stays
+    # int64 — values_eq(66, 66.0) would hide it, so fail on dtype drift.
+    dt_bad = [c for c in sp.columns if str(sp[c].dtype) != str(du[c].dtype)]
+    if dt_bad:
+        print(f"FAIL {name}: dtype drift {[(c, str(sp[c].dtype), str(du[c].dtype)) for c in dt_bad]}")
+        n_fail += 1; continue
     sp = sp.sort_values(list(sp.columns), na_position="first").reset_index(drop=True)
     du = du.sort_values(list(du.columns), na_position="first").reset_index(drop=True)
     bad = None
