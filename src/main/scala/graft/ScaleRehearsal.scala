@@ -54,7 +54,7 @@ object ScaleRehearsal {
     // the tile codec+hash leg, the verified-pair-table rider, and the
     // bucketed triplet sampler
     "graph_hyperball", "multimodal_tile_dups", "dq_blocking_quality",
-    "embed_triplet_audit")
+    "embed_triplet_audit", "graph_bipartite_project")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from

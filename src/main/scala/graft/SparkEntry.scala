@@ -566,7 +566,15 @@ object SparkEntry {
     // global SSIM of the 2x block-mean reconstruction, exact moments (X255)
     "multimodal_image_ssim" -> ((s, d) => graft.ext.Multimodal.imageSsim(s, d)),
     // register-count sweep: the sketch-sizing error table (X254)
-    "agg_hll_m_sweep" -> ((s, d) => graft.ext.Sketches.hllMSweep(s, d)))
+    "agg_hll_m_sweep" -> ((s, d) => graft.ext.Sketches.hllMSweep(s, d)),
+    // UniMax closed-form waterfill budget allocation (X260)
+    "curation_unimax_alloc" -> ((s, d) => graft.ext.TextStats.unimaxAlloc(s, d)),
+    // RMS-AGC gain/headroom audit off the real PCM decode (X261)
+    "multimodal_pcm_agc" -> ((s, d) => graft.ext.Multimodal.pcmAgc(s, d)),
+    // GFS snapshot-retention expiry plan vs the corpus watermark (X262)
+    "warehouse_retention_plan" -> ((s, d) => graft.ext.Warehouse.retentionPlan(s, d)),
+    // sample-ratio-mismatch chi-square gate per experiment (X264)
+    "events_srm_check" -> ((s, d) => graft.ext.Events.srmCheck(s, d)))
 
   /** ST1/ST2 streaming + S1-S5 source + K5 sink surfaces. */
   private val streamSourceSinkQueries: Map[String, Q] = Map(
@@ -679,6 +687,9 @@ object SparkEntry {
     // Lindley recurrence fold in keyed ValueState (X252) — the batch
     // twin's audit aggregate, row-identical on the ordered replay
     "stream_queue_wait" -> ((s, d) => graft.streaming.EventStream.streamQueueWait(s, d)),
+    // monotone-horizon interval-union fold (X265) — the batch twin's
+    // per-day totals, row-identical on the ordered replay
+    "stream_interval_union" -> ((s, d) => graft.streaming.EventStream.streamIntervalUnion(s, d)),
     // oracled: sketch values surface as bound predicates beside their
     // exact twins (the oracle asserts the booleans literally TRUE), so
     // out-of-bound sketch drift fails the hash gate; raw sketch numbers

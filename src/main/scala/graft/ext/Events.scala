@@ -1688,6 +1688,40 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** X264: sample-ratio-mismatch (SRM) check — the first gate every
+    * A/B readout runs BEFORE looking at lift (X35): per experiment
+    * (event type), split the distinct USER set into two arms by md5
+    * parity and test the arm counts against the designed 50/50 with
+    * the 1-df chi-square (nA−nB)²/(nA+nB); flag > 3.841459 (p < .05).
+    * A flagged SRM means the assignment/logging pipeline dropped one
+    * arm's traffic and the experiment is unreadable — the audit is
+    * deliberately separate from the lift query so a broken split can't
+    * hide inside a significant-looking effect. Counts exact; the
+    * statistic is one fixed expression.
+    *
+    * Scale shape: one distinct (type, user) pass, md5 arithmetic
+    * per row, a map-combinable conditional count. Nothing else.
+    */
+  def srmCheck(spark: SparkSession, dir: String,
+               salt: String = "srm_v1"): DataFrame = {
+    val arm = pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long"), lit(2L))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .withColumn("arm", arm)
+      .groupBy("event_type")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")), 6)
+          .as("chi2"),
+        ((col("n_a") - col("n_b")).cast("double") *
+          (col("n_a") - col("n_b")) / (col("n_a") + col("n_b")) >
+          lit(3.841459)).as("srm_flag"))
+      .orderBy("event_type")
+  }
+
   /** X251: interval-union availability — error events open fixed
     * `holdMs` (1-hour) outage windows; overlapping windows must be UNIONED, not
     * summed (double-counting overlap is the classic SLA-report bug).

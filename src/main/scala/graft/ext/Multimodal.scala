@@ -278,6 +278,75 @@ object Multimodal {
   def pcmQuery(spark: SparkSession, dir: String): DataFrame =
     pcmFeatures(spark, dir).toDF().orderBy("doc_id", "frame_idx")
 
+  /** X261: RMS gain-normalization (AGC) audit — before a speech corpus
+    * is level-normalized, the pipeline asks per clip: what gain does
+    * RMS-normalizing to the target level apply, and would that gain
+    * CLIP any samples (the loudness-vs-headroom trade every AGC stage
+    * documents). Target RMS = `targetRms` (3/4 of the synthetic
+    * full scale — ABOVE the sawtooth corpus's natural RMS ≈ 1183, so the
+    * audit exercises real clipping, not just attenuation). Everything is EXACT int64
+    * off the real byte decode: mean-square floors (stated), the clip
+    * test |s|·T > FULL·rms is squared into s²·T² > FULL²·ms (no
+    * sqrt anywhere — max magnitude 2048²·1536² < 2⁶³), and the gain
+    * ships as the scaled integer (T²·10⁶) div ms beside its one
+    * rounded dB rendering.
+    *
+    * Scale shape: the X156 no-shuffle decode; one narrow audit row per
+    * clip, one final sort. The relational twin recomputes the synth
+    * samples arithmetically (the PCM-leg oracle convention).
+    */
+  final case class AgcRow(doc_id: Long, n_samples: Long, peak_abs: Long,
+                          sum_sq: Long, mean_sq: Long, n_clip_after: Long)
+
+  def pcmAgc(spark: SparkSession, dir: String,
+             targetRms: Long = 1536L, fullScale: Long = 2047L): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val n = 160 * (2 + java.lang.Math.floorMod(d, 4)).toInt
+          val bytes = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = (java.lang.Math.floorMod(d * 7 + i.toLong * 13, 4096)
+              - 2048).toInt
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          var peak = 0L
+          var sumSq = 0L
+          val dec = new Array[Long](n)
+          i = 0
+          while (i < n) {
+            val v = (((bytes(2 * i + 1) & 0xff) << 8) |
+              (bytes(2 * i) & 0xff)).toShort.toLong
+            dec(i) = v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            sumSq += v * v
+            i += 1
+          }
+          val meanSq = sumSq / n
+          var clip = 0L
+          i = 0
+          while (i < n) {
+            if (dec(i) * dec(i) * (targetRms * targetRms) >
+                fullScale * fullScale * meanSq) clip += 1
+            i += 1
+          }
+          AgcRow(d, n.toLong, peak, sumSq, meanSq, clip)
+        }
+      }.toDF()
+    rows.select(col("doc_id"), col("n_samples"), col("peak_abs"),
+        col("sum_sq"), col("mean_sq"),
+        expr(s"${targetRms * targetRms * 1000000L} div mean_sq")
+          .as("gain_sq_e6"),
+        col("n_clip_after"),
+        round(col("n_clip_after").cast("double") / col("n_samples"), 6)
+          .as("clip_share"))
+      .orderBy("doc_id")
+  }
+
   /** One (image, luminance-bin) histogram row. */
   final case class LumaBin(doc_id: Long, n_px: Long, bin: Long, cnt: Long)
 

@@ -1087,6 +1087,72 @@ object TextStats {
       .orderBy("fold")
   }
 
+  /** X260: UniMax budget allocation (Chung et al. 2023) — the published
+    * language-sampling allocator that replaces temperature heuristics:
+    * spread the training-token budget AS UNIFORMLY AS POSSIBLE across
+    * sources subject to a per-source epoch cap (capacity = `epochCap` ×
+    * available tokens), i.e. waterfilling: quota_s = min(capacity_s, L)
+    * with the level L solving Σ quota = B. The fill level comes from
+    * the sorted-capacity prefix identity (k = #capped sources,
+    * L = (B − Σ_{i≤k} cap_i)/(n−k), valid where cap_k ≤ L < cap_{k+1})
+    * — closed-form, no iteration. All arithmetic INTEGER: L floors, and
+    * the ≤(n−k−1)-token remainder goes to the lexicographically first
+    * uncapped sources one token each, so Σ quota = B EXACTLY and the
+    * whole plan is reproducible. Budget B = `budgetNum/budgetDen` × the
+    * corpus total (stated).
+    *
+    * Scale shape: one per-source token count (map-combinable);
+    * everything after is |sources|-sized (ordered prefix window over
+    * the ≤catalog-row capacity table — allowlisted; 1-row broadcasts).
+    */
+  def unimaxAlloc(spark: SparkSession, dir: String, epochCap: Int = 4,
+                  budgetNum: Int = 3, budgetDen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("available"))
+      .withColumn("capacity", col("available") * epochCap)
+    val tot = perSource.agg(sum("available").as("tot"),
+        count(lit(1)).as("n"))
+      .select(expr(s"(tot * $budgetNum) div $budgetDen").as("budget"),
+        col("n"))
+    val byCap = Window.orderBy("capacity", "source")
+    val cum = byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perSource.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number().over(byCap).cast("long"))
+      .withColumn("cum_cap", sum("capacity").over(cum))
+    // the level bracket: after capping the rk smallest capacities, the
+    // floor level for the rest; valid iff this row is the LAST capped
+    // one (its own capacity fits under the level computed without it)
+    val k = ranked
+      .filter(col("capacity") * (col("n") - col("rk") + 1) +
+        (col("cum_cap") - col("capacity")) <= col("budget"))
+      .agg(coalesce(max("rk"), lit(0L)).as("k"),
+        coalesce(max(col("cum_cap")), lit(0L)).as("capped_sum"))
+    val level = k.crossJoin(broadcast(tot))
+      .select(col("k"), col("capped_sum"),
+        when(col("n") > col("k"),
+          expr("(budget - capped_sum) div (n - k)")).otherwise(lit(0L))
+          .as("level"),
+        when(col("n") > col("k"),
+          expr("(budget - capped_sum) % (n - k)")).otherwise(lit(0L))
+          .as("rem"))
+    ranked.crossJoin(broadcast(level))
+      .withColumn("capped", col("rk") <= col("k"))
+      .withColumn("urk",
+        row_number().over(Window.partitionBy("capped").orderBy("source"))
+          .cast("long"))
+      .select(col("source"), col("available"), col("capacity"),
+        (when(col("capped"), col("capacity")).otherwise(col("level")) +
+          when(!col("capped") && col("urk") <= col("rem"), 1L)
+            .otherwise(0L)).as("quota"),
+        col("capped"))
+      .withColumn("epochs",
+        round(col("quota").cast("double") / col("available"), 6))
+      .orderBy("source")
+  }
+
   /** X243: reliability diagram + expected calibration error of the
     * cheap quality heuristic against the LM signal — does X4's
     * closed-form `quality_score` actually predict what the expensive

@@ -669,4 +669,50 @@ object Warehouse {
       .unionByName(audit("sat_customer_hashdiff", satCust))
       .orderBy("artifact")
   }
+
+  /** X262: snapshot-retention (GFS) planner — the expiry table a
+    * lakehouse GC consults before dropping table snapshots:
+    * grandfather–father–son tiers over the observed snapshot days
+    * (here: the distinct event days, snapshots-per-day being the usual
+    * cadence), relative to the corpus WATERMARK (the X177 rule — never
+    * wall clock, so the plan is deterministic and replayable):
+    *  - 'daily'   — everything younger than 7 days;
+    *  - 'weekly'  — the newest snapshot of each trailing 7-day bucket
+    *                (age div 7 ∈ 1..4 — integer buckets, not ISO weeks,
+    *                which differ across engines);
+    *  - 'monthly' — the newest snapshot of each (year, month) younger
+    *                than 365 days;
+    *  - 'drop'    — everything else (the reclaim set).
+    * Priority daily > weekly > monthly; all decisions integer date
+    * arithmetic.
+    *
+    * Scale shape: snapshots collapse to one row per day first
+    * (calendar-bounded); the per-bucket/per-month newest picks are
+    * min/max aggregates over that day-sized relation. No windows.
+    */
+  def retentionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day")).distinct()
+    val wm = days.agg(max("day").as("wm"))
+    val aged = days.crossJoin(broadcast(wm))
+      .withColumn("age_days", datediff(col("wm"), col("day")).cast("long"))
+    val weeklyKeep = aged
+      .filter(expr("age_days div 7") >= 1 && expr("age_days div 7") <= 4)
+      .groupBy(expr("age_days div 7").as("wk"))
+      .agg(min("age_days").as("age_days"))
+      .select(col("age_days"), lit(true).as("is_weekly"))
+    val monthlyKeep = aged.filter(col("age_days") < 365)
+      .groupBy(year(col("day")).as("y"), month(col("day")).as("m"))
+      .agg(min("age_days").as("age_days"))
+      .select(col("age_days"), lit(true).as("is_monthly"))
+    aged
+      .join(weeklyKeep, Seq("age_days"), "left")
+      .join(monthlyKeep, Seq("age_days"), "left")
+      .select(col("day"), col("age_days"),
+        when(col("age_days") < 7, "daily")
+          .when(coalesce(col("is_weekly"), lit(false)), "weekly")
+          .when(coalesce(col("is_monthly"), lit(false)), "monthly")
+          .otherwise("drop").as("keep_reason"))
+      .orderBy("day")
+  }
 }

@@ -7460,7 +7460,111 @@ ${SHINGLES.trim},
       FROM ex JOIN est16 ON est16.event_type = ex.event_type
               JOIN est64 ON est64.event_type = ex.event_type
               JOIN est256 ON est256.event_type = ex.event_type
-      ORDER BY ex.event_type""")
+      ORDER BY ex.event_type""",
+    // X260 UniMax: sorted-capacity waterfill level (closed form), floor
+    // level + deterministic remainder to the first uncapped sources.
+    "curation_unimax_alloc" -> """
+      WITH ps AS (SELECT source,
+                    CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                      AS available
+                  FROM documents GROUP BY source),
+      c AS (SELECT source, available, available * 4 AS capacity FROM ps),
+      tot AS (SELECT (CAST(SUM(available) AS BIGINT) * 3) // 2 AS budget,
+                     CAST(COUNT(*) AS BIGINT) AS n FROM c),
+      rk AS (SELECT source, available, capacity,
+               CAST(ROW_NUMBER() OVER (ORDER BY capacity, source) AS BIGINT) AS rk,
+               CAST(SUM(capacity) OVER (ORDER BY capacity, source ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cap
+             FROM c),
+      kk AS (SELECT CAST(COALESCE(MAX(rk), 0) AS BIGINT) AS k,
+                    CAST(COALESCE(MAX(cum_cap), 0) AS BIGINT) AS capped_sum
+             FROM rk CROSS JOIN tot
+             WHERE capacity * (n - rk + 1) + (cum_cap - capacity) <= budget),
+      lvl AS (SELECT kk.k, kk.capped_sum,
+                CASE WHEN tot.n > kk.k
+                     THEN (tot.budget - kk.capped_sum) // (tot.n - kk.k)
+                     ELSE 0 END AS level,
+                CASE WHEN tot.n > kk.k
+                     THEN (tot.budget - kk.capped_sum) % (tot.n - kk.k)
+                     ELSE 0 END AS rem
+              FROM kk CROSS JOIN tot),
+      f AS (SELECT rk.source, rk.available, rk.capacity,
+                   rk.rk <= lvl.k AS capped,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY rk.rk <= lvl.k
+                     ORDER BY rk.source) AS BIGINT) AS urk,
+                   lvl.level, lvl.rem
+            FROM rk CROSS JOIN lvl)
+      SELECT source, available, capacity,
+             (CASE WHEN capped THEN capacity ELSE level END +
+              CASE WHEN NOT capped AND urk <= rem THEN 1 ELSE 0 END) AS quota,
+             capped,
+             ROUND(CAST(CASE WHEN capped THEN capacity ELSE level END +
+               CASE WHEN NOT capped AND urk <= rem THEN 1 ELSE 0 END
+               AS DOUBLE) / available, 6) AS epochs
+      FROM f ORDER BY source""",
+    // X261 AGC audit: the PCM synthesis restated arithmetically, exact
+    // int64 moments, squared clip test (no sqrt), scaled-integer gain.
+    "multimodal_pcm_agc" -> """
+      WITH d AS (SELECT doc_id, 160 * (2 + doc_id % 4) AS n FROM documents),
+      s AS (SELECT doc_id, n, (doc_id * 7 + i * 13) % 4096 - 2048 AS v
+            FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i
+                  FROM d) t0),
+      a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_sq
+            FROM s GROUP BY doc_id),
+      m AS (SELECT doc_id, n_samples, peak_abs, sum_sq,
+                   sum_sq // n_samples AS mean_sq FROM a),
+      cl AS (SELECT s.doc_id,
+               CAST(SUM(CASE WHEN s.v * s.v * 2359296 > 4190209 * m.mean_sq
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_after
+             FROM s JOIN m ON m.doc_id = s.doc_id GROUP BY s.doc_id)
+      SELECT m.doc_id, m.n_samples, m.peak_abs, m.sum_sq, m.mean_sq,
+             2359296000000 // m.mean_sq AS gain_sq_e6,
+             cl.n_clip_after,
+             ROUND(CAST(cl.n_clip_after AS DOUBLE) / m.n_samples, 6)
+               AS clip_share
+      FROM m JOIN cl ON cl.doc_id = m.doc_id ORDER BY m.doc_id""",
+    // X262 GFS retention: integer age buckets (never ISO weeks), newest
+    // pick per bucket/month, watermark-relative.
+    "warehouse_retention_plan" -> """
+      WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      wm AS (SELECT MAX(day) AS wm FROM days),
+      aged AS (SELECT day, CAST(date_diff('day', day, wm) AS BIGINT)
+                 AS age_days
+               FROM days CROSS JOIN wm),
+      wk AS (SELECT CAST(MIN(age_days) AS BIGINT) AS age_days,
+                    TRUE AS is_weekly
+             FROM aged WHERE age_days // 7 >= 1 AND age_days // 7 <= 4
+             GROUP BY age_days // 7),
+      mo AS (SELECT CAST(MIN(age_days) AS BIGINT) AS age_days,
+                    TRUE AS is_monthly
+             FROM aged WHERE age_days < 365
+             GROUP BY year(day), month(day))
+      SELECT aged.day, aged.age_days,
+             CASE WHEN aged.age_days < 7 THEN 'daily'
+                  WHEN COALESCE(wk.is_weekly, FALSE) THEN 'weekly'
+                  WHEN COALESCE(mo.is_monthly, FALSE) THEN 'monthly'
+                  ELSE 'drop' END AS keep_reason
+      FROM aged LEFT JOIN wk ON wk.age_days = aged.age_days
+                LEFT JOIN mo ON mo.age_days = aged.age_days
+      ORDER BY aged.day""",
+    // X264 SRM: md5-parity arm split of the distinct user set, 1-df
+    // chi-square against 50/50, p < .05 flag.
+    "events_srm_check" -> """
+      WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+      arm AS (SELECT event_type,
+                ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'), 1, 4))::BIGINT % 2 AS arm
+              FROM du),
+      g AS (SELECT event_type,
+              CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM arm GROUP BY event_type)
+      SELECT event_type, n_a, n_b,
+             ROUND(CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b), 6)
+               AS chi2,
+             (CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b)
+               > 3.841459) AS srm_flag
+      FROM g ORDER BY event_type""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT
@@ -8567,7 +8671,7 @@ ${SHINGLES.trim},
     */
   private[graft] val aliasKeys: Set[String] =
     Set("dedup_clusters_star", "incr_cc_merge", "stream_cdc_state",
-      "warehouse_scd2_merge", "stream_queue_wait")
+      "warehouse_scd2_merge", "stream_queue_wait", "stream_interval_union")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
@@ -8589,5 +8693,8 @@ ${SHINGLES.trim},
       ("warehouse_scd2_merge" -> warehouse_queries("warehouse_scd2_build")) +
       // the streaming Lindley fold equals the batch running-min solution
       // on the ordered finite replay — X249's audit SQL verbatim
-      ("stream_queue_wait" -> llm_queries("events_queue_wait"))
+      ("stream_queue_wait" -> llm_queries("events_queue_wait")) +
+      // the monotone-horizon fold telescopes to the same interval union
+      // as the batch lead() identity — X251's SQL verbatim
+      ("stream_interval_union" -> llm_queries("events_interval_union"))
 }

@@ -705,6 +705,87 @@ object EventStream {
     }
   }
 
+  /** X265: streaming interval-union accumulator — the twelfth keyed
+    * state shape: a MONOTONE HORIZON. Per day-key the ValueState holds
+    * (furthest covered outage end, last arrival) and each error event
+    * contributes exactly the NEW milliseconds it covers
+    * (max(0, min(ms+hold, dayEnd) − max(ms, horizon))) — the streaming
+    * form of the SLA interval-union (X251): overlap is never double
+    * counted because the horizon only moves forward. On the ordered
+    * finite replay the per-day totals equal the batch lead()-identity
+    * row-for-row (the shared oracle — for sorted fixed-length windows
+    * both telescope to |∪ intervals|). Same arrival-order guard as the
+    * other fold shapes.
+    *
+    * Scale shape: one exchange on the bounded day key, 16 bytes of
+    * state per day forever, per-batch work linear.
+    */
+  private class HorizonProcessor(holdMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, Long), (String, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("horizon",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, Long, Long)],
+                                 timers: TimerValues): Iterator[(String, Long)] = {
+      val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+      val has = st.exists()
+      var (horizon, lastMs) = if (has) st.get() else (Long.MinValue, Long.MinValue)
+      if (has && sorted.nonEmpty && sorted.head._3 < lastMs)
+        throw new IllegalStateException(
+          s"stream_interval_union: arrival at ${sorted.head._3} precedes " +
+            s"the persisted clock $lastMs for day $key — the horizon fold " +
+            "cannot rewind; feed the stream in event-time order")
+      val out = sorted.map { case (day, _, ms, dayEnd) =>
+        val end = math.min(ms + holdMs, dayEnd)
+        val inc = math.max(0L, end - math.max(ms, horizon))
+        if (end > horizon) horizon = end
+        lastMs = ms
+        (day, inc)
+      }
+      st.update((horizon, lastMs))
+      out.iterator
+    }
+  }
+
+  def streamIntervalUnion(spark: SparkSession, dir: String,
+                          holdMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val errs = readEvents(spark, dir)
+        .filter(col("event_type") === "error")
+        .selectExpr("cast(cast(ts as date) as string) as day", "event_id",
+          "unix_micros(ts) div 1000 as ms",
+          "unix_micros(cast(cast(ts as date) as timestamp)) div 1000 " +
+            "+ 86400000 as day_end")
+        .as[(String, Long, Long, Long)]
+      val folded = errs.groupByKey(_._1)
+        .transformWithState(new HorizonProcessor(holdMs),
+          TimeMode.None(), OutputMode.Append())
+        .toDF("day", "inc")
+      runToMemory(folded, "append")
+        .groupBy(col("day").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_errors"), sum("inc").as("outage_ms"))
+        .select(col("day"), col("n_errors"), col("outage_ms"),
+          round(lit(1.0) - col("outage_ms").cast("double") / 86400000d, 6)
+            .as("availability"))
+        .orderBy("day")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The PRE-SIGNED leg of [[streamNearDupGate]] (r9 self-assessment
     * #2): a production crawl tailer computes MinHash signatures ONCE
     * upstream (at fetch/parse time) and ships (doc_id, band, hash)

@@ -158,7 +158,11 @@ class PlanHygieneSpec extends SparkSpec
     "analytics_rfm_migration" -> 8,
     // the X130 sketch-pair stage: #types-row sketch relation broadcast
     // into the non-equi (t1 <> t2) pair join
-    "agg_theta_diff" -> 8)
+    "agg_theta_diff" -> 8,
+    // 1-row budget/level/k rows onto the |sources|-row capacity table
+    "curation_unimax_alloc" -> 8,
+    // broadcast 1-row corpus watermark (the dq_freshness shape)
+    "warehouse_retention_plan" -> 8)
 
   test("every BNLJ broadcast side stays within its declared row bound") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -236,7 +240,8 @@ class PlanHygieneSpec extends SparkSpec
     "text_ngram_coverage" -> "rank + cumulative over the already-limited top-1000 trigram cut (the zipf class)",
     "curation_temperature_mix" -> "ordered normalizer cumsum over the 5-row per-language table",
     "curation_quality_calibration" -> "median-crossing cumsum over the distinct 6dp bits/token value histogram (domain-bounded, the outlier_mad class)",
-    "embed_rank_fusion" -> "1-based ranks over the two already-limited top-20 retriever cuts (the zipf class, twice)")
+    "embed_rank_fusion" -> "1-based ranks over the two already-limited top-20 retriever cuts (the zipf class, twice)",
+    "curation_unimax_alloc" -> "capacity-sorted rank + prefix over the |sources|-row (catalog-sized) capacity table")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

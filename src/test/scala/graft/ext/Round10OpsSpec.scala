@@ -520,6 +520,103 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("unimax waterfill: exact budget, caps honoured, near-uniform") {
+    val rows = TextStats.unimaxAlloc(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val budget = rows.map(_._2).sum * 3 / 2
+    assert(rows.map(_._4).sum == budget, "quota sums to the exact budget")
+    rows.foreach { case (s, avail, cap, q, capped, epochs) =>
+      assert(cap == avail * 4)
+      assert(q <= cap, s"$s over capacity")
+      assert(capped == (q == cap))
+      assert(epochs == rnd6(q.toDouble / avail))
+    }
+    // uncapped quotas are level±1 (the waterfill uniformity property)
+    val un = rows.filterNot(_._5).map(_._4)
+    if (un.length > 1) assert(un.max - un.min <= 1)
+    // brute-force the level independently
+    val caps = rows.map(_._3).sorted
+    val n = caps.length
+    var k = 0
+    var cum = 0L
+    while (k < n && caps(k) * (n - k) + cum <= budget) { cum += caps(k); k += 1 }
+    val level = if (n > k) (budget - cum) / (n - k) else 0L
+    rows.filterNot(_._5).foreach(r => assert(r._4 == level || r._4 == level + 1))
+  }
+
+  test("pcm agc equals the synthesis brute force and genuinely clips") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = docs.map { d =>
+      val n = 160 * (2 + java.lang.Math.floorMod(d, 4)).toInt
+      val vs = (0 until n).map(i =>
+        java.lang.Math.floorMod(d * 7 + i.toLong * 13, 4096) - 2048)
+      val sumSq = vs.map(v => v * v).sum
+      val meanSq = sumSq / n
+      val clips = vs.count(v => v * v * 2359296L > 4190209L * meanSq).toLong
+      d -> (n.toLong, vs.map(math.abs).max, sumSq, meanSq,
+        2359296L * 1000000L / meanSq, clips,
+        rnd6(clips.toDouble / n))
+    }.toMap
+    val rows = Multimodal.pcmAgc(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rows.length == expected.size)
+    rows.foreach { case (d, got) => assert(got == expected(d), s"doc $d") }
+    // the 3/4-scale target sits above the sawtooth's natural RMS, so
+    // normalization genuinely clips the waveform peaks
+    assert(rows.exists(_._2._6 > 0))
+  }
+
+  test("retention plan equals the date brute force with bounded tiers") {
+    val days = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("cast(ts as date) as day").distinct().collect()
+      .map(_.getDate(0).toLocalDate).sorted
+    val wm = days.max
+    val aged = days.map(d => d ->
+      java.time.temporal.ChronoUnit.DAYS.between(d, wm))
+    val weekly = aged.filter(a => a._2 / 7 >= 1 && a._2 / 7 <= 4)
+      .groupBy(_._2 / 7).map(_._2.minBy(_._2)._1).toSet
+    val monthly = aged.filter(_._2 < 365)
+      .groupBy(a => (a._1.getYear, a._1.getMonthValue))
+      .map(_._2.minBy(_._2)._1).toSet
+    val expected = aged.map { case (d, age) =>
+      d.toString -> (age,
+        if (age < 7) "daily"
+        else if (weekly(d)) "weekly"
+        else if (monthly(d)) "monthly"
+        else "drop")
+    }.toMap
+    val rows = Warehouse.retentionPlan(spark, sf001).collect()
+      .map(r => r.getDate(0).toString -> (r.getLong(1), r.getString(2)))
+    assert(rows.length == expected.size)
+    rows.foreach { case (d, got) => assert(got == expected(d), d) }
+    val reasons = rows.groupBy(_._2._2).map { case (k, g) => k -> g.size }
+    assert(reasons.getOrElse("daily", 0) <= 7)
+    assert(reasons.getOrElse("weekly", 0) <= 4)
+    assert(reasons.getOrElse("monthly", 0) <= 12)
+  }
+
+  test("srm check equals the md5-parity brute force") {
+    val du = graft.tables.Tables.events(spark, sf001)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = du.groupBy(_._1).map { case (t, g) =>
+      val arms = g.map(u =>
+        java.lang.Long.parseLong(md5hex(u._2.toString + "|srm_v1").take(4), 16) % 2)
+      val (na, nb) = (arms.count(_ == 0L).toLong, arms.count(_ == 1L).toLong)
+      val chi2 = (na - nb).toDouble * (na - nb) / (na + nb)
+      t -> (na, nb, rnd6(chi2), chi2 > 3.841459)
+    }
+    val rows = Events.srmCheck(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    assert(rows.size == expected.size)
+    expected.foreach { case (t, e) => assert(rows(t) == e, t) }
+  }
+
   test("triplet audit equals the in-JVM cosine brute force") {
     val emb = graft.tables.Tables.embeddings(spark, sf001)
       .select("vec_id", "label", "embedding").collect()

@@ -94,6 +94,17 @@ class StateShapesSpec extends SparkSpec {
     assert(stream.toSeq == batch.toSeq)
   }
 
+  test("stream horizon fold equals the batch interval union") {
+    val stream = EventStream.streamIntervalUnion(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    val batch = graft.ext.Events.intervalUnion(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sorted
+    assert(stream.nonEmpty)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("stream quantile sketch equals the batch log2 sketch") {
     val stream = EventStream.streamQuantileState(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -130,6 +141,8 @@ class StateShapesSpec extends SparkSpec {
         "stream_bloom_gate",
       "sequential-recurrence fold (Lindley closure in ValueState)" ->
         "stream_queue_wait",
+      "monotone horizon merge (interval-union ValueState)" ->
+        "stream_interval_union",
       "mergeable counter histogram (binary ValueState quantile sketch)" ->
         "stream_quantile_state")
     val missing = shapes.filterNot { case (_, entry) => qs(entry) }
