@@ -194,10 +194,27 @@ class ThreeWaySqlSpec extends SparkSpec {
     // double-quoted-identifier parsing (DuckDB's default)
     val prevConf = spark.conf.getOption("spark.sql.ansi.doubleQuotedIdentifiers")
     spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", "true")
+    // AQE off for the replay: its per-stage
+    // replaceWithQueryStagesInLogicalPlan re-walks the ENTIRE logical
+    // tree (with a System.getenv per node) every time a stage
+    // finishes — on the deep unrolled twins (embed_pca_top2's deflation
+    // inlines to thousands of nodes across hundreds of stages) that
+    // driver-side loop alone ran >25 MINUTES at sf0.001, jstack-pinned
+    // in TreeNode traversal, while the actual execution is seconds.
+    // AQE changes plans, never values, so the three-way comparison is
+    // unaffected; the production entries keep AQE everywhere else.
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try runAll()
-    finally prevConf match {
-      case Some(v) => spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", v)
-      case None => spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+    finally {
+      prevConf match {
+        case Some(v) => spark.conf.set("spark.sql.ansi.doubleQuotedIdentifiers", v)
+        case None => spark.conf.unset("spark.sql.ansi.doubleQuotedIdentifiers")
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.enabled", v)
+        case None => spark.conf.unset("spark.sql.adaptive.enabled")
+      }
     }
   }
 
