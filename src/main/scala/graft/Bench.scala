@@ -91,9 +91,16 @@ object Bench {
       // part-pair edge relation and the listed-triangle kernel
       // (pagerank runs on a different graph and must not trigger the
       // build; adamic_adar/edge_jaccard ride the triangle listing).
+      // graph_bipartite_project is deliberately absent: it builds its
+      // own customer↔supplier relation (no shared memo) — its per-entry
+      // number IS its own work already.
       val edgeConsumers = Set("graph_bfs_hops", "graph_clustering_coeff",
         "graph_degree_dist", "graph_label_prop", "graph_triangles",
-        "graph_adamic_adar", "graph_edge_jaccard")
+        "graph_adamic_adar", "graph_edge_jaccard",
+        // r10 verdict: the heavy r9/r10 additions share edge memos too —
+        // components peels edges_w2, hyperball/assortativity ride
+        // symEdges/coOrderEdges; unwarmed, each self-paid a shared build
+        "graph_components", "graph_assortativity", "graph_hyperball")
       if (selected.exists { case (n, _) => edgeConsumers(n) })
         warmed("graph_shared_relations") {
           graft.ext.Graphs.warmSharedRelations(spark, sfDir,

@@ -682,6 +682,11 @@ object SparkEntry {
     // streaming near-dup admission: per-band first-toucher ValueState gate
     // over the X2 banding (the crawl-tailer ingest filter)
     "stream_neardup_gate" -> (graft.streaming.EventStream.streamNearDupGate(_, _)),
+    // X266: order-insensitive retraction variant of the gate — one
+    // correction row per cross-batch ownership displacement; equals the
+    // same min-owner oracle under ANY arrival order
+    "stream_neardup_gate_anyorder" ->
+      ((s, d) => graft.streaming.EventStream.streamNearDupGateAnyOrder(s, d)),
     // bounded-state Bloom admission gate, bit-sharded (X247)
     "stream_bloom_gate" -> ((s, d) => graft.streaming.EventStream.streamBloomGate(s, d)),
     // Lindley recurrence fold in keyed ValueState (X252) — the batch

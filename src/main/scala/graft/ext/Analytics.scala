@@ -1785,7 +1785,10 @@ object Analytics {
     ranked.agg(count(lit(1)).as("n"), sum("rev").as("total"),
         sum(col("i") * col("rev")).as("s_irev"))
       .select(col("n").as("n_customers"),
-        col("total").cast("decimal(38,2)").as("total_revenue"),
+        // DECIMAL(18,2) on output (not 38): the DuckDB pandas bridge
+        // renders width>18 decimals as float64, which hash-drifts on
+        // trailing-zero cents (the r10 analytics_theil failure class).
+        col("total").cast("decimal(18,2)").as("total_revenue"),
         // numerator/denominator go to DOUBLE before combining: a
         // decimal-space 2·Σi·x would overflow DuckDB's precision-38 cap
         round((lit(2) * col("s_irev").cast("double") -
@@ -2052,7 +2055,10 @@ object Analytics {
       .join(withinTerms, Seq("nation"))
       .crossJoin(broadcast(tot))
       .select(col("nation"), col("n_g").as("n_customers"),
-        col("x_g").cast("decimal(38,2)").as("revenue"),
+        // output stays DECIMAL(18,2): width-38 decimals cross DuckDB's
+        // pandas bridge as float64 and hash-drift on trailing-zero cents
+        // (the r10 analytics_theil failure); internal sums stay (38,2).
+        col("x_g").cast("decimal(18,2)").as("revenue"),
         round(col("x_g").cast("double") / col("s"), 6).as("share"),
         round(col("t_g_dec").cast("double"), 6).as("theil"),
         round((col("x_g").cast("double") / col("s")) *
@@ -2065,7 +2071,7 @@ object Analytics {
       .agg(sum("term").as("b_dec"))
     val totalRow = tot.crossJoin(totalTheil).crossJoin(between)
       .select(lit("TOTAL").as("nation"), col("n").as("n_customers"),
-        col("s").as("revenue"), lit(1.0).as("share"),
+        col("s").cast("decimal(18,2)").as("revenue"), lit(1.0).as("share"),
         round(col("t_dec").cast("double"), 6).as("theil"),
         round(col("b_dec").cast("double"), 6).as("decomp"))
     groups.unionByName(totalRow).orderBy("nation")

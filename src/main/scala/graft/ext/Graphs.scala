@@ -153,8 +153,14 @@ object Graphs {
   def warmSharedRelations(spark: SparkSession, dir: String,
                           names: Set[String] = Set.empty): Unit = {
     coOrderEdges(spark, dir).count()
-    if (names.exists(Set("graph_bfs_hops", "graph_label_prop")))
+    if (names.exists(Set("graph_bfs_hops", "graph_label_prop",
+      "graph_hyperball")))
       symEdges(spark, dir).count()
+    // the star-CC entry peels the min-support (w >= 2) edge memo — the
+    // r10 bench billed that build to graph_components itself (19.7s of
+    // which ~half was memo construction)
+    if (names.contains("graph_components"))
+      minSupportEdges(spark, dir).count()
     // tri_counts materializes the memoized tri_list too — the listing
     // the whole triangle family (counts, edge-Jaccard, Adamic-Adar)
     // shares; without adamic_adar/edge_jaccard in the trigger set the

@@ -633,10 +633,13 @@ object LangModel {
     * row as "coverage unknown".
     *
     * Scale shape: one trigram-type count (map-combinable), a
-    * TakeOrdered top-1000 cut, then rank/cumsum windows bounded by the
-    * 1000-row cut (the zipf allowlist class); budget assignment is a
-    * narrow explode over the ≤1000-row cut (no inequality join), and
-    * the 1-row total broadcast crosses the |ks|-row result.
+    * TakeOrdered top-max(ks) cut (the cut is sized to the LARGEST
+    * requested budget, so the truncation contract above holds for any
+    * ks — a budget within the type count always sees its own full
+    * prefix), then rank/cumsum windows bounded by that cut (the zipf
+    * allowlist class); budget assignment is a narrow explode over the
+    * ≤max(ks)-row cut (no inequality join), and the 1-row total
+    * broadcast crosses the |ks|-row result.
     */
   def ngramCoverage(spark: SparkSession, dir: String,
                     ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
@@ -828,8 +831,13 @@ object LangModel {
           round(lit(1.0) - col("f1").cast("double") / col("n_tokens"), 6)
             .as("goods_coverage"),
           round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
-          round(lit(1.0) - col("rep2").cast("double") /
-            (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6)
+          // guard the N(N−1) denominator: a source whose documents
+          // yield ONE alphabetic token would divide by zero (NaN —
+          // which also renders differently across engines); emit NULL
+          // for the degenerate source instead
+          when(col("n_tokens") > 1,
+            round(lit(1.0) - col("rep2").cast("double") /
+              (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6))
             .as("simpson_diversity"))
     val perSource = stats(
       toks.groupBy("source", "tok").agg(count(lit(1)).as("c")), col("source"))

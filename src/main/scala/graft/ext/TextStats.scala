@@ -1097,9 +1097,14 @@ object TextStats {
     * L = (B − Σ_{i≤k} cap_i)/(n−k), valid where cap_k ≤ L < cap_{k+1})
     * — closed-form, no iteration. All arithmetic INTEGER: L floors, and
     * the ≤(n−k−1)-token remainder goes to the lexicographically first
-    * uncapped sources one token each, so Σ quota = B EXACTLY and the
-    * whole plan is reproducible. Budget B = `budgetNum/budgetDen` × the
-    * corpus total (stated).
+    * uncapped sources one token each, so Σ quota = B EXACTLY whenever
+    * B < Σ capacity, and the whole plan is reproducible. When the
+    * budget meets or exceeds total capacity the closed form SATURATES:
+    * every source caps (k = n, level = rem = 0) and Σ quota =
+    * Σ capacity < B — i.e. the allocator returns min(B, Σ capacity)
+    * total tokens, the only sound answer when the ask exceeds what the
+    * epoch cap permits. Budget B = `budgetNum/budgetDen` × the corpus
+    * total (stated; the default 1.5× sits well under the 4× cap).
     *
     * Scale shape: one per-source token count (map-combinable);
     * everything after is |sources|-sized (ordered prefix window over

@@ -922,6 +922,31 @@ shingles AS (
   /** The X12 token-budget packing relation — shared verbatim by the
     * entry and the X207 efficiency audit.
     */
+  // X217 streaming near-dup gate twin (shared verbatim by the X266
+  // order-insensitive variant): the X2 banding (8 md5-min sigs, 4 bands
+  // of 2) with a min-owner window per (band, hash) — a doc is blocked on
+  // a band iff a smaller doc_id shares the band hash. The law is
+  // arrival-order-free; X217 meets it on ordered replays (enforced),
+  // X266 under any order (retraction fold).
+  private lazy val NEARDUP_GATE_SQL = s"""
+      WITH ${SHINGLES.trim},
+      msig AS (
+        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
+        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
+        GROUP BY doc_id, j),
+      bands AS (
+        SELECT doc_id, j // 2 AS bb, md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' || MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
+        FROM msig GROUP BY doc_id, j // 2),
+      own AS (
+        SELECT doc_id, bb,
+               MIN(doc_id) OVER (PARTITION BY bb, band_hash) AS owner
+        FROM bands)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bands,
+             CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_blocked_bands,
+             SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) = 0 AS admitted
+      FROM own GROUP BY doc_id ORDER BY doc_id"""
+
   private val SHARD_PACK_SQL = """
       WITH d AS (
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -6510,7 +6535,7 @@ ${SHINGLES.trim},
                SUM(i * rev) AS s_irev
         FROM rk)
       SELECT n AS n_customers,
-             CAST(total AS DECIMAL(38,2)) AS total_revenue,
+             CAST(total AS DECIMAL(18,2)) AS total_revenue,
              ROUND((2 * CAST(s_irev AS DOUBLE) -
                CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE)) /
                (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS gini
@@ -6869,8 +6894,10 @@ ${SHINGLES.trim},
              ROUND(n_types + CAST(f1 AS DOUBLE) * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1,
              ROUND(1.0 - CAST(f1 AS DOUBLE) / n_tokens, 6) AS goods_coverage,
              ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
-             ROUND(1.0 - CAST(rep2 AS DOUBLE) /
-               (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) AS simpson_diversity
+             CASE WHEN n_tokens > 1 THEN
+               ROUND(1.0 - CAST(rep2 AS DOUBLE) /
+                 (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+             ELSE NULL END AS simpson_diversity
       FROM st ORDER BY source""",
     // X242 k-fold balance: same md5 fold rule as X160; per-fold max
     // |source share - corpus share| over 6dp-DECIMAL-rounded shares.
@@ -6997,13 +7024,15 @@ ${SHINGLES.trim},
                   ln((CAST(x_g AS DOUBLE) / CAST(s AS DOUBLE)) *
                      (CAST(n AS DOUBLE) / n_g)), 6) AS DECIMAL(18,6))) AS b_dec
              FROM bynat CROSS JOIN tot),
-      grp AS (SELECT b.nation, b.n_g AS n_customers, b.x_g AS revenue,
+      grp AS (SELECT b.nation, b.n_g AS n_customers,
+                     CAST(b.x_g AS DECIMAL(18,2)) AS revenue,
                      ROUND(CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE), 6) AS share,
                      ROUND(CAST(w.t_g_dec AS DOUBLE), 6) AS theil,
                      ROUND((CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE)) *
                        CAST(w.t_g_dec AS DOUBLE), 6) AS decomp
               FROM bynat b JOIN wg w ON w.nation = b.nation CROSS JOIN tot t),
-      trow AS (SELECT 'TOTAL' AS nation, t.n AS n_customers, t.s AS revenue,
+      trow AS (SELECT 'TOTAL' AS nation, t.n AS n_customers,
+                      CAST(t.s AS DECIMAL(18,2)) AS revenue,
                       CAST(1.0 AS DOUBLE) AS share,
                       ROUND(CAST(tt2.t_dec AS DOUBLE), 6) AS theil,
                       ROUND(CAST(bw.b_dec AS DOUBLE), 6) AS decomp
@@ -7747,24 +7776,11 @@ ${SHINGLES.trim},
     // 4 bands of 2) with a min-owner window per (band, hash) — a doc is
     // blocked on a band iff a smaller doc_id shares the band hash
     // (arrival order = doc_id order on the finite replay).
-    "stream_neardup_gate" -> s"""
-      WITH ${SHINGLES.trim},
-      msig AS (
-        SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || '|' || sh)) AS sig
-        FROM shingles, (SELECT unnest(generate_series(0, 7)) AS j) g
-        GROUP BY doc_id, j),
-      bands AS (
-        SELECT doc_id, j // 2 AS bb, md5(MAX(CASE WHEN j % 2 = 0 THEN sig END) || '|' || MAX(CASE WHEN j % 2 = 1 THEN sig END)) AS band_hash
-        FROM msig GROUP BY doc_id, j // 2),
-      own AS (
-        SELECT doc_id, bb,
-               MIN(doc_id) OVER (PARTITION BY bb, band_hash) AS owner
-        FROM bands)
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bands,
-             CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_blocked_bands,
-             SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) = 0 AS admitted
-      FROM own GROUP BY doc_id ORDER BY doc_id""",
+    "stream_neardup_gate" -> NEARDUP_GATE_SQL,
+    // X266 order-insensitive variant: the retraction fold makes the gate
+    // equal THE SAME min-owner law under any arrival order, so the twin
+    // is shared verbatim — the law itself never mentioned arrival order.
+    "stream_neardup_gate_anyorder" -> NEARDUP_GATE_SQL,
     // X247 Bloom gate twin: same min-owner window as the band gate with
     // the quantifier flipped — admitted iff ANY of the doc's k=3
     // md5-derived bits (mod 1024, per-doc distinct) was previously

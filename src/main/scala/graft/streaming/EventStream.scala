@@ -503,13 +503,22 @@ object EventStream {
     * part files — read whichever shape is present (via the Hadoop-FS
     * probe, so the shape test works on any filesystem scheme).
     */
-  private def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+  private def readDocuments(spark: SparkSession, dir: String,
+                            maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val docSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val base = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(docSchema)) { (r, n) =>
+      // forces a MULTI-micro-batch replay under AvailableNow (one batch
+      // per n files) — the adversarial shape the order-insensitive gate
+      // variant exists for; the default (allAvailable) replays a
+      // directory as ONE batch, which is the documented safe shape for
+      // the order-sensitive X217 gate
+      r.option("maxFilesPerTrigger", n.toString)
+    }
     if (isFsDirectory(spark, s"$dir/documents.parquet"))
-      spark.readStream.schema(docSchema).parquet(s"$dir/documents.parquet")
+      base.parquet(s"$dir/documents.parquet")
     else
-      spark.readStream.schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      base.option("pathGlobFilter", "documents.parquet").parquet(dir)
   }
 
   /** X217: streaming near-duplicate admission gate — the crawl-tailer
@@ -583,6 +592,107 @@ object EventStream {
       }
       owner.update(own)
       out.iterator
+    }
+  }
+
+  /** X266: ORDER-INSENSITIVE streaming near-duplicate gate — the
+    * retraction variant that closes X217's arrival-order precondition
+    * (the r9/r10 advice residue). The key observation that makes
+    * retraction CHEAP: under the min-owner law, the set of
+    * currently-admitted docs per band key is always the SINGLETON
+    * current minimum (any doc larger than the owner was blocked at
+    * arrival and `blocked` is monotone — owners only decrease, so a
+    * blocked doc can never become admitted). Hence when a doc_id
+    * SMALLER than the persisted owner arrives in a later micro-batch —
+    * exactly the shape where X217 throws — this processor emits ONE
+    * correction row ((old_owner, band, blocked=true)) and carries on;
+    * no per-band list state, still 8 bytes of state per band key. The
+    * downstream fold takes the monotone-OR of emissions per (doc,
+    * band), so the final statuses equal the batch min-owner oracle
+    * under ANY arrival order, any file split, any micro-batch
+    * boundary placement.
+    *
+    * Append-mode caveat (stated): a consumer of the RAW emission
+    * stream sees an admission followed by a correction — this is the
+    * standard changelog contract (emissions are upserts keyed on
+    * (doc, band), `blocked` monotone false→true), not exactly-once
+    * admission decisions; a consumer that needs irreversible
+    * decisions at emission time runs X217 under its documented
+    * ordered-replay shape instead.
+    *
+    * Scale shape: identical to X217 (narrow band expressions, one
+    * exchange on (b, band_hash), O(distinct band keys) state); the
+    * correction stream adds at most one row per (band, micro-batch)
+    * ownership displacement — bounded by the emission volume it
+    * corrects, and zero on an ordered replay.
+    */
+  private class BandOwnerRetractProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        (Int, String), (Int, String, Long), (Long, Int, Boolean)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var owner: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: (Int, String),
+                                 rows: Iterator[(Int, String, Long)],
+                                 timers: TimerValues): Iterator[(Long, Int, Boolean)] = {
+      val persisted = owner.exists()
+      var own = if (persisted) owner.get() else Long.MaxValue
+      val sorted = rows.toArray.sortBy(_._3)
+      // the single possible retraction: the persisted owner (admitted on
+      // this band in an earlier batch) is displaced by a smaller arrival
+      val retract: Iterator[(Long, Int, Boolean)] =
+        if (persisted && sorted.nonEmpty && sorted.head._3 < own)
+          Iterator((own, key._1, true))
+        else Iterator.empty
+      val out = sorted.map { r =>
+        val blocked = own < r._3
+        if (r._3 < own) own = r._3
+        (r._3, r._1, blocked)
+      }
+      owner.update(own)
+      retract ++ out.iterator
+    }
+  }
+
+  /** See [[BandOwnerRetractProcessor]]. `maxFilesPerTrigger` is the
+    * spec/rehearsal hook that forces an adversarial multi-batch replay;
+    * entries run with the default (one AvailableNow batch per available
+    * set, retractions only if the source genuinely interleaves).
+    */
+  def streamNearDupGateAnyOrder(spark: SparkSession, dir: String,
+                                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val bands = graft.ext.TextDedup.bandHashesOf(
+          readDocuments(spark, dir, maxFilesPerTrigger))
+        .select(col("b").cast("int").as("bb"), col("band_hash"),
+          col("doc_id"))
+        .as[(Int, String, Long)]
+      val gated = bands.groupByKey(r => (r._1, r._2))
+        .transformWithState(new BandOwnerRetractProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("doc_id", "bb", "blocked")
+      // changelog fold: per (doc, band) the status is the monotone OR of
+      // its emissions (an upsert keyed on (doc, band)); then the same
+      // per-doc admit fold as X217
+      runToMemory(gated, "append")
+        .groupBy("doc_id", "bb")
+        .agg(max(when(col("blocked"), 1L).otherwise(0L)).as("blk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bands"),
+          sum(col("blk")).as("n_blocked_bands"))
+        .withColumn("admitted", col("n_blocked_bands") === 0)
+        .orderBy("doc_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
     }
   }
 

@@ -260,6 +260,32 @@ class PlanHygieneSpec extends SparkSpec
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("no entry emits a DECIMAL wider than precision 18") {
+    // the r10 analytics_theil failure class, closed permanently: DuckDB's
+    // pandas bridge renders width>18 decimals as float64, so any p>18
+    // decimal OUTPUT column hash-drifts on trailing-zero fraction digits
+    // (e.g. 178728351.10 -> "178728351.1"). Internal math may stay wide;
+    // the gate walks the OUTPUT schema only, including nested fields.
+    def wide(dt: org.apache.spark.sql.types.DataType,
+             path: String): Seq[String] = dt match {
+      case d: org.apache.spark.sql.types.DecimalType if d.precision > 18 =>
+        Seq(s"$path: $d")
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.toSeq.flatMap(f => wide(f.dataType, s"$path.${f.name}"))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        wide(a.elementType, s"$path[]")
+      case m: org.apache.spark.sql.types.MapType =>
+        wide(m.keyType, s"$path<key>") ++ wide(m.valueType, s"$path<val>")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => swept(n) }
+      .flatMap { case (name, fn) =>
+        wide(fn(spark, sf001).schema, name)
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no cartesian product anywhere; nested-loop joins only on the allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => swept(n) }

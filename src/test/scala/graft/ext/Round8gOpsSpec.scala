@@ -94,7 +94,10 @@ class Round8gOpsSpec extends SparkSpec {
     }
     def q6(x: Double): BigDecimal =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val got = TextDedup.lshCalibration(spark, sf001).collect()
+    // replay the EXACT full-histogram form (sampleMod = 1): the shipped
+    // entry's r9 sampled default (sampleMod = 2) matches this only in
+    // expectation — Round9OpsSpec pins the sampled↔full agreement law.
+    val got = TextDedup.lshCalibration(spark, sf001, sampleMod = 1).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
     assert(got.size == 4)

@@ -50,6 +50,62 @@ class StateShapesSpec extends SparkSpec {
     assert(gate.exists(!_._4) && gate.exists(_._4))
   }
 
+  test("order-insensitive near-dup gate equals the min-owner law under " +
+      "adversarial cross-batch arrival order") {
+    import org.apache.spark.sql.functions._
+    // two-file documents directory: the file written FIRST (older mtime,
+    // so processed as micro-batch 1 under maxFilesPerTrigger=1) holds the
+    // LARGE doc_ids; the second file holds the SMALL ids — exactly the
+    // cross-batch displacement shape where X217's enforced guard fires
+    // and the X266 retraction fold must still match the batch law
+    val src = graft.tables.Tables.documents(spark, sf001)
+    val ids = src.select("doc_id").collect().map(_.getLong(0)).sorted
+    val mid = ids(ids.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_anyorder")
+      .toFile.getAbsolutePath
+    val docDir = s"$dir/documents.parquet"
+    src.filter(col("doc_id") >= mid).coalesce(1)
+      .write.mode("append").parquet(docDir)
+    Thread.sleep(1200) // distinct mtimes: the file source batches oldest-first
+    src.filter(col("doc_id") < mid).coalesce(1)
+      .write.mode("append").parquet(docDir)
+    // batch min-owner oracle over the SAME directory
+    val bandRows = graft.ext.TextDedup.bandHashesOf(
+        spark.read.parquet(docDir).select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val owner = bandRows.groupBy(r => (r._2, r._3))
+      .map { case (k, g) => k -> g.map(_._1).min }
+    val expected = bandRows.groupBy(_._1).map { case (d, g) =>
+      val blocked = g.count(r => owner((r._2, r._3)) < d).toLong
+      d -> (g.length.toLong, blocked, blocked == 0L)
+    }
+    // the fixture must genuinely exercise the retraction path: some band
+    // owned by a batch-1 (large-id) doc must be displaced by a batch-2
+    // (small-id) arrival — i.e. a band whose members straddle the median
+    // with its min in the small half
+    val displaced = bandRows.groupBy(r => (r._2, r._3)).values.exists { g =>
+      g.exists(_._1 >= mid) && g.map(_._1).min < mid
+    }
+    assert(displaced, "fixture does not exercise cross-batch displacement")
+    val got = EventStream.streamNearDupGateAnyOrder(spark, dir,
+        maxFilesPerTrigger = Some(1)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (d, e) =>
+      assert(got(d) == e, s"doc $d: got ${got(d)} expected $e")
+    }
+    // and the two gates agree where both are defined: on the ordered
+    // single-batch fixture replay the retraction variant is X217 verbatim
+    val plain = EventStream.streamNearDupGate(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val any = EventStream.streamNearDupGateAnyOrder(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(any == plain)
+  }
+
   test("stream bloom gate matches the in-JVM bit-replay") {
     // recompute the k=3 md5 bit sets per doc and replay first-toucher
     // semantics in doc_id order — admitted ⇔ ≥1 bit untouched by ANY
