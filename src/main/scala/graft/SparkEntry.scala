@@ -212,6 +212,10 @@ object SparkEntry {
     "dedup_semantic_clusters" -> ((s, d) => graft.ext.Similarity.semanticClusters(s, d)),
     // multi-probe LSH: query bucket + 8 one-flip neighbours (recall repair)
     "embed_ann_multiprobe" -> ((s, d) => graft.ext.Similarity.annMultiProbeTopK(s, d)),
+    // X268: HNSW-shape beam search over the deterministic sign-LSH kNN
+    // graph — the graph-index ANN tier; walk replayed move-for-move by
+    // the unrolled twin
+    "embed_ann_beam" -> ((s, d) => graft.ext.Similarity.beamSearchTopK(s, d)),
     // probe-budget sweep: recall@k + candidate volume at 1/5/9 probes
     "embed_multiprobe_sweep" -> ((s, d) => graft.ext.Similarity.multiprobeSweep(s, d)),
     // per-label centroids (DECIMAL-exact) + inter-centroid cosine matrix
@@ -545,6 +549,9 @@ object SparkEntry {
     "dq_blocking_quality" -> ((s, d) => graft.ext.DataQuality.blockingQuality(s, d)),
     // Theil-T inequality with between/within-nation decomposition
     "analytics_theil" -> ((s, d) => graft.ext.Analytics.theilRevenue(s, d)),
+    // X267: ragged-hierarchy subtree rollup via bounded ancestor explode
+    // (one shuffle, no iteration); twin = the first recursive-CTE oracle
+    "analytics_hier_rollup" -> ((s, d) => graft.ext.Analytics.hierRollup(s, d)),
     // HyperBall register-exact neighbourhood function + harmonic centrality
     "graph_hyperball" -> ((s, d) => graft.ext.Graphs.hyperBall(s, d)),
     // cross-image duplicate-tile (watermark) detection off the real decode

@@ -2076,4 +2076,52 @@ object Analytics {
         round(col("b_dec").cast("double"), 6).as("decomp"))
     groups.unionByName(totalRow).orderBy("nation")
   }
+
+  /** X267: hierarchical subtree rollup — the ragged-hierarchy aggregate
+    * (org charts, category trees, BOM explosions): every node reports
+    * the member count and exact revenue of its WHOLE subtree. The
+    * hierarchy here is the decimal-prefix tree over customer keys
+    * (parent(k) = k div 10 — each key's chain of decimal prefixes), the
+    * exact structure of a parent-pointer walk with depth ≤ 19, so the
+    * operator is real while the fixture needs no extra table.
+    *
+    * Engine shape (the 100 TB point): NO iteration — each member row
+    * explodes to its ≤19 ancestors via a FIXED divisor array (narrow,
+    * map-side combinable), then ONE aggregate keyed on the ancestor
+    * node. An iterative parent-join would take depth rounds and depth
+    * shuffles; the bounded-depth explode takes one. Revenue stays exact
+    * DECIMAL(18,2) end-to-end (each factor cast before the sum, output
+    * narrowed back to (18,2) per the width-18 output rule).
+    *
+    * The DuckDB twin is the repo's FIRST recursive-CTE oracle
+    * (`WITH RECURSIVE … UNION ALL` — the walk emits each (member,
+    * ancestor) pair exactly once, so no UNION dedup is needed, which is
+    * precisely the boundary Spark 4.1 enforces: UNION-dedup recursion
+    * is rejected, UNION ALL recursion replays verbatim through the
+    * three-way gate — the boundary is now documented by a shipped,
+    * three-way-verified query instead of a code comment).
+    */
+  def hierRollup(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    // self ∪ positive proper prefixes (ck div 10^i, i in 1..18): the
+    // node's ancestor chain, all BIGINT-exact. Self is kept
+    // unconditionally (array_union dedups) so a key-0 member still owns
+    // its root node — mirroring the CTE twin's anchor, which always
+    // emits self and only recurses while node >= 10.
+    val divisors = (1 until 19).map(i => ("1" + "0" * i) + "L")
+    val ancestors = expr(
+      "array_union(array(ck), " +
+        s"filter(array(${divisors.map(d => s"ck div $d").mkString(", ")}), " +
+        "a -> a > 0))")
+    rev.select(explode(ancestors).as("node"), col("rev"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_members"),
+        sum("rev").cast("decimal(18,2)").as("revenue"))
+      .select(col("node"),
+        length(col("node").cast("string")).cast("bigint").as("depth"),
+        col("n_members"), col("revenue"))
+      .orderBy("node")
+  }
 }

@@ -114,6 +114,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** X268: graph-index ANN — greedy BEAM SEARCH over a deterministic
+    * k-NN graph: the HNSW/NSW search shape (Malkov & Yashunin 2018,
+    * single layer), the graph-index counterpart to the IVF (X95) and
+    * PQ (X117) table-index tiers. Build: candidates are sign-LSH
+    * bucket-mates (4 bits here — the build radius; a production build
+    * widens it with more bands/probes exactly like X103), each node
+    * keeps its top-`m` by (6dp cosine DESC, id), edges symmetrized +
+    * self-loops. Search: from the min-id entry point, `rounds`
+    * expansions of beam = top-`beamWidth` of the beam's neighbor set
+    * by cosine-to-query — the self-loops make each frontier a superset
+    * of the kept beam, so "beam ∪ neighbors" is ONE join (and the
+    * unrolled oracle references each previous round exactly once, the
+    * X-iteration rule). Everything ranks on 6dp-rounded cosine with id
+    * tie-breaks, so the walk — not just its quality — is
+    * cross-engine-deterministic and the DuckDB twin replays it
+    * move-for-move; `in_exact_topk` marks each result's membership in
+    * the brute-force top-k so recall is visible in the output.
+    *
+    * Scale shape: graph build is the bucketed Σ|bucket|² join + a
+    * per-node bounded window (never all-pairs); the search touches
+    * ≤ beamWidth rows per round joined against the scored relation on
+    * the id key (broadcastable frontier — at 100 TB the beam is the
+    * small side of every join by construction); the only global sorts
+    * are TakeOrdered over frontier-sized relations and the final
+    * ≤ beamWidth-row rank window.
+    */
+  def beamSearchTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+                     m: Int = 4, beamWidth: Int = 8, rounds: Int = 3,
+                     k: Int = 10): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val b = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), 4))
+    val n = b.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"), col("bucket"))
+    val q = b.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("qv"))
+    val scored = n.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cs"))
+    val x = n.select(col("vec_id").as("src"), col("v").as("xv"), col("bucket"))
+    val y = n.select(col("vec_id").as("dst"), col("v").as("yv"), col("bucket"))
+    val topM = x.join(y, Seq("bucket")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosine(col("xv"), col("yv")), 6).as("ec"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src").orderBy(col("ec").desc, col("dst"))))
+      .filter(col("rn") <= m).select("src", "dst")
+    val edges = topM
+      .unionByName(topM.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(n.select(col("vec_id").as("src"), col("vec_id").as("dst")))
+      .distinct()
+    var beam = n.agg(min("vec_id").as("vec_id"))
+    for (_ <- 1 to rounds) {
+      beam = beam.join(edges, beam("vec_id") === edges("src"))
+        .select(col("dst").as("vec_id")).distinct()
+        .join(scored, Seq("vec_id"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(beamWidth)
+        .select("vec_id")
+    }
+    val exactK = scored.orderBy(col("cs").desc, col("vec_id")).limit(k)
+      .select(col("vec_id").as("evid"))
+    beam.join(scored, Seq("vec_id"))
+      .join(exactK, col("vec_id") === col("evid"), "left")
+      .select(col("vec_id"), col("cs"), col("evid").isNotNull.as("hit"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cs").desc, col("vec_id"))).cast("long"))
+      .select(col("rnk"), col("vec_id"), col("cs").as("cos_sim"),
+        col("hit").as("in_exact_topk"))
+      .orderBy("rnk")
+  }
+
   /** X238: multi-probe budget sweep — recall@k and candidate volume as
     * a function of the probe BUDGET (home bucket only; home + the
     * first 4 one-flip probes; home + all 8): the cost/recall frontier

@@ -1889,6 +1889,72 @@ ${SHINGLES.trim},
                 sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
       FROM b, q WHERE bucket = qb AND vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
+    // X268 beam-search ANN: replays the deterministic walk move-for-move.
+    // Graph = per-node top-4 by 6dp cosine among 4-bit sign-bucket mates,
+    // symmetrized + self-loops; each unrolled beam round references the
+    // previous round exactly ONCE (the self-loops fold "beam ∪ neighbors"
+    // into one join — the X-iteration rule).
+    "embed_ann_beam" -> """
+      WITH b AS (
+        SELECT vec_id, embedding,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM b WHERE vec_id = 0),
+      n AS (SELECT vec_id, embedding::DOUBLE[] AS v, bucket
+            FROM b WHERE vec_id <> 0),
+      sc AS (
+        SELECT n.vec_id,
+               ROUND(list_dot_product(n.v, q.qv) /
+                 (sqrt(list_dot_product(n.v, n.v)) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+        FROM n, q),
+      topm AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM n x JOIN n y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id) tr
+        WHERE rn <= 4),
+      edges AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM topm
+          UNION ALL SELECT dst AS src, src AS dst FROM topm
+          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n) ue),
+      b0 AS (SELECT MIN(vec_id) AS vec_id FROM n),
+      b1 AS (SELECT vec_id FROM (
+        SELECT d1.dst AS vec_id,
+               ROW_NUMBER() OVER (ORDER BY s1.cs DESC, d1.dst) AS rn
+        FROM (SELECT DISTINCT e1.dst FROM b0 JOIN edges e1
+              ON e1.src = b0.vec_id) d1
+        JOIN sc s1 ON s1.vec_id = d1.dst) t1 WHERE rn <= 8),
+      b2 AS (SELECT vec_id FROM (
+        SELECT d2.dst AS vec_id,
+               ROW_NUMBER() OVER (ORDER BY s2.cs DESC, d2.dst) AS rn
+        FROM (SELECT DISTINCT e2.dst FROM b1 JOIN edges e2
+              ON e2.src = b1.vec_id) d2
+        JOIN sc s2 ON s2.vec_id = d2.dst) t2 WHERE rn <= 8),
+      b3 AS (SELECT vec_id FROM (
+        SELECT d3.dst AS vec_id,
+               ROW_NUMBER() OVER (ORDER BY s3.cs DESC, d3.dst) AS rn
+        FROM (SELECT DISTINCT e3.dst FROM b2 JOIN edges e3
+              ON e3.src = b2.vec_id) d3
+        JOIN sc s3 ON s3.vec_id = d3.dst) t3 WHERE rn <= 8),
+      exactk AS (SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS rn
+        FROM sc) te WHERE rn <= 10)
+      SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, cs AS cos_sim, in_exact_topk
+      FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY s.cs DESC, b3.vec_id) AS rnk,
+               b3.vec_id, s.cs,
+               b3.vec_id IN (SELECT vec_id FROM exactk) AS in_exact_topk
+        FROM b3 JOIN sc s ON s.vec_id = b3.vec_id) f
+      ORDER BY rnk""",
     // X103 multi-probe LSH: the query bucket + its 8 one-flip neighbours
     // as a 9-row probe relation; candidates via the bucket semi-join.
     "embed_ann_multiprobe" -> """
@@ -6997,6 +7063,25 @@ ${SHINGLES.trim},
       FROM tot CROSS JOIN bs CROSS JOIN tg""",
     // X245 Theil-T decomposition: per-customer terms 6dp-DECIMAL before
     // exact summation; TOTAL row carries corpus T and the between term.
+    // X267 hierarchical rollup: the recursive CTE walks each customer's
+    // decimal-prefix ancestor chain (parent = node // 10), emitting each
+    // (member, ancestor) pair exactly once — UNION ALL recursion, the
+    // form BOTH engines support (Spark 4.1 rejects UNION-dedup recursion;
+    // this twin documents the boundary in a shipped three-way query).
+    "analytics_hier_rollup" -> """
+      WITH RECURSIVE percust AS (
+        SELECT o_custkey AS ck,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey),
+      anc AS (
+        SELECT ck AS node, rev FROM percust
+        UNION ALL
+        SELECT node // 10 AS node, rev FROM anc WHERE node >= 10)
+      SELECT node,
+             CAST(length(CAST(node AS VARCHAR)) AS BIGINT) AS depth,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(rev) AS DECIMAL(18,2)) AS revenue
+      FROM anc GROUP BY node ORDER BY node""",
     "analytics_theil" -> """
       WITH rev AS (
         SELECT n.n_name AS nation, o.o_custkey AS ck,

@@ -47,6 +47,8 @@ class PlanHygieneSpec extends SparkSpec
     // the declared query PANEL (nQueries = 20), not a single vector
     "embed_knn_join" -> 32,
     "embed_ann_ivf" -> 64,
+    // the 1-row query-vector broadcast (the cosineTopK shape)
+    "embed_ann_beam" -> 8,
     "embed_ann_recall" -> 8, "multimodal_embed" -> 8,
     "text_edit_distance" -> 8, "text_bm25_topk" -> 8,
     "dq_volume_anomaly" -> 8,
@@ -241,7 +243,8 @@ class PlanHygieneSpec extends SparkSpec
     "curation_temperature_mix" -> "ordered normalizer cumsum over the 5-row per-language table",
     "curation_quality_calibration" -> "median-crossing cumsum over the distinct 6dp bits/token value histogram (domain-bounded, the outlier_mad class)",
     "embed_rank_fusion" -> "1-based ranks over the two already-limited top-20 retriever cuts (the zipf class, twice)",
-    "curation_unimax_alloc" -> "capacity-sorted rank + prefix over the |sources|-row (catalog-sized) capacity table")
+    "curation_unimax_alloc" -> "capacity-sorted rank + prefix over the |sources|-row (catalog-sized) capacity table",
+    "embed_ann_beam" -> "final rank over the ≤ beamWidth(=8)-row beam (the zipf class; per-round top-W uses TakeOrdered, not windows)")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
