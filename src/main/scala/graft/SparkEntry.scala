@@ -216,6 +216,7 @@ object SparkEntry {
     // graph — the graph-index ANN tier; walk replayed move-for-move by
     // the unrolled twin
     "embed_ann_beam" -> ((s, d) => graft.ext.Similarity.beamSearchTopK(s, d)),
+    "embed_mmr_rerank" -> ((s, d) => graft.ext.Similarity.mmrRerank(s, d)),
     // probe-budget sweep: recall@k + candidate volume at 1/5/9 probes
     "embed_multiprobe_sweep" -> ((s, d) => graft.ext.Similarity.multiprobeSweep(s, d)),
     // per-label centroids (DECIMAL-exact) + inter-centroid cosine matrix
@@ -237,6 +238,9 @@ object SparkEntry {
     "text_quality" -> (graft.ext.TextStats.quality(_, _)),
     "text_lexical_complexity" -> ((s, d) => graft.ext.TextStats.lexicalComplexity(s, d)),
     "text_tokens" -> (graft.ext.TextStats.tokenStats(_, _)),
+    "text_chunk_overlap" -> ((s, d) => graft.ext.TextStats.chunkOverlap(s, d)),
+    "text_mattr" -> ((s, d) => graft.ext.TextStats.mattr(s, d)),
+    "text_phrase_search" -> ((s, d) => graft.ext.Search.phraseSearch(s, d)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     // Gopher-style within-doc n-gram repetition quality filter
@@ -405,6 +409,7 @@ object SparkEntry {
     "spatial_grid_clusters" -> ((s, d) => graft.ext.Spatial.gridClusters(s, d)),
     // perceptual-hash near-dup images over the real PNG decode path
     "multimodal_phash" -> ((s, d) => graft.ext.Multimodal.phashPairs(s, d)),
+    "multimodal_spectral_flux" -> (graft.ext.Multimodal.spectralFlux(_, _)),
     // rule-threshold RFM segmentation (stable, auditable, no quantile drift)
     "analytics_rfm" -> ((s, d) => graft.ext.Analytics.rfmSegments(s, d)),
     // monthly new-vs-repeat order/revenue decomposition (first-order date)
@@ -552,6 +557,8 @@ object SparkEntry {
     // X267: ragged-hierarchy subtree rollup via bounded ancestor explode
     // (one shuffle, no iteration); twin = the first recursive-CTE oracle
     "analytics_hier_rollup" -> ((s, d) => graft.ext.Analytics.hierRollup(s, d)),
+    "analytics_cuped" -> ((s, d) => graft.ext.Analytics.cuped(s, d)),
+    "analytics_mann_whitney" -> ((s, d) => graft.ext.Analytics.mannWhitney(s, d)),
     // HyperBall register-exact neighbourhood function + harmonic centrality
     "graph_hyperball" -> ((s, d) => graft.ext.Graphs.hyperBall(s, d)),
     // cross-image duplicate-tile (watermark) detection off the real decode
@@ -686,6 +693,7 @@ object SparkEntry {
     // streaming log2-bucket quantile sketch: 512-byte mergeable counter
     // state per key, p50/p90/p99 picks == the X130 batch rule
     "stream_quantile_state" -> (graft.streaming.EventStream.streamQuantileState(_, _)),
+    "stream_max_gap_state" -> (graft.streaming.EventStream.streamMaxGap(_, _)),
     // streaming near-dup admission: per-band first-toucher ValueState gate
     // over the X2 banding (the crawl-tailer ingest filter)
     "stream_neardup_gate" -> (graft.streaming.EventStream.streamNearDupGate(_, _)),

@@ -2124,4 +2124,114 @@ object Analytics {
         col("n_members"), col("revenue"))
       .orderBy("node")
   }
+
+  /** X272: CUPED variance reduction (Deng et al. 2013) — the
+    * pre-experiment-covariate adjustment every mature A/B platform
+    * applies before reading a lift: per user, pre-period and in-period
+    * value totals (cutoff 2024-01-16, mid-fixture); θ = cov(pre, post)
+    * / var(pre) pooled across arms; each arm reports its raw mean and
+    * the CUPED-adjusted mean  m_post − θ·(m_pre_arm − m_pre_pooled).
+    * Arms are X264's md5-parity split (same salt), so SRM and CUPED
+    * read the same randomization.
+    *
+    * Exactness: per-user totals are exact DECIMAL(18,2) sums; the
+    * moment sums (Σx, Σy, Σxy, Σx²) stay exact DECIMAL through the
+    * aggregate and convert to double ONCE, in one stated formula shape
+    * θ = (n·Σxy − Σx·Σy)/(n·Σx² − Σx·Σx) that the twin repeats
+    * verbatim; θ is 6dp-rounded BEFORE the adjustment so downstream
+    * arithmetic starts from an exactly-shared value.
+    *
+    * Scale shape: one user-keyed aggregate (the only data-sized
+    * shuffle), a 1-row pooled-moment broadcast, a 2-row arm aggregate.
+    */
+  def cuped(spark: SparkSession, dir: String,
+            cutoff: String = "2024-01-16 00:00:00",
+            salt: String = "srm_v1"): DataFrame = {
+    val D2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val arm = pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long"), lit(2L))
+    val cut = lit(cutoff).cast("timestamp")
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        // re-narrow the per-user sums to DECIMAL(18,2) (values fit by
+        // orders of magnitude): the product moments below must multiply
+        // 18,2 operands on BOTH engines, or the widths diverge
+        coalesce(sum(when(col("ts") < cut, col("value").cast(D2))),
+          lit(0).cast(D2)).cast(D2).as("pre"),
+        coalesce(sum(when(col("ts") >= cut, col("value").cast(D2))),
+          lit(0).cast(D2)).cast(D2).as("post"))
+      .withColumn("arm", arm)
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      sum("pre").as("sx"), sum("post").as("sy"),
+      sum(col("pre") * col("post")).as("sxy"),
+      sum(col("pre") * col("pre")).as("sxx"))
+      .select(col("n"), col("sx"), col("sy"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6)
+          .as("theta"),
+        (col("sx").cast("double") / col("n")).as("mean_pre_all"))
+    perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"),
+        sum("pre").as("sx_a"), sum("post").as("sy_a"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"),
+        round(col("sx_a").cast("double") / col("n_users"), 6)
+          .as("mean_pre"),
+        round(col("sy_a").cast("double") / col("n_users"), 6)
+          .as("mean_post"),
+        col("theta"),
+        round(col("sy_a").cast("double") / col("n_users") -
+          col("theta") * (col("sx_a").cast("double") / col("n_users") -
+            col("mean_pre_all")), 6).as("adj_mean"))
+      .orderBy("arm")
+  }
+
+  /** X273: Mann–Whitney U — the nonparametric two-sample location test
+    * (rank-sum), the robust sibling of X35's mean lift for skewed
+    * value distributions: per event_type, values are ranked pooled
+    * across both md5-parity arms with AVERAGE ranks for ties, and the
+    * arm-0 rank sum yields U₁ and the normal-approximation z (no tie
+    * correction in σ — stated; the usual large-n form).
+    *
+    * Exactness: average ranks are carried DOUBLED (2·avgrank =
+    * 2·cum − tie + 1, an integer off the tie-group cumulative count),
+    * so the rank sum is an exact BIGINT and u1 = (R1·2 − n₁(n₁+1))/2
+    * renders as an exactly-representable double; z is the one 6dp
+    * float, computed from integers in the stated formula shape.
+    *
+    * Scale shape: ranks come from the VALUE-HISTOGRAM (tie groups),
+    * never a row-level sort — the cumulative window iterates distinct
+    * (event_type, value) groups (the X130 allowlist class); one
+    * per-type aggregate ends it.
+    */
+  def mannWhitney(spark: SparkSession, dir: String,
+                  salt: String = "srm_v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arm = pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long"), lit(2L))
+    val cumW = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ties = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), arm.as("arm"))
+      .groupBy("event_type", "value")
+      .agg(count(lit(1)).as("tie"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("tie_a"))
+      .withColumn("cum", sum("tie").over(cumW))
+      .withColumn("avgrank2", lit(2L) * col("cum") - col("tie") + 1)
+    ties.groupBy("event_type")
+      .agg(sum(col("tie_a") * col("avgrank2")).as("r1_2"),
+        sum("tie_a").as("n1"), sum(col("tie") - col("tie_a")).as("n2"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        ((col("r1_2") - col("n1") * (col("n1") + 1)).cast("double") / 2.0)
+          .as("u1"),
+        round(((col("r1_2") - col("n1") * (col("n1") + 1)).cast("double") / 2.0 -
+          col("n1").cast("double") * col("n2") / 2.0) /
+          sqrt(col("n1").cast("double") * col("n2") * (col("n1") + col("n2") + 1)
+            / 12.0), 6).as("z"))
+      .orderBy("event_type")
+  }
 }

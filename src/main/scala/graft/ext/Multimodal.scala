@@ -1064,4 +1064,67 @@ object Multimodal {
       }.toDF("doc_id", "frame_idx", "pitch_lag", "r_peak")
     rows.orderBy("doc_id", "frame_idx")
   }
+
+  /** X274: spectral flux — the onset/novelty signal audio segmenters
+    * threshold before cutting a long recording into training clips:
+    * per 160-sample frame the SQUARED energy E_f = Σ s² (exact int64 —
+    * 2048²·160 < 2³⁰), per clip the half-wave-rectified frame-to-frame
+    * flux Σ_{f≥1} max(0, E_f − E_{f−1}), the rising-frame count, and
+    * the peak frame energy. All integers off the real int16-LE byte
+    * decode (encode → parse back, the X156 codec path), so the
+    * relational twin recomputes every cell arithmetically and the hash
+    * gate covers byte order, framing, and the rectifier.
+    *
+    * Scale shape: the X156 no-shuffle `mapPartitions` decode — one
+    * parser per partition, one audit row per clip, one final sort; the
+    * flux fold runs over a clip's own frames inside the row, never
+    * across rows.
+    */
+  final case class FluxRow(doc_id: Long, n_frames: Long, total_flux: Long,
+                           n_rises: Long, max_energy: Long)
+
+  def spectralFlux(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { d =>
+          val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
+          val n = 160 * nFrames
+          val bytes = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val s = (java.lang.Math.floorMod(d * 7 + i.toLong * 13, 4096) - 2048).toInt
+            bytes(2 * i) = (s & 0xff).toByte
+            bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val dec = new Array[Int](n)
+          i = 0
+          while (i < n) {
+            dec(i) = (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            i += 1
+          }
+          var prevE = 0L
+          var flux = 0L
+          var rises = 0L
+          var maxE = 0L
+          var f = 0
+          while (f < nFrames) {
+            var e = 0L
+            var j = 0
+            while (j < 160) {
+              val v = dec(f * 160 + j).toLong
+              e += v * v
+              j += 1
+            }
+            if (f > 0 && e > prevE) { flux += e - prevE; rises += 1 }
+            if (e > maxE) maxE = e
+            prevE = e
+            f += 1
+          }
+          FluxRow(d, nFrames.toLong, flux, rises, maxE)
+        }
+      }
+    rows.toDF().orderBy("doc_id")
+  }
 }

@@ -252,6 +252,40 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** X270: exact PHRASE search — the positional-index query shape that
+    * X93's inverted index (doc-set postings) cannot answer: "these
+    * tokens, ADJACENT, in this order". Positional postings for the two
+    * phrase terms only (the filter is pushed below the explode, so the
+    * posting relation is query-sized, never corpus-sized), adjacency as
+    * the classic positional merge-join `b.p = a.p + 1` on (doc_id,
+    * position), then one per-doc aggregate: occurrence count and first
+    * match position. Positions are 1-based raw split indices — the
+    * SAME array both engines index, so adjacency is byte-identical
+    * (the RAKE/X131 position convention).
+    *
+    * Scale shape: two tiny filtered posting streams shuffled on
+    * (doc_id, p) — at 100 TB the postings of a fixed 2-term phrase are
+    * the broadcast side of everything downstream; one doc-keyed
+    * aggregate; no corpus-sized window, no self-join of the full token
+    * stream.
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: Seq[String] = Seq("table", "hash")): DataFrame = {
+    require(phrase.length == 2, "two-term phrase")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+    val a = toks.filter(col("w") === phrase.head)
+      .select(col("doc_id"), col("p"))
+    val b = toks.filter(col("w") === phrase(1))
+      .select(col("doc_id"), (col("p") - 1).as("p"))
+    a.join(b, Seq("doc_id", "p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"), min("p").cast("long").as("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** X131: RAKE keyword extraction (Rose et al. 2010) with the
     * integer `deg` scoring variant — candidate phrases are the maximal
     * stopword-free token runs, each word scores its corpus DEGREE

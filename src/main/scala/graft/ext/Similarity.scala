@@ -1492,4 +1492,63 @@ object Similarity {
           .as("avg_gap"))
       .orderBy("label")
   }
+
+  /** X271: MMR rerank — Maximal Marginal Relevance (Carbonell &
+    * Goldstein 1998), the diversification pass between ANN retrieval
+    * and the context window: from the exact top-`cand` cosine
+    * candidates, greedily select `k` results maximizing
+    * λ·rel(i) − (1−λ)·max_{s∈selected} sim(i, s). Every rel/sim is the
+    * 6dp-rounded cosine and every argmax tie-breaks on vec_id, so the
+    * SELECTION SEQUENCE — not just the set — is cross-engine
+    * deterministic and the DuckDB twin unrolls the same k rounds
+    * move-for-move (the X268 beam convention). Round 1's score is the
+    * bare relevance (no selected set yet — stated).
+    *
+    * Scale shape: candidate retrieval is the existing TakeOrdered
+    * top-`cand` cut; the pairwise sim relation is cand² rows (the MMR
+    * deployment cost — bounded by the rerank budget, never by the
+    * corpus); each round joins a ≤k-row selected set against that
+    * bounded relation and takes a 1-row TakeOrdered. Nothing
+    * data-sized happens after the first scan.
+    */
+  def mmrRerank(spark: SparkSession, dir: String, queryId: Long = 0L,
+                cand: Int = 16, k: Int = 4,
+                lambda: Double = 0.7): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("qv"))
+    val cands = emb.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), dbl(col("embedding")).as("v"),
+        round(cosine(dbl(col("embedding")), col("qv")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(cand)
+      .select("vec_id", "v", "rel")
+    val pairSims = cands.select(col("vec_id").as("ia"), col("v").as("va"))
+      .join(broadcast(cands.select(col("vec_id").as("ib"), col("v").as("vb"))))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        round(cosine(col("va"), col("vb")), 6).as("sim"))
+    val rels = cands.select("vec_id", "rel")
+    var selected = rels.orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"), col("rel").as("mmr_score"),
+        lit(1L).as("rnk"))
+    for (round_i <- 2 to k) {
+      val pick = rels
+        .join(selected.select(col("vec_id").as("sid")),
+          col("vec_id") === col("sid"), "left_anti")
+        .join(pairSims.join(
+            selected.select(col("vec_id").as("ib")), Seq("ib"))
+          .groupBy(col("ia").as("vec_id")).agg(max("sim").as("maxsim")),
+          Seq("vec_id"))
+        .select(col("vec_id"), col("rel"),
+          round(col("rel") * lambda - col("maxsim") * (1.0 - lambda), 6)
+            .as("mmr_score"))
+        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+        .withColumn("rnk", lit(round_i.toLong))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("rnk"), col("vec_id"), col("rel"), col("mmr_score"))
+      .orderBy("rnk")
+  }
 }

@@ -1220,4 +1220,87 @@ object TextStats {
         col("gap").cast("double").as("gap"), col("ece"))
       .orderBy("bin")
   }
+
+  /** X269: RAG chunking — fixed token-budget sliding chunks with
+    * overlap, the segmentation pass every retrieval corpus build runs
+    * before embedding. Whitespace tokens (position = raw split index —
+    * chunking must preserve the document's surface form, so no
+    * lowercasing/alpha-filter here); chunk k covers token positions
+    * [k·stride, min(k·stride + size, n)) and the chunk count is the
+    * closed form 1 + ⌈max(n − size, 0) / stride⌉ — the LAST chunk is
+    * the first one whose window reaches the end of the document, so no
+    * emitted chunk is a strict subset of its predecessor and every
+    * token is covered (both laws are spec-pinned).
+    *
+    * Scale shape: one narrow pass — per-doc integer arithmetic, a
+    * bounded `sequence` explode (≤ n/stride chunks per doc), two
+    * `element_at` probes for the boundary tokens, no shuffle at all
+    * until the final order. At 100 TB this is the map stage in front
+    * of the embedding UDF; nothing here is corpus-sized.
+    */
+  def chunkOverlap(spark: SparkSession, dir: String,
+                   chunkSize: Int = 24, stride: Int = 16): DataFrame = {
+    require(stride > 0 && chunkSize > stride, "size must exceed stride")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n - $chunkSize, 0L) + ${stride - 1}) div $stride"))))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_pos"),
+        least(col("chunk_id") * stride + chunkSize, col("n")).as("end_pos"),
+        col("ws"), col("n"))
+      .select(col("doc_id"), col("chunk_id"), col("start_pos"),
+        col("end_pos"), (col("end_pos") - col("start_pos") + 1).as("n_toks"),
+        element_at(col("ws"), col("start_pos").cast("int")).as("first_tok"),
+        element_at(col("ws"), col("end_pos").cast("int")).as("last_tok"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** X276: MATTR — moving-average type-token ratio (Covington &
+    * McFall 2010), the windowed lexical-diversity measure that, unlike
+    * plain TTR (X241's `ttr`), does not shrink with document length.
+    * Naively this is a distinct-count per sliding window (O(n·W) state
+    * per doc); here it is the exact closed form off the PREVIOUS-
+    * OCCURRENCE index: token occurrence p (1-based, alphabetic tokens
+    * renumbered contiguously) with previous same-token position prev_p
+    * is distinct in window [s, s+W) iff prev_p < s ≤ p, so
+    * Σ_windows distinct(window) = Σ_p |[max(p−W+1, prev_p+1, 1),
+    * min(p, n−W+1)]| — one lag window per (doc, token), one integer
+    * expression per occurrence, one per-doc sum. MATTR = that sum /
+    * (W · #windows); docs shorter than W carry no window and are
+    * excluded (stated).
+    *
+    * Scale shape: tokenize (narrow), one (doc_id, tok)-keyed lag
+    * window, one doc-keyed aggregate — two shuffles on high-cardinality
+    * keys, no per-window state, no quadratic blow-up. The spec pins the
+    * closed form against brute-force per-window distinct counts.
+    */
+  def mattr(spark: SparkSession, dir: String, w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val renum = Window.partitionBy("doc_id").orderBy("rp")
+    val prevW = Window.partitionBy("doc_id", "tok").orderBy("p")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+")))
+      .withColumnRenamed("col", "tok").withColumnRenamed("pos", "rp")
+      .filter(col("tok") =!= "")
+      .withColumn("p", row_number().over(renum).cast("long"))
+    val contrib = toks
+      .withColumn("prev", coalesce(lag("p", 1).over(prevW), lit(0L)))
+      .withColumn("n", max("p").over(Window.partitionBy("doc_id")))
+      .filter(col("n") >= w)
+      .select(col("doc_id"), col("n"),
+        greatest(least(col("p"), col("n") - (w - 1)) -
+          greatest(col("p") - (w - 1), col("prev") + 1, lit(1L)) + 1,
+          lit(0L)).as("c"))
+    contrib.groupBy("doc_id")
+      .agg(max("n").as("n_toks"), sum("c").as("sum_distinct"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - (w - 1)).as("n_windows"), col("sum_distinct"),
+        round(col("sum_distinct").cast("double") /
+          (lit(w) * (col("n_toks") - (w - 1))), 6).as("mattr"))
+      .orderBy("doc_id")
+  }
 }

@@ -7678,7 +7678,219 @@ ${SHINGLES.trim},
                AS chi2,
              (CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b)
                > 3.841459) AS srm_flag
-      FROM g ORDER BY event_type""")
+      FROM g ORDER BY event_type""",
+    // X269 RAG chunking: closed-form sliding chunks over the SAME
+    // whitespace array; the last chunk is the first whose window
+    // reaches the document end.
+    "text_chunk_overlap" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents),
+      n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM d),
+      k AS (SELECT doc_id, ws, n,
+              unnest(generate_series(0, (greatest(n - 24, 0) + 15) // 16))
+                AS chunk_id
+            FROM n)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(chunk_id * 16 + 1 AS BIGINT) AS start_pos,
+             CAST(least(chunk_id * 16 + 24, n) AS BIGINT) AS end_pos,
+             CAST(least(chunk_id * 16 + 24, n) - chunk_id * 16 AS BIGINT)
+               AS n_toks,
+             ws[CAST(chunk_id * 16 + 1 AS INT)] AS first_tok,
+             ws[CAST(least(chunk_id * 16 + 24, n) AS INT)] AS last_tok
+      FROM k ORDER BY doc_id, chunk_id""",
+    // X276 MATTR: the previous-occurrence closed form - occurrence p is
+    // distinct in window [s, s+W) iff prev_p < s <= p.
+    "text_mattr" -> """
+      WITH raw AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS rp
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z]+') AS ws
+              FROM documents) d0),
+      t AS (SELECT doc_id, ws[rp] AS tok, rp FROM raw WHERE ws[rp] <> ''),
+      p AS (SELECT doc_id, tok,
+              CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rp)
+                AS BIGINT) AS p
+            FROM t),
+      l AS (SELECT doc_id, p,
+              COALESCE(LAG(p) OVER (PARTITION BY doc_id, tok ORDER BY p),
+                0) AS prev,
+              MAX(p) OVER (PARTITION BY doc_id) AS n
+            FROM p),
+      c AS (SELECT doc_id, n,
+              greatest(least(p, n - 19) -
+                greatest(p - 19, prev + 1, 1) + 1, 0) AS c
+            FROM l WHERE n >= 20)
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_toks,
+             CAST(MAX(n) - 19 AS BIGINT) AS n_windows,
+             CAST(SUM(c) AS BIGINT) AS sum_distinct,
+             ROUND(CAST(SUM(c) AS DOUBLE) / (20 * (MAX(n) - 19)), 6)
+               AS mattr
+      FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // X270 phrase search: positional adjacency merge on the raw split
+    // index (1-based, empties occupy their slot on both engines).
+    "text_phrase_search" -> """
+      WITH raw AS (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS p
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(text), '[^a-z]+') AS ws
+              FROM documents) d0),
+      a AS (SELECT doc_id, p FROM raw WHERE ws[p] = 'table'),
+      b AS (SELECT doc_id, p - 1 AS p FROM raw WHERE ws[p] = 'hash')
+      SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+             CAST(MIN(a.p) AS BIGINT) AS first_pos
+      FROM a JOIN b ON b.doc_id = a.doc_id AND b.p = a.p
+      GROUP BY a.doc_id ORDER BY a.doc_id""",
+    // X271 MMR rerank: the k=4 greedy rounds unrolled; every argmax
+    // ranks on 6dp values with vec_id tie-breaks, and the lambda
+    // complement is written (1.0 - 0.7) so both engines compute the
+    // IDENTICAL IEEE double.
+    "embed_mmr_rerank" -> """
+      WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                 WHERE vec_id = 0),
+      cand AS (
+        SELECT vec_id, v, rel FROM (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 ROUND(list_dot_product(embedding::DOUBLE[], qv) /
+                   (sqrt(list_dot_product(embedding::DOUBLE[],
+                     embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(qv, qv))), 6) AS rel
+          FROM embeddings, q WHERE vec_id <> 0) s0
+        ORDER BY rel DESC, vec_id LIMIT 16),
+      ps AS (
+        SELECT x.vec_id AS ia, y.vec_id AS ib,
+               ROUND(list_dot_product(x.v, y.v) /
+                 (sqrt(list_dot_product(x.v, x.v)) *
+                  sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+        FROM cand x JOIN cand y ON y.vec_id <> x.vec_id),
+      s1 AS (SELECT vec_id, rel, rel AS mmr_score, CAST(1 AS BIGINT) AS rnk
+             FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+      m2 AS (SELECT c.vec_id, c.rel,
+               ROUND(c.rel * 0.7 - MAX(p.sim) * (1.0 - 0.7), 6) AS mmr_score
+             FROM cand c
+             JOIN ps p ON p.ia = c.vec_id
+             JOIN s1 ON p.ib = s1.vec_id
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+             GROUP BY c.vec_id, c.rel),
+      s2 AS (SELECT vec_id, rel, mmr_score, CAST(2 AS BIGINT) AS rnk
+             FROM m2 ORDER BY mmr_score DESC, vec_id LIMIT 1),
+      sel2 AS (SELECT vec_id FROM s1 UNION ALL SELECT vec_id FROM s2),
+      m3 AS (SELECT c.vec_id, c.rel,
+               ROUND(c.rel * 0.7 - MAX(p.sim) * (1.0 - 0.7), 6) AS mmr_score
+             FROM cand c
+             JOIN ps p ON p.ia = c.vec_id
+             JOIN sel2 ON p.ib = sel2.vec_id
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+             GROUP BY c.vec_id, c.rel),
+      s3 AS (SELECT vec_id, rel, mmr_score, CAST(3 AS BIGINT) AS rnk
+             FROM m3 ORDER BY mmr_score DESC, vec_id LIMIT 1),
+      sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+      m4 AS (SELECT c.vec_id, c.rel,
+               ROUND(c.rel * 0.7 - MAX(p.sim) * (1.0 - 0.7), 6) AS mmr_score
+             FROM cand c
+             JOIN ps p ON p.ia = c.vec_id
+             JOIN sel3 ON p.ib = sel3.vec_id
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+             GROUP BY c.vec_id, c.rel),
+      s4 AS (SELECT vec_id, rel, mmr_score, CAST(4 AS BIGINT) AS rnk
+             FROM m4 ORDER BY mmr_score DESC, vec_id LIMIT 1)
+      SELECT rnk, vec_id, rel, mmr_score FROM (
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4) u
+      ORDER BY rnk""",
+    // X272 CUPED: exact DECIMAL moment sums, ONE double conversion in
+    // the stated theta shape, theta 6dp-rounded before the adjustment.
+    "analytics_cuped" -> """
+      WITH pu AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,2)) END),
+                 CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS pre,
+               CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN CAST(value AS DECIMAL(18,2)) END),
+                 CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS post
+        FROM events GROUP BY user_id),
+      pooled AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(pre) AS sx, SUM(post) AS sy,
+               SUM(pre * post) AS sxy, SUM(pre * pre) AS sxx
+        FROM pu),
+      th AS (
+        SELECT ROUND((n * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                 (n * CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta,
+               CAST(sx AS DOUBLE) / n AS mean_pre_all
+        FROM pooled),
+      g AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'),
+                 1, 4))::BIGINT % 2 AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               SUM(pre) AS sx_a, SUM(post) AS sy_a
+        FROM pu GROUP BY 1)
+      SELECT g.arm, g.n_users,
+             ROUND(CAST(sx_a AS DOUBLE) / n_users, 6) AS mean_pre,
+             ROUND(CAST(sy_a AS DOUBLE) / n_users, 6) AS mean_post,
+             th.theta,
+             ROUND(CAST(sy_a AS DOUBLE) / n_users -
+               th.theta * (CAST(sx_a AS DOUBLE) / n_users -
+                 th.mean_pre_all), 6) AS adj_mean
+      FROM g CROSS JOIN th ORDER BY arm""",
+    // X273 Mann-Whitney U: average ranks carried DOUBLED off the
+    // tie-group cumulative count; z from integers in the stated shape.
+    "analytics_mann_whitney" -> """
+      WITH r AS (
+        SELECT event_type, value,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'),
+                 1, 4))::BIGINT % 2 AS arm
+        FROM events),
+      g AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS tie,
+              CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS tie_a
+            FROM r GROUP BY event_type, value),
+      c AS (SELECT event_type, tie, tie_a,
+              CAST(SUM(tie) OVER (PARTITION BY event_type ORDER BY value
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM g),
+      a AS (SELECT event_type, tie, tie_a,
+              2 * cum - tie + 1 AS avgrank2 FROM c),
+      f AS (SELECT event_type,
+              CAST(SUM(tie_a * avgrank2) AS BIGINT) AS r1_2,
+              CAST(SUM(tie_a) AS BIGINT) AS n1,
+              CAST(SUM(tie - tie_a) AS BIGINT) AS n2
+            FROM a GROUP BY event_type)
+      SELECT event_type, n1, n2,
+             CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1,
+             ROUND((CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 -
+               CAST(n1 AS DOUBLE) * n2 / 2.0) /
+               sqrt(CAST(n1 AS DOUBLE) * n2 * (n1 + n2 + 1) / 12.0), 6)
+               AS z
+      FROM f ORDER BY event_type""",
+    // X274 spectral flux: the PCM-leg oracle convention - recompute the
+    // synth samples arithmetically, squared energies, rectified diffs.
+    "multimodal_spectral_flux" -> """
+      WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents),
+      f AS (SELECT doc_id, n_frames,
+              unnest(generate_series(0, n_frames - 1)) AS fi
+            FROM d),
+      s AS (SELECT doc_id, n_frames, fi,
+              unnest(generate_series(0, 159)) AS j
+            FROM f),
+      v AS (SELECT doc_id, n_frames, fi,
+              ((doc_id * 7 + (fi * 160 + j) * 13) % 4096) - 2048 AS smp
+            FROM s),
+      e AS (SELECT doc_id, n_frames, fi,
+              CAST(SUM(smp * smp) AS BIGINT) AS en
+            FROM v GROUP BY doc_id, n_frames, fi),
+      x AS (SELECT doc_id, n_frames, en,
+              LAG(en) OVER (PARTITION BY doc_id ORDER BY fi) AS pe
+            FROM e)
+      SELECT doc_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+             CAST(COALESCE(SUM(CASE WHEN pe IS NOT NULL AND en > pe
+               THEN en - pe END), 0) AS BIGINT) AS total_flux,
+             CAST(COALESCE(SUM(CASE WHEN pe IS NOT NULL AND en > pe
+               THEN 1 END), 0) AS BIGINT) AS n_rises,
+             CAST(MAX(en) AS BIGINT) AS max_energy
+      FROM x GROUP BY doc_id ORDER BY doc_id""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT
@@ -7914,6 +8126,26 @@ ${SHINGLES.trim},
              MAX(CASE WHEN qpct = 90 THEN b END) AS b90,
              MAX(CASE WHEN qpct = 99 THEN b END) AS b99
       FROM picked GROUP BY event_type, n ORDER BY event_type""",
+    // X275 max-gap fold twin: the batch lag() window - on the ordered
+    // finite replay the emitted gap rows equal it row-for-row; users
+    // with a single event carry no gap and are absent (stated).
+    "stream_max_gap_state" -> """
+      WITH e AS (SELECT user_id, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+                 FROM events),
+      l AS (SELECT user_id, us,
+              LAG(us) OVER (PARTITION BY user_id
+                ORDER BY us, event_id) AS prev_us
+            FROM e),
+      g AS (SELECT user_id, us, prev_us, us - prev_us AS gap_us
+            FROM l WHERE prev_us IS NOT NULL)
+      SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+             CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+             CAST(MAX(us) - MIN(prev_us) AS BIGINT) AS span_us,
+             CASE WHEN MAX(us) - MIN(prev_us) > 0 THEN
+               ROUND(CAST(MAX(gap_us) AS DOUBLE) * COUNT(*) /
+                 (MAX(us) - MIN(prev_us)), 6) END AS burstiness
+      FROM g GROUP BY user_id ORDER BY user_id""",
     // X120 streaming HLL twin: the batch register build (X105's SQL,
     // estimate only) — the stream's 256-byte state max-folds to exactly
     // these registers at any micro-batch split

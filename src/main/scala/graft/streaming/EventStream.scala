@@ -896,6 +896,87 @@ object EventStream {
     }
   }
 
+  /** X275: streaming max-gap monitor — the thirteenth keyed state
+    * shape: a PAIRWISE-ADJACENT fold. Per user the ValueState is just
+    * the last arrival clock; each arrival (in (us, event_id) order)
+    * emits the gap to its predecessor — the primitive behind
+    * heartbeat/liveness monitors and the inter-arrival histograms a
+    * bot-detector reads. The FIRST arrival of a user emits nothing
+    * (there is no gap yet), so single-event users are absent from the
+    * output and the batch twin states the same `lag()`-not-null
+    * filter; on the ordered finite replay the emitted gap rows equal
+    * the batch window row-for-row. Same arrival-order guard as the
+    * other fold shapes: a rewound clock throws rather than folding a
+    * negative gap.
+    *
+    * Scale shape: one exchange on user_id, 8 bytes of state per user
+    * forever, per-batch work linear in the batch; the audit aggregate
+    * is user-keyed.
+    */
+  private class MaxGapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("last_us",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+                                 rows: Iterator[(Long, Long, Long)],
+                                 timers: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+      var has = st.exists()
+      var last = if (has) st.get() else 0L
+      if (has && sorted.nonEmpty && sorted.head._3 < last)
+        throw new IllegalStateException(
+          s"stream_max_gap_state: arrival at ${sorted.head._3} precedes " +
+            s"the persisted clock $last for user $key — the gap fold " +
+            "cannot rewind; feed the stream in event-time order")
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      sorted.foreach { case (u, _, us) =>
+        if (has) out += ((u, us, last, us - last))
+        has = true; last = us
+      }
+      st.update(last)
+      out.iterator
+    }
+  }
+
+  def streamMaxGap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val arrivals = readEvents(spark, dir)
+        .selectExpr("user_id", "event_id", "unix_micros(ts) as us")
+        .as[(Long, Long, Long)]
+      val gaps = arrivals.groupByKey(_._1)
+        .transformWithState(new MaxGapProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "us", "prev_us", "gap_us")
+      // burstiness = max gap / mean gap; mean gap = span / n_gaps, so
+      // the ratio is exact-integer-derived and 6dp-rendered once
+      runToMemory(gaps, "append")
+        .groupBy("user_id")
+        .agg((count(lit(1)) + 1).as("n_events"),
+          max("gap_us").as("max_gap_us"),
+          (max("us") - min("prev_us")).as("span_us"))
+        .select(col("user_id"), col("n_events"), col("max_gap_us"),
+          col("span_us"),
+          when(col("span_us") > 0,
+            round(col("max_gap_us").cast("double") * (col("n_events") - 1) /
+              col("span_us"), 6)).as("burstiness"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The PRE-SIGNED leg of [[streamNearDupGate]] (r9 self-assessment
     * #2): a production crawl tailer computes MinHash signatures ONCE
     * upstream (at fetch/parse time) and ships (doc_id, band, hash)

@@ -44,6 +44,11 @@ class PlanHygieneSpec extends SparkSpec
     */
   private val nestedLoopBroadcastBound: Map[String, Long] = Map(
     "embed_cosine_topk" -> 8,
+    // the 1-row query vector plus the 16-row candidate cut (the MMR
+    // rerank budget - fixed k, never data-sized)
+    "embed_mmr_rerank" -> 32,
+    // broadcast 1-row pooled-moment aggregate (theta + pooled pre-mean)
+    "analytics_cuped" -> 8,
     // the declared query PANEL (nQueries = 20), not a single vector
     "embed_knn_join" -> 32,
     "embed_ann_ivf" -> 64,

@@ -110,4 +110,218 @@ class Round11OpsSpec extends SparkSpec {
     // overlaps the exact top-k (recall > 0), else the entry is vacuous
     assert(got.length > 1 && got.exists(_._4))
   }
+
+  private def docTokens(raw: Boolean): Map[Long, Array[String]] =
+    graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        (if (raw) r.getString(1).split(" ", -1)
+         else r.getString(1).toLowerCase.split("[^a-z]+", -1)))
+      .toMap
+
+  test("chunk overlap: closed-form chunking covers every token, no subset chunks") {
+    val docs = docTokens(raw = true)
+    val got = TextStats.chunkOverlap(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == docs.keySet)
+    docs.foreach { case (d, ws) =>
+      val n = ws.length
+      val chunks = byDoc(d).sortBy(_._2)
+      // count law: 1 + ceil(max(n - 24, 0) / 16)
+      assert(chunks.length == 1 + (math.max(n - 24, 0) + 15) / 16,
+        s"doc $d chunk count")
+      chunks.foreach { case (_, k, s0, e0, nt, ft, lt) =>
+        assert(s0 == k * 16 + 1 && e0 == math.min(k * 16 + 24, n.toLong))
+        assert(nt == e0 - s0 + 1)
+        assert(ft == ws((s0 - 1).toInt) && lt == ws((e0 - 1).toInt),
+          s"doc $d chunk $k boundary tokens")
+      }
+      // coverage: every position 1..n inside some chunk; no chunk a
+      // strict subset of its predecessor
+      val covered = chunks.flatMap(c => c._3 to c._4).toSet
+      assert(covered == (1L to n.toLong).toSet, s"doc $d coverage")
+      chunks.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 > a._4, s"doc $d subset chunk")
+        case _ =>
+      }
+    }
+  }
+
+  test("mattr equals brute-force per-window distinct counts") {
+    val W = 20
+    val docs = docTokens(raw = false).map { case (d, ws) =>
+      d -> ws.filter(_.nonEmpty)
+    }
+    val got = TextStats.mattr(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val expect = docs.toSeq.filter(_._2.length >= W).sortBy(_._1)
+      .map { case (d, ws) =>
+        val n = ws.length
+        val m = n - W + 1
+        val sumD = (0 until m).map(s =>
+          ws.slice(s, s + W).distinct.length.toLong).sum
+        (d, n.toLong, m.toLong, sumD,
+          rnd6(sumD.toDouble / (W.toLong * m)))
+      }
+    assert(got == expect)
+  }
+
+  test("phrase search equals the brute adjacent-bigram scan") {
+    val docs = docTokens(raw = false)
+    val expect = docs.toSeq.sortBy(_._1).flatMap { case (d, ws) =>
+      val hits = ws.indices.dropRight(1)
+        .filter(i => ws(i) == "table" && ws(i + 1) == "hash")
+        .map(_ + 1L)
+      if (hits.isEmpty) None else Some((d, hits.length.toLong, hits.min))
+    }
+    val got = Search.phraseSearch(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty, "fixture must contain the phrase")
+  }
+
+  test("MMR rerank replays the greedy selection move-for-move") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+      }
+      rnd6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+    }
+    val qv = vecs.find(_._1 == 0L).get._2
+    val cands = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, cos(v, qv)) }
+      .sortBy { case (id, _, rel) => (-rel, id) }.take(16)
+    val rel = cands.map(c => c._1 -> c._3).toMap
+    val sim = (for (a <- cands; b <- cands if a._1 != b._1)
+      yield (a._1, b._1) -> cos(a._2, b._2)).toMap
+    var selected = Vector(cands.map(c => (c._1, c._3))
+      .minBy { case (id, r) => (-r, id) })
+    var expect = Vector((1L, selected.head._1, selected.head._2,
+      selected.head._2))
+    (2 to 4).foreach { k =>
+      val pick = cands.map(_._1).filterNot(selected.map(_._1).contains)
+        .map { id =>
+          val ms = selected.map(s => sim((id, s._1))).max
+          (id, rel(id), rnd6(rel(id) * 0.7 - ms * (1.0 - 0.7)))
+        }
+        .minBy { case (id, _, sc) => (-sc, id) }
+      selected :+= ((pick._1, pick._2))
+      expect :+= ((k.toLong, pick._1, pick._2, pick._3))
+    }
+    val got = Similarity.mmrRerank(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toVector
+    assert(got == expect, s"got=$got expect=$expect")
+    // diversification must bite: the MMR sequence differs from the
+    // plain relevance order OR at least one penalty is non-zero
+    assert(expect.drop(1).exists { case (_, id, r, sc) => sc < r })
+  }
+
+  test("CUPED theta and adjusted means equal the brute moment fold") {
+    val rows = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("user_id",
+        "cast(value as decimal(18,2)) as v",
+        "ts < timestamp'2024-01-16 00:00:00' as pre")
+      .collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getBoolean(2)))
+    def md5arm(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u|srm_v1".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val perUser = rows.groupBy(_._1).map { case (u, g) =>
+      def tot(p: Boolean) = g.filter(_._3 == p)
+        .map(_._2.asInstanceOf[java.math.BigDecimal])
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).setScale(2)
+      (u, tot(true), tot(false), md5arm(u))
+    }.toSeq
+    val n = perUser.size
+    def bd(xs: Seq[java.math.BigDecimal]) =
+      xs.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val sx = bd(perUser.map(_._2)); val sy = bd(perUser.map(_._3))
+    val sxy = bd(perUser.map(r => r._2.multiply(r._3)))
+    val sxx = bd(perUser.map(r => r._2.multiply(r._2)))
+    val theta = rnd6((n * sxy.doubleValue - sx.doubleValue * sy.doubleValue) /
+      (n * sxx.doubleValue - sx.doubleValue * sx.doubleValue))
+    val meanPreAll = sx.doubleValue / n
+    val expect = perUser.groupBy(_._4).toSeq.sortBy(_._1).map { case (a, g) =>
+      val nu = g.size
+      val sxa = bd(g.map(_._2)); val sya = bd(g.map(_._3))
+      (a, nu.toLong, rnd6(sxa.doubleValue / nu), rnd6(sya.doubleValue / nu),
+        theta,
+        rnd6(sya.doubleValue / nu -
+          theta * (sxa.doubleValue / nu - meanPreAll)))
+    }
+    val got = Analytics.cuped(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("Mann-Whitney U equals the brute average-rank computation") {
+    val rows = graft.tables.Tables.events(spark, sf001)
+      .select("event_type", "value", "user_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def md5arm(u: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$u|srm_v1".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+    }
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val vals = g.map(r => (r._2, md5arm(r._3))).sortBy(_._1)
+      // average rank per value group, doubled to stay integral
+      val n = vals.length
+      var r12 = 0L; var n1 = 0L; var i = 0
+      while (i < n) {
+        var j = i
+        while (j < n && vals(j)._1 == vals(i)._1) j += 1
+        val avg2 = (i + 1L) + j.toLong // (minrank + maxrank)
+        (i until j).foreach { k =>
+          if (vals(k)._2 == 0L) { r12 += avg2; n1 += 1 }
+        }
+        i = j
+      }
+      val n2 = n - n1
+      val u1 = (r12 - n1 * (n1 + 1)).toDouble / 2.0
+      val z = rnd6((u1 - n1.toDouble * n2 / 2.0) /
+        math.sqrt(n1.toDouble * n2 * (n + 1) / 12.0))
+      (t, n1, n2, u1, z)
+    }
+    val got = Analytics.mannWhitney(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("spectral flux equals the arithmetic recompute off the synth stream") {
+    val ids = graft.tables.Tables.documents(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val expect = ids.map { d =>
+      val nf = (2 + java.lang.Math.floorMod(d, 4)).toInt
+      val es: Seq[Long] = (0 until nf).map { f =>
+        (0 until 160).map { j =>
+          val s = java.lang.Math.floorMod(d * 7 + (f * 160 + j).toLong * 13,
+            4096) - 2048
+          s * s
+        }.sum
+      }
+      val flux = es.sliding(2).collect {
+        case Seq(a, b) if b > a => b - a
+      }.sum
+      val rises = es.sliding(2).count { case Seq(a, b) => b > a; case _ => false }
+      (d, nf.toLong, flux, rises.toLong, es.max)
+    }.toSeq
+    val got = graft.ext.Multimodal.spectralFlux(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expect)
+  }
 }

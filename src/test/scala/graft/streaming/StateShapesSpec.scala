@@ -181,6 +181,26 @@ class StateShapesSpec extends SparkSpec {
     assert(stream.toSeq == batch)
   }
 
+  test("stream max-gap fold equals the batch lag window") {
+    val stream = EventStream.streamMaxGap(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sorted
+    val batch = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).collect { case (u, rows) if rows.length > 1 =>
+        val us = rows.sortBy(r => (r._3, r._2)).map(_._3)
+        val gaps = us.sliding(2).map { case Array(a, b) => b - a }.toSeq
+        val span = us.max - us.min
+        (u, us.length.toLong, gaps.max, span,
+          new java.math.BigDecimal(java.lang.Double.toString(
+            gaps.max.toDouble * gaps.length / span))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }.toSeq.sorted
+    assert(stream.nonEmpty)
+    assert(stream.toSeq == batch)
+  }
+
   test("all six transformWithState state shapes stay registered") {
     val qs = graft.SparkEntry.queries.keySet
     val shapes = Map(
@@ -200,7 +220,9 @@ class StateShapesSpec extends SparkSpec {
       "monotone horizon merge (interval-union ValueState)" ->
         "stream_interval_union",
       "mergeable counter histogram (binary ValueState quantile sketch)" ->
-        "stream_quantile_state")
+        "stream_quantile_state",
+      "pairwise-adjacent fold (last-clock ValueState max-gap)" ->
+        "stream_max_gap_state")
     val missing = shapes.filterNot { case (_, entry) => qs(entry) }
     assert(missing.isEmpty,
       s"state-shape entries dropped: ${missing.values.mkString(", ")}")
