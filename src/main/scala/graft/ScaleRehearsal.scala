@@ -54,7 +54,17 @@ object ScaleRehearsal {
     // the tile codec+hash leg, the verified-pair-table rider, and the
     // bucketed triplet sampler
     "graph_hyperball", "multimodal_tile_dups", "dq_blocking_quality",
-    "embed_triplet_audit", "graph_bipartite_project")
+    "embed_triplet_audit", "graph_bipartite_project",
+    // r11 wave: windowed lexical diversity (lag window over the token
+    // stream - must stay linear), the bounded MMR rerank (must stay
+    // ~flat: candidate cut is fixed-k), the 33x subsample explode
+    // (linear in users x B), context packing (postings join + fixed
+    // cut), the two new codec legs (per-item work - linear), and the
+    // positional phrase merge (query-sized postings)
+    "text_mattr", "embed_mmr_rerank", "analytics_subsample_ci",
+    "text_context_pack", "multimodal_edge_energy",
+    "multimodal_spectral_flux", "text_phrase_search",
+    "text_chunk_overlap", "analytics_mann_whitney")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from
@@ -72,7 +82,10 @@ object ScaleRehearsal {
     "stream_neardup_gate",
     // r10: the bit-sharded Bloom gate — state must stay ≤ m = 1024 rows
     // FOREVER (growth saturates, the bounded-state contrast to X111)
-    "stream_bloom_gate")
+    "stream_bloom_gate",
+    // r11: the pairwise-adjacent max-gap fold — 8 bytes per user, so
+    // state rows must track the user set (≤ 10x), never event volume
+    "stream_max_gap_state")
 
   private def replicate(spark: SparkSession, name: String): DataFrame = {
     val base = spark.read.parquet(s"$Sf01/$name.parquet")
@@ -278,6 +291,7 @@ object ScaleRehearsal {
       }
       val json =
         s"""{"replicas": $Replicas, "note": "exponent = log10(t_sf1/t_sf0.1); linear work at 10x data with fixed cores lands near 1.0, sublinear means fixed overheads still dominate",
+ "cache_state": "rehearsal timings run after per-family shared-relation warmup (same memo regime as Bench's shared_builds) but in a FRESH session with its own JIT/codegen state and NO best-of-2 pass - a rehearsal number is comparable to another rehearsal number, never to bench_detail.json (best-of-2, long-lived warmed session); exponents are the rehearsal's only cross-artifact claim",
 $psJson
 $skewJson "entries": {
 ${rows.mkString(",\n")}

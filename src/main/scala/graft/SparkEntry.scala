@@ -217,6 +217,7 @@ object SparkEntry {
     // the unrolled twin
     "embed_ann_beam" -> ((s, d) => graft.ext.Similarity.beamSearchTopK(s, d)),
     "embed_mmr_rerank" -> ((s, d) => graft.ext.Similarity.mmrRerank(s, d)),
+    "embed_residual_energy" -> ((s, d) => graft.ext.Similarity.residualEnergy(s, d)),
     // probe-budget sweep: recall@k + candidate volume at 1/5/9 probes
     "embed_multiprobe_sweep" -> ((s, d) => graft.ext.Similarity.multiprobeSweep(s, d)),
     // per-label centroids (DECIMAL-exact) + inter-centroid cosine matrix
@@ -241,6 +242,7 @@ object SparkEntry {
     "text_chunk_overlap" -> ((s, d) => graft.ext.TextStats.chunkOverlap(s, d)),
     "text_mattr" -> ((s, d) => graft.ext.TextStats.mattr(s, d)),
     "text_phrase_search" -> ((s, d) => graft.ext.Search.phraseSearch(s, d)),
+    "text_context_pack" -> ((s, d) => graft.ext.Search.contextPack(s, d)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     // Gopher-style within-doc n-gram repetition quality filter
@@ -410,6 +412,7 @@ object SparkEntry {
     // perceptual-hash near-dup images over the real PNG decode path
     "multimodal_phash" -> ((s, d) => graft.ext.Multimodal.phashPairs(s, d)),
     "multimodal_spectral_flux" -> (graft.ext.Multimodal.spectralFlux(_, _)),
+    "multimodal_edge_energy" -> ((s, d) => graft.ext.Multimodal.edgeEnergy(s, d)),
     // rule-threshold RFM segmentation (stable, auditable, no quantile drift)
     "analytics_rfm" -> ((s, d) => graft.ext.Analytics.rfmSegments(s, d)),
     // monthly new-vs-repeat order/revenue decomposition (first-order date)
@@ -558,6 +561,8 @@ object SparkEntry {
     // (one shuffle, no iteration); twin = the first recursive-CTE oracle
     "analytics_hier_rollup" -> ((s, d) => graft.ext.Analytics.hierRollup(s, d)),
     "analytics_cuped" -> ((s, d) => graft.ext.Analytics.cuped(s, d)),
+    "analytics_subsample_ci" -> ((s, d) => graft.ext.Analytics.subsampleCi(s, d)),
+    "analytics_winsorized_mean" -> ((s, d) => graft.ext.Analytics.winsorizedMean(s, d)),
     "analytics_mann_whitney" -> ((s, d) => graft.ext.Analytics.mannWhitney(s, d)),
     // HyperBall register-exact neighbourhood function + harmonic centrality
     "graph_hyperball" -> ((s, d) => graft.ext.Graphs.hyperBall(s, d)),

@@ -2162,21 +2162,25 @@ object Analytics {
         coalesce(sum(when(col("ts") >= cut, col("value").cast(D2))),
           lit(0).cast(D2)).cast(D2).as("post"))
       .withColumn("arm", arm)
-    val pooled = perUser.agg(
-      count(lit(1)).as("n"),
-      sum("pre").as("sx"), sum("post").as("sy"),
-      sum(col("pre") * col("post")).as("sxy"),
-      sum(col("pre") * col("pre")).as("sxx"))
-      .select(col("n"), col("sx"), col("sy"),
-        round((col("n") * col("sxy").cast("double") -
-          col("sx").cast("double") * col("sy").cast("double")) /
-          (col("n") * col("sxx").cast("double") -
-            col("sx").cast("double") * col("sx").cast("double")), 6)
-          .as("theta"),
-        (col("sx").cast("double") / col("n")).as("mean_pre_all"))
-    perUser.groupBy("arm")
+    // ONE aggregation pass serves both groupings: rollup(arm) emits the
+    // two arm rows AND the pooled total row (arm IS NULL) — the pooled
+    // moments are the same exact decimal sums the twin computes from
+    // the user relation directly (decimal addition is associative), and
+    // the shared subtree keeps the event scan single
+    val agg = perUser.rollup("arm")
       .agg(count(lit(1)).as("n_users"),
-        sum("pre").as("sx_a"), sum("post").as("sy_a"))
+        sum("pre").as("sx_a"), sum("post").as("sy_a"),
+        sum(col("pre") * col("post")).as("sxy"),
+        sum(col("pre") * col("pre")).as("sxx"))
+    val pooled = agg.filter(col("arm").isNull)
+      .select(
+        round((col("n_users") * col("sxy").cast("double") -
+          col("sx_a").cast("double") * col("sy_a").cast("double")) /
+          (col("n_users") * col("sxx").cast("double") -
+            col("sx_a").cast("double") * col("sx_a").cast("double")), 6)
+          .as("theta"),
+        (col("sx_a").cast("double") / col("n_users")).as("mean_pre_all"))
+    agg.filter(col("arm").isNotNull)
       .crossJoin(broadcast(pooled))
       .select(col("arm"), col("n_users"),
         round(col("sx_a").cast("double") / col("n_users"), 6)
@@ -2208,6 +2212,121 @@ object Analytics {
     * (event_type, value) groups (the X130 allowlist class); one
     * per-type aggregate ends it.
     */
+  /** X277: subsampling confidence interval — the deterministic
+    * half-sample CI (Politis/Romano subsampling; the md5 twist makes it
+    * replayable) for the arm-1 − arm-0 mean-value lift: 32 half-samples
+    * of the USER set (user ∈ sample b iff md5(user|sub_b) is even —
+    * users, not events, so the resample respects the randomization
+    * unit), each yielding one lift; the CI is the [2nd, 31st] order
+    * statistic of the 32 (the discrete ~5/95 band — stated convention).
+    * The point lift rides the full sample.
+    *
+    * Exactness: per-user value totals are exact DECIMAL(18,2); every
+    * mean is one double division of exact sums; each lift is
+    * 6dp-rounded BEFORE ranking with the subsample id as tie-break, so
+    * the order statistics are cross-engine deterministic.
+    *
+    * Scale shape: one user-keyed aggregate, a 32× bounded explode of
+    * the per-user relation (the resample cost — rows × B, the
+    * production subsampling shape), a 64-row (b, arm) aggregate, and
+    * rank windows over the 32-row lift panel (the zipf allowlist
+    * class).
+    */
+  def subsampleCi(spark: SparkSession, dir: String, b: Int = 32,
+                  salt: String = "srm_v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val arm = pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long"), lit(2L))
+    val D2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(col("value").cast(D2)).cast(D2).as("tot"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("arm", arm)
+    // subsample -1 is the sentinel FULL sample (no inclusion filter):
+    // one explode serves the point lift and the 32 half-samples off a
+    // single event scan — the values are identical to aggregating the
+    // full user relation separately (decimal sums are associative)
+    val inB = perUser
+      .withColumn("b", explode(sequence(lit(-1), lit(b - 1))))
+      .filter(col("b") === -1 ||
+        pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+          lit("|sub_"), col("b").cast("string"))), 1, 4), 16, 10)
+          .cast("long"), lit(2L)) === 0)
+    val allLifts = inB.groupBy("b", "arm")
+      .agg(sum("tot").as("s"), sum("n_ev").as("n"))
+      .groupBy("b")
+      .agg(round(
+        max(when(col("arm") === 1,
+          col("s").cast("double") / col("n"))) -
+          max(when(col("arm") === 0,
+            col("s").cast("double") / col("n"))), 6).as("lift"))
+    val full = allLifts.filter(col("b") === -1)
+      .select(col("lift").as("lift_full"))
+    val lifts = allLifts.filter(col("b") =!= -1)
+    // a tiny-SF half-sample can lose an arm entirely -> NULL lift;
+    // order NULLS FIRST explicitly (Spark's default, DuckDB's is not)
+    val w = Window.orderBy(col("lift").asc_nulls_first, col("b"))
+    val ranked = lifts.withColumn("rn", row_number().over(w))
+    val lo = ranked.filter(col("rn") === 2)
+      .select(col("lift").as("ci_lo"))
+    val hi = ranked.filter(col("rn") === b - 1)
+      .select(col("lift").as("ci_hi"))
+    full.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(lit(b.toLong).as("n_subsamples"), col("lift_full"),
+        col("ci_lo"), col("ci_hi"),
+        (col("ci_lo") <= 0.0 && col("ci_hi") >= 0.0).as("spans_zero"))
+  }
+
+  /** X280: winsorized mean — the robust-mean companion to X273: per
+    * event_type, values at or below the discrete p05 (smallest value
+    * whose cumulative count reaches ⌈5n/100⌉ — the X130 histogram
+    * convention) and at or above the discrete p95 are CLAMPED to those
+    * bounds, and the winsorized mean is reported beside the raw mean
+    * and the clamp counts. Values are DECIMAL(18,2)-cast once (the
+    * money convention), so both sums are exact and each mean is one
+    * double division.
+    *
+    * Scale shape: ranks iterate the distinct (type, value) histogram
+    * (the X130 class), the clamp is a broadcast join of the 1-row-per-
+    * type bounds back onto the histogram — never a row-level sort.
+    */
+  def winsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cumW = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast(D2).as("v"))
+      .groupBy("event_type", "v").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(cumW))
+    val n = hist.groupBy("event_type").agg(sum("c").as("n"))
+    val bounds = hist.join(n, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("v")))
+          .as("p05"),
+        min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("v")))
+          .as("p95"),
+        max("n").as("n"))
+    hist.join(bounds, Seq("event_type"))
+      .select(col("event_type"), col("n"), col("c"),
+        (col("v") * col("c")).as("raw_part"),
+        (greatest(least(col("v"), col("p95")), col("p05")) * col("c"))
+          .as("win_part"),
+        when(col("v") < col("p05"), col("c")).otherwise(lit(0L))
+          .as("lo_part"),
+        when(col("v") > col("p95"), col("c")).otherwise(lit(0L))
+          .as("hi_part"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        round(sum("raw_part").cast("double") / max("n"), 6).as("raw_mean"),
+        round(sum("win_part").cast("double") / max("n"), 6).as("win_mean"),
+        sum("lo_part").as("n_clamped_lo"),
+        sum("hi_part").as("n_clamped_hi"))
+      .orderBy("event_type")
+  }
+
   def mannWhitney(spark: SparkSession, dir: String,
                   salt: String = "srm_v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

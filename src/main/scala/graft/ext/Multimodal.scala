@@ -1127,4 +1127,62 @@ object Multimodal {
       }
     rows.toDF().orderBy("doc_id")
   }
+
+  /** X279: Sobel edge energy — the gradient-magnitude pass an image
+    * curation pipeline runs to score sharpness / detect synthetic flat
+    * regions: per decoded PNG, the 3×3 Sobel Gx/Gy over every interior
+    * pixel, total energy Σ(Gx²+Gy²) and the count of strong-edge pixels
+    * (energy > 20000 — above the test card's constant-ramp response of
+    * 56²+104² = 13952, so only the mod-256 wrap seams register as
+    * edges, which makes the count a real assertion on the decoded
+    * raster, not a tautology). All exact int64 off the REAL `ImageIO`
+    * decode; the twin recomputes the 8 neighbors from the stated pixel
+    * formula arithmetically.
+    *
+    * Scale shape: the X111 no-shuffle codec pass — one decoder per
+    * partition, one audit row per image, bounded w×h work per row.
+    */
+  final case class EdgeRow(doc_id: Long, width: Long, height: Long,
+                           n_interior: Long, edge_energy: Long,
+                           n_edge_px: Long)
+
+  def edgeEnergy(spark: SparkSession, dir: String,
+                 threshold: Long = 20000L): DataFrame = {
+    import spark.implicits._
+    val rows = pngPayloads(spark, dir).mapPartitions { it =>
+      it.map { p =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(p.content))
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = Array.ofDim[Int](w, h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { px(x)(y) = img.getRGB(x, y) & 0xff; x += 1 }
+          y += 1
+        }
+        var energy = 0L
+        var nEdge = 0L
+        y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val gx = (px(x + 1)(y - 1) + 2 * px(x + 1)(y) + px(x + 1)(y + 1)) -
+              (px(x - 1)(y - 1) + 2 * px(x - 1)(y) + px(x - 1)(y + 1))
+            val gy = (px(x - 1)(y + 1) + 2 * px(x)(y + 1) + px(x + 1)(y + 1)) -
+              (px(x - 1)(y - 1) + 2 * px(x)(y - 1) + px(x + 1)(y - 1))
+            val e = gx.toLong * gx + gy.toLong * gy
+            energy += e
+            if (e > threshold) nEdge += 1
+            x += 1
+          }
+          y += 1
+        }
+        EdgeRow(p.doc_id, w.toLong, h.toLong,
+          (w - 2).toLong * (h - 2), energy, nEdge)
+      }
+    }
+    rows.toDF().orderBy("doc_id")
+  }
 }

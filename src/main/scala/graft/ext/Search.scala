@@ -286,6 +286,51 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** X281: context-window packing — the assembly step between retrieval
+    * and the prompt: from X269's chunk table, score each chunk by the
+    * number of query-term occurrences inside its token span, rank by
+    * (score DESC, doc_id, chunk_id), keep the top-`cand` candidates,
+    * and admit chunks in rank order while the running token total stays
+    * within the context `budget`. Everything is integer (occurrence
+    * counts, token counts, prefix sums), so the packed sequence is
+    * cross-engine deterministic.
+    *
+    * Scale shape: term positions are query-sized postings (broadcast
+    * side of the chunk join); the chunk join is doc-keyed with a span
+    * range predicate; the ranked cut is a TakeOrdered top-`cand`, and
+    * the budget cumsum runs over that ≤cand-row cut (the zipf allowlist
+    * class) — nothing corpus-sized past the scan.
+    */
+  def contextPack(spark: SparkSession, dir: String,
+                  terms: Seq[String] = Seq("table", "hash", "scan"),
+                  cand: Int = 64, budget: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = TextStats.chunkOverlap(spark, dir)
+      .select("doc_id", "chunk_id", "start_pos", "end_pos", "n_toks")
+    val hits = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"), col("col").as("w"))
+      .filter(col("w").isin(terms: _*))
+    val scored = chunks.join(hits, Seq("doc_id"))
+      .filter(col("p") >= col("start_pos") && col("p") <= col("end_pos"))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("score"))
+    val top = chunks.join(scored, Seq("doc_id", "chunk_id"))
+      .orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+      .limit(cand)
+    val w = Window.orderBy(col("score").desc, col("doc_id"), col("chunk_id"))
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_toks",
+        sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("cum_toks") <= budget)
+      .select(col("rank"), col("doc_id"), col("chunk_id"), col("score"),
+        col("n_toks"), col("cum_toks"))
+      .orderBy("rank")
+  }
+
   /** X131: RAKE keyword extraction (Rose et al. 2010) with the
     * integer `deg` scoring variant — candidate phrases are the maximal
     * stopword-free token runs, each word scores its corpus DEGREE

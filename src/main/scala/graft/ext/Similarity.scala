@@ -1551,4 +1551,62 @@ object Similarity {
     selected.select(col("rnk"), col("vec_id"), col("rel"), col("mmr_score"))
       .orderBy("rnk")
   }
+
+  /** X278: IVF residual-energy audit — the diagnostic that decides
+    * whether residual quantization (PQ/SQ on r = v − c) is worth its
+    * cost: per 4-bit sign cell, how much of the vectors' energy the
+    * cell centroid removes (Σ‖r‖² / Σ‖v‖² and its per-vector mean).
+    * Ratios near 1 mean the coarse quantizer explains nothing and a
+    * residual codebook would work on full-entropy input; low ratios
+    * justify the IVF+PQ stack (X95/X117).
+    *
+    * Exactness discipline: per-dim coordinates are cast ONCE to
+    * DECIMAL(18,9) (deterministic 9dp snap of the float — the D2 money
+    * convention at embedding scale) so centroid sums are exact; the
+    * centroid division and the residual are double arithmetic in one
+    * stated shape; per-dim squares are 12dp-rounded DECIMALs so the
+    * per-vector energy SUM is exact in any partition order (the
+    * order-free-sum rule every 6dp entry follows).
+    *
+    * Scale shape: one posexplode (|V|·d rows, narrow), one
+    * (bucket, dim) aggregate — cells × d rows, broadcastable — joined
+    * back dim-keyed, one vector-keyed aggregate, one cell-keyed
+    * aggregate. No pairwise anything.
+    */
+  def residualEnergy(spark: SparkSession, dir: String,
+                     bits: Int = 4): DataFrame = {
+    val D9 = org.apache.spark.sql.types.DecimalType(18, 9)
+    val D12 = org.apache.spark.sql.types.DecimalType(18, 12)
+    val dims = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), bits))
+      .select(col("vec_id"), col("bucket"),
+        posexplode(col("embedding")))
+      .select(col("vec_id"), col("bucket"),
+        (col("pos") + 1).as("dim"),
+        col("col").cast(D9).as("x"))
+    val cents = dims.groupBy("bucket", "dim")
+      .agg(sum("x").as("sx"), count(lit(1)).as("cnt"))
+      .select(col("bucket"), col("dim"),
+        (col("sx").cast("double") / col("cnt")).as("c"))
+    val perVec = dims.join(cents, Seq("bucket", "dim"))
+      .select(col("vec_id"), col("bucket"),
+        round((col("x").cast("double") - col("c")) *
+          (col("x").cast("double") - col("c")), 12).cast(D12).as("rsq"),
+        round(col("x").cast("double") * col("x").cast("double"), 12)
+          .cast(D12).as("xsq"))
+      .groupBy("vec_id", "bucket")
+      .agg(sum("rsq").as("re"), sum("xsq").as("xe"))
+    perVec
+      .select(col("bucket"),
+        round(col("re").cast("double") / col("xe"), 6).cast(D9)
+          .as("ratio"),
+        col("re"), col("xe"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum("ratio").cast("double") / count(lit(1)), 6)
+          .as("avg_ratio"),
+        round(sum(col("re").cast(D12)).cast("double") /
+          sum(col("xe").cast(D12)).cast("double"), 6).as("energy_ratio"))
+      .orderBy("bucket")
+  }
 }

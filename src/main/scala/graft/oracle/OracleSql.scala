@@ -7689,15 +7689,18 @@ ${SHINGLES.trim},
       k AS (SELECT doc_id, ws, n,
               unnest(generate_series(0, (greatest(n - 24, 0) + 15) // 16))
                 AS chunk_id
-            FROM n)
-      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-             CAST(chunk_id * 16 + 1 AS BIGINT) AS start_pos,
-             CAST(least(chunk_id * 16 + 24, n) AS BIGINT) AS end_pos,
-             CAST(least(chunk_id * 16 + 24, n) - chunk_id * 16 AS BIGINT)
-               AS n_toks,
-             ws[CAST(chunk_id * 16 + 1 AS INT)] AS first_tok,
-             ws[CAST(least(chunk_id * 16 + 24, n) AS INT)] AS last_tok
-      FROM k ORDER BY doc_id, chunk_id""",
+            FROM n),
+      b AS (SELECT doc_id, ws, CAST(chunk_id AS BIGINT) AS chunk_id,
+              CAST(chunk_id * 16 + 1 AS INT) AS spi,
+              CAST(least(chunk_id * 16 + 24, n) AS INT) AS epi
+            FROM k)
+      SELECT doc_id, chunk_id,
+             CAST(spi AS BIGINT) AS start_pos,
+             CAST(epi AS BIGINT) AS end_pos,
+             CAST(epi - spi + 1 AS BIGINT) AS n_toks,
+             ws[spi] AS first_tok,
+             ws[epi] AS last_tok
+      FROM b ORDER BY doc_id, chunk_id""",
     // X276 MATTR: the previous-occurrence closed form - occurrence p is
     // distinct in window [s, s+W) iff prev_p < s <= p.
     "text_mattr" -> """
@@ -7822,8 +7825,7 @@ ${SHINGLES.trim},
                CAST(sx AS DOUBLE) / n AS mean_pre_all
         FROM pooled),
       g AS (
-        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'),
-                 1, 4))::BIGINT % 2 AS arm,
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'), 1, 4))::BIGINT % 2 AS arm,
                CAST(COUNT(*) AS BIGINT) AS n_users,
                SUM(pre) AS sx_a, SUM(post) AS sy_a
         FROM pu GROUP BY 1)
@@ -7840,8 +7842,7 @@ ${SHINGLES.trim},
     "analytics_mann_whitney" -> """
       WITH r AS (
         SELECT event_type, value,
-               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'),
-                 1, 4))::BIGINT % 2 AS arm
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'), 1, 4))::BIGINT % 2 AS arm
         FROM events),
       g AS (SELECT event_type, value, CAST(COUNT(*) AS BIGINT) AS tie,
               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -7890,7 +7891,177 @@ ${SHINGLES.trim},
              CAST(COALESCE(SUM(CASE WHEN pe IS NOT NULL AND en > pe
                THEN 1 END), 0) AS BIGINT) AS n_rises,
              CAST(MAX(en) AS BIGINT) AS max_energy
-      FROM x GROUP BY doc_id ORDER BY doc_id""")
+      FROM x GROUP BY doc_id ORDER BY doc_id""",
+    // X277 subsampling CI: 32 deterministic md5 half-samples of the
+    // USER set; lifts 6dp-rounded before ranking, NULLS FIRST stated.
+    "analytics_subsample_ci" -> """
+      WITH pu AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                 AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n_ev,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'), 1, 4))::BIGINT % 2 AS arm
+        FROM events GROUP BY user_id),
+      fullarm AS (SELECT arm, SUM(tot) AS s, CAST(SUM(n_ev) AS BIGINT) AS n
+                  FROM pu GROUP BY arm),
+      fl AS (SELECT ROUND(
+               MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END) -
+               MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END), 6)
+               AS lift_full
+             FROM fullarm),
+      inb AS (SELECT pu.*, b FROM pu,
+                (SELECT unnest(generate_series(0, 31)) AS b) bs
+              WHERE ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|sub_' || CAST(b AS VARCHAR)), 1, 4))::BIGINT % 2 = 0),
+      ga AS (SELECT b, arm, SUM(tot) AS s, CAST(SUM(n_ev) AS BIGINT) AS n
+             FROM inb GROUP BY b, arm),
+      lifts AS (SELECT b, ROUND(
+                  MAX(CASE WHEN arm = 1 THEN CAST(s AS DOUBLE) / n END) -
+                  MAX(CASE WHEN arm = 0 THEN CAST(s AS DOUBLE) / n END), 6)
+                  AS lift
+                FROM ga GROUP BY b),
+      ranked AS (SELECT lift, ROW_NUMBER() OVER
+                   (ORDER BY lift ASC NULLS FIRST, b) AS rn
+                 FROM lifts),
+      lo AS (SELECT lift AS ci_lo FROM ranked WHERE rn = 2),
+      hi AS (SELECT lift AS ci_hi FROM ranked WHERE rn = 31)
+      SELECT CAST(32 AS BIGINT) AS n_subsamples, fl.lift_full,
+             lo.ci_lo, hi.ci_hi,
+             (lo.ci_lo <= 0.0 AND hi.ci_hi >= 0.0) AS spans_zero
+      FROM fl CROSS JOIN lo CROSS JOIN hi""",
+    // X280 winsorized mean: discrete p05/p95 off the (type, value)
+    // histogram, D2 money sums, clamp counts.
+    "analytics_winsorized_mean" -> """
+      WITH hist AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      cum AS (SELECT event_type, v, c,
+                CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM hist),
+      n AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+            FROM hist GROUP BY event_type),
+      bounds AS (
+        SELECT cum.event_type,
+               MIN(CASE WHEN cum >= (5 * n.n + 99) // 100 THEN v END)
+                 AS p05,
+               MIN(CASE WHEN cum >= (95 * n.n + 99) // 100 THEN v END)
+                 AS p95,
+               MAX(n.n) AS n
+        FROM cum JOIN n ON n.event_type = cum.event_type
+        GROUP BY cum.event_type)
+      SELECT h.event_type, CAST(MAX(b.n) AS BIGINT) AS n,
+             ROUND(CAST(SUM(h.v * h.c) AS DOUBLE) / MAX(b.n), 6)
+               AS raw_mean,
+             ROUND(CAST(SUM(greatest(least(h.v, b.p95), b.p05) * h.c)
+               AS DOUBLE) / MAX(b.n), 6) AS win_mean,
+             CAST(SUM(CASE WHEN h.v < b.p05 THEN h.c ELSE 0 END)
+               AS BIGINT) AS n_clamped_lo,
+             CAST(SUM(CASE WHEN h.v > b.p95 THEN h.c ELSE 0 END)
+               AS BIGINT) AS n_clamped_hi
+      FROM hist h JOIN bounds b ON b.event_type = h.event_type
+      GROUP BY h.event_type ORDER BY h.event_type""",
+    // X278 residual energy: 9dp-snapped coordinates, exact centroid
+    // sums, 12dp-snapped squares so per-vector energies sum order-free.
+    "embed_residual_energy" -> """
+      WITH dims AS (
+        SELECT vec_id,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+                CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END)
+                 AS bucket,
+               d AS dim,
+               CAST(embedding[d] AS DECIMAL(18,9)) AS x
+        FROM embeddings,
+             (SELECT unnest(generate_series(1, 64)) AS d) ds),
+      cents AS (SELECT bucket, dim,
+                  CAST(SUM(x) AS DOUBLE) / COUNT(*) AS c
+                FROM dims GROUP BY bucket, dim),
+      pv AS (SELECT vec_id, dims.bucket,
+               CAST(SUM(CAST(ROUND((CAST(x AS DOUBLE) - c) *
+                 (CAST(x AS DOUBLE) - c), 12) AS DECIMAL(18,12)))
+                 AS DECIMAL(38,12)) AS re,
+               CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE),
+                 12) AS DECIMAL(18,12))) AS DECIMAL(38,12)) AS xe
+             FROM dims JOIN cents ON cents.bucket = dims.bucket
+                                 AND cents.dim = dims.dim
+             GROUP BY vec_id, dims.bucket)
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(re AS DOUBLE) /
+               CAST(xe AS DOUBLE), 6) AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*), 6) AS avg_ratio,
+             ROUND(CAST(SUM(re) AS DOUBLE) / CAST(SUM(xe) AS DOUBLE), 6)
+               AS energy_ratio
+      FROM pv GROUP BY bucket ORDER BY bucket""",
+    // X279 Sobel edge energy: the 8 neighbors recomputed from the
+    // stated pixel formula; only wrap seams exceed the ramp response.
+    "multimodal_edge_energy" -> """
+      WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+                        8 + n_chars % 9 AS h
+                 FROM documents),
+      xs AS (SELECT doc_id, w, h, unnest(generate_series(1, w - 2)) AS x
+             FROM d),
+      g AS (SELECT doc_id, w, h, x, unnest(generate_series(1, h - 2)) AS y
+            FROM xs),
+      e AS (SELECT doc_id, w, h,
+              (((doc_id*31 + (x+1)*7 + (y-1)*13) % 256 +
+                2*((doc_id*31 + (x+1)*7 + y*13) % 256) +
+                (doc_id*31 + (x+1)*7 + (y+1)*13) % 256) -
+               ((doc_id*31 + (x-1)*7 + (y-1)*13) % 256 +
+                2*((doc_id*31 + (x-1)*7 + y*13) % 256) +
+                (doc_id*31 + (x-1)*7 + (y+1)*13) % 256)) AS gx,
+              (((doc_id*31 + (x-1)*7 + (y+1)*13) % 256 +
+                2*((doc_id*31 + x*7 + (y+1)*13) % 256) +
+                (doc_id*31 + (x+1)*7 + (y+1)*13) % 256) -
+               ((doc_id*31 + (x-1)*7 + (y-1)*13) % 256 +
+                2*((doc_id*31 + x*7 + (y-1)*13) % 256) +
+                (doc_id*31 + (x+1)*7 + (y-1)*13) % 256)) AS gy
+            FROM g)
+      SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+             CAST(MAX(h) AS BIGINT) AS height,
+             CAST((MAX(w) - 2) * (MAX(h) - 2) AS BIGINT) AS n_interior,
+             CAST(SUM(gx*gx + gy*gy) AS BIGINT) AS edge_energy,
+             CAST(SUM(CASE WHEN gx*gx + gy*gy > 20000 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_edge_px
+      FROM e GROUP BY doc_id ORDER BY doc_id""",
+    // X281 context packing: X269's chunk table + query-term span
+    // scores, rank-ordered greedy admission under the token budget.
+    "text_context_pack" -> """
+      WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws
+                  FROM documents),
+      nn AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM dd),
+      ch AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+               CAST(k * 16 + 1 AS BIGINT) AS start_pos,
+               CAST(least(k * 16 + 24, n) AS BIGINT) AS end_pos,
+               CAST(least(k * 16 + 24, n) - k * 16 AS BIGINT) AS n_toks
+             FROM (SELECT doc_id, ws, n,
+                     unnest(generate_series(0,
+                       (greatest(n - 24, 0) + 15) // 16)) AS k
+                   FROM nn) kk),
+      hits AS (SELECT doc_id, p FROM (
+                 SELECT doc_id, ws[p] AS w, p FROM (
+                   SELECT doc_id, string_split(lower(text), ' ') AS ws,
+                          unnest(generate_series(1,
+                            len(string_split(lower(text), ' ')))) AS p
+                   FROM documents) t0) t1
+               WHERE w IN ('table', 'hash', 'scan')),
+      sc AS (SELECT ch.doc_id, ch.chunk_id, ch.n_toks,
+               CAST(COUNT(*) AS BIGINT) AS score
+             FROM ch JOIN hits ON hits.doc_id = ch.doc_id
+               AND hits.p >= ch.start_pos AND hits.p <= ch.end_pos
+             GROUP BY ch.doc_id, ch.chunk_id, ch.n_toks),
+      top AS (SELECT * FROM sc
+              ORDER BY score DESC, doc_id, chunk_id LIMIT 64),
+      rk AS (SELECT CAST(ROW_NUMBER() OVER
+               (ORDER BY score DESC, doc_id, chunk_id) AS BIGINT) AS rank,
+               doc_id, chunk_id, score, n_toks,
+               CAST(SUM(n_toks) OVER
+                 (ORDER BY score DESC, doc_id, chunk_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+             FROM top)
+      SELECT rank, doc_id, chunk_id, score, n_toks, cum_toks
+      FROM rk WHERE cum_toks <= 256 ORDER BY rank""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT

@@ -49,6 +49,8 @@ class PlanHygieneSpec extends SparkSpec
     "embed_mmr_rerank" -> 32,
     // broadcast 1-row pooled-moment aggregate (theta + pooled pre-mean)
     "analytics_cuped" -> 8,
+    // two 1-row CI order-statistic broadcasts onto the 1-row point lift
+    "analytics_subsample_ci" -> 8,
     // the declared query PANEL (nQueries = 20), not a single vector
     "embed_knn_join" -> 32,
     "embed_ann_ivf" -> 64,
@@ -249,7 +251,9 @@ class PlanHygieneSpec extends SparkSpec
     "curation_quality_calibration" -> "median-crossing cumsum over the distinct 6dp bits/token value histogram (domain-bounded, the outlier_mad class)",
     "embed_rank_fusion" -> "1-based ranks over the two already-limited top-20 retriever cuts (the zipf class, twice)",
     "curation_unimax_alloc" -> "capacity-sorted rank + prefix over the |sources|-row (catalog-sized) capacity table",
-    "embed_ann_beam" -> "final rank over the ≤ beamWidth(=8)-row beam (the zipf class; per-round top-W uses TakeOrdered, not windows)")
+    "embed_ann_beam" -> "final rank over the ≤ beamWidth(=8)-row beam (the zipf class; per-round top-W uses TakeOrdered, not windows)",
+    "analytics_subsample_ci" -> "order statistics over the fixed 32-row subsample lift panel",
+    "text_context_pack" -> "rank + budget cumsum over the already-limited top-64 candidate cut (the zipf class)")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

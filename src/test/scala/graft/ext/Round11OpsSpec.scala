@@ -301,6 +301,148 @@ class Round11OpsSpec extends SparkSpec {
     assert(got == expect, s"got=$got expect=$expect")
   }
 
+  private def md5arm2(u: Long, salt: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$u$salt".getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 2
+  }
+
+  test("subsample CI equals the brute 32-half-sample order statistics") {
+    val rows = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("user_id", "cast(value as decimal(18,2)) as v")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+    val perUser = rows.groupBy(_._1).map { case (u, g) =>
+      (u, g.map(_._2.asInstanceOf[java.math.BigDecimal])
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).setScale(2),
+        g.length.toLong, md5arm2(u, "|srm_v1"))
+    }.toSeq
+    def lift(us: Seq[(Long, java.math.BigDecimal, Long, Long)]): Option[Double] = {
+      def m(a: Long): Option[Double] = {
+        val g = us.filter(_._4 == a)
+        if (g.isEmpty) None
+        else Some(g.map(_._2).reduce(_.add(_)).doubleValue / g.map(_._3).sum)
+      }
+      for (m1 <- m(1); m0 <- m(0)) yield rnd6(m1 - m0)
+    }
+    val liftFull = lift(perUser).get
+    val lifts = (0 until 32).map { b =>
+      b -> lift(perUser.filter(r => md5arm2(r._1, s"|sub_$b") == 0))
+    }
+    // NULLS FIRST, then lift, then b
+    val ranked = lifts.sortBy { case (b, l) =>
+      (if (l.isEmpty) 0 else 1, l.getOrElse(0.0), b)
+    }
+    val ciLo = ranked(1)._2
+    val ciHi = ranked(30)._2
+    val got = Analytics.subsampleCi(spark, sf001).collect().head
+    assert(got.getLong(0) == 32L)
+    assert(got.getDouble(1) == liftFull)
+    assert(Option(got.get(2)).map(_.asInstanceOf[Double]) == ciLo)
+    assert(Option(got.get(3)).map(_.asInstanceOf[Double]) == ciHi)
+    // CI law on the fixture: lo <= hi when both exist
+    for (l <- ciLo; h <- ciHi) assert(l <= h)
+  }
+
+  test("winsorized mean equals the brute clamp at discrete p05/p95") {
+    val rows = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("event_type", "cast(value as decimal(18,2)) as v")
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1)))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val vs = g.map(_._2.asInstanceOf[java.math.BigDecimal]).sorted
+      val n = vs.length
+      def q(pct: Int) = vs(((pct * n + 99) / 100) - 1)
+      val (p05, p95) = (q(5), q(95))
+      def mean(xs: Seq[java.math.BigDecimal]) = rnd6(
+        xs.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue / n)
+      val win = vs.map(v => if (v.compareTo(p05) < 0) p05
+        else if (v.compareTo(p95) > 0) p95 else v)
+      (t, n.toLong, mean(vs), mean(win),
+        vs.count(_.compareTo(p05) < 0).toLong,
+        vs.count(_.compareTo(p95) > 0).toLong)
+    }
+    val got = Analytics.winsorizedMean(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("residual energy: ratios in (0,1], centroid removes energy somewhere") {
+    val got = Similarity.residualEnergy(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(got.nonEmpty)
+    val nTotal = got.map(_._2).sum
+    assert(nTotal == graft.tables.Tables.embeddings(spark, sf001).count())
+    got.foreach { case (bk, n, avg, er) =>
+      assert(er >= 0.0 && er <= 1.0 + 1e-9, s"cell $bk energy ratio $er")
+      assert(avg >= 0.0 && avg <= 1.0 + 1e-9, s"cell $bk avg ratio $avg")
+      // a single-vector cell's centroid IS the vector: ratio exactly 0
+      if (n == 1) assert(er == 0.0, s"singleton cell $bk should zero out")
+    }
+    // the mean-centering law: every multi-vector cell removes SOME
+    // energy (residual < original) unless all its vectors are identical
+    assert(got.filter(_._2 > 1).forall(_._4 < 1.0))
+  }
+
+  test("edge energy: constant-ramp interiors match the closed form, seams detected") {
+    val docs = graft.tables.Tables.documents(spark, sf001)
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def px(d: Long, x: Int, y: Int): Long =
+      java.lang.Math.floorMod(d * 31 + x * 7 + y * 13, 256)
+    val expect = docs.sortBy(_._1).map { case (d, nc) =>
+      val w = (8 + java.lang.Math.floorMod(d, 9)).toInt
+      val h = (8 + java.lang.Math.floorMod(nc, 9)).toInt
+      var energy = 0L; var nEdge = 0L
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val gx = (px(d, x + 1, y - 1) + 2 * px(d, x + 1, y) + px(d, x + 1, y + 1)) -
+          (px(d, x - 1, y - 1) + 2 * px(d, x - 1, y) + px(d, x - 1, y + 1))
+        val gy = (px(d, x - 1, y + 1) + 2 * px(d, x, y + 1) + px(d, x + 1, y + 1)) -
+          (px(d, x - 1, y - 1) + 2 * px(d, x, y - 1) + px(d, x + 1, y - 1))
+        val e = gx * gx + gy * gy
+        energy += e
+        if (e > 20000L) nEdge += 1
+      }
+      (d, w.toLong, h.toLong, (w - 2).toLong * (h - 2), energy, nEdge)
+    }.toSeq
+    val got = graft.ext.Multimodal.edgeEnergy(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+    // the threshold law: at least one image has a wrap seam in frame
+    assert(got.exists(_._6 > 0))
+  }
+
+  test("context pack: rank order, budget law, scores match brute count") {
+    val docs = docTokens(raw = true)
+    val terms = Set("table", "hash", "scan")
+    val got = Search.contextPack(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // ranks contiguous from 1, cum_toks = running sum, budget respected
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq)
+    var cum = 0L
+    got.foreach { case (_, d, k, score, nt, ct) =>
+      cum += nt
+      assert(ct == cum && ct <= 256)
+      // brute score: query-term occurrences inside the chunk span
+      val ws = docs(d).map(_.toLowerCase)
+      val s0 = (k * 16).toInt
+      val e0 = math.min(k * 16 + 24, ws.length.toLong).toInt
+      val brute = (s0 until e0).count(i => terms(ws(i)))
+      assert(score == brute, s"doc $d chunk $k score $score vs $brute")
+    }
+    // monotone score order with (doc, chunk) tie-break
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._4 > b._4 || (a._4 == b._4 &&
+          (a._2 < b._2 || (a._2 == b._2 && a._3 < b._3))))
+      case _ =>
+    }
+  }
+
   test("spectral flux equals the arithmetic recompute off the synth stream") {
     val ids = graft.tables.Tables.documents(spark, sf001)
       .select("doc_id").collect().map(_.getLong(0)).sorted
