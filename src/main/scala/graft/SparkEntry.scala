@@ -243,6 +243,7 @@ object SparkEntry {
     "text_mattr" -> ((s, d) => graft.ext.TextStats.mattr(s, d)),
     "text_phrase_search" -> ((s, d) => graft.ext.Search.phraseSearch(s, d)),
     "text_context_pack" -> ((s, d) => graft.ext.Search.contextPack(s, d)),
+    "curation_gate_ablation" -> ((s, d) => graft.ext.TextStats.gateAblation(s, d)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     // Gopher-style within-doc n-gram repetition quality filter
@@ -424,6 +425,7 @@ object SparkEntry {
     "warehouse_three_way_merge" -> ((s, d) => graft.ext.Warehouse.threeWayMerge(s, d)),
     // PSI distribution drift between stream halves, fixed value bands
     "dq_psi_drift" -> ((s, d) => graft.ext.DataQuality.psiDrift(s, d)),
+    "dq_emd_drift" -> ((s, d) => graft.ext.Analytics.emdDrift(s, d)),
     "dq_ks_test" -> ((s, d) => graft.ext.DataQuality.ksTest(s, d)),
     "events_forecast_baseline" -> ((s, d) => graft.ext.Events.forecastBaseline(s, d)),
     // per-language tokenizer fertility/compression off the X121 encoder
@@ -562,6 +564,7 @@ object SparkEntry {
     "analytics_hier_rollup" -> ((s, d) => graft.ext.Analytics.hierRollup(s, d)),
     "analytics_cuped" -> ((s, d) => graft.ext.Analytics.cuped(s, d)),
     "analytics_subsample_ci" -> ((s, d) => graft.ext.Analytics.subsampleCi(s, d)),
+    "analytics_did" -> ((s, d) => graft.ext.Analytics.diffInDiff(s, d)),
     "analytics_winsorized_mean" -> ((s, d) => graft.ext.Analytics.winsorizedMean(s, d)),
     "analytics_mann_whitney" -> ((s, d) => graft.ext.Analytics.mannWhitney(s, d)),
     // HyperBall register-exact neighbourhood function + harmonic centrality

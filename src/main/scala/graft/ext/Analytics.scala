@@ -2278,6 +2278,99 @@ object Analytics {
         (col("ci_lo") <= 0.0 && col("ci_hi") >= 0.0).as("spans_zero"))
   }
 
+  /** X282: difference-in-differences — the quasi-experimental
+    * companion to X272's CUPED: the same md5-parity arms and
+    * 2024-01-16 cutoff give a 2×2 (arm × period) table of mean event
+    * values, and DiD = (post₁ − pre₁) − (post₀ − pre₀) estimates the
+    * treatment effect net of the shared time trend. Under a valid
+    * randomization DiD ≈ the plain post-period lift; divergence flags
+    * a pre-period imbalance the SRM gate (X264) can't see (it only
+    * counts users).
+    *
+    * Exactness: one (arm, period) aggregate of exact DECIMAL(18,2)
+    * sums; each of the four means is one double division; DiD is
+    * computed from the four 6dp-rounded means (stated), so the
+    * arithmetic is cross-engine exact.
+    *
+    * Scale shape: ONE event scan, one 4-row aggregate, one 1-row
+    * pivot. Nothing else.
+    */
+  def diffInDiff(spark: SparkSession, dir: String,
+                 cutoff: String = "2024-01-16 00:00:00",
+                 salt: String = "srm_v1"): DataFrame = {
+    val D2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val arm = pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long"), lit(2L))
+    val cut = lit(cutoff).cast("timestamp")
+    val cells = Tables.events(spark, dir)
+      .select(arm.as("arm"),
+        when(col("ts") < cut, lit("pre")).otherwise(lit("post"))
+          .as("period"),
+        col("value").cast(D2).as("v"))
+      .groupBy("arm", "period")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(col("arm"), col("period"),
+        round(col("s").cast("double") / col("n"), 6).as("m"))
+    cells.agg(
+      max(when(col("arm") === 0 && col("period") === "pre", col("m")))
+        .as("m_pre0"),
+      max(when(col("arm") === 0 && col("period") === "post", col("m")))
+        .as("m_post0"),
+      max(when(col("arm") === 1 && col("period") === "pre", col("m")))
+        .as("m_pre1"),
+      max(when(col("arm") === 1 && col("period") === "post", col("m")))
+        .as("m_post1"))
+      .select(col("m_pre0"), col("m_post0"), col("m_pre1"), col("m_post1"),
+        round((col("m_post1") - col("m_pre1")) -
+          (col("m_post0") - col("m_pre0")), 6).as("did"),
+        round(col("m_post1") - col("m_post0"), 6).as("naive_lift"))
+  }
+
+  /** X284: earth-mover drift — the exact 1-D Wasserstein-1 distance
+    * between the pre- and post-cutoff value distributions per
+    * event_type, the metric that (unlike X166's binned PSI or X172's
+    * max-gap KS) weighs HOW FAR mass moved, not just that it moved.
+    * Over the merged discrete support, EMD = Σ |F₁(vᵢ) − F₂(vᵢ)| ·
+    * (vᵢ₊₁ − vᵢ); the CDF difference is carried as the INTEGER
+    * |cum₁·n₂ − cum₂·n₁| over the common denominator n₁·n₂, and the
+    * support gaps are exact DECIMAL(18,2), so the whole sum is exact
+    * until one final double division (6dp).
+    *
+    * Scale shape: one (type, value, period) histogram aggregate, two
+    * cumulative windows + one lead over the DISTINCT value support
+    * (the X130 histogram class), one per-type aggregate.
+    */
+  def emdDrift(spark: SparkSession, dir: String,
+               cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cut = lit(cutoff).cast("timestamp")
+    val cumW = Window.partitionBy("event_type").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leadW = Window.partitionBy("event_type").orderBy("v")
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast(D2).as("v"),
+        when(col("ts") < cut, 1L).otherwise(0L).as("is_pre"))
+      .groupBy("event_type", "v")
+      .agg(sum("is_pre").as("c1"), sum(lit(1L) - col("is_pre")).as("c2"))
+      .withColumn("cum1", sum("c1").over(cumW))
+      .withColumn("cum2", sum("c2").over(cumW))
+      .withColumn("gap",
+        (lead("v", 1).over(leadW) - col("v")).cast(D2))
+    val n = hist.groupBy("event_type")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    hist.filter(col("gap").isNotNull)
+      .join(n, Seq("event_type"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        (abs(col("cum1") * col("n2") - col("cum2") * col("n1"))
+          .cast(D2) * col("gap")).as("part"))
+      .groupBy("event_type")
+      .agg(max("n1").as("n_pre"), max("n2").as("n_post"),
+        round(sum("part").cast("double") /
+          (max("n1").cast("double") * max("n2")), 6).as("emd"))
+      .orderBy("event_type")
+  }
+
   /** X280: winsorized mean — the robust-mean companion to X273: per
     * event_type, values at or below the discrete p05 (smallest value
     * whose cumulative count reaches ⌈5n/100⌉ — the X130 histogram

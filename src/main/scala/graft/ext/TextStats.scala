@@ -1258,6 +1258,64 @@ object TextStats {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** X283: gate ablation — the filter-attribution table every curation
+    * pipeline publishes beside its composite gate (X98): for each named
+    * criterion, how many docs fail it, how many fail it UNIQUELY
+    * (pass all other criteria — the docs that filter alone removes),
+    * and the unique share of its failures; plus the ANY row (the gate's
+    * total removal, with `n_unique_fail` = docs failing exactly one
+    * criterion). Unique-fail is the number that tells a pipeline owner
+    * which filter to tune: a criterion with many failures but zero
+    * unique failures is redundant.
+    *
+    * Criteria (thresholds sit inside the fixture's signal ranges so the
+    * table is non-degenerate): quality `score < 0.2`, repetition
+    * `flagged`, lexical `poly_ratio < 0.02` (absent → 0 — stated), and
+    * length `n_chars < 150`.
+    *
+    * Scale shape: the three signal passes already exist (narrow / one
+    * aggregate each); two doc-keyed joins; per-doc booleans explode to
+    * a fixed 5-row-per-doc attribution stream; one 5-row aggregate.
+    */
+  def gateAblation(spark: SparkSession, dir: String): DataFrame = {
+    val q = quality(spark, dir).select(col("doc_id"),
+      col("quality_score"), col("n_chars"))
+    val r = repetition(spark, dir).select(col("doc_id"), col("flagged"))
+    val l = lexicalComplexity(spark, dir)
+      .select(col("doc_id"), col("poly_ratio"))
+    val flags = q.join(r, Seq("doc_id"), "left")
+      .join(l, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("quality_score") < 0.2).as("f_q"),
+        coalesce(col("flagged"), lit(false)).as("f_rep"),
+        (coalesce(col("poly_ratio"), lit(0.0)) < 0.02).as("f_lex"),
+        (col("n_chars") < 150).as("f_len"))
+      .withColumn("n_fails",
+        col("f_q").cast("long") + col("f_rep").cast("long") +
+          col("f_lex").cast("long") + col("f_len").cast("long"))
+    val rows = flags.select(col("n_fails"), explode(array(
+      struct(lit("1_quality").as("criterion"), col("f_q").as("fail"),
+        (col("f_q") && col("n_fails") === 1).as("uniq")),
+      struct(lit("2_repetition").as("criterion"), col("f_rep").as("fail"),
+        (col("f_rep") && col("n_fails") === 1).as("uniq")),
+      struct(lit("3_lexical").as("criterion"), col("f_lex").as("fail"),
+        (col("f_lex") && col("n_fails") === 1).as("uniq")),
+      struct(lit("4_length").as("criterion"), col("f_len").as("fail"),
+        (col("f_len") && col("n_fails") === 1).as("uniq")),
+      struct(lit("5_any").as("criterion"), (col("n_fails") > 0).as("fail"),
+        (col("n_fails") === 1).as("uniq")))).as("a"))
+    rows.groupBy(col("a.criterion").as("criterion"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("a.fail").cast("long")).as("n_fail"),
+        sum(col("a.uniq").cast("long")).as("n_unique_fail"))
+      .select(col("criterion"), col("n_docs"), col("n_fail"),
+        col("n_unique_fail"),
+        when(col("n_fail") > 0,
+          round(col("n_unique_fail").cast("double") / col("n_fail"), 6))
+          .as("unique_share"))
+      .orderBy("criterion")
+  }
+
   /** X276: MATTR — moving-average type-token ratio (Covington &
     * McFall 2010), the windowed lexical-diversity measure that, unlike
     * plain TTR (X241's `ttr`), does not shrink with document length.

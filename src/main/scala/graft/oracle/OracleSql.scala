@@ -8061,7 +8061,129 @@ ${SHINGLES.trim},
                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
              FROM top)
       SELECT rank, doc_id, chunk_id, score, n_toks, cum_toks
-      FROM rk WHERE cum_toks <= 256 ORDER BY rank""")
+      FROM rk WHERE cum_toks <= 256 ORDER BY rank""",
+    // X282 difference-in-differences: 2x2 (arm x period) means off one
+    // scan, DiD from the four 6dp means (stated).
+    "analytics_did" -> """
+      WITH cells AS (
+        SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'), 1, 4))::BIGINT % 2 AS arm,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 'pre' ELSE 'post' END AS period,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events),
+      m AS (SELECT arm, period,
+              ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM cells GROUP BY arm, period),
+      pv AS (SELECT
+               MAX(CASE WHEN arm = 0 AND period = 'pre' THEN m END)
+                 AS m_pre0,
+               MAX(CASE WHEN arm = 0 AND period = 'post' THEN m END)
+                 AS m_post0,
+               MAX(CASE WHEN arm = 1 AND period = 'pre' THEN m END)
+                 AS m_pre1,
+               MAX(CASE WHEN arm = 1 AND period = 'post' THEN m END)
+                 AS m_post1
+             FROM m)
+      SELECT m_pre0, m_post0, m_pre1, m_post1,
+             ROUND((m_post1 - m_pre1) - (m_post0 - m_pre0), 6) AS did,
+             ROUND(m_post1 - m_post0, 6) AS naive_lift
+      FROM pv""",
+    // X284 EMD drift: exact Wasserstein-1 over the merged discrete
+    // support - integer CDF numerators over the common denominator.
+    "dq_emd_drift" -> """
+      WITH hist AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM events GROUP BY 1, 2),
+      cum AS (SELECT event_type, v, c1, c2,
+                CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                CAST(SUM(c2) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2,
+                CAST(LEAD(v) OVER (PARTITION BY event_type ORDER BY v) - v
+                  AS DECIMAL(18,2)) AS gap
+              FROM hist),
+      n AS (SELECT event_type, CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2
+            FROM hist GROUP BY event_type)
+      SELECT cum.event_type, MAX(n.n1) AS n_pre, MAX(n.n2) AS n_post,
+             ROUND(CAST(SUM(CAST(abs(cum1 * n.n2 - cum2 * n.n1)
+               AS DECIMAL(18,2)) * gap) AS DOUBLE) /
+               (CAST(MAX(n.n1) AS DOUBLE) * MAX(n.n2)), 6) AS emd
+      FROM cum JOIN n ON n.event_type = cum.event_type
+      WHERE gap IS NOT NULL
+      GROUP BY cum.event_type ORDER BY cum.event_type""",
+    // X283 gate ablation: the three signal CTEs restated (quality /
+    // repetition / lexical), per-doc fail flags, fixed 5-row explode.
+    "curation_gate_ablation" -> """
+      WITH q AS (
+        SELECT doc_id, n_chars,
+               ROUND(LEAST(CAST(n_words AS DOUBLE) / 100, 1.0) *
+                 (CAST(n_distinct_words AS DOUBLE) / n_words), 6) AS score
+        FROM (SELECT doc_id, n_chars,
+                     len(string_split(text, ' ')) AS n_words,
+                     len(list_distinct(string_split(text, ' ')))
+                       AS n_distinct_words
+              FROM documents) tq),
+      rg AS (
+        SELECT doc_id,
+               [array_to_string(ws[i:i+1], ' ')
+                FOR i IN generate_series(1, len(ws) - 1)] AS g2,
+               [array_to_string(ws[i:i+2], ' ')
+                FOR i IN generate_series(1, len(ws) - 2)] AS g3
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents) tw),
+      r AS (
+        SELECT doc_id,
+               (ROUND(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)
+                  / len(g2), 6) > 0.20 OR
+                ROUND(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                  / len(g3), 6) > 0.18) AS flagged
+        FROM rg),
+      lx AS (
+        SELECT doc_id,
+               ROUND(CAST(len(list_filter(ws,
+                 w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3))
+                 AS DOUBLE) / len(ws), 6) AS poly_ratio
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                 t -> t <> '') AS ws
+              FROM documents) tl
+        WHERE len(ws) > 0),
+      flags AS (
+        SELECT q.doc_id,
+               (q.score < 0.2) AS f_q,
+               COALESCE(r.flagged, FALSE) AS f_rep,
+               (COALESCE(lx.poly_ratio, 0.0) < 0.02) AS f_lex,
+               (q.n_chars < 150) AS f_len
+        FROM q LEFT JOIN r ON r.doc_id = q.doc_id
+               LEFT JOIN lx ON lx.doc_id = q.doc_id),
+      nf AS (
+        SELECT doc_id, f_q, f_rep, f_lex, f_len,
+               (CAST(f_q AS BIGINT) + CAST(f_rep AS BIGINT) +
+                CAST(f_lex AS BIGINT) + CAST(f_len AS BIGINT)) AS n_fails
+        FROM flags),
+      a AS (
+        SELECT '1_quality' AS criterion, f_q AS fail,
+               (f_q AND n_fails = 1) AS uniq FROM nf
+        UNION ALL
+        SELECT '2_repetition', f_rep, (f_rep AND n_fails = 1) FROM nf
+        UNION ALL
+        SELECT '3_lexical', f_lex, (f_lex AND n_fails = 1) FROM nf
+        UNION ALL
+        SELECT '4_length', f_len, (f_len AND n_fails = 1) FROM nf
+        UNION ALL
+        SELECT '5_any', (n_fails > 0), (n_fails = 1) FROM nf)
+      SELECT criterion, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(fail AS BIGINT)) AS BIGINT) AS n_fail,
+             CAST(SUM(CAST(uniq AS BIGINT)) AS BIGINT) AS n_unique_fail,
+             CASE WHEN SUM(CAST(fail AS BIGINT)) > 0 THEN
+               ROUND(CAST(SUM(CAST(uniq AS BIGINT)) AS DOUBLE) /
+                 SUM(CAST(fail AS BIGINT)), 6) END AS unique_share
+      FROM a GROUP BY criterion ORDER BY criterion""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT

@@ -443,6 +443,96 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("DiD equals the brute 2x2 cell means") {
+    val rows = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("user_id", "cast(value as decimal(18,2)) as v",
+        "ts < timestamp'2024-01-16 00:00:00' as pre")
+      .collect().map(r => (r.getLong(0), r.getDecimal(1), r.getBoolean(2)))
+    def m(arm: Long, pre: Boolean): Double = {
+      val g = rows.filter(r => md5arm2(r._1, "|srm_v1") == arm && r._3 == pre)
+      rnd6(g.map(_._2.asInstanceOf[java.math.BigDecimal])
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue / g.length)
+    }
+    val (p0, q0, p1, q1) = (m(0, true), m(0, false), m(1, true), m(1, false))
+    val got = Analytics.diffInDiff(spark, sf001).collect().head
+    assert((got.getDouble(0), got.getDouble(1), got.getDouble(2),
+      got.getDouble(3)) == ((p0, q0, p1, q1)))
+    assert(got.getDouble(4) == rnd6((q1 - p1) - (q0 - p0)))
+    assert(got.getDouble(5) == rnd6(q1 - q0))
+  }
+
+  test("EMD drift equals the brute Wasserstein-1 over the merged support") {
+    val rows = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("event_type", "cast(value as decimal(18,2)) as v",
+        "ts < timestamp'2024-01-16 00:00:00' as pre")
+      .collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getBoolean(2)))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val support = g.map(_._2.asInstanceOf[java.math.BigDecimal])
+        .distinct.sorted
+      val n1 = g.count(_._3).toLong
+      val n2 = g.size - n1
+      var cum1 = 0L; var cum2 = 0L
+      var acc = java.math.BigDecimal.ZERO
+      support.sliding(2).foreach {
+        case Array(v, next) =>
+          cum1 += g.count(r => r._3 && r._2.compareTo(v) == 0)
+          cum2 += g.count(r => !r._3 && r._2.compareTo(v) == 0)
+          val num = java.math.BigDecimal.valueOf(
+            math.abs(cum1 * n2 - cum2 * n1)).setScale(2)
+          acc = acc.add(num.multiply(next.subtract(v)))
+        case _ =>
+      }
+      (t, n1, n2, rnd6(acc.doubleValue / (n1.toDouble * n2)))
+    }
+    val got = Analytics.emdDrift(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("gate ablation counts match the brute per-doc flag fold") {
+    val q = TextStats.quality(spark, sf001)
+      .selectExpr("doc_id", "quality_score", "n_chars").collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2)))).toMap
+    val rep = TextStats.repetition(spark, sf001)
+      .selectExpr("doc_id", "flagged").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val lex = TextStats.lexicalComplexity(spark, sf001)
+      .selectExpr("doc_id", "poly_ratio").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val flags = q.toSeq.map { case (d, (score, nChars)) =>
+      val fq = score < 0.2
+      val fr = rep.getOrElse(d, false)
+      val fl = lex.getOrElse(d, 0.0) < 0.02
+      val fn = nChars < 150
+      (fq, fr, fl, fn,
+        Seq(fq, fr, fl, fn).count(identity))
+    }
+    val nDocs = flags.length.toLong
+    def row(name: String, fail: ((Boolean, Boolean, Boolean, Boolean, Int)) => Boolean,
+            uniq: ((Boolean, Boolean, Boolean, Boolean, Int)) => Boolean) = {
+      val nf = flags.count(fail).toLong
+      val nu = flags.count(uniq).toLong
+      (name, nDocs, nf, nu,
+        if (nf > 0) Some(rnd6(nu.toDouble / nf)) else None)
+    }
+    val expect = Seq(
+      row("1_quality", _._1, f => f._1 && f._5 == 1),
+      row("2_repetition", _._2, f => f._2 && f._5 == 1),
+      row("3_lexical", _._3, f => f._3 && f._5 == 1),
+      row("4_length", _._4, f => f._4 && f._5 == 1),
+      row("5_any", _._5 > 0, _._5 == 1))
+    val got = TextStats.gateAblation(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+    // the table must be non-degenerate on the fixture: the gate removes
+    // some docs and keeps some
+    val any = got.find(_._1 == "5_any").get
+    assert(any._3 > 0 && any._3 < nDocs)
+  }
+
   test("spectral flux equals the arithmetic recompute off the synth stream") {
     val ids = graft.tables.Tables.documents(spark, sf001)
       .select("doc_id").collect().map(_.getLong(0)).sorted
