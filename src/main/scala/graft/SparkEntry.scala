@@ -244,6 +244,7 @@ object SparkEntry {
     "text_phrase_search" -> ((s, d) => graft.ext.Search.phraseSearch(s, d)),
     "text_context_pack" -> ((s, d) => graft.ext.Search.contextPack(s, d)),
     "curation_gate_ablation" -> ((s, d) => graft.ext.TextStats.gateAblation(s, d)),
+    "text_hybrid_retrieval" -> ((s, d) => graft.ext.Search.hybridRetrieval(s, d)),
     "text_fingerprint" -> (graft.ext.TextStats.fingerprint(_, _)),
     "text_heavy_hitters" -> ((s, d) => graft.ext.TextStats.heavyHitters(s, d)),
     // Gopher-style within-doc n-gram repetition quality filter
@@ -565,6 +566,7 @@ object SparkEntry {
     "analytics_cuped" -> ((s, d) => graft.ext.Analytics.cuped(s, d)),
     "analytics_subsample_ci" -> ((s, d) => graft.ext.Analytics.subsampleCi(s, d)),
     "analytics_did" -> ((s, d) => graft.ext.Analytics.diffInDiff(s, d)),
+    "analytics_mde" -> ((s, d) => graft.ext.Analytics.mde(s, d)),
     "analytics_winsorized_mean" -> ((s, d) => graft.ext.Analytics.winsorizedMean(s, d)),
     "analytics_mann_whitney" -> ((s, d) => graft.ext.Analytics.mannWhitney(s, d)),
     // HyperBall register-exact neighbourhood function + harmonic centrality

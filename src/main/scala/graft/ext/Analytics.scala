@@ -2278,6 +2278,52 @@ object Analytics {
         (col("ci_lo") <= 0.0 && col("ci_hi") >= 0.0).as("spans_zero"))
   }
 
+  /** X286: minimum detectable effect — the pre-experiment power
+    * calculation that decides whether an A/B test is worth running
+    * before anyone looks at a lift: per event_type, with the md5-parity
+    * arm sizes and the pooled value variance, MDE = (z_{α/2} + z_β) ·
+    * √(σ²·(1/n₁ + 1/n₂)) at the standard α = .05 two-sided / 80% power
+    * (the z constants are spelled as the literal sum (1.959964 +
+    * 0.841621) in BOTH engines so the double is bit-identical).
+    *
+    * Exactness: Σv and Σv² are exact DECIMAL sums of DECIMAL(18,2)
+    * values; variance is the one stated double formula
+    * (n·Σv² − (Σv)²)/(n·(n−1)); mde_abs and mde_rel are the two 6dp
+    * floats.
+    *
+    * Scale shape: ONE event scan, one per-type aggregate. Nothing else.
+    */
+  def mde(spark: SparkSession, dir: String,
+          salt: String = "srm_v1"): DataFrame = {
+    val D2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val arm = pmod(conv(substring(md5(concat(col("user_id").cast("string"),
+      lit("|"), lit(salt))), 1, 4), 16, 10).cast("long"), lit(2L))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value").cast(D2).as("v"),
+        arm.as("arm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n1"),
+        sum("v").as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+      .select(col("event_type"), col("n1"), (col("n") - col("n1")).as("n2"),
+        col("n"), col("sv"), col("svv"))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("sv").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt((col("n") * col("svv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double")) /
+          (col("n") * (col("n") - 1))), 6).as("sd"),
+        round((lit(1.959964) + lit(0.841621)) *
+          sqrt(((col("n") * col("svv").cast("double") -
+            col("sv").cast("double") * col("sv").cast("double")) /
+            (col("n") * (col("n") - 1))) *
+            (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6)
+          .as("mde_abs"))
+      .withColumn("mde_rel",
+        round(col("mde_abs") / col("mean"), 6))
+      .orderBy("event_type")
+  }
+
   /** X282: difference-in-differences — the quasi-experimental
     * companion to X272's CUPED: the same md5-parity arms and
     * 2024-01-16 cutoff give a 2×2 (arm × period) table of mean event

@@ -331,6 +331,41 @@ object Search {
       .orderBy("rank")
   }
 
+  /** X285: hybrid retrieval fusion — the standard RAG retrieval stack:
+    * the LEXICAL ranking (X216's fixed-term BM25 posting top-10) and
+    * the DENSE ranking (X3's exact cosine top-10, embedding i ↔
+    * document i by the fixture convention) fused with reciprocal-rank
+    * fusion (k = 60, the X250 constant). Docs surfaced by only one
+    * retriever keep their single term (the full-outer null leg), which
+    * is exactly why RRF is the production fusion: no score calibration
+    * across heterogeneous retrievers is needed — only ranks.
+    *
+    * Scale shape: both retrievers end in bounded top-k cuts (posting
+    * join / TakeOrdered); the rank windows and the fusion join run on
+    * ≤ k rows (the zipf allowlist class).
+    */
+  def hybridRetrieval(spark: SparkSession, dir: String, queryId: Long = 0L,
+                      k: Int = 10, out: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Posting(spark, dir, topK = k)
+      .withColumn("rank_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("id"), col("rank_lex"))
+    val dense = graft.ext.Similarity.cosineTopK(spark, dir, queryId, k)
+      .withColumn("rank_dense", row_number().over(
+        Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("id"), col("rank_dense"))
+    lex.join(dense, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_lex"), col("rank_dense"),
+        (coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(out)
+      .select(col("id"), col("rank_lex"), col("rank_dense"),
+        round(col("rrf"), 6).as("rrf_score"))
+  }
+
   /** X131: RAKE keyword extraction (Rose et al. 2010) with the
     * integer `deg` scoring variant — candidate phrases are the maximal
     * stopword-free token runs, each word scores its corpus DEGREE

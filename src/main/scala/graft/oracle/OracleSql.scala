@@ -8183,7 +8183,89 @@ ${SHINGLES.trim},
              CASE WHEN SUM(CAST(fail AS BIGINT)) > 0 THEN
                ROUND(CAST(SUM(CAST(uniq AS BIGINT)) AS DOUBLE) /
                  SUM(CAST(fail AS BIGINT)), 6) END AS unique_share
-      FROM a GROUP BY criterion ORDER BY criterion""")
+      FROM a GROUP BY criterion ORDER BY criterion""",
+    // X286 MDE: pooled variance in the stated double shape, z constants
+    // spelled as the same literal sum on both engines.
+    "analytics_mde" -> """
+      WITH r AS (
+        SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR) || '|srm_v1'), 1, 4))::BIGINT % 2 AS arm
+        FROM events),
+      g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+              SUM(v) AS sv, SUM(v * v) AS svv
+            FROM r GROUP BY event_type)
+      SELECT event_type, n1, CAST(n - n1 AS BIGINT) AS n2,
+             ROUND(CAST(sv AS DOUBLE) / n, 6) AS mean,
+             ROUND(sqrt((n * CAST(svv AS DOUBLE) -
+               CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
+               (n * (n - 1))), 6) AS sd,
+             ROUND((1.959964 + 0.841621) *
+               sqrt(((n * CAST(svv AS DOUBLE) -
+                 CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
+                 (n * (n - 1))) *
+                 (1.0 / n1 + 1.0 / (n - n1))), 6) AS mde_abs,
+             ROUND(ROUND((1.959964 + 0.841621) *
+               sqrt(((n * CAST(svv AS DOUBLE) -
+                 CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) /
+                 (n * (n - 1))) *
+                 (1.0 / n1 + 1.0 / (n - n1))), 6) /
+               ROUND(CAST(sv AS DOUBLE) / n, 6), 6) AS mde_rel
+      FROM g ORDER BY event_type""",
+    // X285 hybrid retrieval: BM25 posting top-10 (X216 verbatim) RRF-
+    // fused with the exact cosine top-10 (X3), k = 60.
+    "text_hybrid_retrieval" -> """
+      WITH docs AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+            FROM documents),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl
+            FROM docs),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+             WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+      df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      c AS (SELECT t.doc_id, t.term,
+              ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * (t.tf * 2.2) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * dd.dl / s.avgdl)) AS contrib
+            FROM tf t JOIN df d ON d.term = t.term
+                      JOIN docs dd ON dd.doc_id = t.doc_id
+            CROSS JOIN stats s),
+      p AS (SELECT doc_id,
+              MAX(CASE WHEN term = 'spark' THEN contrib END) AS c0,
+              MAX(CASE WHEN term = 'join' THEN contrib END) AS c1,
+              MAX(CASE WHEN term = 'window' THEN contrib END) AS c2
+            FROM c GROUP BY doc_id),
+      sc AS (SELECT p.doc_id,
+               COALESCE(c0, CAST(0.0 AS DOUBLE)) + COALESCE(c1, CAST(0.0 AS DOUBLE)) + COALESCE(c2, CAST(0.0 AS DOUBLE)) AS score_raw
+             FROM p),
+      lexcut AS (SELECT doc_id, ROUND(score_raw, 6) AS score FROM sc
+                 WHERE score_raw > 0
+                 ORDER BY score_raw DESC, doc_id LIMIT 10),
+      lex AS (SELECT doc_id AS id,
+                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                  AS BIGINT) AS rank_lex
+              FROM lexcut),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+            WHERE vec_id = 0),
+      cs AS (SELECT vec_id,
+               list_dot_product(embedding::DOUBLE[], qv) /
+                 (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(qv, qv))) AS cos
+             FROM embeddings, q WHERE vec_id <> 0),
+      densecut AS (SELECT vec_id, ROUND(cos, 6) AS cos_sim FROM cs
+                   ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 10),
+      dense AS (SELECT vec_id AS id,
+                  CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id)
+                    AS BIGINT) AS rank_dense
+                FROM densecut),
+      fused AS (SELECT COALESCE(lex.id, dense.id) AS id,
+                  lex.rank_lex, dense.rank_dense,
+                  COALESCE(1.0 / (60 + lex.rank_lex), 0.0) +
+                    COALESCE(1.0 / (60 + dense.rank_dense), 0.0) AS rrf
+                FROM lex FULL OUTER JOIN dense ON dense.id = lex.id)
+      SELECT id, rank_lex, rank_dense, ROUND(rrf, 6) AS rrf_score
+      FROM fused ORDER BY rrf DESC, id LIMIT 10""")
 
   /** Streaming queries compare against their batch-equivalent SQL
     * (AvailableNow over finite input == batch); K5 renders the INSERT

@@ -51,6 +51,9 @@ class PlanHygieneSpec extends SparkSpec
     "analytics_cuped" -> 8,
     // two 1-row CI order-statistic broadcasts onto the 1-row point lift
     "analytics_subsample_ci" -> 8,
+    // rides bm25_posting's 1-row (n_docs, avgdl) stats broadcast and
+    // cosineTopK's 1-row query vector
+    "text_hybrid_retrieval" -> 8,
     // the declared query PANEL (nQueries = 20), not a single vector
     "embed_knn_join" -> 32,
     "embed_ann_ivf" -> 64,
@@ -253,7 +256,8 @@ class PlanHygieneSpec extends SparkSpec
     "curation_unimax_alloc" -> "capacity-sorted rank + prefix over the |sources|-row (catalog-sized) capacity table",
     "embed_ann_beam" -> "final rank over the ≤ beamWidth(=8)-row beam (the zipf class; per-round top-W uses TakeOrdered, not windows)",
     "analytics_subsample_ci" -> "order statistics over the fixed 32-row subsample lift panel",
-    "text_context_pack" -> "rank + budget cumsum over the already-limited top-64 candidate cut (the zipf class)")
+    "text_context_pack" -> "rank + budget cumsum over the already-limited top-64 candidate cut (the zipf class)",
+    "text_hybrid_retrieval" -> "1-based ranks over the two already-limited top-10 retriever cuts (the embed_rank_fusion class)")
 
   test("partitionless windows only on the value-histogram allowlist") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -533,6 +533,62 @@ class Round11OpsSpec extends SparkSpec {
     assert(any._3 > 0 && any._3 < nDocs)
   }
 
+  test("MDE equals the brute pooled-variance power formula") {
+    val rows = graft.tables.Tables.events(spark, sf001)
+      .selectExpr("event_type", "cast(value as decimal(18,2)) as v",
+        "user_id").collect()
+      .map(r => (r.getString(0), r.getDecimal(1), r.getLong(2)))
+    val expect = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, g) =>
+      val n = g.length.toLong
+      val n1 = g.count(r => md5arm2(r._3, "|srm_v1") == 0).toLong
+      val n2 = n - n1
+      def bd(xs: Seq[java.math.BigDecimal]) =
+        xs.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      val sv = bd(g.map(_._2.asInstanceOf[java.math.BigDecimal]))
+      val svv = bd(g.map { r =>
+        val b = r._2.asInstanceOf[java.math.BigDecimal]; b.multiply(b)
+      })
+      val varD = (n * svv.doubleValue - sv.doubleValue * sv.doubleValue) /
+        (n * (n - 1))
+      val mdeAbs = rnd6((1.959964 + 0.841621) *
+        math.sqrt(varD * (1.0 / n1 + 1.0 / n2)))
+      val mean = rnd6(sv.doubleValue / n)
+      (t, n1, n2, mean, rnd6(math.sqrt(varD)), mdeAbs,
+        rnd6(mdeAbs / mean))
+    }
+    val got = Analytics.mde(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+  }
+
+  test("hybrid retrieval equals the brute RRF of the two retriever lists") {
+    val lex = Search.bm25Posting(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val dense = Similarity.cosineTopK(spark, sf001, 0L, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, cs) => (-cs, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val expect = (lex.keySet ++ dense.keySet).toSeq.map { id =>
+      val rrf = lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        dense.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, lex.get(id), dense.get(id), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(10)
+      .map { case (id, rl, rd, rrf) => (id, rl, rd, rnd6(rrf)) }
+    val got = Search.hybridRetrieval(spark, sf001).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3))).toSeq
+    assert(got == expect, s"got=$got expect=$expect")
+    // the fusion must be non-degenerate: at least one doc surfaced by
+    // only one retriever (the null-leg RRF term)
+    assert(got.exists(g => g._2.isEmpty || g._3.isEmpty))
+  }
+
   test("spectral flux equals the arithmetic recompute off the synth stream") {
     val ids = graft.tables.Tables.documents(spark, sf001)
       .select("doc_id").collect().map(_.getLong(0)).sorted
