@@ -122,7 +122,13 @@ object Bench {
       // contention; a second pass absorbs one-off scheduler/GC/IO spikes
       // so the recorded number tracks the code, not the neighbor.
       // A failed query records -1, never a plausible-looking small time.
-      val t = try math.min(once(), once()) catch { case _: Throwable => -1.0 }
+      // The |run1 − run2| spread is RECORDED (r11 self-assessment #4):
+      // a big spread marks the entry's number as host-noise-limited, so
+      // cross-round comparisons of it should be read loosely.
+      val (t, spread) = try {
+        val a = once(); val b = once()
+        (math.min(a, b), math.abs(a - b))
+      } catch { case _: Throwable => (-1.0, 0.0) }
       // Release the session-scoped persisted relations right after their
       // LAST name-sorted consumer: later families then time on a quiet
       // JVM instead of competing with ~GBs of parked storage memory.
@@ -132,7 +138,7 @@ object Bench {
       if (name == "embed_knn_join") graft.ext.Similarity.clearCaches(spark)
       if (name == "graph_triangles") graft.ext.Graphs.clearCaches(spark)
       if (name == "curation_dsir_weights") graft.ext.LangModel.clearCaches(spark)
-      name -> t
+      (name, t, spread)
     }
     // The driver tail-captures the LAST 2000 bytes of stdout, so the line
     // it parses must be the final one and short: a full 100-query map
@@ -147,8 +153,14 @@ object Bench {
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
     val total = fmt(results.map(_._2).sum)
+    val times = results.map { case (k, v, _) => k -> v }
+    // noisy = entries whose two runs differed by >50% of the kept time
+    // AND >0.5s absolute (sub-second jitter isn't signal)
+    val noisy = results.collect {
+      case (k, v, sp) if v > 0 && sp > 0.5 && sp > 0.5 * v => k -> sp
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"shared_builds":${toJson(sharedBuilds.toSeq)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(times)},"shared_builds":${toJson(sharedBuilds.toSeq)},"best_of_2_spread_noisy":${toJson(noisy)},"sf":"$sfDir"}"""
     // cwd is the sbt project base when launched via `sbt runMain`
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_detail.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -161,7 +173,7 @@ object Bench {
       "text_langid_ngram", "text_quality", "multimodal_decode",
       "events_sessions", "stream_tumbling", "stream_transform_state",
       "window_topk_orders")
-    val headlined = results.filter { case (k, _) => headline.contains(k) }
+    val headlined = times.filter { case (k, _) => headline.contains(k) }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(headlined)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -64,7 +64,11 @@ object ScaleRehearsal {
     "text_mattr", "embed_mmr_rerank", "analytics_subsample_ci",
     "text_context_pack", "multimodal_edge_energy",
     "multimodal_spectral_flux", "text_phrase_search",
-    "text_chunk_overlap", "analytics_mann_whitney")
+    "text_chunk_overlap", "analytics_mann_whitney",
+    // r11 waves 3-4: the experimentation/retrieval singles (one-scan
+    // aggregates / fixed cuts - expected flat-to-linear)
+    "analytics_did", "analytics_mde", "dq_emd_drift",
+    "curation_gate_ablation", "text_hybrid_retrieval")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from
