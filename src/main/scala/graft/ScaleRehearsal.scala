@@ -68,7 +68,19 @@ object ScaleRehearsal {
     // r11 waves 3-4: the experimentation/retrieval singles (one-scan
     // aggregates / fixed cuts - expected flat-to-linear)
     "analytics_did", "analytics_mde", "dq_emd_drift",
-    "curation_gate_ablation", "text_hybrid_retrieval")
+    "curation_gate_ablation", "text_hybrid_retrieval",
+    // r12 back-fill (r11 verdict item 5): the pre-r10 heavies that
+    // predate the "heavy entries join the audited list" rule — the
+    // four-banding P/R matrix, its single-banding audit, the
+    // cut-ratio conductance sweep, the all-columns null profile, the
+    // widest scalar-date entry, and the cluster-fixpoint rider
+    "dedup_lsh_pr_matrix", "dedup_minhash_pr_audit", "graph_conductance",
+    "dq_null_profile", "date_functions", "curation_soft_dedup_weights",
+    // r12 back-fill (r11 advice item 2): the r11 singles with
+    // data-sized work that missed the audited set — cuped's user-keyed
+    // moment aggregate, the |V|x d posexplode residual scan, and the
+    // 5%-trim winsorized means
+    "analytics_cuped", "embed_residual_energy", "analytics_winsorized_mean")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from

@@ -20,11 +20,28 @@ object Verify {
     // Bench's SPARK_GRAFT_ONLY.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Divergence-diagnosis dump (r11 verdict item 4): for the named
+    // entries, ALSO write the result as a single header'd CSV next to
+    // the parquet, plus the Spark/JVM versions — when a driver-red/
+    // mirror-green split happens, the next session diffs CSV cells
+    // instead of guessing what the other environment saw. The driver
+    // never sets this; tools/compare.py --dump writes the DuckDB side.
+    val dump = sys.env.get("SPARK_GRAFT_DUMP_CSV")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    if (dump.nonEmpty)
+      Files.writeString(Paths.get(s"$outDir/versions_spark.txt"),
+        s"spark=${spark.version}\njava=${System.getProperty("java.version")}\n" +
+          s"scala=${scala.util.Properties.versionNumberString}\n")
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (dump(name))
+          df.coalesce(1).write.mode("overwrite").option("header", "true")
+            .csv(s"$outDir/${name}_spark_csv")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

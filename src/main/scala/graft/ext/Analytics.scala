@@ -2017,7 +2017,13 @@ object Analytics {
     * every Theil term (x/X)·ln(n·x/X) is a single fixed IEEE
     * expression over exact aggregates, 6dp-rounded into DECIMAL before
     * summation — so all accumulations are order-free exact decimal
-    * adds (the float-sum rule), one final double render per cell.
+    * adds (the float-sum rule). The three ratio outputs
+    * (share/theil/decomp) are DECIMAL(9,6), cast AFTER the 6dp round:
+    * a decimal renders identically on any engine/libm/pandas build,
+    * where a ROUNDed DOUBLE's bit pattern is the one thing the repo
+    * cannot pin (the r11 driver-red/mirror-green divergence — every
+    * ln-term sat ≥3.5e-10 from a rounding boundary, so the VALUES
+    * agreed and only the float64 rendering could differ).
     *
     * Scale shape: one groupBy(custkey) pass, a broadcast nation dim,
     * one groupBy(nation) pass and a 1-row broadcast of the corpus
@@ -2025,6 +2031,7 @@ object Analytics {
     */
   def theilRevenue(spark: SparkSession, dir: String): DataFrame = {
     val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val R6 = org.apache.spark.sql.types.DecimalType(9, 6)
     val nations = Tables.nation(spark, dir)
       .select(col("n_nationkey"), col("n_name"))
     val rev = Tables.orders(spark, dir)
@@ -2059,10 +2066,10 @@ object Analytics {
         // pandas bridge as float64 and hash-drift on trailing-zero cents
         // (the r10 analytics_theil failure); internal sums stay (38,2).
         col("x_g").cast("decimal(18,2)").as("revenue"),
-        round(col("x_g").cast("double") / col("s"), 6).as("share"),
-        round(col("t_g_dec").cast("double"), 6).as("theil"),
+        round(col("x_g").cast("double") / col("s"), 6).cast(R6).as("share"),
+        round(col("t_g_dec").cast("double"), 6).cast(R6).as("theil"),
         round((col("x_g").cast("double") / col("s")) *
-          col("t_g_dec").cast("double"), 6).as("decomp"))
+          col("t_g_dec").cast("double"), 6).cast(R6).as("decomp"))
     val between = byNation.crossJoin(broadcast(tot))
       .select(round((col("x_g").cast("double") / col("s")) *
           log((col("x_g").cast("double") / col("s")) *
@@ -2071,9 +2078,10 @@ object Analytics {
       .agg(sum("term").as("b_dec"))
     val totalRow = tot.crossJoin(totalTheil).crossJoin(between)
       .select(lit("TOTAL").as("nation"), col("n").as("n_customers"),
-        col("s").cast("decimal(18,2)").as("revenue"), lit(1.0).as("share"),
-        round(col("t_dec").cast("double"), 6).as("theil"),
-        round(col("b_dec").cast("double"), 6).as("decomp"))
+        col("s").cast("decimal(18,2)").as("revenue"),
+        lit(1.0).cast(R6).as("share"),
+        round(col("t_dec").cast("double"), 6).cast(R6).as("theil"),
+        round(col("b_dec").cast("double"), 6).cast(R6).as("decomp"))
     groups.unionByName(totalRow).orderBy("nation")
   }
 
@@ -2093,13 +2101,15 @@ object Analytics {
     * DECIMAL(18,2) end-to-end (each factor cast before the sum, output
     * narrowed back to (18,2) per the width-18 output rule).
     *
-    * The DuckDB twin is the repo's FIRST recursive-CTE oracle
-    * (`WITH RECURSIVE … UNION ALL` — the walk emits each (member,
-    * ancestor) pair exactly once, so no UNION dedup is needed, which is
-    * precisely the boundary Spark 4.1 enforces: UNION-dedup recursion
-    * is rejected, UNION ALL recursion replays verbatim through the
-    * three-way gate — the boundary is now documented by a shipped,
-    * three-way-verified query instead of a code comment).
+    * The DuckDB twin is the same non-recursive prefix explode spelled
+    * as a UNION ALL over the ≤18 fixed `// 10^i` levels. (The r11 twin
+    * was the repo's first `WITH RECURSIVE` oracle; it passed the
+    * in-repo mirror cell-exactly but shipped driver-red in
+    * CORRECTNESS_r11, so per the r11 verdict the shipped twin now
+    * avoids the one construct no other driver-green twin exercises.
+    * The recursive spelling — and Spark 4.1's boundary that UNION ALL
+    * recursion runs while UNION-dedup recursion is rejected — stays
+    * covered by an equivalence test in AnalyticsSpec.)
     */
   def hierRollup(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
@@ -2194,24 +2204,6 @@ object Analytics {
       .orderBy("arm")
   }
 
-  /** X273: Mann–Whitney U — the nonparametric two-sample location test
-    * (rank-sum), the robust sibling of X35's mean lift for skewed
-    * value distributions: per event_type, values are ranked pooled
-    * across both md5-parity arms with AVERAGE ranks for ties, and the
-    * arm-0 rank sum yields U₁ and the normal-approximation z (no tie
-    * correction in σ — stated; the usual large-n form).
-    *
-    * Exactness: average ranks are carried DOUBLED (2·avgrank =
-    * 2·cum − tie + 1, an integer off the tie-group cumulative count),
-    * so the rank sum is an exact BIGINT and u1 = (R1·2 − n₁(n₁+1))/2
-    * renders as an exactly-representable double; z is the one 6dp
-    * float, computed from integers in the stated formula shape.
-    *
-    * Scale shape: ranks come from the VALUE-HISTOGRAM (tie groups),
-    * never a row-level sort — the cumulative window iterates distinct
-    * (event_type, value) groups (the X130 allowlist class); one
-    * per-type aggregate ends it.
-    */
   /** X277: subsampling confidence interval — the deterministic
     * half-sample CI (Politis/Romano subsampling; the md5 twist makes it
     * replayable) for the arm-1 − arm-0 mean-value lift: 32 half-samples
@@ -2466,6 +2458,24 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  /** X273: Mann–Whitney U — the nonparametric two-sample location test
+    * (rank-sum), the robust sibling of X35's mean lift for skewed
+    * value distributions: per event_type, values are ranked pooled
+    * across both md5-parity arms with AVERAGE ranks for ties, and the
+    * arm-0 rank sum yields U₁ and the normal-approximation z (no tie
+    * correction in σ — stated; the usual large-n form).
+    *
+    * Exactness: average ranks are carried DOUBLED (2·avgrank =
+    * 2·cum − tie + 1, an integer off the tie-group cumulative count),
+    * so the rank sum is an exact BIGINT and u1 = (R1·2 − n₁(n₁+1))/2
+    * renders as an exactly-representable double; z is the one 6dp
+    * float, computed from integers in the stated formula shape.
+    *
+    * Scale shape: ranks come from the VALUE-HISTOGRAM (tie groups),
+    * never a row-level sort — the cumulative window iterates distinct
+    * (event_type, value) groups (the X130 allowlist class); one
+    * per-type aggregate ends it.
+    */
   def mannWhitney(spark: SparkSession, dir: String,
                   salt: String = "srm_v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -168,6 +168,11 @@ object Graphs {
     if (names.exists(Set("graph_triangles", "graph_clustering_coeff",
       "graph_adamic_adar", "graph_edge_jaccard")))
       triangleCounts(spark, dir).count()
+    // HITS iterates on its own bipartite cust→part relation (not the
+    // co-order part graph); its four plan references made the unwarmed
+    // build the sweep's costliest attribution miss (r11: 60.3 s)
+    if (names.contains("graph_hits"))
+      hitsEdges(spark, dir).count()
     ()
   }
 
@@ -665,8 +670,16 @@ object Graphs {
     * rounds on a 10¹²-edge graph before overflow would force the
     * normalized-double variant.
     */
-  def hits(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
-    val edges = memo(spark, dir, "hits_edges") {
+  /** The bipartite customer→part purchase edge list HITS iterates on —
+    * memoized because the plan references it four times (one join per
+    * half-round); warmed with the rest of the graph family so the
+    * distinct-build isn't billed to graph_hits mid-sweep (r11 verdict
+    * item 3: graph_hits read 60.3 s in the long-sweep capture vs 4.65 s
+    * fresh — the private memo was the one heavy graph relation outside
+    * the warm set).
+    */
+  private def hitsEdges(spark: SparkSession, dir: String): DataFrame =
+    memo(spark, dir, "hits_edges") {
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("part"))
         .join(Tables.orders(spark, dir)
@@ -674,6 +687,9 @@ object Graphs {
           Seq("ok"))
         .select("cust", "part").distinct()
     }
+
+  def hits(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val edges = hitsEdges(spark, dir)
     val dec = "decimal(38,0)"
     // round 1: a1(part) = Σ_cust 1 ; h1(cust) = Σ_part a1
     val a1 = edges.groupBy("part")

@@ -90,6 +90,32 @@ object TextDedup {
     }
   }
 
+  /** Memo keys still consumed by entries that run AFTER the dedup/dq
+    * families in Bench's name-sorted sweep: occ5/chunks5/doc_sets feed
+    * text_dup_coverage / text_strip_boilerplate / text_novelty,
+    * minhash_pairs feeds incr_cc_merge, and the simhash signatures feed
+    * text_simhash / text_simhash64.
+    */
+  private val lateConsumerKeys =
+    Set("occ5", "chunks5", "doc_sets", "minhash_pairs",
+      "simhash", "simhash64")
+
+  /** Staged partial release (r11 verdict item 3): after the last dedup/
+    * dq consumer in a name-sorted sweep, the pair/prefix/cluster memos
+    * (jaccard_prefix, sig_wide, the clusters fixpoint, the calibration
+    * samples) have no remaining readers, but they kept ~GBs of storage
+    * parked through the embed/events/graph families — the late-sweep
+    * memory pressure behind the r11 graph_hits 60 s capture. Releases
+    * everything EXCEPT the relations the later text and incr_cc_merge
+    * entries still read, so nothing gets double-built.
+    */
+  def releasePairCaches(spark: SparkSession): Unit = {
+    val appId = spark.sparkContext.applicationId
+    relCache.keys
+      .filter(k => k._1 == appId && !lateConsumerKeys(k._3))
+      .foreach { k => relCache.remove(k).foreach(_.unpersist()) }
+  }
+
   /** THE shared dedup materialization: one row per document with its
     * sorted distinct shingle-set array (doc_id, shs, n).
     *

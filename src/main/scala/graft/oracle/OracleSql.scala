@@ -7063,20 +7063,42 @@ ${SHINGLES.trim},
       FROM tot CROSS JOIN bs CROSS JOIN tg""",
     // X245 Theil-T decomposition: per-customer terms 6dp-DECIMAL before
     // exact summation; TOTAL row carries corpus T and the between term.
-    // X267 hierarchical rollup: the recursive CTE walks each customer's
-    // decimal-prefix ancestor chain (parent = node // 10), emitting each
-    // (member, ancestor) pair exactly once — UNION ALL recursion, the
-    // form BOTH engines support (Spark 4.1 rejects UNION-dedup recursion;
-    // this twin documents the boundary in a shipped three-way query).
+    // X267 hierarchical rollup: the twin is the engine's own
+    // non-recursive prefix explode — a UNION ALL over the ≤18 fixed
+    // `ck // 10^i` ancestor levels (each member emits its self node
+    // unconditionally and each POSITIVE proper prefix once, exactly the
+    // engine's array_union(array(ck), filter(prefixes, >0))). The r11
+    // twin spelled the same walk as a WITH RECURSIVE CTE; it passed the
+    // in-repo mirror cell-exactly but shipped driver-red, so the twin
+    // now shares zero untested-elsewhere constructs with the oracle
+    // environment (the recursive spelling survives as a documented
+    // equivalence test in AnalyticsSpec — Spark 4.1's UNION ALL
+    // recursion boundary stays covered there).
     "analytics_hier_rollup" -> """
-      WITH RECURSIVE percust AS (
+      WITH percust AS (
         SELECT o_custkey AS ck,
                SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         FROM orders GROUP BY o_custkey),
       anc AS (
         SELECT ck AS node, rev FROM percust
-        UNION ALL
-        SELECT node // 10 AS node, rev FROM anc WHERE node >= 10)
+        UNION ALL SELECT ck // 10 AS node, rev FROM percust WHERE ck // 10 > 0
+        UNION ALL SELECT ck // 100 AS node, rev FROM percust WHERE ck // 100 > 0
+        UNION ALL SELECT ck // 1000 AS node, rev FROM percust WHERE ck // 1000 > 0
+        UNION ALL SELECT ck // 10000 AS node, rev FROM percust WHERE ck // 10000 > 0
+        UNION ALL SELECT ck // 100000 AS node, rev FROM percust WHERE ck // 100000 > 0
+        UNION ALL SELECT ck // 1000000 AS node, rev FROM percust WHERE ck // 1000000 > 0
+        UNION ALL SELECT ck // 10000000 AS node, rev FROM percust WHERE ck // 10000000 > 0
+        UNION ALL SELECT ck // 100000000 AS node, rev FROM percust WHERE ck // 100000000 > 0
+        UNION ALL SELECT ck // 1000000000 AS node, rev FROM percust WHERE ck // 1000000000 > 0
+        UNION ALL SELECT ck // 10000000000 AS node, rev FROM percust WHERE ck // 10000000000 > 0
+        UNION ALL SELECT ck // 100000000000 AS node, rev FROM percust WHERE ck // 100000000000 > 0
+        UNION ALL SELECT ck // 1000000000000 AS node, rev FROM percust WHERE ck // 1000000000000 > 0
+        UNION ALL SELECT ck // 10000000000000 AS node, rev FROM percust WHERE ck // 10000000000000 > 0
+        UNION ALL SELECT ck // 100000000000000 AS node, rev FROM percust WHERE ck // 100000000000000 > 0
+        UNION ALL SELECT ck // 1000000000000000 AS node, rev FROM percust WHERE ck // 1000000000000000 > 0
+        UNION ALL SELECT ck // 10000000000000000 AS node, rev FROM percust WHERE ck // 10000000000000000 > 0
+        UNION ALL SELECT ck // 100000000000000000 AS node, rev FROM percust WHERE ck // 100000000000000000 > 0
+        UNION ALL SELECT ck // 1000000000000000000 AS node, rev FROM percust WHERE ck // 1000000000000000000 > 0)
       SELECT node,
              CAST(length(CAST(node AS VARCHAR)) AS BIGINT) AS depth,
              CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -7111,16 +7133,20 @@ ${SHINGLES.trim},
              FROM bynat CROSS JOIN tot),
       grp AS (SELECT b.nation, b.n_g AS n_customers,
                      CAST(b.x_g AS DECIMAL(18,2)) AS revenue,
-                     ROUND(CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE), 6) AS share,
-                     ROUND(CAST(w.t_g_dec AS DOUBLE), 6) AS theil,
-                     ROUND((CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE)) *
-                       CAST(w.t_g_dec AS DOUBLE), 6) AS decomp
+                     CAST(ROUND(CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE), 6)
+                       AS DECIMAL(9,6)) AS share,
+                     CAST(ROUND(CAST(w.t_g_dec AS DOUBLE), 6)
+                       AS DECIMAL(9,6)) AS theil,
+                     CAST(ROUND((CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE)) *
+                       CAST(w.t_g_dec AS DOUBLE), 6) AS DECIMAL(9,6)) AS decomp
               FROM bynat b JOIN wg w ON w.nation = b.nation CROSS JOIN tot t),
       trow AS (SELECT 'TOTAL' AS nation, t.n AS n_customers,
                       CAST(t.s AS DECIMAL(18,2)) AS revenue,
-                      CAST(1.0 AS DOUBLE) AS share,
-                      ROUND(CAST(tt2.t_dec AS DOUBLE), 6) AS theil,
-                      ROUND(CAST(bw.b_dec AS DOUBLE), 6) AS decomp
+                      CAST(1.0 AS DECIMAL(9,6)) AS share,
+                      CAST(ROUND(CAST(tt2.t_dec AS DOUBLE), 6)
+                        AS DECIMAL(9,6)) AS theil,
+                      CAST(ROUND(CAST(bw.b_dec AS DOUBLE), 6)
+                        AS DECIMAL(9,6)) AS decomp
                FROM tot t CROSS JOIN ttot tt2 CROSS JOIN btw bw)
       SELECT * FROM (SELECT * FROM grp UNION ALL SELECT * FROM trow) u
       ORDER BY nation""",

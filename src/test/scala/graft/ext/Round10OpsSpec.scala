@@ -152,10 +152,12 @@ class Round10OpsSpec extends SparkSpec {
   }
 
   test("theil decomposition: T ~= between + sum of within contributions") {
+    // share/theil/decomp are DECIMAL(9,6) since r12 (rendering made
+    // engine/libm-independent — the r11 driver-red fix)
     val rows = Analytics.theilRevenue(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1),
-        r.getDecimal(2).doubleValue(), r.getDouble(3), r.getDouble(4),
-        r.getDouble(5)))
+        r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue(),
+        r.getDecimal(4).doubleValue(), r.getDecimal(5).doubleValue()))
     val (totalRows, groups) = rows.partition(_._1 == "TOTAL")
     assert(totalRows.length == 1 && groups.nonEmpty)
     val t = totalRows.head

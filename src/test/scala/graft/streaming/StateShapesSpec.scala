@@ -201,7 +201,7 @@ class StateShapesSpec extends SparkSpec {
     assert(stream.toSeq == batch)
   }
 
-  test("all six transformWithState state shapes stay registered") {
+  test("all transformWithState state shapes stay registered") {
     val qs = graft.SparkEntry.queries.keySet
     val shapes = Map(
       "counter (ValueState)" -> "stream_transform_state",
