@@ -80,7 +80,11 @@ object ScaleRehearsal {
     // data-sized work that missed the audited set — cuped's user-keyed
     // moment aggregate, the |V|x d posexplode residual scan, and the
     // 5%-trim winsorized means
-    "analytics_cuped", "embed_residual_energy", "analytics_winsorized_mean")
+    "analytics_cuped", "embed_residual_energy", "analytics_winsorized_mean",
+    // r12 wave: the multi-layer descent — layer-0 graph build dominates
+    // (the X268 bucketed join), upper layers are 1/16 and 1/4 sized, so
+    // the exponent must track embed_ann_beam's
+    "embed_ann_hnsw")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from

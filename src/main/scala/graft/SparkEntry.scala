@@ -216,6 +216,7 @@ object SparkEntry {
     // graph — the graph-index ANN tier; walk replayed move-for-move by
     // the unrolled twin
     "embed_ann_beam" -> ((s, d) => graft.ext.Similarity.beamSearchTopK(s, d)),
+    "embed_ann_hnsw" -> ((s, d) => graft.ext.Similarity.hnswTopK(s, d)),
     "embed_mmr_rerank" -> ((s, d) => graft.ext.Similarity.mmrRerank(s, d)),
     "embed_residual_energy" -> ((s, d) => graft.ext.Similarity.residualEnergy(s, d)),
     // probe-budget sweep: recall@k + candidate volume at 1/5/9 probes

@@ -184,6 +184,88 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** X287: HNSW multi-layer ANN (Malkov & Yashunin 2018) — the full
+    * hierarchical form of X268's single-layer beam kernel (the r11
+    * verdict's named candidate). Levels are the deterministic
+    * geometric assignment HNSW's random draw intends: node level from
+    * the first md5 byte of the id (h < 16 → layer 2, ~1/16 of nodes;
+    * h < 64 → layer 1, ~1/4; all → layer 0 — p = 1/4 per level), so
+    * membership is portable and the DuckDB twin replays the whole
+    * descent move-for-move. Each layer gets its own X268-shaped kNN
+    * graph (top-`m` by 6dp cosine among 4-bit sign-bucket mates over
+    * that layer's members, symmetrized + self-loops). Search descends:
+    * entry = min-id layer-2 member, one narrow beam round per upper
+    * layer (width 2 on layer 2, width 4 on layer 1 — the
+    * coarse-to-fine funnel), then two width-8 rounds on layer 0; the
+    * carried beam always exists in the next layer down because level
+    * sets are nested by construction. Ranking is 6dp cosine with id
+    * tie-breaks throughout, so the walk is cross-engine-deterministic;
+    * `in_exact_topk` surfaces recall in the output.
+    *
+    * Scale shape: layer sizes shrink geometrically (×1/4 per level),
+    * so the upper-layer graph builds are asymptotically free against
+    * the layer-0 build, which is X268's bucketed Σ|bucket|² join + a
+    * per-node bounded window (never all-pairs). Every search round is
+    * a ≤ width-row broadcastable frontier joined on the id key; the
+    * only global sorts are TakeOrdereds and the final ≤ 8-row rank
+    * window. At 100 TB this is exactly the descent HNSW runs per
+    * query — upper layers route, layer 0 refines.
+    */
+  def hnswTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
+               m: Int = 4, k: Int = 10): DataFrame = {
+    graft.functions.CosineSim.register(spark)
+    val b = Tables.embeddings(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), 4))
+    val lvlH = conv(substring(md5(col("vec_id").cast("string")), 1, 2),
+      16, 10).cast("long")
+    val n = b.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"), col("bucket"),
+        lvlH.as("h"))
+    val q = b.filter(col("vec_id") === queryId)
+      .select(dbl(col("embedding")).as("qv"))
+    val scored = n.crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 6).as("cs"))
+    def layerEdges(members: DataFrame): DataFrame = {
+      val x = members.select(col("vec_id").as("src"), col("v").as("xv"),
+        col("bucket"))
+      val y = members.select(col("vec_id").as("dst"), col("v").as("yv"),
+        col("bucket"))
+      val topM = x.join(y, Seq("bucket")).filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          round(cosine(col("xv"), col("yv")), 6).as("ec"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("src").orderBy(col("ec").desc, col("dst"))))
+        .filter(col("rn") <= m).select("src", "dst")
+      topM
+        .unionByName(topM.select(col("dst").as("src"), col("src").as("dst")))
+        .unionByName(members.select(col("vec_id").as("src"),
+          col("vec_id").as("dst")))
+        .distinct()
+    }
+    val e2 = layerEdges(n.filter(col("h") < 16))
+    val e1 = layerEdges(n.filter(col("h") < 64))
+    val e0 = layerEdges(n)
+    def step(beam: DataFrame, edges: DataFrame, width: Int): DataFrame =
+      beam.join(edges, beam("vec_id") === edges("src"))
+        .select(col("dst").as("vec_id")).distinct()
+        .join(scored, Seq("vec_id"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(width)
+        .select("vec_id")
+    val entry = n.filter(col("h") < 16).agg(min("vec_id").as("vec_id"))
+    val descended =
+      step(step(step(step(entry, e2, 2), e1, 4), e0, 8), e0, 8)
+    val exactK = scored.orderBy(col("cs").desc, col("vec_id")).limit(k)
+      .select(col("vec_id").as("evid"))
+    descended.join(scored, Seq("vec_id"))
+      .join(exactK, col("vec_id") === col("evid"), "left")
+      .select(col("vec_id"), col("cs"), col("evid").isNotNull.as("hit"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cs").desc, col("vec_id"))).cast("long"))
+      .select(col("rnk"), col("vec_id"), col("cs").as("cos_sim"),
+        col("hit").as("in_exact_topk"))
+      .orderBy("rnk")
+  }
+
   /** X238: multi-probe budget sweep — recall@k and candidate volume as
     * a function of the probe BUDGET (home bucket only; home + the
     * first 4 one-flip probes; home + all 8): the cost/recall frontier

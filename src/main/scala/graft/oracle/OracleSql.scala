@@ -1955,6 +1955,116 @@ ${SHINGLES.trim},
                b3.vec_id IN (SELECT vec_id FROM exactk) AS in_exact_topk
         FROM b3 JOIN sc s ON s.vec_id = b3.vec_id) f
       ORDER BY rnk""",
+    // X287 HNSW multi-layer ANN: replays the whole descent move-for-move.
+    // Levels from the first md5 byte of the id (h<16 → layer 2, h<64 →
+    // layer 1, all → layer 0 — nested by construction); one X268-shaped
+    // kNN graph per layer (top-4 by 6dp cosine among 4-bit bucket mates
+    // over the layer's members, symmetrized + self-loops); descent =
+    // width-2 round on e2, width-4 on e1, two width-8 rounds on e0,
+    // each unrolled round referencing the previous exactly once.
+    "embed_ann_hnsw" -> """
+      WITH b AS (
+        SELECT vec_id, embedding,
+          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket,
+          ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::BIGINT AS h
+        FROM embeddings),
+      q AS (SELECT embedding::DOUBLE[] AS qv FROM b WHERE vec_id = 0),
+      n AS (SELECT vec_id, embedding::DOUBLE[] AS v, bucket, h
+            FROM b WHERE vec_id <> 0),
+      sc AS (
+        SELECT n.vec_id,
+               ROUND(list_dot_product(n.v, q.qv) /
+                 (sqrt(list_dot_product(n.v, n.v)) *
+                  sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
+        FROM n, q),
+      tm2 AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM n x JOIN n y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id
+          WHERE x.h < 16 AND y.h < 16) g2
+        WHERE rn <= 4),
+      e2 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM tm2
+          UNION ALL SELECT dst AS src, src AS dst FROM tm2
+          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n
+          WHERE h < 16) u2),
+      tm1 AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM n x JOIN n y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id
+          WHERE x.h < 64 AND y.h < 64) g1
+        WHERE rn <= 4),
+      e1 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM tm1
+          UNION ALL SELECT dst AS src, src AS dst FROM tm1
+          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n
+          WHERE h < 64) u1),
+      tm0 AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM n x JOIN n y ON y.bucket = x.bucket
+               AND y.vec_id <> x.vec_id) g0
+        WHERE rn <= 4),
+      e0 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM tm0
+          UNION ALL SELECT dst AS src, src AS dst FROM tm0
+          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n) u0),
+      hb0 AS (SELECT MIN(vec_id) AS vec_id FROM n WHERE h < 16),
+      hb1 AS (SELECT vec_id FROM (
+        SELECT d1.dst AS vec_id,
+               ROW_NUMBER() OVER (ORDER BY s1.cs DESC, d1.dst) AS rn
+        FROM (SELECT DISTINCT w1.dst FROM hb0 JOIN e2 w1
+              ON w1.src = hb0.vec_id) d1
+        JOIN sc s1 ON s1.vec_id = d1.dst) h1 WHERE rn <= 2),
+      hb2 AS (SELECT vec_id FROM (
+        SELECT d2.dst AS vec_id,
+               ROW_NUMBER() OVER (ORDER BY s2.cs DESC, d2.dst) AS rn
+        FROM (SELECT DISTINCT w2.dst FROM hb1 JOIN e1 w2
+              ON w2.src = hb1.vec_id) d2
+        JOIN sc s2 ON s2.vec_id = d2.dst) h2 WHERE rn <= 4),
+      hb3 AS (SELECT vec_id FROM (
+        SELECT d3.dst AS vec_id,
+               ROW_NUMBER() OVER (ORDER BY s3.cs DESC, d3.dst) AS rn
+        FROM (SELECT DISTINCT w3.dst FROM hb2 JOIN e0 w3
+              ON w3.src = hb2.vec_id) d3
+        JOIN sc s3 ON s3.vec_id = d3.dst) h3 WHERE rn <= 8),
+      hb4 AS (SELECT vec_id FROM (
+        SELECT d4.dst AS vec_id,
+               ROW_NUMBER() OVER (ORDER BY s4.cs DESC, d4.dst) AS rn
+        FROM (SELECT DISTINCT w4.dst FROM hb3 JOIN e0 w4
+              ON w4.src = hb3.vec_id) d4
+        JOIN sc s4 ON s4.vec_id = d4.dst) h4 WHERE rn <= 8),
+      exactk AS (SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS rn
+        FROM sc) he WHERE rn <= 10)
+      SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, cs AS cos_sim, in_exact_topk
+      FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY s.cs DESC, hb4.vec_id) AS rnk,
+               hb4.vec_id, s.cs,
+               hb4.vec_id IN (SELECT vec_id FROM exactk) AS in_exact_topk
+        FROM hb4 JOIN sc s ON s.vec_id = hb4.vec_id) f
+      ORDER BY rnk""",
     // X103 multi-probe LSH: the query bucket + its 8 one-flip neighbours
     // as a 9-row probe relation; candidates via the bucket semi-join.
     "embed_ann_multiprobe" -> """

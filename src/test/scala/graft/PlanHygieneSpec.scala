@@ -59,6 +59,8 @@ class PlanHygieneSpec extends SparkSpec
     "embed_ann_ivf" -> 64,
     // the 1-row query-vector broadcast (the cosineTopK shape)
     "embed_ann_beam" -> 8,
+    // the same 1-row query-vector broadcast attach, once per descent
+    "embed_ann_hnsw" -> 8,
     "embed_ann_recall" -> 8, "multimodal_embed" -> 8,
     "text_edit_distance" -> 8, "text_bm25_topk" -> 8,
     "dq_volume_anomaly" -> 8,
@@ -255,6 +257,7 @@ class PlanHygieneSpec extends SparkSpec
     "embed_rank_fusion" -> "1-based ranks over the two already-limited top-20 retriever cuts (the zipf class, twice)",
     "curation_unimax_alloc" -> "capacity-sorted rank + prefix over the |sources|-row (catalog-sized) capacity table",
     "embed_ann_beam" -> "final rank over the ≤ beamWidth(=8)-row beam (the zipf class; per-round top-W uses TakeOrdered, not windows)",
+    "embed_ann_hnsw" -> "final rank over the ≤ 8-row layer-0 beam (same class as embed_ann_beam; every descent round is a TakeOrdered)",
     "analytics_subsample_ci" -> "order statistics over the fixed 32-row subsample lift panel",
     "text_context_pack" -> "rank + budget cumsum over the already-limited top-64 candidate cut (the zipf class)",
     "text_hybrid_retrieval" -> "1-based ranks over the two already-limited top-10 retriever cuts (the embed_rank_fusion class)")

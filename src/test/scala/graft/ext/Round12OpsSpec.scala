@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Driver-side brute-force laws for the round-12 operator (X287): the
+  * HNSW descent is recomputed independently in plain JVM code from the
+  * collected fixture — levels, per-layer graphs, and every beam move —
+  * so a bug the DuckDB twin happens to share still fails here (same
+  * discipline as Round8–11OpsSpec).
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  private def rnd6(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("hnsw ANN replays the multi-layer descent move-for-move") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+      }
+      rnd6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+    }
+    def bucket(v: Array[Double]): String =
+      (0 until 4).map(i => if (v(i) >= 0) '1' else '0').mkString
+    def lvlH(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(2), 16)
+    val qv = vecs.find(_._1 == 0L).get._2
+    val n = vecs.filter(_._1 != 0L)
+    val cs = n.map { case (id, v) => id -> cos(v, qv) }.toMap
+    // per-layer graph: top-4 among the LAYER's 4-bit bucket mates,
+    // symmetrized + self-loops (layer 2 = h<16, layer 1 = h<64, 0 = all)
+    def layerEdges(cut: Long => Boolean): Map[Long, Set[Long]] = {
+      val mem = n.filter { case (id, _) => cut(lvlH(id)) }
+      val byBucket = mem.groupBy { case (_, v) => bucket(v) }
+      val topM = mem.flatMap { case (id, v) =>
+        byBucket(bucket(v)).filter(_._1 != id)
+          .map { case (jd, w) => (jd, cos(v, w)) }
+          .sortBy { case (jd, c) => (-c, jd) }.take(4)
+          .map { case (jd, _) => (id, jd) }
+      }
+      val all: Set[(Long, Long)] =
+        topM.toSet ++ topM.map(_.swap).toSet ++
+          mem.map(p => (p._1, p._1)).toSet
+      all.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    }
+    val e2 = layerEdges(_ < 16)
+    val e1 = layerEdges(_ < 64)
+    val e0 = layerEdges(_ => true)
+    def step(beam: Set[Long], edges: Map[Long, Set[Long]],
+             width: Int): Set[Long] =
+      beam.flatMap(edges.getOrElse(_, Set.empty[Long]))
+        .toSeq.sortBy(id => (-cs(id), id)).take(width).toSet
+    val l2 = n.map(_._1).filter(id => lvlH(id) < 16)
+    assert(l2.nonEmpty, "fixture must populate layer 2")
+    var beam: Set[Long] = Set(l2.min)
+    beam = step(beam, e2, 2)
+    beam = step(beam, e1, 4)
+    beam = step(beam, e0, 8)
+    beam = step(beam, e0, 8)
+    val exactK = n.map(_._1).sortBy(id => (-cs(id), id)).take(10).toSet
+    val expect = beam.toSeq.sortBy(id => (-cs(id), id)).zipWithIndex
+      .map { case (id, i) => (i + 1L, id, cs(id), exactK(id)) }
+    val got = Similarity.hnswTopK(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq == expect,
+      s"got=${got.toSeq.mkString(",")} expect=${expect.mkString(",")}")
+    // the descent must do real work: a multi-row final beam overlapping
+    // the exact top-k (recall > 0), and the upper layers must actually
+    // be sparser than layer 0 (the hierarchy is real, not degenerate)
+    assert(got.length > 1 && got.exists(_._4))
+    val n1 = n.count { case (id, _) => lvlH(id) < 64 }
+    assert(l2.size < n1 && n1 < n.length)
+  }
+}
