@@ -142,7 +142,10 @@ object Bench {
       // the embed/events/graph families (the r11 graph_hits 60s
       // pathology), while the occ5/chunks5/doc_sets/minhash/simhash
       // relations the later text_*/incr_cc_merge entries read stay put.
-      if (name == "dq_blocking_quality")
+      // SPARK_GRAFT_NO_STAGED_RELEASE disables it for A/B attribution
+      // runs ONLY (the driver never sets it).
+      if (name == "dq_blocking_quality" &&
+          !sys.env.contains("SPARK_GRAFT_NO_STAGED_RELEASE"))
         graft.ext.TextDedup.releasePairCaches(spark)
       if (name == "text_strip_boilerplate") graft.ext.TextDedup.clearCaches(spark)
       if (name == "agg_hll_rollup") graft.ext.Sketches.clearCaches(spark)
