@@ -81,4 +81,23 @@ class Round12OpsSpec extends SparkSpec {
     val n1 = n.count { case (id, _) => lvlH(id) < 64 }
     assert(l2.size < n1 && n1 < n.length)
   }
+
+  test("the r12 environment-proofing of the two r11 driver-reds holds") {
+    // theil's ratios must stay DECIMAL(9,6) — an engine-ROUNDed DOUBLE
+    // output column was the one surface the repo could not pin across
+    // oracle environments (CORRECTNESS_r11); a silent revert would
+    // reopen it without failing any value-level gate here.
+    val D96 = org.apache.spark.sql.types.DecimalType(9, 6)
+    val sch = Analytics.theilRevenue(spark, sf001).schema
+    Seq("share", "theil", "decomp").foreach { c =>
+      assert(sch(c).dataType == D96, s"theil.$c must stay DECIMAL(9,6)")
+    }
+    // hier_rollup's shipped twin must stay non-recursive: WITH RECURSIVE
+    // was the only untested-elsewhere construct in a driver-red twin
+    // (the recursive spelling lives in Round11OpsSpec's equivalence
+    // test, not in the shipped oracle).
+    val twin = graft.SparkEntry.oracleSql("analytics_hier_rollup")
+    assert(!twin.toUpperCase.contains("RECURSIVE"),
+      "hier_rollup's shipped twin must stay the non-recursive explode")
+  }
 }
