@@ -561,6 +561,13 @@ object SparkEntry {
     "dq_blocking_quality" -> ((s, d) => graft.ext.DataQuality.blockingQuality(s, d)),
     // Theil-T inequality with between/within-nation decomposition
     "analytics_theil" -> ((s, d) => graft.ext.Analytics.theilRevenue(s, d)),
+    // X288–X291 (r13): bisection probes for the driver-red/mirror-green
+    // split — same semantics as the failing pair re-rendered as exact
+    // BIGINT, plus a table-free literal type probe
+    "analytics_theil_micro" -> ((s, d) => graft.ext.Analytics.theilRevenueMicro(s, d)),
+    "analytics_hier_rollup_cents" -> ((s, d) => graft.ext.Analytics.hierRollupCents(s, d)),
+    "analytics_hier_rollup_counts" -> ((s, d) => graft.ext.Analytics.hierRollupCounts(s, d)),
+    "dq_probe_types" -> ((s, _) => graft.ext.DataQuality.probeTypes(s)),
     // X267: ragged-hierarchy subtree rollup via bounded ancestor explode
     // (one shuffle, no iteration); twin = the first recursive-CTE oracle
     "analytics_hier_rollup" -> ((s, d) => graft.ext.Analytics.hierRollup(s, d)),

@@ -481,7 +481,7 @@ object Analytics {
     * actually runs: HLL++ distinct counts (`approx_count_distinct`, fixed
     * ~KB state per group vs the exact form's per-key shuffle) and
     * t-digest-style quantiles (`approx_percentile`). Exact twins ride in
-    * the same row so the error is observable; AnalyticsSpec asserts the
+    * the same row so the error is observable; ScaleDesignSpec asserts the
     * bounds. Rows-only checked: sketch internals are engine-specific, so
     * no cross-engine oracle exists by construction.
     */
@@ -719,7 +719,7 @@ object Analytics {
     * scale scenario (build side too big to broadcast): at local SF the
     * optimizer would otherwise broadcast and hide the point. Plan shape
     * (prefilter below the exchange, inside the scan's WholeStageCodegen
-    * span) is asserted in AnalyticsSpec.
+    * span) is asserted in ExtensionsSpec.
     */
   /** Salted skew join: the manual hot-key defense for when AQE's runtime
     * skew splitting isn't available (hash join on a key where a handful
@@ -2109,7 +2109,7 @@ object Analytics {
     * avoids the one construct no other driver-green twin exercises.
     * The recursive spelling — and Spark 4.1's boundary that UNION ALL
     * recursion runs while UNION-dedup recursion is rejected — stays
-    * covered by an equivalence test in AnalyticsSpec.)
+    * covered by an equivalence test in Round11OpsSpec.)
     */
   def hierRollup(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
@@ -2132,6 +2132,142 @@ object Analytics {
       .select(col("node"),
         length(col("node").cast("string")).cast("bigint").as("depth"),
         col("n_members"), col("revenue"))
+      .orderBy("node")
+  }
+
+  /** X288: integer-rendered Theil probe — the bisection-by-falsification
+    * sibling of X245 (r12 verdict item 1). `analytics_theil` has been
+    * hash-red in the driver's oracle for three consecutive rounds while
+    * passing the pinned in-repo mirror cell-exactly, surviving two
+    * representation fixes (ROUNDed DOUBLE → DECIMAL(9,6)). This probe
+    * varies EXACTLY ONE axis: the same relations, joins, and per-term
+    * math, but every non-integer output is re-rendered as an exact
+    * BIGINT — ratios in micro-units (each per-row term is
+    * ROUND(term·10⁶) cast to BIGINT, then summed as exact integer
+    * adds), revenue in cents. No DECIMAL or DOUBLE column crosses the
+    * oracle bridge at all. CORRECTNESS_r13 then localizes the fault
+    * class: this green + X245 red ⇒ value-representation bridge (the
+    * decimals are the problem and the originals migrate to integers);
+    * both red ⇒ the shared input relations diverge in the driver's
+    * environment (which `analytics_gini`'s green row — same per-customer
+    * revenue CTE — currently contradicts).
+    *
+    * Semantics: identical to X245 up to rendering — share_u/theil_u/
+    * decomp_u are the X245 ratios ×10⁶ (term-level rounding, so the
+    * additive law T ≈ T_between + Σ s_g·T_g still holds in micro-units,
+    * asserted in Round13OpsSpec). Scale shape identical to X245: one
+    * groupBy(custkey) pass, broadcast nation dim, 1-row totals
+    * broadcast, no windows.
+    */
+  def theilRevenueMicro(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey").as("ck"), col("c_nationkey")), Seq("ck"))
+      .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("ck"), col("x"))
+    val byNation = rev.groupBy("nation")
+      .agg(count(lit(1)).as("n_g"), sum("x").as("x_g"))
+    val tot = byNation.agg(sum("n_g").as("n"),
+      sum(col("x_g").cast("decimal(38,2)")).as("s"))
+    // per-customer within terms in micro-units: ROUND(term·10⁶) is an
+    // exact integral double (|term| ≪ 2^53/10⁶), so the BIGINT cast is
+    // lossless and the sum is order-free integer addition
+    val withinTerms = rev.join(broadcast(byNation), Seq("nation"))
+      .select(col("nation"),
+        round((col("x").cast("double") / col("x_g")) *
+          log(col("n_g") * col("x").cast("double") / col("x_g")) *
+          1000000.0, 0).cast("long").as("term_u"))
+      .groupBy("nation").agg(sum("term_u").as("t_g_u"))
+    val totalTheil = rev.crossJoin(broadcast(tot))
+      .select(round((col("x").cast("double") / col("s")) *
+          log(col("n") * col("x").cast("double") / col("s")) *
+          1000000.0, 0).cast("long").as("term_u"))
+      .agg(sum("term_u").as("t_u"))
+    val groups = byNation
+      .join(withinTerms, Seq("nation"))
+      .crossJoin(broadcast(tot))
+      .select(col("nation"), col("n_g").as("n_customers"),
+        (col("x_g") * 100).cast("long").as("revenue_cents"),
+        round(col("x_g").cast("double") / col("s") * 1000000.0, 0)
+          .cast("long").as("share_u"),
+        col("t_g_u").as("theil_u"),
+        round((col("x_g").cast("double") / col("s")) *
+          col("t_g_u").cast("double"), 0).cast("long").as("decomp_u"))
+    val between = byNation.crossJoin(broadcast(tot))
+      .select(round((col("x_g").cast("double") / col("s")) *
+          log((col("x_g").cast("double") / col("s")) *
+            (col("n").cast("double") / col("n_g"))) * 1000000.0, 0)
+        .cast("long").as("term_u"))
+      .agg(sum("term_u").as("b_u"))
+    val totalRow = tot.crossJoin(totalTheil).crossJoin(between)
+      .select(lit("TOTAL").as("nation"), col("n").as("n_customers"),
+        (col("s") * 100).cast("long").as("revenue_cents"),
+        lit(1000000L).as("share_u"),
+        col("t_u").as("theil_u"),
+        col("b_u").as("decomp_u"))
+    groups.unionByName(totalRow).orderBy("nation")
+  }
+
+  /** X289: integer-rendered subtree-rollup probe — the bisection sibling
+    * of X267 (r12 verdict item 1), varying exactly one axis: the SAME
+    * bounded ancestor explode, but revenue carried and emitted as BIGINT
+    * cents (each per-customer DECIMAL(18,2) sum ×100 is integral by
+    * construction, so the cast is lossless and every downstream add is
+    * integer-exact). The output is all-BIGINT — nothing but int64
+    * crosses the oracle bridge. X267's own value surface is already
+    * float-free (a double is never an exact 2-decimal tie, so the
+    * o_totalprice→DECIMAL(18,2) cast is rounding-mode-independent),
+    * which is why its third driver-red round points at representation,
+    * not values; this probe is the experiment that decides it.
+    */
+  def hierRollupCents(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("rev_c"))
+    val divisors = (1 until 19).map(i => ("1" + "0" * i) + "L")
+    val ancestors = expr(
+      "array_union(array(ck), " +
+        s"filter(array(${divisors.map(d => s"ck div $d").mkString(", ")}), " +
+        "a -> a > 0))")
+    rev.select(explode(ancestors).as("node"), col("rev_c"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_members"),
+        sum("rev_c").as("revenue_cents"))
+      .select(col("node"),
+        length(col("node").cast("string")).cast("bigint").as("depth"),
+        col("n_members"), col("revenue_cents"))
+      .orderBy("node")
+  }
+
+  /** X290: structure-only subtree-rollup probe — the second bisection
+    * sibling of X267, dropping the OTHER axis: the same ancestor explode
+    * and node aggregate but no revenue column at all (the entry never
+    * touches o_totalprice — pure key arithmetic and counts). Together
+    * with X289 this splits the fault space three ways in
+    * CORRECTNESS_r13: counts red ⇒ the explode/group structure itself
+    * diverges; counts green + cents red ⇒ the revenue values diverge;
+    * both green + X267 red ⇒ the DECIMAL(18,2) rendering of exactly
+    * X267's value set is what the driver's bridge mangles.
+    */
+  def hierRollupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("ck")).distinct()
+    val divisors = (1 until 19).map(i => ("1" + "0" * i) + "L")
+    val ancestors = expr(
+      "array_union(array(ck), " +
+        s"filter(array(${divisors.map(d => s"ck div $d").mkString(", ")}), " +
+        "a -> a > 0))")
+    keys.select(explode(ancestors).as("node"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("node"),
+        length(col("node").cast("string")).cast("bigint").as("depth"),
+        col("n_members"))
       .orderBy("node")
   }
 

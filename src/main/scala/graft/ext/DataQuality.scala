@@ -802,4 +802,35 @@ object DataQuality {
         round(col("pairs_in_block").cast("double") / col("verified_pairs"), 6)
           .as("pairs_completeness"))
   }
+
+  /** X291: oracle-environment type probe — the constant leg of the r12
+    * verdict's bisection plan for the theil/hier_rollup driver-red/
+    * mirror-green split. Reads NO table: four literal rows, one column
+    * per type the failing pair emits (DECIMAL(9,6), DECIMAL(18,2),
+    * BIGINT, DOUBLE), with the value shapes most likely to expose a
+    * value-representation bridge — negative 6dp decimals, trailing-zero
+    * fractions, a zero, a sub-epsilon double, a non-dyadic 0.1, and a
+    * 2^53+1 BIGINT. Because the values are spelled as identical string
+    * literals in the entry and the twin, ANY red cell here is by
+    * construction a property of the driver's oracle environment, not of
+    * query semantics — and a green row set certifies each type's bridge,
+    * pinning the fault to the failing entries' specific value sets.
+    * All literals parse exactly (strings → decimal/int) or correctly
+    * rounded (strings → nearest double, identical in every IEEE parse).
+    */
+  def probeTypes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, "-0.123450", "1234567890123456.78", 42L, "0.1"),
+      (2L, "0.000000", "0.00", 0L, "-2.5"),
+      (3L, "0.999999", "-9.99", -7L, "123456.789012"),
+      (4L, "-0.100000", "100.10", 9007199254740993L, "0.0000001"))
+      .toDF("probe_id", "d96", "d182", "i64", "f64")
+      .select(col("probe_id"),
+        col("d96").cast("decimal(9,6)").as("dec96"),
+        col("d182").cast("decimal(18,2)").as("dec182"),
+        col("i64").as("int64"),
+        col("f64").cast("double").as("float64"))
+      .orderBy("probe_id")
+  }
 }

@@ -94,11 +94,23 @@ object TextDedup {
     * families in Bench's name-sorted sweep: occ5/chunks5/doc_sets feed
     * text_dup_coverage / text_strip_boilerplate / text_novelty,
     * minhash_pairs feeds incr_cc_merge, and the simhash signatures feed
-    * text_simhash / text_simhash64.
+    * text_simhash / text_simhash64. The whitelist is hand-maintained
+    * against Bench's name-sorted consumer order — ReleaseInvariantSpec
+    * guards it executably (r12 advice): each late key must exist in a
+    * fully-warmed cache, and constructing every post-release entry must
+    * not resurrect a released key.
     */
-  private val lateConsumerKeys =
+  private[graft] val lateConsumerKeys =
     Set("occ5", "chunks5", "doc_sets", "minhash_pairs",
       "simhash", "simhash64")
+
+  /** Test-only view of this app's live memo keys (ReleaseInvariantSpec's
+    * probe surface).
+    */
+  private[graft] def memoKeys(spark: SparkSession): Set[String] = {
+    val appId = spark.sparkContext.applicationId
+    relCache.keys.filter(_._1 == appId).map(_._3).toSet
+  }
 
   /** Staged partial release (r11 verdict item 3): after the last dedup/
     * dq consumer in a name-sorted sweep, the pair/prefix/cluster memos

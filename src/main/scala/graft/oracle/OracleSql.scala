@@ -1890,27 +1890,34 @@ ${SHINGLES.trim},
       FROM b, q WHERE bucket = qb AND vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     // X268 beam-search ANN: replays the deterministic walk move-for-move.
-    // Graph = per-node top-4 by 6dp cosine among 4-bit sign-bucket mates,
+    // Graph = per-node top-4 by 6dp cosine among occupancy-bounded
+    // sign-bucket mates (bits = min(24, max(4, bit-length of ⌈n/256⌉−1)),
+    // the integer-exact ⌈log₂⌈n/256⌉⌉ — r13: linear pair space at scale),
+    // built over ALL vectors incl. the query's node (one index per
+    // corpus; the query is excluded from scoring at search time),
     // symmetrized + self-loops; each unrolled beam round references the
     // previous round exactly ONCE (the self-loops fold "beam ∪ neighbors"
     // into one join — the X-iteration rule).
     "embed_ann_beam" -> """
-      WITH b AS (
+      WITH mrel AS (
         SELECT vec_id, embedding,
-          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+          array_to_string([CASE WHEN embedding[i] >= 0 THEN '1'
+                           ELSE '0' END
+                           FOR i IN generate_series(1, 24)], '') AS b24
         FROM embeddings),
-      q AS (SELECT embedding::DOUBLE[] AS qv FROM b WHERE vec_id = 0),
-      n AS (SELECT vec_id, embedding::DOUBLE[] AS v, bucket
-            FROM b WHERE vec_id <> 0),
+      nb AS (SELECT CASE WHEN mm <= 16 THEN 4
+                    ELSE least(24, length(bin(mm - 1))) END AS bits
+             FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM mrel) z),
+      n AS (SELECT mrel.vec_id, mrel.embedding::DOUBLE[] AS v,
+                   substr(mrel.b24, 1, nb.bits) AS bucket
+            FROM mrel, nb),
+      q AS (SELECT v AS qv FROM n WHERE vec_id = 0),
       sc AS (
         SELECT n.vec_id,
                ROUND(list_dot_product(n.v, q.qv) /
                  (sqrt(list_dot_product(n.v, n.v)) *
                   sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
-        FROM n, q),
+        FROM n, q WHERE n.vec_id <> 0),
       topm AS (
         SELECT src, dst FROM (
           SELECT x.vec_id AS src, y.vec_id AS dst,
@@ -1926,7 +1933,7 @@ ${SHINGLES.trim},
           SELECT src, dst FROM topm
           UNION ALL SELECT dst AS src, src AS dst FROM topm
           UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n) ue),
-      b0 AS (SELECT MIN(vec_id) AS vec_id FROM n),
+      b0 AS (SELECT MIN(vec_id) AS vec_id FROM sc),
       b1 AS (SELECT vec_id FROM (
         SELECT d1.dst AS vec_id,
                ROW_NUMBER() OVER (ORDER BY s1.cs DESC, d1.dst) AS rn
@@ -1958,28 +1965,46 @@ ${SHINGLES.trim},
     // X287 HNSW multi-layer ANN: replays the whole descent move-for-move.
     // Levels from the first md5 byte of the id (h<16 → layer 2, h<64 →
     // layer 1, all → layer 0 — nested by construction); one X268-shaped
-    // kNN graph per layer (top-4 by 6dp cosine among 4-bit bucket mates
-    // over the layer's members, symmetrized + self-loops); descent =
-    // width-2 round on e2, width-4 on e1, two width-8 rounds on e0,
-    // each unrolled round referencing the previous exactly once.
+    // kNN graph per layer (top-4 by 6dp cosine among occupancy-bounded
+    // sign-bucket mates — the width is computed PER LAYER from that
+    // layer's member count via the integer-exact bit-length formula, so
+    // every layer build's pair space stays linear), built over ALL
+    // vectors incl. the query's node (excluded from scoring at search
+    // time); descent = width-2 round on e2, width-4 on e1, two width-8
+    // rounds on e0, each unrolled round referencing the previous once.
     "embed_ann_hnsw" -> """
-      WITH b AS (
+      WITH mrel AS (
         SELECT vec_id, embedding,
-          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket,
+          array_to_string([CASE WHEN embedding[i] >= 0 THEN '1'
+                           ELSE '0' END
+                           FOR i IN generate_series(1, 24)], '') AS b24,
           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::BIGINT AS h
         FROM embeddings),
-      q AS (SELECT embedding::DOUBLE[] AS qv FROM b WHERE vec_id = 0),
-      n AS (SELECT vec_id, embedding::DOUBLE[] AS v, bucket, h
-            FROM b WHERE vec_id <> 0),
+      nall AS (SELECT vec_id, embedding::DOUBLE[] AS v, b24, h FROM mrel),
+      nb2 AS (SELECT CASE WHEN mm <= 16 THEN 4
+                     ELSE least(24, length(bin(mm - 1))) END AS bits
+              FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM nall
+                    WHERE h < 16) z2),
+      nb1 AS (SELECT CASE WHEN mm <= 16 THEN 4
+                     ELSE least(24, length(bin(mm - 1))) END AS bits
+              FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM nall
+                    WHERE h < 64) z1),
+      nb0 AS (SELECT CASE WHEN mm <= 16 THEN 4
+                     ELSE least(24, length(bin(mm - 1))) END AS bits
+              FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM nall) z0),
+      g2 AS (SELECT vec_id, v, substr(b24, 1, nb2.bits) AS bucket
+             FROM nall, nb2 WHERE h < 16),
+      g1 AS (SELECT vec_id, v, substr(b24, 1, nb1.bits) AS bucket
+             FROM nall, nb1 WHERE h < 64),
+      g0 AS (SELECT vec_id, v, substr(b24, 1, nb0.bits) AS bucket
+             FROM nall, nb0),
+      q AS (SELECT v AS qv FROM nall WHERE vec_id = 0),
       sc AS (
-        SELECT n.vec_id,
-               ROUND(list_dot_product(n.v, q.qv) /
-                 (sqrt(list_dot_product(n.v, n.v)) *
+        SELECT nall.vec_id,
+               ROUND(list_dot_product(nall.v, q.qv) /
+                 (sqrt(list_dot_product(nall.v, nall.v)) *
                   sqrt(list_dot_product(q.qv, q.qv))), 6) AS cs
-        FROM n, q),
+        FROM nall, q WHERE nall.vec_id <> 0),
       tm2 AS (
         SELECT src, dst FROM (
           SELECT x.vec_id AS src, y.vec_id AS dst,
@@ -1988,15 +2013,14 @@ ${SHINGLES.trim},
                      (sqrt(list_dot_product(x.v, x.v)) *
                       sqrt(list_dot_product(y.v, y.v))), 6) DESC,
                    y.vec_id) AS rn
-          FROM n x JOIN n y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id
-          WHERE x.h < 16 AND y.h < 16) g2
+          FROM g2 x JOIN g2 y ON y.bucket = x.bucket
+               AND y.vec_id <> x.vec_id) t2
         WHERE rn <= 4),
       e2 AS (
         SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM tm2
           UNION ALL SELECT dst AS src, src AS dst FROM tm2
-          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n
-          WHERE h < 16) u2),
+          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM g2) u2),
       tm1 AS (
         SELECT src, dst FROM (
           SELECT x.vec_id AS src, y.vec_id AS dst,
@@ -2005,15 +2029,14 @@ ${SHINGLES.trim},
                      (sqrt(list_dot_product(x.v, x.v)) *
                       sqrt(list_dot_product(y.v, y.v))), 6) DESC,
                    y.vec_id) AS rn
-          FROM n x JOIN n y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id
-          WHERE x.h < 64 AND y.h < 64) g1
+          FROM g1 x JOIN g1 y ON y.bucket = x.bucket
+               AND y.vec_id <> x.vec_id) t1
         WHERE rn <= 4),
       e1 AS (
         SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM tm1
           UNION ALL SELECT dst AS src, src AS dst FROM tm1
-          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n
-          WHERE h < 64) u1),
+          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM g1) u1),
       tm0 AS (
         SELECT src, dst FROM (
           SELECT x.vec_id AS src, y.vec_id AS dst,
@@ -2022,15 +2045,16 @@ ${SHINGLES.trim},
                      (sqrt(list_dot_product(x.v, x.v)) *
                       sqrt(list_dot_product(y.v, y.v))), 6) DESC,
                    y.vec_id) AS rn
-          FROM n x JOIN n y ON y.bucket = x.bucket
-               AND y.vec_id <> x.vec_id) g0
+          FROM g0 x JOIN g0 y ON y.bucket = x.bucket
+               AND y.vec_id <> x.vec_id) t0
         WHERE rn <= 4),
       e0 AS (
         SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM tm0
           UNION ALL SELECT dst AS src, src AS dst FROM tm0
-          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n) u0),
-      hb0 AS (SELECT MIN(vec_id) AS vec_id FROM n WHERE h < 16),
+          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM g0) u0),
+      hb0 AS (SELECT MIN(vec_id) AS vec_id FROM nall
+              WHERE h < 16 AND vec_id <> 0),
       hb1 AS (SELECT vec_id FROM (
         SELECT d1.dst AS vec_id,
                ROW_NUMBER() OVER (ORDER BY s1.cs DESC, d1.dst) AS rn
@@ -7182,7 +7206,7 @@ ${SHINGLES.trim},
     // in-repo mirror cell-exactly but shipped driver-red, so the twin
     // now shares zero untested-elsewhere constructs with the oracle
     // environment (the recursive spelling survives as a documented
-    // equivalence test in AnalyticsSpec — Spark 4.1's UNION ALL
+    // equivalence test in Round11OpsSpec — Spark 4.1's UNION ALL
     // recursion boundary stays covered there).
     "analytics_hier_rollup" -> """
       WITH percust AS (
@@ -7260,6 +7284,133 @@ ${SHINGLES.trim},
                FROM tot t CROSS JOIN ttot tt2 CROSS JOIN btw bw)
       SELECT * FROM (SELECT * FROM grp UNION ALL SELECT * FROM trow) u
       ORDER BY nation""",
+    // X288 theil probe: the SAME relations and per-term math as
+    // analytics_theil, every output re-rendered as exact BIGINT
+    // (ratios ×10⁶ rounded per term, revenue in cents) — the r12
+    // verdict's single-axis bisection sibling for the driver-red/
+    // mirror-green split.
+    "analytics_theil_micro" -> """
+      WITH rev AS (
+        SELECT n.n_name AS nation, o.o_custkey AS ck,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, o.o_custkey),
+      bynat AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
+                       CAST(SUM(x) AS DECIMAL(38,2)) AS x_g
+                FROM rev GROUP BY nation),
+      tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                     CAST(SUM(x_g) AS DECIMAL(38,2)) AS s FROM bynat),
+      wt AS (SELECT r.nation,
+                    CAST(ROUND((CAST(r.x AS DOUBLE) / CAST(b.x_g AS DOUBLE)) *
+                      ln(b.n_g * CAST(r.x AS DOUBLE) / CAST(b.x_g AS DOUBLE)) *
+                      1000000.0, 0) AS BIGINT) AS term_u
+             FROM rev r JOIN bynat b ON b.nation = r.nation),
+      wg AS (SELECT nation, CAST(SUM(term_u) AS BIGINT) AS t_g_u
+             FROM wt GROUP BY nation),
+      tterm AS (SELECT CAST(ROUND((CAST(r.x AS DOUBLE) / CAST(t.s AS DOUBLE)) *
+                    ln(t.n * CAST(r.x AS DOUBLE) / CAST(t.s AS DOUBLE)) *
+                    1000000.0, 0) AS BIGINT) AS term_u
+                FROM rev r CROSS JOIN tot t),
+      ttot AS (SELECT CAST(SUM(term_u) AS BIGINT) AS t_u FROM tterm),
+      btw AS (SELECT CAST(SUM(CAST(ROUND((CAST(x_g AS DOUBLE) / CAST(s AS DOUBLE)) *
+                  ln((CAST(x_g AS DOUBLE) / CAST(s AS DOUBLE)) *
+                     (CAST(n AS DOUBLE) / n_g)) * 1000000.0, 0) AS BIGINT))
+                AS BIGINT) AS b_u
+             FROM bynat CROSS JOIN tot),
+      grp AS (SELECT b.nation, b.n_g AS n_customers,
+                     CAST(b.x_g * 100 AS BIGINT) AS revenue_cents,
+                     CAST(ROUND(CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE) *
+                       1000000.0, 0) AS BIGINT) AS share_u,
+                     w.t_g_u AS theil_u,
+                     CAST(ROUND((CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE)) *
+                       CAST(w.t_g_u AS DOUBLE), 0) AS BIGINT) AS decomp_u
+              FROM bynat b JOIN wg w ON w.nation = b.nation CROSS JOIN tot t),
+      trow AS (SELECT 'TOTAL' AS nation, t.n AS n_customers,
+                      CAST(t.s * 100 AS BIGINT) AS revenue_cents,
+                      CAST(1000000 AS BIGINT) AS share_u,
+                      tt2.t_u AS theil_u,
+                      bw.b_u AS decomp_u
+               FROM tot t CROSS JOIN ttot tt2 CROSS JOIN btw bw)
+      SELECT * FROM (SELECT * FROM grp UNION ALL SELECT * FROM trow) u
+      ORDER BY nation""",
+    // X289 rollup probe: X267's explode with revenue as BIGINT cents —
+    // all-int64 output, nothing decimal crosses the bridge.
+    "analytics_hier_rollup_cents" -> """
+      WITH percust AS (
+        SELECT o_custkey AS ck,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                 AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey),
+      anc AS (
+        SELECT ck AS node, rev_c FROM percust
+        UNION ALL SELECT ck // 10 AS node, rev_c FROM percust WHERE ck // 10 > 0
+        UNION ALL SELECT ck // 100 AS node, rev_c FROM percust WHERE ck // 100 > 0
+        UNION ALL SELECT ck // 1000 AS node, rev_c FROM percust WHERE ck // 1000 > 0
+        UNION ALL SELECT ck // 10000 AS node, rev_c FROM percust WHERE ck // 10000 > 0
+        UNION ALL SELECT ck // 100000 AS node, rev_c FROM percust WHERE ck // 100000 > 0
+        UNION ALL SELECT ck // 1000000 AS node, rev_c FROM percust WHERE ck // 1000000 > 0
+        UNION ALL SELECT ck // 10000000 AS node, rev_c FROM percust WHERE ck // 10000000 > 0
+        UNION ALL SELECT ck // 100000000 AS node, rev_c FROM percust WHERE ck // 100000000 > 0
+        UNION ALL SELECT ck // 1000000000 AS node, rev_c FROM percust WHERE ck // 1000000000 > 0
+        UNION ALL SELECT ck // 10000000000 AS node, rev_c FROM percust WHERE ck // 10000000000 > 0
+        UNION ALL SELECT ck // 100000000000 AS node, rev_c FROM percust WHERE ck // 100000000000 > 0
+        UNION ALL SELECT ck // 1000000000000 AS node, rev_c FROM percust WHERE ck // 1000000000000 > 0
+        UNION ALL SELECT ck // 10000000000000 AS node, rev_c FROM percust WHERE ck // 10000000000000 > 0
+        UNION ALL SELECT ck // 100000000000000 AS node, rev_c FROM percust WHERE ck // 100000000000000 > 0
+        UNION ALL SELECT ck // 1000000000000000 AS node, rev_c FROM percust WHERE ck // 1000000000000000 > 0
+        UNION ALL SELECT ck // 10000000000000000 AS node, rev_c FROM percust WHERE ck // 10000000000000000 > 0
+        UNION ALL SELECT ck // 100000000000000000 AS node, rev_c FROM percust WHERE ck // 100000000000000000 > 0
+        UNION ALL SELECT ck // 1000000000000000000 AS node, rev_c FROM percust WHERE ck // 1000000000000000000 > 0)
+      SELECT node,
+             CAST(length(CAST(node AS VARCHAR)) AS BIGINT) AS depth,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(rev_c) AS BIGINT) AS revenue_cents
+      FROM anc GROUP BY node ORDER BY node""",
+    // X290 rollup probe: structure only — the same explode over distinct
+    // customer keys, counts alone, no revenue column anywhere.
+    "analytics_hier_rollup_counts" -> """
+      WITH percust AS (SELECT DISTINCT o_custkey AS ck FROM orders),
+      anc AS (
+        SELECT ck AS node FROM percust
+        UNION ALL SELECT ck // 10 AS node FROM percust WHERE ck // 10 > 0
+        UNION ALL SELECT ck // 100 AS node FROM percust WHERE ck // 100 > 0
+        UNION ALL SELECT ck // 1000 AS node FROM percust WHERE ck // 1000 > 0
+        UNION ALL SELECT ck // 10000 AS node FROM percust WHERE ck // 10000 > 0
+        UNION ALL SELECT ck // 100000 AS node FROM percust WHERE ck // 100000 > 0
+        UNION ALL SELECT ck // 1000000 AS node FROM percust WHERE ck // 1000000 > 0
+        UNION ALL SELECT ck // 10000000 AS node FROM percust WHERE ck // 10000000 > 0
+        UNION ALL SELECT ck // 100000000 AS node FROM percust WHERE ck // 100000000 > 0
+        UNION ALL SELECT ck // 1000000000 AS node FROM percust WHERE ck // 1000000000 > 0
+        UNION ALL SELECT ck // 10000000000 AS node FROM percust WHERE ck // 10000000000 > 0
+        UNION ALL SELECT ck // 100000000000 AS node FROM percust WHERE ck // 100000000000 > 0
+        UNION ALL SELECT ck // 1000000000000 AS node FROM percust WHERE ck // 1000000000000 > 0
+        UNION ALL SELECT ck // 10000000000000 AS node FROM percust WHERE ck // 10000000000000 > 0
+        UNION ALL SELECT ck // 100000000000000 AS node FROM percust WHERE ck // 100000000000000 > 0
+        UNION ALL SELECT ck // 1000000000000000 AS node FROM percust WHERE ck // 1000000000000000 > 0
+        UNION ALL SELECT ck // 10000000000000000 AS node FROM percust WHERE ck // 10000000000000000 > 0
+        UNION ALL SELECT ck // 100000000000000000 AS node FROM percust WHERE ck // 100000000000000000 > 0
+        UNION ALL SELECT ck // 1000000000000000000 AS node FROM percust WHERE ck // 1000000000000000000 > 0)
+      SELECT node,
+             CAST(length(CAST(node AS VARCHAR)) AS BIGINT) AS depth,
+             CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM anc GROUP BY node ORDER BY node""",
+    // X291 type probe: reads NO table — four literal rows, one column
+    // per suspect type, every value spelled as the same string literal
+    // in entry and twin (so any red cell is an oracle-environment
+    // property by construction).
+    "dq_probe_types" -> """
+      SELECT CAST(pid AS BIGINT) AS probe_id,
+             CAST(d96 AS DECIMAL(9,6)) AS dec96,
+             CAST(d182 AS DECIMAL(18,2)) AS dec182,
+             CAST(i64 AS BIGINT) AS int64,
+             CAST(f64 AS DOUBLE) AS float64
+      FROM (VALUES ('1', '-0.123450', '1234567890123456.78', '42', '0.1'),
+                   ('2', '0.000000', '0.00', '0', '-2.5'),
+                   ('3', '0.999999', '-9.99', '-7', '123456.789012'),
+                   ('4', '-0.100000', '100.10', '9007199254740993', '0.0000001'))
+           AS v(pid, d96, d182, i64, f64)
+      ORDER BY probe_id""",
     // X246 HyperBall: the oracle unrolls the register max-union rounds
     // relationally ((id, b, rho) rows, self-loops carry the own-sketch
     // union, ONE previous-round reference per round) and applies the

@@ -174,6 +174,41 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("graph-ANN kNN build: occupancy-bounded buckets keep the pair space linear") {
+    import graft.ext.Similarity
+    // the r12 verdict's scale flaw, closed executably: at FIXED bucket
+    // bits the build's candidate pair space Σ|bucket|² is n²/2^bits —
+    // quadratic in corpus size. knnBuildBits grows the width with
+    // ⌈log₂⌈n/256⌉⌉ so expected occupancy stays ~256 and the pair space
+    // ~256·n. Checked on synthetic corpora (md5-derived pseudo-random
+    // signs) at two scales 8× apart: the width must actually grow and
+    // the measured pair space must stay ≤ 1024·n at BOTH (4× slack for
+    // hash imbalance) — a fixed-bits regression fails the large scale.
+    def pairSpace(n: Long): (Int, Long) = {
+      val bits = Similarity.knnBuildBits(n)
+      val emb = spark.range(n).select(col("id").as("vec_id"),
+        expr("transform(sequence(1, 24), j -> " +
+          "CAST(conv(substr(md5(concat(CAST(id AS STRING), ':', j)), " +
+          "1, 2), 16, 10) AS INT) - 128)").as("embedding"))
+      val s2 = emb
+        .select(Similarity.signBucket(col("embedding"), bits).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("nb"))
+        .agg(sum(col("nb") * col("nb")).as("s2"))
+        .collect().head.getLong(0)
+      (bits, s2)
+    }
+    val (bitsSmall, psSmall) = pairSpace(4096)
+    val (bitsBig, psBig) = pairSpace(32768)
+    assert(bitsSmall == 4 && bitsBig == 7,
+      s"bucket width must grow with log n: got $bitsSmall/$bitsBig")
+    assert(psSmall <= 1024L * 4096, s"pair space $psSmall at n=4096")
+    assert(psBig <= 1024L * 32768, s"pair space $psBig at n=32768")
+    // the fixture floor: both small SFs sit below the 4-bit knee, so
+    // entry values at verify scale are unchanged by the width formula
+    assert(Similarity.knnBuildBits(500) == 4 &&
+      Similarity.knnBuildBits(2000) == 4)
+  }
+
   test("sketch family: approx distinct/percentile within error bounds of exact") {
     val rows = graft.ext.Analytics.sketchFamilyRaw(spark, sf001).collect()
     assert(rows.nonEmpty)

@@ -110,14 +110,18 @@ class Round11OpsSpec extends SparkSpec {
       }
       rnd6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
     }
+    // occupancy-bounded bucket width (r13): the integer-exact
+    // min(24, max(4, ⌈log₂⌈n/256⌉⌉)) the engine and twin both state
+    val bits = Similarity.knnBuildBits(vecs.length.toLong)
     def bucket(v: Array[Double]): String =
-      (0 until 4).map(i => if (v(i) >= 0) '1' else '0').mkString
+      (0 until bits).map(i => if (v(i) >= 0) '1' else '0').mkString
     val qv = vecs.find(_._1 == 0L).get._2
-    val n = vecs.filter(_._1 != 0L)
-    val cs = n.map { case (id, v) => id -> cos(v, qv) }.toMap
-    // graph: per-node top-4 among 4-bit bucket mates, symmetrized + self
-    val byBucket = n.groupBy { case (_, v) => bucket(v) }
-    val topM = n.flatMap { case (id, v) =>
+    // the index covers ALL vectors (query node included, r13); scoring
+    // — and therefore beams and results — excludes the query
+    val cs = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(v, qv) }.toMap
+    val byBucket = vecs.groupBy { case (_, v) => bucket(v) }
+    val topM = vecs.flatMap { case (id, v) =>
       byBucket(bucket(v)).filter(_._1 != id)
         .map { case (jd, w) => (jd, cos(v, w)) }
         .sortBy { case (jd, c) => (-c, jd) }.take(4)
@@ -125,15 +129,19 @@ class Round11OpsSpec extends SparkSpec {
     }
     val allEdges: Set[(Long, Long)] =
       topM.toSet ++ topM.map(_.swap).toSet ++
-        n.map(p => (p._1, p._1)).toSet
+        vecs.map(p => (p._1, p._1)).toSet
     val edges: Map[Long, Set[Long]] =
       allEdges.groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
-    var beam: Set[Long] = Set(n.map(_._1).min)
+    // entry = the min-id SCORED node (the query's own node is indexed
+    // but unscored, so the walk starts at the smallest other id)
+    var beam: Set[Long] = Set(cs.keys.min)
     (1 to 3).foreach { _ =>
       val frontier = beam.flatMap(edges.getOrElse(_, Set.empty[Long]))
-      beam = frontier.toSeq.sortBy(id => (-cs(id), id)).take(8).toSet
+      beam = frontier.filter(cs.contains).toSeq
+        .sortBy(id => (-cs(id), id)).take(8).toSet
     }
-    val exactK = n.map(_._1).sortBy(id => (-cs(id), id)).take(10).toSet
+    val exactK = vecs.map(_._1).filter(_ != 0L)
+      .sortBy(id => (-cs(id), id)).take(10).toSet
     val expect = beam.toSeq.sortBy(id => (-cs(id), id)).zipWithIndex
       .map { case (id, i) => (i + 1L, id, cs(id), exactK(id)) }
     val got = Similarity.beamSearchTopK(spark, sf001).collect()

@@ -30,17 +30,21 @@ class Round12OpsSpec extends SparkSpec {
       }
       rnd6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
     }
-    def bucket(v: Array[Double]): String =
-      (0 until 4).map(i => if (v(i) >= 0) '1' else '0').mkString
     def lvlH(id: Long): Long =
       java.lang.Long.parseLong(md5hex(id.toString).take(2), 16)
     val qv = vecs.find(_._1 == 0L).get._2
-    val n = vecs.filter(_._1 != 0L)
-    val cs = n.map { case (id, v) => id -> cos(v, qv) }.toMap
-    // per-layer graph: top-4 among the LAYER's 4-bit bucket mates,
+    // the index covers ALL vectors (query node included, r13); scoring
+    // — and therefore beams and results — excludes the query
+    val cs = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => id -> cos(v, qv) }.toMap
+    // per-layer graph: top-4 among the LAYER's occupancy-bounded
+    // sign-bucket mates (bits from the layer's member count, r13),
     // symmetrized + self-loops (layer 2 = h<16, layer 1 = h<64, 0 = all)
     def layerEdges(cut: Long => Boolean): Map[Long, Set[Long]] = {
-      val mem = n.filter { case (id, _) => cut(lvlH(id)) }
+      val mem = vecs.filter { case (id, _) => cut(lvlH(id)) }
+      val bits = Similarity.knnBuildBits(mem.length.toLong)
+      def bucket(v: Array[Double]): String =
+        (0 until bits).map(i => if (v(i) >= 0) '1' else '0').mkString
       val byBucket = mem.groupBy { case (_, v) => bucket(v) }
       val topM = mem.flatMap { case (id, v) =>
         byBucket(bucket(v)).filter(_._1 != id)
@@ -59,15 +63,18 @@ class Round12OpsSpec extends SparkSpec {
     def step(beam: Set[Long], edges: Map[Long, Set[Long]],
              width: Int): Set[Long] =
       beam.flatMap(edges.getOrElse(_, Set.empty[Long]))
+        .filter(cs.contains)
         .toSeq.sortBy(id => (-cs(id), id)).take(width).toSet
-    val l2 = n.map(_._1).filter(id => lvlH(id) < 16)
+    val l2 = vecs.map(_._1).filter(id => lvlH(id) < 16)
     assert(l2.nonEmpty, "fixture must populate layer 2")
-    var beam: Set[Long] = Set(l2.min)
+    // entry = min-id SCORED layer-2 member (query node excluded)
+    var beam: Set[Long] = Set(l2.filter(_ != 0L).min)
     beam = step(beam, e2, 2)
     beam = step(beam, e1, 4)
     beam = step(beam, e0, 8)
     beam = step(beam, e0, 8)
-    val exactK = n.map(_._1).sortBy(id => (-cs(id), id)).take(10).toSet
+    val exactK = vecs.map(_._1).filter(_ != 0L)
+      .sortBy(id => (-cs(id), id)).take(10).toSet
     val expect = beam.toSeq.sortBy(id => (-cs(id), id)).zipWithIndex
       .map { case (id, i) => (i + 1L, id, cs(id), exactK(id)) }
     val got = Similarity.hnswTopK(spark, sf001).collect()
@@ -78,8 +85,8 @@ class Round12OpsSpec extends SparkSpec {
     // the exact top-k (recall > 0), and the upper layers must actually
     // be sparser than layer 0 (the hierarchy is real, not degenerate)
     assert(got.length > 1 && got.exists(_._4))
-    val n1 = n.count { case (id, _) => lvlH(id) < 64 }
-    assert(l2.size < n1 && n1 < n.length)
+    val n1 = vecs.count { case (id, _) => lvlH(id) < 64 }
+    assert(l2.size < n1 && n1 < vecs.length)
   }
 
   test("the r12 environment-proofing of the two r11 driver-reds holds") {
