@@ -84,7 +84,12 @@ object ScaleRehearsal {
     // r12 wave: the multi-layer descent — layer-0 graph build dominates
     // (the X268 bucketed join), upper layers are 1/16 and 1/4 sized, so
     // the exponent must track embed_ann_beam's
-    "embed_ann_hnsw")
+    "embed_ann_hnsw",
+    // r13: both graph-ANN entries re-audited on the occupancy-bounded
+    // build (bits grow log n: sf0.1 stays at 4 bits, sf1 crosses to 7 —
+    // the exponent now measures the LINEAR pair-space build; clearAll
+    // between runs makes each timed run pay its own graph build)
+    "embed_ann_beam")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from
