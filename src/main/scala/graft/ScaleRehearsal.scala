@@ -88,8 +88,10 @@ object ScaleRehearsal {
     // r13: both graph-ANN entries re-audited on the occupancy-bounded
     // build (bits grow log n: sf0.1 stays at 4 bits, sf1 crosses to 7 —
     // the exponent now measures the LINEAR pair-space build; clearAll
-    // between runs makes each timed run pay its own graph build)
-    "embed_ann_beam")
+    // between runs makes each timed run pay its own graph build), plus
+    // the NN-Descent round (two seed builds + the Σ deg² 2-hop join —
+    // must stay linear)
+    "embed_ann_beam", "embed_knn_descent")
 
   /** The keyed-state streaming entries: beside runtime, the rehearsal
     * records rows/s and the FINAL state rows/bytes from

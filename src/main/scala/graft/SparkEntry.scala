@@ -568,6 +568,9 @@ object SparkEntry {
     "analytics_hier_rollup_cents" -> ((s, d) => graft.ext.Analytics.hierRollupCents(s, d)),
     "analytics_hier_rollup_counts" -> ((s, d) => graft.ext.Analytics.hierRollupCounts(s, d)),
     "dq_probe_types" -> ((s, _) => graft.ext.DataQuality.probeTypes(s)),
+    // X292 (r13): one NN-Descent refinement round over the shared
+    // graph-ANN index — the linear at-scale kNN-graph improvement path
+    "embed_knn_descent" -> ((s, d) => graft.ext.Similarity.knnDescentAudit(s, d)),
     // X267: ragged-hierarchy subtree rollup via bounded ancestor explode
     // (one shuffle, no iteration); twin = the first recursive-CTE oracle
     "analytics_hier_rollup" -> ((s, d) => graft.ext.Analytics.hierRollup(s, d)),

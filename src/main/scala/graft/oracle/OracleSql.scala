@@ -2089,6 +2089,98 @@ ${SHINGLES.trim},
                hb4.vec_id IN (SELECT vec_id FROM exactk) AS in_exact_topk
         FROM hb4 JOIN sc s ON s.vec_id = hb4.vec_id) f
       ORDER BY rnk""",
+    // X292 NN-Descent refinement audit over a two-table LSH seed: table
+    // A replays the X268 build (sign dims 1..bits), table B the same
+    // build on the NEXT block of sign dims (a single-table seed is
+    // already bucket-optimal, so descent over it is a no-op); round 0 =
+    // per-node top-4 over the unioned 1-hop neighbourhood, round 1 =
+    // top-4 over the 2-hop candidate set; per-pair cosines 6dp-rounded
+    // and cast DECIMAL(9,6) before the mean's SUM (order-free adds),
+    // the mean converts to double once.
+    "embed_knn_descent" -> """
+      WITH mrel AS (
+        SELECT vec_id, embedding,
+          array_to_string([CASE WHEN embedding[i] >= 0 THEN '1'
+                           ELSE '0' END
+                           FOR i IN generate_series(1, 48)], '') AS b48
+        FROM embeddings),
+      nb AS (SELECT CASE WHEN mm <= 16 THEN 4
+                    ELSE least(24, length(bin(mm - 1))) END AS bits
+             FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM mrel) z),
+      n AS (SELECT mrel.vec_id, mrel.embedding::DOUBLE[] AS v,
+                   substr(mrel.b48, 1, nb.bits) AS bucket,
+                   substr(mrel.b48, nb.bits + 1, nb.bits) AS bucket2
+            FROM mrel, nb),
+      topm AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM n x JOIN n y ON y.bucket = x.bucket
+               AND y.vec_id <> x.vec_id) tr
+        WHERE rn <= 4),
+      topm2 AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM n x JOIN n y ON y.bucket2 = x.bucket2
+               AND y.vec_id <> x.vec_id) tr2
+        WHERE rn <= 4),
+      edges AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM topm
+          UNION ALL SELECT dst AS src, src AS dst FROM topm
+          UNION ALL SELECT src, dst FROM topm2
+          UNION ALL SELECT dst AS src, src AS dst FROM topm2
+          UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n) ue),
+      nbr AS (SELECT src AS i, dst AS j FROM edges WHERE src <> dst),
+      sc0 AS (SELECT nbr.i, nbr.j,
+                     ROUND(list_dot_product(a.v, w.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(w.v, w.v))), 6) AS c
+              FROM nbr JOIN n a ON a.vec_id = nbr.i
+                   JOIN n w ON w.vec_id = nbr.j),
+      kb0 AS (SELECT i, j, c FROM (
+        SELECT i, j, c, ROW_NUMBER() OVER (PARTITION BY i
+          ORDER BY c DESC, j) AS rn FROM sc0) t0 WHERE rn <= 4),
+      hop2 AS (SELECT DISTINCT e1.src AS i, e2.dst AS j
+               FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+               WHERE e2.dst <> e1.src),
+      sc1 AS (SELECT hop2.i, hop2.j,
+                     ROUND(list_dot_product(a.v, w.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(w.v, w.v))), 6) AS c
+              FROM hop2 JOIN n a ON a.vec_id = hop2.i
+                   JOIN n w ON w.vec_id = hop2.j),
+      kb1 AS (SELECT i, j, c FROM (
+        SELECT i, j, c, ROW_NUMBER() OVER (PARTITION BY i
+          ORDER BY c DESC, j) AS rn FROM sc1) t1 WHERE rn <= 4),
+      chg AS (SELECT CAST(COUNT(DISTINCT x.i) AS BIGINT) AS n_changed_nodes
+              FROM kb1 x LEFT JOIN kb0 y ON y.i = x.i AND y.j = x.j
+              WHERE y.i IS NULL),
+      r0 AS (SELECT CAST(0 AS BIGINT) AS refine_round,
+                    CAST(COUNT(DISTINCT i) AS BIGINT) AS n_nodes,
+                    CAST(COUNT(*) AS BIGINT) AS n_edges,
+                    CAST(0 AS BIGINT) AS n_changed_nodes,
+                    ROUND(CAST(SUM(CAST(c AS DECIMAL(9,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS mean_knn_cos
+             FROM kb0),
+      r1 AS (SELECT CAST(1 AS BIGINT) AS refine_round,
+                    CAST(COUNT(DISTINCT i) AS BIGINT) AS n_nodes,
+                    CAST(COUNT(*) AS BIGINT) AS n_edges,
+                    (SELECT n_changed_nodes FROM chg) AS n_changed_nodes,
+                    ROUND(CAST(SUM(CAST(c AS DECIMAL(9,6))) AS DOUBLE)
+                      / COUNT(*), 6) AS mean_knn_cos
+             FROM kb1)
+      SELECT * FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1) u
+      ORDER BY refine_round""",
     // X103 multi-probe LSH: the query bucket + its 8 one-flip neighbours
     // as a 9-row probe relation; candidates via the bucket semi-join.
     "embed_ann_multiprobe" -> """

@@ -61,6 +61,8 @@ class PlanHygieneSpec extends SparkSpec
     "embed_ann_beam" -> 8,
     // the same 1-row query-vector broadcast attach, once per descent
     "embed_ann_hnsw" -> 8,
+    // the 1-row changed-node counter crossed onto the 1-row round-1 stats
+    "embed_knn_descent" -> 8,
     "embed_ann_recall" -> 8, "multimodal_embed" -> 8,
     "text_edit_distance" -> 8, "text_bm25_topk" -> 8,
     "dq_volume_anomaly" -> 8,

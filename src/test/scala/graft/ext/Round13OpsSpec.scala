@@ -163,6 +163,80 @@ class Round13OpsSpec extends SparkSpec {
     assert(got.toSeq == cents.toSeq)
   }
 
+  test("NN-Descent audit equals the brute 2-hop refinement and is monotone") {
+    val vecs = graft.tables.Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def rnd6(x: Double): Double =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0.0; var daa = 0.0; var dbb = 0.0; var i = 0
+      while (i < a.length) {
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+      }
+      rnd6(dab / (math.sqrt(daa) * math.sqrt(dbb)))
+    }
+    val vm = vecs.toMap
+    // the two-table seed: occupancy-bounded bucket top-4 on sign dims
+    // 1..bits (the shared graph) UNION the same on the next block,
+    // symmetrized + self-loops
+    val bits = Similarity.knnBuildBits(vecs.length.toLong)
+    def tableEdges(offset: Int): Set[(Long, Long)] = {
+      def bucket(v: Array[Double]): String =
+        (offset until offset + bits)
+          .map(i => if (v(i) >= 0) '1' else '0').mkString
+      val byBucket = vecs.groupBy { case (_, v) => bucket(v) }
+      val topM = vecs.flatMap { case (id, v) =>
+        byBucket(bucket(v)).filter(_._1 != id)
+          .map { case (jd, w) => (jd, cos(v, w)) }
+          .sortBy { case (jd, c) => (-c, jd) }.take(4)
+          .map { case (jd, _) => (id, jd) }
+      }
+      topM.toSet ++ topM.map(_.swap).toSet
+    }
+    val edges: Map[Long, Set[Long]] =
+      (tableEdges(0) ++ tableEdges(bits) ++
+        vecs.map(p => (p._1, p._1)).toSet)
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    def keep(cand: Map[Long, Set[Long]]): Map[Long, Seq[(Long, Double)]] =
+      cand.map { case (i, js) =>
+        i -> js.toSeq.map(j => (j, cos(vm(i), vm(j))))
+          .sortBy { case (j, c) => (-c, j) }.take(4)
+      }
+    val b0 = keep(edges.map { case (i, js) => i -> (js - i) })
+    val hop2 = edges.map { case (i, js) =>
+      i -> (js.flatMap(edges.getOrElse(_, Set.empty[Long])) - i)
+    }
+    val b1 = keep(hop2)
+    def mean(kept: Map[Long, Seq[(Long, Double)]]): Double = {
+      val cs = kept.values.flatten.map { case (_, c) =>
+        new java.math.BigDecimal(java.lang.Double.toString(c)).setScale(6)
+      }
+      rnd6(cs.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue() /
+        cs.size)
+    }
+    val changed = b1.count { case (i, kept) =>
+      val old = b0.getOrElse(i, Seq.empty).map(_._1).toSet
+      kept.exists(p => !old.contains(p._1))
+    }
+    val expect = Seq(
+      (0L, b0.size.toLong, b0.values.map(_.size).sum.toLong, 0L, mean(b0)),
+      (1L, b1.size.toLong, b1.values.map(_.size).sum.toLong,
+        changed.toLong, mean(b1)))
+    val got = Similarity.knnDescentAudit(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == expect,
+      s"got=${got.toSeq.mkString(",")} expect=${expect.mkString(",")}")
+    // the monotone-improvement law: round 1 selects per node over a
+    // SUPERSET of round 0's neighbourhood (self-loops ⇒ 1-hop ⊆ 2-hop),
+    // so the corpus mean kept-edge cosine cannot drop — and the audit
+    // must show actual refinement work on the fixture
+    assert(got(1)._5 >= got(0)._5, "mean kept cosine dropped")
+    assert(got(1)._4 > 0L, "no node changed its list — vacuous fixture")
+  }
+
   test("type probe emits exactly the declared literals and types") {
     import org.apache.spark.sql.types._
     val df = DataQuality.probeTypes(spark)
