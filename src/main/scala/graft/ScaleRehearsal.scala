@@ -247,6 +247,41 @@ object ScaleRehearsal {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if (mode == "gen" || mode == "all") gen(spark)
     if (mode == "genskew" || mode == "all") genSkew(spark)
+    // `knn` mode: time the graph-ANN INDEX BUILD alone at both scales
+    // (r13 self-assessment #5 — the entry exponents fold per-query
+    // search overheads into the ratio; this isolates the leg the
+    // occupancy-bounded-bits claim is actually about). Writes its own
+    // artifact so the main capture's numbers don't churn.
+    if (mode == "knn") {
+      // untimed warm-up build first: JIT/codegen/first-touch reads
+      // dominate a cold session's first build (a cold-first capture
+      // read sf0.1 SLOWER than sf1), then best-of-2 per scale
+      graft.ext.Similarity.warmKnnGraph(spark, Sf01)
+      graft.ext.Similarity.clearCaches(spark)
+      val rows = Seq(Sf01, Sf1).map { dir =>
+        def once(): (Double, Long) = {
+          graft.ext.Similarity.clearCaches(spark)
+          val t0 = System.nanoTime()
+          val edges = graft.ext.Similarity.warmKnnGraph(spark, dir)
+          ((System.nanoTime() - t0) / 1e9, edges)
+        }
+        val (ta, edges) = once()
+        val (tb, _) = once()
+        graft.ext.Similarity.clearCaches(spark)
+        val t = math.min(ta, tb)
+        println(f"[rehearse] knn build $dir%-22s t=$t%7.2fs edges=$edges%d")
+        (t, edges)
+      }
+      val (t01, e01) = rows(0)
+      val (t1, e1) = rows(1)
+      val exp = math.log(t1 / t01) / math.log(Replicas.toDouble)
+      val json =
+        f"""{"note": "graph-ANN layer-0 kNN index BUILD alone (no search legs) at sf0.1 vs sf1 - the leg the occupancy-bounded bucket-width claim is about; edge counts confirm the bounded top-m density",
+ "knn_build": {"sf01_s": $t01%.2f, "sf1_s": $t1%.2f, "exponent": $exp%.3f, "edges_sf01": $e01%d, "edges_sf1": $e1%d}}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_sf1_knn_build.json"), json)
+      println("[rehearse] wrote BENCH_sf1_knn_build.json")
+    }
     if (mode == "run" || mode == "all") {
       val skewJson =
         if (mode == "all" ||

@@ -491,6 +491,21 @@ object Similarity {
       (spark.sparkContext.applicationId, dir, cut, m),
       build.persist())
 
+  /** Build-leg instrument (ScaleRehearsal's `knn` mode): construct and
+    * materialize the shared layer-0 kNN graph for `dir`, returning the
+    * edge count — times the INDEX BUILD alone, with none of the search
+    * legs' per-query work, so the rehearsal can pin the build's scaling
+    * exponent directly.
+    */
+  private[graft] def warmKnnGraph(spark: SparkSession, dir: String,
+                                  m: Int = 4): Long = {
+    graft.functions.CosineSim.register(spark)
+    val n = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), dbl(col("embedding")).as("v"),
+        col("embedding"))
+    knnGraphMemo(spark, dir, "all", m)(buildKnnEdges(n, m)).count()
+  }
+
   /** Unpersist this app's memoized IVF relations — see
     * [[TextDedup.clearCaches]] for when a long-lived service needs this.
     */
