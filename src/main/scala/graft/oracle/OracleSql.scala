@@ -2260,21 +2260,25 @@ ${SHINGLES.trim},
       FROM (SELECT * FROM row1 UNION ALL SELECT * FROM row5
             UNION ALL SELECT * FROM row9) t
       ORDER BY n_probes"""),
-    // Mirrors Similarity.embedCosinePairs: sign-LSH bucket self-join +
+    // Mirrors Similarity.embedCosinePairs: sign-LSH bucket self-join at
+    // occupancy-bounded width (bits = max(8, min(24, bit-length of
+    // ⌈n/256⌉−1)) — 8 at every fixture scale, growing with log n) +
     // exact left-fold cosine (list_dot_product == the fused Spark kernel,
     // bit-identical) at the fixture-tuned 0.35 threshold.
     "dedup_embed_pairs" -> """
-      WITH b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
-        FROM embeddings)
+      WITH mrel AS (
+        SELECT vec_id, embedding,
+          array_to_string([CASE WHEN embedding[i] >= 0 THEN '1'
+                           ELSE '0' END
+                           FOR i IN generate_series(1, 24)], '') AS b24
+        FROM embeddings),
+      nb AS (SELECT CASE WHEN mm <= 16 THEN 8
+                    ELSE GREATEST(8, LEAST(24, length(bin(mm - 1)))) END
+                      AS bits
+             FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM mrel) z),
+      b AS (SELECT mrel.vec_id, mrel.embedding::DOUBLE[] AS v,
+                   substr(mrel.b24, 1, nb.bits) AS bucket
+            FROM mrel, nb)
       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
              ROUND(list_dot_product(a.v, b2.v) /
                (sqrt(list_dot_product(a.v, a.v)) *
@@ -2285,20 +2289,23 @@ ${SHINGLES.trim},
                sqrt(list_dot_product(b2.v, b2.v))) >= 0.35
       ORDER BY vec_a, vec_b""",
     // SemDeDup-shape semantic dedup: drop v iff a LOWER-id vector in the
-    // same sign bucket has cosine >= 0.35 (pairwise-greedy min-id
-    // representative — mirrors Similarity.semanticKeep exactly).
+    // same occupancy-bounded sign bucket has cosine >= 0.35
+    // (pairwise-greedy min-id representative — mirrors
+    // Similarity.semanticKeep exactly, width formula incl.).
     "dedup_semantic_keep" -> """
-      WITH b AS (
-        SELECT vec_id, label, embedding::DOUBLE[] AS v,
-          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      WITH mrel AS (
+        SELECT vec_id, label, embedding,
+          array_to_string([CASE WHEN embedding[i] >= 0 THEN '1'
+                           ELSE '0' END
+                           FOR i IN generate_series(1, 24)], '') AS b24
         FROM embeddings),
+      nb AS (SELECT CASE WHEN mm <= 16 THEN 8
+                    ELSE GREATEST(8, LEAST(24, length(bin(mm - 1)))) END
+                      AS bits
+             FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM mrel) z),
+      b AS (SELECT mrel.vec_id, mrel.label, mrel.embedding::DOUBLE[] AS v,
+                   substr(mrel.b24, 1, nb.bits) AS bucket
+            FROM mrel, nb),
       drops AS (
         SELECT DISTINCT b2.vec_id
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
@@ -2315,17 +2322,19 @@ ${SHINGLES.trim},
     // star rewiring to a PROVEN fixpoint, so a divergence can't
     // silently hash-match); vectors with no pair are their own cluster.
     "dedup_semantic_clusters" -> ("""
-      WITH b AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v,
-          (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
-           CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+      WITH mrel AS (
+        SELECT vec_id, embedding,
+          array_to_string([CASE WHEN embedding[i] >= 0 THEN '1'
+                           ELSE '0' END
+                           FOR i IN generate_series(1, 24)], '') AS b24
         FROM embeddings),
+      nb AS (SELECT CASE WHEN mm <= 16 THEN 8
+                    ELSE GREATEST(8, LEAST(24, length(bin(mm - 1)))) END
+                      AS bits
+             FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM mrel) z),
+      b AS (SELECT mrel.vec_id, mrel.embedding::DOUBLE[] AS v,
+                   substr(mrel.b24, 1, nb.bits) AS bucket
+            FROM mrel, nb),
       pairs AS MATERIALIZED (
         SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
         FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id

@@ -207,6 +207,14 @@ class ScaleDesignSpec extends SparkSpec {
     // entry values at verify scale are unchanged by the width formula
     assert(Similarity.knnBuildBits(500) == 4 &&
       Similarity.knnBuildBits(2000) == 4)
+    // the embedding pair-JOIN entries (dedup_embed_pairs /
+    // dedup_semantic_keep / dedup_semantic_clusters) use the same
+    // formula floored at 8: fixed 8 bits through 65536 vectors (every
+    // fixture scale — values unchanged), growing beyond so their pair
+    // space is capped linear too. Pin the knee exactly.
+    def pairBits(n: Long): Int = math.max(8, Similarity.knnBuildBits(n))
+    assert(pairBits(2000) == 8 && pairBits(65536) == 8 &&
+      pairBits(65537) == 9 && pairBits(1L << 30) == 22)
   }
 
   test("sketch family: approx distinct/percentile within error bounds of exact") {
