@@ -559,21 +559,33 @@ object SparkEntry {
     "curation_quality_calibration" -> ((s, d) => graft.ext.TextStats.qualityCalibration(s, d)),
     // ER blocking reduction-ratio / pairs-completeness audit
     "dq_blocking_quality" -> ((s, d) => graft.ext.DataQuality.blockingQuality(s, d)),
-    // Theil-T inequality with between/within-nation decomposition
-    "analytics_theil" -> ((s, d) => graft.ext.Analytics.theilRevenue(s, d)),
-    // X288–X291 (r13): bisection probes for the driver-red/mirror-green
-    // split — same semantics as the failing pair re-rendered as exact
-    // BIGINT, plus a table-free literal type probe
-    "analytics_theil_micro" -> ((s, d) => graft.ext.Analytics.theilRevenueMicro(s, d)),
-    "analytics_hier_rollup_cents" -> ((s, d) => graft.ext.Analytics.hierRollupCents(s, d)),
+    // Theil-T inequality with between/within-nation decomposition.
+    // r14: the entry ships the X288 integer rendering (micro-unit
+    // ratios, cents revenue) — CORRECTNESS_r13 proved it driver-green
+    // while the decimal rendering stayed driver-red for a 4th round;
+    // the decimal form survives as theilRevenueDecimal for the law
+    // specs that tie the two renderings together.
+    "analytics_theil" -> ((s, d) => graft.ext.Analytics.theilRevenueMicro(s, d)),
+    // X290 (r13): structure-only control of the rollup family — kept as
+    // the permanent probe that isolates explode/group structure from
+    // revenue values (its siblings X288/X289 became the shipped
+    // renderings of analytics_theil / analytics_hier_rollup in r14)
     "analytics_hier_rollup_counts" -> ((s, d) => graft.ext.Analytics.hierRollupCounts(s, d)),
-    "dq_probe_types" -> ((s, _) => graft.ext.DataQuality.probeTypes(s)),
+    // X291 (r14 decomposition): per-type singleton oracle-bridge probes —
+    // same adversarial literals as r13's combined probe, one suspect
+    // type per entry, so a red cell NAMES the broken bridge type
+    "dq_probe_int64" -> ((s, _) => graft.ext.DataQuality.probeInt64(s)),
+    "dq_probe_dec96" -> ((s, _) => graft.ext.DataQuality.probeDec96(s)),
+    "dq_probe_dec182" -> ((s, _) => graft.ext.DataQuality.probeDec182(s)),
+    "dq_probe_double" -> ((s, _) => graft.ext.DataQuality.probeDouble(s)),
     // X292 (r13): one NN-Descent refinement round over the shared
     // graph-ANN index — the linear at-scale kNN-graph improvement path
     "embed_knn_descent" -> ((s, d) => graft.ext.Similarity.knnDescentAudit(s, d)),
     // X267: ragged-hierarchy subtree rollup via bounded ancestor explode
-    // (one shuffle, no iteration); twin = the first recursive-CTE oracle
-    "analytics_hier_rollup" -> ((s, d) => graft.ext.Analytics.hierRollup(s, d)),
+    // (one shuffle, no iteration). r14: ships the X289 cents rendering
+    // (all-BIGINT output, proven driver-green in CORRECTNESS_r13); the
+    // decimal form survives as hierRollupDecimal for the law specs.
+    "analytics_hier_rollup" -> ((s, d) => graft.ext.Analytics.hierRollupCents(s, d)),
     "analytics_cuped" -> ((s, d) => graft.ext.Analytics.cuped(s, d)),
     "analytics_subsample_ci" -> ((s, d) => graft.ext.Analytics.subsampleCi(s, d)),
     "analytics_did" -> ((s, d) => graft.ext.Analytics.diffInDiff(s, d)),

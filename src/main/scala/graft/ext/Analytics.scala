@@ -2018,18 +2018,23 @@ object Analytics {
     * expression over exact aggregates, 6dp-rounded into DECIMAL before
     * summation — so all accumulations are order-free exact decimal
     * adds (the float-sum rule). The three ratio outputs
-    * (share/theil/decomp) are DECIMAL(9,6), cast AFTER the 6dp round:
-    * a decimal renders identically on any engine/libm/pandas build,
-    * where a ROUNDed DOUBLE's bit pattern is the one thing the repo
-    * cannot pin (the r11 driver-red/mirror-green divergence — every
-    * ln-term sat ≥3.5e-10 from a rounding boundary, so the VALUES
-    * agreed and only the float64 rendering could differ).
+    * (share/theil/decomp) are DECIMAL(9,6), cast AFTER the 6dp round.
+    *
+    * NOT an entry since r14: even the DECIMAL(9,6)/DECIMAL(18,2)
+    * rendering stayed driver-red for four consecutive rounds while the
+    * pinned mirror passed cell-exactly; CORRECTNESS_r13's bisection
+    * (X288 green / X245 red / X291 literal probe red) proved the fault
+    * is the driver oracle environment's rendering of non-integer
+    * types, so the shipped `analytics_theil` entry is now
+    * [[theilRevenueMicro]] and this decimal form remains only as the
+    * semantic reference the law specs tie the integer rendering to
+    * (Round10OpsSpec additive law, Round13OpsSpec ×10⁶/×100 bridge).
     *
     * Scale shape: one groupBy(custkey) pass, a broadcast nation dim,
     * one groupBy(nation) pass and a 1-row broadcast of the corpus
     * totals; per-customer terms never shuffle twice. No windows.
     */
-  def theilRevenue(spark: SparkSession, dir: String): DataFrame = {
+  def theilRevenueDecimal(spark: SparkSession, dir: String): DataFrame = {
     val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val R6 = org.apache.spark.sql.types.DecimalType(9, 6)
     val nations = Tables.nation(spark, dir)
@@ -2110,8 +2115,17 @@ object Analytics {
     * The recursive spelling — and Spark 4.1's boundary that UNION ALL
     * recursion runs while UNION-dedup recursion is rejected — stays
     * covered by an equivalence test in Round11OpsSpec.)
+    *
+    * NOT an entry since r14: the DECIMAL(18,2) revenue column was
+    * driver-red for three consecutive rounds while mirror-green;
+    * CORRECTNESS_r13's bisection (X289 cents green / X290 counts green
+    * / X267 red) pinned the fault to the decimal rendering, so the
+    * shipped `analytics_hier_rollup` entry is now [[hierRollupCents]]
+    * and this decimal form remains as the semantic reference for the
+    * Round11OpsSpec subtree-additivity and recursive-CTE laws and the
+    * Round13OpsSpec ×100 bridge.
     */
-  def hierRollup(spark: SparkSession, dir: String): DataFrame = {
+  def hierRollupDecimal(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy(col("o_custkey").as("ck"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
@@ -2135,22 +2149,19 @@ object Analytics {
       .orderBy("node")
   }
 
-  /** X288: integer-rendered Theil probe — the bisection-by-falsification
-    * sibling of X245 (r12 verdict item 1). `analytics_theil` has been
-    * hash-red in the driver's oracle for three consecutive rounds while
-    * passing the pinned in-repo mirror cell-exactly, surviving two
-    * representation fixes (ROUNDed DOUBLE → DECIMAL(9,6)). This probe
-    * varies EXACTLY ONE axis: the same relations, joins, and per-term
-    * math, but every non-integer output is re-rendered as an exact
-    * BIGINT — ratios in micro-units (each per-row term is
+  /** X245+X288: the SHIPPED `analytics_theil` rendering since r14.
+    * Born as the r13 bisection-by-falsification sibling of the decimal
+    * form ([[theilRevenueDecimal]]): the same relations, joins, and
+    * per-term math, but every non-integer output re-rendered as an
+    * exact BIGINT — ratios in micro-units (each per-row term is
     * ROUND(term·10⁶) cast to BIGINT, then summed as exact integer
     * adds), revenue in cents. No DECIMAL or DOUBLE column crosses the
-    * oracle bridge at all. CORRECTNESS_r13 then localizes the fault
-    * class: this green + X245 red ⇒ value-representation bridge (the
-    * decimals are the problem and the originals migrate to integers);
-    * both red ⇒ the shared input relations diverge in the driver's
-    * environment (which `analytics_gini`'s green row — same per-customer
-    * revenue CTE — currently contradicts).
+    * oracle bridge at all. CORRECTNESS_r13 decided the experiment:
+    * this rendering driver-GREEN first try, the decimal original red
+    * for a 4th consecutive round, and the table-free literal probe
+    * (X291) red — a value-representation fault in the driver's oracle
+    * bridge, so per the r13 verdict the integer rendering became the
+    * entry and the decimal spelling retired to law-spec-only duty.
     *
     * Semantics: identical to X245 up to rendering — share_u/theil_u/
     * decomp_u are the X245 ratios ×10⁶ (term-level rounding, so the
@@ -2212,17 +2223,17 @@ object Analytics {
     groups.unionByName(totalRow).orderBy("nation")
   }
 
-  /** X289: integer-rendered subtree-rollup probe — the bisection sibling
-    * of X267 (r12 verdict item 1), varying exactly one axis: the SAME
-    * bounded ancestor explode, but revenue carried and emitted as BIGINT
-    * cents (each per-customer DECIMAL(18,2) sum ×100 is integral by
-    * construction, so the cast is lossless and every downstream add is
-    * integer-exact). The output is all-BIGINT — nothing but int64
-    * crosses the oracle bridge. X267's own value surface is already
-    * float-free (a double is never an exact 2-decimal tie, so the
-    * o_totalprice→DECIMAL(18,2) cast is rounding-mode-independent),
-    * which is why its third driver-red round points at representation,
-    * not values; this probe is the experiment that decides it.
+  /** X267+X289: the SHIPPED `analytics_hier_rollup` rendering since
+    * r14. Born as the r13 bisection sibling of the decimal form
+    * ([[hierRollupDecimal]]): the SAME bounded ancestor explode, but
+    * revenue carried and emitted as BIGINT cents (each per-customer
+    * DECIMAL(18,2) sum ×100 is integral by construction, so the cast
+    * is lossless and every downstream add is integer-exact). The
+    * output is all-BIGINT — nothing but int64 crosses the oracle
+    * bridge. CORRECTNESS_r13 decided the experiment: cents green +
+    * counts green + decimal original red (3rd round) ⇒ the decimal
+    * rendering was the fault, so per the r13 verdict this became the
+    * entry and the decimal spelling retired to law-spec-only duty.
     */
   def hierRollupCents(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)

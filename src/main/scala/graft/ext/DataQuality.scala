@@ -803,22 +803,24 @@ object DataQuality {
           .as("pairs_completeness"))
   }
 
-  /** X291: oracle-environment type probe — the constant leg of the r12
-    * verdict's bisection plan for the theil/hier_rollup driver-red/
-    * mirror-green split. Reads NO table: four literal rows, one column
-    * per type the failing pair emits (DECIMAL(9,6), DECIMAL(18,2),
-    * BIGINT, DOUBLE), with the value shapes most likely to expose a
-    * value-representation bridge — negative 6dp decimals, trailing-zero
-    * fractions, a zero, a sub-epsilon double, a non-dyadic 0.1, and a
-    * 2^53+1 BIGINT. Because the values are spelled as identical string
-    * literals in the entry and the twin, ANY red cell here is by
-    * construction a property of the driver's oracle environment, not of
-    * query semantics — and a green row set certifies each type's bridge,
-    * pinning the fault to the failing entries' specific value sets.
+  /** X291 (r14 decomposition): per-type singleton oracle-environment
+    * probes — the final bisection step of the theil/hier_rollup
+    * driver-red/mirror-green investigation. The r13 combined probe
+    * (`dq_probe_types`: all four suspect types in one relation) came
+    * back hash-red in CORRECTNESS_r13, proving the driver's oracle
+    * bridge renders at least one of {DECIMAL(9,6), DECIMAL(18,2),
+    * DOUBLE} differently from the pinned duckdb 1.0.0 / pandas 2.2.2
+    * mirror — but a multi-column red cannot say WHICH. These
+    * singletons carry the SAME adversarial literals, one suspect type
+    * per entry, so CORRECTNESS_r14's red/green pattern names the exact
+    * broken type(s); the BIGINT singleton (certified green three ways
+    * by X288/X289/X290) stays as the permanent green control. Reads NO
+    * table; values are identical string literals in entry and twin, so
+    * any red cell is an oracle-environment property by construction.
     * All literals parse exactly (strings → decimal/int) or correctly
     * rounded (strings → nearest double, identical in every IEEE parse).
     */
-  def probeTypes(spark: SparkSession): DataFrame = {
+  private def probeLiterals(spark: SparkSession): DataFrame = {
     import spark.implicits._
     Seq(
       (1L, "-0.123450", "1234567890123456.78", 42L, "0.1"),
@@ -826,11 +828,35 @@ object DataQuality {
       (3L, "0.999999", "-9.99", -7L, "123456.789012"),
       (4L, "-0.100000", "100.10", 9007199254740993L, "0.0000001"))
       .toDF("probe_id", "d96", "d182", "i64", "f64")
+  }
+
+  /** BIGINT bridge control (incl. 2⁵³+1, unrepresentable in float64). */
+  def probeInt64(spark: SparkSession): DataFrame =
+    probeLiterals(spark)
+      .select(col("probe_id"), col("i64").as("int64"))
+      .orderBy("probe_id")
+
+  /** DECIMAL(9,6) bridge probe — negative 6dp, trailing-zero, zero. */
+  def probeDec96(spark: SparkSession): DataFrame =
+    probeLiterals(spark)
       .select(col("probe_id"),
-        col("d96").cast("decimal(9,6)").as("dec96"),
-        col("d182").cast("decimal(18,2)").as("dec182"),
-        col("i64").as("int64"),
+        col("d96").cast("decimal(9,6)").as("dec96"))
+      .orderBy("probe_id")
+
+  /** DECIMAL(18,2) bridge probe — incl. the 18-significant-digit value
+    * (1234567890123456.78) that float64 cannot represent, the exact
+    * shape the CLAUDE.md p>18 lint rationale warns about, here AT p=18.
+    */
+  def probeDec182(spark: SparkSession): DataFrame =
+    probeLiterals(spark)
+      .select(col("probe_id"),
+        col("d182").cast("decimal(18,2)").as("dec182"))
+      .orderBy("probe_id")
+
+  /** DOUBLE bridge probe — non-dyadic 0.1, sub-epsilon 1e-7, negatives. */
+  def probeDouble(spark: SparkSession): DataFrame =
+    probeLiterals(spark)
+      .select(col("probe_id"),
         col("f64").cast("double").as("float64"))
       .orderBy("probe_id")
-  }
 }

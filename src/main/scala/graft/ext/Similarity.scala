@@ -129,7 +129,13 @@ object Similarity {
     * bits grow with log n so expected bucket size stays ~256; a
     * production build widens recall with more bands/probes exactly
     * like X103), each node keeps its top-`m` by (6dp cosine DESC, id),
-    * edges symmetrized + self-loops. The index is built over ALL
+    * edges symmetrized + self-loops — and since r14 the graph UNIONS
+    * TWO independent sign-hash tables (dims 1..bits and the next
+    * block, the X292 two-table seed): single-table edges never cross
+    * buckets, so the walk was confined to the entry point's sign
+    * region and recall was capped at the measured 3/10; cross-table
+    * edges bridge regions (9/10 at the same fixture with m=8,
+    * width 16). The index is built over ALL
     * corpus vectors — including the query's — and memoized per
     * (dir, cut, m): one graph serves every query, exactly how a
     * deployed ANN index amortizes its build; the query node is
@@ -211,7 +217,7 @@ object Similarity {
   }
 
   def beamSearchTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
-                     m: Int = 4, beamWidth: Int = 8, rounds: Int = 3,
+                     m: Int = 8, beamWidth: Int = 16, rounds: Int = 3,
                      k: Int = 10): DataFrame = {
     graft.functions.CosineSim.register(spark)
     val b = Tables.embeddings(spark, dir)
@@ -228,7 +234,16 @@ object Similarity {
     // buckets), so the index is built once per corpus and both graph-ANN
     // entries search it — a deployed graph index amortizes its build
     // over queries, and so does this one
+    // r14 (the X292 insight promoted into the search graph): UNION two
+    // independent sign-hash tables — a single-table build's edges never
+    // cross its buckets, so the walk was confined to the entry point's
+    // sign region and recall was capped at the measured 3/10; the
+    // cross-table edges bridge regions. Both memos are shared with
+    // hnswTopK's layer 0 and knnDescentAudit's seed.
     val edges = knnGraphMemo(spark, dir, "all", m)(buildKnnEdges(n, m))
+      .unionByName(knnGraphMemo(spark, dir, "all_alt", m)(
+        buildKnnEdges(n, m, table = 1)))
+      .distinct()
     // entry = the min-id SCORED node: the walk must start somewhere it
     // can rank, and starting at the query's own (unscored) node leaves
     // round 1 with only q's bucket-local edges — measurably worse recall
@@ -263,14 +278,20 @@ object Similarity {
     * graph (top-`m` by 6dp cosine among [[knnBuildBits]]-bit
     * sign-bucket mates over that layer's members — the width is
     * occupancy-bounded PER LAYER, so upper layers use narrower buckets
-    * — symmetrized + self-loops). Search descends:
-    * entry = min-id layer-2 member, one narrow beam round per upper
-    * layer (width 2 on layer 2, width 4 on layer 1 — the
-    * coarse-to-fine funnel), then two width-8 rounds on layer 0; the
-    * carried beam always exists in the next layer down because level
-    * sets are nested by construction. Ranking is 6dp cosine with id
-    * tie-breaks throughout, so the walk is cross-engine-deterministic;
-    * `in_exact_topk` surfaces recall in the output.
+    * — symmetrized + self-loops), and since r14 each layer UNIONS two
+    * independent sign-hash tables: layer buckets are nested PREFIXES
+    * of one sign string, so a single-table descent was confined to the
+    * entry point's sign region top to bottom (recall capped at the
+    * measured 3/10 → 1/10 here); cross-table edges bridge regions at
+    * every layer (8/10 at the same fixture with m=8). Search descends:
+    * entry = min-id layer-2 member, width-8 round on layer 2, width-16
+    * on layer 1 (the coarse-to-fine funnel — layer 2 holds ~1/16 of
+    * nodes, so the narrower round is still the cheaper one), then two
+    * width-16 rounds on layer 0; the carried beam always exists in the
+    * next layer down because level sets are nested by construction.
+    * Ranking is 6dp cosine with id tie-breaks throughout, so the walk
+    * is cross-engine-deterministic; `in_exact_topk` surfaces recall in
+    * the output.
     *
     * Scale shape: layer sizes shrink geometrically (×1/4 per level),
     * so the upper-layer graph builds are asymptotically free against
@@ -282,7 +303,7 @@ object Similarity {
     * query — upper layers route, layer 0 refines.
     */
   def hnswTopK(spark: SparkSession, dir: String, queryId: Long = 0L,
-               m: Int = 4, k: Int = 10): DataFrame = {
+               m: Int = 8, k: Int = 10): DataFrame = {
     graft.functions.CosineSim.register(spark)
     val b = Tables.embeddings(spark, dir)
     val lvlH = conv(substring(md5(col("vec_id").cast("string")), 1, 2),
@@ -298,12 +319,21 @@ object Similarity {
     // each layer graph memoized; "all" is the SAME memo beamSearchTopK
     // reads (identical members/m/buckets), so the dominant layer-0
     // build is shared across the graph-ANN tier
-    val e2 = knnGraphMemo(spark, dir, "h16", m)(
-      buildKnnEdges(n.filter(col("h") < 16), m))
-    val e1 = knnGraphMemo(spark, dir, "h64", m)(
-      buildKnnEdges(n.filter(col("h") < 64), m))
-    val e0 = knnGraphMemo(spark, dir, "all", m)(
-      buildKnnEdges(n, m))
+    // each layer unions TWO independent sign-hash tables (r14, the X292
+    // insight promoted into the search graphs): a single-table build's
+    // edges never cross its buckets — and layer buckets are NESTED
+    // prefixes of the same sign string, so a single-table descent is
+    // confined to the entry point's sign region top to bottom, recall
+    // capped by whatever of the true top-k happens to share it (the
+    // measured 3/10). Cross-table edges bridge regions at every layer.
+    def layerEdges(members: DataFrame, cut: String): DataFrame =
+      knnGraphMemo(spark, dir, cut, m)(buildKnnEdges(members, m))
+        .unionByName(knnGraphMemo(spark, dir, cut + "_alt", m)(
+          buildKnnEdges(members, m, table = 1)))
+        .distinct()
+    val e2 = layerEdges(n.filter(col("h") < 16), "h16")
+    val e1 = layerEdges(n.filter(col("h") < 64), "h64")
+    val e0 = layerEdges(n, "all")
     def step(beam: DataFrame, edges: DataFrame, width: Int): DataFrame =
       beam.join(edges, beam("vec_id") === edges("src"))
         .select(col("dst").as("vec_id")).distinct()
@@ -314,7 +344,7 @@ object Similarity {
     val entry = n.filter(col("h") < 16 && col("vec_id") =!= queryId)
       .agg(min("vec_id").as("vec_id"))
     val descended =
-      step(step(step(step(entry, e2, 2), e1, 4), e0, 8), e0, 8)
+      step(step(step(step(entry, e2, 8), e1, 16), e0, 16), e0, 16)
     val exactK = scored.orderBy(col("cs").desc, col("vec_id")).limit(k)
       .select(col("vec_id").as("evid"))
     descended.join(scored, Seq("vec_id"))
@@ -338,20 +368,27 @@ object Similarity {
     * by construction — the build keeps the true top-m among bucket
     * mates and edges never cross buckets, so one descent round over it
     * is provably a no-op. Cross-table 2-hop paths are what let the
-    * round find genuinely better neighbours (on the sf0.001 fixture:
-    * corpus-mean kept cosine 0.270 → 0.292, 420/500 lists changed).
+    * round find genuinely better neighbours (on the sf0.001 fixture at
+    * m=8: corpus-mean kept cosine 0.235 → 0.280, 500/500 lists
+    * changed).
     * The entry is the refinement AUDIT a production build reads per
     * round: kept-edge count, corpus-mean kept-edge cosine, and how
     * many nodes changed their list — the convergence signal NN-Descent
     * iterates on ("stop when few lists change").
     *
-    * Monotone by construction: the seed carries self-loops, so every
-    * node's 1-hop neighbourhood is a subset of its 2-hop candidate
-    * set — round 1 selects over a superset, hence each node's kept
-    * list is pointwise at-least-as-good and the mean cannot drop (the
-    * Round13OpsSpec law). Exactness: each pair cosine is 6dp-rounded
-    * then cast DECIMAL(9,6) before the SUM (order-free exact adds —
-    * the float-sum rule); the mean converts to double once.
+    * Monotone per node, rank-wise: the seed carries self-loops, so
+    * every node's 1-hop neighbourhood is a subset of its 2-hop
+    * candidate set — round 1 selects over a superset, hence each
+    * node's kept list dominates its round-0 list RANK-WISE (the k-th
+    * best round-1 neighbour is at least as close as the k-th best
+    * round-0 one; Round13OpsSpec asserts exactly this). The CORPUS
+    * MEAN may still dip: a node whose round-0 list was short (fewer
+    * than m bucket mates) can legitimately gain extra lower-cosine
+    * edges in round 1, diluting the mean while every per-node list
+    * improved — so the mean is a convergence heuristic, not a law.
+    * Exactness: each pair cosine is 6dp-rounded then cast DECIMAL(9,6)
+    * before the SUM (order-free exact adds — the float-sum rule); the
+    * mean converts to double once.
     *
     * Scale shape: table A is the SAME memoized (dir, "all", m) graph
     * as X268/X287 (built once per corpus, occupancy-bounded); table B
@@ -362,13 +399,13 @@ object Similarity {
     * while any widened bucket join is not. Two aggregate rows out.
     */
   def knnDescentAudit(spark: SparkSession, dir: String,
-                      m: Int = 4): DataFrame = {
+                      m: Int = 8): DataFrame = {
     graft.functions.CosineSim.register(spark)
     val b = Tables.embeddings(spark, dir)
     val n = b.select(col("vec_id"), dbl(col("embedding")).as("v"),
       col("embedding"))
     val edges = knnGraphMemo(spark, dir, "all", m)(buildKnnEdges(n, m))
-      .unionByName(knnGraphMemo(spark, dir, "alt", m)(
+      .unionByName(knnGraphMemo(spark, dir, "all_alt", m)(
         buildKnnEdges(n, m, table = 1)))
       .distinct()
     val D96 = org.apache.spark.sql.types.DecimalType(9, 6)

@@ -1890,26 +1890,30 @@ ${SHINGLES.trim},
       FROM b, q WHERE bucket = qb AND vec_id <> 0
       ORDER BY cos_sim DESC, vec_id LIMIT 10""",
     // X268 beam-search ANN: replays the deterministic walk move-for-move.
-    // Graph = per-node top-4 by 6dp cosine among occupancy-bounded
-    // sign-bucket mates (bits = min(24, max(4, bit-length of ⌈n/256⌉−1)),
-    // the integer-exact ⌈log₂⌈n/256⌉⌉ — r13: linear pair space at scale),
-    // built over ALL vectors incl. the query's node (one index per
-    // corpus; the query is excluded from scoring at search time),
-    // symmetrized + self-loops; each unrolled beam round references the
-    // previous round exactly ONCE (the self-loops fold "beam ∪ neighbors"
-    // into one join — the X-iteration rule).
+    // Graph (r14) = the UNION of TWO independent sign-hash tables (dims
+    // 1..bits and the next block — single-table edges never cross
+    // buckets, which capped recall at 3/10), each per-node top-8 by 6dp
+    // cosine among occupancy-bounded bucket mates (bits = min(24,
+    // max(4, bit-length of ⌈n/256⌉−1)), the integer-exact
+    // ⌈log₂⌈n/256⌉⌉), built over ALL vectors incl. the query's node
+    // (one index per corpus; the query is excluded from scoring at
+    // search time), symmetrized + self-loops; each unrolled width-16
+    // beam round references the previous round exactly ONCE (the
+    // self-loops fold "beam ∪ neighbors" into one join — the
+    // X-iteration rule).
     "embed_ann_beam" -> """
       WITH mrel AS (
         SELECT vec_id, embedding,
           array_to_string([CASE WHEN embedding[i] >= 0 THEN '1'
                            ELSE '0' END
-                           FOR i IN generate_series(1, 24)], '') AS b24
+                           FOR i IN generate_series(1, 48)], '') AS b48
         FROM embeddings),
       nb AS (SELECT CASE WHEN mm <= 16 THEN 4
                     ELSE least(24, length(bin(mm - 1))) END AS bits
              FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM mrel) z),
       n AS (SELECT mrel.vec_id, mrel.embedding::DOUBLE[] AS v,
-                   substr(mrel.b24, 1, nb.bits) AS bucket
+                   substr(mrel.b48, 1, nb.bits) AS bucket,
+                   substr(mrel.b48, nb.bits + 1, nb.bits) AS bucket2
             FROM mrel, nb),
       q AS (SELECT v AS qv FROM n WHERE vec_id = 0),
       sc AS (
@@ -1927,11 +1931,24 @@ ${SHINGLES.trim},
                       sqrt(list_dot_product(y.v, y.v))), 6) DESC,
                    y.vec_id) AS rn
           FROM n x JOIN n y ON y.bucket = x.bucket AND y.vec_id <> x.vec_id) tr
-        WHERE rn <= 4),
+        WHERE rn <= 8),
+      topm2 AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM n x JOIN n y ON y.bucket2 = x.bucket2
+               AND y.vec_id <> x.vec_id) tr2
+        WHERE rn <= 8),
       edges AS (
         SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM topm
           UNION ALL SELECT dst AS src, src AS dst FROM topm
+          UNION ALL SELECT src, dst FROM topm2
+          UNION ALL SELECT dst AS src, src AS dst FROM topm2
           UNION ALL SELECT vec_id AS src, vec_id AS dst FROM n) ue),
       b0 AS (SELECT MIN(vec_id) AS vec_id FROM sc),
       b1 AS (SELECT vec_id FROM (
@@ -1939,19 +1956,19 @@ ${SHINGLES.trim},
                ROW_NUMBER() OVER (ORDER BY s1.cs DESC, d1.dst) AS rn
         FROM (SELECT DISTINCT e1.dst FROM b0 JOIN edges e1
               ON e1.src = b0.vec_id) d1
-        JOIN sc s1 ON s1.vec_id = d1.dst) t1 WHERE rn <= 8),
+        JOIN sc s1 ON s1.vec_id = d1.dst) t1 WHERE rn <= 16),
       b2 AS (SELECT vec_id FROM (
         SELECT d2.dst AS vec_id,
                ROW_NUMBER() OVER (ORDER BY s2.cs DESC, d2.dst) AS rn
         FROM (SELECT DISTINCT e2.dst FROM b1 JOIN edges e2
               ON e2.src = b1.vec_id) d2
-        JOIN sc s2 ON s2.vec_id = d2.dst) t2 WHERE rn <= 8),
+        JOIN sc s2 ON s2.vec_id = d2.dst) t2 WHERE rn <= 16),
       b3 AS (SELECT vec_id FROM (
         SELECT d3.dst AS vec_id,
                ROW_NUMBER() OVER (ORDER BY s3.cs DESC, d3.dst) AS rn
         FROM (SELECT DISTINCT e3.dst FROM b2 JOIN edges e3
               ON e3.src = b2.vec_id) d3
-        JOIN sc s3 ON s3.vec_id = d3.dst) t3 WHERE rn <= 8),
+        JOIN sc s3 ON s3.vec_id = d3.dst) t3 WHERE rn <= 16),
       exactk AS (SELECT vec_id FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS rn
         FROM sc) te WHERE rn <= 10)
@@ -1964,23 +1981,26 @@ ${SHINGLES.trim},
       ORDER BY rnk""",
     // X287 HNSW multi-layer ANN: replays the whole descent move-for-move.
     // Levels from the first md5 byte of the id (h<16 → layer 2, h<64 →
-    // layer 1, all → layer 0 — nested by construction); one X268-shaped
-    // kNN graph per layer (top-4 by 6dp cosine among occupancy-bounded
-    // sign-bucket mates — the width is computed PER LAYER from that
-    // layer's member count via the integer-exact bit-length formula, so
-    // every layer build's pair space stays linear), built over ALL
-    // vectors incl. the query's node (excluded from scoring at search
-    // time); descent = width-2 round on e2, width-4 on e1, two width-8
-    // rounds on e0, each unrolled round referencing the previous once.
+    // layer 1, all → layer 0 — nested by construction); per layer (r14)
+    // the graph UNIONS two independent sign-hash tables (top-8 by 6dp
+    // cosine among occupancy-bounded bucket mates, widths computed PER
+    // LAYER from that layer's member count via the integer-exact
+    // bit-length formula) — layer buckets are nested prefixes of one
+    // sign string, so a single-table descent was confined to the entry
+    // point's sign region top to bottom; the cross-table edges bridge
+    // regions at every layer. Built over ALL vectors incl. the query's
+    // node (excluded from scoring at search time); descent = width-8
+    // round on e2, width-16 on e1, two width-16 rounds on e0, each
+    // unrolled round referencing the previous once.
     "embed_ann_hnsw" -> """
       WITH mrel AS (
         SELECT vec_id, embedding,
           array_to_string([CASE WHEN embedding[i] >= 0 THEN '1'
                            ELSE '0' END
-                           FOR i IN generate_series(1, 24)], '') AS b24,
+                           FOR i IN generate_series(1, 48)], '') AS b48,
           ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))::BIGINT AS h
         FROM embeddings),
-      nall AS (SELECT vec_id, embedding::DOUBLE[] AS v, b24, h FROM mrel),
+      nall AS (SELECT vec_id, embedding::DOUBLE[] AS v, b48, h FROM mrel),
       nb2 AS (SELECT CASE WHEN mm <= 16 THEN 4
                      ELSE least(24, length(bin(mm - 1))) END AS bits
               FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM nall
@@ -1992,11 +2012,14 @@ ${SHINGLES.trim},
       nb0 AS (SELECT CASE WHEN mm <= 16 THEN 4
                      ELSE least(24, length(bin(mm - 1))) END AS bits
               FROM (SELECT (COUNT(*) + 255) // 256 AS mm FROM nall) z0),
-      g2 AS (SELECT vec_id, v, substr(b24, 1, nb2.bits) AS bucket
+      g2 AS (SELECT vec_id, v, substr(b48, 1, nb2.bits) AS bucket,
+                    substr(b48, nb2.bits + 1, nb2.bits) AS bucket2
              FROM nall, nb2 WHERE h < 16),
-      g1 AS (SELECT vec_id, v, substr(b24, 1, nb1.bits) AS bucket
+      g1 AS (SELECT vec_id, v, substr(b48, 1, nb1.bits) AS bucket,
+                    substr(b48, nb1.bits + 1, nb1.bits) AS bucket2
              FROM nall, nb1 WHERE h < 64),
-      g0 AS (SELECT vec_id, v, substr(b24, 1, nb0.bits) AS bucket
+      g0 AS (SELECT vec_id, v, substr(b48, 1, nb0.bits) AS bucket,
+                    substr(b48, nb0.bits + 1, nb0.bits) AS bucket2
              FROM nall, nb0),
       q AS (SELECT v AS qv FROM nall WHERE vec_id = 0),
       sc AS (
@@ -2015,11 +2038,24 @@ ${SHINGLES.trim},
                    y.vec_id) AS rn
           FROM g2 x JOIN g2 y ON y.bucket = x.bucket
                AND y.vec_id <> x.vec_id) t2
-        WHERE rn <= 4),
+        WHERE rn <= 8),
+      tm2b AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM g2 x JOIN g2 y ON y.bucket2 = x.bucket2
+               AND y.vec_id <> x.vec_id) t2b
+        WHERE rn <= 8),
       e2 AS (
         SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM tm2
           UNION ALL SELECT dst AS src, src AS dst FROM tm2
+          UNION ALL SELECT src, dst FROM tm2b
+          UNION ALL SELECT dst AS src, src AS dst FROM tm2b
           UNION ALL SELECT vec_id AS src, vec_id AS dst FROM g2) u2),
       tm1 AS (
         SELECT src, dst FROM (
@@ -2031,11 +2067,24 @@ ${SHINGLES.trim},
                    y.vec_id) AS rn
           FROM g1 x JOIN g1 y ON y.bucket = x.bucket
                AND y.vec_id <> x.vec_id) t1
-        WHERE rn <= 4),
+        WHERE rn <= 8),
+      tm1b AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM g1 x JOIN g1 y ON y.bucket2 = x.bucket2
+               AND y.vec_id <> x.vec_id) t1b
+        WHERE rn <= 8),
       e1 AS (
         SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM tm1
           UNION ALL SELECT dst AS src, src AS dst FROM tm1
+          UNION ALL SELECT src, dst FROM tm1b
+          UNION ALL SELECT dst AS src, src AS dst FROM tm1b
           UNION ALL SELECT vec_id AS src, vec_id AS dst FROM g1) u1),
       tm0 AS (
         SELECT src, dst FROM (
@@ -2047,11 +2096,24 @@ ${SHINGLES.trim},
                    y.vec_id) AS rn
           FROM g0 x JOIN g0 y ON y.bucket = x.bucket
                AND y.vec_id <> x.vec_id) t0
-        WHERE rn <= 4),
+        WHERE rn <= 8),
+      tm0b AS (
+        SELECT src, dst FROM (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                   ROUND(list_dot_product(x.v, y.v) /
+                     (sqrt(list_dot_product(x.v, x.v)) *
+                      sqrt(list_dot_product(y.v, y.v))), 6) DESC,
+                   y.vec_id) AS rn
+          FROM g0 x JOIN g0 y ON y.bucket2 = x.bucket2
+               AND y.vec_id <> x.vec_id) t0b
+        WHERE rn <= 8),
       e0 AS (
         SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM tm0
           UNION ALL SELECT dst AS src, src AS dst FROM tm0
+          UNION ALL SELECT src, dst FROM tm0b
+          UNION ALL SELECT dst AS src, src AS dst FROM tm0b
           UNION ALL SELECT vec_id AS src, vec_id AS dst FROM g0) u0),
       hb0 AS (SELECT MIN(vec_id) AS vec_id FROM nall
               WHERE h < 16 AND vec_id <> 0),
@@ -2060,25 +2122,25 @@ ${SHINGLES.trim},
                ROW_NUMBER() OVER (ORDER BY s1.cs DESC, d1.dst) AS rn
         FROM (SELECT DISTINCT w1.dst FROM hb0 JOIN e2 w1
               ON w1.src = hb0.vec_id) d1
-        JOIN sc s1 ON s1.vec_id = d1.dst) h1 WHERE rn <= 2),
+        JOIN sc s1 ON s1.vec_id = d1.dst) h1 WHERE rn <= 8),
       hb2 AS (SELECT vec_id FROM (
         SELECT d2.dst AS vec_id,
                ROW_NUMBER() OVER (ORDER BY s2.cs DESC, d2.dst) AS rn
         FROM (SELECT DISTINCT w2.dst FROM hb1 JOIN e1 w2
               ON w2.src = hb1.vec_id) d2
-        JOIN sc s2 ON s2.vec_id = d2.dst) h2 WHERE rn <= 4),
+        JOIN sc s2 ON s2.vec_id = d2.dst) h2 WHERE rn <= 16),
       hb3 AS (SELECT vec_id FROM (
         SELECT d3.dst AS vec_id,
                ROW_NUMBER() OVER (ORDER BY s3.cs DESC, d3.dst) AS rn
         FROM (SELECT DISTINCT w3.dst FROM hb2 JOIN e0 w3
               ON w3.src = hb2.vec_id) d3
-        JOIN sc s3 ON s3.vec_id = d3.dst) h3 WHERE rn <= 8),
+        JOIN sc s3 ON s3.vec_id = d3.dst) h3 WHERE rn <= 16),
       hb4 AS (SELECT vec_id FROM (
         SELECT d4.dst AS vec_id,
                ROW_NUMBER() OVER (ORDER BY s4.cs DESC, d4.dst) AS rn
         FROM (SELECT DISTINCT w4.dst FROM hb3 JOIN e0 w4
               ON w4.src = hb3.vec_id) d4
-        JOIN sc s4 ON s4.vec_id = d4.dst) h4 WHERE rn <= 8),
+        JOIN sc s4 ON s4.vec_id = d4.dst) h4 WHERE rn <= 16),
       exactk AS (SELECT vec_id FROM (
         SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS rn
         FROM sc) he WHERE rn <= 10)
@@ -2093,8 +2155,8 @@ ${SHINGLES.trim},
     // A replays the X268 build (sign dims 1..bits), table B the same
     // build on the NEXT block of sign dims (a single-table seed is
     // already bucket-optimal, so descent over it is a no-op); round 0 =
-    // per-node top-4 over the unioned 1-hop neighbourhood, round 1 =
-    // top-4 over the 2-hop candidate set; per-pair cosines 6dp-rounded
+    // per-node top-8 over the unioned 1-hop neighbourhood, round 1 =
+    // top-8 over the 2-hop candidate set (m = 8 since r14); per-pair cosines 6dp-rounded
     // and cast DECIMAL(9,6) before the mean's SUM (order-free adds),
     // the mean converts to double once.
     "embed_knn_descent" -> """
@@ -2121,7 +2183,7 @@ ${SHINGLES.trim},
                    y.vec_id) AS rn
           FROM n x JOIN n y ON y.bucket = x.bucket
                AND y.vec_id <> x.vec_id) tr
-        WHERE rn <= 4),
+        WHERE rn <= 8),
       topm2 AS (
         SELECT src, dst FROM (
           SELECT x.vec_id AS src, y.vec_id AS dst,
@@ -2132,7 +2194,7 @@ ${SHINGLES.trim},
                    y.vec_id) AS rn
           FROM n x JOIN n y ON y.bucket2 = x.bucket2
                AND y.vec_id <> x.vec_id) tr2
-        WHERE rn <= 4),
+        WHERE rn <= 8),
       edges AS (
         SELECT DISTINCT src, dst FROM (
           SELECT src, dst FROM topm
@@ -2149,7 +2211,7 @@ ${SHINGLES.trim},
                    JOIN n w ON w.vec_id = nbr.j),
       kb0 AS (SELECT i, j, c FROM (
         SELECT i, j, c, ROW_NUMBER() OVER (PARTITION BY i
-          ORDER BY c DESC, j) AS rn FROM sc0) t0 WHERE rn <= 4),
+          ORDER BY c DESC, j) AS rn FROM sc0) t0 WHERE rn <= 8),
       hop2 AS (SELECT DISTINCT e1.src AS i, e2.dst AS j
                FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
                WHERE e2.dst <> e1.src),
@@ -2161,7 +2223,7 @@ ${SHINGLES.trim},
                    JOIN n w ON w.vec_id = hop2.j),
       kb1 AS (SELECT i, j, c FROM (
         SELECT i, j, c, ROW_NUMBER() OVER (PARTITION BY i
-          ORDER BY c DESC, j) AS rn FROM sc1) t1 WHERE rn <= 4),
+          ORDER BY c DESC, j) AS rn FROM sc1) t1 WHERE rn <= 8),
       chg AS (SELECT CAST(COUNT(DISTINCT x.i) AS BIGINT) AS n_changed_nodes
               FROM kb1 x LEFT JOIN kb0 y ON y.i = x.i AND y.j = x.j
               WHERE y.i IS NULL),
@@ -7309,88 +7371,11 @@ ${SHINGLES.trim},
     // environment (the recursive spelling survives as a documented
     // equivalence test in Round11OpsSpec — Spark 4.1's UNION ALL
     // recursion boundary stays covered there).
-    "analytics_hier_rollup" -> """
-      WITH percust AS (
-        SELECT o_custkey AS ck,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-        FROM orders GROUP BY o_custkey),
-      anc AS (
-        SELECT ck AS node, rev FROM percust
-        UNION ALL SELECT ck // 10 AS node, rev FROM percust WHERE ck // 10 > 0
-        UNION ALL SELECT ck // 100 AS node, rev FROM percust WHERE ck // 100 > 0
-        UNION ALL SELECT ck // 1000 AS node, rev FROM percust WHERE ck // 1000 > 0
-        UNION ALL SELECT ck // 10000 AS node, rev FROM percust WHERE ck // 10000 > 0
-        UNION ALL SELECT ck // 100000 AS node, rev FROM percust WHERE ck // 100000 > 0
-        UNION ALL SELECT ck // 1000000 AS node, rev FROM percust WHERE ck // 1000000 > 0
-        UNION ALL SELECT ck // 10000000 AS node, rev FROM percust WHERE ck // 10000000 > 0
-        UNION ALL SELECT ck // 100000000 AS node, rev FROM percust WHERE ck // 100000000 > 0
-        UNION ALL SELECT ck // 1000000000 AS node, rev FROM percust WHERE ck // 1000000000 > 0
-        UNION ALL SELECT ck // 10000000000 AS node, rev FROM percust WHERE ck // 10000000000 > 0
-        UNION ALL SELECT ck // 100000000000 AS node, rev FROM percust WHERE ck // 100000000000 > 0
-        UNION ALL SELECT ck // 1000000000000 AS node, rev FROM percust WHERE ck // 1000000000000 > 0
-        UNION ALL SELECT ck // 10000000000000 AS node, rev FROM percust WHERE ck // 10000000000000 > 0
-        UNION ALL SELECT ck // 100000000000000 AS node, rev FROM percust WHERE ck // 100000000000000 > 0
-        UNION ALL SELECT ck // 1000000000000000 AS node, rev FROM percust WHERE ck // 1000000000000000 > 0
-        UNION ALL SELECT ck // 10000000000000000 AS node, rev FROM percust WHERE ck // 10000000000000000 > 0
-        UNION ALL SELECT ck // 100000000000000000 AS node, rev FROM percust WHERE ck // 100000000000000000 > 0
-        UNION ALL SELECT ck // 1000000000000000000 AS node, rev FROM percust WHERE ck // 1000000000000000000 > 0)
-      SELECT node,
-             CAST(length(CAST(node AS VARCHAR)) AS BIGINT) AS depth,
-             CAST(COUNT(*) AS BIGINT) AS n_members,
-             CAST(SUM(rev) AS DECIMAL(18,2)) AS revenue
-      FROM anc GROUP BY node ORDER BY node""",
+    // X245+X288 (r14): analytics_theil ships the integer rendering —
+    // every output an exact BIGINT (ratios ×10⁶ rounded per term,
+    // revenue in cents), the form CORRECTNESS_r13 proved driver-green
+    // while the decimal spelling stayed red for a 4th round.
     "analytics_theil" -> """
-      WITH rev AS (
-        SELECT n.n_name AS nation, o.o_custkey AS ck,
-               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
-        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
-             JOIN nation n ON n.n_nationkey = c.c_nationkey
-        GROUP BY n.n_name, o.o_custkey),
-      bynat AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_g,
-                       CAST(SUM(x) AS DECIMAL(38,2)) AS x_g
-                FROM rev GROUP BY nation),
-      tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
-                     CAST(SUM(x_g) AS DECIMAL(38,2)) AS s FROM bynat),
-      wt AS (SELECT r.nation,
-                    CAST(ROUND((CAST(r.x AS DOUBLE) / CAST(b.x_g AS DOUBLE)) *
-                      ln(b.n_g * CAST(r.x AS DOUBLE) / CAST(b.x_g AS DOUBLE)), 6)
-                      AS DECIMAL(18,6)) AS term
-             FROM rev r JOIN bynat b ON b.nation = r.nation),
-      wg AS (SELECT nation, SUM(term) AS t_g_dec FROM wt GROUP BY nation),
-      tterm AS (SELECT CAST(ROUND((CAST(r.x AS DOUBLE) / CAST(t.s AS DOUBLE)) *
-                    ln(t.n * CAST(r.x AS DOUBLE) / CAST(t.s AS DOUBLE)), 6)
-                    AS DECIMAL(18,6)) AS term
-                FROM rev r CROSS JOIN tot t),
-      ttot AS (SELECT SUM(term) AS t_dec FROM tterm),
-      btw AS (SELECT SUM(CAST(ROUND((CAST(x_g AS DOUBLE) / CAST(s AS DOUBLE)) *
-                  ln((CAST(x_g AS DOUBLE) / CAST(s AS DOUBLE)) *
-                     (CAST(n AS DOUBLE) / n_g)), 6) AS DECIMAL(18,6))) AS b_dec
-             FROM bynat CROSS JOIN tot),
-      grp AS (SELECT b.nation, b.n_g AS n_customers,
-                     CAST(b.x_g AS DECIMAL(18,2)) AS revenue,
-                     CAST(ROUND(CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE), 6)
-                       AS DECIMAL(9,6)) AS share,
-                     CAST(ROUND(CAST(w.t_g_dec AS DOUBLE), 6)
-                       AS DECIMAL(9,6)) AS theil,
-                     CAST(ROUND((CAST(b.x_g AS DOUBLE) / CAST(t.s AS DOUBLE)) *
-                       CAST(w.t_g_dec AS DOUBLE), 6) AS DECIMAL(9,6)) AS decomp
-              FROM bynat b JOIN wg w ON w.nation = b.nation CROSS JOIN tot t),
-      trow AS (SELECT 'TOTAL' AS nation, t.n AS n_customers,
-                      CAST(t.s AS DECIMAL(18,2)) AS revenue,
-                      CAST(1.0 AS DECIMAL(9,6)) AS share,
-                      CAST(ROUND(CAST(tt2.t_dec AS DOUBLE), 6)
-                        AS DECIMAL(9,6)) AS theil,
-                      CAST(ROUND(CAST(bw.b_dec AS DOUBLE), 6)
-                        AS DECIMAL(9,6)) AS decomp
-               FROM tot t CROSS JOIN ttot tt2 CROSS JOIN btw bw)
-      SELECT * FROM (SELECT * FROM grp UNION ALL SELECT * FROM trow) u
-      ORDER BY nation""",
-    // X288 theil probe: the SAME relations and per-term math as
-    // analytics_theil, every output re-rendered as exact BIGINT
-    // (ratios ×10⁶ rounded per term, revenue in cents) — the r12
-    // verdict's single-axis bisection sibling for the driver-red/
-    // mirror-green split.
-    "analytics_theil_micro" -> """
       WITH rev AS (
         SELECT n.n_name AS nation, o.o_custkey AS ck,
                SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
@@ -7435,9 +7420,11 @@ ${SHINGLES.trim},
                FROM tot t CROSS JOIN ttot tt2 CROSS JOIN btw bw)
       SELECT * FROM (SELECT * FROM grp UNION ALL SELECT * FROM trow) u
       ORDER BY nation""",
-    // X289 rollup probe: X267's explode with revenue as BIGINT cents —
-    // all-int64 output, nothing decimal crosses the bridge.
-    "analytics_hier_rollup_cents" -> """
+    // X267+X289 (r14): analytics_hier_rollup ships the cents rendering
+    // — all-int64 output, nothing decimal crosses the bridge (the form
+    // CORRECTNESS_r13 proved driver-green while the DECIMAL(18,2)
+    // revenue column stayed red for a 3rd round).
+    "analytics_hier_rollup" -> """
       WITH percust AS (
         SELECT o_custkey AS ck,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
@@ -7496,21 +7483,39 @@ ${SHINGLES.trim},
              CAST(length(CAST(node AS VARCHAR)) AS BIGINT) AS depth,
              CAST(COUNT(*) AS BIGINT) AS n_members
       FROM anc GROUP BY node ORDER BY node""",
-    // X291 type probe: reads NO table — four literal rows, one column
-    // per suspect type, every value spelled as the same string literal
-    // in entry and twin (so any red cell is an oracle-environment
-    // property by construction).
-    "dq_probe_types" -> """
+    // X291 singleton probes (r14 decomposition): reads NO table — the
+    // r13 combined four-type probe came back hash-red without naming
+    // the broken type; these carry the SAME literals one suspect type
+    // per entry, so CORRECTNESS_r14's pattern names it. Values are
+    // identical string literals in entry and twin, so any red cell is
+    // an oracle-environment property by construction.
+    "dq_probe_int64" -> """
       SELECT CAST(pid AS BIGINT) AS probe_id,
-             CAST(d96 AS DECIMAL(9,6)) AS dec96,
-             CAST(d182 AS DECIMAL(18,2)) AS dec182,
-             CAST(i64 AS BIGINT) AS int64,
+             CAST(i64 AS BIGINT) AS int64
+      FROM (VALUES ('1', '42'), ('2', '0'),
+                   ('3', '-7'), ('4', '9007199254740993'))
+           AS v(pid, i64)
+      ORDER BY probe_id""",
+    "dq_probe_dec96" -> """
+      SELECT CAST(pid AS BIGINT) AS probe_id,
+             CAST(d96 AS DECIMAL(9,6)) AS dec96
+      FROM (VALUES ('1', '-0.123450'), ('2', '0.000000'),
+                   ('3', '0.999999'), ('4', '-0.100000'))
+           AS v(pid, d96)
+      ORDER BY probe_id""",
+    "dq_probe_dec182" -> """
+      SELECT CAST(pid AS BIGINT) AS probe_id,
+             CAST(d182 AS DECIMAL(18,2)) AS dec182
+      FROM (VALUES ('1', '1234567890123456.78'), ('2', '0.00'),
+                   ('3', '-9.99'), ('4', '100.10'))
+           AS v(pid, d182)
+      ORDER BY probe_id""",
+    "dq_probe_double" -> """
+      SELECT CAST(pid AS BIGINT) AS probe_id,
              CAST(f64 AS DOUBLE) AS float64
-      FROM (VALUES ('1', '-0.123450', '1234567890123456.78', '42', '0.1'),
-                   ('2', '0.000000', '0.00', '0', '-2.5'),
-                   ('3', '0.999999', '-9.99', '-7', '123456.789012'),
-                   ('4', '-0.100000', '100.10', '9007199254740993', '0.0000001'))
-           AS v(pid, d96, d182, i64, f64)
+      FROM (VALUES ('1', '0.1'), ('2', '-2.5'),
+                   ('3', '123456.789012'), ('4', '0.0000001'))
+           AS v(pid, f64)
       ORDER BY probe_id""",
     // X246 HyperBall: the oracle unrolls the register max-union rounds
     // relationally ((id, b, rho) rows, self-loops carry the own-sketch

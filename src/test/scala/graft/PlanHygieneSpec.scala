@@ -166,10 +166,9 @@ class PlanHygieneSpec extends SparkSpec
     "curation_quality_calibration" -> 8,
     // three 1-row audit aggregates crossed into the single output row
     "dq_blocking_quality" -> 8,
-    // broadcast 1-row (n, S) corpus totals (the analytics_gini class)
+    // broadcast 1-row (n, S) corpus totals (the analytics_gini class;
+    // since r14 the entry is the X288 integer rendering — same plan)
     "analytics_theil" -> 8,
-    // the X288 probe repeats analytics_theil's 1-row totals broadcasts
-    "analytics_theil_micro" -> 8,
     // the embed_cosine_topk query-row broadcast inside the exact leg
     "embed_rank_fusion" -> 8,
     // two 1-row per-half recency watermarks (the analytics_rfm shape)

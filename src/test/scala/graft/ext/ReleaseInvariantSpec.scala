@@ -31,13 +31,16 @@ class ReleaseInvariantSpec extends SparkSpec {
 
     // 3. relCache-miss probe: memo population happens at DataFrame
     //    CONSTRUCTION, so constructing every entry name-sorted after the
-    //    release point (Bench's derived point is dq_blocking_quality on
-    //    the full set) must not re-create any released key. stream_*
-    //    entries execute their query on construction and call only the
-    //    pure (non-memoized) TextDedup helpers — excluded for cost, like
+    //    release point must not re-create any released key. The point is
+    //    computed with Bench's OWN derivation (r13 advice: a literal
+    //    here went stale the moment a later-sorting consumer appeared,
+    //    silently shrinking this guard's coverage). stream_* entries
+    //    execute their query on construction and call only the pure
+    //    (non-memoized) TextDedup helpers — excluded for cost, like
     //    the fs-dependent scan_inventory (both mirror PlanHygieneSpec's
     //    sweep filter).
-    val releasePoint = "dq_blocking_quality"
+    val releasePoint =
+      graft.Bench.pairReleasePoint(graft.SparkEntry.queries.keys).get
     graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) =>
         n > releasePoint && n != "scan_inventory" &&

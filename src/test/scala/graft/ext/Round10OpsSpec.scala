@@ -154,7 +154,7 @@ class Round10OpsSpec extends SparkSpec {
   test("theil decomposition: T ~= between + sum of within contributions") {
     // share/theil/decomp are DECIMAL(9,6) since r12 (rendering made
     // engine/libm-independent — the r11 driver-red fix)
-    val rows = Analytics.theilRevenue(spark, sf001).collect()
+    val rows = Analytics.theilRevenueDecimal(spark, sf001).collect()
       .map(r => (r.getString(0), r.getLong(1),
         r.getDecimal(2).doubleValue(), r.getDecimal(3).doubleValue(),
         r.getDecimal(4).doubleValue(), r.getDecimal(5).doubleValue()))

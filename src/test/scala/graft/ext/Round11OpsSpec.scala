@@ -32,7 +32,7 @@ class Round11OpsSpec extends SparkSpec {
         if (node >= 10) node = node / 10 else done = true
       }
     }
-    val got = Analytics.hierRollup(spark, sf001).collect()
+    val got = Analytics.hierRollupDecimal(spark, sf001).collect()
       .map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getDecimal(3)))
     assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
@@ -87,7 +87,7 @@ class Round11OpsSpec extends SparkSpec {
              CAST(COUNT(*) AS BIGINT) AS n_members,
              CAST(SUM(rev) AS DECIMAL(18,2)) AS revenue
       FROM anc GROUP BY node ORDER BY node""").collect()
-    val got = Analytics.hierRollup(spark, sf001).collect()
+    val got = Analytics.hierRollupDecimal(spark, sf001).collect()
     assert(rec.length == got.length)
     rec.zip(got).foreach { case (a, b) =>
       assert(a.getLong(0) == b.getLong(0))
@@ -113,20 +113,27 @@ class Round11OpsSpec extends SparkSpec {
     // occupancy-bounded bucket width (r13): the integer-exact
     // min(24, max(4, ⌈log₂⌈n/256⌉⌉)) the engine and twin both state
     val bits = Similarity.knnBuildBits(vecs.length.toLong)
-    def bucket(v: Array[Double]): String =
-      (0 until bits).map(i => if (v(i) >= 0) '1' else '0').mkString
     val qv = vecs.find(_._1 == 0L).get._2
     // the index covers ALL vectors (query node included, r13); scoring
     // — and therefore beams and results — excludes the query
     val cs = vecs.filter(_._1 != 0L)
       .map { case (id, v) => id -> cos(v, qv) }.toMap
-    val byBucket = vecs.groupBy { case (_, v) => bucket(v) }
-    val topM = vecs.flatMap { case (id, v) =>
-      byBucket(bucket(v)).filter(_._1 != id)
-        .map { case (jd, w) => (jd, cos(v, w)) }
-        .sortBy { case (jd, c) => (-c, jd) }.take(4)
-        .map { case (jd, _) => (id, jd) }
+    // r14: the search graph UNIONS two independent sign-hash tables
+    // (offset 0 and offset `bits`) at m = 8 — single-table edges never
+    // cross buckets, which capped recall at 3/10
+    def tableTopM(offset: Int): Seq[(Long, Long)] = {
+      def bucket(v: Array[Double]): String =
+        (offset until offset + bits)
+          .map(i => if (v(i) >= 0) '1' else '0').mkString
+      val byBucket = vecs.groupBy { case (_, v) => bucket(v) }
+      vecs.toSeq.flatMap { case (id, v) =>
+        byBucket(bucket(v)).filter(_._1 != id)
+          .map { case (jd, w) => (jd, cos(v, w)) }
+          .sortBy { case (jd, c) => (-c, jd) }.take(8)
+          .map { case (jd, _) => (id, jd) }
+      }
     }
+    val topM = tableTopM(0) ++ tableTopM(bits)
     val allEdges: Set[(Long, Long)] =
       topM.toSet ++ topM.map(_.swap).toSet ++
         vecs.map(p => (p._1, p._1)).toSet
@@ -138,7 +145,7 @@ class Round11OpsSpec extends SparkSpec {
     (1 to 3).foreach { _ =>
       val frontier = beam.flatMap(edges.getOrElse(_, Set.empty[Long]))
       beam = frontier.filter(cs.contains).toSeq
-        .sortBy(id => (-cs(id), id)).take(8).toSet
+        .sortBy(id => (-cs(id), id)).take(16).toSet
     }
     val exactK = vecs.map(_._1).filter(_ != 0L)
       .sortBy(id => (-cs(id), id)).take(10).toSet
@@ -148,9 +155,12 @@ class Round11OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     assert(got.toSeq == expect,
       s"got=${got.toSeq.mkString(",")} expect=${expect.mkString(",")}")
-    // the walk must do real work on the fixture: a multi-row beam that
-    // overlaps the exact top-k (recall > 0), else the entry is vacuous
-    assert(got.length > 1 && got.exists(_._4))
+    // the walk must do real work on the fixture, and at the r14
+    // deployable parameters (two-table seed, m=8, width 16) recall must
+    // be defensible: >= 7 of the exact top-10 in the final beam (the
+    // r13 verdict's bar; measured 9/10 on the current fixture)
+    assert(got.length > 1 && got.count(_._4) >= 7,
+      s"beam recall ${got.count(_._4)}/10 below the 7/10 bar")
   }
 
   private def docTokens(raw: Boolean): Map[Long, Array[String]] =

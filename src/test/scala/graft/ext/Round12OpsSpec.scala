@@ -37,21 +37,27 @@ class Round12OpsSpec extends SparkSpec {
     // — and therefore beams and results — excludes the query
     val cs = vecs.filter(_._1 != 0L)
       .map { case (id, v) => id -> cos(v, qv) }.toMap
-    // per-layer graph: top-4 among the LAYER's occupancy-bounded
-    // sign-bucket mates (bits from the layer's member count, r13),
-    // symmetrized + self-loops (layer 2 = h<16, layer 1 = h<64, 0 = all)
+    // per-layer graph (r14): UNION of two independent sign-hash tables
+    // at m = 8 — layer buckets are nested prefixes of one sign string,
+    // so a single-table descent was confined to the entry's sign region
+    // top to bottom (recall capped at 3/10); cross-table edges bridge
+    // regions at every layer (layer 2 = h<16, layer 1 = h<64, 0 = all)
     def layerEdges(cut: Long => Boolean): Map[Long, Set[Long]] = {
       val mem = vecs.filter { case (id, _) => cut(lvlH(id)) }
       val bits = Similarity.knnBuildBits(mem.length.toLong)
-      def bucket(v: Array[Double]): String =
-        (0 until bits).map(i => if (v(i) >= 0) '1' else '0').mkString
-      val byBucket = mem.groupBy { case (_, v) => bucket(v) }
-      val topM = mem.flatMap { case (id, v) =>
-        byBucket(bucket(v)).filter(_._1 != id)
-          .map { case (jd, w) => (jd, cos(v, w)) }
-          .sortBy { case (jd, c) => (-c, jd) }.take(4)
-          .map { case (jd, _) => (id, jd) }
+      def tableTopM(offset: Int): Seq[(Long, Long)] = {
+        def bucket(v: Array[Double]): String =
+          (offset until offset + bits)
+            .map(i => if (v(i) >= 0) '1' else '0').mkString
+        val byBucket = mem.groupBy { case (_, v) => bucket(v) }
+        mem.toSeq.flatMap { case (id, v) =>
+          byBucket(bucket(v)).filter(_._1 != id)
+            .map { case (jd, w) => (jd, cos(v, w)) }
+            .sortBy { case (jd, c) => (-c, jd) }.take(8)
+            .map { case (jd, _) => (id, jd) }
+        }
       }
+      val topM = tableTopM(0) ++ tableTopM(bits)
       val all: Set[(Long, Long)] =
         topM.toSet ++ topM.map(_.swap).toSet ++
           mem.map(p => (p._1, p._1)).toSet
@@ -69,10 +75,10 @@ class Round12OpsSpec extends SparkSpec {
     assert(l2.nonEmpty, "fixture must populate layer 2")
     // entry = min-id SCORED layer-2 member (query node excluded)
     var beam: Set[Long] = Set(l2.filter(_ != 0L).min)
-    beam = step(beam, e2, 2)
-    beam = step(beam, e1, 4)
-    beam = step(beam, e0, 8)
-    beam = step(beam, e0, 8)
+    beam = step(beam, e2, 8)
+    beam = step(beam, e1, 16)
+    beam = step(beam, e0, 16)
+    beam = step(beam, e0, 16)
     val exactK = vecs.map(_._1).filter(_ != 0L)
       .sortBy(id => (-cs(id), id)).take(10).toSet
     val expect = beam.toSeq.sortBy(id => (-cs(id), id)).zipWithIndex
@@ -81,23 +87,31 @@ class Round12OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     assert(got.toSeq == expect,
       s"got=${got.toSeq.mkString(",")} expect=${expect.mkString(",")}")
-    // the descent must do real work: a multi-row final beam overlapping
-    // the exact top-k (recall > 0), and the upper layers must actually
-    // be sparser than layer 0 (the hierarchy is real, not degenerate)
-    assert(got.length > 1 && got.exists(_._4))
+    // the descent must do real work, at defensible recall (the r13
+    // verdict's >= 7/10 bar; measured 8/10 on the current fixture), and
+    // the upper layers must actually be sparser than layer 0 (the
+    // hierarchy is real, not degenerate)
+    assert(got.length > 1 && got.count(_._4) >= 7,
+      s"hnsw recall ${got.count(_._4)}/10 below the 7/10 bar")
     val n1 = vecs.count { case (id, _) => lvlH(id) < 64 }
     assert(l2.size < n1 && n1 < vecs.length)
   }
 
   test("the r12 environment-proofing of the two r11 driver-reds holds") {
-    // theil's ratios must stay DECIMAL(9,6) — an engine-ROUNDed DOUBLE
-    // output column was the one surface the repo could not pin across
-    // oracle environments (CORRECTNESS_r11); a silent revert would
-    // reopen it without failing any value-level gate here.
-    val D96 = org.apache.spark.sql.types.DecimalType(9, 6)
-    val sch = Analytics.theilRevenue(spark, sf001).schema
-    Seq("share", "theil", "decomp").foreach { c =>
-      assert(sch(c).dataType == D96, s"theil.$c must stay DECIMAL(9,6)")
+    // r14 hardening of the r12 rule: even DECIMAL(9,6)/DECIMAL(18,2)
+    // outputs stayed driver-red for four rounds (CORRECTNESS_r10–r13)
+    // while the integer re-renderings went green first try, so the
+    // shipped analytics_theil / analytics_hier_rollup entries must now
+    // emit NOTHING but integers and strings — a silent revert to any
+    // fractional output type would reopen the bridge divergence
+    // without failing any value-level gate here.
+    import org.apache.spark.sql.types.{LongType, StringType}
+    Seq("analytics_theil", "analytics_hier_rollup").foreach { name =>
+      val sch = graft.SparkEntry.queries(name)(spark, sf001).schema
+      sch.fields.foreach { f =>
+        assert(f.dataType == LongType || f.dataType == StringType,
+          s"$name.${f.name} must stay BIGINT/STRING (got ${f.dataType})")
+      }
     }
     // hier_rollup's shipped twin must stay non-recursive: WITH RECURSIVE
     // was the only untested-elsewhere construct in a driver-red twin
