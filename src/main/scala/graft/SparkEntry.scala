@@ -578,6 +578,16 @@ object SparkEntry {
     "dq_probe_dec96" -> ((s, _) => graft.ext.DataQuality.probeDec96(s)),
     "dq_probe_dec182" -> ((s, _) => graft.ext.DataQuality.probeDec182(s)),
     "dq_probe_double" -> ((s, _) => graft.ext.DataQuality.probeDouble(s)),
+    // r13 combined four-type probe, kept for driver-surface continuity:
+    // every name in CORRECTNESS_r13 must keep existing (a disappeared
+    // entry reads as a regression). Its known-red cell is the documented
+    // r13 diagnostic; the singletons above carry the bisection forward.
+    "dq_probe_types" -> ((s, _) => graft.ext.DataQuality.probeTypes(s)),
+    // X288/X289 (r13) probe names, likewise kept: since r14 the shipped
+    // analytics_theil / analytics_hier_rollup ARE these renderings, so
+    // the probes alias the same implementations (and twins) verbatim.
+    "analytics_theil_micro" -> ((s, d) => graft.ext.Analytics.theilRevenueMicro(s, d)),
+    "analytics_hier_rollup_cents" -> ((s, d) => graft.ext.Analytics.hierRollupCents(s, d)),
     // X292 (r13): one NN-Descent refinement round over the shared
     // graph-ANN index — the linear at-scale kNN-graph improvement path
     "embed_knn_descent" -> ((s, d) => graft.ext.Similarity.knnDescentAudit(s, d)),

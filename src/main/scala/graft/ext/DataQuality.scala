@@ -859,4 +859,21 @@ object DataQuality {
       .select(col("probe_id"),
         col("f64").cast("double").as("float64"))
       .orderBy("probe_id")
+
+  /** X291 original combined probe — all four suspect types in one
+    * relation, exactly the r13 shape. Kept alongside the singletons
+    * because the driver's surface is append-only: an entry name that
+    * existed in CORRECTNESS_r13 must keep existing (a disappeared
+    * query reads as a regression regardless of why). Its red cell
+    * stays the documented r13 diagnostic; the singletons above carry
+    * the bisection forward.
+    */
+  def probeTypes(spark: SparkSession): DataFrame =
+    probeLiterals(spark)
+      .select(col("probe_id"),
+        col("d96").cast("decimal(9,6)").as("dec96"),
+        col("d182").cast("decimal(18,2)").as("dec182"),
+        col("i64").as("int64"),
+        col("f64").cast("double").as("float64"))
+      .orderBy("probe_id")
 }

@@ -7517,6 +7517,21 @@ ${SHINGLES.trim},
                    ('3', '123456.789012'), ('4', '0.0000001'))
            AS v(pid, f64)
       ORDER BY probe_id""",
+    // X291 original combined probe — kept verbatim for driver-surface
+    // continuity (entry names are append-only); its red cell is the
+    // documented r13 diagnostic, the singletons carry the bisection.
+    "dq_probe_types" -> """
+      SELECT CAST(pid AS BIGINT) AS probe_id,
+             CAST(d96 AS DECIMAL(9,6)) AS dec96,
+             CAST(d182 AS DECIMAL(18,2)) AS dec182,
+             CAST(i64 AS BIGINT) AS int64,
+             CAST(f64 AS DOUBLE) AS float64
+      FROM (VALUES ('1', '-0.123450', '1234567890123456.78', '42', '0.1'),
+                   ('2', '0.000000', '0.00', '0', '-2.5'),
+                   ('3', '0.999999', '-9.99', '-7', '123456.789012'),
+                   ('4', '-0.100000', '100.10', '9007199254740993', '0.0000001'))
+           AS v(pid, d96, d182, i64, f64)
+      ORDER BY probe_id""",
     // X246 HyperBall: the oracle unrolls the register max-union rounds
     // relationally ((id, b, rho) rows, self-loops carry the own-sketch
     // union, ONE previous-round reference per round) and applies the
@@ -9797,5 +9812,10 @@ ${SHINGLES.trim},
       ("stream_queue_wait" -> llm_queries("events_queue_wait")) +
       // the monotone-horizon fold telescopes to the same interval union
       // as the batch lead() identity — X251's SQL verbatim
-      ("stream_interval_union" -> llm_queries("events_interval_union"))
+      ("stream_interval_union" -> llm_queries("events_interval_union")) +
+      // X288/X289 probe names kept for driver-surface continuity: the
+      // shipped analytics_theil / analytics_hier_rollup ARE the integer
+      // renderings since r14, so the probes share those twins verbatim
+      ("analytics_theil_micro" -> llm_queries("analytics_theil")) +
+      ("analytics_hier_rollup_cents" -> llm_queries("analytics_hier_rollup"))
 }

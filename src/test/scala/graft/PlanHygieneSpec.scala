@@ -169,6 +169,8 @@ class PlanHygieneSpec extends SparkSpec
     // broadcast 1-row (n, S) corpus totals (the analytics_gini class;
     // since r14 the entry is the X288 integer rendering — same plan)
     "analytics_theil" -> 8,
+    // the kept X288 probe name aliases the same implementation/plan
+    "analytics_theil_micro" -> 8,
     // the embed_cosine_topk query-row broadcast inside the exact leg
     "embed_rank_fusion" -> 8,
     // two 1-row per-half recency watermarks (the analytics_rfm shape)
