@@ -43,7 +43,7 @@ object Components {
     */
   def starComponents(pairs: DataFrame, maxRounds: Int = 48): StarResult = {
     val spark = pairs.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
 
     // canonical direction (big, small) + dedup; self-edges contribute
     // nothing to connectivity. Partitioned once on the round's join key.
@@ -61,7 +61,26 @@ object Components {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct()
-      .repartition(parts, col("u")))
+      .repartition(sessionParts, col("u")))
+    // Scale-adaptive loop sizing (r14, guide §2): every per-round shuffle
+    // inside the fixpoint is sized to the MEASURED canonical edge count
+    // (~2M edge rows ≈ 50–100 MB per reduce partition), not to the
+    // session default — at bench SF the loop stops scheduling dozens of
+    // ~1ms tasks per stage, at 100 TB the same formula yields hundreds
+    // of right-sized partitions. The count is one trivial job over the
+    // just-checkpointed init relation. AQE is OFF inside the loop for
+    // the established reason (per-exchange re-planning is pure latency
+    // on a chain of small bounded shuffles whose sizes we just derived);
+    // both confs are loop-local and restored on exit.
+    val nEdges = init.count()
+    val loopParts = math.max(4L,
+      math.min(sessionParts.toLong, nEdges / 2000000L + 1L)).toInt
+    val loopConfs = Seq(
+      "spark.sql.shuffle.partitions" -> loopParts.toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val prevConfs = loopConfs.map { case (k, _) => k -> spark.conf.get(k) }
+    loopConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
     // nodes whose only edges were self-loops still deserve a label
     val allNodes = graft.Checkpoints.cut(pairs
       .select(explode(array(col(cols(0)), col(cols(1)))).as("id"))
@@ -91,21 +110,33 @@ object Components {
         .distinct()
     }
 
-    // Fixpoint ⟺ the edge set stops changing. Since the per-round output
-    // is distinct, equality is two exceptAll-emptiness probes — sound
-    // (no checksum collisions), and at O(log n) total rounds the two
-    // extra jobs per round stay cheap.
+    // Fixpoint ⟺ the edge set stops changing. Both sides are distinct
+    // sets, so equality = empty symmetric difference, computed in ONE
+    // hash-aggregate job (±1 tags, non-zero group survives) instead of
+    // the former two exceptAll anti-join jobs per round (r14, guide
+    // §2.4: two probe shuffles → one) — still sound, no checksums. The
+    // probe only runs at all when the cheap row-count gate (a trivial
+    // count over just-checkpointed data, the kcore pattern) says the
+    // cardinality held: a round that changed the edge count cannot be
+    // the fixpoint, so early rounds pay one ~ms count and no diff job.
     def same(a: DataFrame, b: DataFrame): Boolean =
-      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      a.select(col("u"), col("v"), lit(1L).as("s"))
+        .unionByName(b.select(col("u"), col("v"), lit(-1L).as("s")))
+        .groupBy("u", "v").agg(sum("s").as("s"))
+        .filter(col("s") =!= 0)
+        .isEmpty
 
     var edges = init
+    var prevCount = nEdges
     var rounds = 0
-    var converged = edges.isEmpty // a loop-free pair set is already done
+    var converged = nEdges == 0 // a loop-free pair set is already done
     while (!converged && rounds < maxRounds) {
       // eager: materialized before the probes, plan truncated to a scan
       val next = graft.Checkpoints.cut(
-        smallStar(largeStar(edges)).repartition(parts, col("u")))
-      converged = same(next, edges)
+        smallStar(largeStar(edges)).repartition(loopParts, col("u")))
+      val nextCount = next.count()
+      converged = nextCount == prevCount && same(next, edges)
+      prevCount = nextCount
       edges.unpersist()
       edges = next
       rounds += 1
@@ -125,5 +156,6 @@ object Components {
     edges.unpersist()
     allNodes.unpersist()
     StarResult(labels, rounds)
+    } finally prevConfs.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 }

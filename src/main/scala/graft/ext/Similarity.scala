@@ -1284,33 +1284,85 @@ object Similarity {
       .select(col("j").as("i"), col("i").as("j"), col("cij")))
   }
 
-  /** `rounds` max-normalized power-iteration rounds of `cov` from the
-    * all-ones start: returns (j, vj DECIMAL(18,6)) — shared by X181
+  /** The collected dims×dims covariance (1-based dims → 0-based array),
+    * off the memoized Gram-kernel relation. dims is a SCHEMA constant —
+    * dims² cells are corpus-independent, the same bounded-collect class
+    * as the Gram pass's own µ pull, and exactly what a production PCA
+    * does once the Gram matrix exists (LAPACK on the driver, not dims²
+    * cluster jobs). (r14, guide §1.2/§5: after the one corpus pass,
+    * the theoretically-cheapest execution of the iteration is scalar
+    * driver arithmetic; the former distributed spelling spent its whole
+    * budget scheduling dims²-sized joins — measured 5–16 s per entry at
+    * sf0.1 against ~0 s of data work.)
+    */
+  private def collectCov(spark: SparkSession, dir: String)
+      : Array[Array[java.math.BigDecimal]] = {
+    val rows = covMatrix(spark, dir).collect()
+    val dims = rows.iterator.map(_.getInt(0)).max
+    val c = Array.ofDim[java.math.BigDecimal](dims, dims)
+    rows.foreach { r =>
+      c(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDecimal(2)
+    }
+    c
+  }
+
+  // Driver-side mirrors of the exact Spark expression semantics the
+  // former relational spelling used — each op replicates the engine's
+  // implementation so the outputs stay BIT-IDENTICAL to the distributed
+  // form (and to the unchanged DuckDB twin):
+  //  - round(double, 6): BigDecimal.valueOf (shortest decimal repr of
+  //    the double) then setScale(6, HALF_UP), back to double;
+  //  - cast(double as DECIMAL(18,6)): same valueOf + setScale path;
+  //  - cast(decimal as double): BigDecimal.doubleValue;
+  //  - decimal × / + : exact BigDecimal arithmetic (Spark's decimal ops
+  //    at these precisions never hit the p=38 cap, so both are exact).
+  private def roundD(d: Double, s: Int): Double =
+    if (d.isNaN || d.isInfinite) d // Spark's Round passes these through
+    else java.math.BigDecimal.valueOf(d)
+      .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def toD6(d: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(d)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+
+  /** `rounds` max-normalized power-iteration rounds of the collected
+    * matrix from the all-ones start — the X181 iteration verbatim, one
+    * round = wᵢ = Σⱼ C(i,j)·vⱼ (exact decimal), then
+    * vᵢ = round(wᵢ/max|w|, 6) with the division in IEEE double exactly
+    * as the relational form's `cast(double)` spelling. Shared by X181
     * and X224 (which runs it again on the deflated matrix).
     */
-  private def powerIterate(cov: DataFrame, rounds: Int): DataFrame = {
-    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    var v = cov.select(col("i")).distinct()
-      .select(col("i").as("j"), lit(1L).cast(D6).as("vj"))
+  private def powerIterateLocal(cov: Array[Array[java.math.BigDecimal]],
+                                rounds: Int)
+      : Array[java.math.BigDecimal] = {
+    val dims = cov.length
+    var v = Array.fill(dims)(
+      java.math.BigDecimal.ONE.setScale(6))
     for (_ <- 1 to rounds) {
-      val w = cov.join(v, Seq("j"))
-        .groupBy(col("i").as("j"))
-        .agg(sum(col("cij") * col("vj")).as("wj"))
-      val mx = w.agg(max(abs(col("wj"))).as("mx"))
-      v = w.crossJoin(broadcast(mx))
-        .select(col("j"),
-          round(col("wj").cast("double") / col("mx").cast("double"), 6)
-            .cast(D6).as("vj"))
+      val w = Array.tabulate(dims) { i =>
+        var s = java.math.BigDecimal.ZERO
+        var j = 0
+        while (j < dims) {
+          s = s.add(cov(i)(j).multiply(v(j)))
+          j += 1
+        }
+        s
+      }
+      val mx = w.iterator.map(_.abs).max
+      val mxD = mx.doubleValue
+      v = w.map(wi => toD6(roundD(wi.doubleValue / mxD, 6)))
     }
     v
   }
 
   def embedPcaPower(spark: SparkSession, dir: String,
-                    rounds: Int = 3): DataFrame =
-    powerIterate(covMatrix(spark, dir), rounds)
-      .select(col("j").cast("long").as("dim"),
-        col("vj").cast("double").as("loading"))
+                    rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val v = powerIterateLocal(collectCov(spark, dir), rounds)
+    v.zipWithIndex
+      .map { case (vj, i) => ((i + 1).toLong, vj.doubleValue) }.toSeq
+      .toDF("dim", "loading")
       .orderBy("dim")
+  }
 
   /** X224: two-component PCA by Hotelling deflation — the second
     * principal axis and the per-axis explained-variance shares the
@@ -1331,71 +1383,68 @@ object Similarity {
     */
   def embedPcaTop2(spark: SparkSession, dir: String,
                    rounds: Int = 3): DataFrame = {
-    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val cov = covMatrix(spark, dir)
-    // every derived dims-sized relation gets a lineage cut: unchecked,
-    // the u-rounds' tree repeats the (cov2 ⊃ lam1 ⊃ v1-rounds) subtree
-    // per round and Catalyst optimization time explodes — the plan
-    // blow-up class the cluster-propagation operators already cut
-    // (measured: cutting only cov2 leaves a 38 s entry; all three cuts
-    // land it at ~6 s, all scheduling overhead on dims²-sized data)
-    val v1 = graft.Checkpoints.cut(powerIterate(cov, rounds))
-    def rayleigh(c: DataFrame, v: DataFrame): DataFrame = {
-      val num = c
-        .join(v.select(col("j").as("i"), col("vj").as("vi")), Seq("i"))
-        .join(v.select(col("j"), col("vj")), Seq("j"))
-        .agg(sum(round(col("cij") * col("vi"), 6).cast(D6) * col("vj"))
-          .as("vcv"))
-      val den = v.agg(sum(col("vj") * col("vj")).as("vv"))
-      num.crossJoin(broadcast(den))
-        .select(round(col("vcv").cast("double") / col("vv").cast("double"),
-          6).cast(D6).as("lambda"))
+    import spark.implicits._
+    // r14: like X181, everything past the memoized Gram-kernel
+    // covariance is dims²-bounded scalar work and runs on the driver
+    // (formerly three lineage cuts + ~50 dims²-sized cluster jobs,
+    // 6–16 s of pure scheduling at sf0.1). Every op mirrors the former
+    // relational spelling's exact semantics (see [[roundD]]/[[toD6]]),
+    // so the output is bit-identical and the twin is unchanged.
+    val cov = collectCov(spark, dir)
+    val dims = cov.length
+    val v1 = powerIterateLocal(cov, rounds)
+    // Rayleigh λ = vᵀCv / vᵀv: per-term round(cij·vi, 6) then ·vj, both
+    // sums exact decimal, one IEEE division pinned back to 6dp
+    def rayleigh(c: Array[Array[java.math.BigDecimal]],
+                 v: Array[java.math.BigDecimal]): java.math.BigDecimal = {
+      var num = java.math.BigDecimal.ZERO
+      var den = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < dims) {
+        var j = 0
+        while (j < dims) {
+          num = num.add(c(i)(j).multiply(v(i))
+            .setScale(6, java.math.RoundingMode.HALF_UP).multiply(v(j)))
+          j += 1
+        }
+        den = den.add(v(i).multiply(v(i)))
+        i += 1
+      }
+      toD6(roundD(num.doubleValue / den.doubleValue, 6))
     }
     val lam1 = rayleigh(cov, v1)
-    val trace = cov.filter(col("i") === col("j"))
-      .agg(sum("cij").as("trace_d"))
+    var trace = java.math.BigDecimal.ZERO
+    (0 until dims).foreach(i => trace = trace.add(cov(i)(i)))
     // C2 = C − λ · (v vᵀ)/(vᵀv), cell-wise — the vᵀv division is what
     // makes the Hotelling projector valid for the MAX-normalized
     // iterate (without it the subtraction overshoots by vᵀv and the
     // second axis converges to a large NEGATIVE eigenvalue — the bug
     // the λ₂ > 0 law in Round9OpsSpec caught); each projector cell is
-    // 6dp-rounded before the λ multiply so every cell stays inside
-    // DECIMAL(18,6)
-    val vv1 = v1.agg(sum(col("vj") * col("vj")).as("vv"))
-    val outer = v1.select(col("j").as("i"), col("vj").as("vi"))
-      .crossJoin(broadcast(v1.select(col("j"), col("vj"))))
-      .crossJoin(broadcast(vv1))
-      .select(col("i"), col("j"),
-        round((col("vi") * col("vj")).cast("double") /
-          col("vv").cast("double"), 6).cast(D6).as("pij"))
-    val cov2 = graft.Checkpoints.cut(cov.join(outer, Seq("i", "j"))
-      .crossJoin(broadcast(lam1))
-      .select(col("i"), col("j"),
-        round(col("cij") - col("lambda") * col("pij"), 6).cast(D6)
-          .as("cij")))
-    val v2 = graft.Checkpoints.cut(powerIterate(cov2, rounds))
+    // 6dp-rounded before the λ multiply, exactly the former spelling
+    var vv1 = java.math.BigDecimal.ZERO
+    v1.foreach(x => vv1 = vv1.add(x.multiply(x)))
+    val vv1D = vv1.doubleValue
+    val cov2 = Array.tabulate(dims, dims) { (i, j) =>
+      val pij = toD6(roundD(
+        v1(i).multiply(v1(j)).doubleValue / vv1D, 6))
+      cov(i)(j).subtract(lam1.multiply(pij))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+    }
+    val v2 = powerIterateLocal(cov2, rounds)
     val lam2 = rayleigh(cov2, v2)
-    val dot12 = v1.select(col("j"), col("vj").as("v1j"))
-      .join(v2.select(col("j"), col("vj").as("v2j")), Seq("j"))
-      .agg(sum(col("v1j") * col("v2j")).as("dot_d"))
-    val fit = lam1.select(col("lambda").as("l1"))
-      .crossJoin(broadcast(lam2.select(col("lambda").as("l2"))))
-      .crossJoin(broadcast(trace))
-      .crossJoin(broadcast(dot12))
-      .select(col("l1").cast("double").as("lambda1"),
-        col("l2").cast("double").as("lambda2"),
-        round(col("l1").cast("double") / col("trace_d").cast("double"), 6)
-          .as("explained1"),
-        round(col("l2").cast("double") / col("trace_d").cast("double"), 6)
-          .as("explained2"),
-        round(col("dot_d").cast("double"), 6).as("v1_dot_v2"))
-    v1.select(col("j"), col("vj").cast("double").as("loading1"))
-      .join(v2.select(col("j"), col("vj").cast("double").as("loading2")),
-        Seq("j"))
-      .crossJoin(broadcast(fit))
-      .select(col("j").cast("long").as("dim"), col("loading1"),
-        col("loading2"), col("lambda1"), col("lambda2"),
-        col("explained1"), col("explained2"), col("v1_dot_v2"))
+    var dot12 = java.math.BigDecimal.ZERO
+    (0 until dims).foreach(j => dot12 = dot12.add(v1(j).multiply(v2(j))))
+    val traceD = trace.doubleValue
+    val lambda1 = lam1.doubleValue
+    val lambda2 = lam2.doubleValue
+    val explained1 = roundD(lambda1 / traceD, 6)
+    val explained2 = roundD(lambda2 / traceD, 6)
+    val v1DotV2 = roundD(dot12.doubleValue, 6)
+    (0 until dims).map { i =>
+      ((i + 1).toLong, v1(i).doubleValue, v2(i).doubleValue,
+        lambda1, lambda2, explained1, explained2, v1DotV2)
+    }.toDF("dim", "loading1", "loading2", "lambda1", "lambda2",
+      "explained1", "explained2", "v1_dot_v2")
       .orderBy("dim")
   }
 
@@ -1429,55 +1478,141 @@ object Similarity {
     */
   def embedKmeans(spark: SparkSession, dir: String, k: Int = 4,
                   rounds: Int = 3): DataFrame = {
-    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val q = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "v")))
-      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
-        round(col("v").cast("double"), 6).cast(D6).as("x"))
-    // deterministic seeds: the k md5-smallest vec_ids, ranked over the
-    // k-row limit result (bounded partitionless window, the ivfIndex
-    // seeding — allowlisted)
-    val seeds = Tables.embeddings(spark, dir).select(col("vec_id"))
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD}
+    import java.math.RoundingMode.HALF_UP
+    // r14 (guide §2.3 "aggregate before you shuffle"): each Lloyd round
+    // is ONE narrow mapPartitions pass holding the k×dims centroid
+    // table in the task (the MLlib/production shape) — per partition it
+    // assigns every vector by exact-decimal argmin and accumulates the
+    // k×dims centroid partial sums + k (count, inertia) cells, so a
+    // round ships partitions·k·(dims+2) bounded cells to the driver
+    // instead of shuffling the n·k exploded distance stream through two
+    // wide aggregates and re-joining the corpus for the update (the
+    // former spelling: 3 shuffles + 2 corpus derivations per round,
+    // measured 5.0 s at sf0.1 for 2000×64 floats of actual data). The
+    // driver merge is exact decimal adds (associative, partitioning-
+    // independent) and the centroid divide mirrors the former
+    // round(sum/n, 6) spelling op-for-op, so the trajectory — and the
+    // oracle — are BIT-IDENTICAL. k and dims are schema constants:
+    // nothing driver-side scales with the corpus.
+    //
+    // Exactness discipline (unchanged): inputs quantize to 6dp decimal
+    // once (valueOf = shortest-repr of the widened float, HALF_UP — the
+    // Gram kernel's rule); per-dim squared differences are 6dp-rounded
+    // BEFORE summing (the sf0.001 rounding-boundary lesson); argmin
+    // ties break to the smaller cell.
+    val seedRows = Tables.embeddings(spark, dir).select(col("vec_id"))
       .withColumn("hk", md5(col("vec_id").cast("string")))
       .orderBy("hk", "vec_id").limit(k)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy("hk", "vec_id")) - 1).cast("long"))
-      .select("vec_id", "cell")
-    var cent = q.join(broadcast(seeds), Seq("vec_id"))
-      .select(col("cell"), col("dim"), col("x").as("c"))
-    // nearest-centroid assignment: exact-decimal dist², argmin as a
-    // map-combinable struct-min (dist2 ASC, cell ASC — ties low)
-    // per-dim squared differences are 6dp-quantized BEFORE summing: the
-    // raw decimal product carries scale 12 in DuckDB but Spark's
-    // precision cap reduces it to scale 11, and the 12th-digit
-    // truncation can land a dist² sum exactly on a 6dp rounding
-    // boundary (observed at sf0.001) — per-term rounding makes every
-    // dist², argmin comparison, and the inertia sum bit-identical
-    def assign(c: DataFrame): DataFrame =
-      q.join(broadcast(c), Seq("dim"))
-        .withColumn("dd",
-          round((col("x") - col("c")) * (col("x") - col("c")), 6).cast(D6))
-        .groupBy("vec_id", "cell").agg(sum("dd").as("dist2"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("dist2"), col("cell"))).as("m"))
-        .select(col("vec_id"), col("m.cell").as("cell"),
-          col("m.dist2").as("dist2"))
-    for (_ <- 1 to rounds) {
-      val asg = assign(cent)
-      cent = q.join(asg.select("vec_id", "cell"), Seq("vec_id"))
-        .groupBy("cell", "dim")
-        .agg(sum("x").as("s"), count(lit(1)).as("n"))
-        .select(col("cell"), col("dim"),
-          round(col("s").cast("double") / col("n"), 6).cast(D6).as("c"))
+      .collect() // k rows — bounded
+    val seedIds = seedRows.map(_.getLong(0))
+    val seedVecs = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    def quant(f: Float): JBD =
+      JBD.valueOf(f.toDouble).setScale(6, HALF_UP)
+    val dims = seedVecs(seedIds.head).length
+    // (cell id, centroid): seed vectors quantized, cells in hk order.
+    // A cell that loses every member drops out of the table exactly as
+    // the former groupBy spelling dropped it — ids stay ascending so
+    // the tie-to-smaller-cell argmin is preserved verbatim.
+    var cent: Array[(Long, Array[JBD])] =
+      seedIds.zipWithIndex.map { case (id, cell) =>
+        (cell.toLong, seedVecs(id).map(quant).toArray)
+      }
+    // one corpus pass: per-partition argmin + partial accumulation;
+    // emits (sumx per dim, n, sum dist2) per live cell per partition
+    def pass(c: Array[(Long, Array[JBD])])
+        : Array[(Long, Array[JBD], Long, JBD)] = {
+      val cB = spark.sparkContext.broadcast(
+        c.map(_._2.map(_.toPlainString)))
+      val partials = Tables.embeddings(spark, dir)
+        .select(col("embedding")).as[Seq[Float]]
+        .mapPartitions { it =>
+          val cc = cB.value.map(_.map(new JBD(_)))
+          val kk = cc.length
+          val d = if (kk > 0) cc(0).length else 0
+          val sumx = Array.fill(kk, d)(JBD.ZERO)
+          val n = new Array[Long](kk)
+          val sumd = Array.fill(kk)(JBD.ZERO)
+          var sawRow = false
+          while (it.hasNext) {
+            val v = it.next()
+            sawRow = true
+            val x = new Array[JBD](d)
+            var i = 0
+            while (i < d) {
+              x(i) = JBD.valueOf(v(i).toDouble).setScale(6, HALF_UP)
+              i += 1
+            }
+            var best = -1
+            var bestD: JBD = null
+            var cell = 0
+            while (cell < kk) {
+              var s = JBD.ZERO
+              i = 0
+              while (i < d) {
+                val diff = x(i).subtract(cc(cell)(i))
+                s = s.add(diff.multiply(diff).setScale(6, HALF_UP))
+                i += 1
+              }
+              // min(struct(dist2, cell)): dist2 ASC, ties to smaller cell
+              if (best < 0 || s.compareTo(bestD) < 0) { best = cell; bestD = s }
+              cell += 1
+            }
+            n(best) += 1
+            sumd(best) = sumd(best).add(bestD)
+            i = 0
+            while (i < d) {
+              sumx(best)(i) = sumx(best)(i).add(x(i))
+              i += 1
+            }
+          }
+          if (sawRow)
+            (0 until kk).iterator.map { cell =>
+              (cell, sumx(cell).map(_.toPlainString),
+                n(cell), sumd(cell).toPlainString)
+            }
+          else Iterator.empty
+        }
+        .collect() // partitions × k bounded partial rows
+      cB.destroy()
+      // exact decimal merge — associative, partitioning-independent
+      val kk = c.length
+      val mergedX = Array.fill(kk, dims)(JBD.ZERO)
+      val mergedN = new Array[Long](kk)
+      val mergedD = Array.fill(kk)(JBD.ZERO)
+      partials.foreach { case (ci, sx, nn, sd) =>
+        mergedN(ci) += nn
+        mergedD(ci) = mergedD(ci).add(new JBD(sd))
+        var i = 0
+        while (i < dims) {
+          mergedX(ci)(i) = mergedX(ci)(i).add(new JBD(sx(i)))
+          i += 1
+        }
+      }
+      (0 until kk).map(ci =>
+        (c(ci)._1, mergedX(ci), mergedN(ci), mergedD(ci))).toArray
     }
-    val fin = assign(cent)
-    val sizes = fin.groupBy("cell")
-      .agg(count(lit(1)).as("n_members"),
-        round(sum("dist2").cast("double"), 6).as("inertia"))
-    cent.join(sizes, Seq("cell"))
-      .select(col("cell"), col("dim").cast("long").as("dim"),
-        col("c").cast("double").as("centroid"),
-        col("n_members"), col("inertia"))
+    for (_ <- 1 to rounds) {
+      // centroid update: round(sum(x)/n, 6) cast D6 — the former
+      // spelling's one IEEE division pinned back into decimal; a cell
+      // with no members drops (the former inner groupBy semantics)
+      cent = pass(cent).collect { case (cell, sx, n, _) if n > 0 =>
+        (cell, sx.map(s => toD6(roundD(s.doubleValue / n, 6))))
+      }
+    }
+    val fin = pass(cent)
+    val centById = cent.toMap
+    fin.iterator.collect { case (cell, _, n, sd) if n > 0 =>
+      (cell, n, roundD(sd.doubleValue, 6))
+    }.flatMap { case (cell, n, inertia) =>
+      (0 until dims).map(i =>
+        (cell, (i + 1).toLong, centById(cell)(i).doubleValue, n, inertia))
+    }.toSeq
+      .toDF("cell", "dim", "centroid", "n_members", "inertia")
       .orderBy("cell", "dim")
   }
 

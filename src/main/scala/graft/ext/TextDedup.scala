@@ -59,6 +59,7 @@ object TextDedup {
     cachedSimhash(spark, dir).count()
     cachedSimhash64(spark, dir).count()
     cachedJaccardPrefix(spark, dir, DefaultJaccardThreshold).count()
+    jaccardPairs(spark, dir).count()
     memo(spark, dir, "occ5")(occ5(Tables.documents(spark, dir))).count()
     memo(spark, dir, "chunks5")(chunksOf(Tables.documents(spark, dir))).count()
     // the LSH-calibration sample relations (the 0.2-threshold prefix
@@ -687,8 +688,19 @@ object TextDedup {
 
   def jaccardPairs(spark: SparkSession, dir: String,
                    threshold: Double = DefaultJaccardThreshold): DataFrame =
-    jaccardPairsOf(cachedDocSets(spark, dir), threshold,
-      Some(cachedJaccardPrefix(spark, dir, threshold)))
+    // The VERIFIED pair table is memoized, not just its prefix index
+    // (r14, guide §2.4): seven consumers (the pair entry itself, the
+    // LSH P/R matrix + minhash P/R audit, the cluster-quality audit,
+    // the method report, split-leakage and the blocking-quality audit)
+    // each re-ran the candidate self-join + set-verify per call —
+    // the most expensive dedup stage, multiplied by the consumer
+    // count. One build per corpus snapshot is also exactly what the
+    // X142 rule states ("at 100 TB you audit the pair TABLE, never
+    // re-run the similarity join"). Released with the other pair memos
+    // at the staged release point; no post-release consumer exists.
+    memo(spark, dir, s"jaccard_pairs_$threshold")(
+      jaccardPairsOf(cachedDocSets(spark, dir), threshold,
+        Some(cachedJaccardPrefix(spark, dir, threshold))))
 
   /** X123: set-CONTAINMENT similarity join — C(A→B) = |A∩B| / |A| ≥ τ,
     * the ASYMMETRIC near-dup relation Jaccard cannot see: a short

@@ -102,8 +102,6 @@ class PlanHygieneSpec extends SparkSpec
     "curation_length_sweep" -> 8,
     // rides text_langid_ngram's langs×1 profile-array broadcast
     "text_lang_confusion" -> 8,
-    // three 1-row max-normalization crossJoins (the graph_hits shape)
-    "embed_pca_power" -> 8,
     // broadcast 1-row corpus day-midpoint (the dq_psi_drift shape)
     "dq_ks_test" -> 8,
     // rides text_lm_perplexity3's 1-row smoothing-totals broadcast plus
@@ -142,9 +140,9 @@ class PlanHygieneSpec extends SparkSpec
     "curation_temperature_mix" -> 8,
     // broadcast 1-row |E| (the graph_modularity shape)
     "graph_conductance" -> 8,
-    // three 1-row max-normalization crossJoins ×2 axes + the 1-row
-    // Rayleigh/trace/fit rows + the 64-row v1 outer-product broadcast
-    "embed_pca_top2" -> 128,
+    // (r14: embed_pca_power / embed_pca_top2 left this map — past the
+    // memoized dims²-bounded covariance both are driver-side scalar
+    // work now, no broadcast nested-loop shapes remain)
     // broadcast 1-row L2/cos summary
     "embed_drift" -> 8,
     // broadcast 1-row uniformity row onto the 1-row alignment row
