@@ -1303,12 +1303,26 @@ object Graphs {
         .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck")),
         Seq("ok"))
       .select(col("ck"), col("sk")).distinct()
-    val capped = cs
+    // r14 (guide §2.4): the capped relation feeds FOUR plan references
+    // (both self-join sides + both degree lookups) and Spark does not
+    // dedupe the subtrees — the committed before-plan computed the
+    // lineitem⋈orders distinct + md5 window four times. One eager cut
+    // materializes it once; the window's hashpartitioning(ck) and
+    // (ck, …) sort order survive the checkpoint, so the ck-keyed
+    // self-join needs no new exchange or sort.
+    val capped = graft.Checkpoints.cut(cs
       .withColumn("rn", row_number().over(Window.partitionBy("ck")
         .orderBy(md5(concat_ws("|", col("ck"), col("sk"))), col("sk"))))
       .filter(col("rn") <= cap)
-      .select(col("ck"), col("sk"))
+      .select(col("ck"), col("sk")))
+    // per-supplier degree of the capped graph: supplier-dimension-sized
+    // at ANY corpus scale — broadcast both lookups (guide §3.1)
     val deg = capped.groupBy(col("sk")).agg(count(lit(1)).as("deg"))
+    // (r14 note: an in-array pair expansion — the fuzzyNameJoin kernel —
+    // was measured SLOWER here than the ck-keyed self-join: per-row
+    // struct/array generators beat codegen'd join output at this fanout.
+    // The self-join stays; both sides now read the one checkpointed
+    // capped relation instead of recomputing the window subtree.)
     val pairs = capped.as("a")
       .join(capped.as("b"), col("a.ck") === col("b.ck") &&
         col("a.sk") < col("b.sk"))
@@ -1316,8 +1330,10 @@ object Graphs {
       .agg(count(lit(1)).as("common"))
       .filter(col("common") >= minSupport)
     pairs
-      .join(deg.select(col("sk").as("s1"), col("deg").as("deg1")), Seq("s1"))
-      .join(deg.select(col("sk").as("s2"), col("deg").as("deg2")), Seq("s2"))
+      .join(broadcast(deg.select(col("sk").as("s1"), col("deg").as("deg1"))),
+        Seq("s1"))
+      .join(broadcast(deg.select(col("sk").as("s2"), col("deg").as("deg2"))),
+        Seq("s2"))
       .select(col("s1"), col("s2"), col("common"), col("deg1"), col("deg2"),
         round(col("common").cast("double") /
           sqrt(col("deg1").cast("double") * col("deg2")), 6).as("weight"))

@@ -208,7 +208,20 @@ object LangModel {
     * contexts are the skew — uniform md5 salting is unnecessary
     * because AQE's skew split owns the (u,v) hot keys.
     */
-  def perplexity3(spark: SparkSession, dir: String): DataFrame = {
+  /** r14 (guide §2.4): the interpolated-trigram scoring — a trigram
+    * explode plus five count joins — is the most expensive LM relation
+    * and has three consumers (its own entry, the perplexity sweep and
+    * the quality-calibration audit), each of which re-ran the whole
+    * pipeline per call. Memoized per (app, dir) like the dedup pair
+    * table; released with the rest of the LangModel memos.
+    */
+  def perplexity3(spark: SparkSession, dir: String): DataFrame =
+    relCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, s"$dir#perplexity3"),
+      perplexity3Uncached(spark, dir).persist())
+
+  private def perplexity3Uncached(spark: SparkSession,
+                                  dir: String): DataFrame = {
     val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),

@@ -46,15 +46,26 @@ object Linkage {
     // thresholded levenshtein (early-exit at distance 2, Spark 4's
     // 3-arg form) is the verify: a<b makes the pair distinct so the
     // distance is exactly 1 iff within the bound.
-    val grouped = keyed.groupBy("k")
+    //
+    // r14 (guide §2.3): the grouping key is xxhash64 of the variant —
+    // an 8-byte shuffle key instead of a ~name-length string. Lossless
+    // for the OUTPUT: any true lev-1 pair shares a real deletion
+    // variant (substitution → delete the differing char from both;
+    // indel → the deleted-char variant equals the shorter name, which
+    // sits in its own variant array), so every true pair still
+    // collides; a hash collision can only ADD candidates, and the
+    // levenshtein verify — now BEFORE the pair distinct, so the
+    // distinct shuffles survivors instead of the full candidate
+    // stream (§2.3 "aggregate before you shuffle") — rejects them.
+    val grouped = keyed.groupBy(xxhash64(col("k")).as("hk"))
       .agg(sort_array(collect_set(col("name"))).as("ns"))
       .filter(size(col("ns")) >= 2)
     grouped.select(explode(expr(
         "flatten(transform(ns, (a, i) -> transform(slice(ns, i + 2, size(ns)), " +
           "b -> struct(a AS name_a, b AS name_b))))")).as("p"))
       .select(col("p.name_a").as("name_a"), col("p.name_b").as("name_b"))
-      .distinct()
       .filter(expr("levenshtein(name_a, name_b, 1) = 1"))
+      .distinct()
       .orderBy("name_a", "name_b")
   }
 

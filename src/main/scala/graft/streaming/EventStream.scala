@@ -77,11 +77,49 @@ object EventStream {
   @volatile private var lastStats: Option[RunStats] = None
   def lastRunStats: Option[RunStats] = lastStats
 
-  /** Run a finite streaming query (AvailableNow) into a memory sink and
-    * return the sink contents.
+  /** Input-derived state-partition count for a corpus snapshot (r14,
+    * guide §2: scale-adaptive, never a constant): the two streamable
+    * relations' on-disk bytes at ~64 MB per state partition, clamped to
+    * [4, session parallelism]. At bench SF this stops every stateful
+    * entry from opening/committing one state store per session core per
+    * micro-batch for a few MB of input (the per-partition per-batch
+    * overhead [[runToMemoryPartitions]] documents); at 100 TB the same
+    * formula yields thousands of right-sized partitions. Memoized per
+    * (app, dir) — one filesystem stat, no data read.
     */
-  private def runToMemory(result: DataFrame, mode: String): DataFrame = {
-    runToMemoryPartitions(result, mode, None)
+  private val srcBytes =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  private[graft] def derivedStatePartitions(spark: SparkSession,
+                                            dir: String): Int = {
+    val bytes = srcBytes.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val streamable = Seq("events.parquet", "documents.parquet").map { f =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$f")
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        }.sum
+        if (streamable > 0L) streamable
+        else { // a direct source path (e.g. the pre-signed band file)
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(conf)
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        }
+      })
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(4L, math.min(session.toLong, bytes / (64L << 20) + 1L)).toInt
+  }
+
+  /** Run a finite streaming query (AvailableNow) into a memory sink and
+    * return the sink contents, with the state-partition count derived
+    * from the corpus snapshot's streamable bytes (see
+    * [[derivedStatePartitions]]).
+    */
+  private def runToMemory(result: DataFrame, mode: String,
+                          dir: String): DataFrame = {
+    runToMemoryPartitions(result, mode,
+      Some(derivedStatePartitions(result.sparkSession, dir)))
   }
 
   /** [[runToMemory]] with an explicit state-partition count for the run.
@@ -169,7 +207,7 @@ object EventStream {
     // replay but unbounded on a real stream — the production form is
     // [[tumblingHourlyAppend]] (append mode, closed windows only,
     // evictable state).
-    runToMemory(tumblingPlan(spark, dir), "complete")
+    runToMemory(tumblingPlan(spark, dir), "complete", dir)
       .orderBy("hour_start", "event_type")
 
   /** The production form of [[tumblingHourly]]: append output mode, so
@@ -181,7 +219,7 @@ object EventStream {
     * predicate to the batch aggregate.
     */
   def tumblingHourlyAppend(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(tumblingPlan(spark, dir), "append")
+    runToMemory(tumblingPlan(spark, dir), "append", dir)
       .orderBy("hour_start", "event_type")
 
   /** The 30-minute-gap sessionization plan — one construction for both
@@ -206,7 +244,7 @@ object EventStream {
     // memory sink — see tumblingHourly); the production posture is append
     // mode, where a session emits once the watermark passes its end+gap
     // and its state evicts.
-    runToMemory(sessionPlan(spark, dir), "complete")
+    runToMemory(sessionPlan(spark, dir), "complete", dir)
       .orderBy("user_id", "start_us")
 
   /** Custom keyed state via `flatMapGroupsWithState` — the arbitrary-state
@@ -229,7 +267,7 @@ object EventStream {
           Iterator((uid, n))
         })
       .toDF("user_id", "n_events")
-    runToMemory(counts, "update").orderBy("user_id")
+    runToMemory(counts, "update", dir).orderBy("user_id")
   }
 
   /** Per-user running counter as a `transformWithState` StatefulProcessor —
@@ -271,7 +309,7 @@ object EventStream {
         .transformWithState(new UserCountProcessor,
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "n_events")
-      runToMemory(counts, "update").orderBy("user_id")
+      runToMemory(counts, "update", dir).orderBy("user_id")
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None => spark.conf.unset(key)
@@ -327,7 +365,7 @@ object EventStream {
         .transformWithState(new KeepFirstProcessor,
           TimeMode.None(), OutputMode.Append())
         .toDF("event_id", "user_id", "event_type", "us")
-      runToMemory(firsts, "append").orderBy("event_id")
+      runToMemory(firsts, "append", dir).orderBy("event_id")
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None => spark.conf.unset(key)
@@ -410,7 +448,7 @@ object EventStream {
       // update mode re-emits per micro-batch; the LAST update per key is
       // the converged sketch (AvailableNow replay ends at one batch, but
       // the max-fold makes this correct at any batch split)
-      runToMemory(ests, "update")
+      runToMemory(ests, "update", dir)
         .groupBy("event_type").agg(max("hll_est").as("hll_est"))
         .orderBy("event_type")
     } finally prev match {
@@ -483,7 +521,7 @@ object EventStream {
         .toDF("key", "seq", "op", "val", "lang", "n_ops")
       // final emission per key = the max-seq one (update mode re-emits
       // as batches land; seq and n_ops only grow)
-      runToMemory(snap, "update")
+      runToMemory(snap, "update", dir)
         .groupBy("key")
         .agg(max(struct(col("n_ops"), col("seq"), col("op"), col("val"),
           col("lang"))).as("w"))
@@ -682,7 +720,7 @@ object EventStream {
       // changelog fold: per (doc, band) the status is the monotone OR of
       // its emissions (an upsert keyed on (doc, band)); then the same
       // per-doc admit fold as X217
-      runToMemory(gated, "append")
+      runToMemory(gated, "append", dir)
         .groupBy("doc_id", "bb")
         .agg(max(when(col("blocked"), 1L).otherwise(0L)).as("blk"))
         .groupBy("doc_id")
@@ -712,7 +750,7 @@ object EventStream {
         .transformWithState(new BandOwnerProcessor,
           TimeMode.None(), OutputMode.Append())
         .toDF("doc_id", "bb", "blocked")
-      runToMemory(gated, "append")
+      runToMemory(gated, "append", dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bands"),
           sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_bands"))
@@ -792,7 +830,7 @@ object EventStream {
         .toDF("event_type", "ms", "svc_ms", "wait_ms")
       // the same audit aggregate as the batch twin — row-identical on
       // the ordered finite replay (the oracle shares X249's SQL)
-      runToMemory(folded, "append")
+      runToMemory(folded, "append", dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_arrivals"),
           sum(when(col("wait_ms") > 0, 1L).otherwise(0L)).as("n_queued"),
@@ -883,7 +921,7 @@ object EventStream {
         .transformWithState(new HorizonProcessor(holdMs),
           TimeMode.None(), OutputMode.Append())
         .toDF("day", "inc")
-      runToMemory(folded, "append")
+      runToMemory(folded, "append", dir)
         .groupBy(col("day").cast("date").as("day"))
         .agg(count(lit(1)).as("n_errors"), sum("inc").as("outage_ms"))
         .select(col("day"), col("n_errors"), col("outage_ms"),
@@ -960,7 +998,7 @@ object EventStream {
         .toDF("user_id", "us", "prev_us", "gap_us")
       // burstiness = max gap / mean gap; mean gap = span / n_gaps, so
       // the ratio is exact-integer-derived and 6dp-rendered once
-      runToMemory(gaps, "append")
+      runToMemory(gaps, "append", dir)
         .groupBy("user_id")
         .agg((count(lit(1)) + 1).as("n_events"),
           max("gap_us").as("max_gap_us"),
@@ -1014,7 +1052,7 @@ object EventStream {
         .transformWithState(new BandOwnerProcessor,
           TimeMode.None(), OutputMode.Append())
         .toDF("doc_id", "bb", "blocked")
-      runToMemory(gated, "append")
+      runToMemory(gated, "append", bandsPath)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bands"),
           sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked_bands"))
@@ -1074,7 +1112,7 @@ object EventStream {
         .transformWithState(new BandOwnerProcessor,
           TimeMode.None(), OutputMode.Append())
         .toDF("doc_id", "bb", "set_before")
-      runToMemory(gated, "append")
+      runToMemory(gated, "append", dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bits"),
           sum(when(col("set_before"), 1L).otherwise(0L)).as("n_set_bits"))
@@ -1158,7 +1196,7 @@ object EventStream {
         .toDF("event_type", "n", "b50", "b90", "b99")
       // update mode re-emits per batch; n only grows, so the max-n row
       // per key is the converged sketch
-      runToMemory(out, "update")
+      runToMemory(out, "update", dir)
         .groupBy("event_type")
         .agg(max(struct(col("n"), col("b50"), col("b90"), col("b99")))
           .as("w"))
@@ -1223,7 +1261,7 @@ object EventStream {
           TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "event_type", "n_events")
       // counts only grow: max per (user, type) = the final state
-      runToMemory(profile, "update")
+      runToMemory(profile, "update", dir)
         .groupBy("user_id", "event_type")
         .agg(max("n_events").as("n_events"))
         .orderBy("user_id", "event_type")
@@ -1286,7 +1324,7 @@ object EventStream {
       // one: values at a rank only improve as batches merge in, and on
       // an equal-value tie the asc-id rule means the smaller id is the
       // one that STAYS — the X120 convergence-read idiom, tie-exact
-      runToMemory(leaders, "update")
+      runToMemory(leaders, "update", dir)
         .groupBy("event_type", "rank")
         .agg(min(struct((-col("value")).as("nv"), col("event_id"))).as("w"))
         .select(col("event_type"), col("rank"),
@@ -1378,7 +1416,7 @@ object EventStream {
         .transformWithState(new SessionProcessor(gapUs),
           TimeMode.EventTime(), OutputMode.Append())
         .toDF("user_id", "start_us", "end_us", "n_events")
-      runToMemory(sessions, "append").orderBy("user_id", "start_us")
+      runToMemory(sessions, "append", dir).orderBy("user_id", "start_us")
     } finally prev match {
       case Some(p) => spark.conf.set(key, p)
       case None => spark.conf.unset(key)
@@ -1425,7 +1463,7 @@ object EventStream {
           out.result().iterator
         })
       .toDF("event_id", "user_id", "event_type", "us")
-    runToMemory(admitted, "append").orderBy("event_id")
+    runToMemory(admitted, "append", dir).orderBy("event_id")
   }
 
   /** X99: streaming last-touch attribution — the stream twin of the
@@ -1465,7 +1503,7 @@ object EventStream {
           out.result().iterator
         })
       .toDF("purchase_id", "channel", "value")
-    runToMemory(rows, "append").orderBy("purchase_id")
+    runToMemory(rows, "append", dir).orderBy("purchase_id")
   }
 
   /** Stream-stream interval join — the two-sided stateful join class:
@@ -1480,7 +1518,8 @@ object EventStream {
     */
   def streamStreamRangeJoin(spark: SparkSession, dir: String): DataFrame =
     runToMemoryPartitions(
-      signupPurchaseJoin(readEvents(spark, dir), "inner"), "append", Some(4))
+      signupPurchaseJoin(readEvents(spark, dir), "inner"), "append",
+      Some(derivedStatePartitions(spark, dir)))
       .orderBy("signup_id", "purchase_id")
 
   /** The signup⋈purchase interval-join plan — one construction for the
@@ -1559,7 +1598,7 @@ object EventStream {
     // excluded from the *sink* table, batch-side.
     runToMemoryPartitions(
       signupPurchaseJoin(readEventsFlushed(spark, dir), "left_outer"),
-      "append", Some(4))
+      "append", Some(derivedStatePartitions(spark, dir)))
       .filter(col("user_id") >= 0)
       .orderBy("signup_id", "purchase_id")
 
@@ -1569,7 +1608,7 @@ object EventStream {
     * closed-session predicate on the oracle's batch sessionization.
     */
   def sessionWindowsAppend(spark: SparkSession, dir: String): DataFrame =
-    runToMemory(sessionPlan(spark, dir), "append")
+    runToMemory(sessionPlan(spark, dir), "append", dir)
       .orderBy("user_id", "start_us")
 
   /** The streaming delivery boundary end-to-end: the append-mode tumbling
@@ -1629,7 +1668,7 @@ object EventStream {
       .load()
       .filter(col("iam") === "gatherbot" && col("is_dataset"))
       .select("id", "p_file", "title")
-    runToMemory(snap, "append").orderBy("id")
+    runToMemory(snap, "append", dir).orderBy("id")
   }
 
   /** Stateful streaming dedup — X1's streaming form; count of distinct
@@ -1649,7 +1688,7 @@ object EventStream {
       .select(col("user_id"), col("event_type"), col("ts"))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
-    runToMemory(distinctRows, "append")
+    runToMemory(distinctRows, "append", dir)
       .agg(count(lit(1)).as("n_distinct_pairs"))
   }
 
@@ -1676,7 +1715,7 @@ object EventStream {
       .groupBy(col("event_type"), (col("user_total") >= 70).as("heavy_user"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
-    runToMemory(enriched, "complete").orderBy("event_type", "heavy_user")
+    runToMemory(enriched, "complete", dir).orderBy("event_type", "heavy_user")
   }
 
   /** Checkpoint-restart exactly-once resume — the recovery half of the
