@@ -1507,65 +1507,71 @@ object Events {
     val tm = graft.Checkpoints.cut(tc.join(tt, Seq("src"))
       .select(col("src"), col("dst"),
         round(col("c").cast("double") / col("n"), 6).cast(D6).as("p")))
-    val states = tm.select(col("src").as("state")).distinct()
-    val chains = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        Seq("none", "click", "error", "signup", "view")
-          .map(org.apache.spark.sql.Row(_)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("removed",
-          org.apache.spark.sql.types.StringType))))
-    val grid = broadcast(chains).crossJoin(states)
-    val directC = tm.filter(col("dst") === "conv")
-      .select(col("src").as("state"), col("p").as("pdir"))
-    val directN = tm.filter(col("dst") === "null")
-      .select(col("src").as("state"), col("p").as("ndir"))
-    var pv = grid.withColumn("pconv", d6zero).withColumn("pnull", d6zero)
+    // r14 (guide §1.2/§5): past the one corpus pass that builds the
+    // transition matrix, EVERYTHING is states²-bounded (≤ ~8 event
+    // states × 5 removal chains) — the former relational spelling of
+    // the 4-round × 5-chain absorption ran ~250 exchanges of ≤35-row
+    // relations. The matrix is collected (bounded by the event-type
+    // vocabulary, never by data volume) and the absorption rounds run
+    // on the driver with the SAME op sequence: per-term
+    // round(p·pconv, 6) (decimal multiply then setScale HALF_UP),
+    // exact scale-6 sums, removed-state zeroing — bit-identical.
+    import java.math.{BigDecimal => JBD}
+    import java.math.RoundingMode.HALF_UP
+    val zero6 = JBD.ZERO.setScale(6)
+    val tmRows = tm.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDecimal(2).setScale(6)))
+    val states = tmRows.map(_._1).distinct.sorted
+    val chains = Seq("none", "click", "error", "signup", "view")
+    val directC = tmRows.filter(_._2 == "conv").map(t => t._1 -> t._3).toMap
+    val directN = tmRows.filter(_._2 == "null").map(t => t._1 -> t._3).toMap
+    // tm rows whose dst is itself a source state (the inner transitions)
+    val inner = tmRows.filter(t => states.contains(t._2))
+    var pv: Map[(String, String), (JBD, JBD)] =
+      (for (c <- chains; s <- states) yield (c, s) -> (zero6, zero6)).toMap
     for (_ <- 1 to rounds) {
-      // join on dst ∈ states drops conv/null transitions by construction;
       // BOTH absorption vectors advance in the same pass so the
       // truncation residual 1 − p_conv − p_null is reportable
-      val contrib = tm
-        .join(pv.select(col("removed"), col("state").as("dst"),
-          col("pconv"), col("pnull")), "dst")
-        .groupBy(col("removed"), col("src").as("state"))
-        .agg(sum(round(col("p") * col("pconv"), 6).cast(D6)).as("sumc"),
-          sum(round(col("p") * col("pnull"), 6).cast(D6)).as("sumn"))
-      pv = grid
-        .join(directC, Seq("state"), "left")
-        .join(directN, Seq("state"), "left")
-        .join(contrib, Seq("removed", "state"), "left")
-        .select(col("removed"), col("state"),
-          when(col("state") === col("removed"), d6zero)
-            .otherwise((coalesce(col("pdir"), d6zero) +
-              coalesce(col("sumc"), d6zero)).cast(D6)).as("pconv"),
-          when(col("state") === col("removed"), d6zero)
-            .otherwise((coalesce(col("ndir"), d6zero) +
-              coalesce(col("sumn"), d6zero)).cast(D6)).as("pnull"))
+      pv = (for (c <- chains; s <- states) yield {
+        var sumc = zero6
+        var sumn = zero6
+        inner.filter(_._1 == s).foreach { case (_, dst, p) =>
+          val (pc, pn) = pv((c, dst))
+          sumc = sumc.add(p.multiply(pc).setScale(6, HALF_UP))
+          sumn = sumn.add(p.multiply(pn).setScale(6, HALF_UP))
+        }
+        val pc2 =
+          if (s == c) zero6
+          else directC.getOrElse(s, zero6).add(sumc).setScale(6)
+        val pn2 =
+          if (s == c) zero6
+          else directN.getOrElse(s, zero6).add(sumn).setScale(6)
+        (c, s) -> (pc2, pn2)
+      }).toMap
     }
-    val fin = pv.filter(col("state") === "start")
-    val base = fin.filter(col("removed") === "none")
-      .select(col("pconv").as("p_base"), col("pnull").as("pn_base"))
-    val eff = fin.filter(col("removed") =!= "none")
-      .select(col("removed").as("channel"), col("pconv").as("p_removed"),
-        col("pnull").as("pn_removed"))
-      .crossJoin(broadcast(base))
-      .withColumn("removal_effect",
-        (col("p_base") - col("p_removed")).cast(D6))
-    val tot = eff.agg(sum("removal_effect").as("tot_eff"))
-    eff.crossJoin(broadcast(tot))
-      .select(col("channel"),
-        col("p_base").cast("double").as("p_base"),
-        col("p_removed").cast("double").as("p_removed"),
-        col("removal_effect").cast("double").as("removal_effect"),
-        round(col("removal_effect").cast("double") /
-          col("tot_eff").cast("double"), 6).as("attribution"),
+    val (pBase, pnBase) = pv(("none", "start"))
+    val eff = chains.filter(_ != "none").map { c =>
+      val (pRem, pnRem) = pv((c, "start"))
+      (c, pRem, pnRem, pBase.subtract(pRem).setScale(6))
+    }
+    val totEff = eff.map(_._4).foldLeft(JBD.ZERO)(_.add(_))
+    val totEffD = totEff.doubleValue
+    val one6 = JBD.ONE.setScale(6)
+    def roundDiv(x: JBD): Double = {
+      val d = x.doubleValue / totEffD
+      if (d.isNaN || d.isInfinite) d
+      else JBD.valueOf(d).setScale(6, HALF_UP).doubleValue
+    }
+    import spark.implicits._
+    eff.map { case (channel, pRem, pnRem, re) =>
+      (channel, pBase.doubleValue, pRem.doubleValue, re.doubleValue,
+        roundDiv(re),
         // how much probability mass the 4-round truncation leaves
         // unabsorbed — the visible form of the truncation error
-        (lit(1).cast(D6) - col("p_base") - col("pn_base"))
-          .cast("double").as("unresolved_base"),
-        (lit(1).cast(D6) - col("p_removed") - col("pn_removed"))
-          .cast("double").as("unresolved_removed"))
+        one6.subtract(pBase).subtract(pnBase).doubleValue,
+        one6.subtract(pRem).subtract(pnRem).doubleValue)
+    }.toDF("channel", "p_base", "p_removed", "removal_effect",
+      "attribution", "unresolved_base", "unresolved_removed")
       .orderBy("channel")
   }
 

@@ -974,18 +974,33 @@ object Graphs {
     var alive = graft.Checkpoints.cut(
       sym.select(col("u").as("id")).distinct())
     var n = alive.count()
-    var rounds = 0
-    var changed = true
-    while (changed) {
-      val next = graft.Checkpoints.cut(
-        degrees(alive).filter(col("deg") >= k).select("id"))
-      val m = next.count()
-      changed = m < n
-      if (changed) { alive = next; n = m; rounds += 1 }
-    }
-    lastKcoreRounds.put((spark.sparkContext.applicationId, dir), rounds)
-    degrees(alive).select(col("id").as("part_id"), col("deg").as("core_deg"))
-      .orderBy("part_id")
+    // Scale-adaptive loop sizing (r14, the starComponents pattern):
+    // per-round shuffles sized to the measured symmetric edge count
+    // instead of the session default, AQE off inside the loop (its
+    // per-exchange re-planning is pure latency on a chain of bounded
+    // peeling shuffles); both restored on exit.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val loopParts = math.max(4L, math.min(sessionParts.toLong,
+      sym.count() / 2000000L + 1L)).toInt
+    val loopConfs = Seq(
+      "spark.sql.shuffle.partitions" -> loopParts.toString,
+      "spark.sql.adaptive.enabled" -> "false")
+    val prevConfs = loopConfs.map { case (kk, _) => kk -> spark.conf.get(kk) }
+    loopConfs.foreach { case (kk, v) => spark.conf.set(kk, v) }
+    try {
+      var rounds = 0
+      var changed = true
+      while (changed) {
+        val next = graft.Checkpoints.cut(
+          degrees(alive).filter(col("deg") >= k).select("id"))
+        val m = next.count()
+        changed = m < n
+        if (changed) { alive = next; n = m; rounds += 1 }
+      }
+      lastKcoreRounds.put((spark.sparkContext.applicationId, dir), rounds)
+      degrees(alive).select(col("id").as("part_id"), col("deg").as("core_deg"))
+        .orderBy("part_id")
+    } finally prevConfs.foreach { case (kk, v) => spark.conf.set(kk, v) }
   }
 
   /** Unroll depth of the `graph_kcore` DuckDB oracle; [[kcoreRounds]]

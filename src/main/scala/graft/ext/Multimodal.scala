@@ -41,6 +41,32 @@ object Multimodal {
   final case class DecodedImage(doc_id: Long, width: Long, height: Long,
                                 px_checksum: Long)
 
+  /** Spread a narrow pre-codec relation across the session's
+    * parallelism (r14, guide §2.5 input skew): the documents fixture is
+    * a single input split at bench SF, so every codec `mapPartitions`
+    * leg — the expensive per-item encode/decode work — ran on ONE core.
+    * A deterministic hash repartition of the few-bytes-per-row id
+    * relation costs a trivial shuffle and parallelizes the codec; when
+    * the source already carries at least the session's parallelism
+    * (the 100 TB case — many splits), this is a no-op, so nothing is
+    * tuned to local mode.
+    */
+  private def spreadForCodec(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col("doc_id"))
+  }
+
+  /** Executor-side codec init (r14): `ImageIO`'s default stream cache
+    * is DISK-backed — every encode/decode round-trip creates and
+    * deletes a temp FILE, which dwarfs the actual DEFLATE work on the
+    * small test-card rasters and serializes partitions on filesystem
+    * traffic. Memory-cached streams are pure per-call state; pixels are
+    * unaffected. Idempotent, called once per codec closure.
+    */
+  private def imageIoNoDiskCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Documents as binary payloads (text bytes stand in for media bytes). */
   def payloads(spark: SparkSession, dir: String): Dataset[Payload] = {
     import spark.implicits._
@@ -68,10 +94,11 @@ object Multimodal {
     */
   def pngPayloads(spark: SparkSession, dir: String): Dataset[ImagePayload] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
+    spreadForCodec(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")))
       .as[(Long, Long)]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { case (id, nChars) =>
           val w = (8 + java.lang.Math.floorMod(id, 9)).toInt
           val h = (8 + java.lang.Math.floorMod(nChars, 9)).toInt
@@ -104,6 +131,7 @@ object Multimodal {
   def decodePng(spark: SparkSession, dir: String): Dataset[DecodedImage] = {
     import spark.implicits._
     pngPayloads(spark, dir).mapPartitions { it =>
+        imageIoNoDiskCache()
       it.map { p =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(p.content))
@@ -159,10 +187,11 @@ object Multimodal {
   def jpegRoundTrip(spark: SparkSession, dir: String,
                     tol: Int = 16): Dataset[JpegAudit] = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
+    spreadForCodec(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")))
       .as[(Long, Long)]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         val writer = javax.imageio.ImageIO
           .getImageWritersByFormatName("jpeg").next()
         val param = writer.getDefaultWriteParam
@@ -237,8 +266,10 @@ object Multimodal {
     */
   def pcmFeatures(spark: SparkSession, dir: String): Dataset[PcmFrame] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    spreadForCodec(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.flatMap { d =>
           val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
           val n = 160 * nFrames
@@ -301,8 +332,11 @@ object Multimodal {
   def pcmAgc(spark: SparkSession, dir: String,
              targetRms: Long = 1536L, fullScale: Long = 2047L): DataFrame = {
     import spark.implicits._
-    val rows = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val rows = spreadForCodec(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { d =>
           val n = 160 * (2 + java.lang.Math.floorMod(d, 4)).toInt
           val bytes = new Array[Byte](2 * n)
@@ -365,6 +399,7 @@ object Multimodal {
   def lumaHistogram(spark: SparkSession, dir: String): Dataset[LumaBin] = {
     import spark.implicits._
     pngPayloads(spark, dir).mapPartitions { it =>
+        imageIoNoDiskCache()
       it.flatMap { p =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(p.content))
@@ -429,8 +464,10 @@ object Multimodal {
   def pcmClipping(spark: SparkSession, dir: String,
                   clipAt: Int = 2040): Dataset[PcmClip] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    spreadForCodec(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { d =>
           val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
           val n = 160 * nFrames
@@ -612,6 +649,7 @@ object Multimodal {
   def pngAHashes(spark: SparkSession, dir: String): Dataset[ImageHash] = {
     import spark.implicits._
     pngPayloads(spark, dir).mapPartitions { it =>
+        imageIoNoDiskCache()
       it.map { p =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(p.content))
@@ -654,7 +692,12 @@ object Multimodal {
     require(maxHam >= 0 && maxHam < 64,
       s"maxHam must be in [0, 64) for 64-bit slicing, got $maxHam")
     val nSlices = maxHam + 1
-    val hs = pngAHashes(spark, dir).toDF()
+    // r14 (guide §2.4): the hash relation is referenced 2·nSlices times
+    // (both sides of every slice's equi-join) and Spark re-ran the full
+    // encode→decode→hash codec pipeline for each reference; one eager
+    // cut materializes the (doc_id, ahash) rows — 16 bytes/image —
+    // once, so the codec runs exactly one pass per entry invocation.
+    val hs = graft.Checkpoints.cut(pngAHashes(spark, dir).toDF())
     def slice(i: Int): DataFrame = {
       // slice i covers bits [i*64/n, (i+1)*64/n) — widths differ by at
       // most one bit when 64 % n != 0, which the pigeonhole never needs
@@ -712,8 +755,10 @@ object Multimodal {
     */
   def pcmResample(spark: SparkSession, dir: String): Dataset[PcmFrame] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    spreadForCodec(Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.flatMap { d =>
           val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
           val n = 160 * nFrames
@@ -788,6 +833,7 @@ object Multimodal {
   def channelStats(spark: SparkSession, dir: String): Dataset[ChannelStats] = {
     import spark.implicits._
     pngPayloads(spark, dir).mapPartitions { it =>
+        imageIoNoDiskCache()
       it.map { p =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(p.content))
@@ -845,6 +891,7 @@ object Multimodal {
                 grid: Int = 4): DataFrame = {
     import spark.implicits._
     pngPayloads(spark, dir).mapPartitions { it =>
+        imageIoNoDiskCache()
       it.flatMap { p =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(p.content))
@@ -897,6 +944,7 @@ object Multimodal {
   def tileDups(spark: SparkSession, dir: String, grid: Int = 4): DataFrame = {
     import spark.implicits._
     val sigs = pngPayloads(spark, dir).mapPartitions { it =>
+        imageIoNoDiskCache()
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { p =>
         val img = javax.imageio.ImageIO.read(
@@ -957,6 +1005,7 @@ object Multimodal {
   def imageSsim(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sums = pngPayloads(spark, dir).mapPartitions { it =>
+        imageIoNoDiskCache()
       it.map { p =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(p.content))
@@ -1025,8 +1074,11 @@ object Multimodal {
     */
   def pcmPitch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val rows = spreadForCodec(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.flatMap { d =>
           val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
           val n = 160 * nFrames
@@ -1085,8 +1137,11 @@ object Multimodal {
 
   def spectralFlux(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val rows = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val rows = spreadForCodec(
+        Tables.documents(spark, dir).select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
+        imageIoNoDiskCache()
         it.map { d =>
           val nFrames = (2 + java.lang.Math.floorMod(d, 4)).toInt
           val n = 160 * nFrames
@@ -1150,6 +1205,7 @@ object Multimodal {
                  threshold: Long = 20000L): DataFrame = {
     import spark.implicits._
     val rows = pngPayloads(spark, dir).mapPartitions { it =>
+        imageIoNoDiskCache()
       it.map { p =>
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(p.content))

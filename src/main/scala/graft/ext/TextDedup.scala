@@ -661,9 +661,16 @@ object TextDedup {
                      prefixRel: Option[DataFrame] = None): DataFrame = {
     graft.functions.SortedIntersectSize.register(sets.sparkSession)
     val prefix = prefixRel.getOrElse(prefixOf(sets, threshold))
-    val a = prefix.select(col("doc_id").as("doc_a"), col("sh"), col("n").as("na"))
-    val b = prefix.select(col("doc_id").as("doc_b"), col("sh"), col("n").as("nb"))
-    val cand = a.join(b, Seq("sh"))
+    // r14 (guide §2.3): the candidate equi-join keys on xxhash64 of the
+    // shingle — an 8-byte shuffle/sort key instead of the ~5-word text.
+    // Lossless: equal text ⇒ equal hash, so every true candidate still
+    // collides; a collision can only ADD candidates and the exact
+    // set-verify below rejects them. The hash never reaches the output.
+    val a = prefix.select(col("doc_id").as("doc_a"),
+      xxhash64(col("sh")).as("hsh"), col("n").as("na"))
+    val b = prefix.select(col("doc_id").as("doc_b"),
+      xxhash64(col("sh")).as("hsh"), col("n").as("nb"))
+    val cand = a.join(b, Seq("hsh"))
       .filter(col("doc_a") < col("doc_b") &&
         col("nb") >= lit(threshold) * col("na") &&
         col("na") >= lit(threshold) * col("nb"))
@@ -730,11 +737,16 @@ object TextDedup {
                          prefixRel: Option[DataFrame] = None): DataFrame = {
     graft.functions.SortedIntersectSize.register(sets.sparkSession)
     val prefix = prefixRel.getOrElse(prefixOf(sets, threshold))
-    val a = prefix.select(col("doc_id").as("doc_a"), col("sh"),
-      col("n").as("na"))
+    // r14: same 8-byte candidate join key as jaccardPairsOf — the
+    // B side here is the FULL posting explode (corpus-sized), so the
+    // narrower key shrinks the entry's biggest shuffle; the exact
+    // containment verify keeps collision-added candidates out.
+    val a = prefix.select(col("doc_id").as("doc_a"),
+      xxhash64(col("sh")).as("hsh"), col("n").as("na"))
     val b = sets.select(col("doc_id").as("doc_b"),
       explode(col("shs")).as("sh"), col("n").as("nb"))
-    val cand = a.join(b, Seq("sh"))
+      .select(col("doc_b"), xxhash64(col("sh")).as("hsh"), col("nb"))
+    val cand = a.join(b, Seq("hsh"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("nb") >= lit(threshold) * col("na"))
       .select("doc_a", "doc_b").distinct()
