@@ -601,9 +601,15 @@ object Graphs {
     val deg = und.select(col("a").as("id"))
       .unionByName(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("d"))
+    // deg is NODE-sized (the part dimension against the |E|-row edge
+    // stream) — broadcast both attaches exactly like adamicAdar's
+    // z-attach (r14): the edge list is then never shuffled at all and
+    // the entry is one scan + one moment aggregate.
     val pairs = und
-      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .join(broadcast(deg.select(col("id").as("a"), col("d").as("da"))),
+        Seq("a"))
+      .join(broadcast(deg.select(col("id").as("b"), col("d").as("db"))),
+        Seq("b"))
       .select(col("da").as("x"), col("db").as("y"))
     val sym = pairs.unionByName(pairs.select(col("y").as("x"), col("x").as("y")))
     val dec = "decimal(38,0)"

@@ -9787,7 +9787,10 @@ ${SHINGLES.trim},
     */
   private[graft] val aliasKeys: Set[String] =
     Set("dedup_clusters_star", "incr_cc_merge", "stream_cdc_state",
-      "warehouse_scd2_merge", "stream_queue_wait", "stream_interval_union")
+      "warehouse_scd2_merge", "stream_queue_wait", "stream_interval_union",
+      // r14: the kept X288/X289 probe names share the shipped integer
+      // renderings' twins verbatim (entry-name continuity aliases)
+      "analytics_theil_micro", "analytics_hier_rollup_cents")
 
   /** All oracle SQL, keyed by query name. Extended by the analytics /
     * extension modules as they land.
